@@ -1,0 +1,257 @@
+"""Engine façade: execution, materialization, and catalog surface.
+
+Re-expresses the reference connector's public surface
+(connector/snowpark_connector.py) over a SparkSession:
+
+- ``execute_query(sql, lazy)``            — :240-288  (S1/S2)
+- ``execute_query_from_file(path, ...)``  — :290-464  (S3, template +
+  session vars + incremental predicate injection)
+- ``execute_multiple_statements``         — :1238-1272 (S4)
+- ``save_as_table(df, name, mode, type)`` — :466-509  (S9)
+- ``save_as_view(df, name)``              — :511-566  (S10)
+- ``table_exists / truncate_table / drop_table`` — :1006-1071 (S16)
+- ``stage_table``                         — tools/datamart_utils.py:97-124 (S12)
+
+Design notes (Spark-first, 100 TB-aware):
+- Tables are Parquet-backed catalog tables; "temporary" maps to a
+  temp view (zero materialization), "transient" to a cached temp view
+  — the reference's transient tables exist to avoid fail-safe storage
+  costs, which has no Spark analogue, so the useful semantic
+  (cheap intermediate, reused across steps) maps to caching.
+- Session variables are rendered Python-side into the SQL text, the
+  same constant-folding-at-template-time the reference does; Catalyst
+  then folds literals and pushes predicates into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class WriteMode(str, Enum):
+    """Write modes, mirroring definitions/custom_definitions.py:37-47."""
+
+    APPEND = "append"
+    OVERWRITE = "overwrite"
+    TRUNCATE = "truncate"
+    ERROR_IF_EXISTS = "errorifexists"
+    IGNORE = "ignore"
+
+
+class TableType(str, Enum):
+    """Table types, mirroring definitions/custom_definitions.py:26-34."""
+
+    PERMANENT = "permanent"
+    TRANSIENT = "transient"
+    TEMPORARY = "temporary"
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def _validate_identifier(name: str) -> str:
+    """Guard object names injected into SQL text (the reference
+    validates extracted table names the same way,
+    tools/datamart_utils.py:299-321)."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid object name: {name!r}")
+    return name
+
+
+@dataclass
+class Engine:
+    """Thin execution façade over a SparkSession."""
+
+    spark: SparkSession
+    session_variables: dict[str, str] = field(default_factory=dict)
+
+    # ------------------------------------------------------------- exec
+    def execute_query(self, query: str, lazy: bool = True) -> DataFrame | list[Row]:
+        df = self.spark.sql(self._render_session_vars(query))
+        return df if lazy else df.collect()
+
+    def execute_multiple_statements(
+        self, statements: Iterable[str], lazy: bool = True
+    ) -> DataFrame | list[Row] | None:
+        """Run statements sequentially, return the last result."""
+        result: DataFrame | list[Row] | None = None
+        for stmt in statements:
+            stmt = stmt.strip().rstrip(";")
+            if stmt:
+                result = self.execute_query(stmt, lazy=lazy)
+        return result
+
+    def execute_query_from_file(
+        self,
+        path: str | Path,
+        substitutions: dict[str, str] | None = None,
+        incremental_column: str | None = None,
+        last_load_value: str | None = None,
+        lazy: bool = True,
+    ) -> DataFrame | list[Row]:
+        """Load a .sql file, substitute ``{{PLACEHOLDERS}}`` (structural
+        names) and ``$SESSION_VARS``, optionally inject the incremental
+        high-water-mark predicate, then execute."""
+        text = Path(path).read_text()
+        text = render_template(text, substitutions or {})
+        text = inject_incremental_predicate(text, incremental_column, last_load_value)
+        return self.execute_query(text, lazy=lazy)
+
+    # ---------------------------------------------------- session vars
+    def set_session_variables(self, **variables: str) -> None:
+        """Analogue of SET $VAR = value (connector:195-238); rendered
+        Python-side at query time so literals constant-fold."""
+        self.session_variables.update({k.upper(): str(v) for k, v in variables.items()})
+
+    def _render_session_vars(self, text: str) -> str:
+        for key, value in sorted(self.session_variables.items(), key=lambda kv: -len(kv[0])):
+            text = re.sub(rf"\${key}\b", f"'{value}'", text, flags=re.IGNORECASE)
+        return text
+
+    # ------------------------------------------------------------ sinks
+    def save_as_table(
+        self,
+        df: DataFrame,
+        name: str,
+        write_mode: WriteMode = WriteMode.OVERWRITE,
+        table_type: TableType = TableType.PERMANENT,
+    ) -> None:
+        _validate_identifier(name)
+        if table_type is TableType.TEMPORARY:
+            # Temp tables live for the session only → temp view. Write
+            # modes degenerate: overwrite/truncate replace, append unions.
+            if write_mode is WriteMode.APPEND and self._temp_view_exists(name):
+                df = self.spark.table(name).unionByName(df)
+            elif write_mode is WriteMode.ERROR_IF_EXISTS and self._temp_view_exists(name):
+                raise ValueError(f"temporary table {name} already exists")
+            elif write_mode is WriteMode.IGNORE and self._temp_view_exists(name):
+                return
+            df.createOrReplaceTempView(name)
+            return
+        if table_type is TableType.TRANSIENT:
+            # Cheap reusable intermediate: cached temp view (see module doc).
+            df.createOrReplaceTempView(name)
+            self.spark.catalog.cacheTable(name)
+            return
+        if write_mode is WriteMode.TRUNCATE:
+            # TRUNCATE mode = keep schema, replace rows.
+            if self.table_exists(name):
+                self.spark.sql(f"TRUNCATE TABLE {name}")
+                df.write.mode("append").saveAsTable(name)
+            else:
+                df.write.mode("overwrite").saveAsTable(name)
+            return
+        df.write.mode(write_mode.value).saveAsTable(name)
+
+    def save_as_view(self, df: DataFrame, name: str, replace: bool = True) -> None:
+        _validate_identifier(name)
+        if replace:
+            df.createOrReplaceTempView(name)
+        else:
+            df.createTempView(name)
+
+    def stage_table(self, df: DataFrame, name: str) -> DataFrame:
+        """Materialize an intermediate for reuse across steps."""
+        self.save_as_table(df, name, WriteMode.OVERWRITE, TableType.TRANSIENT)
+        return self.spark.table(name)
+
+    # ---------------------------------------------------------- catalog
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def table_exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
+    def _temp_view_exists(self, name: str) -> bool:
+        return any(
+            v.name.lower() == name.lower() for v in self.spark.catalog.listTables() if v.isTemporary
+        )
+
+    def truncate_table(self, name: str) -> None:
+        _validate_identifier(name)
+        self.spark.sql(f"TRUNCATE TABLE {name}")
+
+    def drop_table(self, name: str, if_exists: bool = True) -> None:
+        _validate_identifier(name)
+        self.spark.sql(f"DROP TABLE {'IF EXISTS ' if if_exists else ''}{name}")
+
+    def create_table_from_ddl(self, ddl: str, substitutions: dict[str, str] | None = None) -> None:
+        self.spark.sql(render_template(ddl, substitutions or {}))
+
+    # --------------------------------------------------------- testdata
+    def register_testdata(self, sf_dir: str, tables: Iterable[str] = TESTDATA_TABLES) -> None:
+        """Register the driver's parquet tables as temp views."""
+        for name in tables:
+            load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ------------------------------------------------------------- helpers
+
+def render_template(text: str, substitutions: dict[str, str]) -> str:
+    """``{{PLACEHOLDER}}`` structural substitution (case-insensitive),
+    mirroring connector:346-424 / tools/datamart_utils.py:40-63."""
+    for key, value in substitutions.items():
+        text = re.sub(
+            r"\{\{\s*" + re.escape(key) + r"\s*\}\}", str(value), text, flags=re.IGNORECASE
+        )
+    return text
+
+
+def inject_incremental_predicate(
+    text: str, incremental_column: str | None, last_load_value: str | None
+) -> str:
+    """High-water-mark predicate injection via ``{{AND_CONDITION}}`` /
+    ``{{WHERE_CONDITION}}`` markers (connector:425-453). With no
+    incremental config the markers collapse to nothing (full load)."""
+    if incremental_column and last_load_value is not None:
+        and_cond = f" AND ({incremental_column}) > '{last_load_value}'"
+        where_cond = f" WHERE ({incremental_column}) > '{last_load_value}'"
+    else:
+        and_cond = ""
+        where_cond = ""
+    text = re.sub(r"\{\{\s*AND_CONDITION\s*\}\}", and_cond, text, flags=re.IGNORECASE)
+    text = re.sub(r"\{\{\s*WHERE_CONDITION\s*\}\}", where_cond, text, flags=re.IGNORECASE)
+    return text
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver parquet table, normalizing physical quirks.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long we
+    convert to a microsecond timestamp (the data is µs-aligned, so the
+    conversion is lossless and matches DuckDB's view of the column).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # `div` (integer division) — a double divide would round in the
+        # last ~3 digits at epoch-nanos magnitude (2^53 < 1.7e18).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver parquet table, returning name → DataFrame."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

@@ -1,0 +1,247 @@
+"""CDC / Kimball core operators.
+
+These five primitives compose into every report CTE in the reference
+(SURVEY.md §2.5, §2.3):
+
+- ``dedup_latest``   — W1, QUALIFY ROW_NUMBER()=1 "latest version per
+  business key" (…detail.sql:32 et al., KIMBALL_CDC_DATA_DESIGN.md:239)
+- ``point_in_time``  — P4, cutoff filter ``sequenced_at <= $END``
+- ``scd2_intervals`` — W3, LEAD-derived effective/expiration chaining
+  (…detail.sql:19-20)
+- ``asof_join``      — J5, join each probe row to the version of the
+  other table effective at the probe's timestamp
+- ``effective_at`` / ``interval_join`` — P8/J6, COALESCE-sentinel
+  interval containment (…detail.sql:78-80)
+
+Scale notes: every operator here shuffles at most once, on the
+business key. ``asof_join`` deliberately avoids the naive
+range-join-then-rank plan (probe × full history blowup) in favor of a
+union-merge: tag both inputs, union, single window over
+(key, time) — O(n log n) within partitions, no cross product,
+and skew handling is inherited from AQE because the union shuffles on
+the same key a plain join would.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SENTINEL_HIGH_DATE = "9999-12-31"
+
+
+def _cols(names: Sequence[str] | str) -> list[str]:
+    return [names] if isinstance(names, str) else list(names)
+
+
+def dedup_latest(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    order_by: Sequence[Column | str] | Column | str,
+    keep_rank_column: bool = False,
+) -> DataFrame:
+    """Latest version per business key (CDC Subsystem 7).
+
+    ``order_by`` columns are ranked DESCENDING by default when given as
+    strings (matching ``ORDER BY sequenced_at DESC, sequence_no DESC``);
+    pass Column expressions for custom direction.
+
+    Catalyst turns the rn=1 filter into a WindowGroupLimit (Spark 3.5+)
+    so each shuffle partition keeps only the per-key top row — this is
+    the same "QUALIFY for efficient ROW_NUMBER filtering" practice the
+    reference states as a design principle (setup_dmf_data_quality.sql:11).
+    """
+    ordering = [
+        F.col(c).desc() if isinstance(c, str) else c
+        for c in (_cols(order_by) if isinstance(order_by, (str, list, tuple)) else [order_by])
+    ]
+    w = Window.partitionBy(*_cols(keys)).orderBy(*ordering)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    out = ranked.filter(F.col("__rn") == 1)
+    return out if keep_rank_column else out.drop("__rn")
+
+
+def point_in_time(df: DataFrame, cutoff_col: str, cutoff) -> DataFrame:
+    """Point-in-time cutoff: only versions known as of ``cutoff``.
+
+    Written as a plain filter so it pushes into the parquet scan
+    (PushedFilters); on a date-partitioned fact this becomes partition
+    pruning — the Spark shape of the reference's incremental
+    high-water-mark reads (KIMBALL_CDC_DATA_DESIGN.md:328-342).
+    """
+    return df.filter(F.col(cutoff_col) <= F.lit(cutoff))
+
+
+def snapshot_at(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    sequence_cols: Sequence[str] | str,
+    cutoff_col: str,
+    cutoff,
+) -> DataFrame:
+    """cutoff + dedup-latest composed: the state of every business key
+    as of an instant. This is the reference's universal CTE prologue
+    (…detail.sql:26-33, setup_dmf_data_quality.sql:63-70)."""
+    return dedup_latest(point_in_time(df, cutoff_col, cutoff), keys, _cols(sequence_cols))
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    effective_col: str,
+    expiration_name: str = "row_expiration",
+    current_flag_name: str | None = "current_row_indicator",
+    close_previous: Column | None = None,
+) -> DataFrame:
+    """Derive SCD2 effective/expiration intervals by LEAD-chaining.
+
+    Each version's expiration = the next version's effective instant
+    (optionally adjusted via ``close_previous``, e.g. minus 1 minute as
+    in …detail.sql:19-20), defaulting to the 9999-12-31 sentinel for
+    the open (current) version.
+    """
+    w = Window.partitionBy(*_cols(keys)).orderBy(F.col(effective_col).asc())
+    nxt = F.lead(F.col(effective_col), 1).over(w)
+    if close_previous is not None:
+        nxt = close_previous
+    exp = F.coalesce(nxt, F.lit(SENTINEL_HIGH_DATE).cast(df.schema[effective_col].dataType))
+    out = df.withColumn(expiration_name, exp)
+    if current_flag_name:
+        out = out.withColumn(
+            current_flag_name,
+            F.when(F.lead(F.col(effective_col), 1).over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
+    return out
+
+
+def effective_at(
+    df: DataFrame,
+    as_of,
+    effective_col: str,
+    expiration_col: str,
+    obsolete_col: str | None = None,
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """Rows whose [effective, expiration) interval contains ``as_of``,
+    treating NULL expiration (and NULL obsolete) as the 9999-12-31
+    sentinel — the COALESCE-sentinel predicate of …detail.sql:78-80."""
+    as_of_lit = F.lit(as_of)
+    exp = F.coalesce(F.col(expiration_col), F.lit(SENTINEL_HIGH_DATE).cast("date"))
+    cond = (as_of_lit >= F.col(effective_col)) & (
+        (as_of_lit <= exp) if inclusive_end else (as_of_lit < exp)
+    )
+    if obsolete_col is not None:
+        obs = F.coalesce(F.col(obsolete_col), F.lit(SENTINEL_HIGH_DATE).cast("date"))
+        cond = cond & (as_of_lit < obs)
+    return df.filter(cond)
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: Sequence[str] | str,
+    probe_time: str,
+    build_time: str,
+    build_cols: Sequence[str] | None = None,
+    tie_break: Sequence[str] | None = None,
+) -> DataFrame:
+    """As-of join: each probe row gets the latest build row with
+    ``build_time <= probe_time`` for the same key (left semantics —
+    probe rows with no prior build row keep NULLs).
+
+    Implementation is the scalable union-merge (no range-join cross
+    product): tag the two inputs, union on the key, then a single
+    ``last(..., ignorenulls)`` window ordered by event time carries the
+    most recent build values forward onto each probe row. One shuffle
+    on the key; skew is AQE's problem, not a Python loop's.
+
+    Reference composite: P4 cutoff + W1 dedup + equi-join
+    (…detail.sql:26-33 + 75; KIMBALL_CDC_DATA_DESIGN.md:99-103).
+    """
+    keys = _cols(keys)
+    if build_cols is None:
+        build_cols = [c for c in build.columns if c not in keys and c != build_time]
+    tie_break = list(tie_break or [])
+
+    b = build.select(
+        *[F.col(k) for k in keys],
+        F.col(build_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__tb_{i}") for i, c in enumerate(tie_break)],
+        *[F.col(c).alias(f"__b_{c}") for c in build_cols],
+    )
+    probe_payload = [c for c in probe.columns if c not in keys and c != probe_time]
+    p = probe.select(
+        *[F.col(k) for k in keys],
+        F.col(probe_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(dict(b.dtypes)[f"__tb_{i}"]).alias(f"__tb_{i}")
+            for i in range(len(tie_break))
+        ],
+        *[F.lit(None).cast(dict(b.dtypes)[f"__b_{c}"]).alias(f"__b_{c}") for c in build_cols],
+        *[F.col(c).alias(f"__p_{c}") for c in probe_payload],
+    )
+    b = b.select(
+        *keys, "__t", "__side",
+        *[f"__tb_{i}" for i in range(len(tie_break))],
+        *[f"__b_{c}" for c in build_cols],
+        *[F.lit(None).cast(dict(p.dtypes)[f"__p_{c}"]).alias(f"__p_{c}") for c in probe_payload],
+    )
+
+    unioned = b.unionByName(p)
+    # Build rows (side=0) sort before probe rows (side=1) at equal time →
+    # "at or before" semantics; tie_break orders concurrent build rows so
+    # the winner is the last in tie order (e.g. highest sequence_no).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__side").asc(),
+            *[F.col(f"__tb_{i}").asc_nulls_last() for i in range(len(tie_break))],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *keys,
+        "__t",
+        "__side",
+        *[F.last(F.col(f"__b_{c}"), ignorenulls=True).over(w).alias(f"__b_{c}") for c in build_cols],
+        *[F.col(f"__p_{c}") for c in probe_payload],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *keys,
+        F.col("__t").alias(probe_time),
+        *[F.col(f"__p_{c}").alias(c) for c in probe_payload],
+        *[F.col(f"__b_{c}").alias(c) for c in build_cols],
+    )
+    return out
+
+
+def interval_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str] | str,
+    event_col: str,
+    effective_col: str,
+    expiration_col: str,
+    how: str = "inner",
+    inclusive_end: bool = True,
+) -> DataFrame:
+    """Late-arriving-fact binding (Kimball Subsystem 16): join each
+    fact to the dimension version whose interval contains the fact's
+    event time — ``event BETWEEN row_effective AND row_expiration``
+    (KIMBALL_CDC_DATA_DESIGN.md:99-103). Equi-keys keep this a hash
+    join with theta residual, not a cross product."""
+    keys = _cols(keys)
+    exp = F.coalesce(dim[expiration_col], F.lit(SENTINEL_HIGH_DATE).cast("date"))
+    cond = [facts[k] == dim[k] for k in keys]
+    upper = (facts[event_col] <= exp) if inclusive_end else (facts[event_col] < exp)
+    cond_expr = cond[0]
+    for c in cond[1:]:
+        cond_expr = cond_expr & c
+    cond_expr = cond_expr & (facts[event_col] >= dim[effective_col]) & upper
+    joined = facts.join(dim, on=cond_expr, how=how)
+    return joined.drop(*[dim[k] for k in keys])

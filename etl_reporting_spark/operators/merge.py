@@ -1,0 +1,146 @@
+"""MERGE upsert (J10/J11) as a join-based rewrite with mutation metrics.
+
+The reference builds a Snowflake MERGE with WHEN MATCHED UPDATE /
+WHEN NOT MATCHED INSERT / WHEN NOT MATCHED BY SOURCE DELETE branches
+and parses inserted/updated/deleted counts from the result
+(connector/snowpark_connector.py:607-1004). Plain Spark-over-Parquet
+has no MERGE DML (Delta Lake would give it verbatim; this container
+has no Delta), so the engine computes the post-merge state with one
+full-outer join and derives the same metrics — semantics-equivalent,
+and each branch condition is an arbitrary Column predicate just like
+the reference's optional AND clauses.
+
+Scale notes: one shuffle on the merge keys (or a broadcast if the
+source is small — AQE decides); metrics come from a single aggregate
+over the join result, not from driver-side row loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MergeResult:
+    """Mirrors the reference's UpsertResult metrics
+    (models/custom_models.py:158-209)."""
+
+    df: DataFrame
+    rows_inserted: int
+    rows_updated: int
+    rows_deleted: int
+    rows_unchanged: int
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    insert_cols: Sequence[str] | None = None,
+    matched_condition: Column | None = None,
+    not_matched_condition: Column | None = None,
+    delete_not_matched_by_source: bool = False,
+    delete_condition: Column | None = None,
+) -> MergeResult:
+    """Join-based MERGE. Column lists default to every non-key source
+    column, the same auto-derivation the reference performs
+    (connector:838-852).
+
+    Branch semantics (same as Snowflake/Delta):
+    - matched & matched_condition        → UPDATE listed columns
+    - not matched (source-only) & cond   → INSERT
+    - not matched by source (target-only) & delete flags → DELETE
+    - everything else                    → carry target row unchanged
+    """
+    keys = list(keys)
+    non_key_source = [c for c in source.columns if c not in keys]
+    update_cols = list(update_cols) if update_cols is not None else non_key_source
+    insert_cols = list(insert_cols) if insert_cols is not None else non_key_source
+
+    t = target.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        *[F.col(c).alias(f"__t_{c}") for c in target.columns if c not in keys],
+    )
+    s = source.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in non_key_source],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__tk_{k}") == F.col(f"__sk_{k}")
+        cond = c if cond is None else cond & c
+    j = t.join(s, on=cond, how="full_outer")
+
+    has_target = F.col(f"__tk_{keys[0]}").isNotNull()
+    has_source = F.col(f"__sk_{keys[0]}").isNotNull()
+
+    matched = has_target & has_source
+    if matched_condition is not None:
+        matched_upd = matched & matched_condition
+    else:
+        matched_upd = matched
+    insert_branch = has_source & ~has_target
+    if not_matched_condition is not None:
+        insert_branch = insert_branch & not_matched_condition
+    delete_branch = F.lit(False)
+    if delete_not_matched_by_source:
+        delete_branch = has_target & ~has_source
+        if delete_condition is not None:
+            delete_branch = delete_branch & delete_condition
+
+    action = (
+        F.when(matched_upd, F.lit("U"))
+        .when(insert_branch, F.lit("I"))
+        .when(delete_branch, F.lit("D"))
+        .when(matched, F.lit("M"))  # matched but condition false → keep
+        .when(has_target, F.lit("K"))  # target-only, no delete → keep
+        .otherwise(F.lit("X"))  # source-only, insert condition false → drop
+    )
+    j = j.withColumn("__action", action)
+
+    target_non_key = [c for c in target.columns if c not in keys]
+    out_cols: list[Column] = []
+    for k in keys:
+        out_cols.append(
+            F.when(F.col("__action") == "I", F.col(f"__sk_{k}"))
+            .otherwise(F.col(f"__tk_{k}"))
+            .alias(k)
+        )
+    for c in target_non_key:
+        tcol = F.col(f"__t_{c}")
+        scol = F.col(f"__s_{c}") if c in non_key_source else F.lit(None)
+        updated = scol if c in update_cols else tcol
+        inserted = scol if c in insert_cols else F.lit(None)
+        out_cols.append(
+            F.when(F.col("__action") == "U", updated)
+            .when(F.col("__action") == "I", inserted)
+            .otherwise(tcol)
+            .alias(c)
+        )
+
+    counts_row = (
+        j.groupBy()
+        .pivot("__action", ["U", "I", "D", "M", "K", "X"])
+        .count()
+        .fillna(0)
+        .collect()[0]
+    )
+    merged = j.filter(F.col("__action").isin("U", "I", "M", "K")).select(*out_cols)
+    return MergeResult(
+        df=merged,
+        rows_inserted=counts_row["I"],
+        rows_updated=counts_row["U"],
+        rows_deleted=counts_row["D"],
+        rows_unchanged=counts_row["M"] + counts_row["K"],
+    )
+
+
+def source_target_count_difference(source: DataFrame, target: DataFrame) -> int:
+    """Custom DMF ``source_target_count_difference`` (F2,
+    setup_dmf_data_quality.sql:109-119): ABS(COUNT(source)−COUNT(target))."""
+    return abs(source.count() - target.count())

@@ -1,0 +1,274 @@
+"""DuckDB oracle SQL twins for every SQL-expressible query in
+``queries.py``. Tables region/nation/customer/supplier/part/orders/
+lineitem/events/documents/embeddings are pre-registered views over the
+same parquet files the Spark queries read.
+
+Same determinism convention as queries.py: exact DECIMAL aggregation,
+final CAST to DOUBLE; identical double expression trees for derived
+values; identical column aliases (the driver sorts columns by name
+before hashing).
+"""
+
+from __future__ import annotations
+
+EVENTS_CUTOFF_SQL = "TIMESTAMP '2024-01-15 00:00:00'"
+
+ORACLE_SQL: dict[str, str] = {}
+
+ORACLE_SQL["flagship_active_claimants"] = f"""
+WITH latest AS (
+  SELECT * FROM (
+    SELECT e.*, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts <= {EVENTS_CUTOFF_SQL}
+  ) t WHERE rn = 1
+)
+SELECT r.r_name AS region_name, l.event_type AS event_type,
+       COUNT(*) AS n_claimants,
+       COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+       CAST(SUM(CAST(l.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM latest l
+JOIN customer c ON l.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+ORACLE_SQL["w1_dedup_latest"] = f"""
+SELECT user_id, event_id, event_type, ts, value FROM (
+  SELECT e.*, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events e WHERE ts <= {EVENTS_CUTOFF_SQL}
+) t WHERE rn = 1
+"""
+
+ORACLE_SQL["w3_scd2_intervals"] = """
+SELECT user_id, event_id,
+       ts AS row_effective,
+       COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS row_expiration,
+       CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS current_row_indicator,
+       RANK() OVER w AS version_rank
+FROM events WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+"""
+
+ORACLE_SQL["j5_asof_join"] = """
+WITH views AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, ts, purchase_id, purchase_value FROM (
+  SELECT v.user_id, v.event_id, v.ts, p.purchase_id, p.purchase_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.event_id
+           ORDER BY p.pts DESC NULLS LAST, p.purchase_id DESC NULLS LAST) AS rn
+  FROM views v LEFT JOIN purchases p
+    ON v.user_id = p.user_id AND p.pts <= v.ts
+) t WHERE rn = 1
+"""
+
+ORACLE_SQL["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      AS sum_disc_price,
+  CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+      AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["j1_revenue_by_nation"] = """
+SELECT n.n_name AS nation_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA'
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLE_SQL["p6_customers_without_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND TRIM(CAST(c_custkey AS VARCHAR)) NOT IN (
+    SELECT TRIM(CAST(o_custkey AS VARCHAR)) FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate >= DATE '2001-01-01')
+ORDER BY c_custkey
+"""
+
+ORACLE_SQL["a5_duplicate_detection"] = """
+SELECT user_id, event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+       COUNT(*) AS dup_count
+FROM events
+GROUP BY 1, 2, 3
+HAVING COUNT(*) > 2
+ORDER BY 1, 2, 3
+"""
+
+ORACLE_SQL["a7_grouped_report"] = """
+SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'Grand Total'
+       ELSE CAST(o_orderstatus AS VARCHAR) END AS order_status,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
+  CAST(GROUPING(o_orderstatus) AS INTEGER) AS rollup_level
+FROM orders
+GROUP BY ROLLUP(o_orderstatus)
+"""
+
+ORACLE_SQL["a8_error_rate_by_type"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+  COUNT(*) AS n_events,
+  COUNT(*) FILTER (WHERE event_type = 'error') * CAST(100.0 AS DOUBLE)
+    / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0) AS error_rate_pct,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+    / NULLIF(CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0)
+    AS avg_purchase_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLE_SQL["a9_outlier_events"] = """
+WITH stats AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+         CAST(COUNT(value) AS DOUBLE) AS n
+  FROM events
+)
+SELECT event_id, user_id, event_type, value
+FROM events, stats
+WHERE value > s1 / n + 3.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+ORDER BY event_id
+"""
+
+ORACLE_SQL["u2_period_rollup"] = """
+WITH daily AS (
+  SELECT 'DAILY' AS frequency, CAST(date_trunc('day', ts) AS TIMESTAMP) AS period_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 2
+), weekly AS (
+  SELECT 'WEEKLY' AS frequency, CAST(date_trunc('week', ts) AS TIMESTAMP) AS period_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 2
+), monthly AS (
+  SELECT 'MONTHLY' AS frequency, CAST(date_trunc('month', ts) AS TIMESTAMP) AS period_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 2
+)
+SELECT * FROM daily UNION ALL SELECT * FROM weekly UNION ALL SELECT * FROM monthly
+ORDER BY frequency, period_start
+"""
+
+ORACLE_SQL["o3_top_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+ORACLE_SQL["j7_scalar_config_join"] = """
+WITH cfg AS (SELECT MAX(o_orderdate) AS max_orderdate FROM orders)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+FROM orders, cfg
+WHERE o_orderdate >= max_orderdate - INTERVAL 12 MONTH
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLE_SQL["fn_date_gallery"] = """
+SELECT o_orderkey,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+  make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1)
+    AS first_of_month,
+  strftime(o_orderdate, '%m/%d/%Y') AS formatted_date,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER)
+    AS days_to_2002
+FROM orders
+WHERE o_orderkey <= 1000
+ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["fn_string_gallery"] = """
+SELECT c_custkey,
+  TRIM('  ' || c_name || '  ') AS trimmed_name,
+  c_name || '#' || c_mktsegment AS concat_name,
+  substring(c_name, 1, 8) AS name_prefix,
+  CAST(instr(c_name, '#') AS INTEGER) AS hash_pos,
+  CAST(length(c_name) AS INTEGER) AS name_len,
+  upper(c_mktsegment) AS segment_upper,
+  CASE WHEN contains('CORP\\' || c_name, '\\')
+       THEN substring('CORP\\' || c_name,
+                      length('CORP\\' || c_name)
+                        - strpos(reverse('CORP\\' || c_name), '\\') + 2)
+       ELSE 'CORP\\' || c_name END AS stripped_user
+FROM customer
+WHERE c_custkey <= 500
+ORDER BY c_custkey
+"""
+
+ORACLE_SQL["fn_conditional_gallery"] = """
+SELECT c_custkey,
+  CASE WHEN c_acctbal < 0 THEN 'negative'
+       WHEN c_acctbal < 5000 THEN 'low'
+       ELSE 'high' END AS bal_band,
+  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment_or_default,
+  abs(round(c_acctbal, 0)) AS abs_rounded_bal,
+  greatest(c_acctbal, 0.0) AS floored_bal,
+  md5(c_name) AS name_md5,
+  TRY_CAST(right(c_name, 2) AS INTEGER) AS name_suffix_num,
+  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS positive_flag
+FROM customer
+WHERE c_custkey <= 500
+ORDER BY c_custkey
+"""
+
+ORACLE_SQL["f1_working_days"] = """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         CAST(o.o_orderdate AS DATE) AS order_dt,
+         CAST(l.l_shipdate AS DATE) AS ship_dt
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey <= 2000
+), calc AS (
+  SELECT *, date_diff('day', order_dt, ship_dt) + 1 AS n,
+         isodow(order_dt) - 1 AS d0
+  FROM j
+)
+SELECT l_orderkey, l_linenumber, order_dt, ship_dt,
+  CAST(CASE WHEN ship_dt < order_dt THEN 0 ELSE
+    (n // 7) * 5
+    + GREATEST(LEAST(n % 7, 5 - d0), 0)
+    + LEAST(GREATEST(d0 + (n % 7) - 7, 0), 5)
+  END AS INTEGER) AS working_days
+FROM calc
+ORDER BY l_orderkey, l_linenumber
+"""

@@ -1,0 +1,439 @@
+"""The engine's query inventory: one DataFrame-first implementation
+per operator family from SURVEY.md §2, each runnable against a
+testdata scale-factor directory and each (where SQL-expressible)
+paired with a DuckDB oracle in ``oracles.py``.
+
+Numeric determinism convention (so order-insensitive value hashes
+match the oracle bit-for-bit): any aggregate over floating-point
+inputs is computed over an exact DECIMAL cast, then the final value
+is cast back to DOUBLE. Decimal aggregation is associative/exact in
+both engines, so the shuffle order Spark picks cannot change the
+result; the final double conversion is a single deterministic
+rounding. COUNTs stay BIGINT.
+
+Column aliases here and in the oracle SQL are kept identical — the
+driver sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.functions.datetime_fns import working_days_between
+from etl_reporting_spark.functions.text_fns import strip_domain_prefix
+from etl_reporting_spark.operators.aggregates import grouped_report
+from etl_reporting_spark.operators.cdc import (
+    asof_join,
+    dedup_latest,
+    point_in_time,
+    scd2_intervals,
+    snapshot_at,
+)
+from etl_reporting_spark.operators.relational import anti_join_not_in, top_k, with_scalar
+
+# Point-in-time cutoff for the events CDC stream (events span 2024-01).
+EVENTS_CUTOFF = dt.datetime(2024, 1, 15)
+SHIP_CUTOFF = dt.date(2000, 9, 2)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from etl_reporting_spark.io import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col, scale: int = 4):
+    """Exact-aggregation cast (see module docstring)."""
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(
+        f"decimal(18,{scale})"
+    )
+
+
+# --------------------------------------------------------------------
+# Flagship: the reference's report spine (cutoff → dedup-latest →
+# dim join → aggregate), i.e. setup_dmf_data_quality.sql:63-102 /
+# …detail.sql:26-33 re-expressed on the events/customer star.
+# --------------------------------------------------------------------
+
+def flagship_active_claimants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user at the report cutoff, joined to the
+    customer→nation→region dimension chain, aggregated to active
+    "claimant" counts and exact value sums per region × event type.
+
+    Scale shape: one shuffle for the window (partitioned by user_id),
+    dims broadcast (nation/region are tiny, customer under the 64 MB
+    threshold at benchmark SF), single partial+final aggregate.
+    """
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    latest = snapshot_at(events, "user_id", ["ts", "event_id"], "ts", EVENTS_CUTOFF)
+    dim = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_mktsegment", F.col("n_name").alias("nation_name"),
+                F.col("r_name").alias("region_name"))
+    )
+    joined = latest.join(dim, latest.user_id == dim.c_custkey, "inner")
+    return (
+        joined.groupBy("region_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_claimants"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("region_name", "event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# W1/P4 — CDC dedup-latest at cutoff
+# --------------------------------------------------------------------
+
+def w1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    latest = snapshot_at(events, "user_id", ["ts", "event_id"], "ts", EVENTS_CUTOFF)
+    return latest.select("user_id", "event_id", "event_type", "ts", "value")
+
+
+# --------------------------------------------------------------------
+# W2/W3 — SCD2 interval derivation with LEAD chaining + RANK
+# --------------------------------------------------------------------
+
+def w3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    out = scd2_intervals(events, "user_id", "ts", "row_expiration", "current_row_indicator")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("row_effective"),
+        "row_expiration",
+        "current_row_indicator",
+        F.rank().over(w).alias("version_rank"),
+    )
+
+
+# --------------------------------------------------------------------
+# J5 — as-of join (latest purchase at or before each view event)
+# --------------------------------------------------------------------
+
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        views, purchases, "user_id", "ts", "pts",
+        build_cols=["purchase_id", "purchase_value"], tie_break=["purchase_id"],
+    )
+    return out.select("user_id", "event_id", "ts", "purchase_id", "purchase_value")
+
+
+# --------------------------------------------------------------------
+# Q1-style pricing summary (A3/A4 aggregate battery, P3 range filter)
+# --------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF))
+    ext = _dec("l_extendedprice", 2)
+    disc = _dec("l_discount", 2)
+    tax = _dec("l_tax", 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", 2)).cast("double").alias("sum_qty"),
+            F.sum(ext).cast("double").alias("sum_base_price"),
+            F.sum(ext * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum((ext * (one - disc)) * (one + tax)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------
+# J1/J3 — multi-way equi-join: revenue by nation (Q5-ish)
+# --------------------------------------------------------------------
+
+def j1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = (_dec("l_extendedprice", 2) * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 2)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+# --------------------------------------------------------------------
+# P5/P6/J8 — IN-list + NOT-IN anti-join
+# --------------------------------------------------------------------
+
+def p6_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(dt.date(2001, 1, 1))
+    )
+    out = anti_join_not_in(
+        customer.withColumn("ck", F.col("c_custkey").cast("string")),
+        orders.withColumn("ok", F.col("o_custkey").cast("string")),
+        "ck",
+        "ok",
+        normalize=True,
+    )
+    return out.select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------
+# A5 — duplicate detection GROUP BY … HAVING COUNT(*) > 1
+# --------------------------------------------------------------------
+
+def a5_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", "event_type", F.date_trunc("DAY", F.col("ts")).alias("event_day")
+        )
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 2)
+        .orderBy("user_id", "event_type", "event_day")
+    )
+
+
+# --------------------------------------------------------------------
+# A7 — report rollup with subtotal/grand-total labels
+# --------------------------------------------------------------------
+
+def a7_grouped_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "price_dec", _dec("o_totalprice", 2)
+    )
+    rolled = grouped_report(orders, ["o_orderstatus"], ["price_dec"])
+    return rolled.select(
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("sum_price_dec").cast("double").alias("sum_totalprice"),
+        F.col("__level").cast("int").alias("rollup_level"),
+    )
+
+
+# --------------------------------------------------------------------
+# A8/A4 — conditional aggregation + NULLIF-guarded rate
+# --------------------------------------------------------------------
+
+def a8_error_rate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", F.col("ts"))
+    n_errors = F.count(F.when(F.col("event_type") == "error", 1))
+    n_events = F.count(F.lit(1))
+    purchase_sum = F.sum(F.when(F.col("event_type") == "purchase", _dec("value")))
+    purchase_cnt = F.count(F.when(F.col("event_type") == "purchase", 1))
+    return (
+        events.groupBy(day.alias("event_day"))
+        .agg(
+            n_errors.alias("n_errors"),
+            n_events.alias("n_events"),
+            (n_errors * F.lit(100.0) / F.nullif(n_events.cast("double"), F.lit(0.0))).alias(
+                "error_rate_pct"
+            ),
+            # avg as exact-decimal sum ÷ count in double: deterministic in
+            # both engines (DuckDB's AVG computes in double and would
+            # drift in the last ulp).
+            (purchase_sum.cast("double") / F.nullif(purchase_cnt.cast("double"), F.lit(0.0))).alias(
+                "avg_purchase_value"
+            ),
+        )
+        .orderBy("event_day")
+    )
+
+
+# --------------------------------------------------------------------
+# A9 — outliers vs whole-table stats (agg + broadcast, not empty OVER)
+# --------------------------------------------------------------------
+
+def a9_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole-table mean/stddev via exact decimal sums (associative →
+    # shuffle-order-independent), final arithmetic in double with the
+    # exact same expression tree as the oracle: bit-identical threshold.
+    events = _t(spark, sf_dir, "events")
+    dec = _dec("value")
+    stats = events.agg(
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+        F.count("value").cast("double").alias("n"),
+    )
+    threshold = F.col("s1") / F.col("n") + F.lit(3.0) * F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - F.lit(1.0))
+    )
+    out = (
+        events.crossJoin(F.broadcast(stats))
+        .filter(F.col("value") > threshold)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return out.orderBy("event_id")
+
+
+# --------------------------------------------------------------------
+# U2 — periodic-snapshot rollup (daily/weekly/monthly UNION ALL)
+# --------------------------------------------------------------------
+
+def u2_period_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+
+    def level(trunc_unit: str, label: str) -> DataFrame:
+        return events.groupBy(
+            F.date_trunc(trunc_unit, F.col("ts")).alias("period_start")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        ).select(F.lit(label).alias("frequency"), "period_start", "n_events", "sum_value")
+
+    out = level("DAY", "DAILY").unionByName(level("WEEK", "WEEKLY")).unionByName(
+        level("MONTH", "MONTHLY")
+    )
+    return out.orderBy("frequency", "period_start")
+
+
+# --------------------------------------------------------------------
+# O2/O3 — top-k by recency/size
+# --------------------------------------------------------------------
+
+def o3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return top_k(
+        orders, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+# --------------------------------------------------------------------
+# J7 — scalar broadcast (1-row config cross join)
+# --------------------------------------------------------------------
+
+def j7_scalar_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cfg = orders.agg(F.max("o_orderdate").alias("max_orderdate"))
+    out = with_scalar(orders, cfg)
+    return (
+        out.filter(
+            F.col("o_orderdate") >= F.add_months(F.col("max_orderdate"), -12)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 2)).cast("double").alias("sum_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# §2.8 — scalar function galleries (dates, strings, conditionals)
+# --------------------------------------------------------------------
+
+def fn_date_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("MONTH", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).cast("date").alias("plus_3_months"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("first_of_month"),
+        F.date_format(d, "MM/dd/yyyy").alias("formatted_date"),
+        F.datediff(F.lit(dt.date(2002, 1, 1)), d.cast("date")).alias("days_to_2002"),
+    ).orderBy("o_orderkey")
+
+
+def fn_string_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    name = F.col("c_name")
+    domain_user = F.concat(F.lit("CORP\\"), name)
+    return customer.select(
+        "c_custkey",
+        F.trim(F.concat(F.lit("  "), name, F.lit("  "))).alias("trimmed_name"),
+        F.concat(name, F.lit("#"), F.col("c_mktsegment")).alias("concat_name"),
+        F.substring(name, 1, 8).alias("name_prefix"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.length(name).alias("name_len"),
+        F.upper(F.col("c_mktsegment")).alias("segment_upper"),
+        strip_domain_prefix(domain_user).alias("stripped_user"),
+    ).orderBy("c_custkey")
+
+
+def fn_conditional_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    bal = F.col("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        F.when(bal < 0, "negative").when(bal < 5000, "low").otherwise("high").alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "segment_or_default"
+        ),
+        F.abs(F.round(bal, 0)).cast("double").alias("abs_rounded_bal"),
+        F.greatest(bal, F.lit(0.0)).alias("floored_bal"),
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.expr("try_cast(right(c_name, 2) AS INT)").alias("name_suffix_num"),
+        F.when(bal > 0, F.lit(1)).otherwise(F.lit(0)).alias("positive_flag"),
+    ).orderBy("c_custkey")
+
+
+def f1_working_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").cast("date").alias("order_dt"),
+        F.col("l_shipdate").cast("date").alias("ship_dt"),
+        working_days_between(F.col("o_orderdate"), F.col("l_shipdate")).alias("working_days"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_active_claimants": flagship_active_claimants,
+    "w1_dedup_latest": w1_dedup_latest,
+    "w3_scd2_intervals": w3_scd2_intervals,
+    "j5_asof_join": j5_asof_join,
+    "q1_pricing_summary": q1_pricing_summary,
+    "j1_revenue_by_nation": j1_revenue_by_nation,
+    "p6_customers_without_orders": p6_customers_without_orders,
+    "a5_duplicate_detection": a5_duplicate_detection,
+    "a7_grouped_report": a7_grouped_report,
+    "a8_error_rate_by_type": a8_error_rate_by_type,
+    "a9_outlier_events": a9_outlier_events,
+    "u2_period_rollup": u2_period_rollup,
+    "o3_top_orders": o3_top_orders,
+    "j7_scalar_config_join": j7_scalar_config_join,
+    "fn_date_gallery": fn_date_gallery,
+    "fn_string_gallery": fn_string_gallery,
+    "fn_conditional_gallery": fn_conditional_gallery,
+    "f1_working_days": f1_working_days,
+}

@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-conscious defaults.
+
+The reference delegates all physical execution to its warehouse
+(connector/snowpark_connector.py:101-168 builds the session); we
+delegate to Catalyst/Tungsten/AQE. Config choices below are the
+"works at 100 TB" defaults:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- broadcast threshold generous enough that dimension tables never
+  shuffle (region/nation/customer-sized dims)
+- shuffle partitions sized for the local test harness but expected to
+  be overridden (or AQE-coalesced) on a real cluster
+- UTC session timezone so TIMESTAMP semantics match the reference's
+  TIMESTAMP_NTZ convention and the DuckDB oracle
+- Arrow on for the (rare) Pandas-UDF paths and toPandas tails
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Non-ANSI: TRY_* / null-on-failure cast semantics, matching the
+    # reference's TRY_TO_DATE / TRY_CAST usage (test_data_quality.sql:99-110).
+    "spark.sql.ansi.enabled": "false",
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which the
+    # vectorized reader rejects; read as long and convert at the scan
+    # (io.load_table) — lossless, the data is microsecond-aligned.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Rank-filter pushdown for the dedup-latest pattern (W1): Spark 3.5+
+    # infers a per-group top-k limit from rn=1 filters over windows.
+    "spark.sql.optimizer.windowGroupLimitThreshold": "1000",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "etl_reporting_spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``local[$SPARK_GRAFT_CPUS]`` locally; on a cluster the master comes
+    from spark-submit and this factory only contributes SQL conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    if not os.environ.get("SPARK_MASTER_SET"):
+        builder = builder.master(f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

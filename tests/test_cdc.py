@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.cdc import (
+    asof_join,
+    dedup_latest,
+    effective_at,
+    interval_join,
+    point_in_time,
+    scd2_intervals,
+    snapshot_at,
+)
+
+
+def _cdc_rows(spark):
+    # (key, sequenced_at, sequence_no, value)
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 1, "a-v1"),
+        ("a", dt.datetime(2024, 1, 3), 2, "a-v2"),
+        ("a", dt.datetime(2024, 1, 3), 3, "a-v3"),  # same ts, higher seq wins
+        ("a", dt.datetime(2024, 1, 9), 4, "a-v4"),
+        ("b", dt.datetime(2024, 1, 2), 1, "b-v1"),
+    ]
+    return spark.createDataFrame(rows, "key string, sequenced_at timestamp, sequence_no int, value string")
+
+
+def test_dedup_latest_picks_latest_version(spark):
+    df = _cdc_rows(spark)
+    out = dedup_latest(df, "key", ["sequenced_at", "sequence_no"])
+    got = {r["key"]: r["value"] for r in out.collect()}
+    assert got == {"a": "a-v4", "b": "b-v1"}
+
+
+def test_snapshot_at_cutoff(spark):
+    df = _cdc_rows(spark)
+    out = snapshot_at(df, "key", ["sequenced_at", "sequence_no"], "sequenced_at", dt.datetime(2024, 1, 5))
+    got = {r["key"]: r["value"] for r in out.collect()}
+    # a-v4 is after the cutoff; tie at 1/3 resolved by sequence_no desc
+    assert got == {"a": "a-v3", "b": "b-v1"}
+
+
+def test_point_in_time_pushdown_shape(spark):
+    df = _cdc_rows(spark)
+    assert point_in_time(df, "sequenced_at", dt.datetime(2024, 1, 2)).count() == 2
+
+
+def test_scd2_intervals_lead_chain(spark):
+    df = _cdc_rows(spark).filter(F.col("sequence_no") != 3)
+    out = scd2_intervals(df, "key", "sequenced_at", "row_expiration", "current_row_indicator")
+    rows = {(r["key"], r["value"]): r for r in out.collect()}
+    assert rows[("a", "a-v1")]["row_expiration"] == dt.datetime(2024, 1, 3)
+    assert rows[("a", "a-v4")]["row_expiration"] == dt.datetime(9999, 12, 31)
+    assert rows[("a", "a-v4")]["current_row_indicator"] == 1
+    assert rows[("a", "a-v1")]["current_row_indicator"] == 0
+    assert rows[("b", "b-v1")]["current_row_indicator"] == 1
+
+
+def test_asof_join_latest_at_or_before(spark):
+    build = _cdc_rows(spark)
+    probe = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 2), 100),
+            ("a", dt.datetime(2024, 1, 3), 101),  # equal ts → sees 1/3 version
+            ("a", dt.datetime(2024, 2, 1), 102),
+            ("b", dt.datetime(2024, 1, 1), 103),  # before any build row → NULL
+        ],
+        "key string, ts timestamp, probe_id int",
+    )
+    out = asof_join(
+        probe, build, "key", "ts", "sequenced_at",
+        build_cols=["value"], tie_break=["sequence_no"],
+    )
+    got = {r["probe_id"]: r["value"] for r in out.collect()}
+    assert got == {100: "a-v1", 101: "a-v3", 102: "a-v4", 103: None}
+
+
+def test_effective_at_sentinel(spark):
+    df = spark.createDataFrame(
+        [
+            ("x", dt.date(2024, 1, 1), dt.date(2024, 2, 1)),
+            ("y", dt.date(2024, 1, 15), None),  # open interval
+            ("z", dt.date(2024, 3, 1), None),  # not yet effective
+        ],
+        "k string, eff date, exp date",
+    )
+    out = effective_at(df, dt.date(2024, 1, 20), "eff", "exp")
+    assert {r["k"] for r in out.collect()} == {"x", "y"}
+
+
+def test_interval_join_binds_fact_to_dim_version(spark):
+    dim = spark.createDataFrame(
+        [
+            ("a", "v1", dt.date(2024, 1, 1), dt.date(2024, 1, 31)),
+            ("a", "v2", dt.date(2024, 2, 1), None),
+        ],
+        "k string, dim_val string, eff date, exp date",
+    )
+    facts = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 10), 1), ("a", dt.date(2024, 2, 10), 2)],
+        "k string, event_dt date, fact_id int",
+    )
+    out = interval_join(facts, dim, "k", "event_dt", "eff", "exp")
+    got = {r["fact_id"]: r["dim_val"] for r in out.collect()}
+    assert got == {1: "v1", 2: "v2"}

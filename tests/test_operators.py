@@ -1,0 +1,147 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.functions.datetime_fns import month_spine, working_days_between
+from etl_reporting_spark.functions.text_fns import strip_domain_prefix
+from etl_reporting_spark.operators.aggregates import (
+    column_profile,
+    duplicate_keys,
+    grouped_report,
+    outlier_filter,
+)
+from etl_reporting_spark.operators.merge import merge_upsert
+from etl_reporting_spark.operators.relational import (
+    anti_join_not_in,
+    conditional_insert_missing,
+    top_k,
+    union_by_name_allow_missing,
+    with_scalar,
+)
+
+
+def test_working_days_brute_force(spark):
+    # every (start dow, length) combination against a Python oracle
+    rows = []
+    base = dt.date(2024, 1, 1)  # a Monday
+    for start_off in range(7):
+        for length in range(0, 22):
+            s = base + dt.timedelta(days=start_off)
+            e = s + dt.timedelta(days=length)
+            expected = sum(
+                1
+                for i in range(length + 1)
+                if (s + dt.timedelta(days=i)).weekday() < 5
+            )
+            rows.append((s, e, expected))
+    df = spark.createDataFrame(rows, "s date, e date, expected int")
+    out = df.withColumn("got", working_days_between(F.col("s"), F.col("e")))
+    bad = out.filter(F.col("got") != F.col("expected")).collect()
+    assert bad == [], f"mismatches: {bad[:5]}"
+    # reversed interval → 0
+    assert (
+        df.limit(1)
+        .select(working_days_between(F.col("e") + F.expr("INTERVAL 5 DAYS"), F.col("e")).alias("x"))
+        .first()["x"]
+        == 0
+    )
+
+
+def test_strip_domain_prefix(spark):
+    df = spark.createDataFrame([("CORP\\jdoe",), ("plain_user",)], "u string")
+    got = [r["x"] for r in df.select(strip_domain_prefix(F.col("u")).alias("x")).collect()]
+    assert got == ["jdoe", "plain_user"]
+
+
+def test_anti_join_not_in(spark):
+    left = spark.createDataFrame([(" p1 ",), ("p2",), ("p3",)], "policy string")
+    right = spark.createDataFrame([("p1",), ("p4",)], "policy string")
+    out = anti_join_not_in(left, right, "policy")
+    assert {r["policy"].strip() for r in out.collect()} == {"p2", "p3"}
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    out = duplicate_keys(df, ["k"])
+    assert [(r["k"], r["dup_count"]) for r in out.collect()] == [(1, 2)]
+
+
+def test_grouped_report_rollup(spark):
+    df = spark.createDataFrame(
+        [("east", 10.0, 1), ("east", 20.0, 2), ("west", 5.0, 1)],
+        "grp string, amount double, claimants int",
+    )
+    out = grouped_report(df, ["grp"], ["amount", "claimants"])
+    rows = {r["grp"]: (r["sum_amount"], r["sum_claimants"]) for r in out.collect()}
+    assert rows["east"] == (30.0, 3)
+    assert rows["west"] == (5.0, 1)
+    assert rows["Grand Total"] == (35.0, 4)
+
+
+def test_outlier_filter(spark):
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 1, 2, 1, 2, 100]], "v double")
+    out = outlier_filter(df, "v", sigmas=2.0)
+    assert [r["v"] for r in out.collect()] == [100.0]
+
+
+def test_column_profile(spark):
+    df = spark.createDataFrame([(1,), (1,), (None,), (3,)], "v int")
+    row = column_profile(df, "v").first()
+    assert (row["row_count"], row["null_count"], row["unique_count"]) == (4, 1, 2)
+    assert (row["min_value"], row["max_value"]) == (1, 3)
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int")
+    assert [r["v"] for r in top_k(df, [F.col("v").desc()], 3).collect()] == [99, 98, 97]
+
+
+def test_with_scalar_broadcast(spark):
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    cfg = spark.createDataFrame([(dt.date(2024, 1, 31),)], "report_end date")
+    out = with_scalar(df, cfg)
+    assert out.count() == 2 and "report_end" in out.columns
+
+
+def test_union_by_name_allow_missing(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, "y")], "id int, b string")
+    out = union_by_name_allow_missing([a, b])
+    assert set(out.columns) == {"id", "a", "b"} and out.count() == 2
+
+
+def test_conditional_insert_missing(spark):
+    target = spark.createDataFrame([(1,), (2,)], "k int")
+    source = spark.createDataFrame([(2,), (3,)], "k int")
+    assert [r["k"] for r in conditional_insert_missing(target, source, ["k"]).collect()] == [3]
+
+
+def test_merge_upsert_full_branches(spark):
+    target = spark.createDataFrame(
+        [(1, "old1", 10), (2, "old2", 20), (3, "old3", 30)], "k int, v string, amt int"
+    )
+    source = spark.createDataFrame(
+        [(1, "new1", 11), (4, "new4", 40)], "k int, v string, amt int"
+    )
+    res = merge_upsert(
+        target, source, ["k"], delete_not_matched_by_source=True
+    )
+    rows = {r["k"]: (r["v"], r["amt"]) for r in res.df.collect()}
+    assert rows == {1: ("new1", 11), 4: ("new4", 40)}
+    assert (res.rows_inserted, res.rows_updated, res.rows_deleted) == (1, 1, 2)
+
+    # no delete branch → target-only rows carried unchanged
+    res2 = merge_upsert(target, source, ["k"])
+    rows2 = {r["k"]: r["v"] for r in res2.df.collect()}
+    assert rows2 == {1: "new1", 2: "old2", 3: "old3", 4: "new4"}
+
+
+def test_month_spine(spark):
+    df = month_spine(spark, 2024, 2024, label="ACME")
+    rows = df.orderBy("period_start_dt").collect()
+    assert len(rows) == 12
+    assert rows[0]["period_start_dt"] == dt.date(2024, 1, 1)
+    assert rows[1]["period_end_dt"] == dt.date(2024, 2, 29)
+    assert rows[0]["carrier_name"] == "ACME"
