@@ -1,0 +1,36 @@
+from etl_reporting_spark.llm.dedup import (
+    exact_dedup_map,
+    shingle_docs,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_signatures,
+)
+from etl_reporting_spark.llm.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from etl_reporting_spark.llm.textstats import (
+    text_quality,
+    language_id,
+    document_fingerprint,
+)
+from etl_reporting_spark.llm.multimodal import (
+    with_binary_payload,
+    decode_media_metadata,
+)
+
+__all__ = [
+    "exact_dedup_map",
+    "shingle_docs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "minhash_near_duplicates",
+    "simhash_signatures",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "text_quality",
+    "language_id",
+    "document_fingerprint",
+    "with_binary_payload",
+    "decode_media_metadata",
+]

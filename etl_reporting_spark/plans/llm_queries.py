@@ -1,0 +1,110 @@
+"""LLM-data-pipeline query inventory over documents/embeddings
+(dedup, similarity search, text analysis, multimodal), paired with
+DuckDB oracles in ``llm_oracles.py`` where SQL-expressible.
+
+``ann_cosine_lsh`` is approximate-by-design and gets the rows-only
+check (no oracle); everything else — including the Pandas-UDF
+multimodal path — is fully oracle-verified because every hash and
+every fake-decode is deterministic arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.io import load_table
+from etl_reporting_spark.llm.dedup import (
+    exact_dedup_map,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    shingle_docs,
+    simhash_signatures,
+)
+from etl_reporting_spark.llm.multimodal import decode_media_metadata, with_binary_payload
+from etl_reporting_spark.llm.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_duplicates,
+)
+from etl_reporting_spark.llm.textstats import document_fingerprint, language_id, text_quality
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_map(docs).orderBy("doc_id")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, k=3, min_jaccard=0.5).orderBy("doc_a", "doc_b")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(docs, k=3)
+    return (
+        jaccard_pairs(sh, min_intersection=3, min_jaccard=0.3)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate path — rows-only check by design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(emb, queries, k=5, planes=4).orderBy("query_id", "rank")
+
+
+def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, min_cosine=0.45).orderBy("id_a", "id_b")
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_quality(docs).orderBy("doc_id")
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).orderBy("doc_id")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return document_fingerprint(docs).orderBy("doc_id")
+
+
+def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_metadata(with_binary_payload(docs)).orderBy("doc_id")
+
+
+LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_lsh": ann_cosine_lsh,
+    "emb_near_duplicates": emb_near_duplicates,
+    "text_quality_scores": text_quality_scores,
+    "text_language_id": text_language_id,
+    "doc_fingerprints": doc_fingerprints,
+    "mm_decode_metadata": mm_decode_metadata,
+}

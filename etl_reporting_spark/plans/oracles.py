@@ -11,9 +11,12 @@ before hashing).
 
 from __future__ import annotations
 
+from etl_reporting_spark.plans.llm_oracles import LLM_ORACLE_SQL
+
 EVENTS_CUTOFF_SQL = "TIMESTAMP '2024-01-15 00:00:00'"
 
 ORACLE_SQL: dict[str, str] = {}
+ORACLE_SQL.update(LLM_ORACLE_SQL)
 
 ORACLE_SQL["flagship_active_claimants"] = f"""
 WITH latest AS (

@@ -417,7 +417,10 @@ def f1_working_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+from etl_reporting_spark.plans.llm_queries import LLM_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **LLM_QUERIES,
     "flagship_active_claimants": flagship_active_claimants,
     "w1_dedup_latest": w1_dedup_latest,
     "w3_scd2_intervals": w3_scd2_intervals,

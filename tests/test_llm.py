@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.llm.dedup import (
+    exact_dedup_map,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    shingle_docs,
+    simhash_signatures,
+)
+from etl_reporting_spark.llm.multimodal import decode_media_metadata, with_binary_payload
+from etl_reporting_spark.llm.similarity import cosine_topk_bruteforce
+from etl_reporting_spark.llm.textstats import document_fingerprint, language_id, text_quality
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river shore"),  # near-dup of 0
+        (2, "completely different text with other words entirely unrelated to anything"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_map(spark):
+    out = exact_dedup_map(_docs(spark)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[3]["canonical_id"] == 0 and by_id[3]["group_size"] == 2
+    assert by_id[0]["canonical_id"] == 0
+    assert by_id[2]["group_size"] == 1
+
+
+def test_shingles_and_jaccard(spark):
+    sh = shingle_docs(_docs(spark), k=3)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(sh).collect()}
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert 0.5 < pairs[(0, 1)] < 1.0  # near dup (one word differs)
+    assert (0, 2) not in pairs  # unrelated docs share no trigram
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    out = {(r["doc_a"], r["doc_b"]) for r in minhash_near_duplicates(_docs(spark)).collect()}
+    assert (0, 3) in out  # identical docs always collide in every band
+    assert (0, 1) in out  # high-jaccard pair: all bands should collide here too
+
+
+def test_simhash_identical_docs_equal(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
+    assert sigs[0] == sigs[3]
+    assert 0 <= sigs[0] < 2**16
+    assert sigs[0] != sigs[2]
+
+
+def test_cosine_topk_known_geometry(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    cos1 = next(r["cosine"] for r in out if r["neighbor_id"] == 1)
+    assert math.isclose(cos1, 0.9 / math.sqrt(0.81 + 0.01), rel_tol=1e-6)
+
+
+def test_text_quality_and_language(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "el que la de y en un")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in text_quality(docs).collect()}
+    assert q[0]["n_tokens"] == 5
+    assert q[0]["stopword_ratio"] == 3 / 5  # the, and, the
+    lang = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs).collect()}
+    assert lang[0] == "en" and lang[1] == "es"
+
+
+def test_fingerprint_collides_only_for_identical(spark):
+    fp = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(_docs(spark)).collect()}
+    assert fp[0] == fp[3]
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_fake_decode(spark):
+    docs = _docs(spark)
+    out = {r["doc_id"]: r for r in decode_media_metadata(with_binary_payload(docs)).collect()}
+    text0 = docs.filter(F.col("doc_id") == 0).first()["text"]
+    assert out[0]["n_bytes"] == len(text0.encode())
+    assert out[0]["fake_width"] == len(text0.encode()) % 640 + 16
+    assert out[0]["media_kind"] == "image" and out[1]["media_kind"] == "audio"
