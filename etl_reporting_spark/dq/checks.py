@@ -1,0 +1,175 @@
+"""Data-quality check vocabulary.
+
+Re-expresses the reference's two check layers as engine functions:
+- the parameterized framework's check types
+  (tools/test_framework_helper.py:414-478: UNIQUE_CHECK,
+  COMBINATION_COLUMN_UNIQUE_CHECK, ORPHAN_CHECK, NOT_NULL_CHECK,
+  DEFAULT_VALUE_CHECK, NEGATIVE_VALUE_CHECK, ZERO_VALUE_CHECK)
+- the golden-rule suite's statistical/freshness patterns
+  (sql/*/test_data_quality.sql; DMF catalog
+  sql/DMF_IMPLEMENTATION_GUIDE.md:100-110, 314-407)
+
+Contract (same as the reference): each check returns the FAILURE rows
+— empty result ⇒ PASS. ``evaluate`` wraps any check into the
+reference's verdict row: TEST_ID, STATUS, FAILED_ROWS,
+BUSINESS_IMPACT (test_data_quality.sql emits exactly this shape).
+
+Every check is a single aggregate or anti-join — one shuffle, no
+driver-side iteration — so the suite parallelizes across tables and
+survives fact-table scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckResult:
+    test_id: str
+    status: str  # PASS / FAIL / WARNING
+    failed_rows: int
+    business_impact: str
+
+
+def unique_check(df: DataFrame, column: str) -> DataFrame:
+    """Duplicate values of a single key column (UNIQUE_CHECK).
+    TRIM-normalized as the reference's generated tests are
+    (tools/sql_test_case_generator.py:133-137)."""
+    key = F.trim(F.col(column).cast("string")).alias("key_value")
+    return (
+        df.select(key)
+        .groupBy("key_value")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def combination_unique_check(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Duplicate composite keys (COMBINATION_COLUMN_UNIQUE_CHECK)."""
+    return (
+        df.groupBy(*columns)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def orphan_check(
+    child: DataFrame, parent: DataFrame, child_col: str, parent_col: str | None = None
+) -> DataFrame:
+    """Child keys with no parent (ORPHAN_CHECK / NOT EXISTS,
+    test_data_quality.sql:169-191): left-anti on trimmed keys."""
+    parent_col = parent_col or child_col
+    p = parent.select(F.trim(F.col(parent_col).cast("string")).alias("__k")).distinct()
+    return (
+        child.withColumn("__k", F.trim(F.col(child_col).cast("string")))
+        .join(p, "__k", "left_anti")
+        .drop("__k")
+    )
+
+
+def not_null_check(df: DataFrame, column: str) -> DataFrame:
+    """NULL or empty-string values (NOT_NULL_CHECK;
+    test_data_quality.sql:17-49)."""
+    c = F.col(column)
+    return df.filter(c.isNull() | (c.cast("string") == ""))
+
+
+def default_value_check(df: DataFrame, column: str, default_value) -> DataFrame:
+    """Rows still carrying a default/sentinel value
+    (DEFAULT_VALUE_CHECK)."""
+    return df.filter(F.col(column) == F.lit(default_value))
+
+
+def negative_value_check(df: DataFrame, column: str) -> DataFrame:
+    return df.filter(F.col(column) < 0)
+
+
+def zero_value_check(df: DataFrame, column: str) -> DataFrame:
+    return df.filter(F.col(column) == 0)
+
+
+def row_count_check(df: DataFrame, min_rows: int = 1, max_rows: int | None = None) -> DataFrame:
+    """Row-count reasonability (test_data_quality.sql:198-244): emits
+    one failure row when the count is outside [min, max]."""
+    cnt = df.agg(F.count(F.lit(1)).alias("row_count"))
+    cond = F.col("row_count") < min_rows
+    if max_rows is not None:
+        cond = cond | (F.col("row_count") > max_rows)
+    return cnt.filter(cond)
+
+
+def freshness_check(df: DataFrame, ts_col: str, max_age_hours: float, now=None) -> DataFrame:
+    """FRESHNESS DMF: fail when max(ts) is older than the allowance.
+    ``now`` injectable for determinism."""
+    now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    latest = df.agg(F.max(F.col(ts_col)).alias("latest_ts"))
+    age_hours = (now_expr.cast("double") - F.col("latest_ts").cast("double")) / 3600.0
+    return latest.withColumn("age_hours", age_hours).filter(
+        F.col("age_hours") > F.lit(max_age_hours)
+    )
+
+
+def outlier_check(df: DataFrame, column: str, sigmas: float = 3.0) -> DataFrame:
+    """Statistical outliers vs whole-table stats
+    (test_data_quality.sql:283-300) — agg + broadcast, not an empty
+    OVER() window (single-partition at scale)."""
+    dec = F.col(column).cast("decimal(18,4)")
+    stats = df.agg(
+        F.sum(dec).cast("double").alias("__s1"),
+        F.sum(dec * dec).cast("double").alias("__s2"),
+        F.count(F.col(column)).cast("double").alias("__n"),
+    )
+    thr = F.col("__s1") / F.col("__n") + F.lit(float(sigmas)) * F.sqrt(
+        (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n")) / (F.col("__n") - 1.0)
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .filter(F.col(column) > thr)
+        .drop("__s1", "__s2", "__n")
+    )
+
+
+def evaluate(
+    test_id: str,
+    failures: DataFrame,
+    business_impact: str = "",
+    warn_only: bool = False,
+) -> CheckResult:
+    """Collapse a failure DataFrame into the reference's verdict row."""
+    n = failures.count()
+    status = "PASS" if n == 0 else ("WARNING" if warn_only else "FAIL")
+    return CheckResult(test_id=test_id, status=status, failed_rows=n, business_impact=business_impact)
+
+
+@dataclass
+class Expectation:
+    """DMF expectation (F4, setup_dmf_data_quality.sql:141-148 /
+    DMF_IMPLEMENTATION_GUIDE.md:220-249): a pass/fail rule attached to
+    a scalar metric — EXPECT VALUE = 0, >= 0, <= n."""
+
+    metric_name: str
+    operator: str  # '=', '!=', '<', '<=', '>', '>='
+    threshold: float
+
+    _OPS = {
+        "=": lambda v, t: v == t,
+        "!=": lambda v, t: v != t,
+        "<": lambda v, t: v < t,
+        "<=": lambda v, t: v <= t,
+        ">": lambda v, t: v > t,
+        ">=": lambda v, t: v >= t,
+    }
+
+    def check(self, value: float) -> CheckResult:
+        ok = self._OPS[self.operator](value, self.threshold)
+        return CheckResult(
+            test_id=self.metric_name,
+            status="PASS" if ok else "FAIL",
+            failed_rows=0 if ok else 1,
+            business_impact=f"EXPECT VALUE {self.operator} {self.threshold}, got {value}",
+        )

@@ -236,12 +236,21 @@ def interval_join(
     (KIMBALL_CDC_DATA_DESIGN.md:99-103). Equi-keys keep this a hash
     join with theta residual, not a cross product."""
     keys = _cols(keys)
-    exp = F.coalesce(dim[expiration_col], F.lit(SENTINEL_HIGH_DATE).cast("date"))
-    cond = [facts[k] == dim[k] for k in keys]
-    upper = (facts[event_col] <= exp) if inclusive_end else (facts[event_col] < exp)
-    cond_expr = cond[0]
-    for c in cond[1:]:
-        cond_expr = cond_expr & c
-    cond_expr = cond_expr & (facts[event_col] >= dim[effective_col]) & upper
-    joined = facts.join(dim, on=cond_expr, how=how)
-    return joined.drop(*[dim[k] for k in keys])
+    # Alias both sides: facts and dim often share lineage (both carved
+    # from one CDC stream), and unaliased facts[k] == dim[k] can
+    # resolve to a trivially-true self-comparison — losing the equi
+    # key and degrading the hash join to a theta join.
+    f = facts.alias("__f")
+    d = dim.alias("__d")
+    exp = F.coalesce(F.col(f"__d.{expiration_col}"), F.lit(SENTINEL_HIGH_DATE).cast("date"))
+    evt = F.col(f"__f.{event_col}")
+    cond_expr = F.col(f"__f.{keys[0]}") == F.col(f"__d.{keys[0]}")
+    for k in keys[1:]:
+        cond_expr = cond_expr & (F.col(f"__f.{k}") == F.col(f"__d.{k}"))
+    upper = (evt <= exp) if inclusive_end else (evt < exp)
+    cond_expr = cond_expr & (evt >= F.col(f"__d.{effective_col}")) & upper
+    joined = f.join(d, on=cond_expr, how=how)
+    return joined.select(
+        *[F.col(f"__f.{c}") for c in facts.columns],
+        *[F.col(f"__d.{c}") for c in dim.columns if c not in keys],
+    )

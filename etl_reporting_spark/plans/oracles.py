@@ -275,3 +275,63 @@ SELECT l_orderkey, l_linenumber, order_dt, ship_dt,
 FROM calc
 ORDER BY l_orderkey, l_linenumber
 """
+
+ORACLE_SQL["j6_interval_binding"] = """
+WITH s AS (
+  SELECT user_id, event_id AS version_id, ts AS eff,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC),
+                  TIMESTAMP '9999-12-31 00:00:00') AS exp
+  FROM events WHERE event_type = 'signup'
+),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id, p.ts, s.version_id
+FROM p JOIN s ON p.user_id = s.user_id AND p.ts >= s.eff AND p.ts < s.exp
+ORDER BY p.event_id
+"""
+
+ORACLE_SQL["f3_month_periods"] = """
+SELECT CAST(d AS DATE) AS period_start_dt,
+       last_day(CAST(d AS DATE)) AS period_end_dt,
+       CAST(year(d) AS INTEGER) AS period_year,
+       CAST(month(d) AS INTEGER) AS period_month,
+       'ACME' AS carrier_name
+FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01', INTERVAL 1 MONTH) AS t(d)
+ORDER BY 1
+"""
+
+ORACLE_SQL["dq_battery"] = """
+WITH v1 AS (
+  SELECT 'DQ-001' AS test_id, COUNT(*) AS failed_rows
+  FROM customer WHERE c_name IS NULL OR CAST(c_name AS VARCHAR) = ''
+), v2 AS (
+  SELECT 'DQ-002', COUNT(*) FROM (
+    SELECT TRIM(CAST(o_orderkey AS VARCHAR)) AS k FROM orders
+    GROUP BY 1 HAVING COUNT(*) > 1) t
+), v3 AS (
+  SELECT 'DQ-003', COUNT(*) FROM (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    GROUP BY 1, 2 HAVING COUNT(*) > 1) t
+), v4 AS (
+  SELECT 'DQ-004', COUNT(*) FROM orders o
+  WHERE TRIM(CAST(o.o_custkey AS VARCHAR)) NOT IN (
+    SELECT DISTINCT TRIM(CAST(c_custkey AS VARCHAR)) FROM customer)
+), v5 AS (
+  SELECT 'DQ-005', COUNT(*) FROM customer WHERE c_acctbal < 0
+), v6 AS (
+  SELECT 'DQ-006', COUNT(*) FROM lineitem WHERE l_discount = 0
+), v7 AS (
+  SELECT 'DQ-007', COUNT(*) FROM events, (
+    SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+           CAST(COUNT(value) AS DOUBLE) AS n
+    FROM events) st
+  WHERE value > s1 / n + 3.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+)
+SELECT test_id, CASE WHEN failed_rows = 0 THEN 'PASS' ELSE 'FAIL' END AS status, failed_rows
+FROM (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+  UNION ALL SELECT * FROM v4 UNION ALL SELECT * FROM v5 UNION ALL SELECT * FROM v6
+  UNION ALL SELECT * FROM v7
+) t
+ORDER BY test_id
+"""

@@ -417,6 +417,81 @@ def f1_working_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+# --------------------------------------------------------------------
+# J6/P8 — SCD2 dimension from CDC + interval-containment fact binding
+# --------------------------------------------------------------------
+
+def j6_interval_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball Subsystem 16: bind each purchase to the signup version
+    effective at the purchase instant (SCD2 intervals LEAD-derived
+    from the CDC stream, facts joined with [eff, exp) containment)."""
+    from etl_reporting_spark.operators.cdc import interval_join as _ij
+
+    events = _t(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        events.filter(F.col("event_type") == "signup").select(
+            "user_id", F.col("event_id").alias("version_id"), F.col("ts").alias("eff")
+        ),
+        "user_id",
+        "eff",
+        "exp",
+        current_flag_name=None,
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = _ij(purchases, dim, "user_id", "ts", "eff", "exp", inclusive_end=False)
+    return out.select("user_id", "event_id", "ts", "version_id").orderBy("event_id")
+
+
+# --------------------------------------------------------------------
+# F3 — set-based period generator (stored-procedure replacement)
+# --------------------------------------------------------------------
+
+def f3_month_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reporting_spark.functions.datetime_fns import month_spine
+
+    return month_spine(spark, 1995, 2001, label="ACME").orderBy("period_start_dt")
+
+
+# --------------------------------------------------------------------
+# §5/F5 — DQ battery: check vocabulary as one lazy summary plan
+# --------------------------------------------------------------------
+
+def dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed DQ suite over the testdata star, one verdict row per
+    check (test_data_quality.sql's TEST_ID/STATUS/FAILED_ROWS shape).
+    Each check folds to an aggregate; the union is a single lazy plan
+    — no per-check driver round-trips."""
+    from etl_reporting_spark.dq import checks as C
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+
+    def verdict(test_id: str, failures: DataFrame) -> DataFrame:
+        return failures.agg(F.count(F.lit(1)).alias("failed_rows")).select(
+            F.lit(test_id).alias("test_id"),
+            F.when(F.col("failed_rows") == 0, "PASS").otherwise("FAIL").alias("status"),
+            "failed_rows",
+        )
+
+    parts = [
+        verdict("DQ-001", C.not_null_check(customer, "c_name")),
+        verdict("DQ-002", C.unique_check(orders, "o_orderkey")),
+        verdict("DQ-003", C.combination_unique_check(lineitem, ["l_orderkey", "l_linenumber"])),
+        verdict("DQ-004", C.orphan_check(orders, customer, "o_custkey", "c_custkey")),
+        verdict("DQ-005", C.negative_value_check(customer, "c_acctbal")),
+        verdict("DQ-006", C.zero_value_check(lineitem, "l_discount")),
+        verdict("DQ-007", C.outlier_check(events, "value", sigmas=3.0)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("test_id")
+
+
 from etl_reporting_spark.plans.llm_queries import LLM_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -439,4 +514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_string_gallery": fn_string_gallery,
     "fn_conditional_gallery": fn_conditional_gallery,
     "f1_working_days": f1_working_days,
+    "j6_interval_binding": j6_interval_binding,
+    "f3_month_periods": f3_month_periods,
+    "dq_battery": dq_battery,
 }

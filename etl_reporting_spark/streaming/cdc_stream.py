@@ -1,0 +1,112 @@
+"""Structured Streaming upgrade path for the reference's batch-CDC
+model.
+
+The reference consumes CDC as scheduled batch reads with a
+high-water-mark predicate and per-key sequence dedup
+(docs/KIMBALL_CDC_DATA_DESIGN.md:284-342;
+connector/snowpark_connector.py:425-453). SURVEY.md §2.9 maps that to
+Structured Streaming:
+
+- high-water mark        → ``Trigger.AvailableNow`` incremental file
+  discovery (each run processes exactly the unseen data, then stops —
+  the streaming engine persists the watermark in its checkpoint
+  instead of a hand-managed last-load table)
+- per-key dedup          → ``dropDuplicates`` within an event-time
+  watermark (bounded state)
+- periodic snapshots     → windowed event-time aggregation
+- MERGE into the target  → ``foreachBatch`` + the engine's join-based
+  merge (exactly-once per epoch via checkpointing)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a CDC landing directory. On a real
+    cluster this is the drop zone the CDC tool writes to; each
+    micro-batch sees only newly arrived files."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    event_time_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once per business key within the lateness bound —
+    streaming W1. State is bounded by the watermark: keys older than
+    the delay are evicted, so memory does not grow with the keyspace
+    history."""
+    return stream.withWatermark(event_time_col, delay).dropDuplicates([*keys, event_time_col])
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    event_time_col: str,
+    window_duration: str = "1 hour",
+    delay: str = "10 minutes",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Periodic-snapshot aggregate as an event-time window with
+    late-data handling — the streaming form of the daily-grain
+    snapshot fact (KIMBALL_CDC_DATA_DESIGN.md:84-89)."""
+    return (
+        stream.withWatermark(event_time_col, delay)
+        .groupBy(F.window(F.col(event_time_col), window_duration), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("period_start"),
+            F.col("window.end").alias("period_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now_to_table(
+    stream: DataFrame, table: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Process everything currently available, then stop — the
+    scheduled-batch cadence of the reference's TASK model with
+    checkpointed progress instead of a last-load table."""
+    return (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .toTable(table)
+    )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    upsert: Callable[[DataFrame, int], None],
+) -> StreamingQuery:
+    """MERGE-per-micro-batch: the upsert callable receives each epoch's
+    DataFrame (typically closing over the engine's merge_upsert against
+    the serving table). Checkpointing makes the epoch id stable across
+    retries → idempotent upserts."""
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from etl_reporting_spark.config import DatamartTable, load_report_config
+from etl_reporting_spark.datafeeds.pdf_tables import (
+    classify_table,
+    combine_extracted_tables,
+    continue_headers,
+    extract_pdf_tables,
+)
+from etl_reporting_spark.dq.checks import Expectation
+from etl_reporting_spark.report_runner import run_report
+
+
+def test_datamart_table_uppercases_identifiers():
+    t = DatamartTable(source_database="src_db", target_database="tgt", table_name="claims")
+    assert (t.source_database, t.table_name) == ("SRC_DB", "CLAIMS")
+
+
+def test_report_config_yaml(tmp_path):
+    p = tmp_path / "report.yml"
+    p.write_text(
+        "carrier_name: ACME\nreport_name: claims\n"
+        "tables_list: [t1, t2]\nsheetnames: [s1, s2]\n"
+    )
+    cfg = load_report_config(p)
+    assert cfg.carrier_name == "ACME" and cfg.tables_list == ["t1", "t2"]
+    p.write_text("carrier_name: ACME\nreport_name: r\ntables_list: [t1]\nsheetnames: [a, b]\n")
+    with pytest.raises(Exception):
+        load_report_config(p)
+
+
+def test_expectation_rules():
+    assert Expectation("m", "=", 0).check(0).status == "PASS"
+    assert Expectation("m", "=", 0).check(3).status == "FAIL"
+    assert Expectation("m", "<=", 5).check(5).status == "PASS"
+    assert Expectation("m", ">", 0).check(0).status == "FAIL"
+
+
+def test_pdf_pipeline_without_pdf_libs(spark):
+    with pytest.raises(NotImplementedError):
+        extract_pdf_tables("whatever.pdf")
+    page1 = pd.DataFrame({"policy": ["p1", "p2", "p3", "p4"], "amount": ["1", "2", "3", "4"]})
+    page2 = pd.DataFrame({0: ["p5", "p6", "p7", "p8"], 1: ["5", "6", "7", "8"]})  # continuation
+    summary = pd.DataFrame({"policy": ["Grand Total"], "amount": ["36"]})
+    fixed = continue_headers([page1, page2, summary])
+    assert list(fixed[1].columns) == ["policy", "amount"]
+    assert classify_table(page1) == "detail" and classify_table(summary) == "summary"
+    combined = combine_extracted_tables(spark, [page1, page2, summary], kind="detail")
+    assert combined.count() == 8
+
+
+def test_report_runner_end_to_end(spark, sf_dir):
+    result = run_report(
+        spark,
+        "reports/active_claimants",
+        sf_dir,
+        {"CARRIER_NAME": "ACME", "REPORT_END_DT": "2024-01-15 00:00:00"},
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    assert {"region_name", "event_type", "n_claimants", "n_purchasers", "sum_value"} <= set(
+        result.columns
+    )
+    # view + tables registered
+    assert spark.catalog.tableExists("user_latest_state")
+    assert spark.catalog.tableExists("claimant_detail")

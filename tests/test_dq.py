@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from etl_reporting_spark.dq import checks as C
+from etl_reporting_spark.dq.runner import (
+    DQRunner,
+    OneOrMoreTestCasesFailedException,
+    TestCaseSpec,
+    parse_test_blocks,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (2, "b", 0.0), (4, None, 3.0)],
+        "id int, name string, amount double",
+    ).createOrReplaceTempView("dq_child")
+    spark.createDataFrame([(1,), (2,)], "id int").createOrReplaceTempView("dq_parent")
+    return None
+
+
+def test_unique_check(spark, tables):
+    fails = C.unique_check(spark.table("dq_child"), "id").collect()
+    assert [(r["key_value"], r["dup_count"]) for r in fails] == [("2", 2)]
+
+
+def test_combination_unique_check(spark, tables):
+    fails = C.combination_unique_check(spark.table("dq_child"), ["id", "name"]).collect()
+    assert len(fails) == 1 and fails[0]["dup_count"] == 2
+
+
+def test_orphan_check(spark, tables):
+    fails = C.orphan_check(spark.table("dq_child"), spark.table("dq_parent"), "id").collect()
+    assert {r["id"] for r in fails} == {4}
+
+
+def test_not_null_and_value_checks(spark, tables):
+    df = spark.table("dq_child")
+    assert C.not_null_check(df, "name").count() == 1
+    assert C.negative_value_check(df, "amount").count() == 1
+    assert C.zero_value_check(df, "amount").count() == 1
+    assert C.default_value_check(df, "name", "a").count() == 1
+
+
+def test_row_count_and_freshness(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1),), (dt.datetime(2024, 1, 2),)], "ts timestamp"
+    )
+    assert C.row_count_check(df, min_rows=3).count() == 1
+    assert C.row_count_check(df, min_rows=1).count() == 0
+    stale = C.freshness_check(df, "ts", max_age_hours=24, now=dt.datetime(2024, 1, 10))
+    assert stale.count() == 1
+    fresh = C.freshness_check(df, "ts", max_age_hours=24, now=dt.datetime(2024, 1, 2, 12))
+    assert fresh.count() == 0
+
+
+def test_runner_summary_and_raise(spark, tables):
+    runner = DQRunner(spark)
+    specs = [
+        TestCaseSpec("DQ-001", "UNIQUE_CHECK", "dq_child", "id"),
+        TestCaseSpec("DQ-002", "NOT_NULL_CHECK", "dq_child", "name"),
+        TestCaseSpec("DQ-003", "ORPHAN_CHECK", "dq_child", "id", parent_table="dq_parent"),
+        TestCaseSpec("DQ-004", "NEGATIVE_VALUE_CHECK", "dq_child", "amount"),
+    ]
+    summary = runner.run(specs, raise_on_failure=False)
+    st = {r["test_id"]: r["status"] for r in summary.collect()}
+    assert st == {"DQ-001": "FAIL", "DQ-002": "FAIL", "DQ-003": "FAIL", "DQ-004": "FAIL"}
+    with pytest.raises(OneOrMoreTestCasesFailedException):
+        runner.run(specs)
+
+    ok = [TestCaseSpec("DQ-005", "ZERO_VALUE_CHECK", "dq_parent", "id")]
+    st2 = {r["test_id"]: r["status"] for r in runner.run(ok).collect()}
+    assert st2 == {"DQ-005": "PASS"}
+
+
+def test_templated_sql_blocks(spark, tables):
+    text = """
+-- START_TEST
+-- @NAME: orphan_amounts
+-- @QUERY: SELECT * FROM {table} WHERE amount < {min_amount}
+-- END_TEST
+"""
+    blocks = parse_test_blocks(text)
+    assert "orphan_amounts" in blocks
+    runner = DQRunner(spark, template_sql=blocks)
+    spec = TestCaseSpec(
+        "DQ-T1", "TEMPLATED_SQL", "dq_child", "orphan_amounts", params={"min_amount": "0"}
+    )
+    res = runner.run_spec(spec)
+    assert res.status == "FAIL" and res.failed_rows == 1

@@ -1,0 +1,137 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from etl_reporting_spark.datafeeds.writers import (
+    ExecutionLog,
+    grouped_report_frame,
+    write_csv,
+)
+from etl_reporting_spark.io import (
+    Engine,
+    TableType,
+    WriteMode,
+    inject_incremental_predicate,
+    render_template,
+)
+from etl_reporting_spark.streaming.cdc_stream import (
+    dedup_within_watermark,
+    read_event_stream,
+    run_available_now_to_table,
+    windowed_event_counts,
+)
+
+
+def test_render_template_and_incremental():
+    text = "SELECT * FROM {{SOURCE_DATABASE}}.t WHERE 1=1 {{AND_CONDITION}}"
+    out = render_template(text, {"source_database": "db1"})
+    out = inject_incremental_predicate(out, "sequenced_at", "2024-01-01")
+    assert out == "SELECT * FROM db1.t WHERE 1=1  AND (sequenced_at) > '2024-01-01'"
+    # no incremental config → marker collapses
+    assert inject_incremental_predicate("x {{WHERE_CONDITION}}", None, None) == "x "
+
+
+def test_engine_session_vars_and_views(spark):
+    eng = Engine(spark)
+    eng.set_session_variables(carrier_name="ACME")
+    df = eng.execute_query("SELECT $CARRIER_NAME AS carrier")
+    assert df.first()["carrier"] == "ACME"
+
+    src = spark.createDataFrame([(1,), (2,)], "v int")
+    eng.save_as_view(src, "eng_view")
+    assert eng.execute_query("SELECT COUNT(*) AS n FROM eng_view", lazy=False)[0]["n"] == 2
+
+
+def test_engine_temp_table_modes(spark):
+    eng = Engine(spark)
+    df1 = spark.createDataFrame([(1,)], "v int")
+    df2 = spark.createDataFrame([(2,)], "v int")
+    eng.save_as_table(df1, "tmp_t", WriteMode.OVERWRITE, TableType.TEMPORARY)
+    eng.save_as_table(df2, "tmp_t", WriteMode.APPEND, TableType.TEMPORARY)
+    assert eng.table("tmp_t").count() == 2
+    eng.save_as_table(df1, "tmp_t", WriteMode.IGNORE, TableType.TEMPORARY)
+    assert eng.table("tmp_t").count() == 2  # ignored
+    with pytest.raises(ValueError):
+        eng.save_as_table(df1, "tmp_t", WriteMode.ERROR_IF_EXISTS, TableType.TEMPORARY)
+
+
+def test_engine_multi_statement(spark):
+    eng = Engine(spark)
+    out = eng.execute_multiple_statements(
+        ["SELECT 1 AS a;", "SELECT 2 AS b"], lazy=False
+    )
+    assert out[0]["b"] == 2
+
+
+def test_grouped_report_frame(spark):
+    df = spark.createDataFrame(
+        [("east", 10.0, 2), ("east", 20.0, 3), ("west", 6.0, 2)],
+        "grp string, amount double, claimants int",
+    )
+    frame = grouped_report_frame(
+        df, "grp", ["amount", "claimants"], ratio=("avg_paid", "amount", "claimants")
+    )
+    labels = list(frame["grp"])
+    assert labels == ["east", "east", "east Total", "west", "west Total", "Grand Total"]
+    grand = frame.iloc[-1]
+    assert grand["amount"] == 36.0 and grand["claimants"] == 7
+    assert abs(grand["avg_paid"] - 36.0 / 7) < 1e-12
+
+
+def test_write_csv_crlf(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    p = tmp_path / "out.csv"
+    write_csv(df, p, crlf=True)
+    raw = p.read_bytes()
+    assert b"\r\n" in raw and raw.startswith(b"a,b")
+
+
+def test_execution_log(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS audit_test")
+    log = ExecutionLog(spark, table="audit_test.execution_log")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    eid = log.record("report_x", "SUCCESS", t0, t0 + dt.timedelta(seconds=5), rows_affected=42)
+    rows = spark.table("audit_test.execution_log").collect()
+    assert any(r["execution_id"] == eid and r["rows_affected"] == 42 for r in rows)
+    spark.sql("DROP TABLE audit_test.execution_log")
+    spark.sql("DROP DATABASE audit_test")
+
+
+def test_streaming_dedup_and_window(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batch = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 5), 10, 1.0),
+            (1, dt.datetime(2024, 1, 1, 0, 5), 10, 1.0),  # duplicate event
+            (2, dt.datetime(2024, 1, 1, 0, 20), 11, 2.0),
+            (3, dt.datetime(2024, 1, 1, 1, 10), 10, 3.0),
+        ],
+        schema,
+    )
+    batch.write.mode("overwrite").parquet(str(src))
+
+    stream = read_event_stream(spark, str(src), schema)
+    assert stream.isStreaming
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts")
+    q = run_available_now_to_table(deduped, "stream_dedup_out", str(tmp_path / "cp1"))
+    q.awaitTermination(60)
+    assert spark.table("stream_dedup_out").count() == 3  # dup dropped
+
+    windowed = windowed_event_counts(stream, "ts", "1 hour")
+    q2 = (
+        windowed.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .outputMode("append")
+        .toTable("stream_window_out")
+    )
+    q2.awaitTermination(60)
+    # append mode only emits windows the watermark has closed; with
+    # availableNow the final watermark closes the first hour's window.
+    out = {r["period_start"]: r["n_events"] for r in spark.table("stream_window_out").collect()}
+    assert out.get(dt.datetime(2024, 1, 1, 0, 0)) == 3
+    spark.sql("DROP TABLE IF EXISTS stream_dedup_out")
+    spark.sql("DROP TABLE IF EXISTS stream_window_out")
