@@ -241,10 +241,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond timestamp (the data is µs-aligned, so the
     conversion is lossless and matches DuckDB's view of the column).
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    if name == "events":
+        # The caller's session may not be ours (the driver passes its
+        # own SparkSession to entry()) — ensure the nanos-tolerant read
+        # and UTC timestamp semantics hold regardless.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # `div` (integer division) — a double divide would round in the
         # last ~3 digits at epoch-nanos magnitude (2^53 < 1.7e18).

@@ -335,3 +335,48 @@ FROM (
 ) t
 ORDER BY test_id
 """
+
+ORACLE_SQL["j10_merge_upsert"] = """
+WITH target AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 1000
+), source AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey > 500 AND c_custkey <= 1500
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+WHERE s.c_custkey IS NOT NULL  -- WHEN NOT MATCHED BY SOURCE THEN DELETE
+ORDER BY 1
+"""
+
+ORACLE_SQL["u1_union_distinct"] = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+UNION
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+ORACLE_SQL["w45_event_ordering"] = """
+SELECT user_id, event_id, ts,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS decision_rank,
+       MIN(ts) OVER (PARTITION BY user_id) AS first_decision_ts
+FROM events WHERE event_type = 'error'
+ORDER BY user_id, decision_rank
+"""
+
+ORACLE_SQL["p10_like_patterns"] = """
+SELECT p_partkey, p_name, p_type, p_brand
+FROM part
+WHERE p_name LIKE '%red%' AND p_type LIKE 'ECO%'
+ORDER BY p_partkey
+"""
+
+ORACLE_SQL["fn_json_gallery"] = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+       to_json(struct_pack(event_id := event_id, event_type := event_type)) AS diag_payload
+FROM events WHERE event_id < 500
+ORDER BY event_id
+"""

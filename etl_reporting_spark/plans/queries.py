@@ -418,6 +418,88 @@ def f1_working_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# J10 — MERGE upsert (join-based, all branches incl. delete-by-source)
+# --------------------------------------------------------------------
+
+def j10_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE: target = customers ≤1000, source = customers 501–1500
+    with adjusted balances. Matched→update, source-only→insert,
+    target-only→delete. The gate checks the post-merge state."""
+    from etl_reporting_spark.operators.merge import merge_upsert
+
+    customer = _t(spark, sf_dir, "customer")
+    target = customer.filter(F.col("c_custkey") <= 1000).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    source = customer.filter((F.col("c_custkey") > 500) & (F.col("c_custkey") <= 1500)).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal")
+    )
+    res = merge_upsert(target, source, ["c_custkey"], delete_not_matched_by_source=True)
+    return res.df.orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------
+# U1 — UNION (distinct) across report branches
+# --------------------------------------------------------------------
+
+def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-decisions ∪ reopened-cases shape (…detail.sql:161 /
+    setup_dmf…sql:100-102): distinct users reaching either branch."""
+    events = _t(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id")
+    b = events.filter(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct().orderBy("user_id")
+
+
+# --------------------------------------------------------------------
+# W4/W5 — event ordering + per-partition aggregate window
+# --------------------------------------------------------------------
+
+def w45_event_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eob_ranking pattern (setup_dmf…sql:63-80): order each
+    user's decisions and attach the first decision instant."""
+    events = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w_order = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_all = Window.partitionBy("user_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.row_number().over(w_order).alias("decision_rank"),
+        F.min("ts").over(w_all).alias("first_decision_ts"),
+    ).orderBy("user_id", "decision_rank")
+
+
+# --------------------------------------------------------------------
+# P10 — LIKE / pattern predicates
+# --------------------------------------------------------------------
+
+def p10_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%red%") & F.col("p_type").like("ECO%"))
+        .select("p_partkey", "p_name", "p_type", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------
+# §2.8 — semi-structured: JSON extraction + OBJECT_CONSTRUCT payloads
+# --------------------------------------------------------------------
+
+def fn_json_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON access + OBJECT_CONSTRUCT-style diagnostic payloads
+    (test_data_quality.sql:207-211 uses OBJECT_CONSTRUCT for failure
+    samples → to_json(struct(...)))."""
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_value"),
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("diag_payload"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------
 # J6/P8 — SCD2 dimension from CDC + interval-containment fact binding
 # --------------------------------------------------------------------
 
@@ -517,4 +599,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j6_interval_binding": j6_interval_binding,
     "f3_month_periods": f3_month_periods,
     "dq_battery": dq_battery,
+    "j10_merge_upsert": j10_merge_upsert,
+    "u1_union_distinct": u1_union_distinct,
+    "w45_event_ordering": w45_event_ordering,
+    "p10_like_patterns": p10_like_patterns,
+    "fn_json_gallery": fn_json_gallery,
 }
