@@ -55,16 +55,16 @@ def shingle_docs(
     Array-native (transform over sequence) so shingling happens inside
     the row without a join; the only shuffle is the later consumer's.
     """
-    toks = _tokens(text_col)
+    # Materialize the token array once per row; the shingle transform
+    # then references it instead of re-splitting the text three times.
+    with_toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).filter(F.size("__toks") >= k)
     shingles = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
+        f"transform(sequence(1, size(__toks) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(__toks, i, {k})))"
     )
-    return (
-        docs.filter(F.size(toks) >= k)
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return with_toks.select(F.col(id_col), F.explode(shingles).alias("shingle")).distinct()
 
 
 def minhash_signatures(

@@ -380,3 +380,85 @@ SELECT event_id,
 FROM events WHERE event_id < 500
 ORDER BY event_id
 """
+
+_REPORT_STEPS = f"""
+latest AS (
+  SELECT user_id, event_id, event_type, ts, value FROM (
+    SELECT e.*, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts <= {EVENTS_CUTOFF_SQL}
+  ) t WHERE rn = 1
+),
+detail AS (
+  SELECT
+    c.c_custkey   AS "Customer Key",
+    c.c_name      AS "Customer Name",
+    c.c_mktsegment AS "Market Segment",
+    n.n_name      AS "Nation",
+    r.r_name      AS "Region",
+    u.event_type  AS "Last Event Type",
+    strftime(u.ts, '%m/%d/%Y') AS "Last Event Date",
+    u.value       AS "Last Event Value",
+    CASE WHEN u.event_type = 'purchase' THEN 1 ELSE 0 END AS "Active Purchaser Flag"
+  FROM latest u
+  JOIN customer c ON u.user_id = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+)
+"""
+
+ORACLE_SQL["report_lifecycle_summary"] = f"""
+WITH {_REPORT_STEPS}
+SELECT "Region" AS region_name,
+       "Last Event Type" AS event_type,
+       COUNT(*) AS n_claimants,
+       SUM("Active Purchaser Flag") AS n_purchasers,
+       CAST(SUM(CAST("Last Event Value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM detail
+GROUP BY "Region", "Last Event Type"
+ORDER BY region_name, event_type
+"""
+
+ORACLE_SQL["report_claimant_detail"] = f"""
+WITH {_REPORT_STEPS}
+SELECT * FROM detail ORDER BY "Customer Key"
+"""
+
+ORACLE_SQL["u3_intersect_except"] = """
+SELECT user_id, 'both' AS set_op FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'click_not_signup' AS set_op FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'signup'
+)
+ORDER BY set_op, user_id
+"""
+
+ORACLE_SQL["p2_exclude_projection"] = """
+SELECT * EXCLUDE (c_acctbal) FROM customer ORDER BY c_custkey
+"""
+
+ORACLE_SQL["fn_try_to_date"] = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%m/%d/%Y') AS date_str,
+       CAST(try_strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS parsed_back,
+       CAST(try_strptime('13/45/' || CAST(year(o_orderdate) AS VARCHAR), '%m/%d/%Y') AS DATE)
+         AS invalid_parse
+FROM orders WHERE o_orderkey <= 1000
+ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["a2_distinct_counts"] = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)) AS n_active_days,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

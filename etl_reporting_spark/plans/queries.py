@@ -574,6 +574,100 @@ def dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("test_id")
 
 
+# --------------------------------------------------------------------
+# §3 lifecycle — the templated-SQL report pipeline as a gate entry
+# --------------------------------------------------------------------
+
+def report_lifecycle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 1 end-to-end: session vars → templated SQL steps →
+    view + tables → summary (reports/active_claimants/*.sql)."""
+    from etl_reporting_spark.report_runner import run_report
+
+    return run_report(
+        spark,
+        "reports/active_claimants",
+        sf_dir,
+        {"CARRIER_NAME": "ACME", "REPORT_END_DT": "2024-01-15 00:00:00"},
+    )
+
+
+def report_claimant_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detail table with the reference's presentation conventions:
+    quoted mixed-case aliases and MM/dd/yyyy strings (…detail.sql:258-293)."""
+    from etl_reporting_spark.report_runner import run_report
+
+    run_report(
+        spark,
+        "reports/active_claimants",
+        sf_dir,
+        {"CARRIER_NAME": "ACME", "REPORT_END_DT": "2024-01-15 00:00:00"},
+    )
+    return spark.table("claimant_detail").orderBy("`Customer Key`")
+
+
+# --------------------------------------------------------------------
+# U3 — INTERSECT / EXCEPT
+# --------------------------------------------------------------------
+
+def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    users = lambda t: events.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+    both = users("purchase").intersect(users("error")).withColumn("set_op", F.lit("both"))
+    # subtract == EXCEPT DISTINCT
+    only = users("click").subtract(users("signup")).withColumn(
+        "set_op", F.lit("click_not_signup")
+    )
+    return both.unionByName(only).orderBy("set_op", "user_id")
+
+
+# --------------------------------------------------------------------
+# P2 — SELECT * EXCLUDE projection
+# --------------------------------------------------------------------
+
+def p2_exclude_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reporting_spark.operators.relational import select_exclude
+
+    customer = _t(spark, sf_dir, "customer")
+    return select_exclude(customer, "c_acctbal").orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------
+# §2.8 / DQ type-format — dates-as-strings + TRY_TO_DATE validation
+# --------------------------------------------------------------------
+
+def fn_try_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's format round-trip: report columns carry
+    MM/DD/YYYY strings (TO_CHAR), DQ validates with TRY_TO_DATE
+    (test_data_quality.sql:93-110). NULL on unparseable, no error."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    as_str = F.date_format(F.col("o_orderdate"), "MM/dd/yyyy")
+    return orders.select(
+        "o_orderkey",
+        as_str.alias("date_str"),
+        F.try_to_date(as_str, "MM/dd/yyyy").alias("parsed_back"),
+        F.try_to_date(
+            F.concat(F.lit("13/45/"), F.year("o_orderdate").cast("string")), "MM/dd/yyyy"
+        ).alias("invalid_parse"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------
+# A2 — COUNT(DISTINCT) battery
+# --------------------------------------------------------------------
+
+def a2_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.date_trunc("DAY", F.col("ts"))).alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 from etl_reporting_spark.plans.llm_queries import LLM_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -604,4 +698,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w45_event_ordering": w45_event_ordering,
     "p10_like_patterns": p10_like_patterns,
     "fn_json_gallery": fn_json_gallery,
+    "report_lifecycle_summary": report_lifecycle_summary,
+    "report_claimant_detail": report_claimant_detail,
+    "u3_intersect_except": u3_intersect_except,
+    "p2_exclude_projection": p2_exclude_projection,
+    "fn_try_to_date": fn_try_to_date,
+    "a2_distinct_counts": a2_distinct_counts,
 }

@@ -1,0 +1,105 @@
+"""Property-based tests: operator semantics vs brute-force Python
+oracles over randomized inputs (bounded example counts — each example
+runs a Spark job)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.functions.datetime_fns import working_days_between
+from etl_reporting_spark.operators.cdc import asof_join, dedup_latest
+from etl_reporting_spark.operators.merge import merge_upsert
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+dates = st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2030, 12, 31))
+
+
+@SLOW
+@given(pairs=st.lists(st.tuples(dates, dates), min_size=1, max_size=20))
+def test_working_days_matches_python(spark, pairs):
+    df = spark.createDataFrame(pairs, "s date, e date")
+    got = [r["w"] for r in df.select(working_days_between(F.col("s"), F.col("e")).alias("w"))
+           .collect()]
+    for (s, e), w in zip(pairs, got):
+        if e < s:
+            assert w == 0
+        else:
+            expected = sum(
+                1 for i in range((e - s).days + 1) if (s + dt.timedelta(days=i)).weekday() < 5
+            )
+            assert w == expected, (s, e, w, expected)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dedup_latest_matches_python(spark, rows):
+    # (key, seq_a, seq_b): latest = max by (seq_a, seq_b) per key
+    df = spark.createDataFrame(rows, "k int, a int, b int")
+    got = {r["k"]: (r["a"], r["b"]) for r in dedup_latest(df, "k", ["a", "b"]).collect()}
+    expected = {}
+    for k, a, b in rows:
+        if k not in expected or (a, b) > expected[k]:
+            expected[k] = (a, b)
+    assert got == expected
+
+
+@SLOW
+@given(
+    build=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=15),
+    probe=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15),
+)
+def test_asof_join_matches_python(spark, build, probe):
+    build_rows = [(k, t, f"v{k}_{t}_{i}") for i, (k, t) in enumerate(build)]
+    probe_rows = [(k, t, i) for i, (k, t) in enumerate(probe)]
+    b = spark.createDataFrame(build_rows or [(99, -1, "sentinel")], "k int, t int, val string")
+    p = spark.createDataFrame(probe_rows, "k int, t int, pid int")
+    out = asof_join(p, b, "k", "t", "t", build_cols=["val"], tie_break=["val"])
+    got = {r["pid"]: r["val"] for r in out.collect()}
+    for k, t, pid in probe_rows:
+        cands = [(bt, v) for (bk, bt, v) in (build_rows or [(99, -1, "sentinel")])
+                 if bk == k and bt <= t]
+        expected = max(cands, key=lambda c: (c[0], c[1]))[1] if cands else None
+        assert got[pid] == expected, (k, t, pid, got[pid], expected)
+
+
+@SLOW
+@given(
+    target=st.dictionaries(st.integers(0, 8), st.integers(0, 100), max_size=8),
+    source=st.dictionaries(st.integers(0, 8), st.integers(0, 100), max_size=8),
+    delete=st.booleans(),
+)
+def test_merge_upsert_matches_python(spark, target, source, delete):
+    t = spark.createDataFrame(list(target.items()) or [(-1, 0)], "k int, v int")
+    s = spark.createDataFrame(list(source.items()) or [(-2, 0)], "k int, v int")
+    tgt = dict(target) or {-1: 0}
+    src = dict(source) or {-2: 0}
+    res = merge_upsert(t, s, ["k"], delete_not_matched_by_source=delete)
+    got = {r["k"]: r["v"] for r in res.df.collect()}
+    expected = {}
+    for k, v in tgt.items():
+        if k in src:
+            expected[k] = src[k]
+        elif not delete:
+            expected[k] = v
+    for k, v in src.items():
+        if k not in tgt:
+            expected[k] = v
+    assert got == expected
+    assert res.rows_inserted == len([k for k in src if k not in tgt])
+    assert res.rows_updated == len([k for k in src if k in tgt])
+    assert res.rows_deleted == (len([k for k in tgt if k not in src]) if delete else 0)
