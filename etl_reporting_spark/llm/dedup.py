@@ -200,6 +200,57 @@ def minhash_near_duplicates(
     )
 
 
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: nibble blocking (4 blocks × 4 bits —
+    pigeonhole: hamming ≤ 3 ⇒ at least one block equal) to generate
+    candidates, exact Hamming distance via bit_count(xor) to verify.
+    Work is proportional to block-bucket collisions, not corpus²."""
+    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    blocks = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.block").alias("block"), F.col("bk.nib").alias("nib"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

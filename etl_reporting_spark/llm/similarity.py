@@ -135,6 +135,83 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (IVF
+    coarse quantization). Centroids broadcast; one pass over the
+    corpus; ties break on centroid id — fully deterministic given
+    fixed centroids."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+    )
+    v = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("dot", F.expr(_DOT.format(a=vec_col, b="cvec")))
+        .withColumn("cosine", _cosine_expr())
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus against fixed seed
+    centroids (here: the first ``n_centroids`` vectors — a real
+    deployment trains k-means once and persists), then each query
+    scores only its own cluster's inverted list. Candidate work per
+    query drops from |corpus| to |corpus|/n_centroids; the cluster
+    join shuffles on centroid_id."""
+    centroids = embeddings.filter(F.col(id_col) < n_centroids)
+    corpus = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probes = ivf_assign(queries, centroids, id_col, vec_col)
+
+    q = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+        "centroid_id",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+        "centroid_id",
+    )
+    scored = (
+        c.join(q, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn("cosine", _cosine_expr())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     min_cosine: float = 0.98,

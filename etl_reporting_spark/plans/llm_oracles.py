@@ -243,3 +243,75 @@ SELECT doc_id,
        ELSE 'video' END AS media_kind
 FROM documents ORDER BY doc_id
 """
+
+LLM_ORACLE_SQL["dedup_simhash_pairs"] = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hv AS (
+  SELECT doc_id,
+    ((
+      (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1 AS hv
+  FROM tok
+),
+sums AS (
+  SELECT doc_id,
+{_BIT_SUMS}
+  FROM hv GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({_SIG_SUM} AS INTEGER) AS simhash FROM sums),
+blocks AS (
+  SELECT doc_id, simhash, b.block, (simhash >> (4 * b.block)) & 15 AS nib
+  FROM sig, (SELECT unnest(range(0, 4)) AS block) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.block = b.block AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(CAST(sig_a AS BIGINT), CAST(sig_b AS BIGINT))) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(CAST(sig_a AS BIGINT), CAST(sig_b AS BIGINT))) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+_COS = (
+    "CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+)
+
+LLM_ORACLE_SQL["ann_cosine_ivf"] = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='c.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='c.cvec', b='c.cvec'))} AS cosine
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+    FROM scored_assign
+  ) t WHERE rn = 1
+),
+probes AS (SELECT * FROM assign WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+    {_COS.format(dot=_DOT9.format(a='q.embedding', b='a.embedding'),
+                 na=_DOT9.format(a='q.embedding', b='q.embedding'),
+                 nb=_DOT9.format(a='a.embedding', b='a.embedding'))} AS cosine
+  FROM probes q JOIN assign a
+    ON q.centroid_id = a.centroid_id AND a.vec_id != q.vec_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t WHERE rank <= 5
+ORDER BY query_id, rank
+"""

@@ -21,11 +21,13 @@ from etl_reporting_spark.llm.dedup import (
     jaccard_pairs,
     minhash_near_duplicates,
     shingle_docs,
+    simhash_near_duplicates,
     simhash_signatures,
 )
 from etl_reporting_spark.llm.multimodal import decode_media_metadata, with_binary_payload
 from etl_reporting_spark.llm.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_duplicates,
 )
@@ -55,6 +57,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs).orderBy("doc_id")
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(emb, queries, k=5, n_centroids=8).orderBy("query_id", "rank")
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +113,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_ivf": ann_cosine_ivf,
     "ann_cosine_lsh": ann_cosine_lsh,
     "emb_near_duplicates": emb_near_duplicates,
     "text_quality_scores": text_quality_scores,

@@ -95,3 +95,23 @@ def test_multimodal_fake_decode(spark):
     assert out[0]["n_bytes"] == len(text0.encode())
     assert out[0]["fake_width"] == len(text0.encode()) % 640 + 16
     assert out[0]["media_kind"] == "image" and out[1]["media_kind"] == "audio"
+
+
+def test_simhash_near_duplicates_pairs(spark):
+    from etl_reporting_spark.llm.dedup import simhash_near_duplicates
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_near_duplicates(_docs(spark), max_hamming=3).collect()}
+    assert pairs.get((0, 3)) == 0  # identical docs: distance 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_cosine_topk_ivf_matches_bruteforce_in_cluster(spark):
+    import pyspark.sql.functions as F
+    from etl_reporting_spark.llm.similarity import cosine_topk_ivf
+
+    rows = [(i, [float(i == j) * 0.9 + 0.1 for j in range(4)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") == 9), k=3, n_centroids=4)
+    got = [r["neighbor_id"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    assert len(got) >= 1 and 9 not in got  # excludes self, searches its cluster

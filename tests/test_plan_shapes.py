@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the physical-plan properties SCALE.md
+claims (pushdown, broadcast, WindowGroupLimit, no cross products)
+must survive refactors. These read .explain output — cheap, no jobs
+beyond file-footer reads."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from etl_reporting_spark.plans.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: partkey/suppkey never read
+    assert "l_partkey" not in plan
+
+
+def test_j1_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j1_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # region filter pushed into its scan
+    assert "EqualTo(r_name,AMERICA)" in plan
+
+
+def test_dedup_latest_gets_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "w1_dedup_latest")
+    # partial (pre-shuffle) + final top-1 per key
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_asof_join_single_shuffle_no_cross_product(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j5_asof_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # exactly one exchange (on the key) feeds the single window
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("+- Window") == 1
+
+
+def test_outliers_broadcast_stats_not_global_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a9_outlier_events")
+    assert "Window" not in plan  # stats via agg+broadcast, not empty OVER()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_interval_join_keeps_equi_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j6_interval_binding")
+    assert "CartesianProduct" not in plan
+    # hash join on user_id with the interval as residual condition
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o3_top_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+@pytest.mark.parametrize("name", ["flagship_active_claimants", "u2_period_rollup"])
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
