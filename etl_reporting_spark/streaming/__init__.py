@@ -4,6 +4,7 @@ from etl_reporting_spark.streaming.cdc_stream import (
     windowed_event_counts,
     run_available_now_to_table,
     foreach_batch_upsert,
+    stateful_running_totals,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "windowed_event_counts",
     "run_available_now_to_table",
     "foreach_batch_upsert",
+    "stateful_running_totals",
 ]

@@ -95,6 +95,50 @@ def run_available_now_to_table(
     )
 
 
+def stateful_running_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-key running (event_count, value_sum) maintained across
+    micro-batches — the pattern for any accumulator the built-in
+    windowed aggregates can't express (reference has no streaming
+    state at all; this is the Spark-native upgrade SURVEY §2.9 maps
+    to ``applyInPandasWithState``).
+
+    State is one tuple per key (bounded by keyspace, not history);
+    batches arrive as Arrow frames, so Python cost is per-batch, not
+    per-row.
+    """
+    import pandas as pd  # local import: keep module import light
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = f"{key_col} long, event_count long, value_sum double"
+    state_schema = "count long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "event_count": [count], "value_sum": [total]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def foreach_batch_upsert(
     stream: DataFrame,
     checkpoint_dir: str,

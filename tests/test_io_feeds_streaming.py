@@ -135,3 +135,48 @@ def test_streaming_dedup_and_window(spark, tmp_path):
     assert out.get(dt.datetime(2024, 1, 1, 0, 0)) == 3
     spark.sql("DROP TABLE IF EXISTS stream_dedup_out")
     spark.sql("DROP TABLE IF EXISTS stream_window_out")
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from etl_reporting_spark.streaming.cdc_stream import stateful_running_totals
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    b1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), 10, 1.0),
+         (2, dt.datetime(2024, 1, 1, 0, 1), 10, 2.0),
+         (3, dt.datetime(2024, 1, 1, 0, 2), 11, 5.0)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(4, dt.datetime(2024, 1, 1, 1, 0), 10, 4.0),
+         (5, dt.datetime(2024, 1, 1, 1, 1), 12, 7.0)],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = stateful_running_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    # last emitted state per user reflects the accumulated totals
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["event_count"], r["value_sum"])
+    assert final[10] == (3, 7.0)  # 2 events batch1 + 1 event batch2 (state carried)
+    assert final[11] == (1, 5.0)
+    assert final[12] == (1, 7.0)
