@@ -315,3 +315,40 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 ) t WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+# Hyperplane sign fold — mirrors similarity._hyperplane_sign: weight
+# +x when the first hex char of md5('<plane>|<dim>') is even (by
+# position in the hex alphabet), -x otherwise; bucket bit = sum > 0.
+_HP_SIGN = (
+    "CASE WHEN list_reduce(list_transform(range(1, len({v}) + 1),"
+    " i -> CASE WHEN strpos('0123456789abcdef',"
+    " substring(md5('{p}|' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2 = 0"
+    " THEN CAST({v}[i] AS DOUBLE) ELSE -CAST({v}[i] AS DOUBLE) END),"
+    " (acc, x) -> acc + x) > 0 THEN '1' ELSE '0' END"
+)
+
+
+def _bucket_expr(v: str, planes: int = 4) -> str:
+    return " || ".join(_HP_SIGN.format(v=v, p=p) for p in range(planes))
+
+
+LLM_ORACLE_SQL["ann_cosine_lsh"] = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_bucket_expr('embedding')} AS bucket
+  FROM embeddings
+),
+probes AS (SELECT * FROM sigs WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST({_DOT9.format(a='q.embedding', b='c.embedding')} AS DOUBLE)
+      / (sqrt(CAST({_DOT9.format(a='q.embedding', b='q.embedding')} AS DOUBLE))
+         * sqrt(CAST({_DOT9.format(a='c.embedding', b='c.embedding')} AS DOUBLE))) AS cosine
+  FROM probes q JOIN sigs c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t WHERE rank <= 5
+ORDER BY query_id, rank
+"""

@@ -1,11 +1,11 @@
 """LLM-data-pipeline query inventory over documents/embeddings
 (dedup, similarity search, text analysis, multimodal), paired with
-DuckDB oracles in ``llm_oracles.py`` where SQL-expressible.
+DuckDB oracles in ``llm_oracles.py``.
 
-``ann_cosine_lsh`` is approximate-by-design and gets the rows-only
-check (no oracle); everything else — including the Pandas-UDF
-multimodal path — is fully oracle-verified because every hash and
-every fake-decode is deterministic arithmetic.
+Every entry — including the approximate ANN paths (the md5-derived
+hyperplanes make LSH deterministic) and the Pandas-UDF multimodal
+path — is fully oracle-verified, because every hash and every
+fake-decode is deterministic arithmetic.
 """
 
 from __future__ import annotations
@@ -77,7 +77,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate path — rows-only check by design."""
+    """Approximate-by-construction, but deterministic (md5-derived
+    hyperplanes) — so even this path is oracle-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_lsh(emb, queries, k=5, planes=4).orderBy("query_id", "rank")

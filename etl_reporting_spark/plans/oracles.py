@@ -462,3 +462,23 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLE_SQL["dq_report_battery"] = f"""
+WITH {_REPORT_STEPS},
+v1 AS (SELECT 'R-001' AS test_id, COUNT(*) AS failed_rows FROM detail WHERE "Customer Key" IS NULL),
+v2 AS (SELECT 'R-002', COUNT(*) FROM (
+  SELECT "Customer Key" FROM detail GROUP BY 1 HAVING COUNT(*) > 1) t),
+v3 AS (SELECT 'R-003', COUNT(*) FROM detail
+  WHERE try_strptime("Last Event Date", '%m/%d/%Y') IS NULL),
+v4 AS (SELECT 'R-004', COUNT(*) FROM detail WHERE "Last Event Value" < 0),
+v5 AS (SELECT 'R-005', COUNT(*) FROM detail
+  WHERE "Active Purchaser Flag" = 1 AND "Last Event Type" != 'purchase'),
+v6 AS (SELECT 'R-006', COUNT(*) FROM detail
+  WHERE "Customer Key" NOT IN (SELECT DISTINCT c_custkey FROM customer))
+SELECT test_id, CASE WHEN failed_rows = 0 THEN 'PASS' ELSE 'FAIL' END AS status, failed_rows
+FROM (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+  UNION ALL SELECT * FROM v4 UNION ALL SELECT * FROM v5 UNION ALL SELECT * FROM v6
+) t
+ORDER BY test_id
+"""

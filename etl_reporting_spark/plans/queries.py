@@ -605,6 +605,62 @@ def report_claimant_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("claimant_detail").orderBy("`Customer Key`")
 
 
+def dq_report_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ layer 1 (golden-rule suite) over the REPORT OUTPUT, the
+    reference's own pattern: test_data_quality.sql runs 23 checks
+    against the generated report table, not the sources. Six checks
+    spanning its categories: nulls, duplicates, type/format, range,
+    cross-field consistency, referential integrity."""
+    from etl_reporting_spark.report_runner import run_report
+
+    run_report(
+        spark,
+        "reports/active_claimants",
+        sf_dir,
+        {"CARRIER_NAME": "ACME", "REPORT_END_DT": "2024-01-15 00:00:00"},
+    )
+    detail = spark.table("claimant_detail")
+    customer = _t(spark, sf_dir, "customer")
+    key = F.col("`Customer Key`")
+
+    def verdict(test_id: str, failures: DataFrame) -> DataFrame:
+        return failures.agg(F.count(F.lit(1)).alias("failed_rows")).select(
+            F.lit(test_id).alias("test_id"),
+            F.when(F.col("failed_rows") == 0, "PASS").otherwise("FAIL").alias("status"),
+            "failed_rows",
+        )
+
+    dup = (
+        detail.groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    bad_format = detail.filter(
+        F.try_to_date(F.col("`Last Event Date`"), "MM/dd/yyyy").isNull()
+    )
+    negative = detail.filter(F.col("`Last Event Value`") < 0)
+    inconsistent = detail.filter(
+        (F.col("`Active Purchaser Flag`") == 1) & (F.col("`Last Event Type`") != "purchase")
+    )
+    orphans = detail.join(
+        customer.select(F.col("c_custkey").alias("k")).distinct(),
+        detail["`Customer Key`"] == F.col("k"),
+        "left_anti",
+    )
+    parts = [
+        verdict("R-001", detail.filter(key.isNull())),
+        verdict("R-002", dup),
+        verdict("R-003", bad_format),
+        verdict("R-004", negative),
+        verdict("R-005", inconsistent),
+        verdict("R-006", orphans),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("test_id")
+
+
 # --------------------------------------------------------------------
 # U3 — INTERSECT / EXCEPT
 # --------------------------------------------------------------------
@@ -700,6 +756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_json_gallery": fn_json_gallery,
     "report_lifecycle_summary": report_lifecycle_summary,
     "report_claimant_detail": report_claimant_detail,
+    "dq_report_battery": dq_report_battery,
     "u3_intersect_except": u3_intersect_except,
     "p2_exclude_projection": p2_exclude_projection,
     "fn_try_to_date": fn_try_to_date,

@@ -67,3 +67,24 @@ def test_report_runner_end_to_end(spark, sf_dir):
     # view + tables registered
     assert spark.catalog.tableExists("user_latest_state")
     assert spark.catalog.tableExists("claimant_detail")
+
+
+def test_datafeed_export_end_to_end(spark, sf_dir, tmp_path):
+    from etl_reporting_spark.config import ReportConfig
+    from etl_reporting_spark.datafeeds.export import run_export
+
+    cfg = ReportConfig(
+        carrier_name="ACME",
+        report_name="claims_feed",
+        tables_list=["customer", "orders"],
+        sheetnames=["customers", "orders"],
+        exclude_columns=["c_acctbal"],
+        filter_rows="",
+        sorting_columns=[],
+    )
+    paths = run_export(spark, cfg, sf_dir, tmp_path / "feed")
+    assert len(paths) == 2
+    raw = (tmp_path / "feed" / "claims_feed_customers.csv").read_bytes()
+    header = raw.splitlines()[0].decode()
+    assert "c_custkey" in header and "c_acctbal" not in header
+    assert b"\r\n" in raw
