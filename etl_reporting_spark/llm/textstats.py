@@ -74,6 +74,26 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways (the training-pipeline staples):
+    whitespace tokens, and a BPE-ish regex segmentation (letter runs,
+    single digits, single punctuation — the GPT-2-style pre-tokenizer
+    shape) whose count approximates subword-tokenizer cost. Also the
+    ratio, a cheap quality signal (high regex/ws ratio ⇒ digit/punct
+    soup)."""
+    ws = F.split(F.col(text_col), " ")
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        F.col(id_col),
+        F.size(ws).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_ish_tokens"),
+        (F.size(bpe).cast("double") / F.size(ws).cast("double")).alias("tokens_per_word"),
+    )
+
+
 def document_fingerprint(
     docs: DataFrame, k: int = 3, bottom: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2,9 +2,9 @@
 
 Shared CTE fragments rebuild the exact same md5-based constructions
 the Spark operators use (hash-as-permutation MinHash, hex-arithmetic
-SimHash, decimal-exact dot products), so value hashes match
-bit-for-bit. ``ann_cosine_lsh`` is intentionally absent (approximate
-op → rows-only check).
+SimHash, ordered double-fold dot products, md5-parity hyperplanes),
+so value hashes match bit-for-bit — including the approximate-ANN
+paths, which are deterministic by construction.
 """
 
 from __future__ import annotations
@@ -351,4 +351,17 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
   FROM scored
 ) t WHERE rank <= 5
 ORDER BY query_id, rank
+"""
+
+LLM_ORACLE_SQL["text_token_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS INTEGER)
+      AS bpe_ish_tokens
+  FROM documents
+)
+SELECT doc_id, ws_tokens, bpe_ish_tokens,
+  CAST(bpe_ish_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS tokens_per_word
+FROM t ORDER BY doc_id
 """

@@ -31,7 +31,12 @@ from etl_reporting_spark.llm.similarity import (
     cosine_topk_lsh,
     embedding_near_duplicates,
 )
-from etl_reporting_spark.llm.textstats import document_fingerprint, language_id, text_quality
+from etl_reporting_spark.llm.textstats import (
+    document_fingerprint,
+    language_id,
+    text_quality,
+    token_stats,
+)
 
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,6 +104,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs).orderBy("doc_id")
 
 
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs).orderBy("doc_id")
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return document_fingerprint(docs).orderBy("doc_id")
@@ -121,6 +131,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_duplicates": emb_near_duplicates,
     "text_quality_scores": text_quality_scores,
     "text_language_id": text_language_id,
+    "text_token_stats": text_token_stats,
     "doc_fingerprints": doc_fingerprints,
     "mm_decode_metadata": mm_decode_metadata,
 }
