@@ -258,6 +258,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_at_or_before(spark: SparkSession, sf_dir: str, cutoff) -> DataFrame:
+    """Pushdown-aware point-in-time scan of the events stream.
+
+    ``load_table`` converts the nanos column eagerly, which wraps the
+    filter in an expression the parquet reader can't push. Here the
+    cutoff is applied to the RAW int64 nanos column first — a plain
+    long comparison that reaches row-group statistics (PushedFilters
+    in the plan) — and the timestamp conversion happens after. On a
+    100 TB date-partitioned fact the same idea is partition pruning;
+    on the driver's single-file testdata it's row-group pruning.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        return df.filter(F.col("ts") <= F.lit(cutoff))
+    if isinstance(cutoff, str):
+        cutoff = dt.datetime.fromisoformat(cutoff)
+    # exact integer epoch arithmetic (naive datetime == UTC wall time)
+    micros = (cutoff - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+    cutoff_ns = micros * 1000
+    return df.filter(F.col("ts") <= F.lit(cutoff_ns)).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver parquet table, returning name → DataFrame."""
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

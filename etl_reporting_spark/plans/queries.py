@@ -68,12 +68,15 @@ def flagship_active_claimants(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims broadcast (nation/region are tiny, customer under the 64 MB
     threshold at benchmark SF), single partial+final aggregate.
     """
-    events = _t(spark, sf_dir, "events")
+    from etl_reporting_spark.io import events_at_or_before
+
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
 
-    latest = snapshot_at(events, "user_id", ["ts", "event_id"], "ts", EVENTS_CUTOFF)
+    # cutoff applied to the raw nanos column → pushed into the scan
+    events = events_at_or_before(spark, sf_dir, EVENTS_CUTOFF)
+    latest = dedup_latest(events, "user_id", ["ts", "event_id"])
     dim = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -97,8 +100,10 @@ def flagship_active_claimants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 def w1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
-    latest = snapshot_at(events, "user_id", ["ts", "event_id"], "ts", EVENTS_CUTOFF)
+    from etl_reporting_spark.io import events_at_or_before
+
+    events = events_at_or_before(spark, sf_dir, EVENTS_CUTOFF)
+    latest = dedup_latest(events, "user_id", ["ts", "event_id"])
     return latest.select("user_id", "event_id", "event_type", "ts", "value")
 
 

@@ -72,3 +72,18 @@ def test_topk_is_take_ordered(spark, sf_dir):
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
+
+
+def test_events_cutoff_pushes_raw_nanos_filter(spark, sf_dir):
+    import datetime as dt
+
+    from etl_reporting_spark.io import events_at_or_before
+
+    df = events_at_or_before(spark, sf_dir, dt.datetime(2024, 1, 15))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "LessThanOrEqual(ts,1705276800000000000)" in plan
+    # and the converted column is still a usable timestamp
+    assert dict(df.dtypes)["ts"] == "timestamp"
