@@ -146,6 +146,17 @@ def evaluate(
     return CheckResult(test_id=test_id, status=status, failed_rows=n, business_impact=business_impact)
 
 
+def with_sample_failures(failures: DataFrame, n: int = 5) -> DataFrame:
+    """Attach an OBJECT_CONSTRUCT-style diagnostic payload: the first
+    ``n`` failing rows serialized as JSON (test_data_quality.sql
+    :207-211, 288-294 builds SAMPLE_FAILURES this way). limit(n)
+    before the JSON projection keeps the collected payload bounded."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in failures.columns]
+    return failures.limit(n).select(F.to_json(F.struct(*cols)).alias("sample_failure"))
+
+
 @dataclass
 class Expectation:
     """DMF expectation (F4, setup_dmf_data_quality.sql:141-148 /

@@ -1,0 +1,88 @@
+"""Reconciliation test-case generator (SURVEY §5 layer 4).
+
+Re-expresses tools/sql_test_case_generator.py:62-257: given
+(table, column, pk, filter) mappings, synthesize per-column
+reconciliation queries — row count, duplicate-PK with TRIM, SUM for
+amount-ish columns, COUNT + GROUP BY distribution otherwise — to be
+run on both source and target and compared. The reference emits
+SQL-Server-dialect strings for the source side; here both sides are
+Spark/ANSI SQL and ``run_reconciliation`` executes and diffs them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class ColumnMapping:
+    """One row of the reference's Excel mapping sheet
+    (tools/sql_test_case_generator.py:152-188)."""
+
+    table: str
+    column: str
+    primary_key: str
+    filter_column: str = ""  # optional date column for a rolling window
+    window_days: int = 7
+
+
+def _window_predicate(m: ColumnMapping) -> str:
+    if not m.filter_column:
+        return ""
+    return (
+        f" WHERE {m.filter_column} >= date_sub(current_date(), {m.window_days})"
+    )
+
+
+def generate_test_sql(m: ColumnMapping) -> dict[str, str]:
+    """The per-column query battery (reference :62-150)."""
+    where = _window_predicate(m)
+    out = {
+        "row_count": f"SELECT COUNT(*) AS n FROM {m.table}{where}",
+        "duplicate_pk": (
+            f"SELECT TRIM(CAST({m.primary_key} AS STRING)) AS pk, COUNT(*) AS n"
+            f" FROM {m.table}{where} GROUP BY 1 HAVING COUNT(*) > 1"
+        ),
+    }
+    if "amt" in m.column.lower() or "amount" in m.column.lower() or "price" in m.column.lower():
+        out["sum_amount"] = (
+            f"SELECT CAST(SUM(CAST({m.column} AS DECIMAL(18,2))) AS DOUBLE) AS total"
+            f" FROM {m.table}{where}"
+        )
+    else:
+        out["value_distribution"] = (
+            f"SELECT {m.column} AS value, COUNT(*) AS n FROM {m.table}{where}"
+            f" GROUP BY 1"
+        )
+    return out
+
+
+def run_reconciliation(
+    spark: SparkSession,
+    mapping: ColumnMapping,
+    source_table: str,
+    target_table: str,
+) -> DataFrame:
+    """Run the generated battery against source and target tables and
+    report match/mismatch per check — the comparison the reference
+    leaves to a human spreadsheet, done engine-side."""
+    results = []
+    for check, sql in generate_test_sql(mapping).items():
+        src_rows = sorted(map(tuple, spark.sql(sql.replace(mapping.table, source_table, 1)).collect()))
+        tgt_rows = sorted(map(tuple, spark.sql(sql.replace(mapping.table, target_table, 1)).collect()))
+        results.append(
+            (
+                mapping.table,
+                mapping.column,
+                check,
+                "MATCH" if src_rows == tgt_rows else "MISMATCH",
+                len(src_rows),
+                len(tgt_rows),
+            )
+        )
+    return spark.createDataFrame(
+        results,
+        "table string, column string, check string, status string, src_rows long, tgt_rows long",
+    )

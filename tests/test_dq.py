@@ -92,3 +92,33 @@ def test_templated_sql_blocks(spark, tables):
     )
     res = runner.run_spec(spec)
     assert res.status == "FAIL" and res.failed_rows == 1
+
+
+def test_reconciliation_generator(spark):
+    from etl_reporting_spark.dq.test_case_generator import ColumnMapping, run_reconciliation
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "pk int, name string, amt double"
+    ).createOrReplaceTempView("recon_src")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "pk int, name string, amt double"
+    ).createOrReplaceTempView("recon_tgt_ok")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0)], "pk int, name string, amt double"
+    ).createOrReplaceTempView("recon_tgt_bad")
+
+    m = ColumnMapping(table="recon_src", column="amt", primary_key="pk")
+    ok = run_reconciliation(spark, m, "recon_src", "recon_tgt_ok")
+    assert {r["status"] for r in ok.collect()} == {"MATCH"}
+    bad = run_reconciliation(spark, m, "recon_src", "recon_tgt_bad")
+    st = {r["check"]: r["status"] for r in bad.collect()}
+    assert st["sum_amount"] == "MISMATCH" and st["row_count"] == "MATCH"
+
+
+def test_sample_failures_payload(spark):
+    from etl_reporting_spark.dq.checks import negative_value_check, with_sample_failures
+
+    df = spark.createDataFrame([(1, -5.0), (2, 3.0), (3, -1.0)], "id int, amt double")
+    samples = with_sample_failures(negative_value_check(df, "amt"), n=1).collect()
+    assert len(samples) == 1
+    assert '"amt":-' in samples[0]["sample_failure"]
