@@ -482,3 +482,48 @@ FROM (
 ) t
 ORDER BY test_id
 """
+
+ORACLE_SQL["f1_udf_in_sql"] = """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         CAST(o.o_orderdate AS DATE) AS s, CAST(l.l_shipdate AS DATE) AS e
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey <= 1000
+), calc AS (
+  SELECT *, date_diff('day', s, e) + 1 AS n, isodow(s) - 1 AS d0 FROM j
+)
+SELECT l_orderkey, l_linenumber,
+  CAST(CASE WHEN e < s THEN 0 ELSE
+    (n // 7) * 5
+    + GREATEST(LEAST(n % 7, 5 - d0), 0)
+    + LEAST(GREATEST(d0 + (n % 7) - 7, 0), 5)
+  END AS INTEGER) AS ship_working_days
+FROM calc
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLE_SQL["w8_sessionization"] = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT *, SUM(boundary) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_sec
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""

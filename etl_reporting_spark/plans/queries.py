@@ -423,6 +423,43 @@ def f1_working_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# F1-as-UDF — the named SQL scalar function called from SQL text
+# --------------------------------------------------------------------
+
+def f1_udf_in_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM_WORKINGDAYSBETWEEN invoked by name from SQL, the way the
+    reference's report SQL calls its database UDF (…detail.sql:121).
+    The function is a SQL UDF (pure expression) so it inlines into
+    codegen."""
+    from etl_reporting_spark.functions.sql_udfs import register_sql_udfs
+    from etl_reporting_spark.io import Engine
+
+    register_sql_udfs(spark)
+    Engine(spark).register_testdata(sf_dir, tables=("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT l.l_orderkey, l.l_linenumber,
+               fm_workingdaysbetween(CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE)) AS ship_working_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey <= 1000
+        ORDER BY l.l_orderkey, l.l_linenumber
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# W8 — batch sessionization (gap-based session windows)
+# --------------------------------------------------------------------
+
+def w8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reporting_spark.operators.sessionize import session_aggregates
+
+    events = _t(spark, sf_dir, "events")
+    return session_aggregates(events, gap_minutes=30).orderBy("user_id", "session_seq")
+
+
+# --------------------------------------------------------------------
 # J10 — MERGE upsert (join-based, all branches incl. delete-by-source)
 # --------------------------------------------------------------------
 
@@ -766,4 +803,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p2_exclude_projection": p2_exclude_projection,
     "fn_try_to_date": fn_try_to_date,
     "a2_distinct_counts": a2_distinct_counts,
+    "f1_udf_in_sql": f1_udf_in_sql,
+    "w8_sessionization": w8_sessionization,
 }

@@ -43,8 +43,11 @@ def run_report(
     session_variables: dict[str, str],
     log_table: str | None = None,
 ) -> DataFrame | None:
+    from etl_reporting_spark.functions.sql_udfs import register_sql_udfs
+
     engine = Engine(spark)
     engine.register_testdata(sf_dir)
+    register_sql_udfs(spark)
     engine.set_session_variables(**session_variables)
 
     steps = []

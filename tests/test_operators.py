@@ -145,3 +145,33 @@ def test_month_spine(spark):
     assert rows[0]["period_start_dt"] == dt.date(2024, 1, 1)
     assert rows[1]["period_end_dt"] == dt.date(2024, 2, 29)
     assert rows[0]["carrier_name"] == "ACME"
+
+
+def test_sessionize_gap_boundaries(spark):
+    from etl_reporting_spark.operators.sessionize import session_aggregates, sessionize
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 10, 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 10), 10, 2.0),   # same session (10 min)
+        (3, dt.datetime(2024, 1, 1, 11, 0), 10, 3.0),    # new session (50 min gap)
+        (4, dt.datetime(2024, 1, 1, 9, 0), 11, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    s = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert s == {1: 1, 2: 1, 3: 2, 4: 1}
+    agg = {(r["user_id"], r["session_seq"]): r for r in session_aggregates(df).collect()}
+    assert agg[(10, 1)]["n_events"] == 2 and agg[(10, 1)]["sum_value"] == 3.0
+    assert agg[(10, 1)]["duration_sec"] == 600.0
+    assert agg[(10, 2)]["n_events"] == 1 and agg[(10, 2)]["duration_sec"] == 0.0
+
+
+def test_sql_udfs_registered(spark):
+    from etl_reporting_spark.functions.sql_udfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    row = spark.sql(
+        "SELECT fm_workingdaysbetween(DATE'2024-01-01', DATE'2024-01-14') AS wd,"
+        " strip_domain_prefix('CORP\\\\jdoe') AS u,"
+        " fm_workingdaysbetween(DATE'2024-01-14', DATE'2024-01-01') AS rev"
+    ).first()
+    assert row["wd"] == 10 and row["u"] == "jdoe" and row["rev"] == 0
