@@ -103,3 +103,69 @@ def test_merge_upsert_matches_python(spark, target, source, delete):
     assert res.rows_inserted == len([k for k in src if k not in tgt])
     assert res.rows_updated == len([k for k in src if k in tgt])
     assert res.rows_deleted == (len([k for k in tgt if k not in src]) if delete else 0)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_jaccard_pairs_match_python(spark, docs):
+    from etl_reporting_spark.llm.dedup import jaccard_pairs, shingle_docs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_docs(df, k=3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(sh).collect()}
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for i, ta in rows:
+        for j, tb in rows:
+            if i < j:
+                sa, sb = shingles(ta), shingles(tb)
+                inter = len(sa & sb)
+                if inter:
+                    expected = inter / len(sa | sb)
+                    assert abs(got[(i, j)] - expected) < 1e-12
+                else:
+                    assert (i, j) not in got
+
+
+@SLOW
+@given(
+    dim=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(25, 50)),
+        min_size=1, max_size=8,
+    ),
+    facts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=10
+    ),
+)
+def test_interval_join_matches_python(spark, dim, facts):
+    import datetime as dt
+
+    from etl_reporting_spark.operators.cdc import interval_join
+
+    base = dt.date(2024, 1, 1)
+    d = dt.timedelta
+    dim_rows = [
+        (k, i, base + d(days=lo), base + d(days=hi)) for i, (k, lo, hi) in enumerate(dim)
+    ]
+    fact_rows = [(k, base + d(days=t), i) for i, (k, t) in enumerate(facts)]
+    ddf = spark.createDataFrame(dim_rows, "k int, version int, eff date, exp date")
+    fdf = spark.createDataFrame(fact_rows, "k int, event_dt date, fact_id int")
+    out = interval_join(fdf, ddf, "k", "event_dt", "eff", "exp", inclusive_end=True)
+    got = sorted((r["fact_id"], r["version"]) for r in out.collect())
+    expected = sorted(
+        (fi, vi)
+        for (fk, ft, fi) in fact_rows
+        for (dk, vi, lo, hi) in dim_rows
+        if fk == dk and lo <= ft <= hi
+    )
+    assert got == expected
