@@ -49,7 +49,8 @@ SELECT user_id, event_id, event_type, ts, value FROM (
 ORACLE_SQL["w3_scd2_intervals"] = """
 SELECT user_id, event_id,
        ts AS row_effective,
-       COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS row_expiration,
+       strftime(COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00'),
+                '%Y-%m-%d %H:%M:%S') AS row_expiration,
        CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS current_row_indicator,
        RANK() OVER w AS version_rank
 FROM events WHERE event_type = 'signup'
@@ -412,7 +413,7 @@ WITH {_REPORT_STEPS}
 SELECT "Region" AS region_name,
        "Last Event Type" AS event_type,
        COUNT(*) AS n_claimants,
-       SUM("Active Purchaser Flag") AS n_purchasers,
+       CAST(SUM("Active Purchaser Flag") AS BIGINT) AS n_purchasers,
        CAST(SUM(CAST("Last Event Value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM detail
 GROUP BY "Region", "Last Event Type"
@@ -517,7 +518,7 @@ sessions AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM marked
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
   MIN(ts) AS session_start,
   MAX(ts) AS session_end,
   COUNT(*) AS n_events,

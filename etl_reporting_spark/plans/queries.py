@@ -115,11 +115,14 @@ def w3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
     out = scd2_intervals(events, "user_id", "ts", "row_expiration", "current_row_indicator")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    # The 9999-12-31 open-row sentinel overflows pandas' ns datetime64 in
+    # the driver's toPandas conversion, so the gate projects the expiration
+    # as a formatted string; the operator itself keeps the TIMESTAMP type.
     return out.select(
         "user_id",
         "event_id",
         F.col("ts").alias("row_effective"),
-        "row_expiration",
+        F.date_format("row_expiration", "yyyy-MM-dd HH:mm:ss").alias("row_expiration"),
         "current_row_indicator",
         F.rank().over(w).alias("version_rank"),
     )

@@ -5,7 +5,7 @@ SELECT
   `Region`                               AS region_name,
   `Last Event Type`                      AS event_type,
   COUNT(*)                               AS n_claimants,
-  SUM(`Active Purchaser Flag`)           AS n_purchasers,
+  CAST(SUM(`Active Purchaser Flag`) AS BIGINT) AS n_purchasers,
   CAST(SUM(CAST(`Last Event Value` AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM claimant_detail
 GROUP BY `Region`, `Last Event Type`
