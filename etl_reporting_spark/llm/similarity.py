@@ -212,30 +212,87 @@ def cosine_topk_ivf(
     )
 
 
+def _band_signature(vec_col: str, band: int, planes_per_band: int, dim: int) -> F.Column:
+    """Concatenated hyperplane-sign bits for one LSH band (plane
+    indices ``band*r .. band*r+r-1`` so bands never share planes)."""
+    return F.concat_ws(
+        "",
+        *[
+            _hyperplane_sign(vec_col, band * planes_per_band + j, dim).cast("string")
+            for j in range(planes_per_band)
+        ],
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     min_cosine: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    bands: int = 6,
+    planes_per_band: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
-    Brute-force all-pairs — correct at survey scale; swap the
-    crossJoin for the LSH bucket join above when the corpus outgrows
-    a broadcast."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+
+    ``method="lsh"`` (default, the scale path): banded random-
+    hyperplane LSH generates candidate pairs — vectors agreeing on
+    every plane of at least one band — then exact cosine verifies
+    candidates only. One explode (bands per vector), one shuffle on
+    (band, signature), and two id-joins to re-fetch vectors; work is
+    proportional to bucket collisions, never corpus². Recall tuning:
+    a pair at angle θ survives one band with p=(1-θ/π)^r, and all
+    ``bands`` bands miss with (1-p)^bands — raise ``bands`` (or lower
+    ``planes_per_band``) for looser thresholds. The defaults suit
+    tight thresholds (≥0.95); the sf-gate query passes bands=12, r=2
+    for its deliberately loose 0.45 threshold (total recall there).
+
+    ``method="exact"``: brute-force all-pairs — O(n²), an explicit
+    opt-in for small corpora or recall audits.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("n2"),
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
-    )
+    if method == "exact":
+        pairs = (
+            e.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), F.col("n2").alias("qn"))
+            .crossJoin(
+                e.select(
+                    F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("n2").alias("cn")
+                )
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+    elif method == "lsh":
+        sigs = embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(
+                F.array(
+                    *[_band_signature(vec_col, b, planes_per_band, dim) for b in range(bands)]
+                )
+            ).alias("band", "sig"),
+        )
+        cand = (
+            sigs.select(F.col("vid").alias("id_a"), "band", "sig")
+            .join(sigs.select(F.col("vid").alias("id_b"), "band", "sig"), ["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cand.join(
+            e.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), F.col("n2").alias("qn")),
+            "id_a",
+        ).join(
+            e.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("n2").alias("cn")),
+            "id_b",
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}: expected 'lsh' or 'exact'")
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", F.expr(_DOT.format(a="va", b="vb")))
+        pairs.withColumn("dot", F.expr(_DOT.format(a="va", b="vb")))
         .withColumn("cosine", _cosine_expr())
         .filter(F.col("cosine") >= F.lit(min_cosine))
         .select("id_a", "id_b", "cosine")

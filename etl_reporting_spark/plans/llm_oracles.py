@@ -38,6 +38,17 @@ _DOT9 = (
     " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, v) -> acc + v)"
 )
 
+# Hyperplane sign fold — mirrors similarity._hyperplane_sign: weight
+# +x when the first hex char of md5('<plane>|<dim>') is even (by
+# position in the hex alphabet), -x otherwise; bucket bit = sum > 0.
+_HP_SIGN = (
+    "CASE WHEN list_reduce(list_transform(range(1, len({v}) + 1),"
+    " i -> CASE WHEN strpos('0123456789abcdef',"
+    " substring(md5('{p}|' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2 = 0"
+    " THEN CAST({v}[i] AS DOUBLE) ELSE -CAST({v}[i] AS DOUBLE) END),"
+    " (acc, x) -> acc + x) > 0 THEN '1' ELSE '0' END"
+)
+
 _STOP_ALL = (
     "['the','a','and','of','to','in','is','it','that','for',"
     "'el','la','de','que','y','en','un','los','se','por',"
@@ -155,14 +166,41 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 ORDER BY query_id, rank
 """
 
+# Banded-LSH mirror of similarity.embedding_near_duplicates(method=
+# "lsh", bands=12, planes_per_band=2): band b uses planes 2b, 2b+1.
+_ND_BANDS, _ND_R = 12, 2
+_ND_SIG_COLS = ",\n".join(
+    "  "
+    + " || ".join(_HP_SIGN.format(v="embedding", p=b * _ND_R + j) for j in range(_ND_R))
+    + f" AS sig_{b}"
+    for b in range(_ND_BANDS)
+)
+_ND_BAND_UNION = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, sig_{b} AS sig FROM sigs" for b in range(_ND_BANDS)
+)
+
 LLM_ORACLE_SQL["emb_near_duplicates"] = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH sigs AS (
+  SELECT vec_id, embedding,
+{_ND_SIG_COLS}
+  FROM embeddings
+),
+bands AS (
+  {_ND_BAND_UNION}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+e AS (SELECT vec_id, embedding FROM embeddings),
 scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    CAST({_DOT9.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
-      / (sqrt(CAST({_DOT9.format(a='a.embedding', b='a.embedding')} AS DOUBLE))
-         * sqrt(CAST({_DOT9.format(a='b.embedding', b='b.embedding')} AS DOUBLE))) AS cosine
-  FROM e a, e b WHERE a.vec_id < b.vec_id
+  SELECT c.id_a, c.id_b,
+    CAST({_DOT9.format(a='ea.embedding', b='eb.embedding')} AS DOUBLE)
+      / (sqrt(CAST({_DOT9.format(a='ea.embedding', b='ea.embedding')} AS DOUBLE))
+         * sqrt(CAST({_DOT9.format(a='eb.embedding', b='eb.embedding')} AS DOUBLE))) AS cosine
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
 ORDER BY id_a, id_b
@@ -315,18 +353,6 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 ) t WHERE rank <= 5
 ORDER BY query_id, rank
 """
-
-# Hyperplane sign fold — mirrors similarity._hyperplane_sign: weight
-# +x when the first hex char of md5('<plane>|<dim>') is even (by
-# position in the hex alphabet), -x otherwise; bucket bit = sum > 0.
-_HP_SIGN = (
-    "CASE WHEN list_reduce(list_transform(range(1, len({v}) + 1),"
-    " i -> CASE WHEN strpos('0123456789abcdef',"
-    " substring(md5('{p}|' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2 = 0"
-    " THEN CAST({v}[i] AS DOUBLE) ELSE -CAST({v}[i] AS DOUBLE) END),"
-    " (acc, x) -> acc + x) > 0 THEN '1' ELSE '0' END"
-)
-
 
 def _bucket_expr(v: str, planes: int = 4) -> str:
     return " || ".join(_HP_SIGN.format(v=v, p=p) for p in range(planes))

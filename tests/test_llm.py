@@ -115,3 +115,31 @@ def test_cosine_topk_ivf_matches_bruteforce_in_cluster(spark):
     out = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") == 9), k=3, n_centroids=4)
     got = [r["neighbor_id"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
     assert len(got) >= 1 and 9 not in got  # excludes self, searches its cluster
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    from etl_reporting_spark.llm.similarity import embedding_near_duplicates
+
+    # 0/1 nearly identical, 2/3 nearly identical, others far apart
+    rows = [
+        (0, [1.0] * 8),
+        (1, [1.0] * 7 + [0.9]),
+        (2, [-1.0] * 8),
+        (3, [-1.0] * 7 + [-0.9]),
+        (4, [1.0, -1.0] * 4),
+        (5, [-1.0, 1.0] * 4),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(emb, 0.95, method="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            emb, 0.95, method="lsh", bands=6, planes_per_band=2, dim=8
+        ).collect()
+    }
+    assert exact == {(0, 1), (2, 3)}
+    assert lsh <= exact  # LSH candidates verified exactly: never a false positive
+    assert (0, 1) in lsh  # identical-direction vectors always share every bucket

@@ -74,6 +74,18 @@ def test_no_cartesian_anywhere(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
 
 
+def test_emb_near_dup_lsh_pairs_no_cartesian(spark, sf_dir):
+    from etl_reporting_spark.plans.llm_queries import LLM_QUERIES
+
+    df = LLM_QUERIES["emb_near_duplicates"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_events_cutoff_pushes_raw_nanos_filter(spark, sf_dir):
     import datetime as dt
 
