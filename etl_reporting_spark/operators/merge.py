@@ -34,6 +34,20 @@ class MergeResult:
     rows_updated: int
     rows_deleted: int
     rows_unchanged: int
+    _cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the cached join once ``df`` has been materialized
+        (written / collected). Safe to call more than once."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
+
+
+class NonDeterministicMergeError(ValueError):
+    """Raised when source rows duplicate a merge key — the same
+    condition Snowflake reports as a nondeterministic MERGE instead of
+    silently fanning the target row out."""
 
 
 def merge_upsert(
@@ -46,6 +60,7 @@ def merge_upsert(
     not_matched_condition: Column | None = None,
     delete_not_matched_by_source: bool = False,
     delete_condition: Column | None = None,
+    validate_source_unique: bool = True,
 ) -> MergeResult:
     """Join-based MERGE. Column lists default to every non-key source
     column, the same auto-derivation the reference performs
@@ -56,17 +71,44 @@ def merge_upsert(
     - not matched (source-only) & cond   → INSERT
     - not matched by source (target-only) & delete flags → DELETE
     - everything else                    → carry target row unchanged
+
+    Rows are classified by explicit presence markers, not key
+    nullness, so a target row whose merge key is NULL is still
+    "not matched by source" (kept, or deleted under the delete
+    branch) — never silently dropped.
+
+    ``validate_source_unique`` (default on) fails fast with
+    :class:`NonDeterministicMergeError` when the source repeats a
+    merge key — Snowflake's nondeterministic-MERGE error. The check
+    is one map-side-combined aggregate over the source (the small
+    delta in a typical merge); pass False to skip it when uniqueness
+    is guaranteed upstream.
+
+    The classified join is persisted so the metrics aggregate and the
+    returned ``df`` share one computation; call
+    ``MergeResult.unpersist()`` after materializing the output.
     """
     keys = list(keys)
     non_key_source = [c for c in source.columns if c not in keys]
     update_cols = list(update_cols) if update_cols is not None else non_key_source
     insert_cols = list(insert_cols) if insert_cols is not None else non_key_source
 
+    if validate_source_unique:
+        dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+        dup_row = dup.select(*keys).limit(1).collect()
+        if dup_row:
+            raise NonDeterministicMergeError(
+                f"source has duplicate merge key {dup_row[0].asDict()}; "
+                "dedup the source or pass validate_source_unique=False"
+            )
+
     t = target.select(
+        F.lit(1).alias("__t_present"),
         *[F.col(k).alias(f"__tk_{k}") for k in keys],
         *[F.col(c).alias(f"__t_{c}") for c in target.columns if c not in keys],
     )
     s = source.select(
+        F.lit(1).alias("__s_present"),
         *[F.col(k).alias(f"__sk_{k}") for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in non_key_source],
     )
@@ -76,8 +118,8 @@ def merge_upsert(
         cond = c if cond is None else cond & c
     j = t.join(s, on=cond, how="full_outer")
 
-    has_target = F.col(f"__tk_{keys[0]}").isNotNull()
-    has_source = F.col(f"__sk_{keys[0]}").isNotNull()
+    has_target = F.col("__t_present").isNotNull()
+    has_source = F.col("__s_present").isNotNull()
 
     matched = has_target & has_source
     if matched_condition is not None:
@@ -102,6 +144,7 @@ def merge_upsert(
         .otherwise(F.lit("X"))  # source-only, insert condition false → drop
     )
     j = j.withColumn("__action", action)
+    j.persist()  # metrics aggregate + returned df share one join computation
 
     target_non_key = [c for c in target.columns if c not in keys]
     out_cols: list[Column] = []
@@ -137,6 +180,7 @@ def merge_upsert(
         rows_updated=counts_row["U"],
         rows_deleted=counts_row["D"],
         rows_unchanged=counts_row["M"] + counts_row["K"],
+        _cached=j,
     )
 
 

@@ -175,3 +175,56 @@ def test_sql_udfs_registered(spark):
         " fm_workingdaysbetween(DATE'2024-01-14', DATE'2024-01-01') AS rev"
     ).first()
     assert row["wd"] == 10 and row["u"] == "jdoe" and row["rev"] == 0
+
+
+def test_merge_upsert_null_key_target_row_survives(spark):
+    from etl_reporting_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old1"), (None, "nullkey")], "k int, v string"
+    )
+    source = spark.createDataFrame([(1, "new1")], "k int, v string")
+    res = merge_upsert(target, source, ["k"])
+    rows = {r["k"]: r["v"] for r in res.df.collect()}
+    assert rows == {1: "new1", None: "nullkey"}  # NULL-key row kept, not dropped
+    assert res.rows_unchanged == 1
+    res.unpersist()
+
+    # under the delete branch the NULL-key row is "not matched by source" → deleted
+    res2 = merge_upsert(target, source, ["k"], delete_not_matched_by_source=True)
+    assert {r["k"] for r in res2.df.collect()} == {1}
+    assert res2.rows_deleted == 1
+    res2.unpersist()
+
+
+def test_merge_upsert_duplicate_source_keys_fail_fast(spark):
+    import pytest as _pytest
+
+    from etl_reporting_spark.operators.merge import (
+        NonDeterministicMergeError,
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame([(1, "old")], "k int, v string")
+    source = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with _pytest.raises(NonDeterministicMergeError):
+        merge_upsert(target, source, ["k"])
+    # explicit opt-out keeps the old fan-out behavior
+    res = merge_upsert(target, source, ["k"], validate_source_unique=False)
+    assert res.df.count() == 2
+    res.unpersist()
+
+
+def test_merge_upsert_reuses_cached_join(spark):
+    """The returned df must read the persisted join (InMemoryTableScan),
+    not recompute the full-outer join a second time."""
+    from etl_reporting_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "old")], "k int, v string")
+    source = spark.createDataFrame([(2, "new")], "k int, v string")
+    res = merge_upsert(target, source, ["k"])
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    # the scan reads the persisted join; the join text only appears as
+    # the InMemoryRelation's stored child plan, not as live work
+    assert "InMemoryTableScan" in plan
+    res.unpersist()
