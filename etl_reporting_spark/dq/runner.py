@@ -21,7 +21,10 @@ import re
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_reporting_spark.dq import checks as C
 
@@ -81,13 +84,45 @@ def load_specs_csv(path: str | Path) -> list[TestCaseSpec]:
     return [s for s in specs if s.is_enabled]
 
 
+def synthesize_carrier_condition(
+    columns: Sequence[str], carrier: str | None
+) -> tuple[Column, str]:
+    """Multi-tenant check scoping by schema introspection, the
+    reference's carrier-condition synthesis
+    (tools/test_framework_helper.py:180-208): pick the predicate from
+    the table's own columns —
+
+    - ``carrier_name`` column       → ``carrier_name = '<carrier>'``
+    - ``carrier_name_dim_id`` column → ``… = md5('<carrier>')``
+    - neither (or no carrier given)  → ``1=1`` (unscoped)
+
+    Returns the predicate twice: as a Column for DataFrame checks and
+    as a SQL fragment for templated-SQL checks. Embedded quotes are
+    doubled so a carrier like "O'BRIEN" can't break the SQL form.
+    """
+    if not carrier:
+        return F.lit(True), "1=1"
+    esc = carrier.replace("'", "''")
+    if "carrier_name" in columns:
+        return F.col("carrier_name") == F.lit(carrier), f"carrier_name = '{esc}'"
+    if "carrier_name_dim_id" in columns:
+        return (
+            F.col("carrier_name_dim_id") == F.md5(F.lit(carrier)),
+            f"carrier_name_dim_id = md5('{esc}')",
+        )
+    return F.lit(True), "1=1"
+
+
 @dataclass
 class DQRunner:
     spark: SparkSession
     template_sql: dict[str, str] = field(default_factory=dict)
+    carrier: str | None = None
 
     def run_spec(self, spec: TestCaseSpec) -> C.CheckResult:
         df = self.spark.table(spec.table)
+        scope, scope_sql = synthesize_carrier_condition(df.columns, self.carrier)
+        df = df.filter(scope)
         ct = spec.check_type
         if ct == "UNIQUE_CHECK":
             failures = C.unique_check(df, spec.column)
@@ -106,7 +141,7 @@ class DQRunner:
             failures = C.zero_value_check(df, spec.column)
         elif ct == "TEMPLATED_SQL":
             rendered = self.template_sql[spec.column].format(
-                table=spec.table, **spec.params
+                table=spec.table, carrier_name_condition=scope_sql, **spec.params
             )
             failures = self.spark.sql(rendered)
         else:

@@ -484,6 +484,33 @@ FROM (
 ORDER BY test_id
 """
 
+# dq_carrier_scoped: one row per carrier × table × check; the scoping
+# predicate mirrors runner.synthesize_carrier_condition per table shape.
+_CARRIER_CHECKS = []
+for _carrier in ("BUILDING", "MACHINERY"):
+    for _t_name, _scope in (
+        ("cc_name", f"c_mktsegment = '{_carrier}'"),
+        ("cc_dim", f"md5(c_mktsegment) = md5('{_carrier}')"),
+        ("cc_none", "1=1"),
+    ):
+        _CARRIER_CHECKS.append(
+            f"SELECT '{_carrier}' AS carrier, '{_t_name}-NEG' AS test_id,\n"
+            f"  (SELECT COUNT(*) FROM customer WHERE {_scope} AND c_acctbal < 0)"
+            " AS failed_rows"
+        )
+        _CARRIER_CHECKS.append(
+            f"SELECT '{_carrier}', '{_t_name}-NULL',\n"
+            f"  (SELECT COUNT(*) FROM customer WHERE {_scope} AND c_name IS NULL)"
+        )
+
+ORACLE_SQL["dq_carrier_scoped"] = (
+    "WITH checks AS (\n"
+    + "\nUNION ALL\n".join(_CARRIER_CHECKS)
+    + "\n)\nSELECT carrier, test_id,\n"
+    "  CASE WHEN failed_rows = 0 THEN 'PASS' ELSE 'FAIL' END AS status,\n"
+    "  failed_rows\nFROM checks ORDER BY carrier, test_id"
+)
+
 ORACLE_SQL["f1_udf_in_sql"] = """
 WITH j AS (
   SELECT l.l_orderkey, l.l_linenumber,

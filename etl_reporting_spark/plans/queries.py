@@ -619,6 +619,42 @@ def dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("test_id")
 
 
+def dq_carrier_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carrier-condition synthesis (F6, reference
+    tools/test_framework_helper.py:180-208): the SAME spec battery runs
+    under two carriers against three shapes of the same table — one
+    with a ``carrier_name`` column, one with a ``carrier_name_dim_id``
+    md5 column, one with neither — and the runner picks the scoping
+    predicate per table by schema introspection. Scoped tables yield
+    per-carrier failure counts; the unscoped table yields identical
+    counts for both carriers (the 1=1 path)."""
+    from etl_reporting_spark.dq.runner import DQRunner, TestCaseSpec
+
+    customer = _t(spark, sf_dir, "customer")
+    customer.withColumn("carrier_name", F.col("c_mktsegment")).createOrReplaceTempView(
+        "cc_name"
+    )
+    customer.withColumn(
+        "carrier_name_dim_id", F.md5(F.col("c_mktsegment"))
+    ).createOrReplaceTempView("cc_dim")
+    customer.createOrReplaceTempView("cc_none")
+
+    specs = []
+    for t in ("cc_name", "cc_dim", "cc_none"):
+        specs.append(TestCaseSpec(f"{t}-NEG", "NEGATIVE_VALUE_CHECK", t, "c_acctbal"))
+        specs.append(TestCaseSpec(f"{t}-NULL", "NOT_NULL_CHECK", t, "c_name"))
+    parts = []
+    for carrier in ("BUILDING", "MACHINERY"):
+        summary = DQRunner(spark, carrier=carrier).run(specs, raise_on_failure=False)
+        parts.append(summary.withColumn("carrier", F.lit(carrier)))
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .select("carrier", "test_id", "status", "failed_rows")
+        .orderBy("carrier", "test_id")
+    )
+
+
 # --------------------------------------------------------------------
 # §3 lifecycle — the templated-SQL report pipeline as a gate entry
 # --------------------------------------------------------------------
@@ -794,6 +830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j6_interval_binding": j6_interval_binding,
     "f3_month_periods": f3_month_periods,
     "dq_battery": dq_battery,
+    "dq_carrier_scoped": dq_carrier_scoped,
     "j10_merge_upsert": j10_merge_upsert,
     "u1_union_distinct": u1_union_distinct,
     "w45_event_ordering": w45_event_ordering,

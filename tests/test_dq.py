@@ -122,3 +122,58 @@ def test_sample_failures_payload(spark):
     samples = with_sample_failures(negative_value_check(df, "amt"), n=1).collect()
     assert len(samples) == 1
     assert '"amt":-' in samples[0]["sample_failure"]
+
+
+def test_carrier_condition_synthesis(spark):
+    """Schema introspection picks the right scoping predicate
+    (reference test_framework_helper.py:180-208)."""
+    from etl_reporting_spark.dq.runner import DQRunner, TestCaseSpec
+
+    rows = [("ACME", -1.0), ("ACME", 2.0), ("GLOBEX", -3.0), ("GLOBEX", -4.0)]
+    base = spark.createDataFrame(rows, "carrier string, amt double")
+    base.withColumnRenamed("carrier", "carrier_name").createOrReplaceTempView("ct_name")
+    base.selectExpr("md5(carrier) AS carrier_name_dim_id", "amt").createOrReplaceTempView(
+        "ct_dim"
+    )
+    base.createOrReplaceTempView("ct_none")
+
+    def neg_count(table, carrier):
+        spec = TestCaseSpec("t", "NEGATIVE_VALUE_CHECK", table, "amt")
+        return DQRunner(spark, carrier=carrier).run_spec(spec).failed_rows
+
+    # carrier_name path: per-tenant counts
+    assert neg_count("ct_name", "ACME") == 1
+    assert neg_count("ct_name", "GLOBEX") == 2
+    # carrier_name_dim_id path: same scoping through the md5 key
+    assert neg_count("ct_dim", "ACME") == 1
+    assert neg_count("ct_dim", "GLOBEX") == 2
+    # neither column → 1=1, unscoped
+    assert neg_count("ct_none", "ACME") == 3
+    # no carrier at all → unscoped even when the column exists
+    assert neg_count("ct_name", None) == 3
+
+
+def test_carrier_condition_sql_fragment_escapes_quotes():
+    from pyspark.sql import functions as F  # noqa: F401
+    from etl_reporting_spark.dq.runner import synthesize_carrier_condition
+
+    _, frag = synthesize_carrier_condition(["carrier_name"], "O'BRIEN")
+    assert frag == "carrier_name = 'O''BRIEN'"
+    _, frag2 = synthesize_carrier_condition(["carrier_name_dim_id"], "X")
+    assert frag2 == "carrier_name_dim_id = md5('X')"
+    _, frag3 = synthesize_carrier_condition(["other"], "X")
+    assert frag3 == "1=1"
+
+
+def test_templated_sql_gets_carrier_condition(spark):
+    from etl_reporting_spark.dq.runner import DQRunner, TestCaseSpec
+
+    spark.createDataFrame(
+        [("ACME", -1.0), ("GLOBEX", -2.0)], "carrier_name string, amt double"
+    ).createOrReplaceTempView("ct_tpl")
+    tpl = {"neg": "SELECT * FROM {table} WHERE {carrier_name_condition} AND amt < 0"}
+    spec = TestCaseSpec("t", "TEMPLATED_SQL", "ct_tpl", "neg")
+    r = DQRunner(spark, template_sql=tpl, carrier="ACME").run_spec(spec)
+    assert r.failed_rows == 1
+    r2 = DQRunner(spark, template_sql=tpl).run_spec(spec)
+    assert r2.failed_rows == 2
