@@ -137,9 +137,16 @@ class ExecutionLog:
         finished_at: dt.datetime | None = None,
         rows_affected: int | None = None,
         execution_id: str | None = None,
+        high_watermark: str | None = None,
     ) -> str:
         execution_id = execution_id or str(uuid.uuid4())
         finished_at = finished_at or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        if not self.spark.catalog.tableExists(self.table):
+            # first write in this session: clear any stale managed
+            # location left by a previous session's log table
+            from etl_reporting_spark.io import Engine
+
+            Engine(self.spark).drop_managed_table(self.table)
         row = [
             (
                 execution_id,
@@ -149,12 +156,33 @@ class ExecutionLog:
                 finished_at.isoformat(),
                 str((finished_at - started_at).total_seconds()),
                 rows_affected,
+                high_watermark,
             )
         ]
         schema = (
             "execution_id string, object_name string, status string, "
             "execution_start_ts string, execution_end_ts string, "
-            "query_duration string, rows_affected long"
+            "query_duration string, rows_affected long, high_watermark string"
         )
         self.spark.createDataFrame(row, schema).write.mode("append").saveAsTable(self.table)
         return execution_id
+
+    def get_last_successful_load(self, object_name: str) -> str | None:
+        """Watermark retrieval closing the incremental loop (reference
+        connector/snowpark_connector.py:400-464 reading the log written
+        at :1137-1236): the greatest ``high_watermark`` over SUCCESS
+        rows for the object, or None when the object has never loaded
+        — the caller then performs a full load. MAX over history (not
+        latest row) so a zero-row run that records a NULL watermark
+        can never move the watermark backwards."""
+        from pyspark.sql import functions as F
+
+        if not self.spark.catalog.tableExists(self.table):
+            return None
+        row = (
+            self.spark.table(self.table)
+            .filter((F.col("object_name") == object_name) & (F.col("status") == "SUCCESS"))
+            .agg(F.max("high_watermark").alias("hwm"))
+            .collect()[0]
+        )
+        return row["hwm"]

@@ -194,6 +194,21 @@ class Engine:
         _validate_identifier(name)
         self.spark.sql(f"DROP TABLE {'IF EXISTS ' if if_exists else ''}{name}")
 
+    def drop_managed_table(self, name: str) -> None:
+        """DROP TABLE IF EXISTS plus warehouse-directory cleanup. The
+        in-memory catalog forgets tables across sessions while their
+        managed locations persist on disk, so a later CREATE in a new
+        session fails with LOCATION_ALREADY_EXISTS; removing the stale
+        directory makes table (re)creation session-restart-safe."""
+        _validate_identifier(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        jvm = self.spark._jvm
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name.lower()}")
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+
     def create_table_from_ddl(self, ddl: str, substitutions: dict[str, str] | None = None) -> None:
         self.spark.sql(render_template(ddl, substitutions or {}))
 

@@ -511,6 +511,15 @@ ORACLE_SQL["dq_carrier_scoped"] = (
     "  failed_rows\nFROM checks ORDER BY carrier, test_id"
 )
 
+# inc_watermark_load: the incrementally-built table must equal one
+# full load at the final batch cutoff.
+ORACLE_SQL["inc_watermark_load"] = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderdate <= DATE '1996-12-31'
+ORDER BY o_orderkey
+"""
+
 ORACLE_SQL["f1_udf_in_sql"] = """
 WITH j AS (
   SELECT l.l_orderkey, l.l_linenumber,

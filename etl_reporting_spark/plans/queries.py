@@ -655,6 +655,35 @@ def dq_carrier_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inc_watermark_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed incremental loop (S3/P11 + reference connector:400-464):
+    run 1 loads orders up to a mid-year batch cutoff and records the
+    data-driven watermark in the execution log; run 2, with a later
+    cutoff, reads the watermark back and appends ONLY post-watermark
+    rows ((o_orderdate) > '<hwm>' reaches the parquet scan — asserted
+    in tests/test_plan_shapes.py). The incrementally-built table must
+    equal a single full load at the final cutoff."""
+    from etl_reporting_spark.io import Engine
+    from etl_reporting_spark.report_runner import incremental_table_load
+
+    eng = Engine(spark)
+    eng.drop_managed_table("inc_orders_target")
+    eng.drop_managed_table("inc_exec_log")
+    for cutoff in ("1996-06-30", "1996-12-31"):
+        incremental_table_load(
+            spark,
+            "reports/incremental_orders/orders_batch.sql",
+            "inc_orders_target",
+            "o_orderdate",
+            sf_dir,
+            substitutions={"BATCH_CUTOFF": cutoff},
+            log_table="inc_exec_log",
+        )
+    return spark.table("inc_orders_target").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
 # --------------------------------------------------------------------
 # §3 lifecycle — the templated-SQL report pipeline as a gate entry
 # --------------------------------------------------------------------
@@ -831,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f3_month_periods": f3_month_periods,
     "dq_battery": dq_battery,
     "dq_carrier_scoped": dq_carrier_scoped,
+    "inc_watermark_load": inc_watermark_load,
     "j10_merge_upsert": j10_merge_upsert,
     "u1_union_distinct": u1_union_distinct,
     "w45_event_ordering": w45_event_ordering,

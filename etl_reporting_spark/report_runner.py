@@ -29,6 +29,7 @@ import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_reporting_spark.datafeeds.writers import ExecutionLog
 from etl_reporting_spark.io import Engine, TableType, WriteMode
@@ -77,29 +78,109 @@ def run_report(
     return last
 
 
+def incremental_table_load(
+    spark: SparkSession,
+    sql_path: str | Path,
+    target_table: str,
+    incremental_column: str,
+    sf_dir: str,
+    substitutions: dict[str, str] | None = None,
+    log_table: str = "execution_log",
+    session_variables: dict[str, str] | None = None,
+) -> DataFrame:
+    """Self-driving incremental load: the watermark comes from the
+    execution log, not the caller (reference connector:400-464 +
+    save_execution :1137-1236; CLI-supplied ``--last_load_date`` in
+    tools/datamart_utils.py:661-714 becomes log-driven here).
+
+    First run (no SUCCESS row / no target): full load, OVERWRITE.
+    Later runs: ``(col) > '<hwm>'`` injected at the {{AND_CONDITION}}/
+    {{WHERE_CONDITION}} markers — Catalyst pushes the rendered literal
+    to the scan — and only post-watermark rows are appended. The new
+    watermark is MAX(incremental_column) of the rows actually loaded
+    (data-driven, never wall-clock), so reruns are no-ops and a load
+    that sees zero rows can't regress it. Rows equal to the watermark
+    are assumed fully loaded (strict ``>``, same as the reference).
+    """
+    engine = Engine(spark)
+    engine.register_testdata(sf_dir)
+    if session_variables:
+        engine.set_session_variables(**session_variables)
+    log = ExecutionLog(spark, table=log_table)
+    last = log.get_last_successful_load(target_table)
+    full = last is None or not engine.table_exists(target_table)
+    started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+    batch = engine.execute_query_from_file(
+        sql_path,
+        substitutions=substitutions,
+        incremental_column=None if full else incremental_column,
+        last_load_value=None if full else last,
+    )
+    batch.persist()
+    try:
+        if full:
+            engine.drop_managed_table(target_table)  # clear any stale location
+        batch.write.mode("overwrite" if full else "append").saveAsTable(target_table)
+        stats = batch.agg(
+            F.max(incremental_column).alias("hwm"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        log.record(
+            object_name=target_table,
+            status="SUCCESS",
+            started_at=started,
+            rows_affected=stats["n"],
+            high_watermark=None if stats["hwm"] is None else str(stats["hwm"]),
+        )
+    finally:
+        batch.unpersist()
+    return spark.table(target_table)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    ap.add_argument("--report-dir", required=True)
+    ap.add_argument("--report-dir")
     ap.add_argument("--carrier-name", default="ACME")
     ap.add_argument("--report-start-dt", default="2024-01-01 00:00:00")
     ap.add_argument("--report-end-dt", default="2024-01-15 00:00:00")
     ap.add_argument("--show", type=int, default=10)
+    ap.add_argument(
+        "--incremental",
+        metavar="SQL:TABLE:COLUMN",
+        help="run one watermark-driven load instead of the report steps, "
+        "e.g. reports/incremental_orders/orders_batch.sql:orders_inc:o_orderdate",
+    )
+    ap.add_argument("--log-table", default="execution_log")
     args = ap.parse_args()
 
     from etl_reporting_spark.session import get_spark
 
     spark = get_spark("report_runner")
-    result = run_report(
-        spark,
-        args.report_dir,
-        args.sf_dir,
-        {
-            "CARRIER_NAME": args.carrier_name,
-            "REPORT_START_DT": args.report_start_dt,
-            "REPORT_END_DT": args.report_end_dt,
-        },
-    )
+    if args.incremental:
+        sql_path, target, column = args.incremental.split(":")
+        result = incremental_table_load(
+            spark,
+            sql_path,
+            target,
+            column,
+            args.sf_dir,
+            substitutions={"BATCH_CUTOFF": args.report_end_dt},
+            log_table=args.log_table,
+        )
+    elif not args.report_dir:
+        ap.error("--report-dir is required unless --incremental is given")
+    else:
+        result = run_report(
+            spark,
+            args.report_dir,
+            args.sf_dir,
+            {
+                "CARRIER_NAME": args.carrier_name,
+                "REPORT_START_DT": args.report_start_dt,
+                "REPORT_END_DT": args.report_end_dt,
+            },
+        )
     if result is not None:
         result.show(args.show, truncate=False)
 

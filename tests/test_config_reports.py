@@ -88,3 +88,44 @@ def test_datafeed_export_end_to_end(spark, sf_dir, tmp_path):
     header = raw.splitlines()[0].decode()
     assert "c_custkey" in header and "c_acctbal" not in header
     assert b"\r\n" in raw
+
+
+def test_incremental_load_is_log_driven(spark, sf_dir):
+    """Run 2 appends only post-watermark rows; a rerun at the same
+    cutoff is a zero-row no-op and never regresses the watermark."""
+    from etl_reporting_spark.datafeeds.writers import ExecutionLog
+    from etl_reporting_spark.report_runner import incremental_table_load
+
+    from etl_reporting_spark.io import Engine
+
+    eng = Engine(spark)
+    eng.drop_managed_table("t_inc_tgt")
+    eng.drop_managed_table("t_inc_log")
+
+    def load(cutoff):
+        return incremental_table_load(
+            spark,
+            "reports/incremental_orders/orders_batch.sql",
+            "t_inc_tgt",
+            "o_orderdate",
+            sf_dir,
+            substitutions={"BATCH_CUTOFF": cutoff},
+            log_table="t_inc_log",
+        )
+
+    n1 = load("1996-06-30").count()
+    n2 = load("1996-12-31").count()
+    assert n2 > n1
+    log = ExecutionLog(spark, table="t_inc_log")
+    affected = [
+        r["rows_affected"]
+        for r in spark.table("t_inc_log").orderBy("execution_start_ts").collect()
+    ]
+    assert affected[0] == n1 and affected[1] == n2 - n1
+    hwm_after_2 = log.get_last_successful_load("t_inc_tgt")
+
+    n3 = load("1996-12-31").count()  # rerun: nothing new
+    assert n3 == n2
+    affected3 = spark.table("t_inc_log").orderBy("execution_start_ts").collect()[-1]
+    assert affected3["rows_affected"] == 0
+    assert log.get_last_successful_load("t_inc_tgt") == hwm_after_2

@@ -99,3 +99,23 @@ def test_events_cutoff_pushes_raw_nanos_filter(spark, sf_dir):
     assert "LessThanOrEqual(ts,1705276800000000000)" in plan
     # and the converted column is still a usable timestamp
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_incremental_predicate_reaches_scan(spark, sf_dir):
+    """The injected high-water-mark predicate must push to the parquet
+    scan so run 2 of an incremental load reads only new row groups."""
+    from etl_reporting_spark.io import Engine
+
+    eng = Engine(spark)
+    eng.register_testdata(sf_dir)
+    df = eng.execute_query_from_file(
+        "reports/incremental_orders/orders_batch.sql",
+        substitutions={"BATCH_CUTOFF": "1996-12-31"},
+        incremental_column="o_orderdate",
+        last_load_value="1996-06-30",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "GreaterThan(o_orderdate,1996-06-30" in plan  # timestamp_ntz renders T00:00
