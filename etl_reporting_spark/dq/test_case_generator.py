@@ -67,19 +67,25 @@ def run_reconciliation(
 ) -> DataFrame:
     """Run the generated battery against source and target tables and
     report match/mismatch per check — the comparison the reference
-    leaves to a human spreadsheet, done engine-side."""
+    leaves to a human spreadsheet, done engine-side.
+
+    The diff is a symmetric difference computed in the engine
+    (``exceptAll`` both ways + isEmpty), never a driver-side collect:
+    a value_distribution over a high-cardinality column stays
+    distributed no matter how many groups it has."""
     results = []
     for check, sql in generate_test_sql(mapping).items():
-        src_rows = sorted(map(tuple, spark.sql(sql.replace(mapping.table, source_table, 1)).collect()))
-        tgt_rows = sorted(map(tuple, spark.sql(sql.replace(mapping.table, target_table, 1)).collect()))
+        src = spark.sql(sql.replace(mapping.table, source_table, 1))
+        tgt = spark.sql(sql.replace(mapping.table, target_table, 1))
+        matches = src.exceptAll(tgt).union(tgt.exceptAll(src)).isEmpty()
         results.append(
             (
                 mapping.table,
                 mapping.column,
                 check,
-                "MATCH" if src_rows == tgt_rows else "MISMATCH",
-                len(src_rows),
-                len(tgt_rows),
+                "MATCH" if matches else "MISMATCH",
+                src.count(),
+                tgt.count(),
             )
         )
     return spark.createDataFrame(

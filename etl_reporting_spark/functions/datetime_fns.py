@@ -66,7 +66,7 @@ def month_spine(
     return df
 
 
-def period_frequencies(df: DataFrame, date_col: str) -> dict[str, Column]:
+def period_frequencies(date_col: str) -> dict[str, Column]:
     """The 6-frequency period derivations of the reference's period
     view (report_period_config.sql:149-188): truncation expressions
     keyed DAILY…YEARLY, composable into UNION ALL rollups (U2)."""

@@ -169,6 +169,22 @@ class Engine:
         else:
             df.createTempView(name)
 
+    def create_permanent_view(self, name: str, sql: str, replace: bool = True) -> None:
+        """Catalog-backed ``CREATE [OR REPLACE] VIEW`` — the persistent
+        view sink of the reference's ``save_as_view``
+        (connector/snowpark_connector.py:511-566), which stores the
+        defining SQL in the catalog rather than a session-scoped alias.
+        The SQL must reference catalog objects (Spark rejects permanent
+        views over temp views); session variables render first, so the
+        stored definition carries the resolved literals."""
+        _validate_identifier(name)
+        clause = "CREATE OR REPLACE VIEW" if replace else "CREATE VIEW"
+        self.spark.sql(f"{clause} {name} AS {self._render_session_vars(sql)}")
+
+    def drop_view(self, name: str, if_exists: bool = True) -> None:
+        _validate_identifier(name)
+        self.spark.sql(f"DROP VIEW {'IF EXISTS ' if if_exists else ''}{name}")
+
     def stage_table(self, df: DataFrame, name: str) -> DataFrame:
         """Materialize an intermediate for reuse across steps."""
         self.save_as_table(df, name, WriteMode.OVERWRITE, TableType.TRANSIENT)

@@ -165,24 +165,26 @@ WHERE value > s1 / n + 3.0 * sqrt((s2 - s1 * s1 / n) / (n - 1.0))
 ORDER BY event_id
 """
 
-ORACLE_SQL["u2_period_rollup"] = """
-WITH daily AS (
-  SELECT 'DAILY' AS frequency, CAST(date_trunc('day', ts) AS TIMESTAMP) AS period_start,
-         COUNT(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-  FROM events GROUP BY 2
-), weekly AS (
-  SELECT 'WEEKLY' AS frequency, CAST(date_trunc('week', ts) AS TIMESTAMP) AS period_start,
-         COUNT(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-  FROM events GROUP BY 2
-), monthly AS (
-  SELECT 'MONTHLY' AS frequency, CAST(date_trunc('month', ts) AS TIMESTAMP) AS period_start,
-         COUNT(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-  FROM events GROUP BY 2
+_U2_PERIOD_EXPRS = {
+    "DAILY": "date_trunc('day', ts)",
+    "WEEKLY": "date_trunc('week', ts)",
+    "MONTHLY": "date_trunc('month', ts)",
+    "QUARTERLY": "date_trunc('quarter', ts)",
+    "SEMIANNUAL": (
+        "make_date(CAST(year(ts) AS INTEGER),"
+        " CASE WHEN month(ts) <= 6 THEN 1 ELSE 7 END, 1)"
+    ),
+    "YEARLY": "date_trunc('year', ts)",
+}
+_U2_LEVELS = "\nUNION ALL\n".join(
+    f"SELECT '{label}' AS frequency, CAST({expr} AS TIMESTAMP) AS period_start,\n"
+    "       COUNT(*) AS n_events,\n"
+    "       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value\n"
+    "FROM events GROUP BY 2"
+    for label, expr in _U2_PERIOD_EXPRS.items()
 )
-SELECT * FROM daily UNION ALL SELECT * FROM weekly UNION ALL SELECT * FROM monthly
+ORACLE_SQL["u2_period_rollup"] = f"""
+{_U2_LEVELS}
 ORDER BY frequency, period_start
 """
 

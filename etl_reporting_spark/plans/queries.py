@@ -311,19 +311,25 @@ def a9_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 def u2_period_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
+    """All 6 reporting frequencies of the reference's period view
+    (report_period_config.sql:149-188) as a UNION ALL rollup, each
+    level driven by functions.datetime_fns.period_frequencies."""
+    from etl_reporting_spark.functions.datetime_fns import period_frequencies
 
-    def level(trunc_unit: str, label: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    freqs = period_frequencies("ts")
+
+    def level(label: str) -> DataFrame:
         return events.groupBy(
-            F.date_trunc(trunc_unit, F.col("ts")).alias("period_start")
+            freqs[label].alias("period_start")
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(_dec("value")).cast("double").alias("sum_value"),
         ).select(F.lit(label).alias("frequency"), "period_start", "n_events", "sum_value")
 
-    out = level("DAY", "DAILY").unionByName(level("WEEK", "WEEKLY")).unionByName(
-        level("MONTH", "MONTHLY")
-    )
+    out = level("DAILY")
+    for label in ("WEEKLY", "MONTHLY", "QUARTERLY", "SEMIANNUAL", "YEARLY"):
+        out = out.unionByName(level(label))
     return out.orderBy("frequency", "period_start")
 
 

@@ -177,3 +177,27 @@ def test_templated_sql_gets_carrier_condition(spark):
     assert r.failed_rows == 1
     r2 = DQRunner(spark, template_sql=tpl).run_spec(spec)
     assert r2.failed_rows == 2
+
+
+def test_reconciliation_high_cardinality_stays_engine_side(spark):
+    """value_distribution over 12k distinct values: the diff runs as
+    an engine-side symmetric difference, no driver-side collect of the
+    distribution."""
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.dq.test_case_generator import ColumnMapping, run_reconciliation
+
+    big = spark.range(12_000).select(
+        F.col("id").alias("pk"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    big.createOrReplaceTempView("hc_src")
+    big.createOrReplaceTempView("hc_tgt_ok")
+    big.withColumn(
+        "val", F.when(F.col("pk") == 11_999, F.lit("CHANGED")).otherwise(F.col("val"))
+    ).createOrReplaceTempView("hc_tgt_bad")
+
+    m = ColumnMapping(table="hc_src", column="val", primary_key="pk")
+    ok = {r["check"]: r["status"] for r in run_reconciliation(spark, m, "hc_src", "hc_tgt_ok").collect()}
+    assert ok["value_distribution"] == "MATCH" and ok["row_count"] == "MATCH"
+    bad = {r["check"]: r["status"] for r in run_reconciliation(spark, m, "hc_src", "hc_tgt_bad").collect()}
+    assert bad["value_distribution"] == "MISMATCH" and bad["row_count"] == "MATCH"

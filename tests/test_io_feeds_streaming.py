@@ -180,3 +180,34 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert final[10] == (3, 7.0)  # 2 events batch1 + 1 event batch2 (state carried)
     assert final[11] == (1, 5.0)
     assert final[12] == (1, 7.0)
+
+
+def test_permanent_view_survives_new_session(spark):
+    """Catalog-backed views persist across sessions; temp views don't
+    (reference save_as_view stores the definition in the catalog,
+    connector:511-566)."""
+    from etl_reporting_spark.io import Engine
+
+    eng = Engine(spark)
+    eng.drop_view("pv_over_table")
+    eng.drop_managed_table("pv_base")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").write.saveAsTable("pv_base")
+    eng.create_permanent_view("pv_over_table", "SELECT k, upper(v) AS v FROM pv_base")
+    eng.save_as_view(spark.table("pv_base"), "pv_temp_alias")
+
+    fresh = spark.newSession()
+    rows = {r["k"]: r["v"] for r in fresh.sql("SELECT * FROM pv_over_table").collect()}
+    assert rows == {1: "A", 2: "B"}
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        fresh.sql("SELECT * FROM pv_temp_alias")
+
+    # session variables resolve into the stored definition
+    eng.set_session_variables(min_k="2")
+    eng.create_permanent_view("pv_filtered", "SELECT k FROM pv_base WHERE k >= $MIN_K")
+    assert [r["k"] for r in fresh.sql("SELECT * FROM pv_filtered").collect()] == [2]
+    eng.drop_view("pv_filtered")
+    eng.drop_view("pv_over_table")
+    eng.drop_managed_table("pv_base")
