@@ -21,17 +21,64 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_reporting_spark.operators.relational import union_by_name_allow_missing
 
 
-def extract_pdf_tables(path: str) -> list[pd.DataFrame]:
-    """Extract raw tables from a PDF — requires pdfplumber (reference
-    :99-292 falls back pdfplumber → tabula → camelot)."""
-    try:
-        import pdfplumber  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "no PDF extraction library installed; feed extracted tables "
-            "to combine_extracted_tables/ingest_tables directly"
-        ) from e
-    raise NotImplementedError  # pragma: no cover
+def _extract_with_pdfplumber(path: str) -> list[pd.DataFrame]:
+    import pdfplumber
+
+    tables: list[pd.DataFrame] = []
+    with pdfplumber.open(path) as pdf:  # pragma: no cover - lib absent here
+        for page in pdf.pages:
+            for raw in page.extract_tables():
+                if raw and len(raw) > 1:
+                    tables.append(pd.DataFrame(raw[1:], columns=raw[0]))
+    return tables
+
+
+def _extract_with_tabula(path: str) -> list[pd.DataFrame]:
+    import tabula
+
+    return tabula.read_pdf(  # pragma: no cover - lib absent here
+        path, pages="all", multiple_tables=True
+    )
+
+
+def _extract_with_camelot(path: str) -> list[pd.DataFrame]:
+    import camelot
+
+    return [t.df for t in camelot.read_pdf(path, pages="all")]  # pragma: no cover
+
+
+DEFAULT_EXTRACTORS: tuple[tuple[str, object], ...] = (
+    ("pdfplumber", _extract_with_pdfplumber),
+    ("tabula", _extract_with_tabula),
+    ("camelot", _extract_with_camelot),
+)
+
+
+def extract_pdf_tables(path: str, extractors=DEFAULT_EXTRACTORS) -> list[pd.DataFrame]:
+    """Extract raw tables from a PDF via the reference's fallback chain
+    (pdf_table_extractor.py:99-292): try each extractor in order —
+    pdfplumber, then tabula, then camelot — moving on when a library is
+    missing, errors out, or finds no tables. Raises
+    NotImplementedError naming every attempt when the whole chain
+    comes up empty (none of the libraries ship in this container; the
+    chain logic is exercised in tests with injected extractors)."""
+    attempts: list[str] = []
+    for name, fn in extractors:
+        try:
+            tables = fn(path)
+        except ImportError:
+            attempts.append(f"{name}: not installed")
+            continue
+        except Exception as e:  # noqa: BLE001 - any extractor failure falls through
+            attempts.append(f"{name}: {type(e).__name__}: {e}")
+            continue
+        if tables:
+            return list(tables)
+        attempts.append(f"{name}: no tables found")
+    raise NotImplementedError(
+        "PDF extraction failed (" + "; ".join(attempts) + "); feed extracted "
+        "tables to combine_extracted_tables/ingest_tables directly"
+    )
 
 
 def continue_headers(tables: Sequence[pd.DataFrame]) -> list[pd.DataFrame]:

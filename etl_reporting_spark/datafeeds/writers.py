@@ -48,9 +48,14 @@ def grouped_report_frame(
     """
     label_col = total_label_col or group_col
     detail = df.orderBy(group_col, *(sort_cols or [])).toPandas()
+    # grouping() disambiguates the grand-total row from a subtotal of a
+    # genuinely-NULL group value — both carry NULL in group_col.
     totals = (
         df.rollup(group_col)
-        .agg(*[F.sum(F.col(c)).alias(c) for c in sum_cols])
+        .agg(
+            *[F.sum(F.col(c)).alias(c) for c in sum_cols],
+            F.grouping(group_col).alias("__is_grand"),
+        )
         .toPandas()
     )
 
@@ -61,12 +66,21 @@ def grouped_report_frame(
         return {name: (row[num] / row[den]) if row[den] else None}
 
     frames: list[pd.DataFrame] = []
-    grand = totals[totals[group_col].isna()]
-    for grp, chunk in detail.groupby(group_col, sort=True):
+    subtotals = totals[totals["__is_grand"] == 0]
+    grand = totals[totals["__is_grand"] == 1]
+    # dropna=False: rows with a NULL group value stay in the report
+    # body (labelled subtotal) so subtotals reconcile with the grand
+    # total, which always includes them.
+    for grp, chunk in detail.groupby(group_col, sort=True, dropna=False):
         frames.append(chunk)
-        sub = totals[totals[group_col] == grp]
+        if pd.isna(grp):
+            sub = subtotals[subtotals[group_col].isna()]
+            label = "(null) Total"
+        else:
+            sub = subtotals[subtotals[group_col] == grp]
+            label = f"{grp} Total"
         if not sub.empty:
-            row = {label_col: f"{grp} Total"}
+            row = {label_col: label}
             for c in sum_cols:
                 row[c] = sub.iloc[0][c]
             row.update(_ratio(sub.iloc[0]))
@@ -77,7 +91,7 @@ def grouped_report_frame(
             row[c] = grand.iloc[0][c]
         row.update(_ratio(grand.iloc[0]))
         frames.append(pd.DataFrame([row]))
-    out = pd.concat(frames, ignore_index=True)
+    out = pd.concat(frames, ignore_index=True).drop(columns="__is_grand", errors="ignore")
     return out
 
 
@@ -108,16 +122,127 @@ def write_grouped_report_csv(
     return frame
 
 
-def write_excel(df: DataFrame, path: str | Path, sheet_name: str = "Report") -> None:
-    """Excel sink — requires openpyxl (absent here; the reference's
-    font/merge formatting is presentation-layer only)."""
+def _require_openpyxl():
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover
+
+        return openpyxl
+    except ImportError as e:
         raise NotImplementedError(
             "openpyxl is not installed in this environment; use write_csv "
             "or install openpyxl to enable formatted workbook output"
         ) from e
+
+
+@dataclass
+class WorkbookStyle:
+    """Presentation knobs for formatted workbooks (the role of the
+    reference's YAML font config, multiple_worksheets_with_formatting
+    .py:92-266)."""
+
+    font_name: str = "Calibri"
+    title_size: int = 14
+    header_size: int = 11
+    header_fill: str = "D9D9D9"
+    column_width: int = 18
+    dollar_format: str = "$#,##0.00"
+
+
+def write_formatted_workbook(
+    sheets: "dict[str, pd.DataFrame]",
+    path: str | Path,
+    carrier_name: str = "",
+    report_name: str = "",
+    report_start_dt: str | None = None,
+    report_end_dt: str | None = None,
+    dollar_columns: Sequence[str] = (),
+    specific_column_widths: "dict[str, int] | None" = None,
+    style: WorkbookStyle | None = None,
+    total_label_suffix: str = "Total",
+) -> None:
+    """Multi-worksheet formatted workbook — the reference's flagship
+    deliverable (multiple_worksheets_with_formatting.py:92-266,
+    claims_reports.py:134-347), re-expressed:
+
+    - one worksheet per ``sheets`` entry, written in dict order
+    - a 3-row merged report header per sheet: carrier (left) /
+      "Page i of n" (right), report name, and the date range
+    - a bold, filled table-header row with wrapped text
+    - uniform column widths with per-column overrides
+    - ``$#,##0.00`` number format on designated dollar columns
+    - bold rows whose first cell ends with ``total_label_suffix`` (the
+      interleaved subtotal/grand-total rows from grouped_report_frame)
+
+    Requires openpyxl; raises NotImplementedError when absent (the
+    Spark-side aggregation/interleave lives in grouped_report_frame
+    and stays testable either way).
+    """
+    _require_openpyxl()
+    from openpyxl import Workbook
+    from openpyxl.styles import Alignment, Font, PatternFill
+    from openpyxl.utils import get_column_letter
+
+    style = style or WorkbookStyle()
+    wb = Workbook()
+    wb.remove(wb.active)
+    n_pages = len(sheets)
+    for page, (sheet_name, frame) in enumerate(sheets.items(), start=1):
+        ws = wb.create_sheet(title=sheet_name[:31])
+        ncols = max(len(frame.columns), 2)
+        title_font = Font(name=style.font_name, size=style.title_size, bold=True)
+
+        ws.cell(row=1, column=1, value=carrier_name).font = title_font
+        ws.merge_cells(start_row=1, start_column=1, end_row=1, end_column=ncols // 2)
+        right = ws.cell(row=1, column=ncols // 2 + 1, value=f"Page {page} of {n_pages}")
+        right.font = title_font
+        right.alignment = Alignment(horizontal="right")
+        ws.merge_cells(
+            start_row=1, start_column=ncols // 2 + 1, end_row=1, end_column=ncols
+        )
+        ws.cell(row=2, column=1, value=report_name).font = title_font
+        ws.merge_cells(start_row=2, start_column=1, end_row=2, end_column=ncols)
+        if report_start_dt and report_end_dt:
+            dates = f"For Dates: {report_start_dt} To {report_end_dt}"
+        else:
+            dates = ""
+        ws.cell(row=3, column=1, value=dates).font = Font(
+            name=style.font_name, size=style.header_size, bold=True
+        )
+        ws.merge_cells(start_row=3, start_column=1, end_row=3, end_column=ncols)
+
+        header_row = 5
+        for col, name in enumerate(frame.columns, start=1):
+            cell = ws.cell(row=header_row, column=col, value=str(name))
+            cell.font = Font(name=style.font_name, size=style.header_size, bold=True)
+            cell.fill = PatternFill(fill_type="solid", fgColor=style.header_fill)
+            cell.alignment = Alignment(horizontal="center", wrap_text=True)
+
+        for r, row in enumerate(frame.itertuples(index=False), start=header_row + 1):
+            first = row[0]
+            is_total = isinstance(first, str) and first.endswith(total_label_suffix)
+            for c, value in enumerate(row, start=1):
+                cell = ws.cell(row=r, column=c, value=None if pd.isna(value) else value)
+                if is_total:
+                    cell.font = Font(name=style.font_name, bold=True)
+
+        for col in range(1, len(frame.columns) + 1):
+            letter = get_column_letter(col)
+            width = (specific_column_widths or {}).get(
+                str(frame.columns[col - 1]), style.column_width
+            )
+            ws.column_dimensions[letter].width = width
+        for colname in dollar_columns:
+            if colname in frame.columns:
+                letter = get_column_letter(list(frame.columns).index(colname) + 1)
+                for cell in ws[letter]:
+                    if cell.row > header_row:
+                        cell.number_format = style.dollar_format
+    wb.save(str(path))
+
+
+def write_excel(df: DataFrame, path: str | Path, sheet_name: str = "Report") -> None:
+    """Single-sheet Excel sink — requires openpyxl."""
+    _require_openpyxl()
     df.toPandas().to_excel(path, sheet_name=sheet_name, index=False)  # pragma: no cover
 
 

@@ -211,3 +211,102 @@ def test_permanent_view_survives_new_session(spark):
     eng.drop_view("pv_filtered")
     eng.drop_view("pv_over_table")
     eng.drop_managed_table("pv_base")
+
+
+def test_grouped_report_null_group_reconciles(spark):
+    """Rows with a NULL group value get their own labelled subtotal and
+    the body sums to the grand total (dropna regression)."""
+    from etl_reporting_spark.datafeeds.writers import grouped_report_frame
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 4.0)], "grp string, amt double"
+    )
+    frame = grouped_report_frame(df, "grp", ["amt"])
+    labels = list(frame["grp"])
+    assert "(null) Total" in labels and "Grand Total" in labels
+    grand = frame.loc[frame["grp"] == "Grand Total", "amt"].iloc[0]
+    subtotals = frame.loc[
+        frame["grp"].isin(["a Total", "(null) Total"]), "amt"
+    ].sum()
+    assert grand == subtotals == 7.0
+
+
+def test_formatted_workbook_or_honest_gate(spark, tmp_path):
+    """With openpyxl present the formatted workbook round-trips
+    (merged header, bold totals, dollar format); absent, the writer
+    raises the documented NotImplementedError."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from etl_reporting_spark.datafeeds.writers import write_formatted_workbook
+
+    frame = pd.DataFrame(
+        {"Region": ["east", "east Total", "Grand Total"], "Paid": [10.0, 10.0, 10.0]}
+    )
+    out = tmp_path / "report.xlsx"
+    try:
+        import openpyxl
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            write_formatted_workbook({"Summary": frame}, out)
+        return
+    write_formatted_workbook(
+        {"Summary": frame, "Detail": frame},
+        out,
+        carrier_name="ACME",
+        report_name="Claims",
+        report_start_dt="01/01/2024",
+        report_end_dt="01/15/2024",
+        dollar_columns=["Paid"],
+        specific_column_widths={"Region": 30},
+    )
+    wb = openpyxl.load_workbook(out)
+    assert wb.sheetnames == ["Summary", "Detail"]
+    ws = wb["Summary"]
+    assert ws.cell(row=1, column=1).value == "ACME"
+    assert ws.cell(row=2, column=1).value == "Claims"
+    assert ws.cell(row=5, column=1).value == "Region"
+    assert ws.cell(row=5, column=1).font.bold
+    # subtotal + grand-total rows bold; detail row not
+    assert not ws.cell(row=6, column=1).font.bold
+    assert ws.cell(row=7, column=1).font.bold and ws.cell(row=8, column=1).font.bold
+    assert ws.cell(row=7, column=2).number_format == "$#,##0.00"
+    assert ws.column_dimensions["A"].width == 30
+
+
+def test_pdf_extraction_fallback_chain():
+    """The pdfplumber→tabula→camelot chain falls through missing libs
+    and failures, returns the first non-empty result, and reports every
+    attempt when the chain is exhausted."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from etl_reporting_spark.datafeeds.pdf_tables import extract_pdf_tables
+
+    table = pd.DataFrame({"a": [1]})
+
+    def missing(path):
+        raise ImportError("no lib")
+
+    def broken(path):
+        raise RuntimeError("parse error")
+
+    def empty(path):
+        return []
+
+    def works(path):
+        return [table]
+
+    out = extract_pdf_tables(
+        "x.pdf", extractors=(("p1", missing), ("p2", broken), ("p3", works))
+    )
+    assert out[0] is table
+
+    with _pytest.raises(NotImplementedError) as exc:
+        extract_pdf_tables("x.pdf", extractors=(("p1", missing), ("p2", empty)))
+    assert "p1: not installed" in str(exc.value) and "p2: no tables found" in str(exc.value)
+
+    # the real chain: all three libraries absent in this container
+    with _pytest.raises(NotImplementedError) as exc2:
+        extract_pdf_tables("x.pdf")
+    assert "pdfplumber" in str(exc2.value)
