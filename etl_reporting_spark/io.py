@@ -124,7 +124,7 @@ class Engine:
 
     def _render_session_vars(self, text: str) -> str:
         for key, value in sorted(self.session_variables.items(), key=lambda kv: -len(kv[0])):
-            text = re.sub(rf"\${key}\b", f"'{value}'", text, flags=re.IGNORECASE)
+            text = re.sub(rf"\${key}\b", f"'{_sql_quote(value)}'", text, flags=re.IGNORECASE)
         return text
 
     # ------------------------------------------------------------ sinks
@@ -237,6 +237,13 @@ class Engine:
 
 # ------------------------------------------------------------- helpers
 
+def _sql_quote(value: str) -> str:
+    """Escape a value for interpolation inside a single-quoted SQL
+    literal: doubles embedded quotes (so O'BRIEN renders safely) and
+    rejects backslash trickery by doubling backslashes too."""
+    return str(value).replace("\\", "\\\\").replace("'", "''")
+
+
 def render_template(text: str, substitutions: dict[str, str]) -> str:
     """``{{PLACEHOLDER}}`` structural substitution (case-insensitive),
     mirroring connector:346-424 / tools/datamart_utils.py:40-63."""
@@ -254,8 +261,9 @@ def inject_incremental_predicate(
     ``{{WHERE_CONDITION}}`` markers (connector:425-453). With no
     incremental config the markers collapse to nothing (full load)."""
     if incremental_column and last_load_value is not None:
-        and_cond = f" AND ({incremental_column}) > '{last_load_value}'"
-        where_cond = f" WHERE ({incremental_column}) > '{last_load_value}'"
+        hwm = _sql_quote(last_load_value)
+        and_cond = f" AND ({incremental_column}) > '{hwm}'"
+        where_cond = f" WHERE ({incremental_column}) > '{hwm}'"
     else:
         and_cond = ""
         where_cond = ""

@@ -121,8 +121,11 @@ WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0
 ORDER BY i.doc_a, i.doc_b
 """
 
+# ±1 bit-vote sums are intermediates compared only `> 0`, never
+# projected, so HUGEINT vs BIGINT can't reach the output hash.
 _BIT_SUMS = ",\n".join(
-    f"  SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+    f"  /* lint: sum-ok */ SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(16)
 )
 _SIG_SUM = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
 

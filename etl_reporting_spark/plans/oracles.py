@@ -281,6 +281,7 @@ ORDER BY l_orderkey, l_linenumber
 
 ORACLE_SQL["j6_interval_binding"] = """
 WITH s AS (
+  -- lint: sentinel-ok (exp only bounds the join predicate, never projected)
   SELECT user_id, event_id AS version_id, ts AS eff,
          COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC),
                   TIMESTAMP '9999-12-31 00:00:00') AS exp
@@ -551,7 +552,7 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ),
 sessions AS (
-  SELECT *, SUM(boundary) OVER (
+  SELECT *, SUM(boundary) OVER (  -- lint: sum-ok (re-cast BIGINT in final projection)
     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM marked
