@@ -1,7 +1,9 @@
 from etl_reporting_spark.llm.dedup import (
     exact_dedup_map,
     shingle_docs,
+    shingle_arrays,
     minhash_signatures,
+    minhash_signatures_rowwise,
     lsh_candidate_pairs,
     jaccard_pairs,
     minhash_near_duplicates,
@@ -21,7 +23,9 @@ from etl_reporting_spark.llm.multimodal import (
 __all__ = [
     "exact_dedup_map",
     "shingle_docs",
+    "shingle_arrays",
     "minhash_signatures",
+    "minhash_signatures_rowwise",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_near_duplicates",

