@@ -30,6 +30,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def to_pandas_safe(df: DataFrame) -> pd.DataFrame:
+    """``toPandas`` that survives out-of-pandas-range timestamps — the
+    SCD2 9999-12-31 open-row sentinel overflows datetime64[ns]
+    (ArrowInvalid / OutOfBoundsDatetime). Fast path is the plain Arrow
+    conversion; on overflow, re-transfer with ``timestamp_as_object``
+    so sentinel instants arrive as ``datetime.datetime`` objects."""
+    try:
+        return df.toPandas()
+    except Exception:
+        return df.toArrow().to_pandas(timestamp_as_object=True)
+
+
 def grouped_report_frame(
     df: DataFrame,
     group_col: str,
@@ -47,16 +59,14 @@ def grouped_report_frame(
     rate (e.g. Avg Paid Per Claimant) on subtotal/total rows.
     """
     label_col = total_label_col or group_col
-    detail = df.orderBy(group_col, *(sort_cols or [])).toPandas()
+    detail = to_pandas_safe(df.orderBy(group_col, *(sort_cols or [])))
     # grouping() disambiguates the grand-total row from a subtotal of a
     # genuinely-NULL group value — both carry NULL in group_col.
-    totals = (
-        df.rollup(group_col)
-        .agg(
+    totals = to_pandas_safe(
+        df.rollup(group_col).agg(
             *[F.sum(F.col(c)).alias(c) for c in sum_cols],
             F.grouping(group_col).alias("__is_grand"),
         )
-        .toPandas()
     )
 
     def _ratio(row):
@@ -100,7 +110,7 @@ def write_csv(df: DataFrame, path: str | Path, crlf: bool = False, single_file: 
     outputs, matching the reference's client-side write); otherwise a
     distributed ``df.write.csv`` with the requested line separator."""
     if single_file:
-        pdf = df.toPandas()
+        pdf = to_pandas_safe(df)
         pdf.to_csv(path, index=False, lineterminator="\r\n" if crlf else "\n")
     else:
         writer = df.write.option("header", True).mode("overwrite")
@@ -243,7 +253,7 @@ def write_formatted_workbook(
 def write_excel(df: DataFrame, path: str | Path, sheet_name: str = "Report") -> None:
     """Single-sheet Excel sink — requires openpyxl."""
     _require_openpyxl()
-    df.toPandas().to_excel(path, sheet_name=sheet_name, index=False)  # pragma: no cover
+    to_pandas_safe(df).to_excel(path, sheet_name=sheet_name, index=False)  # pragma: no cover
 
 
 @dataclass

@@ -24,7 +24,7 @@ the same key a plain join would.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -93,19 +93,22 @@ def scd2_intervals(
     effective_col: str,
     expiration_name: str = "row_expiration",
     current_flag_name: str | None = "current_row_indicator",
-    close_previous: Column | None = None,
+    close_previous: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Derive SCD2 effective/expiration intervals by LEAD-chaining.
 
-    Each version's expiration = the next version's effective instant
-    (optionally adjusted via ``close_previous``, e.g. minus 1 minute as
-    in …detail.sql:19-20), defaulting to the 9999-12-31 sentinel for
-    the open (current) version.
+    Each version's expiration = the next version's effective instant,
+    defaulting to the 9999-12-31 sentinel for the open (current)
+    version. ``close_previous`` adjusts the LEAD column before the
+    sentinel coalesce — e.g. the reference's "next effective minus 1
+    minute" (…detail.sql:19-20) is
+    ``close_previous=lambda nxt: nxt - F.expr("INTERVAL 1 MINUTE")``
+    — so callers never rebuild the window expression themselves.
     """
     w = Window.partitionBy(*_cols(keys)).orderBy(F.col(effective_col).asc())
     nxt = F.lead(F.col(effective_col), 1).over(w)
     if close_previous is not None:
-        nxt = close_previous
+        nxt = close_previous(nxt)
     exp = F.coalesce(nxt, F.lit(SENTINEL_HIGH_DATE).cast(df.schema[effective_col].dataType))
     out = df.withColumn(expiration_name, exp)
     if current_flag_name:

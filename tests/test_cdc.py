@@ -58,6 +58,22 @@ def test_scd2_intervals_lead_chain(spark):
     assert rows[("b", "b-v1")]["current_row_indicator"] == 1
 
 
+def test_scd2_close_previous_adjusts_lead(spark):
+    # The reference closes each version 1 minute before the next opens
+    # (…detail.sql:19-20); close_previous adjusts the LEAD column, the
+    # open-version sentinel is untouched.
+    df = _cdc_rows(spark).filter(F.col("sequence_no") != 3)
+    out = scd2_intervals(
+        df, "key", "sequenced_at",
+        close_previous=lambda nxt: nxt - F.expr("INTERVAL 1 MINUTE"),
+    )
+    rows = {(r["key"], r["value"]): r for r in out.collect()}
+    assert rows[("a", "a-v1")]["row_expiration"] == dt.datetime(2024, 1, 2, 23, 59)
+    assert rows[("a", "a-v2")]["row_expiration"] == dt.datetime(2024, 1, 8, 23, 59)
+    assert rows[("a", "a-v4")]["row_expiration"] == dt.datetime(9999, 12, 31)
+    assert rows[("a", "a-v4")]["current_row_indicator"] == 1
+
+
 def test_asof_join_latest_at_or_before(spark):
     build = _cdc_rows(spark)
     probe = spark.createDataFrame(

@@ -88,6 +88,25 @@ def test_write_csv_crlf(spark, tmp_path):
     assert b"\r\n" in raw and raw.startswith(b"a,b")
 
 
+def test_write_csv_survives_scd2_sentinel(spark, tmp_path):
+    # SCD2 open rows carry the 9999-12-31 sentinel, which overflows
+    # pandas datetime64[ns]; the writers must fall back to the
+    # timestamp_as_object Arrow path instead of raising.
+    import datetime as dt
+
+    from etl_reporting_spark.operators.cdc import scd2_intervals
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1)), ("a", dt.datetime(2024, 2, 1))],
+        "key string, sequenced_at timestamp",
+    )
+    out = scd2_intervals(df, "key", "sequenced_at")
+    p = tmp_path / "scd2.csv"
+    write_csv(out, p)
+    text = p.read_text()
+    assert "9999-12-31" in text and text.count("\n") == 3
+
+
 def test_execution_log(spark, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS audit_test")
     log = ExecutionLog(spark, table="audit_test.execution_log")
