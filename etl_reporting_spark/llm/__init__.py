@@ -9,11 +9,18 @@ from etl_reporting_spark.llm.dedup import (
     minhash_near_duplicates,
     simhash_signatures,
 )
+from etl_reporting_spark.llm.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    stratified_sample,
+    with_hash_split,
+)
 from etl_reporting_spark.llm.similarity import cosine_topk_bruteforce, cosine_topk_lsh
 from etl_reporting_spark.llm.textstats import (
     text_quality,
     language_id,
     document_fingerprint,
+    repetition_stats,
 )
 from etl_reporting_spark.llm.multimodal import (
     with_binary_payload,
@@ -35,6 +42,11 @@ __all__ = [
     "text_quality",
     "language_id",
     "document_fingerprint",
+    "repetition_stats",
+    "hash_bucket",
+    "with_hash_split",
+    "deterministic_sample",
+    "stratified_sample",
     "with_binary_payload",
     "decode_media_metadata",
 ]

@@ -1,0 +1,110 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines.
+
+Spark's own ``randomSplit`` / ``sample`` draw per-partition random
+streams, so results change whenever the input's partitioning changes —
+unacceptable for a 100 TB corpus that must reproduce the same
+train/val/test membership across reruns, AQE re-plans, and cluster
+resizes. These operators key every decision on ``md5(id)`` instead:
+
+- narrow column expressions, zero shuffles, no RNG state;
+- membership is a pure function of the row's id (+ salt), stable under
+  any re-partitioning and incrementally consistent (new rows never move
+  old rows between splits);
+- reproducible by any engine that has md5 — which is what the DuckDB
+  oracles verify.
+
+The bucket is the first 8 hex chars of md5 (32 uniform bits), taken
+``pmod`` the bucket count. With 10**3-ish bucket counts the 2**32
+modulus bias is < 0.0001% — negligible against the statistical noise of
+any real split.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(
+    id_col: str | Column, buckets: int = 1000, salt: str = ""
+) -> Column:
+    """Uniform deterministic bucket in [0, buckets): first 8 md5 hex
+    chars of (salt || id) as a 32-bit int, mod buckets. A different
+    ``salt`` gives an independent assignment (e.g. one for splitting,
+    one for subsampling) without correlation between the two."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hexpart = F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8)
+    return F.pmod(F.conv(hexpart, 16, 10).cast("long"), F.lit(buckets))
+
+
+def with_hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_name: str = "split",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Label each row with a split name by cumulative-weight ranges
+    over the hash bucket — the deterministic replacement for
+    ``randomSplit``. ``weights`` values must sum to 1.0; iteration
+    order fixes which splits absorb the rounding remainder (the last
+    split gets every bucket past the final boundary)."""
+    total = float(sum(weights.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = hash_bucket(id_col, buckets=buckets, salt=salt)
+    names = list(weights)
+    expr: Column | None = None
+    cum = 0.0
+    # when/otherwise chain over cumulative boundaries; boundaries are
+    # int(round(...)) so both engines compare against exact integers.
+    for name in names[:-1]:
+        cum += float(weights[name])
+        bound = int(round(cum * buckets))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_name, label)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 100_000,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash bucket — stable
+    across reruns and repartitioning, unlike ``DataFrame.sample``.
+    The filter is a narrow predicate, so it pushes down and composes
+    with partition pruning."""
+    bound = int(round(float(fraction) * buckets))
+    return df.filter(hash_bucket(id_col, buckets=buckets, salt=salt) < F.lit(bound))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 100_000,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 100% of books, 10% of common-crawl). Deterministic
+    twin of ``sampleBy``: same hash-bucket rule, one narrow filter,
+    no RNG. Strata absent from ``fractions`` get
+    ``default_fraction``."""
+    bucket = hash_bucket(id_col, buckets=buckets, salt=salt)
+    bound: Column = F.lit(int(round(float(default_fraction) * buckets)))
+    for value, frac in fractions.items():
+        bound = (
+            F.when(F.col(strata_col) == F.lit(value), F.lit(int(round(float(frac) * buckets))))
+            .otherwise(bound)
+        )
+    return df.filter(bucket < bound)

@@ -94,6 +94,54 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+    duplicate-token fraction, duplicate-2-gram fraction, and the
+    fraction of 2-grams taken by the single most frequent 2-gram.
+    High values flag boilerplate / generated spam for corpus filtering.
+
+    All narrow array expressions — distinct counts via
+    ``array_distinct`` inside the row, the top-2-gram count via a
+    nested higher-order filter (O(distinct × total) per document,
+    bounded by document length; no shuffle anywhere). Ratios divide
+    exact integer counts once, in double. Documents with fewer than 2
+    tokens are excluded (no 2-grams ⇒ undefined ratios).
+    """
+    toks = _tokens(text_col)
+    grams = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2)))"
+    )
+    top_gram = F.expr(
+        f"array_max(transform("
+        f" array_distinct(transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+        f"   i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2)))),"
+        f" g -> size(filter("
+        f"   transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+        f"     i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2))),"
+        f"   x -> x = g))))"
+    )
+    n_toks = F.size(toks)
+    n_grams = F.size(grams)
+    return docs.filter(F.size(toks) >= 2).select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+        ).alias("dup_token_fraction"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / n_grams.cast("double")
+        ).alias("dup_2gram_fraction"),
+        top_gram.alias("top_2gram_count"),
+        (top_gram.cast("double") / n_grams.cast("double")).alias("top_2gram_fraction"),
+    )
+
+
 def document_fingerprint(
     docs: DataFrame, k: int = 3, bottom: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

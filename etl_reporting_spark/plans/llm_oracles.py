@@ -394,3 +394,67 @@ SELECT doc_id, ws_tokens, bpe_ish_tokens,
   CAST(bpe_ish_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS tokens_per_word
 FROM t ORDER BY doc_id
 """
+
+# Deterministic hash bucket — mirrors sampling.hash_bucket: first 8
+# md5 hex chars of the stringified id as a 32-bit int, mod buckets.
+_HASH_BUCKET = "(('0x' || substring(md5(CAST({id} AS VARCHAR)), 1, 8))::BIGINT % {buckets})"
+
+LLM_ORACLE_SQL["sample_hash_split"] = f"""
+WITH b AS (
+  SELECT *, {_HASH_BUCKET.format(id='doc_id', buckets=1000)} AS bucket FROM documents
+),
+labelled AS (
+  SELECT *,
+    CASE WHEN bucket < 800 THEN 'train'
+         WHEN bucket < 900 THEN 'val'
+         ELSE 'test' END AS split
+  FROM b
+)
+SELECT split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,            -- lint: sum-ok (BIGINT cast)
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  MIN(doc_id) AS min_doc_id,
+  MAX(doc_id) AS max_doc_id
+FROM labelled GROUP BY split ORDER BY split
+"""
+
+LLM_ORACLE_SQL["sample_stratified"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, {_HASH_BUCKET.format(id='doc_id', buckets=100000)} AS bucket
+  FROM documents
+) t
+WHERE bucket < (CASE source WHEN 'src0' THEN 100000 WHEN 'src1' THEN 25000 ELSE 50000 END)
+ORDER BY doc_id
+"""
+
+# Gopher-style repetition signals — narrow list expressions mirroring
+# textstats.repetition_stats: 2-grams via list_transform over range,
+# distinct counts via list_distinct, top-2-gram count via a nested
+# lambda (outer gram referenced inside the inner filter).
+LLM_ORACLE_SQL["text_repetition"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+g AS (
+  SELECT doc_id, toks,
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+  FROM d
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+    CAST(len(grams) AS INTEGER) AS n_grams,
+    CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_grams,
+    CAST(list_max(list_transform(list_distinct(grams),
+      gg -> len(list_filter(grams, x -> x = gg)))) AS INTEGER) AS top_2gram_count
+  FROM g
+)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+  CAST(1 AS DOUBLE) - CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_fraction,
+  CAST(1 AS DOUBLE) - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_2gram_fraction,
+  top_2gram_count,
+  CAST(top_2gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_2gram_fraction
+FROM c ORDER BY doc_id
+"""

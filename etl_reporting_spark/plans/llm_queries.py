@@ -31,9 +31,11 @@ from etl_reporting_spark.llm.similarity import (
     cosine_topk_lsh,
     embedding_near_duplicates,
 )
+from etl_reporting_spark.llm.sampling import stratified_sample, with_hash_split
 from etl_reporting_spark.llm.textstats import (
     document_fingerprint,
     language_id,
+    repetition_stats,
     text_quality,
     token_stats,
 )
@@ -119,6 +121,40 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprint(docs).orderBy("doc_id")
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split + per-split aggregate — proves
+    membership is a pure function of doc_id (the oracle recomputes the
+    same md5 buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = with_hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing fractions (keep all of one source, downsample
+    the rest) — row-level output so the oracle checks exact
+    membership, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.25}, default_fraction=0.5
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_media_metadata(with_binary_payload(docs)).orderBy("doc_id")
@@ -138,5 +174,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_language_id": text_language_id,
     "text_token_stats": text_token_stats,
     "doc_fingerprints": doc_fingerprints,
+    "text_repetition": text_repetition,
+    "sample_hash_split": sample_hash_split,
+    "sample_stratified": sample_stratified,
     "mm_decode_metadata": mm_decode_metadata,
 }

@@ -143,3 +143,74 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
     assert exact == {(0, 1), (2, 3)}
     assert lsh <= exact  # LSH candidates verified exactly: never a false positive
     assert (0, 1) in lsh  # identical-direction vectors always share every bucket
+
+
+def test_hash_split_deterministic_under_repartition(spark):
+    from etl_reporting_spark.llm.sampling import with_hash_split
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in with_hash_split(df, w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in with_hash_split(df.repartition(7, "doc_id"), w).collect()
+    }
+    assert a == b  # membership is a pure function of the id, not the layout
+    counts = {s: sum(1 for v in a.values() if v == s) for s in w}
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+
+
+def test_hash_split_weights_must_sum_to_one(spark):
+    import pytest
+
+    from etl_reporting_spark.llm.sampling import with_hash_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        with_hash_split(df, {"a": 0.5, "b": 0.4})
+
+
+def test_deterministic_sample_incremental_consistency(spark):
+    # Adding new rows never changes old rows' membership — the property
+    # that makes hash sampling safe for incremental 100 TB pipelines.
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.llm.sampling import deterministic_sample
+
+    small = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    big = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    kept_small = {r["doc_id"] for r in deterministic_sample(small, 0.3).collect()}
+    kept_big = {r["doc_id"] for r in deterministic_sample(big, 0.3).collect()}
+    assert kept_small == {d for d in kept_big if d < 500}
+
+
+def test_stratified_sample_keeps_full_stratum(spark):
+    from etl_reporting_spark.llm.sampling import stratified_sample
+
+    rows = [(i, "keep" if i % 2 == 0 else "cut") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, "source", {"keep": 1.0, "cut": 0.0})
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {i for i in range(200) if i % 2 == 0}
+
+
+def test_repetition_stats_crafted_doc(spark):
+    from etl_reporting_spark.llm.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z w"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert 3 not in out  # single-token doc excluded
+    r1 = out[1]  # tokens: a b a b c; 2-grams: 'a b','b a','a b','b c'
+    assert r1["n_tokens"] == 5 and r1["n_distinct_tokens"] == 3
+    assert r1["top_2gram_count"] == 2
+    assert abs(r1["dup_token_fraction"] - 0.4) < 1e-12
+    assert abs(r1["dup_2gram_fraction"] - 0.25) < 1e-12
+    assert abs(r1["top_2gram_fraction"] - 0.5) < 1e-12
+    r2 = out[2]
+    assert r2["dup_token_fraction"] == 0.0 and r2["top_2gram_count"] == 1
