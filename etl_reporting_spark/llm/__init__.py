@@ -9,6 +9,7 @@ from etl_reporting_spark.llm.dedup import (
     minhash_near_duplicates,
     simhash_signatures,
 )
+from etl_reporting_spark.llm.redact import pii_counts, redact_pii, redact_text
 from etl_reporting_spark.llm.sampling import (
     deterministic_sample,
     hash_bucket,
@@ -47,6 +48,9 @@ __all__ = [
     "with_hash_split",
     "deterministic_sample",
     "stratified_sample",
+    "redact_pii",
+    "redact_text",
+    "pii_counts",
     "with_binary_payload",
     "decode_media_metadata",
 ]

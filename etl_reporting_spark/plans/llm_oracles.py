@@ -458,3 +458,49 @@ SELECT doc_id, n_tokens, n_distinct_tokens,
   CAST(top_2gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_2gram_fraction
 FROM c ORDER BY doc_id
 """
+
+# PII redaction — mirrors redact.PII_PATTERNS applied in order (email,
+# ipv4, ssn, phone); counts are measured at each stage so they sum to
+# replacements made. DuckDB regexp_replace needs the 'g' flag to match
+# Spark's replace-all default. The planted PII is the same doc_id
+# arithmetic as the Spark query.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"
+
+LLM_ORACLE_SQL["text_pii_redaction"] = f"""
+WITH salted AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 3 = 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      WHEN doc_id % 3 = 1 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789'
+      ELSE text || ' call (555) 867-5309'
+    END AS text
+  FROM documents
+),
+s0 AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+    regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM salted
+),
+s1 AS (
+  SELECT *, CAST(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS INTEGER) AS n_ipv4,
+    regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s0
+),
+s2 AS (
+  SELECT *, CAST(len(regexp_extract_all(t2, '{_PII_SSN}')) AS INTEGER) AS n_ssn,
+    regexp_replace(t2, '{_PII_SSN}', '<SSN>', 'g') AS t3
+  FROM s1
+),
+s3 AS (
+  SELECT *, CAST(len(regexp_extract_all(t3, '{_PII_PHONE}')) AS INTEGER) AS n_phone,
+    regexp_replace(t3, '{_PII_PHONE}', '<PHONE>', 'g') AS t4
+  FROM s2
+)
+SELECT doc_id, t4 AS redacted_text, n_email, n_ipv4, n_ssn, n_phone,
+  n_email + n_ipv4 + n_ssn + n_phone AS n_pii_total
+FROM s3 ORDER BY doc_id
+"""

@@ -31,6 +31,7 @@ from etl_reporting_spark.llm.similarity import (
     cosine_topk_lsh,
     embedding_near_duplicates,
 )
+from etl_reporting_spark.llm.redact import redact_pii
 from etl_reporting_spark.llm.sampling import stratified_sample, with_hash_split
 from etl_reporting_spark.llm.textstats import (
     document_fingerprint,
@@ -155,6 +156,33 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source").orderBy("doc_id")
 
 
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus carries no real PII, so the gate plants deterministic
+    PII derived from doc_id (same construction in the oracle) and
+    verifies the scrubbed text + per-type counts byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" reach user"), did, F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 ssn 123-45-6789"),
+            ),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" call (555) 867-5309")))
+        .alias("text"),
+    )
+    return redact_pii(salted).orderBy("doc_id")
+
+
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_media_metadata(with_binary_payload(docs)).orderBy("doc_id")
@@ -177,5 +205,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "sample_hash_split": sample_hash_split,
     "sample_stratified": sample_stratified,
+    "text_pii_redaction": text_pii_redaction,
     "mm_decode_metadata": mm_decode_metadata,
 }

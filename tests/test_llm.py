@@ -214,3 +214,23 @@ def test_repetition_stats_crafted_doc(spark):
     assert abs(r1["top_2gram_fraction"] - 0.5) < 1e-12
     r2 = out[2]
     assert r2["dup_token_fraction"] == 0.0 and r2["top_2gram_count"] == 1
+
+
+def test_pii_redaction_crafted(spark):
+    from etl_reporting_spark.llm.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@corp.example.org now"),
+            (2, "server 192.168.0.1 and ssn 123-45-6789"),
+            (3, "call (555) 867-5309 or 555-867-5309"),
+            (4, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted_text"] == "mail <EMAIL> now" and out[1]["n_email"] == 1
+    assert out[2]["redacted_text"] == "server <IP> and ssn <SSN>"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1
+    assert out[3]["redacted_text"] == "call <PHONE> or <PHONE>" and out[3]["n_phone"] == 2
+    assert out[4]["n_pii_total"] == 0 and out[4]["redacted_text"] == out[4]["redacted_text"]
