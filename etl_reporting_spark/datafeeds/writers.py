@@ -256,6 +256,29 @@ def write_excel(df: DataFrame, path: str | Path, sheet_name: str = "Report") -> 
     to_pandas_safe(df).to_excel(path, sheet_name=sheet_name, index=False)  # pragma: no cover
 
 
+def read_excel(
+    spark: SparkSession,
+    path: str | Path,
+    sheet_name: str | None = None,
+    header_row: int = 1,
+) -> DataFrame:
+    """Excel source (SURVEY S6) — openpyxl sheet iteration to a Spark
+    DataFrame: row ``header_row`` provides column names, every later
+    row becomes a data row (values as read; cast downstream). Mirrors
+    the reference's mapping-sheet ingestion
+    (tools/sql_test_case_generator.py:152-188) generically; raises the
+    documented NotImplementedError when openpyxl is absent."""
+    openpyxl = _require_openpyxl()
+    wb = openpyxl.load_workbook(str(path), read_only=True, data_only=True)
+    ws = wb[sheet_name] if sheet_name else wb.active
+    rows = ws.iter_rows(min_row=header_row, values_only=True)
+    header = [str(c) if c is not None else f"_c{i}" for i, c in enumerate(next(rows))]
+    data = [tuple(r) for r in rows if any(v is not None for v in r)]
+    wb.close()
+    pdf = pd.DataFrame(data, columns=header)
+    return spark.createDataFrame(pdf)
+
+
 @dataclass
 class ExecutionLog:
     """Append-only execution audit (EXECUTION_ID/START/END/STATUS —

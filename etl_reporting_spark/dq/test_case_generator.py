@@ -92,3 +92,37 @@ def run_reconciliation(
         results,
         "table string, column string, check string, status string, src_rows long, tgt_rows long",
     )
+
+
+def load_mappings_excel(
+    path: str, sheet_name: str | None = None
+) -> "list[ColumnMapping]":
+    """Column mappings from the reference's Excel workbook format
+    (tools/sql_test_case_generator.py:152-188: one row per mapping,
+    columns table/column/primary_key/filter_column[/window_days]).
+    openpyxl-gated like every Excel surface in this engine; the CSV
+    path (ColumnMapping construction from any iterable) stays the
+    environment-independent route."""
+    from etl_reporting_spark.datafeeds.writers import _require_openpyxl
+
+    openpyxl = _require_openpyxl()
+    wb = openpyxl.load_workbook(str(path), read_only=True, data_only=True)
+    ws = wb[sheet_name] if sheet_name else wb.active
+    rows = ws.iter_rows(values_only=True)
+    header = [str(c).strip().lower() if c else "" for c in next(rows)]
+    idx = {name: header.index(name) for name in header if name}
+    out: list[ColumnMapping] = []
+    for r in rows:
+        if r is None or all(v is None for v in r):
+            continue
+        out.append(
+            ColumnMapping(
+                table=str(r[idx["table"]]),
+                column=str(r[idx["column"]]),
+                primary_key=str(r[idx["primary_key"]]),
+                filter_column=str(r[idx["filter_column"]] or "") if "filter_column" in idx else "",
+                window_days=int(r[idx["window_days"]] or 7) if "window_days" in idx else 7,
+            )
+        )
+    wb.close()
+    return out

@@ -329,3 +329,47 @@ def test_pdf_extraction_fallback_chain():
     with _pytest.raises(NotImplementedError) as exc2:
         extract_pdf_tables("x.pdf")
     assert "pdfplumber" in str(exc2.value)
+
+
+def test_read_excel_or_honest_gate(spark, tmp_path):
+    """With openpyxl present, the Excel source round-trips a frame
+    written by the Excel sink; absent, both raise the documented
+    NotImplementedError — never a silent wrong answer."""
+    import pytest as _pytest
+
+    from etl_reporting_spark.datafeeds.writers import read_excel, write_excel
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    p = tmp_path / "roundtrip.xlsx"
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            write_excel(df, p)
+        with _pytest.raises(NotImplementedError):
+            read_excel(spark, p)
+        return
+    write_excel(df, p)
+    back = read_excel(spark, p)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_load_mappings_excel_gate(tmp_path):
+    import pytest as _pytest
+
+    from etl_reporting_spark.dq.test_case_generator import load_mappings_excel
+
+    try:
+        import openpyxl
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            load_mappings_excel(str(tmp_path / "missing.xlsx"))
+        return
+    wb = openpyxl.Workbook()
+    ws = wb.active
+    ws.append(["table", "column", "primary_key", "filter_column"])
+    ws.append(["orders", "o_totalprice", "o_orderkey", ""])
+    p = tmp_path / "map.xlsx"
+    wb.save(str(p))
+    (m,) = load_mappings_excel(str(p))
+    assert m.table == "orders" and m.primary_key == "o_orderkey"
