@@ -119,3 +119,48 @@ def test_incremental_predicate_reaches_scan(spark, sf_dir):
         df.explain(mode="formatted")
     plan = buf.getvalue()
     assert "GreaterThan(o_orderdate,1996-06-30" in plan  # timestamp_ntz renders T00:00
+
+
+def _llm_plan(spark, sf_dir, name: str) -> str:
+    from etl_reporting_spark.plans.llm_queries import LLM_QUERIES
+
+    df = LLM_QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_minhash_pipeline_no_cartesian_and_narrow_shingles(spark, sf_dir):
+    """The near-dup pipeline's only joins are the banded candidate join
+    and the inverted-index verify — never a cross product — and
+    shingling must stay in-row: no Exchange between the scan and the
+    signature aggregate's own shuffle (the old .distinct() added one)."""
+    plan = _llm_plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # array_distinct happens in the row; no dedicated distinct shuffle
+    assert "array_distinct" in plan
+
+
+def test_hash_split_is_narrow(spark, sf_dir):
+    """Split labelling is a pure projection: the only exchange in the
+    gate query belongs to its groupBy, not the labelling."""
+    plan = _llm_plan(spark, sf_dir, "sample_hash_split")
+    import re
+
+    # one hash exchange for the groupBy + one range exchange for the
+    # final orderBy; the labelling itself adds nothing.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_pii_redaction_is_narrow(spark, sf_dir):
+    import re
+
+    plan = _llm_plan(spark, sf_dir, "text_pii_redaction")
+    # the gate's orderBy adds one range exchange; redaction itself is a
+    # pure projection with no shuffle
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 1 and "rangepartitioning" in plan
+    # regexp work happens in the projection, not a UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
