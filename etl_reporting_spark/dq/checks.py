@@ -134,6 +134,29 @@ def outlier_check(df: DataFrame, column: str, sigmas: float = 3.0) -> DataFrame:
     )
 
 
+def fused_row_checks(df: DataFrame, conditions: "dict[str, Column]") -> DataFrame:
+    """Many row-level checks in ONE scan of the table: each check is a
+    conditional COUNT in a single aggregate, unpivoted to the verdict
+    shape (test_id, status, failed_rows) with ``stack``. At 100 TB the
+    battery's cost is scans, not arithmetic — every row-predicate check
+    against the same table belongs in one pass, not one scan each."""
+    names = list(conditions)
+    aggs = [
+        F.count(F.when(conditions[tid], F.lit(1))).alias(f"__c{i}")
+        for i, tid in enumerate(names)
+    ]
+    pairs = ", ".join(f"'{tid}', __c{i}" for i, tid in enumerate(names))
+    return (
+        df.agg(*aggs)
+        .select(F.expr(f"stack({len(names)}, {pairs}) AS (test_id, failed_rows)"))
+        .select(
+            "test_id",
+            F.when(F.col("failed_rows") == 0, "PASS").otherwise("FAIL").alias("status"),
+            "failed_rows",
+        )
+    )
+
+
 def evaluate(
     test_id: str,
     failures: DataFrame,

@@ -594,8 +594,11 @@ def f3_month_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed DQ suite over the testdata star, one verdict row per
     check (test_data_quality.sql's TEST_ID/STATUS/FAILED_ROWS shape).
-    Each check folds to an aggregate; the union is a single lazy plan
-    — no per-check driver round-trips."""
+    The union is a single lazy plan — no per-check driver round-trips
+    — and checks against the same table share a scan: customer's two
+    row checks fuse into one aggregate pass, lineitem's composite-key
+    and zero-discount checks share one groupBy (dup groups and zero
+    rows both derived from the same shuffle)."""
     from etl_reporting_spark.dq import checks as C
 
     customer = _t(spark, sf_dir, "customer")
@@ -610,13 +613,35 @@ def dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "failed_rows",
         )
 
+    cust_checks = C.fused_row_checks(
+        customer,
+        {
+            "DQ-001": F.col("c_name").isNull() | (F.col("c_name").cast("string") == ""),
+            "DQ-005": F.col("c_acctbal") < 0,
+        },
+    )
+
+    # one shuffle serves both lineitem checks
+    li_groups = lineitem.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(F.col("l_discount") == 0, F.lit(1))).alias("__zeros"),
+    )
+    li_checks = li_groups.agg(
+        F.count(F.when(F.col("__n") > 1, F.lit(1))).alias("dq003"),
+        F.coalesce(F.sum("__zeros"), F.lit(0)).alias("dq006"),
+    ).select(
+        F.expr("stack(2, 'DQ-003', dq003, 'DQ-006', dq006) AS (test_id, failed_rows)")
+    ).select(
+        "test_id",
+        F.when(F.col("failed_rows") == 0, "PASS").otherwise("FAIL").alias("status"),
+        "failed_rows",
+    )
+
     parts = [
-        verdict("DQ-001", C.not_null_check(customer, "c_name")),
+        cust_checks,
         verdict("DQ-002", C.unique_check(orders, "o_orderkey")),
-        verdict("DQ-003", C.combination_unique_check(lineitem, ["l_orderkey", "l_linenumber"])),
+        li_checks,
         verdict("DQ-004", C.orphan_check(orders, customer, "o_custkey", "c_custkey")),
-        verdict("DQ-005", C.negative_value_check(customer, "c_acctbal")),
-        verdict("DQ-006", C.zero_value_check(lineitem, "l_discount")),
         verdict("DQ-007", C.outlier_check(events, "value", sigmas=3.0)),
     ]
     out = parts[0]

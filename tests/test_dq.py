@@ -201,3 +201,29 @@ def test_reconciliation_high_cardinality_stays_engine_side(spark):
     assert ok["value_distribution"] == "MATCH" and ok["row_count"] == "MATCH"
     bad = {r["check"]: r["status"] for r in run_reconciliation(spark, m, "hc_src", "hc_tgt_bad").collect()}
     assert bad["value_distribution"] == "MISMATCH" and bad["row_count"] == "MATCH"
+
+
+def test_fused_row_checks_one_scan(spark):
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.dq.checks import fused_row_checks
+
+    df = spark.createDataFrame(
+        [("a", 5), (None, -1), ("", 3)], "name string, bal int"
+    )
+    out = {
+        r["test_id"]: (r["status"], r["failed_rows"])
+        for r in fused_row_checks(
+            df,
+            {
+                "NN": F.col("name").isNull() | (F.col("name") == ""),
+                "NEG": F.col("bal") < 0,
+                "BIG": F.col("bal") > 100,
+            },
+        ).collect()
+    }
+    assert out == {"NN": ("FAIL", 2), "NEG": ("FAIL", 1), "BIG": ("PASS", 0)}
+    # empty input: counts are 0, never NULL
+    empty = spark.createDataFrame([], "name string, bal int")
+    rows = fused_row_checks(empty, {"NN": F.col("name").isNull()}).collect()
+    assert rows[0]["failed_rows"] == 0 and rows[0]["status"] == "PASS"
