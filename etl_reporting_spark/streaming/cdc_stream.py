@@ -81,6 +81,42 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    stream: DataFrame,
+    event_time_col: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization with Spark's native ``session_window``
+    — the streaming twin of ``operators.sessionize`` (same gap
+    semantics: a session extends while successive events arrive within
+    ``gap``). State is bounded by the watermark: a session closes, and
+    emits, once event time passes its end + ``delay``. Works on batch
+    DataFrames too (session_window is batch/stream-agnostic), which is
+    how the test cross-checks it against the LAG-based batch operator.
+
+    Boundary fencepost vs the batch operator: an event arriving
+    EXACTLY ``gap`` after its predecessor extends the session in
+    ``operators.sessionize`` (strict ``>`` on the gap) but starts a new
+    one here (session windows are half-open ``[start, last+gap)``).
+    """
+    w = stream
+    if stream.isStreaming:
+        w = stream.withWatermark(event_time_col, delay)
+    return (
+        w.groupBy(F.session_window(F.col(event_time_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_available_now_to_table(
     stream: DataFrame, table: str, checkpoint_dir: str
 ) -> StreamingQuery:

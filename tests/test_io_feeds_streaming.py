@@ -373,3 +373,67 @@ def test_load_mappings_excel_gate(tmp_path):
     wb.save(str(p))
     (m,) = load_mappings_excel(str(p))
     assert m.table == "orders" and m.primary_key == "o_orderkey"
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    """The native session_window aggregate groups the same events into
+    the same sessions as the LAG-based batch operator (away from the
+    exactly-gap fencepost, where the two differ by design)."""
+    from etl_reporting_spark.operators.sessionize import session_aggregates
+    from etl_reporting_spark.streaming.cdc_stream import sessionized_event_counts
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 10, 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 10), 10, 2.0),
+        (3, dt.datetime(2024, 1, 1, 1, 0), 10, 4.0),   # > 30 min gap: new session
+        (4, dt.datetime(2024, 1, 1, 0, 5), 11, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in session_aggregates(df).collect()
+    }
+    native = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sessionized_event_counts(df).collect()
+    }
+    assert batch == native
+    assert batch[(10, dt.datetime(2024, 1, 1, 0, 0))] == (2, 3.0)
+    assert batch[(10, dt.datetime(2024, 1, 1, 1, 0))] == (1, 4.0)
+
+
+def test_session_window_streaming_emits_closed_sessions(spark, tmp_path):
+    from etl_reporting_spark.streaming.cdc_stream import (
+        read_event_stream,
+        sessionized_event_counts,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batch = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 10, 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 10), 10, 2.0),
+            # far-future event advances the watermark past user 10's session
+            (3, dt.datetime(2024, 1, 2, 0, 0), 99, 0.0),
+        ],
+        schema,
+    )
+    batch.write.mode("overwrite").parquet(str(src))
+    stream = read_event_stream(spark, str(src), schema)
+    out = sessionized_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert rows[10]["n_events"] == 2 and rows[10]["sum_value"] == 3.0
+    # 30-min gap: the closed session's window end is last event + gap
+    assert rows[10]["session_end"] == dt.datetime(2024, 1, 1, 0, 40)
+    assert 99 not in rows  # its session is still open at final watermark
