@@ -188,3 +188,17 @@ def source_target_count_difference(source: DataFrame, target: DataFrame) -> int:
     """Custom DMF ``source_target_count_difference`` (F2,
     setup_dmf_data_quality.sql:109-119): ABS(COUNT(source)−COUNT(target))."""
     return abs(source.count() - target.count())
+
+
+def count_difference_frame(source: DataFrame, target: DataFrame) -> DataFrame:
+    """Engine-side twin of ``source_target_count_difference``: one row
+    (src_rows, tgt_rows, count_difference) built from two 1-row
+    aggregates cross-joined — stays lazy/distributed, so it composes
+    into larger plans instead of forcing two driver round-trips."""
+    s = source.agg(F.count(F.lit(1)).alias("src_rows"))
+    t = target.agg(F.count(F.lit(1)).alias("tgt_rows"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "src_rows",
+        "tgt_rows",
+        F.abs(F.col("src_rows") - F.col("tgt_rows")).alias("count_difference"),
+    )

@@ -567,3 +567,40 @@ FROM sessions
 GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
+
+ORACLE_SQL["a10_conditional_insert"] = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+WHERE n_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 15)
+ORDER BY n_nationkey
+"""
+
+ORACLE_SQL["u4_union_by_name"] = """
+SELECT c_custkey, c_name, 'names' AS branch, CAST(NULL AS DOUBLE) AS c_acctbal
+FROM customer WHERE c_custkey <= 100
+UNION ALL
+SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, 'balances' AS branch, c_acctbal
+FROM customer WHERE c_custkey > 1400
+ORDER BY c_custkey
+"""
+
+ORACLE_SQL["f2_count_difference"] = """
+SELECT
+  CAST(src_rows AS BIGINT) AS src_rows,
+  CAST(tgt_rows AS BIGINT) AS tgt_rows,
+  CAST(abs(src_rows - tgt_rows) AS BIGINT) AS count_difference
+FROM
+  (SELECT COUNT(*) AS src_rows FROM orders WHERE o_orderdate < DATE '1996-01-01'),
+  (SELECT COUNT(*) AS tgt_rows FROM orders WHERE o_orderstatus = 'O')
+"""
+
+ORACLE_SQL["s4_multi_statement"] = """
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""

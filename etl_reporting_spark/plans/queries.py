@@ -849,6 +849,79 @@ def fn_try_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# A10 / U4 / F2 / S4 — operators promoted from pytest-only to the gate
+# --------------------------------------------------------------------
+
+def a10_conditional_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent conditional insert (report_period_config.sql:66-81):
+    the rows the insert WOULD add — nations absent from a target that
+    already holds keys < 15. Running it against its own output is
+    empty (idempotence, asserted in test_operators)."""
+    from etl_reporting_spark.operators.relational import conditional_insert_missing
+
+    nation = _t(spark, sf_dir, "nation")
+    target = nation.filter(F.col("n_nationkey") < 15)
+    return (
+        conditional_insert_missing(target, nation, ["n_nationkey"])
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+def u4_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-columns across differing schemas with NULL fill
+    (pdf_table_extractor.py:450-509) — one branch carries names, the
+    other balances; missing columns materialize as typed NULLs."""
+    from etl_reporting_spark.operators.relational import union_by_name_allow_missing
+
+    customer = _t(spark, sf_dir, "customer")
+    names = customer.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey", "c_name", F.lit("names").alias("branch")
+    )
+    balances = customer.filter(F.col("c_custkey") > 1400).select(
+        "c_custkey", "c_acctbal", F.lit("balances").alias("branch")
+    )
+    return union_by_name_allow_missing([names, balances]).orderBy("c_custkey")
+
+
+def f2_count_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 DMF as a lazy 1-row frame: |COUNT(pre-cutoff orders) −
+    COUNT(open orders)| (setup_dmf_data_quality.sql:109-119)."""
+    from etl_reporting_spark.operators.merge import count_difference_frame
+
+    orders = _t(spark, sf_dir, "orders")
+    return count_difference_frame(
+        orders.filter(F.col("o_orderdate") < "1996-01-01"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+    )
+
+
+def s4_multi_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement script through the Engine (S2/S4,
+    connector/snowpark_connector.py multi-statement path): a temp-view
+    CREATE followed by a SELECT over it; the script's LAST statement's
+    result is returned, like the reference."""
+    from etl_reporting_spark.io import Engine
+
+    eng = Engine(spark)
+    eng.register_testdata(sf_dir)
+    return eng.execute_multiple_statements(
+        [
+            """CREATE OR REPLACE TEMPORARY VIEW s4_region_orders AS
+               SELECT r.r_name, o.o_totalprice
+               FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey;""",
+            """SELECT r_name,
+                      COUNT(*) AS n_orders,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+               FROM s4_region_orders GROUP BY r_name ORDER BY r_name""",
+        ]
+    )
+
+
+# --------------------------------------------------------------------
 # A2 — COUNT(DISTINCT) battery
 # --------------------------------------------------------------------
 
@@ -883,6 +956,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u2_period_rollup": u2_period_rollup,
     "o3_top_orders": o3_top_orders,
     "j7_scalar_config_join": j7_scalar_config_join,
+    "a10_conditional_insert": a10_conditional_insert,
+    "u4_union_by_name": u4_union_by_name,
+    "f2_count_difference": f2_count_difference,
+    "s4_multi_statement": s4_multi_statement,
     "fn_date_gallery": fn_date_gallery,
     "fn_string_gallery": fn_string_gallery,
     "fn_conditional_gallery": fn_conditional_gallery,
