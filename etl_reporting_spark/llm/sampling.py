@@ -86,6 +86,47 @@ def deterministic_sample(
     return df.filter(hash_bucket(id_col, buckets=buckets, salt=salt) < F.lit(bound))
 
 
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shards: int = 256,
+    shard_salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (pretraining
+    sample assembly): docs are sharded by hash (so packing
+    parallelizes — one window per shard, never a whole-corpus sort),
+    ordered by id within the shard, and a doc joins the pack its
+    START offset falls in (``floor(start / budget)``).
+
+    Boundary-fill semantics, the standard distributed approximation of
+    first-fit: docs are never split, every pack's start boundary is
+    exact, and a pack can overrun its budget by at most the tail of
+    its last document. Output adds ``shard``, ``pack_id`` (unique
+    across shards), and ``pack_offset`` (the doc's start within the
+    pack). Deterministic: identical across reruns and repartitioning.
+    """
+    from pyspark.sql import Window
+
+    shard = hash_bucket(id_col, buckets=shards, salt=shard_salt)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "__end", F.sum(F.col(token_col).cast("long")).over(w)
+    )
+    start = F.col("__end") - F.col(token_col)
+    pack_in_shard = F.floor(start / F.lit(budget_tokens))
+    return (
+        out.withColumn("pack_id", F.col("shard") * F.lit(2**32) + pack_in_shard)
+        .withColumn("pack_offset", start - pack_in_shard * F.lit(budget_tokens))
+        .drop("__end")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -504,3 +504,24 @@ SELECT doc_id, t4 AS redacted_text, n_email, n_ipv4, n_ssn, n_phone,
   n_email + n_ipv4 + n_ssn + n_phone AS n_pii_total
 FROM s3 ORDER BY doc_id
 """
+
+# Boundary-fill packing — mirrors sampling.pack_documents: hash shard,
+# running token sum per shard in doc_id order, pack = floor(start/512).
+LLM_ORACLE_SQL["sample_pack_documents"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+    {_HASH_BUCKET.format(id='doc_id', buckets=8).replace("md5(CAST(doc_id AS VARCHAR))", "md5('pack' || CAST(doc_id AS VARCHAR))")} AS shard
+  FROM documents
+),
+r AS (
+  SELECT *,
+    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, n_tokens, shard,
+  shard * 4294967296 + CAST(floor(start / 512) AS BIGINT) AS pack_id,
+  start - CAST(floor(start / 512) AS BIGINT) * 512 AS pack_offset
+FROM r ORDER BY doc_id
+"""

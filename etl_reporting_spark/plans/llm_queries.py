@@ -32,7 +32,11 @@ from etl_reporting_spark.llm.similarity import (
     embedding_near_duplicates,
 )
 from etl_reporting_spark.llm.redact import redact_pii
-from etl_reporting_spark.llm.sampling import stratified_sample, with_hash_split
+from etl_reporting_spark.llm.sampling import (
+    pack_documents,
+    stratified_sample,
+    with_hash_split,
+)
 from etl_reporting_spark.llm.textstats import (
     document_fingerprint,
     language_id,
@@ -156,6 +160,18 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source").orderBy("doc_id")
 
 
+def sample_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing over 8 hash shards (budget 512): per-doc
+    pack assignment + in-pack offset, fully window-deterministic so
+    the oracle rebuilds it bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return pack_documents(docs, budget_tokens=512, shards=8).select(
+        "doc_id", "n_tokens", "shard", "pack_id", "pack_offset"
+    ).orderBy("doc_id")
+
+
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus carries no real PII, so the gate plants deterministic
     PII derived from doc_id (same construction in the oracle) and
@@ -205,6 +221,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "sample_hash_split": sample_hash_split,
     "sample_stratified": sample_stratified,
+    "sample_pack_documents": sample_pack_documents,
     "text_pii_redaction": text_pii_redaction,
     "mm_decode_metadata": mm_decode_metadata,
 }

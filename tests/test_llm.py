@@ -234,3 +234,26 @@ def test_pii_redaction_crafted(spark):
     assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1
     assert out[3]["redacted_text"] == "call <PHONE> or <PHONE>" and out[3]["n_phone"] == 2
     assert out[4]["n_pii_total"] == 0 and out[4]["redacted_text"] == out[4]["redacted_text"]
+
+
+def test_pack_documents_boundary_fill(spark):
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.llm.sampling import pack_documents
+
+    # single shard so the packing order is just doc_id
+    rows = [(1, 300), (2, 300), (3, 300), (4, 700)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = {r["doc_id"]: r for r in pack_documents(df, 512, shards=1).collect()}
+    # starts: 0, 300, 600, 900 -> packs 0, 0, 1, 1
+    base = out[1]["pack_id"] - 0
+    assert [out[i]["pack_id"] - base for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert out[1]["pack_offset"] == 0
+    assert out[2]["pack_offset"] == 300  # overruns the 512 boundary by design
+    assert out[3]["pack_offset"] == 600 - 512
+    # deterministic under repartition
+    again = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_documents(df.repartition(5), 512, shards=1).collect()
+    }
+    assert again == {k: v["pack_id"] for k, v in out.items()}
