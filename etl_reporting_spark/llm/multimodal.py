@@ -66,6 +66,96 @@ def decode_media_metadata(with_payload: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, media_kind string, width int, height int, resized_payload binary"
+)
+
+
+def resize_media(
+    with_payload: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Resize plumbing: Arrow-batched transform emitting a new binary
+    payload sized for the target geometry. The fake "resampler" tiles
+    the source bytes to exactly ``width*height`` bytes (deterministic,
+    codec-free); a real implementation swaps the two marked lines for
+    PIL's ``Image.open(...).resize(...)``. Batch shape, schema, and
+    per-row binary output are the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for batch in batches:
+            resized = batch["payload"].map(
+                # real codec goes here: decode → resize → re-encode
+                lambda b: bytes((b * (target // max(len(b), 1) + 1))[:target])
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_kind": batch["media_kind"],
+                    "width": width,
+                    "height": height,
+                    "resized_payload": resized,
+                }
+            )
+
+    return with_payload.select("doc_id", "payload", "media_kind").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_payload binary"
+
+
+def sample_frames(
+    with_payload: DataFrame, frame_bytes: int = 256, every_nth: int = 2
+) -> DataFrame:
+    """Frame sampling plumbing: one input row fans out to one row per
+    sampled frame (frame_idx, frame bytes) — the 1→N mapInPandas
+    shape a real video pipeline needs. The fake treats the payload as
+    a concatenation of ``frame_bytes``-sized frames and keeps every
+    ``every_nth``-th; ffmpeg keyframe extraction plugs into the same
+    generator."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_payload": []}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for idx in range(0, n_frames, every_nth):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_payload"].append(
+                        bytes(payload[idx * frame_bytes : (idx + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(out)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id long, embedding array<float>"
+
+
+def extract_features(with_payload: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction plumbing: binary payload → fixed-dim float
+    vector, ready for the ANN operators in ``llm.similarity``. The
+    fake projects byte histograms into ``dim`` buckets, scaled to
+    [0, 1] — deterministic arithmetic; a real model (CLIP/wav2vec)
+    replaces the histogram line and keeps the batch contract."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            vecs = []
+            for payload in batch["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                total = float(hist.sum()) or 1.0
+                vecs.append((hist / total).astype("float32"))
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "embedding": vecs})
+
+    return with_payload.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 def decode_media_real(with_payload: DataFrame) -> DataFrame:
     """Real decode path — requires codecs not present in this
     environment."""

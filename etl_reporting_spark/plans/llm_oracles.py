@@ -525,3 +525,32 @@ SELECT doc_id, n_tokens, shard,
   start - CAST(floor(start / 512) AS BIGINT) * 512 AS pack_offset
 FROM r ORDER BY doc_id
 """
+
+# media_kind tag — mirrors multimodal.with_binary_payload
+_MEDIA_KIND = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+# Resize fake: payload bytes tiled to width*height then truncated —
+# text is ASCII so repeat+substring reproduces the byte arithmetic.
+LLM_ORACLE_SQL["mm_resize_hash"] = f"""
+SELECT doc_id, {_MEDIA_KIND} AS media_kind,
+  8 AS width, 8 AS height,
+  md5(substring(repeat(text, CAST(64 // length(text) AS INTEGER) + 1), 1, 64)) AS payload_md5
+FROM documents ORDER BY doc_id
+"""
+
+# Frame sampling fake: payload = concatenation of 256-byte frames,
+# keep every 2nd; last frame may be short (substring truncates the
+# same way the Python slice does).
+LLM_ORACLE_SQL["mm_frame_sample"] = f"""
+WITH f AS (
+  SELECT doc_id, text,
+    unnest(range(0, CAST(greatest(length(text) // 256, 1) AS INTEGER), 2)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+  md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
+FROM f ORDER BY doc_id, frame_idx
+"""

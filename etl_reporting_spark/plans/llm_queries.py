@@ -24,7 +24,12 @@ from etl_reporting_spark.llm.dedup import (
     simhash_near_duplicates,
     simhash_signatures,
 )
-from etl_reporting_spark.llm.multimodal import decode_media_metadata, with_binary_payload
+from etl_reporting_spark.llm.multimodal import (
+    decode_media_metadata,
+    resize_media,
+    sample_frames,
+    with_binary_payload,
+)
 from etl_reporting_spark.llm.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -204,6 +209,29 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_metadata(with_binary_payload(docs)).orderBy("doc_id")
 
 
+def mm_resize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing through the gate: the Pandas-UDF output payload
+    is hashed (md5) so the oracle verifies the resampled BYTES, not
+    just row counts — both engines see the same ASCII payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        resize_media(with_binary_payload(docs), width=8, height=8)
+        .select("doc_id", "media_kind", "width", "height", F.md5("resized_payload").alias("payload_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame fan-out through the gate, every frame's bytes
+    md5-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_frames(with_binary_payload(docs), frame_bytes=256, every_nth=2)
+        .select("doc_id", "frame_idx", F.md5("frame_payload").alias("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -224,4 +252,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_pack_documents": sample_pack_documents,
     "text_pii_redaction": text_pii_redaction,
     "mm_decode_metadata": mm_decode_metadata,
+    "mm_resize_hash": mm_resize_hash,
+    "mm_frame_sample": mm_frame_sample,
 }

@@ -257,3 +257,35 @@ def test_pack_documents_boundary_fill(spark):
         for r in pack_documents(df.repartition(5), 512, shards=1).collect()
     }
     assert again == {k: v["pack_id"] for k, v in out.items()}
+
+
+def test_multimodal_resize_frames_features(spark):
+    from etl_reporting_spark.llm.multimodal import (
+        extract_features,
+        resize_media,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a" * 1000), (1, "b" * 300), (2, "c" * 10)], "doc_id long, text string"
+    )
+    wp = with_binary_payload(docs)
+
+    resized = {r["doc_id"]: r for r in resize_media(wp, width=8, height=8).collect()}
+    assert all(len(r["resized_payload"]) == 64 for r in resized.values())
+    assert resized[2]["resized_payload"] == b"c" * 64  # tiled up to target
+
+    frames = sample_frames(wp, frame_bytes=256, every_nth=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # doc 0: 1000//256 = 3 frames -> keep idx 0, 2; doc 2: 1 frame
+    assert sorted(by_doc[0]) == [0, 2]
+    assert by_doc[2] == [0]
+
+    feats = {r["doc_id"]: r["embedding"] for r in extract_features(wp, dim=4).collect()}
+    assert len(feats[0]) == 4 and abs(sum(feats[0]) - 1.0) < 1e-6
+    # deterministic: same payload -> same vector
+    again = {r["doc_id"]: r["embedding"] for r in extract_features(wp, dim=4).collect()}
+    assert feats == again
