@@ -168,6 +168,85 @@ def ivf_assign(
     )
 
 
+def kmeans_step_components(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """One Lloyd iteration of k-means, long form: assign every vector
+    to its nearest centroid (``ivf_assign``), then the new centroid
+    components as (centroid_id, pos, mean_val, n_members) — the
+    training loop the IVF docstring defers to.
+
+    ``exact=True`` sums each component as an ordered double fold
+    (members sorted by id inside ``collect_list``): bit-identical in
+    any engine, which is what the gate verifies. Member lists live in
+    memory per (centroid, pos) group, so this mode is bounded by
+    cluster size — for 100 TB training use ``exact=False``: a plain
+    partial+final SUM whose float association order varies with the
+    shuffle (last-ulp nondeterminism, statistically irrelevant for
+    k-means, and nothing downstream hash-checks it).
+    """
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    comp = assigned.select(
+        "centroid_id", F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    if not exact:
+        return (
+            comp.groupBy("centroid_id", "pos")
+            .agg(
+                (F.sum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("mean_val"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+    g = comp.groupBy("centroid_id", "pos").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("val").cast("double").alias("v"))
+            )
+        ).alias("__vals"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    ordered_sum = F.aggregate(
+        F.expr("transform(__vals, s -> s.v)"),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return g.select(
+        "centroid_id",
+        "pos",
+        (ordered_sum / F.col("n_members").cast("double")).alias("mean_val"),
+        "n_members",
+    )
+
+
+def kmeans_step(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """One Lloyd iteration, array form: new centroids shaped like the
+    input centroid relation (id, vector) so iterations chain:
+    ``centroids = kmeans_step(emb, centroids)`` until movement is
+    small. Empty clusters simply drop (their id yields no row), the
+    standard restart-or-shrink situation left to the caller."""
+    parts = kmeans_step_components(embeddings, centroids, id_col, vec_col, exact=exact)
+    rebuilt = F.expr("transform(array_sort(__pairs), s -> s.m)")
+    return (
+        parts.groupBy("centroid_id")
+        .agg(
+            F.collect_list(F.struct(F.col("pos").alias("p"), F.col("mean_val").alias("m"))).alias(
+                "__pairs"
+            )
+        )
+        .select(F.col("centroid_id").alias(id_col), rebuilt.alias(vec_col))
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

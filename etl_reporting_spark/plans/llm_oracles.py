@@ -554,3 +554,44 @@ SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
   md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
 FROM f ORDER BY doc_id, frame_idx
 """
+
+# One Lloyd iteration — assignment mirrors ann_cosine_ivf's CTEs; the
+# per-component mean is an ordered double fold over members sorted by
+# vec_id (list(... ORDER BY) + list_reduce), matching Spark's
+# array_sort(collect_list) + aggregate fold bit-for-bit.
+LLM_ORACLE_SQL["ann_kmeans_step"] = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='c.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='c.cvec', b='c.cvec'))} AS cosine
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+    FROM scored_assign
+  ) t WHERE rn = 1
+),
+idx AS (
+  SELECT centroid_id, vec_id, embedding,
+    unnest(range(1, len(embedding) + 1)) AS i
+  FROM assign
+),
+comp AS (
+  SELECT centroid_id, CAST(i - 1 AS INTEGER) AS pos, vec_id,
+    CAST(embedding[i] AS DOUBLE) AS v
+  FROM idx
+)
+SELECT centroid_id, pos,
+  list_reduce(list(v ORDER BY vec_id), (acc, x) -> acc + x)
+    / CAST(COUNT(*) AS DOUBLE) AS mean_val,
+  CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comp
+GROUP BY centroid_id, pos
+ORDER BY centroid_id, pos
+"""

@@ -35,6 +35,7 @@ from etl_reporting_spark.llm.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_duplicates,
+    kmeans_step_components,
 )
 from etl_reporting_spark.llm.redact import redact_pii
 from etl_reporting_spark.llm.sampling import (
@@ -109,6 +110,15 @@ def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(
         emb, min_cosine=0.45, method="lsh", bands=12, planes_per_band=2
     ).orderBy("id_a", "id_b")
+
+
+def ann_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration from the IVF seed centroids (vec_id < 8):
+    every new centroid component, ordered-fold exact so the oracle
+    reproduces each mean bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return kmeans_step_components(emb, centroids).orderBy("centroid_id", "pos")
 
 
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,6 +252,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_ivf": ann_cosine_ivf,
     "ann_cosine_lsh": ann_cosine_lsh,
     "emb_near_duplicates": emb_near_duplicates,
+    "ann_kmeans_step": ann_kmeans_step,
     "text_quality_scores": text_quality_scores,
     "text_language_id": text_language_id,
     "text_token_stats": text_token_stats,

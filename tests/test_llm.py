@@ -289,3 +289,32 @@ def test_multimodal_resize_frames_features(spark):
     # deterministic: same payload -> same vector
     again = {r["doc_id"]: r["embedding"] for r in extract_features(wp, dim=4).collect()}
     assert feats == again
+
+
+def test_kmeans_step_moves_centroids_to_cluster_means(spark):
+    from etl_reporting_spark.llm.similarity import kmeans_step, kmeans_step_components
+
+    # two tight direction-clusters; seeds = one member of each
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.95, 0.05]),
+        (3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [0.05, 0.95]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = emb.filter("vec_id IN (0, 3)")
+    comp = {
+        (r["centroid_id"], r["pos"]): r
+        for r in kmeans_step_components(emb, seeds).collect()
+    }
+    assert comp[(0, 0)]["n_members"] == 3 and comp[(3, 0)]["n_members"] == 3
+    assert abs(comp[(0, 0)]["mean_val"] - (1.0 + 0.9 + 0.95) / 3) < 1e-6
+    assert abs(comp[(3, 1)]["mean_val"] - (1.0 + 0.9 + 0.95) / 3) < 1e-6
+
+    # array form chains: a second iteration runs off the first's output
+    c1 = kmeans_step(emb, seeds)
+    c2 = kmeans_step(emb, c1)
+    got = {r["vec_id"]: r["embedding"] for r in c2.collect()}
+    assert len(got) == 2 and all(len(v) == 2 for v in got.values())
+    # stable assignment -> identical means in iteration 2
+    c1_map = {r["vec_id"]: r["embedding"] for r in c1.collect()}
+    for k in got:
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got[k], c1_map[k]))
