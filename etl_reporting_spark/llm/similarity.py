@@ -256,8 +256,8 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus against fixed seed
-    centroids (here: the first ``n_centroids`` vectors — a real
-    deployment trains k-means once and persists), then each query
+    centroids (here: the first ``n_centroids`` vectors; train better
+    ones by chaining ``kmeans_step`` and persisting), then each query
     scores only its own cluster's inverted list. Candidate work per
     query drops from |corpus| to |corpus|/n_centroids; the cluster
     join shuffles on centroid_id."""
