@@ -595,3 +595,41 @@ FROM comp
 GROUP BY centroid_id, pos
 ORDER BY centroid_id, pos
 """
+
+# Composed curation pipeline — canonical = min(doc_id) per identical
+# text (mirrors exact_dedup_map's md5-group + min-id), gates in the
+# same priority order, split from the shared md5 bucket.
+LLM_ORACLE_SQL["corpus_curation"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+    CAST(1 AS DOUBLE)
+      - len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])))::DOUBLE
+        / len(list_transform(range(1, len(string_split(text,' '))),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))::DOUBLE
+      AS dup_2gram_fraction,
+    CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+      + len(regexp_extract_all(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IPV4}'))
+      + len(regexp_extract_all(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IPV4}', '<IP>', 'g'), '{_PII_SSN}'))
+      + len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IPV4}', '<IP>', 'g'), '{_PII_SSN}', '<SSN>', 'g'), '{_PII_PHONE}'))
+      AS INTEGER) AS n_pii,
+    {_HASH_BUCKET.format(id='doc_id', buckets=1000)} AS bucket
+  FROM documents
+),
+fated AS (
+  SELECT *,
+    CASE WHEN doc_id != canonical_id THEN 'duplicate'
+         WHEN n_tokens < 30 THEN 'too_short'
+         WHEN n_tokens > 90 THEN 'too_long'
+         WHEN dup_2gram_fraction > 0.05 THEN 'repetitive'
+         WHEN n_pii > 0 THEN 'has_pii'
+    END AS reject_reason,
+    CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split0
+  FROM base
+)
+SELECT doc_id, n_tokens, dup_2gram_fraction, n_pii, reject_reason,
+  CASE WHEN reject_reason IS NULL THEN split0 END AS split
+FROM fated ORDER BY doc_id
+"""

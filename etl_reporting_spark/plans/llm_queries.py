@@ -37,6 +37,7 @@ from etl_reporting_spark.llm.similarity import (
     embedding_near_duplicates,
     kmeans_step_components,
 )
+from etl_reporting_spark.llm.curate import curate_corpus
 from etl_reporting_spark.llm.redact import redact_pii
 from etl_reporting_spark.llm.sampling import (
     pack_documents,
@@ -175,6 +176,13 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source").orderBy("doc_id")
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline: dedup + length/repetition/PII gates +
+    deterministic split, one fate row per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(docs).orderBy("doc_id")
+
+
 def sample_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing over 8 hash shards (budget 512): per-doc
     pack assignment + in-pack offset, fully window-deterministic so
@@ -261,6 +269,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash_split": sample_hash_split,
     "sample_stratified": sample_stratified,
     "sample_pack_documents": sample_pack_documents,
+    "corpus_curation": corpus_curation,
     "text_pii_redaction": text_pii_redaction,
     "mm_decode_metadata": mm_decode_metadata,
     "mm_resize_hash": mm_resize_hash,

@@ -318,3 +318,30 @@ def test_kmeans_step_moves_centroids_to_cluster_means(spark):
     c1_map = {r["vec_id"]: r["embedding"] for r in c1.collect()}
     for k in got:
         assert all(abs(a - b) < 1e-9 for a, b in zip(got[k], c1_map[k]))
+
+
+def test_curate_corpus_all_reasons(spark):
+    from etl_reporting_spark.llm.curate import curate_corpus
+
+    good = "the quick brown fox jumps over a lazy dog and then " * 3  # 33 tokens, varied
+    docs = spark.createDataFrame(
+        [
+            (1, good + "unique one"),
+            (2, good + "unique one"),       # exact duplicate of 1 -> 'duplicate'
+            (3, "tiny doc"),                # -> too_short
+            (4, "w " * 200 + "end"),        # 201 tokens -> too_long (checked first? no: repetitive later)
+            (5, good + "mail me a@b.co"),   # -> has_pii
+            (6, good + "unique six"),       # survivor
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(docs, max_dup_2gram=0.9).collect()}
+    assert out[1]["reject_reason"] is None and out[1]["split"] is not None
+    assert out[2]["reject_reason"] == "duplicate" and out[2]["split"] is None
+    assert out[3]["reject_reason"] == "too_short"
+    assert out[4]["reject_reason"] == "too_long"
+    assert out[5]["reject_reason"] == "has_pii"
+    assert out[6]["reject_reason"] is None
+    # repetitive fires when the threshold is tight
+    rep = {r["doc_id"]: r["reject_reason"] for r in curate_corpus(docs, max_tokens=500, max_dup_2gram=0.01).collect()}
+    assert rep[4] == "repetitive"
