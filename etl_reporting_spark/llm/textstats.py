@@ -102,30 +102,24 @@ def repetition_stats(
     fraction of 2-grams taken by the single most frequent 2-gram.
     High values flag boilerplate / generated spam for corpus filtering.
 
-    All narrow array expressions — distinct counts via
-    ``array_distinct`` inside the row, the top-2-gram count via a
-    nested higher-order filter (O(distinct × total) per document,
-    bounded by document length; no shuffle anywhere). Ratios divide
-    exact integer counts once, in double. Documents with fewer than 2
-    tokens are excluded (no 2-grams ⇒ undefined ratios).
+    The fractions are narrow array expressions (``array_distinct``
+    inside the row); the top-2-gram count — a per-document mode — is
+    explode + groupBy + MAX: a nested higher-order filter computes the
+    same thing shuffle-free but runs interpreted per element
+    (O(distinct × total) per doc — measured 10× slower than the
+    codegen'd aggregate, whose map-side combine ships one row per
+    (doc, gram) anyway). Ratios divide exact integer counts once, in
+    double. Documents with fewer than 2 tokens are excluded (no
+    2-grams ⇒ undefined ratios).
     """
     toks = _tokens(text_col)
     grams = F.expr(
         f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2)))"
     )
-    top_gram = F.expr(
-        f"array_max(transform("
-        f" array_distinct(transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-        f"   i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2)))),"
-        f" g -> size(filter("
-        f"   transform(sequence(1, size(split({text_col}, ' ')) - 1),"
-        f"     i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2))),"
-        f"   x -> x = g))))"
-    )
     n_toks = F.size(toks)
     n_grams = F.size(grams)
-    return docs.filter(F.size(toks) >= 2).select(
+    base = docs.filter(F.size(toks) >= 2).select(
         F.col(id_col),
         n_toks.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -137,8 +131,26 @@ def repetition_stats(
             F.lit(1.0)
             - F.size(F.array_distinct(grams)).cast("double") / n_grams.cast("double")
         ).alias("dup_2gram_fraction"),
-        top_gram.alias("top_2gram_count"),
-        (top_gram.cast("double") / n_grams.cast("double")).alias("top_2gram_fraction"),
+        n_grams.alias("__n_grams"),
+        grams.alias("__grams"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("__grams").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").cast("int").alias("top_2gram_count"))
+    )
+    return base.join(top, id_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct_tokens",
+        "dup_token_fraction",
+        "dup_2gram_fraction",
+        "top_2gram_count",
+        (F.col("top_2gram_count").cast("double") / F.col("__n_grams").cast("double")).alias(
+            "top_2gram_fraction"
+        ),
     )
 
 
