@@ -225,6 +225,37 @@ def jaccard_pairs(
     )
 
 
+def verify_pairs_by_arrays(
+    shingle_arrs: DataFrame,
+    candidates: DataFrame,
+    min_jaccard: float = 0.0,
+    id_col: str = "doc_id",
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Exact-Jaccard verification against the per-doc shingle ARRAYS:
+    join each candidate pair to its two arrays and intersect in-row
+    (``array_intersect`` — arrays are already distinct). Work is
+    O(candidates × shingles/doc) like the inverted-index path, but
+    with two joins of the (small, banding-bounded) candidate relation
+    instead of re-exploding the corpus. The candidate side (and the
+    first join's pair-plus-array result) is broadcast-hinted so the
+    corpus relation is streamed in place, never reshuffled; pass
+    ``broadcast_candidates=False`` when the candidate set outgrows the
+    broadcast budget (the joins then fall back to shuffles AQE
+    manages). Integer counts, one double division."""
+    a = shingle_arrs.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("__sa"))
+    b = shingle_arrs.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("__sb"))
+    if broadcast_candidates:
+        first = a.join(F.broadcast(candidates), "doc_a")
+        j = b.join(F.broadcast(first), "doc_b")
+    else:
+        j = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    jac = (inter.cast("double") / union.cast("double")).alias("jaccard")
+    return j.select("doc_a", "doc_b", jac).filter(F.col("jaccard") >= min_jaccard)
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     k: int = 3,
@@ -242,18 +273,17 @@ def minhash_near_duplicates(
     ``minhash_signatures_rowwise`` (codegen'd MIN aggregates vs
     interpreted HOF lambdas), and its shuffle is one compact row per
     doc thanks to map-side partial aggregation. The shingle-array
-    relation is persisted because four consumers re-read it
-    (signatures, sizes, both inverted-index verify sides) — without
-    the cache each would recompute tokenize+slice+dedupe from raw
-    text; MEMORY_AND_DISK keeps it spill-safe at scale."""
+    relation is persisted because three consumers re-read it
+    (signatures and both verify sides) — without the cache each would
+    recompute tokenize+slice+dedupe from raw text; MEMORY_AND_DISK
+    keeps it spill-safe at scale. Verification intersects the two
+    arrays per candidate pair in-row (``verify_pairs_by_arrays``)
+    rather than re-exploding the corpus inverted index."""
     arr = shingle_arrays(docs, k=k, text_col=text_col, id_col=id_col).persist()
     sh = arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    sizes = arr.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
     sigs = minhash_signatures(sh, id_col=id_col)
     cands = lsh_candidate_pairs(sigs, id_col=id_col)
-    return jaccard_pairs(
-        sh, candidates=cands, min_jaccard=min_jaccard, id_col=id_col, sizes=sizes
-    ).select("doc_a", "doc_b", "jaccard")
+    return verify_pairs_by_arrays(arr, cands, min_jaccard=min_jaccard, id_col=id_col)
 
 
 def simhash_near_duplicates(
