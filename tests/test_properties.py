@@ -169,3 +169,57 @@ def test_interval_join_matches_python(spark, dim, facts):
         if fk == dk and lo <= ft <= hi
     )
     assert got == expected
+
+
+@SLOW
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True))
+def test_hash_split_partitions_ids(spark, ids):
+    """Every id gets exactly one label, labels come from the weight
+    keys, and membership is identical however the data arrives."""
+    from etl_reporting_spark.llm.sampling import with_hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    rows = with_hash_split(df, w).collect()
+    assert len(rows) == len(ids)
+    assert {r["split"] for r in rows} <= set(w)
+    again = {r["doc_id"]: r["split"] for r in with_hash_split(df.repartition(3), w).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 900)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(100, 1000),
+)
+def test_pack_documents_invariants(spark, docs, budget):
+    """Offsets stay inside the budget, packs within a shard are
+    non-decreasing in id order, and each pack's start is exact."""
+    from etl_reporting_spark.llm.sampling import pack_documents
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens int")
+    rows = pack_documents(df, budget, shards=4).collect()
+    assert len(rows) == len(docs)
+    by_shard: dict = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        assert 0 <= r["pack_offset"] < budget
+        prev = by_shard.get(r["shard"])
+        if prev is not None:
+            assert r["pack_id"] >= prev
+        by_shard[r["shard"]] = r["pack_id"]
+
+
+@SLOW
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True))
+def test_deterministic_sample_monotone_in_fraction(spark, ids):
+    from etl_reporting_spark.llm.sampling import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    small = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(df, 0.5).collect()}
+    assert small <= big  # growing the fraction only adds rows
