@@ -896,6 +896,23 @@ def f2_count_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (A3 family): Spark's ``percentile``
+    and DuckDB's ``percentile_cont`` share the a + f·(b−a)
+    interpolation, so even interpolated p90s hash-match bit-for-bit.
+    (``percentile_approx`` would NOT — different sketch.)"""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def s4_multi_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-statement script through the Engine (S2/S4,
     connector/snowpark_connector.py multi-statement path): a temp-view
@@ -960,6 +977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u4_union_by_name": u4_union_by_name,
     "f2_count_difference": f2_count_difference,
     "s4_multi_statement": s4_multi_statement,
+    "a12_percentiles": a12_percentiles,
     "fn_date_gallery": fn_date_gallery,
     "fn_string_gallery": fn_string_gallery,
     "fn_conditional_gallery": fn_conditional_gallery,
