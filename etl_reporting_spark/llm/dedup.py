@@ -286,6 +286,40 @@ def minhash_near_duplicates(
     return verify_pairs_by_arrays(arr, cands, min_jaccard=min_jaccard, id_col=id_col)
 
 
+def cross_doc_contamination(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document contamination: the fraction of the doc's distinct
+    k-gram shingles that also occur in at least one OTHER document —
+    the standard screen for benchmark leakage and cross-site
+    boilerplate (docs scoring high share most of their content with
+    the rest of the corpus).
+
+    Shape: one explode (narrow — arrays are pre-distinct), one
+    groupBy on the shingle (the inverted index's document frequency),
+    one groupBy back on the doc. Shuffle volume is the shingle
+    vocabulary, not corpus × corpus; hot shingles (stopword runs) are
+    split by AQE like any skewed key."""
+    sh = shingle_docs(docs, k=k, text_col=text_col, id_col=id_col)
+    df_count = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(df_count, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("__df") > 1, F.lit(1))).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     max_hamming: int = 3,

@@ -633,3 +633,16 @@ SELECT doc_id, n_tokens, dup_2gram_fraction, n_pii, reject_reason,
   CASE WHEN reject_reason IS NULL THEN split0 END AS split
 FROM fated ORDER BY doc_id
 """
+
+# Cross-doc contamination — document frequency over the same distinct
+# 3-gram shingle relation the MinHash oracles build.
+LLM_ORACLE_SQL["dedup_contamination"] = f"""
+WITH {_SHINGLES},
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(COUNT(*) FILTER (WHERE d.df > 1) AS BIGINT) AS n_shared,
+  CAST(COUNT(*) FILTER (WHERE d.df > 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination
+FROM sh s JOIN dfreq d USING (shingle)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_reporting_spark.io import load_table
 from etl_reporting_spark.llm.dedup import (
+    cross_doc_contamination,
     exact_dedup_map,
     jaccard_pairs,
     minhash_near_duplicates,
@@ -71,6 +72,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_doc_contamination(docs, k=3).orderBy("doc_id")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +260,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_contamination": dedup_contamination,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "ann_cosine_topk": ann_cosine_topk,

@@ -345,3 +345,21 @@ def test_curate_corpus_all_reasons(spark):
     # repetitive fires when the threshold is tight
     rep = {r["doc_id"]: r["reject_reason"] for r in curate_corpus(docs, max_tokens=500, max_dup_2gram=0.01).collect()}
     assert rep[4] == "repetitive"
+
+
+def test_cross_doc_contamination(spark):
+    from etl_reporting_spark.llm.dedup import cross_doc_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared prefix words then alpha beta gamma"),
+            (2, "shared prefix words then delta epsilon zeta"),
+            (3, "completely different content lives here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cross_doc_contamination(docs, k=3).collect()}
+    # docs 1/2 share the shingles inside "shared prefix words then"
+    assert out[1]["n_shared"] == 2 and out[2]["n_shared"] == 2
+    assert out[3]["n_shared"] == 0 and out[3]["contamination"] == 0.0
+    assert 0 < out[1]["contamination"] < 1
