@@ -320,6 +320,57 @@ def cross_doc_contamination(
     )
 
 
+def decontaminate_against(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    max_overlap: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: score every corpus document by the
+    fraction of its distinct k-gram shingles that appear ANYWHERE in
+    the benchmark corpus, and flag those above ``max_overlap`` for
+    removal before training.
+
+    The benchmark's shingle vocabulary is deduplicated once
+    (``distinct`` — it is benchmark-sized, small next to the corpus)
+    and the corpus side left-joins it: shuffle volume is corpus
+    shingles + benchmark vocabulary, and when the vocabulary fits the
+    broadcast budget AQE turns the join into a broadcast probe —
+    benchmark screens then cost one corpus pass."""
+    corpus_sh = shingle_docs(corpus, k=k, text_col=text_col, id_col=id_col)
+    bench_vocab = (
+        shingle_docs(benchmark, k=k, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        corpus_sh.join(bench_vocab, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.col("__hit")).alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "benchmark_overlap"
+            ),
+            F.when(
+                F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
+                > F.lit(max_overlap),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("contaminated"),
+        )
+    )
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     max_hamming: int = 3,

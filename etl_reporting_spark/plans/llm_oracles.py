@@ -646,3 +646,27 @@ SELECT s.doc_id,
 FROM sh s JOIN dfreq d USING (shingle)
 GROUP BY s.doc_id ORDER BY s.doc_id
 """
+
+# Benchmark decontamination — docs < 50 are the benchmark vocabulary,
+# the rest the corpus; overlap fraction per corpus doc.
+LLM_ORACLE_SQL["dedup_decontaminate"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM idx
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+corpus AS (SELECT * FROM sh WHERE doc_id >= 50)
+SELECT c.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(COUNT(b.shingle) AS BIGINT) AS n_overlap,
+  CAST(COUNT(b.shingle) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS benchmark_overlap,
+  CASE WHEN CAST(COUNT(b.shingle) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) > 0.2
+       THEN 1 ELSE 0 END AS contaminated
+FROM corpus c LEFT JOIN bench b USING (shingle)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""

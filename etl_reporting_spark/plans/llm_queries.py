@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from etl_reporting_spark.io import load_table
 from etl_reporting_spark.llm.dedup import (
     cross_doc_contamination,
+    decontaminate_against,
     exact_dedup_map,
     jaccard_pairs,
     minhash_near_duplicates,
@@ -77,6 +78,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return cross_doc_contamination(docs, k=3).orderBy("doc_id")
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark screen: docs < 50 play the held-out benchmark, the
+    rest the training corpus; every corpus doc scored by benchmark
+    shingle overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    return decontaminate_against(corpus, benchmark, k=3, max_overlap=0.2).orderBy("doc_id")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +272,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_contamination": dedup_contamination,
+    "dedup_decontaminate": dedup_decontaminate,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "ann_cosine_topk": ann_cosine_topk,

@@ -29,3 +29,14 @@ def test_lint_catches_far_future_literal():
     assert not lint_oracle("x", ok_str)
     ok_marked = bad + "  -- lint: sentinel-ok (predicate only)"
     assert not lint_oracle("x", ok_marked)
+
+
+def test_driver_contract_keys_align():
+    """Every queries() entry has an oracle and vice versa — a missing
+    pair degrades to the weaker rows-only driver check silently."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+
+    assert set(e.queries()) == set(e.oracle_sql())

@@ -363,3 +363,22 @@ def test_cross_doc_contamination(spark):
     assert out[1]["n_shared"] == 2 and out[2]["n_shared"] == 2
     assert out[3]["n_shared"] == 0 and out[3]["contamination"] == 0.0
     assert 0 < out[1]["contamination"] < 1
+
+
+def test_decontaminate_against_flags_leaked_doc(spark):
+    from etl_reporting_spark.llm.dedup import decontaminate_against
+
+    bench = spark.createDataFrame(
+        [(100, "the exact benchmark question appears here verbatim")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the exact benchmark question appears here verbatim with extra words"),
+            (2, "totally original training material nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate_against(corpus, bench, max_overlap=0.5).collect()}
+    assert out[1]["contaminated"] == 1 and out[1]["benchmark_overlap"] > 0.5
+    assert out[2]["contaminated"] == 0 and out[2]["n_overlap"] == 0
