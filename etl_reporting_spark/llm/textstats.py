@@ -154,6 +154,30 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking (RAG indexing / context assembly): each
+    doc yields chunks of ``chunk_tokens`` whitespace tokens starting
+    every ``chunk_tokens - overlap`` tokens; the final chunk may be
+    shorter. In-row transform + one posexplode — no shuffle, output
+    rows ∝ corpus tokens / step."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    chunks = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')), {step}),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {chunk_tokens})))"
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).withColumn("n_chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+
+
 def document_fingerprint(
     docs: DataFrame, k: int = 3, bottom: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -670,3 +670,23 @@ SELECT c.doc_id,
 FROM corpus c LEFT JOIN bench b USING (shingle)
 GROUP BY c.doc_id ORDER BY c.doc_id
 """
+
+# Sliding-window chunking — starts every (32-8)=24 tokens; the last
+# chunk truncates exactly like Spark's slice().
+LLM_ORACLE_SQL["text_chunking"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS start
+  FROM d
+),
+c AS (
+  SELECT doc_id,
+    CAST((start - 1) / 24 AS INTEGER) AS chunk_idx,
+    array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text
+  FROM s
+)
+SELECT doc_id, chunk_idx,
+  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS n_chunk_tokens,
+  md5(chunk_text) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_idx
+"""

@@ -47,6 +47,7 @@ from etl_reporting_spark.llm.sampling import (
     with_hash_split,
 )
 from etl_reporting_spark.llm.textstats import (
+    chunk_documents,
     document_fingerprint,
     language_id,
     repetition_stats,
@@ -157,6 +158,17 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return document_fingerprint(docs).orderBy("doc_id")
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunks (32 tokens, 8 overlap); md5 of each chunk
+    keeps the gate row narrow while still verifying the chunk text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, chunk_tokens=32, overlap=8)
+        .select("doc_id", "chunk_idx", "n_chunk_tokens", F.md5("chunk_text").alias("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    )
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,6 +297,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "doc_fingerprints": doc_fingerprints,
     "text_repetition": text_repetition,
+    "text_chunking": text_chunking,
     "sample_hash_split": sample_hash_split,
     "sample_stratified": sample_stratified,
     "sample_pack_documents": sample_pack_documents,

@@ -382,3 +382,22 @@ def test_decontaminate_against_flags_leaked_doc(spark):
     out = {r["doc_id"]: r for r in decontaminate_against(corpus, bench, max_overlap=0.5).collect()}
     assert out[1]["contaminated"] == 1 and out[1]["benchmark_overlap"] > 0.5
     assert out[2]["contaminated"] == 0 and out[2]["n_overlap"] == 0
+
+
+def test_chunk_documents_overlap(spark):
+    import pytest as _pytest
+
+    from etl_reporting_spark.llm.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = sorted(chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+                  key=lambda r: r["chunk_idx"])
+    texts = [r["chunk_text"] for r in rows]
+    assert texts[0] == "w0 w1 w2 w3"
+    assert texts[1] == "w2 w3 w4 w5"      # 2-token overlap
+    assert texts[-1].split()[-1] == "w9"  # tail covered
+    assert rows[-1]["n_chunk_tokens"] <= 4
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
