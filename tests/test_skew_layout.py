@@ -55,6 +55,41 @@ def test_write_bucketed_roundtrip(spark, tmp_path):
     spark.sql("DROP TABLE bucketed_t")
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The SCALE.md claim behind write_bucketed: two tables bucketed
+    on the join key with the same bucket count join with ZERO
+    shuffles — the plan has a SortMergeJoin and no Exchange."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    for t in ("bj_left", "bj_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    left = spark.createDataFrame([(i, i * 2) for i in range(2000)], "k int, v int")
+    right = spark.createDataFrame([(i, i * 3) for i in range(2000)], "k int, w int")
+    write_bucketed(left, "bj_left", ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(right, "bj_right", ["k"], num_buckets=4, sort_cols=["k"])
+    joined = (
+        spark.table("bj_left")
+        .hint("merge")  # force SMJ so broadcast doesn't mask bucket reuse
+        .join(spark.table("bj_right"), "k")
+        .agg(F.sum("v").alias("sv"), F.sum("w").alias("sw"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    # the only exchange allowed is the final single-row aggregate's
+    join_section = plan.split("HashAggregate")[0]
+    assert not re.search(r"\(\d+\) Exchange", join_section)
+    assert joined.collect()[0]["sv"] == sum(i * 2 for i in range(2000))
+    for t in ("bj_left", "bj_right"):
+        spark.sql(f"DROP TABLE {t}")
+
+
 def test_daily_partition_column(spark):
     import datetime as dt
 
