@@ -612,3 +612,13 @@ SELECT o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+ORACLE_SQL["a13_pivot"] = """
+SELECT CAST(ts AS DATE) AS event_date,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""

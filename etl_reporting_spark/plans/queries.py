@@ -896,6 +896,24 @@ def f2_count_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type. The value
+    list is explicit — at scale an unlisted pivot forces an extra
+    distinct pass over the fact to discover columns; listing them
+    keeps it to the one aggregate (and keeps the oracle's conditional
+    counts in lockstep)."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.withColumn("event_date", F.to_date("ts"))
+        .groupBy("event_date")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("event_date")
+    )
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -978,6 +996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f2_count_difference": f2_count_difference,
     "s4_multi_statement": s4_multi_statement,
     "a12_percentiles": a12_percentiles,
+    "a13_pivot": a13_pivot,
     "fn_date_gallery": fn_date_gallery,
     "fn_string_gallery": fn_string_gallery,
     "fn_conditional_gallery": fn_conditional_gallery,
