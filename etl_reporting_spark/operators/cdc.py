@@ -119,6 +119,39 @@ def scd2_intervals(
     return out
 
 
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str] | str,
+    effective_col: str,
+    expiration_name: str = "row_expiration",
+    current_flag_name: str | None = "current_row_indicator",
+) -> DataFrame:
+    """Incrementally apply a CDC change batch to an SCD2 dimension:
+    keys untouched by the batch pass through as-is; keys present in
+    the batch have their version chain rebuilt from (existing versions
+    ∪ new versions) via ``scd2_intervals``. Result is identical to a
+    full rebuild over the combined history — but the work is
+    proportional to the CHANGED keys (a semi/anti-join split on the
+    key plus one window over the affected slice), which is the only
+    shape that survives a 100 TB dimension taking a 0.1% daily delta.
+
+    ``dim`` must carry ``expiration_name`` (and the flag if named);
+    ``changes`` carries the natural columns only — the chain columns
+    are derived."""
+    key_list = _cols(keys)
+    affected_keys = changes.select(*key_list).distinct()
+    untouched = dim.join(affected_keys, key_list, "left_anti")
+    affected_versions = dim.join(affected_keys, key_list, "left_semi").drop(
+        *[c for c in (expiration_name, current_flag_name) if c]
+    )
+    combined = affected_versions.unionByName(changes)
+    rebuilt = scd2_intervals(
+        combined, key_list, effective_col, expiration_name, current_flag_name
+    )
+    return untouched.unionByName(rebuilt)
+
+
 def effective_at(
     df: DataFrame,
     as_of,

@@ -622,3 +622,17 @@ SELECT CAST(ts AS DATE) AS event_date,
   CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+# Full-rebuild twin of the incremental scd2_apply_changes gate: if the
+# incremental path is correct it must equal the LEAD chain over the
+# whole history.
+ORACLE_SQL["w9_scd2_apply_changes"] = """
+SELECT user_id, event_id,
+       ts AS row_effective,
+       strftime(COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00'),
+                '%Y-%m-%d %H:%M:%S') AS row_expiration,
+       CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS current_row_indicator
+FROM events WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+ORDER BY user_id, ts
+"""

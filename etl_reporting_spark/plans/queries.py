@@ -128,6 +128,28 @@ def w3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w9_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 apply: the dimension is built from signups up
+    to Jan 20, the change batch is everything after. The oracle is a
+    FULL REBUILD over the combined history — the gate therefore
+    proves incremental-apply ≡ rebuild, the property that lets a
+    100 TB dimension take daily deltas instead of reprocessing."""
+    from etl_reporting_spark.operators.cdc import scd2_apply_changes
+
+    events = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    base = events.filter(F.col("ts") <= "2024-01-20")
+    batch = events.filter(F.col("ts") > "2024-01-20")
+    dim = scd2_intervals(base, "user_id", "ts", "row_expiration", "current_row_indicator")
+    out = scd2_apply_changes(dim, batch, "user_id", "ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("row_effective"),
+        F.date_format("row_expiration", "yyyy-MM-dd HH:mm:ss").alias("row_expiration"),
+        "current_row_indicator",
+    ).orderBy("user_id", "row_effective")
+
+
 # --------------------------------------------------------------------
 # J5 — as-of join (latest purchase at or before each view event)
 # --------------------------------------------------------------------
@@ -980,6 +1002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_active_claimants": flagship_active_claimants,
     "w1_dedup_latest": w1_dedup_latest,
     "w3_scd2_intervals": w3_scd2_intervals,
+    "w9_scd2_apply_changes": w9_scd2_apply_changes,
     "j5_asof_join": j5_asof_join,
     "q1_pricing_summary": q1_pricing_summary,
     "j1_revenue_by_nation": j1_revenue_by_nation,

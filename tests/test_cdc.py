@@ -121,3 +121,25 @@ def test_interval_join_binds_fact_to_dim_version(spark):
     out = interval_join(facts, dim, "k", "event_dt", "eff", "exp")
     got = {r["fact_id"]: r["dim_val"] for r in out.collect()}
     assert got == {1: "v1", 2: "v2"}
+
+
+def test_scd2_apply_changes_incremental_equals_rebuild(spark):
+    from etl_reporting_spark.operators.cdc import scd2_apply_changes, scd2_intervals
+
+    base = _cdc_rows(spark).filter(F.col("sequence_no") != 3)
+    batch = spark.createDataFrame(
+        [("a", dt.datetime(2024, 2, 1), 5, "a-v5"), ("c", dt.datetime(2024, 1, 4), 1, "c-v1")],
+        "key string, sequenced_at timestamp, sequence_no int, value string",
+    )
+    dim = scd2_intervals(base, "key", "sequenced_at")
+    out = scd2_apply_changes(dim, batch, "key", "sequenced_at")
+    rebuild = scd2_intervals(base.unionByName(batch), "key", "sequenced_at")
+    key = lambda r: (r["key"], r["sequenced_at"])
+    got = {key(r): (r["row_expiration"], r["current_row_indicator"]) for r in out.collect()}
+    want = {key(r): (r["row_expiration"], r["current_row_indicator"]) for r in rebuild.collect()}
+    assert got == want
+    # untouched key 'b' kept its original open interval
+    assert got[("b", dt.datetime(2024, 1, 2))] == (dt.datetime(9999, 12, 31), 1)
+    # key 'a' closed its old head; new version is current
+    assert got[("a", dt.datetime(2024, 2, 1))][1] == 1
+    assert got[("a", dt.datetime(2024, 1, 9))] == (dt.datetime(2024, 2, 1), 0)
