@@ -247,6 +247,34 @@ def kmeans_step(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Lloyd-iterate from the first ``n_centroids`` vectors to trained
+    IVF centroids. Each iteration is materialized (persist + count)
+    before the next — without that, N iterations stack into one plan
+    whose lineage re-runs every assignment N times. The previous
+    iteration's cache is released as soon as its successor exists.
+    ``exact=False`` (plain SUM means) is the training default; the
+    last-ulp shuffle nondeterminism only matters to hash checks."""
+    centroids = embeddings.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    prev = None
+    for _ in range(iterations):
+        centroids = kmeans_step(
+            embeddings, centroids, id_col=id_col, vec_col=vec_col, exact=exact
+        ).persist()
+        centroids.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = centroids
+    return centroids
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -254,14 +282,16 @@ def cosine_topk_ivf(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus against fixed seed
-    centroids (here: the first ``n_centroids`` vectors; train better
-    ones by chaining ``kmeans_step`` and persisting), then each query
-    scores only its own cluster's inverted list. Candidate work per
-    query drops from |corpus| to |corpus|/n_centroids; the cluster
-    join shuffles on centroid_id."""
-    centroids = embeddings.filter(F.col(id_col) < n_centroids)
+    """IVF-style ANN: coarse-quantize the corpus against the given (or
+    seed) centroids, then each query scores only its own cluster's
+    inverted list. Pass ``centroids=train_ivf_centroids(...)`` for a
+    trained index; the default seeds keep the operator deterministic
+    for the oracle. Candidate work per query drops from |corpus| to
+    |corpus|/n_centroids; the cluster join shuffles on centroid_id."""
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_centroids)
     corpus = ivf_assign(embeddings, centroids, id_col, vec_col)
     probes = ivf_assign(queries, centroids, id_col, vec_col)
 

@@ -401,3 +401,18 @@ def test_chunk_documents_overlap(spark):
     assert rows[-1]["n_chunk_tokens"] <= 4
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_train_ivf_centroids_and_query(spark):
+    from etl_reporting_spark.llm.similarity import cosine_topk_ivf, train_ivf_centroids
+
+    rows = [(i, [1.0 - 0.01 * i, 0.01 * i]) for i in range(4)] + [
+        (i, [0.01 * (i - 4), 1.0 - 0.01 * (i - 4)]) for i in range(4, 8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(emb, n_centroids=2, iterations=3)
+    got = cents.collect()
+    assert len(got) == 2 and all(len(r["embedding"]) == 2 for r in got)
+    out = cosine_topk_ivf(emb, emb.filter("vec_id = 0"), k=2, centroids=cents)
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    assert neighbors <= {1, 2, 3}  # same-direction cluster only
