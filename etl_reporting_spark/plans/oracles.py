@@ -636,3 +636,26 @@ FROM events WHERE event_type = 'signup'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
 ORDER BY user_id, ts
 """
+
+ORACLE_SQL["report_monthly_revenue"] = """
+WITH scoped AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, r.r_name AS region_name
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-07-01'
+),
+monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         region_name,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM scoped GROUP BY 1, 2
+)
+SELECT month, region_name, n_orders, revenue,
+  CAST(CAST(revenue AS DECIMAL(18,2)) AS DOUBLE)
+    / CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (PARTITION BY month)
+           AS DOUBLE) AS region_share
+FROM monthly ORDER BY month, region_name
+"""

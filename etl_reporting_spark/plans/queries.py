@@ -754,6 +754,20 @@ def report_lifecycle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def report_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second full report package (reports/monthly_revenue): period
+    session vars → pushdown-scoped view → month-grain rollup →
+    windowed share-of-month with the decimal-exact convention."""
+    from etl_reporting_spark.report_runner import run_report
+
+    return run_report(
+        spark,
+        "reports/monthly_revenue",
+        sf_dir,
+        {"REPORT_START_DT": "1995-01-01", "REPORT_END_DT": "1995-07-01"},
+    )
+
+
 def report_claimant_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The detail table with the reference's presentation conventions:
     quoted mixed-case aliases and MM/dd/yyyy strings (…detail.sql:258-293)."""
@@ -1036,6 +1050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_json_gallery": fn_json_gallery,
     "report_lifecycle_summary": report_lifecycle_summary,
     "report_claimant_detail": report_claimant_detail,
+    "report_monthly_revenue": report_monthly_revenue,
     "dq_report_battery": dq_report_battery,
     "u3_intersect_except": u3_intersect_except,
     "p2_exclude_projection": p2_exclude_projection,
