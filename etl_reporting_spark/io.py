@@ -273,22 +273,20 @@ def inject_incremental_predicate(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver parquet table, normalizing physical quirks.
+    """Load one driver parquet table, adapting to the session's view of
+    physical quirks — without mutating any session conf (the driver
+    passes its own SparkSession; loaders must be side-effect-free).
 
-    ``events.ts`` is written as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long we
-    convert to a microsecond timestamp (the data is µs-aligned, so the
-    conversion is lossless and matches DuckDB's view of the column).
+    ``events.ts`` is written as TIMESTAMP(NANOS). Spark 4.1 reads it
+    natively as TIMESTAMP_NTZ (µs-truncated; the data is µs-aligned so
+    this is lossless and matches DuckDB's view of the column). If the
+    caller's session opted into the legacy
+    ``spark.sql.legacy.parquet.nanosAsLong`` read, the column arrives
+    as raw int64 nanos and is converted here.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    if name == "events":
-        # The caller's session may not be ours (the driver passes its
-        # own SparkSession to entry()) — ensure the nanos-tolerant read
-        # and UTC timestamp semantics hold regardless.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # `div` (integer division) — a double divide would round in the
@@ -300,32 +298,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_at_or_before(spark: SparkSession, sf_dir: str, cutoff) -> DataFrame:
     """Pushdown-aware point-in-time scan of the events stream.
 
-    ``load_table`` converts the nanos column eagerly, which wraps the
-    filter in an expression the parquet reader can't push. Here the
-    cutoff is applied to the RAW int64 nanos column first — a plain
-    long comparison that reaches row-group statistics (PushedFilters
-    in the plan) — and the timestamp conversion happens after. On a
-    100 TB date-partitioned fact the same idea is partition pruning;
-    on the driver's single-file testdata it's row-group pruning.
+    The cutoff is compared against the scan column in the column's own
+    type — a plain ``col <= literal`` the parquet reader pushes to
+    row-group statistics (``PushedFilters`` in the plan). On Spark 4.1
+    the TIMESTAMP(NANOS) column reads as TIMESTAMP_NTZ, so the literal
+    is cast to ``timestamp_ntz`` (constant-folded; an uncast TIMESTAMP
+    literal would wrap the column in a cast and block pushdown). On a
+    legacy ``nanosAsLong`` session the same cutoff pushes as a raw
+    int64-nanos comparison. On a 100 TB date-partitioned fact the same
+    idea is partition pruning; on the driver's single-file testdata
+    it's row-group pruning.
     """
     import datetime as dt
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if not isinstance(df.schema["ts"].dataType, LongType):
-        return df.filter(F.col("ts") <= F.lit(cutoff))
-    if isinstance(cutoff, str):
-        cutoff = dt.datetime.fromisoformat(cutoff)
-    # exact integer epoch arithmetic (naive datetime == UTC wall time)
-    micros = (cutoff - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
-    cutoff_ns = micros * 1000
-    return df.filter(F.col("ts") <= F.lit(cutoff_ns)).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        if isinstance(cutoff, str):
+            cutoff = dt.datetime.fromisoformat(cutoff)
+        # exact integer epoch arithmetic (naive datetime == UTC wall time)
+        micros = (cutoff - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+        cutoff_ns = micros * 1000
+        return df.filter(F.col("ts") <= F.lit(cutoff_ns)).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    target = "timestamp_ntz" if isinstance(ts_type, TimestampNTZType) else "timestamp"
+    return df.filter(F.col("ts") <= F.lit(cutoff).cast(target))
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -3,8 +3,12 @@ stream, the batch twin of streaming session windows.
 
 Two windows over one shuffle on the user key: a LAG marks session
 boundaries (gap > threshold), a running SUM of boundary flags numbers
-the sessions. Gap arithmetic runs on integer microseconds so results
-are bit-identical in any engine.
+the sessions. Gap arithmetic runs on integer microseconds via
+``timestamp_diff`` so results are bit-identical in any engine, and —
+unlike ``unix_micros`` — it accepts both TIMESTAMP and TIMESTAMP_NTZ
+(Spark 4.1 reads the driver's TIMESTAMP(NANOS) parquet as NTZ) and is
+session-timezone-independent (an NTZ→TZ cast would shift wall time
+across DST under a non-UTC session zone).
 """
 
 from __future__ import annotations
@@ -23,9 +27,11 @@ def sessionize(
     """Assign ``session_seq`` (1-based per user) to every event."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
     gap_us = gap_minutes * 60 * 1_000_000
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev = F.lag(F.col(ts_col)).over(w)
     boundary = F.when(
-        prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > gap_us), F.lit(1)
+        prev.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev, F.col(ts_col)) > F.lit(gap_us)),
+        F.lit(1),
     ).otherwise(F.lit(0))
     running = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(order_tiebreak).asc()
@@ -53,7 +59,8 @@ def session_aggregates(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("sum_value"),
             (
-                (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / F.lit(1_000_000.0)
+                F.timestamp_diff("MICROSECOND", F.min(ts_col), F.max(ts_col))
+                / F.lit(1_000_000.0)
             ).alias("duration_sec"),
         )
     )

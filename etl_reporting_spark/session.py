@@ -33,10 +33,6 @@ _DEFAULTS: dict[str, str] = {
     # Non-ANSI: TRY_* / null-on-failure cast semantics, matching the
     # reference's TRY_TO_DATE / TRY_CAST usage (test_data_quality.sql:99-110).
     "spark.sql.ansi.enabled": "false",
-    # The driver's events.parquet stores TIMESTAMP(NANOS), which the
-    # vectorized reader rejects; read as long and convert at the scan
-    # (io.load_table) — lossless, the data is microsecond-aligned.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Rank-filter pushdown for the dedup-latest pattern (W1): Spark 3.5+
     # infers a per-group top-k limit from rn=1 filters over windows.
     "spark.sql.optimizer.windowGroupLimitThreshold": "1000",

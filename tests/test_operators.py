@@ -165,6 +165,27 @@ def test_sessionize_gap_boundaries(spark):
     assert agg[(10, 2)]["n_events"] == 1 and agg[(10, 2)]["duration_sec"] == 0.0
 
 
+def test_sessionize_runs_on_timestamp_ntz(spark):
+    """Spark 4.1 reads the driver's TIMESTAMP(NANOS) events as
+    TIMESTAMP_NTZ; the gap arithmetic (timestamp_diff) must accept it
+    — unix_micros does not (round-2 w8 regression)."""
+    from etl_reporting_spark.operators.sessionize import session_aggregates, sessionize
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 10, 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 10), 10, 2.0),
+        (3, dt.datetime(2024, 1, 1, 11, 0), 10, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    s = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert s == {1: 1, 2: 1, 3: 2}
+    agg = {(r["user_id"], r["session_seq"]): r for r in session_aggregates(df).collect()}
+    assert agg[(10, 1)]["duration_sec"] == 600.0
+
+
 def test_sql_udfs_registered(spark):
     from etl_reporting_spark.functions.sql_udfs import register_sql_udfs
 

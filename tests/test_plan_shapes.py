@@ -36,6 +36,19 @@ def test_j1_broadcasts_all_dims(spark, sf_dir):
     assert "EqualTo(r_name,AMERICA)" in plan
 
 
+def test_u2_rollup_scans_events_once(spark, sf_dir):
+    """The 6-frequency rollup must derive the coarser levels from the
+    daily aggregate, not re-scan the fact per level — at 100 TB that's
+    a 6× scan + shuffle reduction."""
+    import re
+
+    plan = _plan(spark, sf_dir, "u2_period_rollup")
+    # formatted mode shows each scan twice (tree + detail header); count
+    # the numbered detail headers, one per physical scan node
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
+
+
 def test_dedup_latest_gets_window_group_limit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "w1_dedup_latest")
     # partial (pre-shuffle) + final top-1 per key
@@ -86,7 +99,11 @@ def test_emb_near_dup_lsh_pairs_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_events_cutoff_pushes_raw_nanos_filter(spark, sf_dir):
+def test_events_cutoff_pushes_timestamp_filter(spark, sf_dir):
+    """The point-in-time cutoff must reach the parquet scan as a plain
+    col<=literal in the column's own type (Spark 4.1 reads the
+    TIMESTAMP(NANOS) column as TIMESTAMP_NTZ) — row-group pruning
+    locally, partition pruning on a date-partitioned 100 TB fact."""
     import datetime as dt
 
     from etl_reporting_spark.io import events_at_or_before
@@ -96,9 +113,9 @@ def test_events_cutoff_pushes_raw_nanos_filter(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
     plan = buf.getvalue()
-    assert "LessThanOrEqual(ts,1705276800000000000)" in plan
-    # and the converted column is still a usable timestamp
-    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert "LessThanOrEqual(ts,2024-01-15" in plan, plan
+    # and the column is still a usable timestamp type
+    assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
 
 
 def test_incremental_predicate_reaches_scan(spark, sf_dir):
