@@ -5,7 +5,10 @@ ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
 
 Timing is action-to-completion per query (count() of the final
 DataFrame — forces full execution without driver-side row transfer
-skew; a separate warm-up query absorbs JVM/codegen startup).
+skew; a separate warm-up query absorbs JVM/codegen startup). Each
+query runs REPEATS times and reports the per-query MEDIAN, so a
+transiently loaded machine can't fabricate a regression (round 2's
+BENCH artifact read +27% that a clean rerun showed was noise).
 """
 
 from __future__ import annotations
@@ -13,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -56,13 +60,17 @@ def main() -> None:
     qs["w1_dedup_latest"](spark, sf_dir).count()
     qs["text_quality_scores"](spark, sf_dir).count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     out = {
         "metric": "headline_queries_total_wall_clock",

@@ -325,6 +325,25 @@ class ExecutionLog:
         self.spark.createDataFrame(row, schema).write.mode("append").saveAsTable(self.table)
         return execution_id
 
+    def recent(self, n: int = 100, object_name: str | None = None) -> DataFrame:
+        """Query-history read-back (reference ``get_query_history``,
+        connector/snowpark_connector.py:585-601): the ``n`` most recent
+        executions, newest first, optionally scoped to one object.
+        Top-k over the log — TakeOrderedAndProject, no full sort."""
+        from pyspark.sql import functions as F
+
+        if not self.spark.catalog.tableExists(self.table):
+            return self.spark.createDataFrame(
+                [],
+                "execution_id string, object_name string, status string, "
+                "execution_start_ts string, execution_end_ts string, "
+                "query_duration string, rows_affected long, high_watermark string",
+            )
+        df = self.spark.table(self.table)
+        if object_name is not None:
+            df = df.filter(F.col("object_name") == object_name)
+        return df.orderBy(F.col("execution_start_ts").desc()).limit(n)
+
     def get_last_successful_load(self, object_name: str) -> str | None:
         """Watermark retrieval closing the incremental loop (reference
         connector/snowpark_connector.py:400-464 reading the log written

@@ -86,7 +86,12 @@ class Engine:
 
     # ------------------------------------------------------------- exec
     def execute_query(self, query: str, lazy: bool = True) -> DataFrame | list[Row]:
-        df = self.spark.sql(self._render_session_vars(query))
+        rendered = self._render_session_vars(query)
+        df = self.spark.sql(rendered)
+        # Retain the defining SQL on the frame — the Spark analogue of
+        # Snowpark's plan-SQL extraction, consumed by
+        # save_as_view(..., permanent=True).
+        df._engine_sql = rendered
         return df if lazy else df.collect()
 
     def execute_multiple_statements(
@@ -162,8 +167,33 @@ class Engine:
             return
         df.write.mode(write_mode.value).saveAsTable(name)
 
-    def save_as_view(self, df: DataFrame, name: str, replace: bool = True) -> None:
+    def save_as_view(
+        self, df: DataFrame, name: str, replace: bool = True, permanent: bool = False
+    ) -> None:
+        """Store a DataFrame as a named view (reference ``save_as_view``,
+        connector/snowpark_connector.py:511-566).
+
+        ``permanent=False`` → session-scoped temp view (zero
+        materialization). ``permanent=True`` → catalog-backed view: the
+        reference extracts the DataFrame's own SQL plan and stores it;
+        Spark DataFrames don't carry SQL, so the engine reuses the
+        defining SQL it recorded when the frame came from
+        :meth:`execute_query` / :meth:`execute_query_from_file`. The
+        SQL must reference catalog objects (Spark rejects permanent
+        views over temp views). For API-built frames pass the SQL
+        explicitly via :meth:`create_permanent_view`."""
         _validate_identifier(name)
+        if permanent:
+            sql = getattr(df, "_engine_sql", None)
+            if sql is None:
+                raise ValueError(
+                    f"cannot store {name!r} as a permanent view: the DataFrame "
+                    "carries no defining SQL (it was not produced by "
+                    "Engine.execute_query). Use create_permanent_view(name, sql) "
+                    "or save_as_table for API-built frames."
+                )
+            self.create_permanent_view(name, sql, replace=replace)
+            return
         if replace:
             df.createOrReplaceTempView(name)
         else:
@@ -189,6 +219,16 @@ class Engine:
         """Materialize an intermediate for reuse across steps."""
         self.save_as_table(df, name, WriteMode.OVERWRITE, TableType.TRANSIENT)
         return self.spark.table(name)
+
+    def get_query_history(
+        self, n: int = 100, object_name: str | None = None, log_table: str = "execution_log"
+    ) -> DataFrame:
+        """Recent engine executions, newest first (reference
+        ``get_query_history``, connector/snowpark_connector.py:585-601)
+        — the read-back face of the ExecutionLog audit sink."""
+        from etl_reporting_spark.datafeeds.writers import ExecutionLog
+
+        return ExecutionLog(self.spark, table=log_table).recent(n, object_name=object_name)
 
     # ---------------------------------------------------------- catalog
     def table(self, name: str) -> DataFrame:

@@ -17,24 +17,56 @@ over the join result, not from driver-side row loops.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-@dataclass
 class MergeResult:
     """Mirrors the reference's UpsertResult metrics
-    (models/custom_models.py:158-209)."""
+    (models/custom_models.py:158-209).
 
-    df: DataFrame
-    rows_inserted: int
-    rows_updated: int
-    rows_deleted: int
-    rows_unchanged: int
-    _cached: DataFrame | None = None
+    Metrics are LAZY: the action-count aggregate (one conditional-count
+    pass over the classified join) runs on first access of any
+    ``rows_*`` property, not at merge time — a caller that only writes
+    ``df`` pays exactly one pass over the join, a caller that audits
+    the merge pays one more against the persisted join. All four
+    counts come from the same single aggregate."""
+
+    def __init__(self, df: DataFrame, classified: DataFrame) -> None:
+        self.df = df
+        self._cached: DataFrame | None = classified
+        self._classified = classified
+        self._counts: dict[str, int] | None = None
+
+    def _metrics(self) -> dict[str, int]:
+        if self._counts is None:
+            row = self._classified.agg(
+                *[
+                    F.count(F.when(F.col("__action") == a, 1)).alias(a)
+                    for a in ("U", "I", "D", "M", "K", "X")
+                ]
+            ).collect()[0]
+            self._counts = {a: row[a] for a in ("U", "I", "D", "M", "K", "X")}
+        return self._counts
+
+    @property
+    def rows_inserted(self) -> int:
+        return self._metrics()["I"]
+
+    @property
+    def rows_updated(self) -> int:
+        return self._metrics()["U"]
+
+    @property
+    def rows_deleted(self) -> int:
+        return self._metrics()["D"]
+
+    @property
+    def rows_unchanged(self) -> int:
+        m = self._metrics()
+        return m["M"] + m["K"]
 
     def unpersist(self) -> None:
         """Release the cached join once ``df`` has been materialized
@@ -84,8 +116,8 @@ def merge_upsert(
     delta in a typical merge); pass False to skip it when uniqueness
     is guaranteed upstream.
 
-    The classified join is persisted so the metrics aggregate and the
-    returned ``df`` share one computation; call
+    The classified join is persisted so the (lazy) metrics aggregate
+    and the returned ``df`` share one computation; call
     ``MergeResult.unpersist()`` after materializing the output.
     """
     keys = list(keys)
@@ -166,22 +198,8 @@ def merge_upsert(
             .alias(c)
         )
 
-    counts_row = (
-        j.groupBy()
-        .pivot("__action", ["U", "I", "D", "M", "K", "X"])
-        .count()
-        .fillna(0)
-        .collect()[0]
-    )
     merged = j.filter(F.col("__action").isin("U", "I", "M", "K")).select(*out_cols)
-    return MergeResult(
-        df=merged,
-        rows_inserted=counts_row["I"],
-        rows_updated=counts_row["U"],
-        rows_deleted=counts_row["D"],
-        rows_unchanged=counts_row["M"] + counts_row["K"],
-        _cached=j,
-    )
+    return MergeResult(df=merged, classified=j)
 
 
 def source_target_count_difference(source: DataFrame, target: DataFrame) -> int:

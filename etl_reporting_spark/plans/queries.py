@@ -526,7 +526,16 @@ def j10_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = customer.filter((F.col("c_custkey") > 500) & (F.col("c_custkey") <= 1500)).select(
         "c_custkey", "c_name", (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal")
     )
-    res = merge_upsert(target, source, ["c_custkey"], delete_not_matched_by_source=True)
+    # source keys are unique by construction (filter on the PK) — take
+    # the documented fast path and skip the uniqueness pre-scan; the
+    # NonDeterministicMergeError path stays covered by test_operators.
+    res = merge_upsert(
+        target,
+        source,
+        ["c_custkey"],
+        delete_not_matched_by_source=True,
+        validate_source_unique=False,
+    )
     return res.df.orderBy("c_custkey")
 
 

@@ -232,6 +232,61 @@ def test_permanent_view_survives_new_session(spark):
     eng.drop_managed_table("pv_base")
 
 
+def test_save_as_view_permanent_from_dataframe(spark):
+    """The reference's save_as_view stores the DataFrame's own SQL plan
+    as a catalog view (connector:511-566); the engine mirrors it via
+    the defining SQL recorded on execute_query frames."""
+    import pytest as _pytest
+
+    from etl_reporting_spark.io import Engine
+
+    eng = Engine(spark)
+    eng.drop_view("pv_df_view")
+    eng.drop_managed_table("pv_df_base")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, amt double").write.saveAsTable(
+        "pv_df_base"
+    )
+    df = eng.execute_query("SELECT k, amt * 2 AS amt2 FROM pv_df_base WHERE k >= 2")
+    eng.save_as_view(df, "pv_df_view", permanent=True)
+
+    fresh = spark.newSession()
+    rows = [(r["k"], r["amt2"]) for r in fresh.table("pv_df_view").collect()]
+    assert rows == [(2, 40.0)]
+
+    # an API-built frame carries no SQL → clear error, not a temp view
+    with _pytest.raises(ValueError, match="no defining SQL"):
+        eng.save_as_view(spark.table("pv_df_base"), "pv_df_bad", permanent=True)
+
+    eng.drop_view("pv_df_view")
+    eng.drop_managed_table("pv_df_base")
+
+
+def test_query_history_read_surface(spark):
+    """Engine.get_query_history mirrors the reference's
+    get_query_history (connector:585-601): newest-first top-n over the
+    execution log, optionally scoped to one object."""
+    from etl_reporting_spark.io import Engine
+
+    eng = Engine(spark)
+    # empty history before the log table exists
+    assert eng.get_query_history(5, log_table="qh_log").count() == 0
+
+    Engine(spark).drop_managed_table("qh_log")
+    log = ExecutionLog(spark, table="qh_log")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(4):
+        log.record(
+            f"obj_{i % 2}", "SUCCESS", t0 + dt.timedelta(minutes=i), rows_affected=i
+        )
+    hist = eng.get_query_history(3, log_table="qh_log").collect()
+    assert len(hist) == 3
+    starts = [r["execution_start_ts"] for r in hist]
+    assert starts == sorted(starts, reverse=True)  # newest first
+    scoped = eng.get_query_history(10, object_name="obj_1", log_table="qh_log").collect()
+    assert {r["object_name"] for r in scoped} == {"obj_1"} and len(scoped) == 2
+    Engine(spark).drop_managed_table("qh_log")
+
+
 def test_grouped_report_null_group_reconciles(spark):
     """Rows with a NULL group value get their own labelled subtotal and
     the body sums to the grand total (dropna regression)."""
