@@ -103,6 +103,56 @@ WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0
 ORDER BY c.doc_a, c.doc_b
 """
 
+LLM_ORACLE_SQL["dedup_cluster_resolution"] = f"""
+WITH RECURSIVE {_SHINGLES},
+sig AS (
+  SELECT doc_id,
+{_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach AS (
+  SELECT s AS node, s AS x FROM edges
+  UNION
+  SELECT r.node, e.d AS x FROM reach r JOIN edges e ON e.s = r.x
+),
+comp AS (SELECT node, MIN(x) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT doc.doc_id,
+  COALESCE(c.cluster_id, doc.doc_id) AS cluster_id,
+  COALESCE(s2.cluster_size, 1) AS cluster_size,
+  COALESCE(c.cluster_id, doc.doc_id) = doc.doc_id AS is_canonical
+FROM documents doc
+LEFT JOIN comp c ON c.node = doc.doc_id
+LEFT JOIN csize s2 ON s2.cluster_id = c.cluster_id
+ORDER BY doc.doc_id
+"""
+
 LLM_ORACLE_SQL["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES},
 inter AS (

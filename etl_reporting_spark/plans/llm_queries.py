@@ -91,6 +91,15 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_against(corpus, benchmark, k=3, max_overlap=0.2).orderBy("doc_id")
 
 
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → per-doc dedup verdict
+    (min-id canonical per cluster, singletons self-canonical)."""
+    from etl_reporting_spark.llm.cluster import near_duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_duplicate_clusters(docs, k=3, min_jaccard=0.5).orderBy("doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs).orderBy("doc_id")
@@ -287,6 +296,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_cluster_resolution": dedup_cluster_resolution,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_ivf": ann_cosine_ivf,
     "ann_cosine_lsh": ann_cosine_lsh,

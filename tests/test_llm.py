@@ -416,3 +416,39 @@ def test_train_ivf_centroids_and_query(spark):
     out = cosine_topk_ivf(emb, emb.filter("vec_id = 0"), k=2, centroids=cents)
     neighbors = {r["neighbor_id"] for r in out.collect()}
     assert neighbors <= {1, 2, 3}  # same-direction cluster only
+
+
+def test_connected_components_chain_triangle_and_convergence(spark):
+    """A 4-node chain (needs >1 propagation round), a triangle, and an
+    isolated pair must all resolve to min-id component labels."""
+    from etl_reporting_spark.llm.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (edges given high-to-low so the min label must
+        # travel the full diameter), triangle 10-11-12, pair 20-21
+        [(4, 3), (3, 2), (2, 1), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_duplicate_clusters_singletons_and_canonicals(spark):
+    """Every doc gets a verdict: cluster members share the min-id
+    cluster, exactly one member is canonical, singletons self-cluster."""
+    from etl_reporting_spark.llm.cluster import near_duplicate_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),          # near-dup of 1
+            (3, "completely different words describing some other topic entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in near_duplicate_clusters(docs, k=3, min_jaccard=0.5).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[2]["cluster_id"] == 1
+    assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
+    assert rows[1]["cluster_size"] == 2 and rows[2]["cluster_size"] == 2
+    assert rows[3]["cluster_id"] == 3 and rows[3]["is_canonical"] and rows[3]["cluster_size"] == 1
