@@ -198,3 +198,45 @@ def document_fingerprint(
     return docs.filter(F.size(toks) >= k).select(
         F.col(id_col), F.expr(expr).alias("fingerprint")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k_top: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf with a
+    RATIONAL idf — ``(N − df + 0.5) / (df + 0.5)`` (the BM25 idf core
+    without the log) — because ``ln`` is a libm call whose last ulp
+    differs between engines, while double subtract/divide/multiply are
+    IEEE-exact everywhere: scores reproduce bit-identically in the
+    DuckDB oracle. Ranking ties break on term text, so the output is
+    fully deterministic.
+
+    Scale shape: tokenization is narrow; tf is one shuffle on
+    (doc, term); df one map-side-combined shuffle on term; the corpus
+    size joins in as a broadcast 1-row aggregate (stays lazy — no
+    driver count); per-doc top-k is a window rank that
+    WindowGroupLimit prunes before the final shuffle.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+    score = F.col("tf").cast("double") * (
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("score", score)
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k_top)
+        .select(id_col, "term_rank", "term", "tf", "df", "score")
+    )

@@ -103,6 +103,34 @@ WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0
 ORDER BY c.doc_a, c.doc_b
 """
 
+LLM_ORACLE_SQL["text_tfidf_topterms"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+t AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+    CAST(t.tf AS DOUBLE) * (
+      (CAST(n.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+      / (CAST(d.df AS DOUBLE) + 0.5)
+    ) AS score
+  FROM t JOIN d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  ) AS term_rank
+  FROM scored
+)
+SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, tf, df, score
+FROM ranked WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
 LLM_ORACLE_SQL["dedup_cluster_resolution"] = f"""
 WITH RECURSIVE {_SHINGLES},
 sig AS (

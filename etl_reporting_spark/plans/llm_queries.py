@@ -164,6 +164,14 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(docs).orderBy("doc_id")
 
 
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document, rational-idf tf·idf."""
+    from etl_reporting_spark.llm.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k_top=3).orderBy("doc_id", "term_rank")
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return document_fingerprint(docs).orderBy("doc_id")
@@ -305,6 +313,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_scores": text_quality_scores,
     "text_language_id": text_language_id,
     "text_token_stats": text_token_stats,
+    "text_tfidf_topterms": text_tfidf_topterms,
     "doc_fingerprints": doc_fingerprints,
     "text_repetition": text_repetition,
     "text_chunking": text_chunking,

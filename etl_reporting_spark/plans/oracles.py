@@ -138,6 +138,18 @@ FROM orders
 GROUP BY ROLLUP(o_orderstatus)
 """
 
+ORACLE_SQL["a14_cube"] = """
+SELECT
+  CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+  CASE WHEN GROUPING(day_name) = 1 THEN 'ALL' ELSE day_name END AS day_name,
+  CAST(GROUPING(event_type) * 2 + GROUPING(day_name) AS INTEGER) AS cube_level,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, dayname(ts) AS day_name, value FROM events) base
+GROUP BY CUBE(event_type, day_name)
+ORDER BY cube_level, event_type, day_name
+"""
+
 ORACLE_SQL["a8_error_rate_by_type"] = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
   COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,

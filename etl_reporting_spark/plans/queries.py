@@ -978,6 +978,43 @@ def a13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all four grouping-set levels in
+    ONE aggregate pass (A11 family — the reference reaches the same
+    shape with stacked UNION ALL subtotal queries, e.g. the writer's
+    subtotal+grand-total frames, datafeeds/excel_report_writer.py).
+    GROUPING() labels distinguish cube totals from real NULL keys, the
+    same convention as the a7 rollup gate. Weekday is the full English
+    day name — Spark's date_format 'EEEE' and DuckDB's dayname() agree
+    — so the oracle needs no locale shim."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.date_format("ts", "EEEE").alias("day_name"),
+        _dec("value").alias("v"),
+    )
+    cubed = base.cube("event_type", "day_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+        F.grouping("event_type").cast("int").alias("__g_et"),
+        F.grouping("day_name").cast("int").alias("__g_dn"),
+    )
+    return (
+        cubed.select(
+            F.when(F.col("__g_et") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("__g_dn") == 1, F.lit("ALL"))
+            .otherwise(F.col("day_name"))
+            .alias("day_name"),
+            (F.col("__g_et") * 2 + F.col("__g_dn")).alias("cube_level"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("cube_level", "event_type", "day_name")
+    )
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -1091,18 +1128,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_try_to_date": fn_try_to_date,
     "a2_distinct_counts": a2_distinct_counts,
     "f1_udf_in_sql": f1_udf_in_sql,
+    "a14_cube": a14_cube,
     # ---- representative LLM gates inside the 50-row driver window ----
     "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
     "ann_cosine_topk": LLM_QUERIES["ann_cosine_topk"],
     "text_quality_scores": LLM_QUERIES["text_quality_scores"],
-    "sample_pack_documents": LLM_QUERIES["sample_pack_documents"],
     "mm_decode_metadata": LLM_QUERIES["mm_decode_metadata"],
     # ---- remaining LLM gates (driver rows 51+; locally verified) ----
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "text_quality_scores",
-        "sample_pack_documents",
         "mm_decode_metadata",
     )},
 }
