@@ -39,6 +39,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_scores",
     "mm_decode_metadata",
+    # round-3 additions — the r03 total includes three queries r02's
+    # didn't have; compare per-query, not totals, across rounds
+    "dedup_cluster_resolution",
+    "text_tfidf_topterms",
+    "a14_cube",
 ]
 
 

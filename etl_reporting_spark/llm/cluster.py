@@ -61,7 +61,8 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .persist()
     )
-    labels.count()
+    # no eager materialization: the first round's convergence count
+    # materializes edges and labels in the same job
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["d"] == labels["node"])

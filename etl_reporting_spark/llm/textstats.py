@@ -240,3 +240,27 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= k_top)
         .select(id_col, "term_rank", "term", "tf", "df", "score")
     )
+
+
+def vocab_top_terms(
+    docs: DataFrame,
+    k_top: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary head: per-term total frequency and document
+    frequency, deterministic top-k — the counting pass every
+    tokenizer/vocab training starts from. Shape: one narrow explode,
+    a (doc, term) aggregate, a term aggregate (both map-side
+    combined), then top-k by (total_tf DESC, term ASC) which Spark
+    executes as TakeOrderedAndProject — per-partition heaps, no full
+    sort of the vocabulary at 100 TB."""
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = per_doc.groupBy("term").agg(
+        F.sum("tf").alias("total_tf"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    return vocab.orderBy(F.col("total_tf").desc(), F.col("term").asc()).limit(k_top)

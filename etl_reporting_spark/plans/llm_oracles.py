@@ -131,6 +131,22 @@ FROM ranked WHERE term_rank <= 3
 ORDER BY doc_id, term_rank
 """
 
+LLM_ORACLE_SQL["text_vocab_head"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+t AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+)
+SELECT term,
+  CAST(SUM(tf) AS BIGINT) AS total_tf,
+  COUNT(*) AS doc_freq
+FROM t
+GROUP BY term
+ORDER BY total_tf DESC, term ASC
+LIMIT 100
+"""
+
 LLM_ORACLE_SQL["dedup_cluster_resolution"] = f"""
 WITH RECURSIVE {_SHINGLES},
 sig AS (

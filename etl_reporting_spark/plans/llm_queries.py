@@ -172,6 +172,14 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k_top=3).orderBy("doc_id", "term_rank")
 
 
+def text_vocab_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with term/document frequencies."""
+    from etl_reporting_spark.llm.textstats import vocab_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_top_terms(docs, k_top=100)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return document_fingerprint(docs).orderBy("doc_id")
@@ -314,6 +322,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_language_id": text_language_id,
     "text_token_stats": text_token_stats,
     "text_tfidf_topterms": text_tfidf_topterms,
+    "text_vocab_head": text_vocab_head,
     "doc_fingerprints": doc_fingerprints,
     "text_repetition": text_repetition,
     "text_chunking": text_chunking,

@@ -452,3 +452,41 @@ def test_near_duplicate_clusters_singletons_and_canonicals(spark):
     assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
     assert rows[1]["cluster_size"] == 2 and rows[2]["cluster_size"] == 2
     assert rows[3]["cluster_id"] == 3 and rows[3]["is_canonical"] and rows[3]["cluster_size"] == 1
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    """A term unique to one doc must outscore corpus-wide terms, ranks
+    are dense 1..k with term-text tiebreak, and scores are the exact
+    rational idf (no transcendental drift)."""
+    from etl_reporting_spark.llm.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common common"),
+            (3, "common filler words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["term_rank"]): r for r in tfidf_top_terms(docs, k_top=2).collect()}
+    top1 = out[(1, 1)]
+    assert top1["term"] == "zebra" and top1["tf"] == 1 and top1["df"] == 1
+    # rational idf: tf * ((N - df + 0.5) / (df + 0.5)) = 1 * (2.5/1.5)
+    assert top1["score"] == 1.0 * ((3.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    # 'common' appears in all 3 docs -> idf (3-3+0.5)/(3+0.5), tf=3 for doc 2
+    assert out[(2, 1)]["term"] == "common"
+    assert out[(2, 1)]["score"] == 3.0 * ((3.0 - 3.0 + 0.5) / (3.0 + 0.5))
+
+
+def test_vocab_top_terms_counts_and_order(spark):
+    from etl_reporting_spark.llm.textstats import vocab_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "b")],
+        "doc_id long, text string",
+    )
+    rows = vocab_top_terms(docs, k_top=2).collect()
+    assert [(r["term"], r["total_tf"], r["doc_freq"]) for r in rows] == [
+        ("b", 3, 3),
+        ("a", 2, 1),
+    ]

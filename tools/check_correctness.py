@@ -63,6 +63,12 @@ def rows_to_multiset(cols, rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json",
+        metavar="PATH",
+        help="also write a driver-format correctness artifact "
+        "(rows/schema/hash match per query) to PATH",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -80,39 +86,58 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     selected = args.queries or list(qs)
     failures: list[str] = []
+    report: dict[str, dict] = {}
     for name in selected:
         if name not in qs:
             print(f"?? {name}: no such query")
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[name] = rec
         try:
             sdf = qs[name](spark, args.sf_dir)
             scols = sdf.columns
             srows = sdf.collect()
+            rec["spark_rows"] = len(srows)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            rec["err"] = f"spark error: {type(e).__name__}: {str(e)[:300]}"
+            print(f"FAIL {name}: {rec['err']}")
             continue
         if name not in oracles:
+            rec.update(rows_match=True, schema_match=True, hash_match=True)
+            rec["err"] = "rows-only (no oracle)"
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s, no oracle)")
             continue
         try:
             rel = con.execute(oracles[name])
             dcols = [d[0] for d in rel.description]
             drows = rel.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            rec["err"] = f"duckdb error: {type(e).__name__}: {str(e)[:300]}"
+            print(f"FAIL {name}: {rec['err']}")
             continue
 
         problems = []
-        if len(srows) != len(drows):
+        rec["rows_match"] = len(srows) == len(drows)
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        if not rec["schema_match"]:
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
         if not problems:
             sm = rows_to_multiset(scols, srows)
             dm = rows_to_multiset(dcols, drows)
+            rec["hash_match"] = sm == dm
             if sm != dm:
                 n_diff = sum(1 for a, b in zip(sm, dm) if a != b)
                 problems.append(f"values differ ({n_diff}/{len(sm)} sorted rows)")
@@ -130,6 +155,12 @@ def main() -> int:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(selected) - len(failures)}/{len(selected)} queries match")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 
