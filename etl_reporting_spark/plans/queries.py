@@ -993,9 +993,18 @@ def a14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "EEEE").alias("day_name"),
         _dec("value").alias("v"),
     )
-    cubed = base.cube("event_type", "day_name").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("v").cast("double").alias("sum_value"),
+    # Pre-aggregate to the finest grain first: CUBE's Expand would push
+    # every fact row through the aggregate 4× (once per grouping set);
+    # cubing the ~|types|×7-row base aggregate instead re-sums exact
+    # decimal partials — same results, fact scanned/aggregated once
+    # (the u2 rollup trick applied to grouping sets).
+    grain = base.groupBy("event_type", "day_name").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("v").alias("__s"),
+    )
+    cubed = grain.cube("event_type", "day_name").agg(
+        F.sum("__n").alias("n_events"),
+        F.sum("__s").cast("double").alias("sum_value"),
         F.grouping("event_type").cast("int").alias("__g_et"),
         F.grouping("day_name").cast("int").alias("__g_dn"),
     )

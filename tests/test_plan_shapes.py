@@ -181,3 +181,30 @@ def test_pii_redaction_is_narrow(spark, sf_dir):
     assert len(exchanges) <= 1 and "rangepartitioning" in plan
     # regexp work happens in the projection, not a UDF
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_topk_gets_window_group_limit(spark, sf_dir):
+    """The per-doc top-k rank filter must prune groups before the final
+    shuffle (partial + final WindowGroupLimit), not rank every term."""
+    plan = _plan(spark, sf_dir, "text_tfidf_topterms")
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_vocab_head_uses_take_ordered(spark, sf_dir):
+    """Corpus-vocabulary top-k must be TakeOrderedAndProject
+    (per-partition heaps) — a global Sort of the vocabulary would be
+    the scale killer at a 100 TB corpus."""
+    plan = _plan(spark, sf_dir, "text_vocab_head")
+    assert "TakeOrderedAndProject" in plan
+    assert "+- Sort" not in plan
+
+
+def test_cube_pre_aggregates_single_fact_scan(spark, sf_dir):
+    """CUBE must run over the pre-aggregated grain, not Expand the raw
+    fact 4× — one parquet scan, and the Expand sits above the first
+    aggregate."""
+    import re
+
+    plan = _plan(spark, sf_dir, "a14_cube")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
