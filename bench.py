@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_cluster_resolution",
     "text_tfidf_topterms",
     "a14_cube",
+    "dedup_incremental_screen",
 ]
 
 

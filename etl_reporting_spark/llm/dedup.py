@@ -127,20 +127,7 @@ def lsh_candidate_pairs(
     """Band the signatures and emit candidate pairs sharing any band
     bucket. Banding: signature slots [b*r, (b+1)*r) concatenate into
     one md5 bucket key per band."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
-    )
+    buckets = band_buckets(signatures, bands=bands, rows_per_band=rows_per_band, id_col=id_col)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -454,3 +441,97 @@ def simhash_signatures(
         F.lit(0),
     )
     return sums.select(F.col(id_col), sig.cast("int").alias("simhash"))
+
+
+def band_buckets(
+    signatures: DataFrame,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, sig) bucket rows from a signature relation — the
+    banding half of ``lsh_candidate_pairs``, exposed so asymmetric
+    joins (increment vs corpus) can band each side independently."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
+def incremental_near_duplicates(
+    corpus_docs: DataFrame,
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame | None = None,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Screen an incoming batch against an existing corpus WITHOUT
+    re-processing the corpus — the daily-ingestion shape at 100 TB.
+
+    Production pattern: the corpus keeps a SIGNATURE STORE (one row
+    per doc, written when the doc was ingested — pass it as
+    ``corpus_signatures``; computed here only as a fallback so the
+    operator is self-contained). Per increment:
+
+    1. shingle + sign ONLY the new docs (narrow + one small shuffle);
+    2. band the new signatures and join against the banded corpus
+       store — the join's streamed side is increment-sized, so cost
+       scales with the batch, not the corpus;
+    3. re-tokenize ONLY the corpus docs that banding surfaced as
+       candidates (a semi-join re-read — candidate sets are
+       banding-bounded, orders of magnitude smaller than the corpus)
+       and verify exact Jaccard in-row.
+
+    Emits verified (doc_a, doc_b, jaccard) pairs touching the
+    increment: corpus↔new and new↔new. Corpus-internal dups were
+    resolved when the corpus was built and are not re-derived.
+    """
+    new_arr = shingle_arrays(new_docs, k=k, text_col=text_col, id_col=id_col).persist()
+    new_sigs = minhash_signatures(
+        new_arr.select(F.col(id_col), F.explode("shingles").alias("shingle")), id_col=id_col
+    )
+    if corpus_signatures is None:
+        corpus_signatures = minhash_signatures(
+            shingle_docs(corpus_docs, k=k, text_col=text_col, id_col=id_col), id_col=id_col
+        )
+    new_buckets = band_buckets(new_sigs, id_col=id_col)
+    all_buckets = band_buckets(corpus_signatures, id_col=id_col).unionByName(new_buckets)
+    n = new_buckets.alias("n")
+    a = all_buckets.alias("a")
+    raw = n.join(
+        a,
+        (F.col("n.band") == F.col("a.band"))
+        & (F.col("n.sig") == F.col("a.sig"))
+        & (F.col(f"n.{id_col}") != F.col(f"a.{id_col}")),
+    ).select(
+        F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_a"),
+        F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
+    )
+    cands = raw.distinct()
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    corpus_cand_arr = shingle_arrays(
+        corpus_docs.join(F.broadcast(cand_ids), id_col, "semi"),
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    arrs = new_arr.unionByName(corpus_cand_arr)
+    return verify_pairs_by_arrays(arrs, cands, min_jaccard=min_jaccard, id_col=id_col)

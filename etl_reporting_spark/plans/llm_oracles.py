@@ -131,6 +131,37 @@ FROM ranked WHERE term_rank <= 3
 ORDER BY doc_id, term_rank
 """
 
+LLM_ORACLE_SQL["dedup_incremental_screen"] = f"""
+WITH {_SHINGLES},
+sig AS (
+  SELECT doc_id,
+{_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT c.doc_a, c.doc_b,
+  CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.5
+  AND c.doc_b >= 250  -- pairs touching the increment (ids are ordered, corpus < 250)
+ORDER BY c.doc_a, c.doc_b
+"""
+
 LLM_ORACLE_SQL["text_vocab_head"] = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

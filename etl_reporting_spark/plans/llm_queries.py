@@ -100,6 +100,20 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_clusters(docs, k=3, min_jaccard=0.5).orderBy("doc_id")
 
 
+def dedup_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingestion shape: docs < 250 play the standing corpus
+    (signature store), docs ≥ 250 the incoming batch; emit verified
+    near-dup pairs the batch introduces (corpus↔new and new↔new)."""
+    from etl_reporting_spark.llm.dedup import incremental_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return incremental_near_duplicates(corpus, new, k=3, min_jaccard=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs).orderBy("doc_id")
@@ -313,6 +327,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_cluster_resolution": dedup_cluster_resolution,
+    "dedup_incremental_screen": dedup_incremental_screen,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_ivf": ann_cosine_ivf,
     "ann_cosine_lsh": ann_cosine_lsh,

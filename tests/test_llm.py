@@ -490,3 +490,40 @@ def test_vocab_top_terms_counts_and_order(spark):
         ("b", 3, 3),
         ("a", 2, 1),
     ]
+
+
+def test_incremental_screen_uses_store_and_skips_corpus_internal(spark):
+    """The increment screen must find corpus↔new and new↔new dups, skip
+    corpus-internal ones, and accept a precomputed signature store
+    (the production path — corpus text only re-read for candidates)."""
+    from etl_reporting_spark.llm.dedup import (
+        incremental_near_duplicates,
+        minhash_signatures,
+        shingle_docs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "totally unrelated words here for filler")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " mu"), (11, base + " mu nu")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_near_duplicates(corpus, new, min_jaccard=0.5).collect()
+    }
+    assert (1, 2) not in out          # corpus-internal: already resolved
+    assert (1, 10) in out and (10, 11) in out  # corpus↔new and new↔new
+
+    # precomputed store gives identical results
+    store = minhash_signatures(shingle_docs(corpus))
+    out2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_near_duplicates(
+            corpus, new, corpus_signatures=store, min_jaccard=0.5
+        ).collect()
+    }
+    assert out2 == out
