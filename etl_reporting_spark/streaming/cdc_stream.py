@@ -190,3 +190,43 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup_screen(
+    doc_stream: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    k: int = 3,
+    min_jaccard: float = 0.5,
+) -> StreamingQuery:
+    """Streaming corpus ingestion with near-dup screening — the
+    production twin of ``llm.dedup.incremental_near_duplicates``: each
+    micro-batch is shingled/signed alone and band-joined against the
+    standing corpus SIGNATURE STORE, so per-epoch cost scales with the
+    batch, never the corpus. ``sink`` receives the verified
+    (doc_a, doc_b, jaccard) pairs per epoch (typically: quarantine the
+    batch's dup docs and append survivors + their signatures to the
+    store — signature maintenance is the caller's foreachBatch close-
+    over, same contract as ``foreach_batch_upsert``). Checkpointing
+    makes epoch ids stable across retries → idempotent screening.
+    """
+    from etl_reporting_spark.llm.dedup import incremental_near_duplicates
+
+    def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = incremental_near_duplicates(
+            corpus_docs,
+            batch_df,
+            corpus_signatures=corpus_signatures,
+            k=k,
+            min_jaccard=min_jaccard,
+        )
+        sink(pairs, epoch_id)
+
+    return (
+        doc_stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -492,3 +492,39 @@ def test_session_window_streaming_emits_closed_sessions(spark, tmp_path):
     # 30-min gap: the closed session's window end is last event + gap
     assert rows[10]["session_end"] == dt.datetime(2024, 1, 1, 0, 40)
     assert 99 not in rows  # its session is still open at final watermark
+
+
+def test_streaming_dedup_screen_per_batch(spark, tmp_path):
+    """Each micro-batch screens against the standing corpus signature
+    store; verified pairs land in the sink, corpus-internal dups never
+    re-derive."""
+    from etl_reporting_spark.llm.dedup import minhash_signatures, shingle_docs
+    from etl_reporting_spark.streaming.cdc_stream import streaming_dedup_screen
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " lambda")],
+        "doc_id long, text string",
+    )
+    store = minhash_signatures(shingle_docs(corpus))
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, base + " mu"), (11, "unrelated filler words that match nothing at all")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    got: list[tuple] = []
+
+    def sink(pairs_df, epoch_id):
+        got.extend((r["doc_a"], r["doc_b"]) for r in pairs_df.collect())
+
+    q = streaming_dedup_screen(
+        stream, corpus, store, str(tmp_path / "cp_screen"), sink, min_jaccard=0.5
+    )
+    q.awaitTermination(120)
+    assert (1, 10) in got and (2, 10) in got   # batch doc near-dups both corpus docs
+    assert (1, 2) not in got                   # corpus-internal: not re-derived
+    assert all(a != 11 and b != 11 for a, b in got)  # unrelated doc is clean
