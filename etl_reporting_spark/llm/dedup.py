@@ -149,6 +149,7 @@ def jaccard_pairs(
     min_intersection: int = 1,
     id_col: str = "doc_id",
     sizes: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity for document pairs via the shingle
     inverted index. With ``candidates`` given, only those pairs are
@@ -158,6 +159,17 @@ def jaccard_pairs(
     ``sizes`` (id, n_shingles) can be passed precomputed — callers that
     hold the per-row shingle array get it narrowly via ``F.size``
     instead of this groupBy over the exploded relation.
+
+    ``max_df`` (full path only) drops shingles whose document
+    frequency exceeds the threshold BEFORE the inverted-index
+    self-join: a boilerplate shingle in f docs otherwise emits f²
+    pairs pre-filter, and no optimizer can shrink that — AQE splits
+    partitions, it cannot reduce pair count. This is the standard
+    hot-term cap from MinHash practice. Note it changes semantics
+    (capped shingles stop counting toward the intersection, though
+    they still count in ``sizes`` denominators), so it is opt-in;
+    the LSH verification path never needs it — candidates are already
+    banding-bounded there.
 
     The similarity itself is computed from exact integer counts; the
     final division happens once in double — deterministic everywhere.
@@ -184,6 +196,19 @@ def jaccard_pairs(
         )
     else:
         # Full n-gram-Jaccard path: shingle inverted-index self-join.
+        if max_df is not None:
+            # Document-frequency cap: one extra groupBy over the
+            # exploded relation (map-side combine collapses each
+            # (shingle, doc) to a single row pre-shuffle), joined back
+            # as a semi-filter. Hot shingles never reach the
+            # pair-generating join.
+            rare = (
+                shingles.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df)
+                .select("shingle")
+            )
+            shingles = shingles.join(rare, "shingle", "semi")
         a = shingles.alias("a")
         b = shingles.alias("b")
         inter = (
@@ -364,12 +389,33 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """SimHash near-dup pairs: nibble blocking (4 blocks × 4 bits —
+    """SimHash near-dup pairs: 16-bit blocking (4 blocks × 16 bits —
     pigeonhole: hamming ≤ 3 ⇒ at least one block equal) to generate
     candidates, exact Hamming distance via bit_count(xor) to verify.
+
+    Each block takes one of 65,536 values, so candidate volume scales
+    ~n²/65,536 per block in the random-hash worst case — the standard
+    64-bit construction. (The earlier 4-bit-nibble blocking had only
+    64 total buckets and went near-cartesian as the corpus grew.)
     Work is proportional to block-bucket collisions, not corpus²."""
     sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
-    blocks = sigs.select(
+    cands = simhash_candidate_pairs(sigs, id_col=id_col)
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", blocks: int = 4, block_bits: int = 16
+) -> DataFrame:
+    """Blocking half of SimHash near-dup: explode each signature into
+    ``blocks`` (block, value) rows and self-join on equal blocks.
+    Exposed separately so candidate volume is testable — the bound is
+    the point of the 16-bit construction (65,536 values per block)."""
+    rel = signatures.select(
         F.col(id_col),
         "simhash",
         F.explode(
@@ -377,16 +423,20 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(b).alias("block"),
-                        F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
+                        # Arithmetic shift + mask: identical results in
+                        # Spark and DuckDB even when bit 63 is set.
+                        F.shiftright(F.col("simhash"), block_bits * b)
+                        .bitwiseAND(F.lit(2**block_bits - 1))
+                        .alias("nib"),
                     )
-                    for b in range(4)
+                    for b in range(blocks)
                 ]
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.block").alias("block"), F.col("bk.nib").alias("nib"))
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    cands = (
+    a = rel.alias("a")
+    b = rel.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
@@ -401,46 +451,51 @@ def simhash_near_duplicates(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cands.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
 
 
 def simhash_signatures(
-    docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """SimHash: per-token 16-bit hash from the first 4 hex chars of
-    md5(token); each bit contributes ±1 (weighted by token frequency);
-    the signature bit is the sign of the sum.
+    """SimHash: per-token ``bits``-bit hash from the first bits/4 hex
+    chars of md5(token); each bit contributes ±1 (weighted by token
+    frequency); the signature bit is the sign of the sum.
 
-    The hex→int conversion uses position arithmetic over the hex
-    alphabet so the oracle can reproduce it without engine-specific
-    conv() builtins. One explode + one groupBy; the ``bits`` sums are
-    parallel aggregates in a single pass.
+    The 64-bit token hash is carried as two 32-bit halves (hi = hex
+    chars 1-8, lo = chars 9-16) so every intermediate fits a signed
+    BIGINT in both Spark and DuckDB; the assembled signature maps bit
+    63 through two's complement (adds −2^63 instead of +2^63), so the
+    output is an ordinary BIGINT whose bit pattern is the true 64-bit
+    signature — shifts/masks/xor/bit_count all behave identically on
+    it in both engines. One explode + one groupBy; the ``bits`` sums
+    are parallel aggregates in a single pass.
     """
-    assert bits == 16, "hex-prefix construction is fixed at 16 bits"
+    assert bits in (16, 32, 64), "hex-prefix construction: bits must be 16, 32 or 64"
+    n_hex = bits // 4
     tok = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
-    h4 = F.substring(F.md5(F.col("tok")), 1, 4)
-    digit = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h4, i, 1)) - 1  # noqa: E731
-    hv = ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
-    tok = tok.withColumn("hv", hv)
+    h = F.substring(F.md5(F.col("tok")), 1, n_hex)
+    if bits <= 32:
+        tok = tok.withColumn("hv_lo", F.conv(h, 16, 10).cast("long"))
+        bit = lambda j: F.shiftright(F.col("hv_lo"), j).bitwiseAND(F.lit(1))  # noqa: E731
+    else:
+        # hi covers global bits 32..63, lo bits 0..31 (big-endian hex).
+        tok = tok.withColumn(
+            "hv_hi", F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        ).withColumn("hv_lo", F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
+        bit = lambda j: (  # noqa: E731
+            F.shiftright(F.col("hv_lo"), j).bitwiseAND(F.lit(1))
+            if j < 32
+            else F.shiftright(F.col("hv_hi"), j - 32).bitwiseAND(F.lit(1))
+        )
     sums = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(bits)
-        ]
+        *[F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}") for j in range(bits)]
     )
+    weight = lambda j: F.lit(-(2**63)) if (bits == 64 and j == 63) else F.lit(2**j)  # noqa: E731
     sig = reduce(
-        lambda acc, j: acc + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)),
+        lambda acc, j: acc + F.when(F.col(f"s{j}") > 0, weight(j)).otherwise(F.lit(0)),
         range(bits),
-        F.lit(0),
+        F.lit(0).cast("long"),
     )
-    return sums.select(F.col(id_col), sig.cast("int").alias("simhash"))
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def band_buckets(

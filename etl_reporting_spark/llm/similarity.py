@@ -17,6 +17,9 @@ Two paths:
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,14 +80,36 @@ def cosine_topk_bruteforce(
     )
 
 
+@lru_cache(maxsize=None)
+def _plane_signs(plane: int, dim: int) -> tuple[float, ...]:
+    """±1 sign vector for deterministic hyperplane ``plane``:
+    sign[d] = +1 iff the 1-based hex-alphabet position of the first
+    hex char of md5(f"{plane}|{d}") is even — the exact predicate the
+    expression-side construction used, reproduced once driver-side.
+    The matrix is CONSTANT per (plane, dim); recomputing it per row
+    cost planes × dim md5 calls per vector for no information."""
+    hexa = "0123456789abcdef"
+    return tuple(
+        1.0 if (hexa.index(hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0]) + 1) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    )
+
+
 def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
     """Sign of <v, h_plane> where h_plane[d] ∈ {-1,+1} derives from
-    md5(plane|d) parity — a deterministic random hyperplane."""
+    md5(plane|d) parity — a deterministic random hyperplane.
+
+    The sign matrix is embedded as an array literal (precomputed in
+    ``_plane_signs``), so the per-row work is one zip_with multiply
+    fold — no hashing in the expression. ``x * ±1.0`` is an exact IEEE
+    sign flip, so results are bit-identical to the old in-expression
+    md5 construction (and to the DuckDB oracle, which still derives
+    the signs from md5 on its side)."""
+    signs = ", ".join(f"{s}D" for s in _plane_signs(plane, dim))
     terms = (
-        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}), (x, d) ->"
-        f" CASE WHEN instr('0123456789abcdef',"
-        f"   substring(md5(concat('{plane}|', CAST(d AS STRING))), 1, 1)) % 2 = 0"
-        f" THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END),"
+        f"aggregate(zip_with({vec_col}, array({signs}), (x, s) ->"
+        f" CAST(x AS DOUBLE) * s),"
         f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return (F.expr(terms) > 0).cast("int")

@@ -246,31 +246,50 @@ WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0
 ORDER BY i.doc_a, i.doc_b
 """
 
+# 64-bit simhash mirror: the per-token hash is the first 16 hex chars
+# of md5(token), carried as two 32-bit halves (hi = chars 1-8 → global
+# bits 32-63, lo = chars 9-16 → bits 0-31) so every intermediate fits
+# a signed BIGINT. Signature assembly maps bit 63 through two's
+# complement (−2^63), matching llm/dedup.py:simhash_signatures.
+def _hex_to_int_sql(expr: str, start: int, n: int) -> str:
+    out = "0"
+    for i in range(n):
+        out = (
+            f"({out}) * 16"
+            f" + strpos('0123456789abcdef', substring({expr}, {start + i}, 1)) - 1"
+        )
+    return out
+
+
 # ±1 bit-vote sums are intermediates compared only `> 0`, never
 # projected, so HUGEINT vs BIGINT can't reach the output hash.
 _BIT_SUMS = ",\n".join(
-    f"  /* lint: sum-ok */ SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-    for j in range(16)
+    "  /* lint: sum-ok */ SUM(CASE WHEN ("
+    + (f"hv_lo >> {j}" if j < 32 else f"hv_hi >> {j - 32}")
+    + f") & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(64)
 )
-_SIG_SUM = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+_SIG_SUM = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {-(2**63) if j == 63 else 2**j} ELSE 0 END" for j in range(64)
+)
 
-LLM_ORACLE_SQL["dedup_simhash"] = f"""
+_SIMHASH_HV = f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 hv AS (
   SELECT doc_id,
-    ((
-      (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
-      + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
-      + strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
-      + strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1 AS hv
+    {_hex_to_int_sql('md5(tok)', 1, 8)} AS hv_hi,
+    {_hex_to_int_sql('md5(tok)', 9, 8)} AS hv_lo
   FROM tok
 ),
 sums AS (
   SELECT doc_id,
 {_BIT_SUMS}
   FROM hv GROUP BY doc_id
-)
-SELECT doc_id, CAST({_SIG_SUM} AS INTEGER) AS simhash
+)"""
+
+LLM_ORACLE_SQL["dedup_simhash"] = f"""
+{_SIMHASH_HV}
+SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash
 FROM sums ORDER BY doc_id
 """
 
@@ -411,24 +430,10 @@ FROM documents ORDER BY doc_id
 """
 
 LLM_ORACLE_SQL["dedup_simhash_pairs"] = f"""
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-hv AS (
-  SELECT doc_id,
-    ((
-      (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
-      + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 16
-      + strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 16
-      + strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1 AS hv
-  FROM tok
-),
-sums AS (
-  SELECT doc_id,
-{_BIT_SUMS}
-  FROM hv GROUP BY doc_id
-),
-sig AS (SELECT doc_id, CAST({_SIG_SUM} AS INTEGER) AS simhash FROM sums),
+{_SIMHASH_HV},
+sig AS (SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash FROM sums),
 blocks AS (
-  SELECT doc_id, simhash, b.block, (simhash >> (4 * b.block)) & 15 AS nib
+  SELECT doc_id, simhash, b.block, (simhash >> (16 * b.block)) & 65535 AS nib
   FROM sig, (SELECT unnest(range(0, 4)) AS block) b
 ),
 cand AS (

@@ -51,8 +51,41 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
 def test_simhash_identical_docs_equal(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
     assert sigs[0] == sigs[3]
-    assert 0 <= sigs[0] < 2**16
+    assert -(2**63) <= sigs[0] < 2**63  # 64-bit signature in two's complement
     assert sigs[0] != sigs[2]
+
+
+def test_jaccard_max_df_drops_hot_shingles(spark):
+    """A boilerplate shingle shared by all n docs emits n(n-1)/2 pairs
+    through the inverted-index self-join; max_df must stop it before
+    the join (AQE can split partitions but cannot shrink pair count)."""
+    # 30 docs: identical 3-token boilerplate prefix (one hot shingle),
+    # otherwise pairwise-disjoint tokens.
+    rows = [(i, "common boiler plate " + " ".join(f"u{i}v{j}" for j in range(6)))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_docs(docs, k=3)
+    uncapped = jaccard_pairs(sh).count()
+    assert uncapped == 30 * 29 // 2  # every pair shares the hot shingle
+    capped = jaccard_pairs(sh, max_df=5)
+    assert capped.count() == 0  # hot shingle (df=30) filtered pre-join
+    # default stays uncapped: dedup_ngram_jaccard gate semantics unchanged
+    assert jaccard_pairs(sh, max_df=None).count() == uncapped
+
+
+def test_simhash_blocking_bounds_candidates(spark):
+    """16-bit blocks (65,536 values each) must keep random-doc
+    candidate volume near zero — the scale property the 64-bit
+    construction exists for. 120 mutually-unrelated docs have 7,140
+    possible pairs; unrelated 64-bit simhashes should almost never
+    share a 16-bit block, so the bound here is a loose 1%."""
+    from etl_reporting_spark.llm.dedup import simhash_candidate_pairs
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash_signatures(docs)
+    n_cand = simhash_candidate_pairs(sigs).count()
+    assert n_cand <= 71  # ≤1% of all pairs; nibble blocking gave ~12%+
 
 
 def test_cosine_topk_known_geometry(spark):
