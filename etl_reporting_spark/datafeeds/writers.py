@@ -9,9 +9,10 @@ Re-expresses the reference's report delivery layer:
   boundary.
 - CSV writer with optional CRLF terminator
   (datafeeds/common/excel_csv_writer.py:264-275)
-- Excel writer gated behind openpyxl availability (not present in
-  this environment; the reference's formatting layer is presentation
-  only)
+- Excel writer/reader on a pluggable backend: openpyxl when
+  installed, the vendored pure-Python ``xlsxlite`` otherwise — the
+  reference's flagship formatted-workbook deliverable executes in
+  either environment
 - execution/batch audit log rows appended to a control table
   (connector/snowpark_connector.py:1137-1236;
   excel_csv_writer.py:159-192)
@@ -132,16 +133,25 @@ def write_grouped_report_csv(
     return frame
 
 
-def _require_openpyxl():
+def xlsx_backend():
+    """openpyxl when installed (full-fidelity formatting), else the
+    vendored pure-Python ``xlsxlite`` (same API subset — xlsx is just
+    zip+XML). Every Excel surface in the engine resolves through this
+    hook, so the reference's flagship workbook deliverable executes
+    for real even in dependency-free containers."""
     try:
-        import openpyxl  # noqa: F401
+        import openpyxl
 
         return openpyxl
-    except ImportError as e:
-        raise NotImplementedError(
-            "openpyxl is not installed in this environment; use write_csv "
-            "or install openpyxl to enable formatted workbook output"
-        ) from e
+    except ImportError:
+        from etl_reporting_spark.datafeeds import xlsxlite
+
+        return xlsxlite
+
+
+# Backwards-compatible alias from the import-gated era; callers that
+# used it now always get a working backend.
+_require_openpyxl = xlsx_backend
 
 
 @dataclass
@@ -183,14 +193,14 @@ def write_formatted_workbook(
     - bold rows whose first cell ends with ``total_label_suffix`` (the
       interleaved subtotal/grand-total rows from grouped_report_frame)
 
-    Requires openpyxl; raises NotImplementedError when absent (the
-    Spark-side aggregation/interleave lives in grouped_report_frame
-    and stays testable either way).
+    Runs on openpyxl when installed, else on the vendored pure-Python
+    xlsxlite backend — the Spark-side aggregation/interleave lives in
+    grouped_report_frame; this function is presentation only.
     """
-    _require_openpyxl()
-    from openpyxl import Workbook
-    from openpyxl.styles import Alignment, Font, PatternFill
-    from openpyxl.utils import get_column_letter
+    xl = xlsx_backend()
+    Workbook = xl.Workbook
+    Alignment, Font, PatternFill = xl.styles.Alignment, xl.styles.Font, xl.styles.PatternFill
+    get_column_letter = xl.utils.get_column_letter
 
     style = style or WorkbookStyle()
     wb = Workbook()
@@ -251,9 +261,18 @@ def write_formatted_workbook(
 
 
 def write_excel(df: DataFrame, path: str | Path, sheet_name: str = "Report") -> None:
-    """Single-sheet Excel sink — requires openpyxl."""
-    _require_openpyxl()
-    to_pandas_safe(df).to_excel(path, sheet_name=sheet_name, index=False)  # pragma: no cover
+    """Single-sheet Excel sink: header row + data rows, no formatting.
+    Backend-portable (openpyxl or vendored xlsxlite) — built cell-wise
+    instead of pandas ``to_excel`` so both backends serve it."""
+    xl = xlsx_backend()
+    pdf = to_pandas_safe(df)
+    wb = xl.Workbook()
+    ws = wb.active
+    ws.title = sheet_name
+    ws.append([str(c) for c in pdf.columns])
+    for row in pdf.itertuples(index=False):
+        ws.append([v.item() if hasattr(v, "item") else v for v in row])
+    wb.save(str(path))
 
 
 def read_excel(
@@ -262,14 +281,14 @@ def read_excel(
     sheet_name: str | None = None,
     header_row: int = 1,
 ) -> DataFrame:
-    """Excel source (SURVEY S6) — openpyxl sheet iteration to a Spark
+    """Excel source (SURVEY S6) — sheet iteration to a Spark
     DataFrame: row ``header_row`` provides column names, every later
     row becomes a data row (values as read; cast downstream). Mirrors
     the reference's mapping-sheet ingestion
-    (tools/sql_test_case_generator.py:152-188) generically; raises the
-    documented NotImplementedError when openpyxl is absent."""
-    openpyxl = _require_openpyxl()
-    wb = openpyxl.load_workbook(str(path), read_only=True, data_only=True)
+    (tools/sql_test_case_generator.py:152-188) generically; reads via
+    openpyxl when installed, the vendored xlsxlite otherwise."""
+    backend = xlsx_backend()
+    wb = backend.load_workbook(str(path), read_only=True, data_only=True)
     ws = wb[sheet_name] if sheet_name else wb.active
     rows = ws.iter_rows(min_row=header_row, values_only=True)
     header = [str(c) if c is not None else f"_c{i}" for i, c in enumerate(next(rows))]

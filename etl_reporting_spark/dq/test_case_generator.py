@@ -100,13 +100,14 @@ def load_mappings_excel(
     """Column mappings from the reference's Excel workbook format
     (tools/sql_test_case_generator.py:152-188: one row per mapping,
     columns table/column/primary_key/filter_column[/window_days]).
-    openpyxl-gated like every Excel surface in this engine; the CSV
-    path (ColumnMapping construction from any iterable) stays the
-    environment-independent route."""
-    from etl_reporting_spark.datafeeds.writers import _require_openpyxl
+    Reads through the shared xlsx backend (openpyxl when installed,
+    vendored xlsxlite otherwise), like every Excel surface in this
+    engine; the CSV path (ColumnMapping construction from any
+    iterable) remains equivalent."""
+    from etl_reporting_spark.datafeeds.writers import xlsx_backend
 
-    openpyxl = _require_openpyxl()
-    wb = openpyxl.load_workbook(str(path), read_only=True, data_only=True)
+    backend = xlsx_backend()
+    wb = backend.load_workbook(str(path), read_only=True, data_only=True)
     ws = wb[sheet_name] if sheet_name else wb.active
     rows = ws.iter_rows(values_only=True)
     header = [str(c).strip().lower() if c else "" for c in next(rows)]

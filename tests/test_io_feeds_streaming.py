@@ -305,25 +305,21 @@ def test_grouped_report_null_group_reconciles(spark):
     assert grand == subtotals == 7.0
 
 
-def test_formatted_workbook_or_honest_gate(spark, tmp_path):
-    """With openpyxl present the formatted workbook round-trips
-    (merged header, bold totals, dollar format); absent, the writer
-    raises the documented NotImplementedError."""
+def test_formatted_workbook_roundtrip(spark, tmp_path):
+    """The formatted workbook round-trips on whichever xlsx backend is
+    available (openpyxl, or the vendored xlsxlite in dependency-free
+    containers): merged header, bold totals, dollar format, widths."""
     import pandas as pd
-    import pytest as _pytest
 
-    from etl_reporting_spark.datafeeds.writers import write_formatted_workbook
+    from etl_reporting_spark.datafeeds.writers import (
+        write_formatted_workbook,
+        xlsx_backend,
+    )
 
     frame = pd.DataFrame(
         {"Region": ["east", "east Total", "Grand Total"], "Paid": [10.0, 10.0, 10.0]}
     )
     out = tmp_path / "report.xlsx"
-    try:
-        import openpyxl
-    except ImportError:
-        with _pytest.raises(NotImplementedError):
-            write_formatted_workbook({"Summary": frame}, out)
-        return
     write_formatted_workbook(
         {"Summary": frame, "Detail": frame},
         out,
@@ -334,7 +330,7 @@ def test_formatted_workbook_or_honest_gate(spark, tmp_path):
         dollar_columns=["Paid"],
         specific_column_widths={"Region": 30},
     )
-    wb = openpyxl.load_workbook(out)
+    wb = xlsx_backend().load_workbook(out)
     assert wb.sheetnames == ["Summary", "Detail"]
     ws = wb["Summary"]
     assert ws.cell(row=1, column=1).value == "ACME"
@@ -386,41 +382,23 @@ def test_pdf_extraction_fallback_chain():
     assert "pdfplumber" in str(exc2.value)
 
 
-def test_read_excel_or_honest_gate(spark, tmp_path):
-    """With openpyxl present, the Excel source round-trips a frame
-    written by the Excel sink; absent, both raise the documented
-    NotImplementedError — never a silent wrong answer."""
-    import pytest as _pytest
-
+def test_read_excel_roundtrip(spark, tmp_path):
+    """The Excel source round-trips a frame written by the Excel sink
+    on whichever xlsx backend is available."""
     from etl_reporting_spark.datafeeds.writers import read_excel, write_excel
 
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
     p = tmp_path / "roundtrip.xlsx"
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        with _pytest.raises(NotImplementedError):
-            write_excel(df, p)
-        with _pytest.raises(NotImplementedError):
-            read_excel(spark, p)
-        return
     write_excel(df, p)
     back = read_excel(spark, p)
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
 
 
-def test_load_mappings_excel_gate(tmp_path):
-    import pytest as _pytest
-
+def test_load_mappings_excel(tmp_path):
+    from etl_reporting_spark.datafeeds.writers import xlsx_backend
     from etl_reporting_spark.dq.test_case_generator import load_mappings_excel
 
-    try:
-        import openpyxl
-    except ImportError:
-        with _pytest.raises(NotImplementedError):
-            load_mappings_excel(str(tmp_path / "missing.xlsx"))
-        return
-    wb = openpyxl.Workbook()
+    wb = xlsx_backend().Workbook()
     ws = wb.active
     ws.append(["table", "column", "primary_key", "filter_column"])
     ws.append(["orders", "o_totalprice", "o_orderkey", ""])
