@@ -525,6 +525,19 @@ def band_buckets(
     )
 
 
+def build_signature_store(
+    corpus_docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus signature STORE for incremental screening: one
+    MinHash-signature row per document, written once at ingest and
+    persisted (as a table in production). ``incremental_near_
+    duplicates`` consumes it so each increment's screening cost scales
+    with the batch, never the corpus."""
+    return minhash_signatures(
+        shingle_docs(corpus_docs, k=k, text_col=text_col, id_col=id_col), id_col=id_col
+    )
+
+
 def incremental_near_duplicates(
     corpus_docs: DataFrame,
     new_docs: DataFrame,
@@ -533,6 +546,7 @@ def incremental_near_duplicates(
     min_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Screen an incoming batch against an existing corpus WITHOUT
     re-processing the corpus — the daily-ingestion shape at 100 TB.
@@ -554,14 +568,23 @@ def incremental_near_duplicates(
     Emits verified (doc_a, doc_b, jaccard) pairs touching the
     increment: corpus↔new and new↔new. Corpus-internal dups were
     resolved when the corpus was built and are not re-derived.
+
+    The increment's shingle arrays are persisted (three consumers:
+    signatures + both verify sides). Pass a ``cleanup`` list to
+    receive the persisted frame and release it once the pairs are
+    consumed (``for df in cleanup: df.unpersist()``) — per-micro-batch
+    callers (``streaming_dedup_screen``) must do this or cached blocks
+    accumulate for the life of the stream.
     """
     new_arr = shingle_arrays(new_docs, k=k, text_col=text_col, id_col=id_col).persist()
+    if cleanup is not None:
+        cleanup.append(new_arr)
     new_sigs = minhash_signatures(
         new_arr.select(F.col(id_col), F.explode("shingles").alias("shingle")), id_col=id_col
     )
     if corpus_signatures is None:
-        corpus_signatures = minhash_signatures(
-            shingle_docs(corpus_docs, k=k, text_col=text_col, id_col=id_col), id_col=id_col
+        corpus_signatures = build_signature_store(
+            corpus_docs, k=k, text_col=text_col, id_col=id_col
         )
     new_buckets = band_buckets(new_sigs, id_col=id_col)
     all_buckets = band_buckets(corpus_signatures, id_col=id_col).unionByName(new_buckets)

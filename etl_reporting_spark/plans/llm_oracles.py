@@ -162,6 +162,11 @@ WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0
 ORDER BY c.doc_a, c.doc_b
 """
 
+# The store path produces the identical pair set — only WHO computes
+# the corpus signatures differs (precomputed store vs in-query
+# fallback), which an output oracle cannot and need not distinguish.
+LLM_ORACLE_SQL["dedup_incremental_screen_store"] = LLM_ORACLE_SQL["dedup_incremental_screen"]
+
 LLM_ORACLE_SQL["text_vocab_head"] = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

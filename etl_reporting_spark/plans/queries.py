@@ -1086,11 +1086,13 @@ def a2_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_reporting_spark.plans.llm_queries import LLM_QUERIES  # noqa: E402
 
 # Ordering contract: the driver records correctness rows for the FIRST
-# 50 entries in insertion order. Reference-surface gates (45, SURVEY §2)
-# come first — previously-failed w8 leads — then 5 representative LLM
-# gates fill the window to exactly 50; the remaining LLM gates follow
-# and are verified locally each round (tools/check_correctness.py →
-# CORRECTNESS_r{N}_local.json artifact).
+# 50 entries in insertion order. Reference-surface gates (46, SURVEY §2,
+# a14_cube included) come first — previously-failed w8 leads — then 4
+# representative LLM gates fill the window to exactly 50; the remaining
+# LLM gates follow and are verified locally each round
+# (tools/check_correctness.py → CORRECTNESS_r{N}_local.json artifact).
+# tests/test_driver_window.py pins the window so a reordering edit
+# cannot silently push a gate out of driver verification.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w8_sessionization": w8_sessionization,
     "flagship_active_claimants": flagship_active_claimants,

@@ -215,14 +215,23 @@ def streaming_dedup_screen(
     from etl_reporting_spark.llm.dedup import incremental_near_duplicates
 
     def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        cleanup: list[DataFrame] = []
         pairs = incremental_near_duplicates(
             corpus_docs,
             batch_df,
             corpus_signatures=corpus_signatures,
             k=k,
             min_jaccard=min_jaccard,
+            cleanup=cleanup,
         )
-        sink(pairs, epoch_id)
+        try:
+            sink(pairs, epoch_id)
+        finally:
+            # Release the per-batch persisted shingle arrays — without
+            # this, every epoch leaves cached blocks behind for the
+            # life of the stream.
+            for df in cleanup:
+                df.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(screen)

@@ -73,6 +73,25 @@ def test_jaccard_max_df_drops_hot_shingles(spark):
     assert jaccard_pairs(sh, max_df=None).count() == uncapped
 
 
+def test_incremental_screen_cleanup_handle(spark):
+    """Per-batch callers must be able to release the persisted shingle
+    arrays: the cleanup list receives exactly the persisted frame, and
+    unpersisting it leaves nothing cached (the streaming screen does
+    this after every sink)."""
+    from etl_reporting_spark.llm.dedup import incremental_near_duplicates
+
+    docs = _docs(spark)
+    cleanup = []
+    pairs = incremental_near_duplicates(
+        docs.filter("doc_id < 2"), docs.filter("doc_id >= 2"), cleanup=cleanup
+    )
+    pairs.count()
+    assert len(cleanup) == 1 and cleanup[0].is_cached
+    for df in cleanup:
+        df.unpersist()
+    assert not cleanup[0].is_cached
+
+
 def test_simhash_blocking_bounds_candidates(spark):
     """16-bit blocks (65,536 values each) must keep random-doc
     candidate volume near zero — the scale property the 64-bit
