@@ -249,3 +249,57 @@ def test_merge_upsert_reuses_cached_join(spark):
     # the InMemoryRelation's stored child plan, not as live work
     assert "InMemoryTableScan" in plan
     res.unpersist()
+
+
+def test_merge_backend_dispatch_guards(spark):
+    """backend='delta' must refuse loudly (no silent fallback) when
+    delta-spark is absent or required handles are missing; unknown
+    backends are an immediate error."""
+    import pytest as _pytest
+
+    from etl_reporting_spark.operators.merge import delta_available, merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    source = spark.createDataFrame([(1, "b")], "k int, v string")
+    with _pytest.raises(ValueError, match="unknown merge backend"):
+        merge_upsert(target, source, ["k"], backend="iceberg")
+    if not delta_available():
+        with _pytest.raises(ImportError, match="delta-spark"):
+            merge_upsert(target, source, ["k"], backend="delta")
+    else:
+        with _pytest.raises(ValueError, match="target_table"):
+            merge_upsert(target, source, ["k"], backend="delta", spark=spark)
+
+
+def test_merge_upsert_delta_full_branches(spark, tmp_path):
+    """Same branch semantics as the join backend, through DeltaTable
+    MERGE — runs only where delta-spark is installed AND the session
+    has the Delta SQL extension (both required for Delta DML)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("delta")
+    if "DeltaSparkSessionExtension" not in spark.conf.get("spark.sql.extensions", ""):
+        _pytest.skip("session not Delta-configured")
+
+    from etl_reporting_spark.operators.merge import merge_upsert
+
+    path = str(tmp_path / "delta_target")
+    spark.createDataFrame(
+        [(1, "old1", 10), (2, "old2", 20), (3, "old3", 30)], "k int, v string, amt int"
+    ).write.format("delta").save(path)
+    source = spark.createDataFrame(
+        [(1, "new1", 11), (4, "new4", 40)], "k int, v string, amt int"
+    )
+    res = merge_upsert(
+        None,
+        source,
+        ["k"],
+        delete_not_matched_by_source=True,
+        backend="delta",
+        spark=spark,
+        target_table=path,
+    )
+    rows = {r["k"]: (r["v"], r["amt"]) for r in res.df.collect()}
+    assert rows == {1: ("new1", 11), 4: ("new4", 40)}
+    assert (res.rows_inserted, res.rows_updated, res.rows_deleted) == (1, 1, 2)
+    assert res.rows_unchanged == 0
