@@ -45,6 +45,13 @@ HEADLINE = [
     "text_tfidf_topterms",
     "a14_cube",
     "dedup_incremental_screen",
+    # round-4 additions: the remaining LLM heavies a 100 TB pipeline
+    # runs nightly, plus the signature-store screen (the production
+    # path — its fallback twin above re-signs the corpus every run)
+    "dedup_simhash_pairs",
+    "ann_cosine_lsh",
+    "corpus_curation",
+    "dedup_incremental_screen_store",
 ]
 
 

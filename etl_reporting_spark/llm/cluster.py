@@ -13,12 +13,17 @@ groupBy min), and the number of rounds is the cluster diameter, which
 for near-dup graphs is small (dup clusters are dense cliques-of-
 variants, not long chains). Each round materializes (persist + count)
 so lineage stays flat, mirroring the k-means loop
-(similarity.train_ivf_centroids). For adversarial graphs with long
-chains the published O(log n)-round alternative is the large-star/
-small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) — same join/agg primitives, more
-rounds of bookkeeping; the propagation loop is the right default for
-the dedup workload.
+(similarity.train_ivf_centroids).
+
+For adversarial graphs with long chains — serial scrapes where page N
+near-dups page N+1 — diameter-many rounds is too many; pass
+``algorithm="star"`` for the O(log n)-round large-star/small-star
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): large-star hangs every neighbor larger than u off
+u's minimum neighbor, small-star re-hangs the smaller ones, and the
+edge list contracts to per-component stars in logarithmically many
+alternations. Same join/agg primitives; propagation stays the default
+because dup clusters are shallow and its per-round cost is lower.
 
 Scale notes: the label table holds only edge ENDPOINTS (nodes that
 appear in some pair), not the full corpus — singleton documents (the
@@ -40,15 +45,35 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 25,
+    algorithm: str = "propagation",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given as a pair list.
 
     Returns (node, component) for every node appearing in ``pairs``,
     where ``component`` is the minimum node id in the node's component
-    — a deterministic canonical label. Raises if the propagation has
-    not converged after ``max_iterations`` rounds (diameter larger
-    than the dedup workload ever produces — see module doc).
+    — a deterministic canonical label. ``algorithm="propagation"``
+    (default) runs diameter-many min-label rounds;
+    ``algorithm="star"`` runs the O(log n)-round large-star/small-star
+    alternation for chain-shaped graphs (see module doc). Both raise
+    if not converged after ``max_iterations`` rounds.
+
+    The result reads from a persisted frame (each round materializes);
+    pass a ``cleanup`` list to receive that frame and release it once
+    the result is consumed — otherwise the final cache lives until
+    session end (repeated calls in one session accumulate).
     """
+    if algorithm == "star":
+        labels, _rounds = _star_components(
+            pairs, src=src, dst=dst, max_iterations=max_iterations
+        )
+        if cleanup is not None:
+            cleanup.append(labels)
+        return labels.select("node", "component")
+    if algorithm != "propagation":
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected 'propagation' or 'star'"
+        )
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -89,11 +114,114 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             edges.unpersist()
+            if cleanup is not None:
+                cleanup.append(labels)
             return labels.select("node", "component")
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds; "
         "the graph has chains longer than a near-dup workload produces — "
-        "raise max_iterations or switch to large-star/small-star"
+        "raise max_iterations or pass algorithm='star'"
+    )
+
+
+def _star_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 50,
+) -> "tuple[DataFrame, int]":
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14),
+    returning (persisted star-edge labels as (node, component), rounds
+    used). Each round:
+
+    - LARGE-STAR: for every node u (both edge orientations), hang each
+      neighbor v > u off m = min(Γ(u) ∪ {u}) — strictly-larger nodes
+      detach from chain interiors toward local minima.
+    - SMALL-STAR: orient every edge (u, v) with v < u, hang v and u
+      off m = min(Γ₍₎(u) ∪ {u}) — the smaller neighbors collapse onto
+      the minimum.
+
+    The edge set contracts to one star per component (every node
+    pointing at the component minimum) in O(log n) alternations even
+    on a path graph, where min-label propagation needs diameter
+    rounds. Convergence = edge-set fixpoint, detected from a
+    (count, sum-of-hash) checksum computed in the same aggregate that
+    materializes the round — no extra shuffle, and a checksum
+    collision would need two distinct edge sets with equal count AND
+    equal 64-bit hash sum mid-run.
+
+    Each round ends in ``localCheckpoint(eager=True)``, not persist:
+    a round references the previous edge set several times (bidir
+    union, two star joins), so the LOGICAL plan grows multiplicatively
+    per round and would overflow the planner's stack long before data
+    size matters — checkpointing truncates lineage to the materialized
+    blocks. Local (executor-block) checkpointing trades fault
+    tolerance for speed, the standard choice for short iterative
+    refinement; on a long-running production cluster where executor
+    loss mid-algorithm must be survivable, set a checkpoint dir and
+    swap in ``.checkpoint()``.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def finish(e: DataFrame, rounds: int) -> "tuple[DataFrame, int]":
+        labels = (
+            e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+            .union(e.select(F.col("b").alias("node"), F.col("b").alias("component")))
+            .distinct()
+            .persist()
+        )
+        labels.count()
+        # e is a localCheckpoint: its blocks release via the context
+        # cleaner once the frame is unreferenced.
+        return labels, rounds
+
+    prev_sum = checksum(edges)
+    if prev_sum[0] == 0:
+        return finish(edges, 0)
+    for rounds in range(1, max_iterations + 1):
+        bidir = edges.select("a", "b").union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lmin = (
+            bidir.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select("a", F.least(F.col("__mb"), F.col("a")).alias("m"))
+        )
+        large = (
+            bidir.join(lmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        oriented = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        with_min = oriented.join(smin, "u")
+        small = (
+            with_min.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(smin.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        new_edges = small.distinct().localCheckpoint(eager=True)  # truncates lineage
+        new_sum = checksum(new_edges)
+        edges = new_edges
+        if new_sum == prev_sum:
+            return finish(edges, rounds)
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"star components did not converge in {max_iterations} rounds"
     )
 
 
@@ -103,6 +231,8 @@ def near_duplicate_clusters(
     min_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    algorithm: str = "propagation",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Per-document dedup verdicts: MinHash+LSH pairs → connected
     components → min-id canonical election per cluster.
@@ -117,7 +247,9 @@ def near_duplicate_clusters(
     pairs = minhash_near_duplicates(
         docs, k=k, min_jaccard=min_jaccard, text_col=text_col, id_col=id_col
     )
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b", algorithm=algorithm, cleanup=cleanup
+    )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     labelled = comp.join(sizes, "component").select(
         F.col("node").alias(id_col),

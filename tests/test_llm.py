@@ -485,6 +485,46 @@ def test_connected_components_chain_triangle_and_convergence(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_star_components_match_propagation(spark):
+    """algorithm='star' must produce the identical labelling on the
+    chain + triangle + pair graph, and release its cache through the
+    cleanup handle."""
+    from etl_reporting_spark.llm.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    cleanup = []
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, algorithm="star", cleanup=cleanup).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert len(cleanup) == 1 and cleanup[0].is_cached
+    cleanup[0].unpersist()
+    assert not cleanup[0].is_cached
+
+
+def test_star_components_path_graph_logarithmic_rounds(spark):
+    """The adversarial case the star algorithm exists for: a 1024-node
+    path (serial-scrape shape). Min-label propagation needs
+    diameter≈1023 rounds — far past its 25-round guard — while
+    large-star/small-star must converge in O(log n) alternations and
+    label every node with the path's minimum."""
+    from etl_reporting_spark.llm.cluster import _star_components
+
+    n = 1024
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = _star_components(pairs)
+    assert rounds <= 24  # ~2·log2(1024) alternation bound, with slack
+    comp = {r["node"]: r["component"] for r in labels.collect()}
+    assert len(comp) == n and set(comp.values()) == {0}
+    labels.unpersist()
+
+
 def test_near_duplicate_clusters_singletons_and_canonicals(spark):
     """Every doc gets a verdict: cluster members share the min-id
     cluster, exactly one member is canonical, singletons self-cluster."""
