@@ -3,12 +3,15 @@
 The reference extracts tables from PDFs with pdfplumber/tabula/
 camelot, classifies each as detail vs summary, then combines
 differing schemas by union-of-columns
-(datafeeds/pdf_table_extractor.py:99-509). None of those PDF
-libraries exist in this environment, so EXTRACTION is an import-gated
-stub — but the downstream pipeline (header continuation, detail/
-summary classification, union-of-columns combine, Spark ingestion) is
-real and tested over plain DataFrames, which is exactly what the PDF
-step produces.
+(datafeeds/pdf_table_extractor.py:99-509). The extractor chain here
+tries those libraries in the reference's order where installed, then
+falls back to the vendored pure-Python ``pdflite`` — which reads the
+text-positioned table structure machine-generated report PDFs carry,
+so simple-PDF ingestion executes for real even in this dependency-free
+container. Rich PDFs without the heavyweight libraries still raise
+the honest NotImplementedError naming every attempt. The downstream
+pipeline (header continuation, detail/summary classification,
+union-of-columns combine, Spark ingestion) is library-independent.
 """
 
 from __future__ import annotations
@@ -47,21 +50,29 @@ def _extract_with_camelot(path: str) -> list[pd.DataFrame]:
     return [t.df for t in camelot.read_pdf(path, pages="all")]  # pragma: no cover
 
 
+def _extract_with_pdflite(path: str) -> list[pd.DataFrame]:
+    from etl_reporting_spark.datafeeds import pdflite
+
+    return pdflite.extract_tables(path)
+
+
 DEFAULT_EXTRACTORS: tuple[tuple[str, object], ...] = (
     ("pdfplumber", _extract_with_pdfplumber),
     ("tabula", _extract_with_tabula),
     ("camelot", _extract_with_camelot),
+    ("pdflite", _extract_with_pdflite),
 )
 
 
 def extract_pdf_tables(path: str, extractors=DEFAULT_EXTRACTORS) -> list[pd.DataFrame]:
     """Extract raw tables from a PDF via the reference's fallback chain
     (pdf_table_extractor.py:99-292): try each extractor in order —
-    pdfplumber, then tabula, then camelot — moving on when a library is
-    missing, errors out, or finds no tables. Raises
-    NotImplementedError naming every attempt when the whole chain
-    comes up empty (none of the libraries ship in this container; the
-    chain logic is exercised in tests with injected extractors)."""
+    pdfplumber, then tabula, then camelot, then the vendored pdflite —
+    moving on when a library is missing, errors out, or finds no
+    tables. Raises NotImplementedError naming every attempt when the
+    whole chain comes up empty (in this container that means: the
+    three libraries absent AND the PDF's structure beyond pdflite's
+    text-positioned-table subset)."""
     attempts: list[str] = []
     for name, fn in extractors:
         try:

@@ -208,3 +208,21 @@ def test_cube_pre_aggregates_single_fact_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "a14_cube")
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 1, plan
+
+
+def test_ann_lsh_signature_stage_free_of_md5(spark, sf_dir):
+    """The random-hyperplane sign matrices are constants, precomputed
+    driver-side and embedded as array literals — no md5 may survive in
+    the ANN-LSH or embedding-near-dup plans (it used to run
+    planes × dim times per row)."""
+    for name in ("ann_cosine_lsh", "emb_near_duplicates"):
+        assert "md5" not in _plan(spark, sf_dir, name).lower(), name
+
+
+def test_simhash_blocks_are_16_bit(spark, sf_dir):
+    """The 64-bit SimHash blocks on 16-bit block values (65,536
+    buckets each) — the plan must show the 65535 mask, and none of the
+    old 4-bit nibble construction (mask 15)."""
+    plan = _plan(spark, sf_dir, "dedup_simhash_pairs")
+    assert "65535" in plan
+    assert "& 15)" not in plan
