@@ -150,7 +150,10 @@ inter AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+-- sf-relative split: first 90% of docs play the standing corpus, the
+-- last 10% the incoming daily batch (doc ids are dense from 0)
+cutoff AS (SELECT (COUNT(*) * 9) // 10 AS c FROM documents)
 SELECT c.doc_a, c.doc_b,
   CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
 FROM cand c
@@ -158,7 +161,7 @@ JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.5
-  AND c.doc_b >= 250  -- pairs touching the increment (ids are ordered, corpus < 250)
+  AND c.doc_b >= (SELECT c FROM cutoff)  -- pairs touching the increment
 ORDER BY c.doc_a, c.doc_b
 """
 

@@ -100,15 +100,24 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_clusters(docs, k=3, min_jaccard=0.5).orderBy("doc_id")
 
 
+def _corpus_increment_split(spark: SparkSession, sf_dir: str):
+    """Daily-ingestion split, sf-relative: the first 90% of docs play
+    the standing corpus, the last 10% the incoming batch — corpus ≫
+    increment at every scale factor, the shape the signature store
+    exists for. (The count is a parquet-footer read, not a scan; doc
+    ids are dense from 0 in the test data.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.count() * 9 // 10
+    return docs.filter(F.col("doc_id") < cutoff), docs.filter(F.col("doc_id") >= cutoff)
+
+
 def dedup_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-ingestion shape: docs < 250 play the standing corpus
-    (signature store), docs ≥ 250 the incoming batch; emit verified
-    near-dup pairs the batch introduces (corpus↔new and new↔new)."""
+    """Self-contained incremental screen (fallback path: the corpus is
+    re-signed every run); emits verified near-dup pairs the batch
+    introduces (corpus↔new and new↔new)."""
     from etl_reporting_spark.llm.dedup import incremental_near_duplicates
 
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < 250)
-    new = docs.filter(F.col("doc_id") >= 250)
+    corpus, new = _corpus_increment_split(spark, sf_dir)
     return incremental_near_duplicates(corpus, new, k=3, min_jaccard=0.5).orderBy(
         "doc_a", "doc_b"
     )
@@ -134,9 +143,7 @@ def dedup_incremental_screen_store(spark: SparkSession, sf_dir: str) -> DataFram
         incremental_near_duplicates,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < 250)
-    new = docs.filter(F.col("doc_id") >= 250)
+    corpus, new = _corpus_increment_split(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     store = _SIG_STORE_CACHE.get(key)
     if store is None:
