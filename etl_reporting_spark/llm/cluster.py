@@ -47,6 +47,7 @@ def connected_components(
     max_iterations: int = 25,
     algorithm: str = "propagation",
     cleanup: list | None = None,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Components of the undirected graph given as a pair list.
 
@@ -58,11 +59,34 @@ def connected_components(
     alternation for chain-shaped graphs (see module doc). Both raise
     if not converged after ``max_iterations`` rounds.
 
-    The result reads from a persisted frame (each round materializes);
-    pass a ``cleanup`` list to receive that frame and release it once
-    the result is consumed — otherwise the final cache lives until
-    session end (repeated calls in one session accumulate).
+    SIZE-GATED DRIVER FAST PATH: near-dup edge lists are
+    banding-bounded and orders of magnitude smaller than the corpus —
+    routinely thousands of pairs from millions of documents. When the
+    edge count is ≤ ``driver_max_edges`` (default 1M ≈ tens of MB),
+    both algorithms collect the edges and run union-find on the
+    driver: exact same labels, zero iterative Spark jobs, and each
+    distributed round costs more in scheduling than the whole local
+    pass. Above the gate, the distributed loops run. Set
+    ``driver_max_edges=0`` to force distributed execution.
+
+    The distributed result reads from a persisted frame (each round
+    materializes); pass a ``cleanup`` list to receive that frame and
+    release it once the result is consumed — otherwise the final cache
+    lives until session end (repeated calls in one session
+    accumulate). The driver path returns a plain local DataFrame and
+    never touches the list.
     """
+    if driver_max_edges > 0:
+        edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a") != F.col("b")
+        )
+        edges.persist()
+        n_edges = edges.count()
+        if n_edges <= driver_max_edges:
+            labels = _union_find_local(edges)
+            edges.unpersist()
+            return labels
+        edges.unpersist()
     if algorithm == "star":
         labels, _rounds = _star_components(
             pairs, src=src, dst=dst, max_iterations=max_iterations
@@ -122,6 +146,42 @@ def connected_components(
         "the graph has chains longer than a near-dup workload produces — "
         "raise max_iterations or pass algorithm='star'"
     )
+
+
+def _union_find_local(edges: DataFrame) -> DataFrame:
+    """Union-find with path compression over a collected edge list,
+    labels = min node id per component — identical output to the
+    distributed algorithms, linear-ish time, no iterative jobs. Only
+    reached through the ``driver_max_edges`` size gate."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        m = comp_min.get(root)
+        if m is None or node < m:
+            comp_min[root] = node
+    out = [(node, comp_min[find(node)]) for node in parent]
+    node_type = edges.schema["a"].dataType
+    schema = StructType(
+        [StructField("node", node_type, False), StructField("component", node_type, False)]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def _star_components(

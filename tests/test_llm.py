@@ -481,8 +481,16 @@ def test_connected_components_chain_triangle_and_convergence(spark):
         [(4, 3), (3, 2), (2, 1), (10, 11), (11, 12), (10, 12), (20, 21)],
         "doc_a long, doc_b long",
     )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # driver union-find fast path (default size gate)
     comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert comp == expected
+    # distributed propagation (gate disabled)
+    comp_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert comp_dist == expected
 
 
 def test_star_components_match_propagation(spark):
@@ -498,7 +506,9 @@ def test_star_components_match_propagation(spark):
     cleanup = []
     comp = {
         r["node"]: r["component"]
-        for r in connected_components(pairs, algorithm="star", cleanup=cleanup).collect()
+        for r in connected_components(
+            pairs, algorithm="star", cleanup=cleanup, driver_max_edges=0
+        ).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     assert len(cleanup) == 1 and cleanup[0].is_cached
