@@ -1,0 +1,261 @@
+"""Corpus-hygiene operators for pretraining pipelines: line-level
+boilerplate dedup, per-source quotas, distinct-cardinality sketches,
+and deterministic training-order assignment.
+
+These fill the gap between document-level dedup (``llm.dedup``) and
+sampling (``llm.sampling``): real web corpora need *sub-document*
+cleaning (the same nav-bar/footer line repeated across millions of
+pages — the C4/RefinedWeb "remove lines seen in many documents" rule),
+*per-source caps* (no single crawl domain may dominate the mixture),
+cheap *cardinality estimates* over groups too large to COUNT(DISTINCT)
+exactly, and a *reproducible global shuffle* that fixes the order
+training examples are consumed in.
+
+Design rules shared with the rest of the llm layer:
+
+- every decision keys on md5 of row content — rerun- and
+  repartition-stable, and reproducible by the DuckDB oracles;
+- narrow expressions + the minimum shuffle count: the frequent-line
+  set is aggregated small then broadcast back (anti-join, no second
+  wide shuffle of the corpus); quotas and ordering use one window per
+  group/shard and stay WindowGroupLimit-eligible where a rank filter
+  follows;
+- no driver-side collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash32(col: Column, salt: str = "") -> Column:
+    """First 8 md5 hex chars of (salt || value) as a 32-bit int —
+    the shared deterministic ordering/bucketing key."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def frequent_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_doc_frac: float | None = None,
+    min_docs: int | None = None,
+) -> DataFrame:
+    """Lines (text split on ``delimiter``) that occur in at least
+    ``min_docs`` documents (or ``min_doc_frac`` of the corpus) —
+    the boilerplate set line-level dedup removes.
+
+    Scale shape: explode → per-doc DISTINCT line (map-side combinable
+    groupBy) → count docs per line → threshold filter. The output is
+    tiny relative to the corpus (only lines shared across many docs
+    survive), which is what makes :func:`remove_frequent_lines`'s
+    broadcast anti-join viable at 100 TB.
+    """
+    if (min_doc_frac is None) == (min_docs is None):
+        raise ValueError("pass exactly one of min_doc_frac / min_docs")
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias("line"),
+    ).filter(F.length("line") > 0)
+    per_doc = lines.distinct()  # one vote per (doc, line)
+    counts = per_doc.groupBy("line").agg(F.count(F.lit(1)).alias("n_docs"))
+    if min_docs is None:
+        total = df.select(F.count(F.lit(1)).alias("__n"))
+        counts = counts.crossJoin(F.broadcast(total)).filter(
+            F.col("n_docs") >= F.ceil(F.lit(float(min_doc_frac)) * F.col("__n"))
+        ).drop("__n")
+    else:
+        counts = counts.filter(F.col("n_docs") >= F.lit(int(min_docs)))
+    return counts
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_doc_frac: float | None = None,
+    min_docs: int | None = None,
+    boilerplate: DataFrame | None = None,
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal: drop every
+    line that appears in ≥ threshold documents, reassemble the
+    remaining lines in their original order.
+
+    Returns the input columns with ``text_col`` rewritten plus
+    ``n_lines_kept`` / ``n_lines_removed``. Documents whose every
+    line is boilerplate survive with empty text (count columns make
+    them easy to filter downstream).
+
+    Scale shape: the only corpus-wide shuffle is the per-doc
+    reassembly groupBy; the boilerplate set is computed small
+    (:func:`frequent_lines`) and hinted broadcast into a left-anti
+    lookup, so the corpus is never joined wide-to-wide. Pass a
+    precomputed ``boilerplate`` frame (column ``line``) to reuse one
+    scan across daily increments — the signature-store pattern.
+    """
+    if boilerplate is None:
+        boilerplate = frequent_lines(
+            df, id_col, text_col, delimiter,
+            min_doc_frac=min_doc_frac, min_docs=min_docs,
+        )
+    keep_cols = [c for c in df.columns if c != text_col]
+    # Empty segments stay in (flagged dead below) so every document
+    # anchors the reassembly groupBy — no recovery join needed for
+    # docs whose text is empty or all-delimiter.
+    lines = df.select(
+        *keep_cols,
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    flagged = lines.join(
+        F.broadcast(boilerplate.select(F.col("line").alias("__line"), F.lit(True).alias("__bp"))),
+        "__line",
+        "left",
+    )
+    # Reassemble: collect (pos, line, is_bp) per doc, sort by position
+    # (array_sort on the struct — pos leads, so order is original),
+    # then rebuild text from the non-boilerplate lines.
+    rebuilt = (
+        flagged.groupBy(*keep_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__line", "__bp"))
+            ).alias("__parts")
+        )
+        .select(
+            *keep_cols,
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        "__parts",
+                        lambda p: p["__bp"].isNull() & (F.length(p["__line"]) > 0),
+                    ),
+                    lambda p: p["__line"],
+                ),
+                delimiter,
+            ).alias(text_col),
+            F.size(
+                F.filter(
+                    "__parts",
+                    lambda p: p["__bp"].isNull() & (F.length(p["__line"]) > 0),
+                )
+            ).alias("n_lines_kept"),
+            F.size(F.filter("__parts", lambda p: p["__bp"].isNotNull())).alias(
+                "n_lines_removed"
+            ),
+        )
+    )
+    return rebuilt
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Per-source/domain quota: keep at most ``max_rows`` rows per
+    group, selected by deterministic hash order (not arrival order,
+    which is partition-layout-dependent, and not "first N", which
+    biases toward old data).
+
+    One hash-partitioned window per group with a rank filter — the
+    exact shape Spark rewrites to WindowGroupLimit, so each group's
+    scan stops accumulating past ``max_rows`` map-side before the
+    shuffle. With ``keep_col`` set, rows are labelled instead of
+    filtered (per-doc fate reporting, mirroring curate_corpus).
+    """
+    order = _hash32(F.col(id_col), salt)
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    rn = F.row_number().over(w)
+    if keep_col is not None:
+        return df.withColumn(keep_col, rn <= F.lit(int(max_rows)))
+    return (
+        df.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= F.lit(int(max_rows)))
+        .drop("__rn")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """K-minimum-values distinct-cardinality sketch per group:
+    ``est_distinct ≈ (k-1) / kth_min_hash_fraction``.
+
+    The deterministic, oracle-checkable alternative to
+    approx_count_distinct (HLL±: partition-order-dependent merge, not
+    reproducible cross-engine). Scale shape — two bounded shuffles,
+    no unbounded state:
+
+    1. ``distinct(group, hash)`` — map-side combinable, output ≤ true
+       cardinality;
+    2. per-group ``row_number ≤ k`` over hash order —
+       WindowGroupLimit caps map-side state at k rows per group;
+    3. final groupBy takes the count and the k-th (max surviving)
+       hash.
+
+    Groups with < k distinct values report the exact count
+    (``exact=true``). Estimates use the 32-bit hash as a fraction of
+    2^32; a single double division keeps the arithmetic
+    bit-reproducible in DuckDB.
+    """
+    h = _hash32(F.col(value_col), salt)
+    hashed = df.select(F.col(group_col).alias("grp"), h.alias("__h")).distinct()
+    w = Window.partitionBy("grp").orderBy(F.col("__h").asc())
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= F.lit(int(k))
+    )
+    agg = topk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__h").alias("kth_hash"),
+    )
+    frac = F.col("kth_hash").cast("double") / F.lit(float(2**32))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_kept"),
+        (F.col("n_kept") < F.lit(int(k))).alias("exact"),
+        F.when(F.col("n_kept") < F.lit(int(k)), F.col("n_kept").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / frac)
+        .alias("est_distinct"),
+    )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = 256,
+    salt: str = "epoch0",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-example order: every
+    row gets a ``(shard, pos)`` address that is a pure function of
+    (salt, id). A different ``salt`` ("epoch1", …) yields an
+    independent permutation — reshuffling between epochs without RNG
+    state or a corpus-wide sort.
+
+    Scale shape: shard assignment is a narrow expression; position is
+    one row_number window per shard (corpus/shards rows each), so the
+    only shuffle is hash-partitioning by shard — no global orderBy,
+    no single-reducer tail. Readers stream shard files in shard order
+    and rows in pos order and observe the same sequence everywhere.
+    """
+    h = _hash32(F.col(id_col), salt)
+    out = df.withColumn(shard_col, F.pmod(h, F.lit(int(shards))))
+    w = Window.partitionBy(shard_col).orderBy(
+        _hash32(F.col(id_col), salt + "|pos").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(pos_col, F.row_number().over(w))

@@ -828,3 +828,74 @@ SELECT doc_id, chunk_idx,
   md5(chunk_text) AS chunk_md5
 FROM c ORDER BY doc_id, chunk_idx
 """
+
+# Frequent-line (C4 boilerplate) removal at word granularity: tokens
+# in >= ceil(0.78 * corpus) docs are boilerplate; text is reassembled
+# from the surviving tokens in original order. COALESCE guards the
+# no-boilerplate case (list() over zero rows is NULL).
+LLM_ORACLE_SQL["corpus_line_dedup"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+bp AS (
+  SELECT tok FROM tok WHERE len(tok) > 0
+  GROUP BY tok
+  HAVING COUNT(*) >= CEIL(0.78 * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE))
+),
+bpl AS (SELECT COALESCE((SELECT list(tok) FROM bp), CAST([] AS VARCHAR[])) AS l)
+SELECT doc_id,
+  COALESCE(array_to_string(
+    list_filter(toks, t -> len(t) > 0 AND NOT list_contains(bpl.l, t)), ' '
+  ), '') AS text_clean,
+  CAST(len(list_filter(toks, t -> len(t) > 0 AND NOT list_contains(bpl.l, t)))
+       AS INTEGER) AS n_lines_kept,
+  CAST(len(list_filter(toks, t -> list_contains(bpl.l, t))) AS INTEGER)
+       AS n_lines_removed
+FROM d, bpl ORDER BY doc_id
+"""
+
+# Per-source quota: same md5('cap' || id) ordering as corpusops._hash32.
+LLM_ORACLE_SQL["sample_source_cap"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY ('0x' || substring(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+             doc_id
+  ) AS rn FROM documents
+) t WHERE rn <= 80 ORDER BY doc_id
+"""
+
+# KMV distinct sketch: k smallest 32-bit md5 hashes per group;
+# estimate (k-1)/frac via the same single double division as Spark.
+LLM_ORACLE_SQL["sketch_kmv_distinct"] = """
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+    ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS hh
+  FROM orders
+),
+r AS (SELECT grp, hh, row_number() OVER (PARTITION BY grp ORDER BY hh) AS rn FROM h),
+k AS (
+  SELECT grp, COUNT(*) AS n_kept, MAX(hh) AS kth_hash
+  FROM r WHERE rn <= 64 GROUP BY grp
+)
+SELECT grp AS o_orderpriority, n_kept, n_kept < 64 AS "exact",
+  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       ELSE CAST(63 AS DOUBLE) / (CAST(kth_hash AS DOUBLE) / CAST(4294967296 AS DOUBLE))
+  END AS est_distinct
+FROM k ORDER BY o_orderpriority
+"""
+
+# Deterministic training order: shard = hash('epoch0'||id) % 16,
+# pos = rank of hash('epoch0|pos'||id) within the shard.
+LLM_ORACLE_SQL["sample_training_order"] = """
+WITH s AS (
+  SELECT doc_id,
+    ('0x' || substring(md5('epoch0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+      AS shard,
+    ('0x' || substring(md5('epoch0|pos' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      AS ph
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS INTEGER) AS pos
+FROM s ORDER BY doc_id
+"""

@@ -39,6 +39,12 @@ from etl_reporting_spark.llm.similarity import (
     embedding_near_duplicates,
     kmeans_step_components,
 )
+from etl_reporting_spark.llm.corpusops import (
+    cap_per_group,
+    kmv_distinct,
+    remove_frequent_lines,
+    training_order,
+)
 from etl_reporting_spark.llm.curate import curate_corpus
 from etl_reporting_spark.llm.redact import redact_pii
 from etl_reporting_spark.llm.sampling import (
@@ -359,6 +365,62 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style frequent-line removal exercised at word granularity
+    (the synthetic corpus has no newlines, so the delimiter is a
+    space and "lines" are tokens): every token appearing in ≥ 78% of
+    documents is corpus boilerplate and is stripped; the cleaned text
+    plus kept/removed counts are verified byte-for-byte. pytest
+    covers real multi-line documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_frequent_lines(
+        docs.select("doc_id", "text"), delimiter=" ", min_doc_frac=0.78
+    )
+    return out.select(
+        "doc_id",
+        F.col("text").alias("text_clean"),
+        "n_lines_kept",
+        "n_lines_removed",
+    ).orderBy("doc_id")
+
+
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (no crawl domain may dominate the mixture):
+    at most 80 docs per source, chosen by deterministic hash order.
+    Row-level output so the oracle checks exact membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cap_per_group(docs, "source", max_rows=80)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch: estimated distinct customers
+    per order priority (k=64) — the deterministic, cross-engine-
+    reproducible stand-in for approx_count_distinct. The oracle
+    rebuilds the same k-smallest-md5 construction and the same
+    single-division estimate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64).orderBy(
+        "o_orderpriority"
+    )
+
+
+def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: every doc gets a (shard, pos)
+    training-order address, a pure function of (salt, doc_id) —
+    epoch reshuffles are just a salt change. One window per shard, no
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        training_order(docs, shards=16, salt="epoch0")
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -391,4 +453,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_metadata": mm_decode_metadata,
     "mm_resize_hash": mm_resize_hash,
     "mm_frame_sample": mm_frame_sample,
+    "corpus_line_dedup": corpus_line_dedup,
+    "sample_source_cap": sample_source_cap,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sample_training_order": sample_training_order,
 }

@@ -1,0 +1,155 @@
+"""corpusops: line-level boilerplate dedup, per-group caps, KMV
+distinct sketch, deterministic training order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.llm.corpusops import (
+    cap_per_group,
+    frequent_lines,
+    kmv_distinct,
+    remove_frequent_lines,
+    training_order,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRemoveFrequentLines:
+    def test_multiline_boilerplate_removed_order_preserved(self, spark):
+        nav = "home | products | contact"
+        foot = "copyright 2026 example corp"
+        docs = _docs(
+            spark,
+            [
+                (1, f"{nav}\nunique article one\n{foot}"),
+                (2, f"{nav}\nsecond story text\nmore of it\n{foot}"),
+                (3, f"{nav}\nthird doc body\n{foot}"),
+                (4, "standalone page with no template"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_frequent_lines(docs, min_docs=3).collect()
+        }
+        assert out[1]["text"] == "unique article one"
+        assert out[2]["text"] == "second story text\nmore of it"
+        assert out[2]["n_lines_kept"] == 2
+        assert out[2]["n_lines_removed"] == 2
+        assert out[4]["text"] == "standalone page with no template"
+        assert out[4]["n_lines_removed"] == 0
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        docs = _docs(spark, [(1, "same"), (2, "same"), (3, "same")])
+        out = remove_frequent_lines(docs, min_docs=2).collect()
+        assert len(out) == 3
+        assert all(r["text"] == "" and r["n_lines_removed"] == 1 for r in out)
+
+    def test_empty_text_doc_is_total(self, spark):
+        docs = _docs(spark, [(1, ""), (2, "a\nb"), (3, "a\nc")])
+        out = {r["doc_id"]: r for r in remove_frequent_lines(docs, min_docs=2).collect()}
+        assert out[1]["text"] == ""
+        assert out[1]["n_lines_kept"] == 0 and out[1]["n_lines_removed"] == 0
+        assert out[2]["text"] == "b"
+
+    def test_one_vote_per_doc(self, spark):
+        # A line repeated inside ONE doc counts once toward doc frequency.
+        docs = _docs(spark, [(1, "x\nx\nx"), (2, "y")])
+        bp = frequent_lines(docs, min_docs=2)
+        assert bp.count() == 0
+
+    def test_precomputed_boilerplate_reuse(self, spark):
+        corpus = _docs(spark, [(1, "nav\na"), (2, "nav\nb"), (3, "nav\nc")])
+        bp = frequent_lines(corpus, min_docs=3)
+        batch = _docs(spark, [(10, "nav\nfresh")])
+        out = remove_frequent_lines(batch, boilerplate=bp).collect()
+        assert out[0]["text"] == "fresh" and out[0]["n_lines_removed"] == 1
+
+
+class TestCapPerGroup:
+    def test_cap_and_determinism_under_repartition(self, spark):
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("source"),
+        )
+        a = cap_per_group(df, "source", 10)
+        b = cap_per_group(df.repartition(7), "source", 10)
+        assert a.groupBy("source").count().agg(F.max("count")).first()[0] == 10
+        assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+            r["doc_id"] for r in b.collect()
+        )
+
+    def test_small_group_untouched(self, spark):
+        df = spark.range(5).select(
+            F.col("id").alias("doc_id"), F.lit("only").alias("source")
+        )
+        assert cap_per_group(df, "source", 10).count() == 5
+
+    def test_label_mode_keeps_all_rows(self, spark):
+        df = spark.range(30).select(
+            F.col("id").alias("doc_id"), F.lit("s").alias("source")
+        )
+        out = cap_per_group(df, "source", 10, keep_col="kept")
+        assert out.count() == 30
+        assert out.filter("kept").count() == 10
+
+
+class TestKmvDistinct:
+    def test_exact_below_k(self, spark):
+        df = spark.range(40).select(
+            F.lit("g").alias("grp"), (F.col("id") % 17).alias("v")
+        )
+        r = kmv_distinct(df, "grp", "v", k=64).first()
+        assert r["exact"] is True
+        assert r["n_kept"] == 17 and r["est_distinct"] == 17.0
+
+    def test_estimate_within_tolerance(self, spark):
+        # 5000 distinct values, k=256: KMV relative error ~1/sqrt(k-2)≈6%;
+        # assert a loose 3-sigma band so the test is not flaky by design
+        # (it's deterministic anyway — the band documents expected quality).
+        df = spark.range(5000).select(F.lit("g").alias("grp"), F.col("id").alias("v"))
+        r = kmv_distinct(df, "grp", "v", k=256).first()
+        assert r["exact"] is False
+        assert abs(r["est_distinct"] - 5000) / 5000 < 0.2
+
+    def test_duplicates_do_not_inflate(self, spark):
+        base = spark.range(1000).select(F.lit("g").alias("grp"), F.col("id").alias("v"))
+        dup = base.union(base).union(base)
+        assert (
+            kmv_distinct(dup, "grp", "v", k=128).first()["est_distinct"]
+            == kmv_distinct(base, "grp", "v", k=128).first()["est_distinct"]
+        )
+
+
+class TestTrainingOrder:
+    def test_is_permutation_and_stable(self, spark):
+        df = spark.range(500).select(F.col("id").alias("doc_id"))
+        out = training_order(df, shards=8, salt="e0")
+        assert out.count() == 500
+        # each shard's positions are 1..n_shard
+        per = out.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+        )
+        assert all(r["n"] == r["mx"] and r["mn"] == 1 for r in per.collect())
+        again = training_order(df.repartition(13), shards=8, salt="e0")
+        assert (
+            out.select("doc_id", "shard", "pos")
+            .exceptAll(again.select("doc_id", "shard", "pos"))
+            .count()
+            == 0
+        )
+
+    def test_salt_changes_permutation(self, spark):
+        df = spark.range(500).select(F.col("id").alias("doc_id"))
+        a = training_order(df, shards=8, salt="e0")
+        b = training_order(df, shards=8, salt="e1")
+        moved = (
+            a.alias("a")
+            .join(b.alias("b"), "doc_id")
+            .filter("a.shard != b.shard OR a.pos != b.pos")
+            .count()
+        )
+        assert moved > 400
