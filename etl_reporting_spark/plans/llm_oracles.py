@@ -899,3 +899,60 @@ SELECT doc_id, shard,
   CAST(row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS INTEGER) AS pos
 FROM s ORDER BY doc_id
 """
+
+# BPE pair statistics: word-frequency table → char symbols → adjacent
+# pair counts weighted by freq. CASTs pin DuckDB's HUGEINT sum back to
+# BIGINT; the (n DESC, sym_a, sym_b) order is total so LIMIT 20 is
+# deterministic on both engines.
+LLM_ORACLE_SQL["bpe_pair_step"] = """
+WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) t WHERE len(word) > 0 GROUP BY word
+),
+s AS (SELECT freq, regexp_split_to_array(word, '') AS sy FROM w),
+p AS (
+  SELECT freq, sy[i] AS sym_a, sy[i + 1] AS sym_b
+  FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i FROM s WHERE len(sy) >= 2) q
+)
+SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS n
+FROM p GROUP BY sym_a, sym_b
+ORDER BY n DESC, sym_a, sym_b LIMIT 20
+"""
+
+# Linear quality classifier: same feature fragments as
+# text_quality_scores, then the EXACT left-associative weighted sum
+# (bias, stopword, punct, mean_token_len, len_norm — order matters,
+# float addition is not associative).
+LLM_ORACLE_SQL["text_quality_classifier"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS INTEGER)
+      AS n_punct,
+    CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_STOP_ALL}, t)))
+      AS INTEGER) AS stop_hits
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_tokens,
+    CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+    CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+    CAST(least(n_tokens, 256) AS DOUBLE) / CAST(256 AS DOUBLE) AS len_norm
+  FROM base
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, mean_token_len, len_norm,
+  ((((CAST(-1.0 AS DOUBLE)
+      + CAST(4.0 AS DOUBLE) * stopword_ratio)
+      + CAST(-6.0 AS DOUBLE) * punct_ratio)
+      + CAST(0.25 AS DOUBLE) * mean_token_len)
+      + CAST(2.0 AS DOUBLE) * len_norm) AS quality_score,
+  ((((CAST(-1.0 AS DOUBLE)
+      + CAST(4.0 AS DOUBLE) * stopword_ratio)
+      + CAST(-6.0 AS DOUBLE) * punct_ratio)
+      + CAST(0.25 AS DOUBLE) * mean_token_len)
+      + CAST(2.0 AS DOUBLE) * len_norm) >= CAST(0.0 AS DOUBLE) AS keep
+FROM feat ORDER BY doc_id
+"""

@@ -421,6 +421,29 @@ def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_pair_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training statistics pass: char-level adjacent-symbol
+    pair counts weighted by word frequency, top 20 (count desc then
+    lexicographic — a total order, so the LIMIT is deterministic).
+    The word-frequency trick keeps this vocabulary-sized at any
+    corpus scale."""
+    from etl_reporting_spark.llm.tokenize import top_pairs, with_symbols, word_freqs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_pairs(with_symbols(word_freqs(docs)), k=20)
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring pass (DCLM-style model-based
+    filtering with placeholder offline weights): per-doc features +
+    raw margin + keep verdict, all narrow arithmetic — the oracle
+    mirrors the exact left-associative weighted sum."""
+    from etl_reporting_spark.llm.classify import quality_classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier_score(docs).orderBy("doc_id")
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -457,4 +480,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_source_cap": sample_source_cap,
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sample_training_order": sample_training_order,
+    "bpe_pair_step": bpe_pair_step,
+    "text_quality_classifier": text_quality_classifier,
 }
