@@ -226,3 +226,44 @@ def test_simhash_blocks_are_16_bit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_simhash_pairs")
     assert "65535" in plan
     assert "& 15)" not in plan
+
+
+def test_source_cap_gets_window_group_limit(spark, sf_dir):
+    """Per-group quota is a rank filter — Spark must cap map-side
+    state at max_rows per group before the shuffle."""
+    plan = _plan(spark, sf_dir, "sample_source_cap")
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_kmv_sketch_bounded_state(spark, sf_dir):
+    """KMV = distinct + per-group top-k: WindowGroupLimit bounds state
+    at k rows per group; no cross product anywhere."""
+    plan = _plan(spark, sf_dir, "sketch_kmv_distinct")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_broadcasts_boilerplate(spark, sf_dir):
+    """The frequent-line set joins back by broadcast — the corpus is
+    never the build side of a wide shuffle join."""
+    plan = _plan(spark, sf_dir, "corpus_line_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pairs_take_ordered(spark, sf_dir):
+    """Top-k merge candidates via TakeOrderedAndProject, not a global
+    sort."""
+    plan = _plan(spark, sf_dir, "bpe_pair_step")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_classifier_is_narrow(spark, sf_dir):
+    """The corpus-wide scoring pass must stay shuffle-free (ordering
+    excepted: the gate's orderBy is presentation, not the operator)."""
+    from etl_reporting_spark.io import load_table
+    from etl_reporting_spark.llm.classify import quality_classifier_score
+
+    df = quality_classifier_score(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
