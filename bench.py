@@ -52,6 +52,11 @@ HEADLINE = [
     "ann_cosine_lsh",
     "corpus_curation",
     "dedup_incremental_screen_store",
+    # round-4 additions #2: the corpus-hygiene / tokenizer-training
+    # passes a pretraining pipeline runs per snapshot
+    "corpus_line_dedup",
+    "bpe_pair_step",
+    "text_quality_classifier",
 ]
 
 

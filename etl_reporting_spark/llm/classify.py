@@ -25,7 +25,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_reporting_spark.llm.textstats import text_quality
+from etl_reporting_spark.llm.textstats import STOPWORDS, _hit_count, _tokens, text_quality
 
 # Feature name -> coefficient. Deliberately interpretable: reward
 # prose-like stopword density and 4-6 char mean tokens, punish
@@ -41,11 +41,37 @@ DEFAULT_WEIGHTS: dict[str, float] = {
 LEN_SATURATION = 256
 
 
+def feature_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The classifier's feature vector as named column EXPRESSIONS —
+    text_quality's metrics (same arithmetic, same oracle) plus a
+    saturating length feature (rational min(n,256)/256 — no log,
+    reproducible). Expression form so composed pipelines
+    (assemble_training_set) can attach features without projecting
+    away their other columns."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    )
+    stop_hits = _hit_count(toks, [w for ws in STOPWORDS.values() for w in ws])
+    sum_tok_len = n_chars - (n_tokens - F.lit(1))
+    return {
+        "n_tokens": n_tokens,
+        "stopword_ratio": stop_hits.cast("double") / n_tokens.cast("double"),
+        "punct_ratio": n_punct.cast("double") / n_chars.cast("double"),
+        "mean_token_len": sum_tok_len.cast("double") / n_tokens.cast("double"),
+        "len_norm": F.least(n_tokens, F.lit(LEN_SATURATION)).cast("double")
+        / F.lit(float(LEN_SATURATION)),
+    }
+
+
 def quality_features(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """The classifier's feature vector = text_quality's metrics plus a
-    saturating length feature (rational — no log, reproducible)."""
+    """Projected feature frame — text_quality parity plus len_norm
+    (kept as the oracle-shaped surface; ``feature_exprs`` is the
+    composable form)."""
     q = text_quality(docs, text_col=text_col, id_col=id_col)
     return q.withColumn(
         "len_norm",
@@ -54,7 +80,7 @@ def quality_features(
     )
 
 
-def _linear_score(weights: Mapping[str, float]) -> Column:
+def _linear_score(weights: Mapping[str, float], feats: Mapping[str, Column]) -> Column:
     """Fixed-order left-associative weighted sum — the evaluation
     order IS the spec (float addition is not associative; the DuckDB
     oracle mirrors this exact chain)."""
@@ -62,7 +88,7 @@ def _linear_score(weights: Mapping[str, float]) -> Column:
     for name, w in weights.items():
         if name == "bias":
             continue
-        score = score + F.lit(float(w)) * F.col(name)
+        score = score + F.lit(float(w)) * feats[name]
     return score
 
 
@@ -72,21 +98,25 @@ def quality_classifier_score(
     threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Score every document with the linear quality model and attach
-    the keep verdict: ``(id, features..., quality_score, keep)``.
+    the keep verdict: ``(id, features..., quality_score, keep)`` — or,
+    with ``passthrough=True``, the input columns plus
+    ``quality_score``/``keep`` (the composable form pipelines use).
 
     One narrow projection over the corpus — at 100 TB this fuses into
     whatever scan produces the features (whole-stage codegen, no
     shuffle, no data movement at all)."""
     w = dict(DEFAULT_WEIGHTS if weights is None else weights)
-    feats = quality_features(docs, text_col=text_col, id_col=id_col)
-    return feats.select(
+    fx = feature_exprs(text_col)
+    score = _linear_score(w, fx)
+    keep = score >= F.lit(float(threshold))
+    if passthrough:
+        return docs.withColumns({"quality_score": score, "keep": keep})
+    return docs.select(
         id_col,
-        "n_tokens",
-        "stopword_ratio",
-        "punct_ratio",
-        "mean_token_len",
-        "len_norm",
-        _linear_score(w).alias("quality_score"),
-    ).withColumn("keep", F.col("quality_score") >= F.lit(float(threshold)))
+        *[c.alias(name) for name, c in fx.items()],
+        score.alias("quality_score"),
+        keep.alias("keep"),
+    )

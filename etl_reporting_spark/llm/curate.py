@@ -82,3 +82,77 @@ def curate_corpus(
         "reject_reason",
         F.when(F.col("reject_reason").isNull(), F.col("split")).alias("split"),
     )
+
+
+def assemble_training_set(
+    docs: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    threshold: float = 0.0,
+    source_col: str = "source",
+    max_per_source: int = 10_000,
+    split_weights: Mapping[str, float] | None = None,
+    shards: int = 64,
+    salt: str = "epoch0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The nightly training-set build, composed end-to-end: linear
+    quality-classifier filter → per-source quota → deterministic
+    split → (shard, pos) training-order address. One fate row per
+    input document:
+
+    - ``fate`` — 'filtered_quality' | 'capped' | the split name;
+    - ``quality_score`` — the classifier margin (always present);
+    - ``split`` / ``shard`` / ``pos`` — NULL unless selected.
+
+    Plan shape: scoring is narrow; the quota is ONE window per source
+    (kept docs rank first via ``keep DESC`` in the window order, so
+    no pre-filter pass); split is a narrow hash expression; the
+    training-order window partitions by (split, shard) over selected
+    rows only. Two shuffles total regardless of corpus size, both
+    rank-filter windows. Deterministic end to end: rerun-, AQE- and
+    repartition-stable, reproducible in the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    from etl_reporting_spark.llm.classify import quality_classifier_score
+    from etl_reporting_spark.llm.corpusops import _hash32
+
+    split_weights = dict(split_weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+
+    scored = quality_classifier_score(
+        docs, weights=weights, threshold=threshold,
+        text_col=text_col, id_col=id_col, passthrough=True,
+    )
+
+    cap_w = Window.partitionBy(source_col).orderBy(
+        F.col("keep").desc(),
+        _hash32(F.col(id_col), "cap").asc(),
+        F.col(id_col).asc(),
+    )
+    capped = scored.withColumn(
+        "__selected",
+        F.col("keep") & (F.row_number().over(cap_w) <= F.lit(int(max_per_source))),
+    )
+
+    labelled = with_hash_split(capped, split_weights, id_col=id_col, salt=salt)
+    shard = F.pmod(_hash32(F.col(id_col), salt + "|shard"), F.lit(int(shards)))
+    labelled = labelled.withColumn(
+        "__shard", F.when(F.col("__selected"), shard)
+    )
+    pos_w = Window.partitionBy("split", "__shard").orderBy(
+        _hash32(F.col(id_col), salt + "|pos").asc(), F.col(id_col).asc()
+    )
+    pos = F.when(F.col("__selected"), F.row_number().over(pos_w))
+    return labelled.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col("quality_score"),
+        F.when(~F.col("keep"), F.lit("filtered_quality"))
+        .when(~F.col("__selected"), F.lit("capped"))
+        .otherwise(F.col("split"))
+        .alias("fate"),
+        F.when(F.col("__selected"), F.col("split")).alias("split"),
+        F.col("__shard").alias("shard"),
+        pos.alias("pos"),
+    )

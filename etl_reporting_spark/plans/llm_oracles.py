@@ -956,3 +956,70 @@ SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, mean_token_len, len_norm,
       + CAST(2.0 AS DOUBLE) * len_norm) >= CAST(0.0 AS DOUBLE) AS keep
 FROM feat ORDER BY doc_id
 """
+
+# Composed training-set assembly: classifier score (same chain as
+# text_quality_classifier) → per-source cap 60 (keep-first hash
+# order) → 90/5/5 hash split (salt 'epoch0') → (shard, pos) among
+# selected rows. LEFT JOIN carries pos back to the fate table.
+LLM_ORACLE_SQL["training_set_assembly"] = f"""
+WITH feat AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_STOP_ALL}, t)))
+      AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+      AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+    CAST(least(len(string_split(text, ' ')), 256) AS DOUBLE) / CAST(256 AS DOUBLE)
+      AS len_norm
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+    ((((CAST(-1.0 AS DOUBLE)
+        + CAST(4.0 AS DOUBLE) * stopword_ratio)
+        + CAST(-6.0 AS DOUBLE) * punct_ratio)
+        + CAST(0.25 AS DOUBLE) * mean_token_len)
+        + CAST(2.0 AS DOUBLE) * len_norm) AS quality_score
+  FROM feat
+),
+base AS (
+  SELECT doc_id, source, quality_score,
+    quality_score >= CAST(0.0 AS DOUBLE) AS keep,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY (quality_score >= CAST(0.0 AS DOUBLE)) DESC,
+        ('0x' || substring(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        doc_id
+    ) AS rn,
+    ('0x' || substring(md5('epoch0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      AS bucket,
+    ('0x' || substring(md5('epoch0|shard' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+      AS shard_raw
+  FROM scored
+),
+lab AS (
+  SELECT *, keep AND rn <= 60 AS selected,
+    CASE WHEN bucket < 900 THEN 'train'
+         WHEN bucket < 950 THEN 'val'
+         ELSE 'test' END AS split_label
+  FROM base
+),
+sel AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (
+      PARTITION BY split_label, shard_raw
+      ORDER BY ('0x' || substring(md5('epoch0|pos' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+               doc_id
+    ) AS INTEGER) AS pos
+  FROM lab WHERE selected
+)
+SELECT b.doc_id, b.source, b.quality_score,
+  CASE WHEN NOT b.keep THEN 'filtered_quality'
+       WHEN NOT b.selected THEN 'capped'
+       ELSE b.split_label END AS fate,
+  CASE WHEN b.selected THEN b.split_label END AS split,
+  CASE WHEN b.selected THEN b.shard_raw END AS shard,
+  s.pos
+FROM lab b LEFT JOIN sel s USING (doc_id) ORDER BY b.doc_id
+"""

@@ -444,6 +444,17 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_score(docs).orderBy("doc_id")
 
 
+def training_set_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed nightly build: classifier filter → per-source
+    quota (60) → 90/5/5 split → (shard, pos) training order, one fate
+    row per document — the whole chain deterministic, so the oracle
+    rebuilds it end-to-end."""
+    from etl_reporting_spark.llm.curate import assemble_training_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assemble_training_set(docs, max_per_source=60, shards=8).orderBy("doc_id")
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -482,4 +493,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_training_order": sample_training_order,
     "bpe_pair_step": bpe_pair_step,
     "text_quality_classifier": text_quality_classifier,
+    "training_set_assembly": training_set_assembly,
 }

@@ -102,3 +102,58 @@ class TestQualityClassifier:
         docs = _corpus(spark, ["a few words"])
         plan = quality_classifier_score(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestAssembleTrainingSet:
+    def _build(self, spark, n=200, cap=30):
+        from etl_reporting_spark.llm.curate import assemble_training_set
+
+        docs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    "the a of to in good plain words here and it is that for " * 3
+                    if i % 4 != 0
+                    else "$$$ ### !!!",  # every 4th doc is junk
+                    f"src{i % 3}",
+                )
+                for i in range(n)
+            ],
+            "doc_id long, text string, source string",
+        )
+        return assemble_training_set(docs, max_per_source=cap, shards=4)
+
+    def test_fates_partition_the_corpus(self, spark):
+        out = self._build(spark).collect()
+        assert len(out) == 200
+        fates = {r["fate"] for r in out}
+        assert "filtered_quality" in fates and "capped" in fates
+        for r in out:
+            if r["fate"] in ("filtered_quality", "capped"):
+                assert r["split"] is None and r["pos"] is None
+            else:
+                assert r["fate"] == r["split"] and r["pos"] is not None
+
+    def test_cap_counts_only_kept_docs(self, spark):
+        from pyspark.sql import functions as F
+
+        out = self._build(spark, cap=30)
+        per = (
+            out.filter(F.col("split").isNotNull())
+            .groupBy("source")
+            .count()
+            .collect()
+        )
+        assert all(r["count"] == 30 for r in per)  # 50 kept per source, capped at 30
+
+    def test_pos_dense_within_split_shard(self, spark):
+        from pyspark.sql import functions as F
+
+        out = self._build(spark)
+        per = (
+            out.filter(F.col("pos").isNotNull())
+            .groupBy("split", "shard")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn"))
+            .collect()
+        )
+        assert per and all(r["n"] == r["mx"] and r["mn"] == 1 for r in per)
