@@ -88,3 +88,47 @@ def write_bucketed(
 def daily_partition_column(df: DataFrame, ts_col: str, name: str = "event_date") -> DataFrame:
     """Derived partition column for event-time facts."""
     return df.withColumn(name, F.to_date(F.col(ts_col)))
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 256,
+    partition_cols: Sequence[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction — the nightly housekeeping pass a
+    streaming/incremental sink needs (thousands of KB-sized files per
+    day otherwise dominate scan cost with open/footer overhead).
+
+    Sizes the rewrite from the actual input bytes: output file count
+    = ceil(total_bytes / target_mb). With ``partition_cols`` the
+    rewrite preserves the partition layout and distributes by
+    partition value (each output partition directory gets coherent,
+    full files). Writes to ``out_path`` — the atomic swap (rename /
+    metastore repoint) is the caller's transactional step, never done
+    in-place here.
+
+    Returns (files_before, files_after_target). At 100 TB run it per
+    partition (date), not per table — the read is partition-pruned by
+    the caller passing the partition's path.
+    """
+    import math
+
+    df = spark.read.parquet(in_path)
+    files = df.inputFiles()
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        total += fs.getFileStatus(p).getLen()
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if partition_cols:
+        out = df.repartition(n_out, *[F.col(c) for c in partition_cols])
+        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_path)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    return len(files), n_out
