@@ -223,3 +223,91 @@ def test_deterministic_sample_monotone_in_fraction(spark, ids):
     small = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
     big = {r["doc_id"] for r in deterministic_sample(df, 0.5).collect()}
     assert small <= big  # growing the fraction only adds rows
+
+
+@SLOW
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0, max_size=12),
+    pair=st.tuples(st.sampled_from(["a", "b", "ab", "c"]), st.sampled_from(["a", "b", "ab", "c"])),
+)
+def test_merge_pair_matches_python_greedy(spark, syms, pair):
+    """merge_pair_column ≡ the reference greedy left-to-right
+    non-overlapping merge (including ambiguous alphabets where the
+    merged symbol collides with an existing one, e.g. 'a'+'b'='ab')."""
+    from etl_reporting_spark.llm.tokenize import merge_pair_column
+
+    a, b = pair
+    out = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    df = spark.createDataFrame([(syms,)], "symbols array<string>")
+    got = df.select(merge_pair_column(F.col("symbols"), a, b).alias("m")).first()["m"]
+    assert got == out, (syms, pair, got, out)
+
+
+@SLOW
+@given(
+    values=st.lists(st.integers(0, 10_000), min_size=1, max_size=200),
+    k=st.sampled_from([4, 16, 64]),
+)
+def test_kmv_matches_python_construction(spark, values, k):
+    """KMV sketch ≡ Python md5 reference: same k smallest 32-bit
+    hashes, same estimate arithmetic, exact below k."""
+    import hashlib
+
+    from etl_reporting_spark.llm.corpusops import kmv_distinct
+
+    df = spark.createDataFrame([(v,) for v in values], "v long").withColumn(
+        "grp", F.lit("g")
+    )
+    row = kmv_distinct(df, "grp", "v", k=k).first()
+    hashes = sorted(
+        {int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) for v in values}
+    )
+    top = hashes[:k]
+    assert row["n_kept"] == len(top)
+    if len(top) < k:
+        assert row["exact"] is True and row["est_distinct"] == float(len(top))
+    else:
+        assert row["exact"] is False
+        assert row["est_distinct"] == (k - 1) / (top[-1] / 2**32)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["nav", "foot", "x", "y", "z w"]), min_size=0, max_size=5),
+        min_size=1,
+        max_size=8,
+    ),
+    min_docs=st.sampled_from([2, 3]),
+)
+def test_remove_frequent_lines_matches_python(spark, texts, min_docs):
+    """Line dedup ≡ Python reference: doc-frequency vote (one vote per
+    doc), threshold, order-preserving reassembly, totality."""
+    from collections import Counter
+
+    from etl_reporting_spark.llm.corpusops import remove_frequent_lines
+
+    docs = [(i, "\n".join(lines)) for i, lines in enumerate(texts)]
+    votes = Counter()
+    for _, text in docs:
+        for line in set(text.split("\n")):
+            if line:
+                votes[line] += 1
+    bp = {l for l, n in votes.items() if n >= min_docs}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_frequent_lines(df, min_docs=min_docs).collect()
+    }
+    assert len(got) == len(docs)
+    for i, text in docs:
+        lines = [l for l in text.split("\n") if l]
+        kept = [l for l in lines if l not in bp]
+        assert got[i]["text"] == "\n".join(kept), (i, text)
+        assert got[i]["n_lines_kept"] == len(kept)
+        assert got[i]["n_lines_removed"] == len(lines) - len(kept)
