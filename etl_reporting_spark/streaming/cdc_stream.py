@@ -239,3 +239,40 @@ def streaming_dedup_screen(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_quality_screen(
+    doc_stream: DataFrame,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    weights: dict | None = None,
+    threshold: float = 0.0,
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming ingestion with model-based quality filtering: every
+    micro-batch is scored by the linear quality classifier
+    (``llm.classify``) — a narrow projection, so it rides the stream
+    with no state, no watermark, and no shuffle — and ``sink``
+    receives the batch with ``quality_score``/``keep`` attached
+    (typically: route keeps to the corpus, rejects to a quarantine
+    table with their scores for threshold tuning). Classifier scoring
+    composes with the dedup screen in the same foreachBatch when both
+    gates run per ingest."""
+    from etl_reporting_spark.llm.classify import quality_classifier_score
+
+    def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = quality_classifier_score(
+            batch_df,
+            weights=weights,
+            threshold=threshold,
+            text_col=text_col,
+            passthrough=True,
+        )
+        sink(scored, epoch_id)
+
+    return (
+        doc_stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

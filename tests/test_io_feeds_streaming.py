@@ -506,3 +506,32 @@ def test_streaming_dedup_screen_per_batch(spark, tmp_path):
     assert (1, 10) in got and (2, 10) in got   # batch doc near-dups both corpus docs
     assert (1, 2) not in got                   # corpus-internal: not re-derived
     assert all(a != 11 and b != 11 for a, b in got)  # unrelated doc is clean
+
+
+def test_streaming_quality_screen_per_batch(spark, tmp_path):
+    """Micro-batches arrive scored with the classifier margin; the
+    sink routes keeps vs rejects — no state, no shuffle."""
+    from etl_reporting_spark.streaming.cdc_stream import streaming_quality_screen
+
+    src = tmp_path / "qdoc_stream"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was a fine day for sitting"),
+            (2, "$$$ ### !!! @@@ %%% ^^^ &&& *** ((( )))"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    got: dict[int, tuple] = {}
+
+    def sink(scored_df, epoch_id):
+        for r in scored_df.collect():
+            got[r["doc_id"]] = (r["keep"], r["quality_score"])
+
+    q = streaming_quality_screen(stream, str(tmp_path / "cp_q"), sink)
+    q.awaitTermination(120)
+    assert got[1][0] is True and got[2][0] is False
+    assert got[1][1] > got[2][1]
+    assert set(got) == {1, 2}
