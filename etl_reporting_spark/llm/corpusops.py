@@ -259,3 +259,40 @@ def training_order(
         _hash32(F.col(id_col), salt + "|pos").asc(), F.col(id_col).asc()
     )
     return out.withColumn(pos_col, F.row_number().over(w))
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 256,
+    salt: str = "q",
+) -> DataFrame:
+    """Deterministic sampled quantiles per group — the reproducible
+    alternative to percentile_approx (whose KLL-style sketch is
+    partition-merge-order-dependent) when a group is too large for
+    exact percentiles.
+
+    The sample is the k hash-smallest rows per group (uniform: row
+    ids hash uniformly; WindowGroupLimit caps map-side state at k, as
+    in :func:`kmv_distinct`), and the quantiles are EXACT interpolated
+    percentiles over that sample — Spark's ``percentile`` and
+    DuckDB's ``percentile_cont`` share the a + f·(b−a) rule, so
+    results reproduce bit-for-bit cross-engine. Sampling error
+    ~1/sqrt(k) per quantile; groups smaller than k are exact.
+    """
+    h = _hash32(F.col(id_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    samp = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(k)))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_sampled")]
+    for q in percentiles:
+        aggs.append(
+            F.expr(f"percentile({value_col}, {q!r})").alias(f"p{int(round(q * 100))}")
+        )
+    return samp.groupBy(group_col).agg(*aggs)

@@ -1023,3 +1023,22 @@ SELECT b.doc_id, b.source, b.quality_score,
   s.pos
 FROM lab b LEFT JOIN sel s USING (doc_id) ORDER BY b.doc_id
 """
+
+# Sampled quantiles: identical k-smallest-hash sample per group, then
+# percentile_cont (the a + f*(b-a) rule Spark's `percentile` shares).
+LLM_ORACLE_SQL["sketch_sampled_quantiles"] = """
+WITH r AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v,
+    row_number() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY ('0x' || substring(md5('q' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT,
+               o_orderkey
+    ) AS rn
+  FROM orders
+)
+SELECT grp AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+  percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p50,
+  percentile_cont(0.9) WITHIN GROUP (ORDER BY v) AS p90,
+  percentile_cont(0.99) WITHIN GROUP (ORDER BY v) AS p99
+FROM r WHERE rn <= 128 GROUP BY grp ORDER BY grp
+"""

@@ -455,6 +455,19 @@ def training_set_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_training_set(docs, max_per_source=60, shards=8).orderBy("doc_id")
 
 
+def sketch_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampled quantiles (k=128 hash-smallest rows per
+    priority, exact interpolated percentiles over the sample) — the
+    reproducible alternative to percentile_approx; the oracle draws
+    the identical sample and interpolates with percentile_cont."""
+    from etl_reporting_spark.llm.corpusops import sampled_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    return sampled_quantiles(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", k=128
+    ).orderBy("o_orderpriority")
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -494,4 +507,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_step": bpe_pair_step,
     "text_quality_classifier": text_quality_classifier,
     "training_set_assembly": training_set_assembly,
+    "sketch_sampled_quantiles": sketch_sampled_quantiles,
 }

@@ -153,3 +153,31 @@ class TestTrainingOrder:
             .count()
         )
         assert moved > 400
+
+
+class TestSampledQuantiles:
+    def test_small_group_exact(self, spark):
+        df = spark.createDataFrame(
+            [("g", float(v), i) for i, v in enumerate([1, 2, 3, 4, 5])],
+            "grp string, v double, id long",
+        )
+        from etl_reporting_spark.llm.corpusops import sampled_quantiles
+
+        r = sampled_quantiles(df, "grp", "v", "id", percentiles=(0.5,), k=64).first()
+        assert r["n_sampled"] == 5 and r["p50"] == 3.0
+
+    def test_sample_estimate_close_and_stable(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_reporting_spark.llm.corpusops import sampled_quantiles
+
+        df = spark.range(10_000).select(
+            F.lit("g").alias("grp"),
+            F.col("id").cast("double").alias("v"),
+            F.col("id").alias("id"),
+        )
+        a = sampled_quantiles(df, "grp", "v", "id", k=512).first()
+        b = sampled_quantiles(df.repartition(13), "grp", "v", "id", k=512).first()
+        assert a["n_sampled"] == 512
+        assert abs(a["p50"] - 5000) / 5000 < 0.15  # ~1/sqrt(512) noise band
+        assert (a["p50"], a["p90"], a["p99"]) == (b["p50"], b["p90"], b["p99"])
