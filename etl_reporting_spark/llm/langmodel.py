@@ -1,0 +1,100 @@
+"""Character-n-gram language-model scoring (CCNet-style LM filter).
+
+Web-corpus pipelines score every document against a reference
+language model and drop the tails (CCNet buckets by Wikipedia-LM
+perplexity; Gopher/DCLM keep an LM-score feature). A real KenLM is a
+native dependency this engine can't assume, but the distributed
+shape — train counts on a reference corpus, broadcast the model,
+score every document in one narrow pass — is the part that matters
+at 100 TB, and a char-bigram frequency model exercises it end to end
+with exactly-reproducible arithmetic:
+
+- ``char_ngram_counts`` — the training pass: explode each doc into
+  character n-grams (one narrow ``transform(sequence(...))`` +
+  explode, no UDF), count corpus-wide. The model is
+  vocabulary-sized (≤ charset²  for bigrams), tiny at any corpus
+  scale → always broadcastable.
+- ``charlm_score`` — the scoring pass: re-explode, broadcast-join
+  the model, and aggregate two INTEGER sums per doc (n-grams seen,
+  total document frequency of those n-grams). The score
+  ``avg_df = hit_sum / n_ngrams`` is one double division — docs of
+  unusual character composition (wrong language, mojibake, binary
+  junk) score low. Integer accumulation keeps it bit-reproducible
+  across engines, unlike a Σ log p float fold.
+
+Scale shape: training is one groupBy over the exploded n-grams
+(map-side combinable — the combine collapses each partition to ≤
+model-size rows before the shuffle); scoring is one broadcast join +
+one groupBy keyed by doc id (the same key the explode preserved, so
+AQE can coalesce; no wide join). Score against a *different* corpus
+by passing its ``char_ngram_counts`` as ``model`` — the CCNet
+pattern (train on trusted text, score the crawl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngram_rows(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, ngram) rows: every length-n character window of text.
+    Docs shorter than n characters contribute no rows (and therefore
+    drop out of scoring — matching the oracle's join semantics)."""
+    # sequence(1, 0) would generate DESCENDING [1, 0], so short docs
+    # must take the empty-array branch, not a clamped bound.
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN"
+        f" transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substring({text_col}, i, {n}))"
+        f" ELSE array() END"
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+
+
+def char_ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide character-n-gram document frequencies:
+    (ngram, cnt). Output cardinality ≤ charset^n — broadcastable."""
+    return (
+        _ngram_rows(df, n, id_col, text_col)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def charlm_score(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score each doc by mean corpus frequency of its character
+    n-grams: (id, n_ngrams, hit_sum, avg_df). ``model`` defaults to
+    counts trained on ``df`` itself (self-scoring — flags outliers
+    within the corpus); pass a reference corpus's counts for
+    CCNet-style cross-corpus filtering. N-grams absent from the
+    model contribute 0 to ``hit_sum`` but still count in
+    ``n_ngrams``, so out-of-vocabulary text is penalized."""
+    if model is None:
+        model = char_ngram_counts(df, n=n, id_col=id_col, text_col=text_col)
+    grams = _ngram_rows(df, n, id_col, text_col)
+    joined = grams.join(F.broadcast(model), on="ngram", how="left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("hit_sum"),
+        )
+        .withColumn(
+            "avg_df",
+            F.col("hit_sum").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+    )

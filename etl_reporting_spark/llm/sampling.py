@@ -149,3 +149,103 @@ def stratified_sample(
             .otherwise(bound)
         )
     return df.filter(bucket < bound)
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source/language/domain:
+    ``w(g) ∝ n(g)^alpha``, the standard up-weighting of small sources
+    when assembling a multi-source training mixture (alpha=1 is
+    proportional, alpha→0 is uniform; multilingual pipelines typically
+    use 0.25–0.7).
+
+    Returns one row per group: ``n_docs``, ``w_raw`` (n^alpha),
+    ``weight`` (normalized), and ``planned_docs =
+    min(n, floor(budget * weight))`` — the per-group quota a
+    downstream sampler enforces.
+
+    Determinism: alpha ∈ {1.0, 0.5, 0.25} computes via repeated
+    ``sqrt`` (IEEE-correctly-rounded in every engine → bit-exact);
+    other alphas fall back to ``pow`` (libm — reproducible on one
+    engine, not guaranteed across engines). The normalizing total is a
+    left fold over the groups in group order (``aggregate`` over
+    ``array_sort(collect_list)``), not a partition-order ``SUM`` —
+    group counts are tiny (one row per source), so the single-row
+    fold costs nothing and makes the weights reproducible.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n = F.col("n_docs").cast("double")
+    if alpha == 1.0:
+        w_raw = n
+    elif alpha == 0.5:
+        w_raw = F.sqrt(n)
+    elif alpha == 0.25:
+        w_raw = F.sqrt(F.sqrt(n))
+    else:
+        w_raw = F.pow(n, F.lit(float(alpha)))
+    counts = counts.withColumn("w_raw", w_raw)
+    total = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("grp"), F.col("w_raw")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w_raw"],
+        ).alias("w_total")
+    )
+    out = counts.crossJoin(F.broadcast(total))
+    weight = F.col("w_raw") / F.col("w_total")
+    planned = F.least(
+        F.col("n_docs"),
+        F.floor(F.lit(float(budget)) * weight).cast("long"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "w_raw",
+        weight.alias("weight"),
+        planned.alias("planned_docs"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Select ~``budget`` rows with per-group quotas from
+    ``mixture_weights`` — the composed data-mixing pass: weights
+    (tiny, broadcast back onto the corpus) + one hash-ordered rank
+    window per group (WindowGroupLimit-eligible, same shape as
+    ``corpusops.cap_per_group``). With ``keep_col`` set, rows are
+    labelled instead of filtered (fate reporting). Deterministic:
+    membership is a pure function of (salt, id, group census).
+    """
+    from pyspark.sql import Window
+
+    quotas = mixture_weights(df, group_col, budget=budget, alpha=alpha).select(
+        F.col(group_col), F.col("planned_docs")
+    )
+    hexpart = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    order = F.conv(hexpart, 16, 10).cast("long")
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    ranked = df.join(F.broadcast(quotas), on=group_col, how="inner").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    if keep_col is not None:
+        return ranked.withColumn(
+            keep_col, F.col("__rn") <= F.col("planned_docs")
+        ).drop("__rn", "planned_docs")
+    return ranked.filter(F.col("__rn") <= F.col("planned_docs")).drop(
+        "__rn", "planned_docs"
+    )

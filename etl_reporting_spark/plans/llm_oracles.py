@@ -1042,3 +1042,137 @@ SELECT grp AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_sampled,
   percentile_cont(0.99) WITHIN GROUP (ORDER BY v) AS p99
 FROM r WHERE rn <= 128 GROUP BY grp ORDER BY grp
 """
+
+# Sqrt-temperature mixture weights: sqrt is IEEE-correctly-rounded in
+# both engines; the normalizing total is the same ordered group fold
+# (list ORDER BY grp + list_reduce ≡ aggregate over array_sort).
+_MIXTURE_QUOTAS = """
+mc AS (
+  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+mw AS (SELECT grp, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw FROM mc),
+mt AS (
+  SELECT list_reduce(list(w_raw ORDER BY grp), (acc, x) -> acc + x) AS w_total
+  FROM mw
+),
+mq AS (
+  SELECT grp, n_docs, w_raw, w_raw / w_total AS weight,
+    least(n_docs,
+          CAST(floor(200.0 * (w_raw / w_total)) AS BIGINT)) AS planned_docs
+  FROM mw, mt
+)
+"""
+
+LLM_ORACLE_SQL["sample_mixture_weights"] = f"""
+WITH {_MIXTURE_QUOTAS.strip()}
+SELECT grp AS source, n_docs, w_raw, weight, planned_docs
+FROM mq ORDER BY source
+"""
+
+# Temperature sampling: quotas joined back, same md5('mix'||id) rank
+# order as sampling.temperature_sample.
+LLM_ORACLE_SQL["sample_temperature_mixture"] = f"""
+WITH {_MIXTURE_QUOTAS.strip()},
+r AS (
+  SELECT d.doc_id, d.source, q.planned_docs,
+    row_number() OVER (
+      PARTITION BY d.source
+      ORDER BY ('0x' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT,
+               d.doc_id
+    ) AS rn
+  FROM documents d JOIN mq q ON d.source = q.grp
+)
+SELECT doc_id, source, rn <= planned_docs AS selected
+FROM r ORDER BY doc_id
+"""
+
+# Int8 scalar quantization: floor((x-mn)/scale + 0.5) codes, BIGINT
+# fold sums — min/max are exact, floor is exact, integer sums are
+# order-independent, so every column hash-matches.
+_QUANTIZED = """
+qb AS (
+  SELECT vec_id, embedding,
+    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS q_mn,
+    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS q_mx
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id, q_mn, q_mx,
+    CASE WHEN q_mx > q_mn THEN (q_mx - q_mn) / 255.0 ELSE 0.0 END AS q_scale,
+    CASE WHEN q_mx > q_mn THEN
+      list_transform(embedding, x ->
+        CAST(floor((CAST(x AS DOUBLE) - q_mn) / ((q_mx - q_mn) / 255.0) + 0.5)
+             AS BIGINT))
+    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM qb
+),
+qf AS (
+  SELECT vec_id, q_mn, q_mx, q_scale, qv,
+    list_reduce(qv, (acc, x) -> acc + x) AS q_sum,
+    list_reduce(list_transform(qv, x -> x * x), (acc, x) -> acc + x) AS q_norm2,
+    CAST(len(qv) AS DOUBLE) AS dim
+  FROM qs
+)
+"""
+
+LLM_ORACLE_SQL["emb_quantize_int8"] = f"""
+WITH {_QUANTIZED.strip()}
+SELECT vec_id, q_mn, q_mx, q_scale, q_sum, q_norm2
+FROM qf ORDER BY vec_id
+"""
+
+# Quantized brute-force top-k: dequantized dot from integer sums —
+# term order matches quantize._dequant_dot / _dequant_norm2 exactly
+# (left-associative products and sums).
+_QDOT_SQL = (
+    "list_reduce(list_transform(range(1, len(q.qv) + 1),"
+    " i -> q.qv[i] * c.qv[i]), (acc, v) -> acc + v)"
+)
+
+LLM_ORACLE_SQL["ann_cosine_int8"] = f"""
+WITH {_QUANTIZED.strip()},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    q.q_scale * c.q_scale * CAST({_QDOT_SQL} AS DOUBLE)
+      + q.q_scale * c.q_mn * CAST(q.q_sum AS DOUBLE)
+      + c.q_scale * q.q_mn * CAST(c.q_sum AS DOUBLE)
+      + q.dim * q.q_mn * c.q_mn AS dot,
+    q.q_scale * q.q_scale * CAST(q.q_norm2 AS DOUBLE)
+      + 2.0 * q.q_scale * q.q_mn * CAST(q.q_sum AS DOUBLE)
+      + q.dim * q.q_mn * q.q_mn AS qn,
+    c.q_scale * c.q_scale * CAST(c.q_norm2 AS DOUBLE)
+      + 2.0 * c.q_scale * c.q_mn * CAST(c.q_sum AS DOUBLE)
+      + q.dim * c.q_mn * c.q_mn AS cn
+  FROM qf c, qf q
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(qn) * sqrt(cn)) AS cosine,
+    row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY dot / (sqrt(qn) * sqrt(cn)) DESC, neighbor_id ASC
+    ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+# Char-bigram LM score: integer document-frequency sums, one final
+# division — the model join is vocabulary-sized in both engines.
+LLM_ORACLE_SQL["text_charlm_score"] = """
+WITH big AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+  FROM (
+    SELECT doc_id, text, unnest(range(1, length(text))) AS i
+    FROM documents WHERE length(text) >= 2
+  ) t
+),
+m AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM big GROUP BY bg)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+  CAST(SUM(m.cnt) AS BIGINT) AS hit_sum,
+  CAST(SUM(m.cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_df
+FROM big b JOIN m USING (bg)
+GROUP BY b.doc_id ORDER BY doc_id
+"""

@@ -468,6 +468,68 @@ def sketch_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature mixture weights per source (alpha=0.5,
+    budget 200): n^0.5 via IEEE sqrt, normalizing total via ordered
+    group fold — every number bit-reproducible, so the oracle checks
+    the weights themselves, not just the quotas."""
+    from etl_reporting_spark.llm.sampling import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weights(docs, "source", budget=200, alpha=0.5).orderBy("source")
+
+
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed data-mixing pass: sqrt-temperature quotas broadcast
+    back onto the corpus, hash-ordered rank per source, one labelled
+    row per doc — exact membership oracle-checked."""
+    from etl_reporting_spark.llm.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_sample(docs, "source", budget=200, alpha=0.5, keep_col="selected")
+        .select("doc_id", "source", "selected")
+        .orderBy("doc_id")
+    )
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (4× storage cut on the
+    widest column in the lake): range scalars plus the two integer
+    fold sums the scoring kernel precomputes — all exactly
+    reproducible (floor-based rounding, BIGINT accumulation)."""
+    from etl_reporting_spark.llm.quantize import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        quantize_embeddings(emb)
+        .select("vec_id", "q_mn", "q_mx", "q_scale", "q_sum", "q_norm2")
+        .orderBy("vec_id")
+    )
+
+
+def ann_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over the int8-quantized corpus: the
+    dequantized dot expands to integer sums + fixed-shape double ops,
+    so even the compressed scores hash-match the oracle."""
+    from etl_reporting_spark.llm.quantize import cosine_topk_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_quantized(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filter pass with a char-bigram frequency model
+    (train counts → broadcast → one narrow scoring aggregate): mean
+    document frequency of each doc's bigrams, integer sums + one
+    division so the score is bit-reproducible."""
+    from etl_reporting_spark.llm.langmodel import charlm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return charlm_score(docs).orderBy("doc_id")
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -508,4 +570,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": text_quality_classifier,
     "training_set_assembly": training_set_assembly,
     "sketch_sampled_quantiles": sketch_sampled_quantiles,
+    "sample_mixture_weights": sample_mixture_weights,
+    "sample_temperature_mixture": sample_temperature_mixture,
+    "emb_quantize_int8": emb_quantize_int8,
+    "ann_cosine_int8": ann_cosine_int8,
+    "text_charlm_score": text_charlm_score,
 }
