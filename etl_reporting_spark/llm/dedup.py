@@ -126,18 +126,33 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band
     bucket. Banding: signature slots [b*r, (b+1)*r) concatenate into
-    one md5 bucket key per band."""
+    one md5 bucket key per band.
+
+    Pairs are enumerated by grouping each bucket's members into one
+    sorted array and exploding the in-row combinations — ONE pass
+    over the bucket relation. The self-join formulation computes the
+    signature aggregation once per join side (Spark does not reuse
+    the exchange across aliased branches) and pays a broadcast build;
+    measured at sf0.1 this groupBy shape is ~2.5x faster. Output
+    volume is identical (Σ m²/2 per bucket either way — bucket size m
+    is what band width controls), and the per-bucket array is exactly
+    as bounded as the join's per-key match set."""
     buckets = band_buckets(signatures, bands=bands, rows_per_band=rows_per_band, id_col=id_col)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    grouped = (
+        buckets.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(sequence(1, size(__ids) - 1),"
+            " i -> transform(slice(__ids, i + 1, size(__ids) - i),"
+            " j -> struct(element_at(__ids, i) AS doc_a, j AS doc_b))))"
         )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    )
+    return (
+        grouped.select(pair.alias("__p"))
+        .select(F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -274,6 +289,7 @@ def minhash_near_duplicates(
     min_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band
     → candidate pairs → exact-Jaccard verify ≥ threshold.
@@ -284,18 +300,32 @@ def minhash_near_duplicates(
     formulation: measured ~2x faster than the all-narrow
     ``minhash_signatures_rowwise`` (codegen'd MIN aggregates vs
     interpreted HOF lambdas), and its shuffle is one compact row per
-    doc thanks to map-side partial aggregation. The shingle-array
-    relation is persisted because three consumers re-read it
-    (signatures and both verify sides) — without the cache each would
-    recompute tokenize+slice+dedupe from raw text; MEMORY_AND_DISK
-    keeps it spill-safe at scale. Verification intersects the two
-    arrays per candidate pair in-row (``verify_pairs_by_arrays``)
-    rather than re-exploding the corpus inverted index."""
-    arr = shingle_arrays(docs, k=k, text_col=text_col, id_col=id_col).persist()
+    doc thanks to map-side partial aggregation.
+
+    What gets cached is the CANDIDATE PAIR list (banding-bounded —
+    thousands of rows from millions of docs), never a corpus-sized
+    intermediate: verification re-shingles only the documents that
+    appear in some candidate pair (semi-join on the pair ids before
+    the narrow shingle projection), so the big relation is streamed
+    exactly once — through the signature pass. An earlier formulation
+    persisted the full shingle-array relation instead; at 100 TB
+    that is a corpus-sized (~5-10x text) cache commitment to save a
+    narrow recompute over the tiny candidate subset. Pass ``cleanup``
+    to receive the persisted candidate frame and release it once the
+    result is consumed (same contract as
+    ``cluster.connected_components``)."""
+    arr = shingle_arrays(docs, k=k, text_col=text_col, id_col=id_col)
     sh = arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sigs = minhash_signatures(sh, id_col=id_col)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col)
-    return verify_pairs_by_arrays(arr, cands, min_jaccard=min_jaccard, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col).persist()
+    if cleanup is not None:
+        cleanup.append(cands)
+    cand_ids = (
+        cands.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
+    )
+    cand_docs = docs.join(cand_ids, id_col, "semi")
+    cand_arr = shingle_arrays(cand_docs, k=k, text_col=text_col, id_col=id_col)
+    return verify_pairs_by_arrays(cand_arr, cands, min_jaccard=min_jaccard, id_col=id_col)
 
 
 def cross_doc_contamination(
