@@ -418,6 +418,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 16-bit blocking (4 blocks × 16 bits —
     pigeonhole: hamming ≤ 3 ⇒ at least one block equal) to generate
@@ -427,9 +428,18 @@ def simhash_near_duplicates(
     ~n²/65,536 per block in the random-hash worst case — the standard
     64-bit construction. (The earlier 4-bit-nibble blocking had only
     64 total buckets and went near-cartesian as the corpus grew.)
-    Work is proportional to block-bucket collisions, not corpus²."""
-    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
-    cands = simhash_candidate_pairs(sigs, id_col=id_col)
+    Work is proportional to block-bucket collisions, not corpus².
+
+    The signature table (one 8-byte row per doc — this IS the simhash
+    signature store a production corpus keeps anyway) persists before
+    pair generation: the fused-verify join reads it on both sides,
+    and without the cache each side replays the token explode + 64-sum
+    aggregation over the corpus — measured 2.6s → 1.4s at sf0.1. Pass
+    ``cleanup`` to release it once the pairs are consumed."""
+    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col).persist()
+    if cleanup is not None:
+        cleanup.append(sigs)
+    cands = simhash_candidate_pairs(sigs, id_col=id_col, max_hamming=max_hamming)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cands.withColumn("hamming", hamming.cast("int"))
@@ -439,12 +449,32 @@ def simhash_near_duplicates(
 
 
 def simhash_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", blocks: int = 4, block_bits: int = 16
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    blocks: int = 4,
+    block_bits: int = 16,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Blocking half of SimHash near-dup: explode each signature into
-    ``blocks`` (block, value) rows and self-join on equal blocks.
-    Exposed separately so candidate volume is testable — the bound is
-    the point of the 16-bit construction (65,536 values per block)."""
+    ``blocks`` (block, value) rows and enumerate pairs within each
+    bucket. Exposed separately so candidate volume is testable — the
+    bound is the point of the 16-bit construction (65,536 values per
+    block).
+
+    ``max_hamming`` pushes the exact-Hamming verification INTO pair
+    generation — a templated corpus produces orders of magnitude more
+    block collisions than true near-dups (measured 188k candidates vs
+    ~300 survivors at sf0.1), and enumerating them dominates the
+    stage. With the verify fused, generation switches to the
+    self-join formulation with ``bit_count(xor) <= max_hamming`` in
+    the JOIN CONDITION: the enumeration runs inside whole-stage
+    codegen and only survivors reach the dedup ``distinct`` (the
+    signature input is tiny — one row per doc — so computing it once
+    per join side costs nothing, unlike the MinHash bucket relation).
+    Verification is per-pair and deterministic, so filter-then-
+    distinct equals distinct-then-filter exactly. Without
+    ``max_hamming`` the single-pass grouped combination explode
+    returns ALL candidates (the testable-volume contract)."""
     rel = signatures.select(
         F.col(id_col),
         "simhash",
@@ -464,21 +494,51 @@ def simhash_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.block").alias("block"), F.col("bk.nib").alias("nib"))
-    a = rel.alias("a")
-    b = rel.alias("b")
+    if max_hamming is not None:
+        a, b = rel.alias("a"), rel.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.nib") == F.col("b.nib"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                    <= max_hamming
+                ),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+            .distinct()
+        )
+    # Generic path: in-bucket combination explode — one pass over the
+    # block relation, same pair volume as the join (Σ m²/2 per bucket).
+    grouped = (
+        rel.groupBy("block", "nib")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
+                )
+            ).alias("__m")
+        )
+        .filter(F.size("__m") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(sequence(1, size(__m) - 1),"
+            " i -> transform(slice(__m, i + 1, size(__m) - i),"
+            " j -> struct(element_at(__m, i).id AS doc_a, j.id AS doc_b,"
+            " element_at(__m, i).sig AS sig_a, j.sig AS sig_b))))"
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.nib") == F.col("b.nib"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
+        grouped.select(pair.alias("__p"))
+        .select("__p.doc_a", "__p.doc_b", "__p.sig_a", "__p.sig_b")
         .distinct()
     )
 
@@ -629,7 +689,15 @@ def incremental_near_duplicates(
         F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_a"),
         F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
     )
-    cands = raw.distinct()
+    # Three consumers read the candidate pairs (the id projection for
+    # the corpus re-read, and both sides of the verify join); without
+    # the persist each replays the band join AND its upstream — for
+    # the self-contained fallback that means re-signing the corpus
+    # per consumer. The frame is banding-bounded (pairs touching one
+    # batch), far smaller than either input.
+    cands = raw.distinct().persist()
+    if cleanup is not None:
+        cleanup.append(cands)
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))

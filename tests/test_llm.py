@@ -74,10 +74,11 @@ def test_jaccard_max_df_drops_hot_shingles(spark):
 
 
 def test_incremental_screen_cleanup_handle(spark):
-    """Per-batch callers must be able to release the persisted shingle
-    arrays: the cleanup list receives exactly the persisted frame, and
-    unpersisting it leaves nothing cached (the streaming screen does
-    this after every sink)."""
+    """Per-batch callers must be able to release every frame the
+    operator persisted (the increment's shingle arrays AND the
+    candidate pairs): the cleanup list receives exactly the persisted
+    frames, and unpersisting them leaves nothing cached (the streaming
+    screen does this after every sink)."""
     from etl_reporting_spark.llm.dedup import incremental_near_duplicates
 
     docs = _docs(spark)
@@ -86,10 +87,10 @@ def test_incremental_screen_cleanup_handle(spark):
         docs.filter("doc_id < 2"), docs.filter("doc_id >= 2"), cleanup=cleanup
     )
     pairs.count()
-    assert len(cleanup) == 1 and cleanup[0].is_cached
+    assert len(cleanup) == 2 and all(df.is_cached for df in cleanup)
     for df in cleanup:
         df.unpersist()
-    assert not cleanup[0].is_cached
+    assert not any(df.is_cached for df in cleanup)
 
 
 def test_simhash_blocking_bounds_candidates(spark):
