@@ -57,6 +57,11 @@ HEADLINE = [
     "corpus_line_dedup",
     "bpe_pair_step",
     "text_quality_classifier",
+    # round-4 additions #3: compressed-vector ANN, LM filtering, and
+    # temperature mixing — the remaining nightly passes
+    "ann_cosine_int8",
+    "text_charlm_score",
+    "sample_temperature_mixture",
 ]
 
 
