@@ -85,13 +85,25 @@ def charlm_score(
     ``n_ngrams``, so out-of-vocabulary text is penalized."""
     if model is None:
         model = char_ngram_counts(df, n=n, id_col=id_col, text_col=text_col)
-    grams = _ngram_rows(df, n, id_col, text_col)
-    joined = grams.join(F.broadcast(model), on="ngram", how="left")
+    # Fold duplicate n-grams per doc BEFORE the model join: the probe
+    # side shrinks from Σ positions (≈ corpus characters) to distinct
+    # (doc, ngram) rows — an order of magnitude on natural text — and
+    # the groupBy's map-side combine does the folding pre-shuffle.
+    # Σ_positions model[g] ≡ Σ_distinct doc_cnt(g)·model[g], so the
+    # integer outputs are unchanged.
+    doc_grams = (
+        _ngram_rows(df, n, id_col, text_col)
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("__doc_cnt"))
+    )
+    joined = doc_grams.join(F.broadcast(model), on="ngram", how="left")
     return (
         joined.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("hit_sum"),
+            F.sum("__doc_cnt").alias("n_ngrams"),
+            F.sum(F.col("__doc_cnt") * F.coalesce(F.col("cnt"), F.lit(0))).alias(
+                "hit_sum"
+            ),
         )
         .withColumn(
             "avg_df",
