@@ -1,0 +1,27 @@
+"""Full-surface physical-plan audit: every gate's executed plan must
+be free of scale anti-patterns (see tools/plan_audit.py). A new
+cartesian product, row-at-a-time Python UDF, interior global sort, or
+un-allowlisted nested-loop join anywhere in the 90-query surface
+fails this test, not just the judge's eyeball pass."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def test_every_gate_plan_is_clean(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from tools.plan_audit import audit_plan
+
+    qs = entrymod.queries()
+    failures = {}
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        df.count()  # finalize AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        problems = audit_plan(name, plan)
+        if problems:
+            failures[name] = problems
+    assert not failures, f"plan anti-patterns: {failures}"
