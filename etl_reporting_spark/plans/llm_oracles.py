@@ -1176,3 +1176,81 @@ SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
 FROM big b JOIN m USING (bg)
 GROUP BY b.doc_id ORDER BY doc_id
 """
+
+# Synthesized URLs — mirrors llm_queries._with_synth_urls exactly.
+_SYNTH_URL = """
+su AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+             WHEN doc_id % 5 = 1 THEN 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.Example.com:8080'
+             WHEN doc_id % 5 = 2 THEN 'sub.site' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+             WHEN doc_id % 5 = 3 THEN 'localhost'
+             ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN ''
+             WHEN doc_id % 3 = 1 THEN '/a/b/' || CAST(doc_id % 11 AS VARCHAR)
+             ELSE '/page' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1#frag'
+             WHEN doc_id % 4 = 1 THEN '#top'
+             WHEN doc_id % 4 = 2 THEN '?z=9&m=5&c=3'
+             ELSE '' END) AS url
+  FROM documents
+)
+"""
+
+from etl_reporting_spark.llm.urls import TWO_LEVEL_SUFFIXES as _PSL2  # noqa: E402
+
+_PSL2_SQL = "[" + ", ".join(f"'{s}'" for s in _PSL2) + "]"
+
+_URL_PARTS = f"""
+up AS (
+  SELECT doc_id, url,
+    CASE WHEN instr(url, '://') > 0 THEN split_part(url, '://', 1) ELSE '' END AS scheme,
+    CASE WHEN instr(url, '://') > 0 THEN split_part(url, '://', 2) ELSE url END AS rest
+  FROM su
+),
+uh AS (
+  SELECT doc_id, url, scheme, rest,
+    lower(split_part(split_part(split_part(split_part(rest, '/', 1), '?', 1), '#', 1), ':', 1)) AS host,
+    CASE WHEN instr(rest, '/') > 0 THEN substring(rest, instr(rest, '/')) ELSE '/' END AS path_full,
+    CASE WHEN instr(url, '?') > 0 THEN split_part(split_part(url, '?', 2), '#', 1) ELSE '' END AS query
+  FROM up
+),
+ud AS (
+  SELECT doc_id, url, scheme, host,
+    string_split(host, '.') AS labels,
+    split_part(split_part(path_full, '?', 1), '#', 1) AS path,
+    CASE WHEN query <> '' THEN array_to_string(list_sort(string_split(query, '&')), '&')
+         ELSE '' END AS query_sorted
+  FROM uh
+),
+ur AS (
+  SELECT doc_id, url, scheme, host, path, query_sorted,
+    len(labels) AS n,
+    concat_ws('.', labels[-2], labels[-1]) AS last2,
+    concat_ws('.', labels[-3], labels[-2], labels[-1]) AS last3
+  FROM ud
+),
+uparts AS (
+  SELECT doc_id, url, scheme, host,
+    CASE WHEN n >= 3 AND list_contains({_PSL2_SQL}, last2) THEN last3
+         WHEN n >= 2 THEN last2 ELSE host END AS registrable_domain,
+    path, query_sorted
+  FROM ur
+)
+"""
+
+LLM_ORACLE_SQL["url_parse_domains"] = f"""
+WITH {_SYNTH_URL.strip()},
+{_URL_PARTS.strip()}
+SELECT doc_id, url, scheme, host, registrable_domain, path, query_sorted
+FROM uparts ORDER BY doc_id
+"""
+
+LLM_ORACLE_SQL["url_domain_stats"] = f"""
+WITH {_SYNTH_URL.strip()},
+{_URL_PARTS.strip()}
+SELECT registrable_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM su) AS DOUBLE) AS corpus_share
+FROM uparts GROUP BY registrable_domain ORDER BY registrable_domain
+"""

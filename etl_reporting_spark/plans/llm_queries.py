@@ -519,6 +519,56 @@ def ann_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_quantized(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def _with_synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URL per doc (the corpus has no URL column):
+    mixed-case hosts, two-level ccTLD suffixes, ports, unsorted query
+    params, and fragments — every normalization branch exercised."""
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("WWW.Site"), (d % 7).cast("string"), F.lit(".co.uk")))
+        .when(d % 5 == 1, F.concat(F.lit("cdn"), (d % 7).cast("string"), F.lit(".Example.com:8080")))
+        .when(d % 5 == 2, F.concat(F.lit("sub.site"), (d % 7).cast("string"), F.lit(".com.au")))
+        .when(d % 5 == 3, F.lit("localhost"))
+        .otherwise(F.concat(F.lit("site"), (d % 7).cast("string"), F.lit(".org")))
+    )
+    path = (
+        F.when(d % 3 == 0, F.lit(""))
+        .when(d % 3 == 1, F.concat(F.lit("/a/b/"), (d % 11).cast("string")))
+        .otherwise(F.lit("/page"))
+    )
+    tail = (
+        F.when(d % 4 == 0, F.lit("?b=2&a=1#frag"))
+        .when(d % 4 == 1, F.lit("#top"))
+        .when(d % 4 == 2, F.lit("?z=9&m=5&c=3"))
+        .otherwise(F.lit(""))
+    )
+    scheme = F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://"))
+    return docs.select("doc_id", F.concat(scheme, host, path, tail).alias("url"))
+
+
+def url_parse_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-curation URL parsing: scheme/host/eTLD+1/path/sorted
+    query over synthesized URLs covering every normalization branch —
+    all narrow portable string ops, byte-for-byte oracle-checked."""
+    from etl_reporting_spark.llm.urls import with_url_parts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_url_parts(_with_synth_urls(docs))
+        .select("doc_id", "url", "scheme", "host", "registrable_domain", "path", "query_sorted")
+        .orderBy("doc_id")
+    )
+
+
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain census (quota input): doc counts +
+    corpus share, output domain-cardinality-sized."""
+    from etl_reporting_spark.llm.urls import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_stats(_with_synth_urls(docs)).orderBy("registrable_domain")
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -575,4 +625,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_quantize_int8": emb_quantize_int8,
     "ann_cosine_int8": ann_cosine_int8,
     "text_charlm_score": text_charlm_score,
+    "url_parse_domains": url_parse_domains,
+    "url_domain_stats": url_domain_stats,
 }
