@@ -722,3 +722,86 @@ def incremental_near_duplicates(
     )
     arrs = new_arr.unionByName(corpus_cand_arr)
     return verify_pairs_by_arrays(arrs, cands, min_jaccard=min_jaccard, id_col=id_col)
+
+
+def span_hashes(
+    docs: DataFrame,
+    window: int = 16,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window span hashes for exact-substring dedup (the
+    distributed form of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" suffix-array pass): hash every
+    ``window``-token slice. At the default ``stride=1`` every shared
+    verbatim run of ≥ ``window`` tokens between two documents is
+    GUARANTEED to produce a colliding hash (every alignment is
+    enumerated). ``stride > 1`` is a cheaper sampling screen with a
+    real blind spot: both documents keep only windows on their own
+    stride grid, so a shared run is detected ONLY when its start
+    offsets happen to be congruent mod ``stride`` — it reduces rows
+    ``stride``-fold but is NOT exact (winnowing — per-window min-hash
+    selection — is the construction that keeps a guarantee with fewer
+    fingerprints, at the cost of a position-dependent hash).
+
+    Output: (id, span_start [1-based token index], span_hash,
+    span_df) where ``span_df`` is the corpus-wide document frequency
+    of the hash — the inverted-index count, one map-side-combinable
+    groupBy (output cardinality = distinct spans), joined back onto
+    the span relation. Docs shorter than ``window`` tokens emit no
+    rows. Everything upstream of the one count-join is narrow."""
+    toks = F.split(F.col(text_col), " ")
+    with_t = docs.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= window
+    )
+    spans = with_t.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {window} + 1, {stride}),"
+                f" i -> struct(i AS start,"
+                f" md5(concat_ws(' ', slice(__toks, i, {window}))) AS h))"
+            )
+        ).alias("__sp"),
+    ).select(
+        F.col(id_col),
+        F.col("__sp.start").alias("span_start"),
+        F.col("__sp.h").alias("span_hash"),
+    )
+    freq = (
+        spans.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+    )
+    return spans.join(freq, "span_hash").select(
+        id_col, "span_start", "span_hash", "span_df"
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    window: int = 16,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document exact-substring duplication: how much of each doc
+    consists of token spans that appear verbatim elsewhere in the
+    corpus — the signal behind span-level dedup (cut the repeated
+    span, keep the document) and a stronger exactness complement to
+    MinHash's whole-doc similarity. Output: (id, n_spans,
+    n_dup_spans, dup_fraction); integer counts, one double division."""
+    sp = span_hashes(
+        docs, window=window, stride=stride, text_col=text_col, id_col=id_col
+    )
+    return (
+        sp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("span_df") >= 2, F.lit(1))).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
+        )
+    )

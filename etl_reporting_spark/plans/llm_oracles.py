@@ -1254,3 +1254,28 @@ SELECT registrable_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM su) AS DOUBLE) AS corpus_share
 FROM uparts GROUP BY registrable_domain ORDER BY registrable_domain
 """
+
+# Span-level exact-substring dedup: identical window/stride/md5
+# construction (stride 1: every alignment, guaranteed detection);
+# Spark sequence(1, n-w+1, s) ≡ DuckDB range(1, n-w+2, s).
+LLM_ORACLE_SQL["dedup_span_stats"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+),
+sp AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2, 1)) AS i
+    FROM t
+  ) x
+),
+f AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS span_df FROM sp GROUP BY h)
+SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(COUNT(CASE WHEN f.span_df >= 2 THEN 1 END) AS BIGINT) AS n_dup_spans,
+  CAST(COUNT(CASE WHEN f.span_df >= 2 THEN 1 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+FROM sp JOIN f USING (h)
+GROUP BY sp.doc_id ORDER BY sp.doc_id
+"""

@@ -519,6 +519,18 @@ def ann_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_quantized(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. pattern): per-doc
+    fraction of 8-token windows (stride 1 — every shared 8-token run
+    detected by construction) appearing verbatim
+    elsewhere in the corpus — integer inverted-index counts, one
+    division."""
+    from etl_reporting_spark.llm.dedup import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, window=8, stride=1).orderBy("doc_id")
+
+
 def _with_synth_urls(docs: DataFrame) -> DataFrame:
     """Deterministic URL per doc (the corpus has no URL column):
     mixed-case hosts, two-level ccTLD suffixes, ports, unsorted query
@@ -627,4 +639,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_charlm_score": text_charlm_score,
     "url_parse_domains": url_parse_domains,
     "url_domain_stats": url_domain_stats,
+    "dedup_span_stats": dedup_span_stats,
 }

@@ -630,3 +630,38 @@ def test_incremental_screen_uses_store_and_skips_corpus_internal(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_span_dedup_detects_shared_runs(spark):
+    """Two docs sharing a verbatim 11-token run (≥ window) must both
+    report a duplicated span at stride 1 regardless of alignment; a doc with unique text
+    reports zero."""
+    from etl_reporting_spark.llm.dedup import duplicated_span_stats, span_hashes
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    rows = [
+        (1, shared + " unique tail one two three four five six"),
+        (2, "different head words here then " + shared),
+        (3, "entirely distinct content with no overlap at all whatsoever present"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in
+             duplicated_span_stats(docs, window=8, stride=1).collect()}
+    assert stats[1]["n_dup_spans"] >= 1
+    assert stats[2]["n_dup_spans"] >= 1
+    assert stats[3]["n_dup_spans"] == 0
+    # the colliding span hash is the same verbatim window in both docs
+    sp = span_hashes(docs, window=8, stride=1)
+    dup = sp.filter("span_df >= 2").collect()
+    assert {r["doc_id"] for r in dup} == {1, 2}
+
+
+def test_span_dedup_short_docs_drop(spark):
+    from etl_reporting_spark.llm.dedup import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    ids = {r["doc_id"] for r in duplicated_span_stats(docs, window=8, stride=1).collect()}
+    assert ids == {2}
