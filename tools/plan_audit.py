@@ -61,6 +61,7 @@ _BNLJ_OK: dict[str, str] = {
     "ann_kmeans_step": "centroid table broadcast for assignment",
     "sample_mixture_weights": "single normalizing-total row broadcast",
     "sample_temperature_mixture": "single normalizing-total row broadcast",
+    "url_domain_stats": "single corpus-total row broadcast into domain shares",
 }
 
 
