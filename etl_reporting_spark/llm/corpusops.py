@@ -296,3 +296,71 @@ def sampled_quantiles(
             F.expr(f"percentile({value_col}, {q!r})").alias(f"p{int(round(q * 100))}")
         )
     return samp.groupBy(group_col).agg(*aggs)
+
+
+def countmin_sketch(
+    df: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch build: frequency estimation in depth×width
+    bounded state, the streaming/mergeable alternative to an exact
+    term census when the vocabulary is unbounded (URLs, n-grams,
+    user-ids). Each input row lands in one bucket per sketch row
+    (md5-derived ``_hash32`` with a per-row salt — deterministic and
+    cross-engine-reproducible, unlike hash functions with engine-
+    private seeds); counts are summed per (sketch_row, bucket).
+
+    Output: (sketch_row, bucket, cnt) — at most depth·width rows
+    regardless of input size, always broadcastable. Point queries via
+    :func:`countmin_estimate`; two sketches with identical
+    (depth, width, salt) merge by adding counts (union + re-sum) —
+    the property that makes this the right shape for per-partition /
+    per-day build then combine.
+
+    Scale: one narrow explode (depth per row, a small constant) into
+    ONE map-side-combinable groupBy whose key space is depth·width —
+    partial aggregation collapses everything executor-side, so the
+    shuffle moves at most depth·width rows per task, not the corpus.
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    buckets = F.array(
+        *[(_hash32(F.col(term_col), f"{salt}{d}") % width) for d in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("sketch_row", "bucket"), w.alias("__w"))
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query a count-min sketch: estimate = MIN over sketch
+    rows of the count in bucket h_d(term) (an absent bucket is 0).
+    The classic guarantee: estimate ≥ true count always, and ≤ true
+    + ε·N with probability 1−δ for width = e/ε, depth = ln(1/δ).
+
+    The sketch (≤ depth·width rows) broadcasts; per-term work is one
+    explode + one broadcast join + one min — never a corpus scan.
+    """
+    buckets = F.array(
+        *[(_hash32(F.col(term_col), f"{salt}{d}") % width) for d in range(depth)]
+    )
+    probes = terms.select(
+        F.col(term_col), F.posexplode(buckets).alias("sketch_row", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["sketch_row", "bucket"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
+    )

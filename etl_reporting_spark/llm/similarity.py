@@ -431,3 +431,71 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= F.lit(min_cosine))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 8,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the corpus, then look for
+    near-duplicate pairs ONLY within each cluster, flagging every
+    vector that has an earlier-id cluster-mate with cosine ≥
+    ``min_cosine``. Keeping the minimum id per semantic group is the
+    deterministic stand-in for the paper's "keep one random/lowest-
+    centroid-similarity member".
+
+    Returns one row per input vector: (id, centroid_id,
+    is_semantic_dup) — callers drop ``is_semantic_dup = 1`` rows to
+    materialize the deduplicated corpus, or keep the frame as a fate
+    report.
+
+    Scale design: the whole point of the cluster pass is that the
+    quadratic pair search never crosses cluster boundaries. Work is
+    Σ c_i² over cluster sizes, not n²; size ``n_centroids`` ∝ n /
+    target_cluster_size to keep c_i bounded as the corpus grows (the
+    paper uses ~100k clusters for ~100M docs). The pair join shuffles
+    on centroid_id only; a skewed hot cluster is the one failure mode
+    — raise ``n_centroids`` (or pre-train centroids with
+    ``train_ivf_centroids`` so they track the density) rather than
+    relying on AQE, which can split partitions but not shrink the
+    pair count. Default centroids are the deterministic id-seed rows
+    (reproducible for the oracle); production passes trained
+    centroids.
+    """
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    m = assigned.select(
+        F.col(id_col).alias("vid"),
+        "centroid_id",
+        F.col(vec_col).alias("vec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("n2"),
+    )
+    dup_ids = (
+        m.select(F.col("vid").alias("id_a"), "centroid_id",
+                 F.col("vec").alias("va"), F.col("n2").alias("qn"))
+        .join(
+            m.select(F.col("vid").alias("id_b"), "centroid_id",
+                     F.col("vec").alias("vb"), F.col("n2").alias("cn")),
+            "centroid_id",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", F.expr(_DOT.format(a="va", b="vb")))
+        .withColumn("cosine", _cosine_expr())
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids, assigned[id_col] == dup_ids["dup_id"], "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.when(F.col("dup_id").isNotNull(), 1).otherwise(0).alias("is_semantic_dup"),
+        )
+    )

@@ -145,3 +145,62 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             ),
         )
     )
+
+
+def apply_domain_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    mode: str = "label",
+) -> DataFrame:
+    """Blocklist screen with SUBDOMAIN semantics: a row is blocked
+    when its host equals a listed domain or sits anywhere under it
+    (``example.com`` blocks ``a.cdn.example.com``; never
+    ``notexample.com`` — matching is per label boundary, not string
+    suffix). ``blocklist`` is one lowercase ``domain`` column (UT1,
+    ads/malware feeds, robots-derived denials...).
+
+    ``mode="label"`` keeps every row and adds ``blocked`` (0/1) +
+    ``blocked_by`` (the FIRST matching entry walking from the full
+    host toward the TLD — deterministic); ``mode="filter"`` returns
+    only unblocked rows, original columns.
+
+    Scale design: the naive formulation is a LIKE/endswith theta-join
+    — a nested loop over corpus × blocklist. Instead the host
+    EXPLODES into its label suffixes (a.b.example.com → a.b.example.com,
+    b.example.com, example.com, com — ≤ host label count, a small
+    constant), and blocking becomes an EQUI-join on the suffix,
+    broadcast when the blocklist is broadcastable (a million-domain
+    list is ~20 MB — always). One narrow explode, one broadcast hash
+    join, one groupBy on the row id to collapse multi-level matches;
+    nothing quadratic anywhere. The groupBy key is the synthetic
+    per-row ``__rid`` so duplicate URLs never merge.
+    """
+    parts = df if "host" in df.columns else with_url_parts(df, url_col)
+    work = parts.withColumn("__rid", F.monotonically_increasing_id())
+    labels = F.split(F.col("host"), r"\.")
+    sufs = work.select(
+        "__rid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(labels)),
+                lambda i: F.concat_ws(".", F.slice(labels, i, F.size(labels))),
+            )
+        ).alias("depth", "suffix"),
+    )
+    bl = F.broadcast(blocklist.select(F.lower(F.col("domain")).alias("suffix")).distinct())
+    hits = (
+        sufs.join(bl, "suffix")
+        .groupBy("__rid")
+        .agg(F.min_by("suffix", "depth").alias("blocked_by"))
+    )
+    labeled = work.join(hits, "__rid", "left")
+    if mode == "filter":
+        return labeled.filter(F.col("blocked_by").isNull()).select(*df.columns)
+    if mode != "label":
+        raise ValueError(f"unknown mode {mode!r}: expected 'label' or 'filter'")
+    return labeled.select(
+        *parts.columns,
+        F.when(F.col("blocked_by").isNotNull(), 1).otherwise(0).alias("blocked"),
+        "blocked_by",
+    )

@@ -1279,3 +1279,108 @@ SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
 FROM sp JOIN f USING (h)
 GROUP BY sp.doc_id ORDER BY sp.doc_id
 """
+
+# SemDeDup: id-seed centroid assignment (same CTEs as ann_cosine_ivf),
+# then within-cluster pairwise cosine and the min-id keep rule — a
+# vector is a semantic dup iff an earlier-id cluster-mate scores
+# cosine >= 0.4 against it.
+LLM_ORACLE_SQL["semdedup_flags"] = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='c.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='c.cvec', b='c.cvec'))} AS cosine
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+    FROM scored_assign
+  ) t WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_COS.format(dot=_DOT9.format(a='a.embedding', b='b.embedding'),
+                     na=_DOT9.format(a='a.embedding', b='a.embedding'),
+                     nb=_DOT9.format(a='b.embedding', b='b.embedding'))} >= 0.4
+)
+SELECT assign.vec_id, assign.centroid_id,
+  CAST(CASE WHEN dups.dup_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+    AS is_semantic_dup
+FROM assign LEFT JOIN dups ON assign.vec_id = dups.dup_id
+ORDER BY assign.vec_id
+"""
+
+# Domain blocklist: identical suffix-explode equi-join — host label
+# suffixes (full host → TLD) joined against the inline blocklist,
+# first (most specific) match wins; left join back for the 0/1 label.
+LLM_ORACLE_SQL["url_blocklist"] = f"""
+WITH {_SYNTH_URL.strip()},
+{_URL_PARTS.strip()},
+bl AS (
+  SELECT lower(domain) AS suffix FROM (VALUES
+    ('example.com'), ('site3.co.uk'), ('site0.org'), ('localhost')
+  ) t(domain)
+),
+sufs AS (
+  SELECT doc_id, i - 1 AS depth,
+    array_to_string(
+      list_slice(string_split(host, '.'), i, len(string_split(host, '.'))), '.'
+    ) AS suffix
+  FROM (
+    SELECT doc_id, host, unnest(range(1, len(string_split(host, '.')) + 1)) AS i
+    FROM uparts
+  ) x
+),
+hits AS (
+  SELECT doc_id, arg_min(sufs.suffix, depth) AS blocked_by
+  FROM sufs JOIN bl ON sufs.suffix = bl.suffix
+  GROUP BY doc_id
+)
+SELECT u.doc_id, u.host,
+  CAST(CASE WHEN h.blocked_by IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS blocked,
+  h.blocked_by
+FROM uparts u LEFT JOIN hits h USING (doc_id)
+ORDER BY u.doc_id
+"""
+
+
+# Count-min sketch: same per-row salted _hash32 buckets (md5 prefix →
+# 32-bit int → % width), same min-over-rows estimate; the exact join
+# makes the overestimate property part of the checked contract.
+LLM_ORACLE_SQL["sketch_countmin"] = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+ds AS (SELECT unnest(range(0, 4)) AS d),
+sk AS (
+  SELECT d AS sketch_row,
+    ({_hex_to_int_sql("md5('cm' || CAST(d AS VARCHAR) || term)", 1, 8)}) % 512 AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok, ds GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 3
+),
+pb AS (
+  SELECT term, d AS sketch_row,
+    ({_hex_to_int_sql("md5('cm' || CAST(d AS VARCHAR) || term)", 1, 8)}) % 512 AS bucket
+  FROM probes, ds
+),
+est AS (
+  SELECT term, MIN(COALESCE(cnt, 0)) AS cm_estimate
+  FROM pb LEFT JOIN sk USING (sketch_row, bucket) GROUP BY term
+),
+exact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count FROM tok GROUP BY term
+)
+SELECT est.term, est.cm_estimate, exact.exact_count
+FROM est JOIN exact USING (term) ORDER BY term
+"""

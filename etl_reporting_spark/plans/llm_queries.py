@@ -581,6 +581,49 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_with_synth_urls(docs)).orderBy("registrable_domain")
 
 
+# Fixed blocklist for the gate: exercises subdomain blocking
+# (example.com ← cdnN.example.com, site3.co.uk ← www.site3.co.uk),
+# exact-host blocking (localhost, site0.org), and never-matching
+# lookalikes staying unblocked. Oracle inlines the same VALUES.
+_BLOCKLIST_DOMAINS = ["example.com", "site3.co.uk", "site0.org", "localhost"]
+
+
+def url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist screen over the synthetic URL corpus:
+    label-boundary subdomain semantics via the suffix-explode
+    equi-join (never a LIKE nested loop)."""
+    from etl_reporting_spark.llm.urls import apply_domain_blocklist
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = _with_synth_urls(docs)
+    bl = spark.createDataFrame([(d,) for d in _BLOCKLIST_DOMAINS], "domain string")
+    return (
+        apply_domain_blocklist(urls, bl)
+        .select("doc_id", "host", "blocked", "blocked_by")
+        .orderBy("doc_id")
+    )
+
+
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min build over every corpus token (4×512 bounded state)
+    + point estimates for the distinct tokens of docs 0-2, joined
+    against exact counts — the overestimate guarantee
+    (cm_estimate ≥ exact_count) is visible in the output."""
+    from etl_reporting_spark.llm.corpusops import countmin_estimate, countmin_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    sketch = countmin_sketch(toks, "term", depth=4, width=512)
+    probes = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .distinct()
+    )
+    est = countmin_estimate(sketch, probes, "term", depth=4, width=512)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    return est.join(exact, "term").orderBy("term")
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -590,6 +633,17 @@ def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return charlm_score(docs).orderBy("doc_id")
+
+
+def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 8 deterministic seed
+    centroids, within-cluster pairwise cosine at a loose 0.4
+    threshold (the synthetic vectors are near-orthogonal), min-id
+    keep rule. One fate row per vector."""
+    from etl_reporting_spark.llm.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_centroids=8, min_cosine=0.4).orderBy("vec_id")
 
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -640,4 +694,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_parse_domains": url_parse_domains,
     "url_domain_stats": url_domain_stats,
     "dedup_span_stats": dedup_span_stats,
+    "semdedup_flags": semdedup_flags,
+    "url_blocklist": url_blocklist,
+    "sketch_countmin": sketch_countmin,
 }

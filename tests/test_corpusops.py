@@ -181,3 +181,26 @@ class TestSampledQuantiles:
         assert a["n_sampled"] == 512
         assert abs(a["p50"] - 5000) / 5000 < 0.15  # ~1/sqrt(512) noise band
         assert (a["p50"], a["p90"], a["p99"]) == (b["p50"], b["p90"], b["p99"])
+
+
+def test_countmin_overestimates_and_merges(spark):
+    import pyspark.sql.functions as F
+    from etl_reporting_spark.llm.corpusops import countmin_estimate, countmin_sketch
+
+    rows = [(t,) for t in ["a"] * 50 + ["b"] * 7 + ["c"] * 1 + [f"x{i}" for i in range(40)]]
+    df = spark.createDataFrame(rows, "term string")
+    sk = countmin_sketch(df, "term", depth=4, width=16)
+    assert sk.count() <= 4 * 16  # bounded state regardless of input
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "term string")
+    est = {r["term"]: r["cm_estimate"] for r in
+           countmin_estimate(sk, probes, "term", depth=4, width=16).collect()}
+    assert est["a"] >= 50 and est["b"] >= 7 and est["c"] >= 1  # never undercounts
+    assert est["a"] <= 50 + 48  # width 16 over ~98 tokens: collisions bounded
+    # mergeability: sketch(A ∪ B) == sketch(A) + sketch(B) bucket-wise
+    a = countmin_sketch(df.filter(F.col("term") == "a"), "term", depth=4, width=16)
+    b = countmin_sketch(df.filter(F.col("term") != "a"), "term", depth=4, width=16)
+    merged = (a.unionByName(b).groupBy("sketch_row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    whole = {(r["sketch_row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    got = {(r["sketch_row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole

@@ -665,3 +665,26 @@ def test_span_dedup_short_docs_drop(spark):
     )
     ids = {r["doc_id"] for r in duplicated_span_stats(docs, window=8, stride=1).collect()}
     assert ids == {2}
+
+
+def test_semantic_dedup_flags_within_cluster_only(spark):
+    from etl_reporting_spark.llm.similarity import semantic_dedup
+
+    # Seeds 0/1 define two opposite clusters. 2 duplicates 0's
+    # direction (same cluster, cosine ≈ 1 → dup), 3 duplicates 1's
+    # (dup in the other cluster), 4 is orthogonal-ish to everything
+    # in its cluster (kept). Min-id keep rule: seeds themselves stay.
+    rows = [
+        (0, [1.0] * 8),
+        (1, [-1.0] * 8),
+        (2, [1.0] * 7 + [0.9]),
+        (3, [-1.0] * 7 + [-0.9]),
+        (4, [1.0, -1.0] * 4),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, n_centroids=2, min_cosine=0.95).collect()}
+    assert len(out) == 5  # one fate row per vector
+    assert [out[i]["is_semantic_dup"] for i in range(5)] == [0, 0, 1, 1, 0]
+    # dup pairs never cross clusters: 2 rides 0's cluster, 3 rides 1's
+    assert out[2]["centroid_id"] == out[0]["centroid_id"]
+    assert out[3]["centroid_id"] == out[1]["centroid_id"]

@@ -61,3 +61,23 @@ def test_domain_stats_shares(spark, urls):
 def test_url_parsing_is_narrow(spark, urls):
     plan = with_url_parts(urls)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_apply_domain_blocklist_label_boundary(spark):
+    from etl_reporting_spark.llm.urls import apply_domain_blocklist
+
+    rows = [
+        (0, "https://example.com/x"),          # exact match
+        (1, "https://a.cdn.example.com/x"),    # deep subdomain
+        (2, "https://notexample.com/x"),       # lookalike: NOT blocked
+        (3, "https://example.com.evil.io/x"),  # listed domain as prefix: NOT blocked
+        (4, "http://clean.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("Example.COM",)], "domain string")  # case-folded
+    out = {r["doc_id"]: r for r in apply_domain_blocklist(df, bl).collect()}
+    assert [out[i]["blocked"] for i in range(5)] == [1, 1, 0, 0, 0]
+    assert out[1]["blocked_by"] == "example.com"
+    kept = apply_domain_blocklist(df, bl, mode="filter")
+    assert kept.columns == ["doc_id", "url"]  # original shape restored
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4]

@@ -62,6 +62,7 @@ _BNLJ_OK: dict[str, str] = {
     "sample_mixture_weights": "single normalizing-total row broadcast",
     "sample_temperature_mixture": "single normalizing-total row broadcast",
     "url_domain_stats": "single corpus-total row broadcast into domain shares",
+    "semdedup_flags": "centroid table broadcast for cluster assignment",
 }
 
 
