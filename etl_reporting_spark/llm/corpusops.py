@@ -364,3 +364,97 @@ def countmin_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    term_col: str,
+    m_bits: int = 4096,
+    k: int = 5,
+    salt: str = "bf",
+) -> DataFrame:
+    """Bloom filter build: set membership in m_bits of state — the
+    shape for "have we seen this URL / span / benchmark phrase"
+    screens where the reference set is huge but the answer is one
+    bit. Bit positions come from k salted ``_hash32`` draws
+    (deterministic, cross-engine-reproducible); the filter
+    materializes as packed 32-bit words (word_idx = pos >> 5,
+    bit = pos & 31 — shift/mask arithmetic identical across engines
+    on positive ints, no float-division rounding divergence):
+    (word_idx, word) with at
+    most m_bits/32 rows — always broadcastable, and two filters with
+    identical (m_bits, k, salt) merge by OR-ing words.
+
+    32-bit packing (not 64) is deliberate: every word value stays in
+    [0, 2^32) — positive in a signed BIGINT — so shifts/ORs behave
+    identically in Spark and DuckDB with no two's-complement edge at
+    bit 63.
+
+    Scale: one narrow explode (k per row) into one map-side-
+    combinable bit_or groupBy over ≤ m_bits/32 keys; the shuffle
+    moves at most m_bits/32 rows per task regardless of corpus size.
+    False-positive rate ≈ (1 - e^(-k·n/m))^k; size m_bits ≈ 1.44·k·n
+    for the classic optimum.
+    """
+    pos = [(_hash32(F.col(term_col), f"{salt}{i}") % m_bits) for i in range(k)]
+    words = F.array(
+        *[
+            F.struct(
+                F.shiftright(p, 5).alias("word_idx"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(F.lit(31)).cast("int")
+                ).alias("word"),
+            )
+            for p in pos
+        ]
+    )
+    return (
+        df.select(F.explode(words).alias("w"))
+        .select("w.word_idx", "w.word")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    terms: DataFrame,
+    term_col: str,
+    m_bits: int = 4096,
+    k: int = 5,
+    salt: str = "bf",
+) -> DataFrame:
+    """Probe a Bloom filter: a term is a member iff ALL k of its bits
+    are set (no false negatives ever; false positives at the designed
+    rate). The filter (≤ m_bits/32 rows) broadcasts; per-term work is
+    one explode + one broadcast join + one conjunction aggregate —
+    never a scan of the original set.
+    """
+    pos = [(_hash32(F.col(term_col), f"{salt}{i}") % m_bits) for i in range(k)]
+    probes = terms.select(
+        F.col(term_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.shiftright(p, 5).alias("word_idx"),
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(F.lit(31)).cast("int")
+                        ).alias("need"),
+                    )
+                    for p in pos
+                ]
+            )
+        ).alias("w"),
+    ).select(term_col, "w.word_idx", "w.need")
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "__hit",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("need")) == F.col("need")).cast(
+                "int"
+            ),
+        )
+        .groupBy(term_col)
+        .agg(F.min("__hit").alias("bloom_member"))
+    )

@@ -1384,3 +1384,44 @@ exact AS (
 SELECT est.term, est.cm_estimate, exact.exact_count
 FROM est JOIN exact USING (term) ORDER BY term
 """
+
+
+# Bloom screen: identical salted-position construction (md5 prefix →
+# 32-bit int % m), pos>>5 / pos&31 word packing, bit_or build, all-k
+# conjunction probe over the corpus shingle set; exact membership
+# joined in so bloom ≥ exact is checked, not assumed.
+LLM_ORACLE_SQL["sketch_bloom_screen"] = f"""
+WITH {_SHINGLES.strip()},
+corpus AS (SELECT DISTINCT shingle FROM sh WHERE doc_id >= 50),
+batch AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 50),
+ks AS (SELECT unnest(range(0, 5)) AS i),
+cpos AS (
+  SELECT ({_hex_to_int_sql("md5('bf' || CAST(i AS VARCHAR) || shingle)", 1, 8)}) % 262144 AS pos
+  FROM corpus, ks
+),
+bloom AS (
+  SELECT pos >> 5 AS word_idx, bit_or(CAST(1 AS BIGINT) << (pos & 31)) AS word
+  FROM cpos GROUP BY 1
+),
+probes AS (SELECT DISTINCT shingle FROM batch),
+bpos AS (
+  SELECT shingle,
+    ({_hex_to_int_sql("md5('bf' || CAST(i AS VARCHAR) || shingle)", 1, 8)}) % 262144 AS pos
+  FROM probes, ks
+),
+member AS (
+  SELECT b.shingle,
+    MIN(CASE WHEN COALESCE(bl.word, 0) & (CAST(1 AS BIGINT) << (b.pos & 31))
+             = (CAST(1 AS BIGINT) << (b.pos & 31)) THEN 1 ELSE 0 END) AS bloom_member
+  FROM bpos b LEFT JOIN bloom bl ON (b.pos >> 5) = bl.word_idx
+  GROUP BY b.shingle
+)
+SELECT batch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(member.bloom_member) AS BIGINT) AS n_maybe_seen,
+  CAST(SUM(CASE WHEN corpus.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+FROM batch
+JOIN member USING (shingle)
+LEFT JOIN corpus ON batch.shingle = corpus.shingle
+GROUP BY batch.doc_id
+ORDER BY batch.doc_id
+"""

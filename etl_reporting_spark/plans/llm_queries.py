@@ -624,6 +624,40 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "term").orderBy("term")
 
 
+def sketch_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen: the standing corpus
+    (docs ≥ 50) publishes a Bloom filter over its 3-gram shingle set
+    (≤ m/32 packed words — KBs, always broadcastable, vs the
+    multi-GB exact shingle set at 100 TB); each incoming batch doc
+    (docs < 50) counts how many of its shingles the filter claims
+    (n_maybe_seen) next to exact membership (n_seen) — no false
+    negatives, so n_maybe_seen ≥ n_seen is part of the checked
+    contract, and n_maybe_seen = 0 proves a doc clean."""
+    from etl_reporting_spark.llm.corpusops import bloom_build, bloom_contains
+    from etl_reporting_spark.llm.dedup import shingle_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(docs, k=3)
+    corpus = sh.filter(F.col("doc_id") >= 50)
+    batch = sh.filter(F.col("doc_id") < 50)
+    bloom = bloom_build(corpus, "shingle", m_bits=262144, k=5)
+    member = bloom_contains(
+        bloom, batch.select("shingle").distinct(), "shingle", m_bits=262144, k=5
+    )
+    exact = corpus.select("shingle").distinct().withColumn("__in", F.lit(1))
+    return (
+        batch.join(member, "shingle")
+        .join(exact, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("bloom_member").alias("n_maybe_seen"),
+            F.sum(F.coalesce(F.col("__in"), F.lit(0))).alias("n_seen"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -697,4 +731,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_flags": semdedup_flags,
     "url_blocklist": url_blocklist,
     "sketch_countmin": sketch_countmin,
+    "sketch_bloom_screen": sketch_bloom_screen,
 }

@@ -204,3 +204,28 @@ def test_countmin_overestimates_and_merges(spark):
     whole = {(r["sketch_row"], r["bucket"]): r["cnt"] for r in sk.collect()}
     got = {(r["sketch_row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    import pyspark.sql.functions as F
+    from etl_reporting_spark.llm.corpusops import bloom_build, bloom_contains
+
+    present = [(f"term{i}",) for i in range(200)]
+    df = spark.createDataFrame(present, "term string")
+    bloom = bloom_build(df, "term", m_bits=4096, k=5)
+    assert bloom.count() <= 4096 // 32  # packed words, bounded state
+    probes = spark.createDataFrame(
+        present[:20] + [(f"absent{i}",) for i in range(20)], "term string"
+    )
+    got = {r["term"]: r["bloom_member"] for r in
+           bloom_contains(bloom, probes, "term", m_bits=4096, k=5).collect()}
+    assert all(got[f"term{i}"] == 1 for i in range(20))  # NEVER a false negative
+    # m=4096, k=5, n=200 → fp ≈ 3e-4: the 20 absent probes stay clean
+    assert sum(got[f"absent{i}"] for i in range(20)) == 0
+    # mergeability: bloom(A ∪ B) == bloom(A) OR bloom(B) word-wise
+    a = bloom_build(df.filter(F.col("term") < "term2"), "term", m_bits=4096, k=5)
+    b = bloom_build(df.filter(F.col("term") >= "term2"), "term", m_bits=4096, k=5)
+    merged = (a.unionByName(b).groupBy("word_idx")
+              .agg(F.expr("bit_or(word)").alias("word")))
+    assert {(r["word_idx"], r["word"]) for r in merged.collect()} == \
+           {(r["word_idx"], r["word"]) for r in bloom.collect()}
