@@ -62,6 +62,13 @@ HEADLINE = [
     "ann_cosine_int8",
     "text_charlm_score",
     "sample_temperature_mixture",
+    # round-4 additions #4: semantic dedup, bounded-state sketches,
+    # URL curation, and perceptual-hash media signatures
+    "semdedup_flags",
+    "sketch_countmin",
+    "sketch_bloom_screen",
+    "url_blocklist",
+    "mm_phash",
 ]
 
 

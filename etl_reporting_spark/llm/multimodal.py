@@ -163,3 +163,66 @@ def decode_media_real(with_payload: DataFrame) -> DataFrame:
         "media codecs (PIL/ffmpeg/soundfile) are not installed; "
         "use decode_media_metadata's plumbing with a real decoder here"
     )
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def perceptual_hash(with_payload: DataFrame, bits: int = 64) -> DataFrame:
+    """Perceptual signature over the binary payload (aHash family):
+    bucket the payload bytes mod ``bits``, set bit i iff bucket i's
+    count exceeds the mean (integer compare ``c·bits > total`` — no
+    float division to diverge across engines). A real image pipeline
+    replaces the histogram with the low-frequency DCT block of the
+    decoded/resized image (classic pHash) inside the same Arrow
+    batch contract; signature width, packing (bit 63 via two's
+    complement so the value is an ordinary BIGINT in any engine),
+    and downstream blocking are unchanged.
+
+    Scale: one mapInPandas pass, no shuffle; payload bytes never
+    leave the executor.
+    """
+    import numpy as np
+
+    assert bits in (16, 32, 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            sigs = []
+            for payload in batch["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr % bits, minlength=bits)
+                total = int(hist.sum())
+                v = 0
+                for i in range(bits):
+                    if int(hist[i]) * bits > total:
+                        v |= 1 << i
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                sigs.append(v)
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "phash": sigs})
+
+    return with_payload.select("doc_id", "payload").mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_duplicates(
+    with_payload: DataFrame, bits: int = 64, max_hamming: int = 3
+) -> DataFrame:
+    """Media near-dup pairs by perceptual hash: signatures from
+    :func:`perceptual_hash`, candidate generation + fused Hamming
+    verify via the SAME banded blocking as text SimHash
+    (``dedup.simhash_candidate_pairs`` — 4×16-bit blocks, pigeonhole
+    guarantee for hamming ≤ 3). Near-identical payloads (re-encodes,
+    crops at the fake-codec level) collide; the quadratic stays
+    inside blocks."""
+    from etl_reporting_spark.llm.dedup import simhash_candidate_pairs
+
+    sigs = perceptual_hash(with_payload, bits=bits).withColumnRenamed("phash", "simhash")
+    pairs = simhash_candidate_pairs(
+        sigs, blocks=4, block_bits=bits // 4, max_hamming=max_hamming
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    )

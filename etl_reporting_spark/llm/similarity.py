@@ -440,6 +440,7 @@ def semantic_dedup(
     min_cosine: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the corpus, then look for
@@ -469,7 +470,14 @@ def semantic_dedup(
     """
     if centroids is None:
         centroids = embeddings.filter(F.col(id_col) < n_centroids)
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    # Three consumers (both pair-join sides + the fate join) would
+    # re-run the assignment crossJoin three times; materialize it once
+    # — in production the cluster assignment is a table anyway. Pass
+    # ``cleanup`` to release the cache once the output is consumed.
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).persist()
+    assigned.count()
+    if cleanup is not None:
+        cleanup.append(assigned)
     m = assigned.select(
         F.col(id_col).alias("vid"),
         "centroid_id",

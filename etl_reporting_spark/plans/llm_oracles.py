@@ -1425,3 +1425,23 @@ LEFT JOIN corpus ON batch.shingle = corpus.shingle
 GROUP BY batch.doc_id
 ORDER BY batch.doc_id
 """
+
+# Perceptual hash: byte histogram mod 64 (ASCII corpus: chars ≡
+# bytes), bit i set iff count·64 > total (integer compare), bit 63
+# added as -2^63 so the packed value is the same signed BIGINT the
+# Pandas UDF emits.
+LLM_ORACLE_SQL["mm_phash"] = """
+WITH ch AS (
+  SELECT doc_id, ascii(unnest(string_split(text, ''))) % 64 AS h FROM documents
+),
+hist AS (SELECT doc_id, h, COUNT(*) AS c FROM ch GROUP BY doc_id, h),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM hist GROUP BY doc_id),
+bits AS (
+  SELECT hist.doc_id,
+    CAST(SUM(CASE WHEN c * 64 > t THEN
+      CASE WHEN h = 63 THEN -9223372036854775808 ELSE CAST(1 AS BIGINT) << h END
+    ELSE 0 END) AS BIGINT) AS phash
+  FROM hist JOIN tot USING (doc_id) GROUP BY hist.doc_id
+)
+SELECT doc_id, phash FROM bits ORDER BY doc_id
+"""

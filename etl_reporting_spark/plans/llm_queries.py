@@ -658,6 +658,17 @@ def sketch_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual signature per media payload (64-bit histogram
+    aHash through the Arrow-batched codec contract); near-dup pair
+    blocking rides the gate-proven SimHash machinery
+    (test: planted re-encodes in test_llm)."""
+    from etl_reporting_spark.llm.multimodal import perceptual_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perceptual_hash(with_binary_payload(docs)).orderBy("doc_id")
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -732,4 +743,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_blocklist": url_blocklist,
     "sketch_countmin": sketch_countmin,
     "sketch_bloom_screen": sketch_bloom_screen,
+    "mm_phash": mm_phash,
 }

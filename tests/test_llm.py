@@ -688,3 +688,21 @@ def test_semantic_dedup_flags_within_cluster_only(spark):
     # dup pairs never cross clusters: 2 rides 0's cluster, 3 rides 1's
     assert out[2]["centroid_id"] == out[0]["centroid_id"]
     assert out[3]["centroid_id"] == out[1]["centroid_id"]
+
+
+def test_phash_near_duplicates_planted_reencode(spark):
+    from etl_reporting_spark.llm.multimodal import perceptual_hash, phash_near_duplicates
+
+    # 0/1: same heavy buckets (a/b/c), tail differs by one byte — a
+    # "re-encode"; 2: heavy buckets q/r/s — different shape entirely.
+    base = b"abc" * 50 + b"xyz"
+    near = b"abc" * 50 + b"xyw"
+    far = b"qrs" * 50 + b"xyz"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, payload binary"
+    )
+    sigs = {r["doc_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert sigs[0] == sigs[1] != sigs[2]
+    pairs = phash_near_duplicates(df, max_hamming=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+    assert pairs[0]["hamming"] == 0
