@@ -311,3 +311,70 @@ def test_remove_frequent_lines_matches_python(spark, texts, min_docs):
         assert got[i]["text"] == "\n".join(kept), (i, text)
         assert got[i]["n_lines_kept"] == len(kept)
         assert got[i]["n_lines_removed"] == len(lines) - len(kept)
+
+
+@SLOW
+@given(
+    corpus=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                    min_size=1, max_size=40),
+    probes=st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                    min_size=1, max_size=15),
+)
+def test_countmin_never_undercounts(spark, corpus, probes):
+    from collections import Counter
+
+    from etl_reporting_spark.llm.corpusops import countmin_estimate, countmin_sketch
+
+    df = spark.createDataFrame([(t,) for t in corpus], "term string")
+    pr = spark.createDataFrame([(t,) for t in set(probes)], "term string")
+    sk = countmin_sketch(df, "term", depth=3, width=32)
+    est = {r["term"]: r["cm_estimate"] for r in
+           countmin_estimate(sk, pr, "term", depth=3, width=32).collect()}
+    truth = Counter(corpus)
+    total = len(corpus)
+    for t in set(probes):
+        assert truth[t] <= est[t] <= total  # CM invariant: never under, never past N
+
+
+@SLOW
+@given(
+    members=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8),
+                     min_size=1, max_size=40),
+    probes=st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+                    min_size=1, max_size=15),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    from etl_reporting_spark.llm.corpusops import bloom_build, bloom_contains
+
+    df = spark.createDataFrame([(t,) for t in members], "term string")
+    pr = spark.createDataFrame([(t,) for t in set(probes) | set(members)], "term string")
+    bloom = bloom_build(df, "term", m_bits=1024, k=4)
+    got = {r["term"]: r["bloom_member"] for r in
+           bloom_contains(bloom, pr, "term", m_bits=1024, k=4).collect()}
+    for t in set(members):
+        assert got[t] == 1  # membership NEVER missed, any input
+
+
+@SLOW
+@given(
+    hosts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", "dd"]), min_size=1, max_size=4),
+        min_size=1, max_size=20,
+    ),
+    blocked=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", "dd"]), min_size=1, max_size=3),
+        min_size=1, max_size=5,
+    ),
+)
+def test_blocklist_matches_python_suffix_rule(spark, hosts, blocked):
+    from etl_reporting_spark.llm.urls import apply_domain_blocklist
+
+    urls = [(i, "https://" + ".".join(h) + "/p") for i, h in enumerate(hosts)]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    bl = spark.createDataFrame([(".".join(b),) for b in blocked], "domain string")
+    got = {r["doc_id"]: r["blocked"] for r in apply_domain_blocklist(df, bl).collect()}
+    bset = {".".join(b) for b in blocked}
+    for i, h in enumerate(hosts):
+        # python oracle: blocked iff some label-suffix of the host is listed
+        suffixes = {".".join(h[j:]) for j in range(len(h))}
+        assert got[i] == (1 if suffixes & bset else 0), (h, bset)
