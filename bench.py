@@ -69,6 +69,7 @@ HEADLINE = [
     "sketch_bloom_screen",
     "url_blocklist",
     "mm_phash",
+    "ann_cosine_pq",
 ]
 
 

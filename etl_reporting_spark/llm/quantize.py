@@ -165,3 +165,178 @@ def cosine_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# --- Product quantization (PQ) -------------------------------------
+#
+# The IVF+PQ pairing is the standard 100 TB ANN architecture: IVF
+# (similarity.cosine_topk_ivf) prunes the candidate list to one
+# cluster, PQ compresses each candidate to m one-byte codes so the
+# scoring pass reads m bytes per vector instead of 4·dim, and scoring
+# itself becomes table lookups (ADC) — no per-pair float vector math.
+# Everything below is deterministic (seed codebooks, ordered folds,
+# total tie-breaks) so even this doubly-approximate path is
+# oracle-checked value-for-value.
+
+_SUBFOLD_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_SUBFOLD_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _subspaces(df: DataFrame, m: int, sub: int, vec_col: str, out: str) -> DataFrame:
+    """Explode a vector column into its m subvectors: (…, subspace,
+    out=array slice). Narrow; one row per (row, subspace)."""
+    parts = F.array(
+        *[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)]
+    )
+    return df.select(*df.columns, F.posexplode(parts).alias("subspace", out))
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook from the deterministic id-seed vectors: subspace
+    s's codes are the seeds' s-th slices. (subspace, code, subvec,
+    cn2) — m·n_codes rows, always broadcastable. Production trains
+    each subspace's codes with per-subspace Lloyd iterations (the
+    ``kmeans_step`` pattern applied to the sliced relation); the
+    seed version keeps the gate reproducible, and every downstream
+    contract (encode, LUT, ADC) is codebook-agnostic."""
+    sub = dim // m
+    seeds = embeddings.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("code"), vec_col
+    )
+    return _subspaces(seeds, m, sub, vec_col, "subvec").select(
+        "subspace",
+        "code",
+        "subvec",
+        F.expr(_SUBFOLD_DOT.format(a="subvec", b="subvec")).alias("cn2"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its nearest code per subspace (L2 in the
+    subspace, ties to the lowest code — total order). Output
+    (id, subspace, code): m small ints per vector, the 4·dim/m× 
+    compressed representation the scan/shuffle then carries.
+
+    Plan: one narrow subspace explode, one BROADCAST join against the
+    codebook (m·n_codes rows), one WindowGroupLimit-eligible rank —
+    per-vector work is m·n_codes small folds, independent of corpus
+    size; nothing shuffles but the final projection."""
+    sub = dim // m
+    ex = _subspaces(
+        embeddings.select(id_col, vec_col), m, sub, vec_col, "xsub"
+    ).select(id_col, "subspace", "xsub")
+    scored = ex.join(
+        F.broadcast(codebook.select("subspace", "code", "subvec")), "subspace"
+    ).withColumn("dist", F.expr(_SUBFOLD_L2.format(a="xsub", b="subvec")))
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "subspace", "code")
+    )
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query,
+    precompute LUT[subspace, code] = <q_sub, c_sub> (queries·m·n_codes
+    rows — tiny, broadcast), then every corpus vector's approximate
+    dot is the SUM of m table lookups over its codes and its
+    approximate norm the sum of its codes' cn2 — no float vector
+    arithmetic per pair at all, which is the entire point of PQ at
+    scale: the scoring pass streams (id, subspace, code) ints and
+    probes an in-memory table.
+
+    Both per-pair sums fold over subspaces IN ORDER (array_sort +
+    sequential fold, the ``kmeans_step`` convention) so the double
+    arithmetic is bit-reproducible; ranking ties break on neighbor
+    id. Returns (query_id, rank, neighbor_id, adc_score) with
+    adc_score ≈ cosine(q, x)."""
+    if codebook is None:
+        codebook = pq_codebook(embeddings, m, n_codes, dim, id_col, vec_col)
+    sub = dim // m
+    codes = pq_encode(embeddings, codebook, m, dim, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(_SUBFOLD_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
+    )
+    lut = (
+        _subspaces(q, m, sub, "qvec", "qsub")
+        .join(F.broadcast(codebook), "subspace")
+        .select(
+            "query_id",
+            "qn2",
+            "subspace",
+            "code",
+            F.expr(_SUBFOLD_DOT.format(a="qsub", b="subvec")).alias("pdot"),
+            "cn2",
+        )
+    )
+    parts = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.first("qn2").alias("qn2"),
+            F.array_sort(
+                F.collect_list(F.struct("subspace", "pdot", "cn2"))
+            ).alias("__m"),
+        )
+        .withColumn(
+            "adc_dot",
+            F.expr(
+                "aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.pdot)"
+            ),
+        )
+        .withColumn(
+            "approx_cn2",
+            F.expr(
+                "aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.cn2)"
+            ),
+        )
+    )
+    scored = parts.withColumn(
+        "adc_score",
+        F.col("adc_dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("approx_cn2"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "adc_score")
+    )

@@ -1445,3 +1445,74 @@ bits AS (
 )
 SELECT doc_id, phash FROM bits ORDER BY doc_id
 """
+
+# PQ/ADC: seed codebook slices, per-subspace L2 argmin encode, query
+# LUT, ordered per-subspace folds for the ADC dot and approx norm —
+# every double op fixed-shape or ordered, so the doubly-approximate
+# score still hash-matches.
+_PQ_DOT = (
+    "list_reduce(list_transform(range(1, 9),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+_PQ_L2 = (
+    "list_reduce(list_transform(range(1, 9),"
+    " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+
+LLM_ORACLE_SQL["ann_cosine_pq"] = f"""
+WITH subs AS (SELECT unnest(range(0, 8)) AS subspace),
+cb AS (
+  SELECT s.subspace, e.vec_id AS code,
+    list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8) AS subvec
+  FROM embeddings e, subs s WHERE e.vec_id < 16
+),
+cbn AS (
+  SELECT subspace, code, subvec,
+    {_PQ_DOT.format(a='subvec', b='subvec')} AS cn2
+  FROM cb
+),
+ex AS (
+  SELECT e.vec_id, s.subspace,
+    list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8) AS xsub
+  FROM embeddings e, subs s
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT ex.vec_id, ex.subspace, cbn.code,
+      ROW_NUMBER() OVER (
+        PARTITION BY ex.vec_id, ex.subspace
+        ORDER BY {_PQ_L2.format(a='ex.xsub', b='cbn.subvec')} ASC, cbn.code ASC
+      ) AS rn
+    FROM ex JOIN cbn ON ex.subspace = cbn.subspace
+  ) t WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+    {_DOT9.format(a='embedding', b='embedding')} AS qn2
+  FROM embeddings WHERE vec_id < 5
+),
+lut AS (
+  SELECT q.query_id, q.qn2, cbn.subspace, cbn.code, cbn.cn2,
+    {_PQ_DOT.format(a="list_slice(q.qvec, cbn.subspace * 8 + 1, cbn.subspace * 8 + 8)", b='cbn.subvec')} AS pdot
+  FROM q, cbn
+),
+parts AS (
+  SELECT lut.query_id, enc.vec_id, ANY_VALUE(lut.qn2) AS qn2,
+    list_reduce(list(lut.pdot ORDER BY lut.subspace), (acc, v) -> acc + v) AS adc_dot,
+    list_reduce(list(lut.cn2 ORDER BY lut.subspace), (acc, v) -> acc + v) AS approx_cn2
+  FROM enc JOIN lut ON enc.subspace = lut.subspace AND enc.code = lut.code
+  WHERE enc.vec_id != lut.query_id
+  GROUP BY lut.query_id, enc.vec_id
+)
+SELECT query_id, rank, neighbor_id, adc_score FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+    adc_dot / (sqrt(qn2) * sqrt(approx_cn2)) AS adc_score,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY adc_dot / (sqrt(qn2) * sqrt(approx_cn2)) DESC, vec_id ASC
+    ) AS rank
+  FROM parts
+) t WHERE rank <= 5
+ORDER BY query_id, rank
+"""

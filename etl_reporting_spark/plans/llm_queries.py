@@ -669,6 +669,18 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_hash(with_binary_payload(docs)).orderBy("doc_id")
 
 
+def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k: 8 subspaces × 16 seed codes, per-query lookup
+    table, scoring = m table probes per corpus vector (the IVF+PQ
+    serving architecture's compression half). Deterministic seed
+    codebook + ordered folds ⇒ full value-hash oracle."""
+    from etl_reporting_spark.llm.quantize import cosine_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_pq(emb, queries, k=5, m=8, n_codes=16).orderBy("query_id", "rank")
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -744,4 +756,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_countmin": sketch_countmin,
     "sketch_bloom_screen": sketch_bloom_screen,
     "mm_phash": mm_phash,
+    "ann_cosine_pq": ann_cosine_pq,
 }

@@ -154,3 +154,32 @@ def test_charlm_scoring_plan_broadcasts_model(spark, docs):
     plan = charlm_score(docs.select("doc_id", "text"))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_recovers_separated_clusters(spark):
+    import pyspark.sql.functions as F
+    from etl_reporting_spark.llm.quantize import cosine_topk_pq, pq_codebook, pq_encode
+
+    # 16 seed vectors (codebook); 0/16/32 share direction A, 1/17 share
+    # direction B — PQ codes for same-direction vectors are identical,
+    # so ADC ranks them top.
+    def vec(kind, dim=64):
+        if kind == "A":
+            return [1.0 if i % 2 == 0 else 0.2 for i in range(dim)]
+        if kind == "B":
+            return [-1.0 if i % 4 == 0 else 0.5 for i in range(dim)]
+        return [0.1 * ((i * 7 + kind) % 13 - 6) for i in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(2, 16)]
+    rows += [(0, vec("A")), (16, vec("A")), (32, vec("A")), (1, vec("B")), (17, vec("B"))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebook(emb, m=8, n_codes=16)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(emb, cb, m=8)
+    # identical vectors -> identical code words in every subspace
+    c0 = {r["subspace"]: r["code"] for r in codes.filter("vec_id = 0").collect()}
+    c16 = {r["subspace"]: r["code"] for r in codes.filter("vec_id = 16").collect()}
+    assert c0 == c16 and len(c0) == 8
+    out = cosine_topk_pq(emb, emb.filter(F.col("vec_id") == 0), k=2, m=8, n_codes=16)
+    top = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert set(top) == {16, 32}  # the A-direction twins outrank everything
