@@ -70,6 +70,7 @@ HEADLINE = [
     "url_blocklist",
     "mm_phash",
     "ann_cosine_pq",
+    "ann_cosine_ivfpq",
 ]
 
 

@@ -340,3 +340,109 @@ def cosine_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "adc_score")
     )
+
+
+def cosine_topk_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """The composed serving path — IVF prune × PQ compress × ADC
+    score: each query scores ONLY its centroid cell's inverted list
+    (candidates ∝ |corpus|/n_centroids), and each candidate costs m
+    LUT probes over its byte codes instead of a float dot. This is
+    the architecture that serves billion-vector indexes; both halves
+    (``similarity.cosine_topk_ivf``, ``cosine_topk_pq``) stay
+    independently gated, and this composition is gated end-to-end.
+
+    Scale: the cell join shuffles on (centroid_id ⋈) with the LUT
+    broadcast; candidate work per query is |corpus|/n_centroids · m
+    integer probes. Residual encoding (PQ over x − centroid, the
+    classic refinement) drops into ``pq_encode`` by pre-subtracting
+    the assigned centroid — omitted here to keep the gate's oracle
+    compact."""
+    from etl_reporting_spark.llm.similarity import ivf_assign
+
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_centroids)
+    if codebook is None:
+        codebook = pq_codebook(embeddings, m, n_codes, dim, id_col, vec_col)
+    sub = dim // m
+    cells = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    codes = pq_encode(embeddings, codebook, m, dim, id_col, vec_col).join(
+        cells, id_col
+    )
+    qcells = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("centroid_id").alias("qcell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(_SUBFOLD_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
+    ).join(qcells, "query_id")
+    lut = (
+        _subspaces(q, m, sub, "qvec", "qsub")
+        .join(F.broadcast(codebook), "subspace")
+        .select(
+            "query_id",
+            "qn2",
+            "qcell",
+            "subspace",
+            "code",
+            F.expr(_SUBFOLD_DOT.format(a="qsub", b="subvec")).alias("pdot"),
+            "cn2",
+        )
+    )
+    # Rename the probe side's join columns before joining: codes and
+    # lut share the codebook lineage, and same-lineage column refs in
+    # a join condition are ambiguous (Spark's "trivially true
+    # predicate" trap).
+    lut_r = lut.withColumnRenamed("subspace", "l_subspace").withColumnRenamed(
+        "code", "l_code"
+    )
+    parts = (
+        codes.join(
+            F.broadcast(lut_r),
+            (F.col("subspace") == F.col("l_subspace"))
+            & (F.col("code") == F.col("l_code"))
+            & (F.col("centroid_id") == F.col("qcell")),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.first("qn2").alias("qn2"),
+            F.array_sort(
+                F.collect_list(F.struct("subspace", "pdot", "cn2"))
+            ).alias("__m"),
+        )
+        .withColumn(
+            "adc_dot",
+            F.expr("aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.pdot)"),
+        )
+        .withColumn(
+            "approx_cn2",
+            F.expr("aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.cn2)"),
+        )
+    )
+    scored = parts.withColumn(
+        "adc_score",
+        F.col("adc_dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("approx_cn2"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "adc_score")
+    )

@@ -1516,3 +1516,81 @@ SELECT query_id, rank, neighbor_id, adc_score FROM (
 ) t WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+# IVF+PQ composition: the ann_cosine_ivf assignment CTEs gate the
+# pair space to same-cell, then the ann_cosine_pq CTEs score it.
+LLM_ORACLE_SQL["ann_cosine_ivfpq"] = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='c.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='c.cvec', b='c.cvec'))} AS cosine
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+    FROM scored_assign
+  ) t WHERE rn = 1
+),
+subs AS (SELECT unnest(range(0, 8)) AS subspace),
+cbn AS (
+  SELECT s.subspace, e.vec_id AS code,
+    list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8) AS subvec,
+    {_PQ_DOT.format(a="list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8)",
+                    b="list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8)")} AS cn2
+  FROM embeddings e, subs s WHERE e.vec_id < 16
+),
+ex AS (
+  SELECT e.vec_id, s.subspace,
+    list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8) AS xsub
+  FROM embeddings e, subs s
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT ex.vec_id, ex.subspace, cbn.code,
+      ROW_NUMBER() OVER (
+        PARTITION BY ex.vec_id, ex.subspace
+        ORDER BY {_PQ_L2.format(a='ex.xsub', b='cbn.subvec')} ASC, cbn.code ASC
+      ) AS rn
+    FROM ex JOIN cbn ON ex.subspace = cbn.subspace
+  ) t WHERE rn = 1
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qvec,
+    {_DOT9.format(a='e.embedding', b='e.embedding')} AS qn2,
+    a.centroid_id AS qcell
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+  WHERE e.vec_id < 5
+),
+lut AS (
+  SELECT q.query_id, q.qn2, q.qcell, cbn.subspace, cbn.code, cbn.cn2,
+    {_PQ_DOT.format(a="list_slice(q.qvec, cbn.subspace * 8 + 1, cbn.subspace * 8 + 8)", b='cbn.subvec')} AS pdot
+  FROM q, cbn
+),
+parts AS (
+  SELECT lut.query_id, enc.vec_id, ANY_VALUE(lut.qn2) AS qn2,
+    list_reduce(list(lut.pdot ORDER BY lut.subspace), (acc, v) -> acc + v) AS adc_dot,
+    list_reduce(list(lut.cn2 ORDER BY lut.subspace), (acc, v) -> acc + v) AS approx_cn2
+  FROM enc
+  JOIN assign ca ON enc.vec_id = ca.vec_id
+  JOIN lut ON enc.subspace = lut.subspace AND enc.code = lut.code
+          AND ca.centroid_id = lut.qcell
+  WHERE enc.vec_id != lut.query_id
+  GROUP BY lut.query_id, enc.vec_id
+)
+SELECT query_id, rank, neighbor_id, adc_score FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+    adc_dot / (sqrt(qn2) * sqrt(approx_cn2)) AS adc_score,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY adc_dot / (sqrt(qn2) * sqrt(approx_cn2)) DESC, vec_id ASC
+    ) AS rank
+  FROM parts
+) t WHERE rank <= 5
+ORDER BY query_id, rank
+"""

@@ -681,6 +681,19 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pq(emb, queries, k=5, m=8, n_codes=16).orderBy("query_id", "rank")
 
 
+def ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed serving path: IVF cell prune (candidates ∝
+    corpus/8) × PQ byte codes × ADC lookup scoring — both halves
+    independently gated; this checks the composition end-to-end."""
+    from etl_reporting_spark.llm.quantize import cosine_topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivfpq(emb, queries, k=5, n_centroids=8, m=8, n_codes=16).orderBy(
+        "query_id", "rank"
+    )
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -757,4 +770,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_bloom_screen": sketch_bloom_screen,
     "mm_phash": mm_phash,
     "ann_cosine_pq": ann_cosine_pq,
+    "ann_cosine_ivfpq": ann_cosine_ivfpq,
 }

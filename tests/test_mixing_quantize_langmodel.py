@@ -183,3 +183,22 @@ def test_pq_adc_recovers_separated_clusters(spark):
     out = cosine_topk_pq(emb, emb.filter(F.col("vec_id") == 0), k=2, m=8, n_codes=16)
     top = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
     assert set(top) == {16, 32}  # the A-direction twins outrank everything
+
+
+def test_ivfpq_subset_of_pq_same_cell(spark):
+    import pyspark.sql.functions as F
+    from etl_reporting_spark.llm.quantize import cosine_topk_ivfpq, cosine_topk_pq
+    from etl_reporting_spark.llm.similarity import ivf_assign
+
+    rows = [(i, [float((i * 13 + j * 7) % 11 - 5) for j in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 3)
+    full = cosine_topk_pq(emb, queries, k=40, m=8, n_codes=16)
+    pruned = cosine_topk_ivfpq(emb, queries, k=40, n_centroids=4, m=8, n_codes=16)
+    cells = {r["vec_id"]: r["centroid_id"]
+             for r in ivf_assign(emb, emb.filter(F.col("vec_id") < 4)).collect()}
+    got = {r["neighbor_id"]: r["adc_score"] for r in pruned.collect()}
+    ref = {r["neighbor_id"]: r["adc_score"] for r in full.collect()}
+    # IVF+PQ returns exactly the query's cell-mates, with PQ's scores
+    assert set(got) == {v for v, c in cells.items() if c == cells[3] and v != 3}
+    assert all(got[n] == ref[n] for n in got)

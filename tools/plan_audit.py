@@ -63,6 +63,7 @@ _BNLJ_OK: dict[str, str] = {
     "sample_temperature_mixture": "single normalizing-total row broadcast",
     "url_domain_stats": "single corpus-total row broadcast into domain shares",
     "semdedup_flags": "centroid table broadcast for cluster assignment",
+    "ann_cosine_ivfpq": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
 }
 
 
