@@ -276,3 +276,67 @@ def streaming_quality_screen(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sketch_maintenance(
+    doc_stream: DataFrame,
+    checkpoint_dir: str,
+    store_dir: str,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+    m_bits: int = 65536,
+    k_hashes: int = 5,
+    cm_salt: str = "cm",
+    bf_salt: str = "bf",
+) -> StreamingQuery:
+    """Keep the corpus' bounded-state sketches fresh as data streams
+    in: every micro-batch builds ITS OWN count-min rows and Bloom
+    words (cost ∝ batch) and writes them as an epoch-keyed DELTA
+    partition; the standing sketch is the additive/OR fold over the
+    deltas (``read_countmin_store`` / ``read_bloom_store``). This
+    works precisely because both sketches are mergeable by
+    construction — the property that makes them the right shape for
+    streaming maintenance, where re-scanning the corpus per epoch is
+    off the table.
+
+    Epoch-keyed ``overwrite`` makes retries idempotent (a replayed
+    epoch rewrites the same partition); the store stays bounded at
+    epochs · (depth·width + m/32) rows until compaction, and
+    compaction is itself just the fold: read, aggregate, write one
+    delta, drop the rest.
+    """
+    from etl_reporting_spark.llm.corpusops import bloom_build, countmin_sketch
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        cm = countmin_sketch(batch_df, term_col, depth=depth, width=width, salt=cm_salt)
+        bf = bloom_build(batch_df, term_col, m_bits=m_bits, k=k_hashes, salt=bf_salt)
+        cm.write.mode("overwrite").parquet(f"{store_dir}/countmin/epoch={epoch_id}")
+        bf.write.mode("overwrite").parquet(f"{store_dir}/bloom/epoch={epoch_id}")
+
+    return (
+        doc_stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_countmin_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Fold the epoch deltas into the standing count-min sketch
+    (additive merge — identical to a single build over the union)."""
+    return (
+        spark.read.parquet(f"{store_dir}/countmin")
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def read_bloom_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Fold the epoch deltas into the standing Bloom filter (OR
+    merge — identical to a single build over the union)."""
+    return (
+        spark.read.parquet(f"{store_dir}/bloom")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )

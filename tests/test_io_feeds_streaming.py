@@ -535,3 +535,48 @@ def test_streaming_quality_screen_per_batch(spark, tmp_path):
     assert got[1][0] is True and got[2][0] is False
     assert got[1][1] > got[2][1]
     assert set(got) == {1, 2}
+
+
+def test_streaming_sketch_maintenance_equals_batch_build(spark, tmp_path):
+    """Stream terms in (two source files → micro-batches), maintain
+    the sketch store per epoch, and prove the folded store EQUALS a
+    single batch build over everything — the mergeability contract
+    that justifies sketch maintenance on a stream."""
+    from etl_reporting_spark.llm.corpusops import bloom_build, countmin_sketch
+    from etl_reporting_spark.streaming.cdc_stream import (
+        read_bloom_store,
+        read_countmin_store,
+        streaming_sketch_maintenance,
+    )
+
+    src = tmp_path / "sketch_src"
+    src.mkdir()
+    rows1 = [(f"t{i % 7}",) for i in range(40)]
+    rows2 = [(f"t{i % 11}",) for i in range(40)]
+    spark.createDataFrame(rows1, "term string").write.mode("append").parquet(str(src))
+    spark.createDataFrame(rows2, "term string").write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("term string").parquet(str(src))
+    q = streaming_sketch_maintenance(
+        stream,
+        str(tmp_path / "cp_sketch"),
+        str(tmp_path / "store"),
+        depth=3,
+        width=64,
+        m_bits=2048,
+        k_hashes=4,
+    )
+    q.awaitTermination(120)
+
+    everything = spark.createDataFrame(rows1 + rows2, "term string")
+    cm_ref = {(r["sketch_row"], r["bucket"]): r["cnt"]
+              for r in countmin_sketch(everything, "term", depth=3, width=64).collect()}
+    cm_got = {(r["sketch_row"], r["bucket"]): r["cnt"]
+              for r in read_countmin_store(spark, str(tmp_path / "store")).collect()}
+    assert cm_got == cm_ref
+
+    bf_ref = {(r["word_idx"], r["word"])
+              for r in bloom_build(everything, "term", m_bits=2048, k=4).collect()}
+    bf_got = {(r["word_idx"], r["word"])
+              for r in read_bloom_store(spark, str(tmp_path / "store")).collect()}
+    assert bf_got == bf_ref
