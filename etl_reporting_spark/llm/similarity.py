@@ -507,3 +507,46 @@ def semantic_dedup(
             F.when(F.col("dup_id").isNotNull(), 1).otherwise(0).alias("is_semantic_dup"),
         )
     )
+
+
+def mine_hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    fetch_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the k STRONGEST neighbors that are not labeled positives —
+    the pairs that sharpen a retrieval model fastest. ``positives``
+    is (query_id, pos_id); the query itself is always excluded.
+
+    Over-fetches ``fetch_k`` (default k + 8) candidates from the
+    exact scorer, anti-joins the positive pairs, re-ranks, keeps k.
+    At corpus scale swap the candidate source for the LSH/IVF/PQ
+    scorers — the anti-join + re-rank tail is source-agnostic. The
+    positives relation is per-query-sized (broadcast); the re-rank
+    window rides the same query_id partitioning the scorer produced,
+    so no extra shuffle.
+
+    Caveat by design: if a query has more than fetch_k − k positives
+    inside the fetched head, fewer than k negatives return — raise
+    ``fetch_k`` (the standard recall/over-fetch trade).
+    """
+    if fetch_k is None:
+        fetch_k = k + 8
+    cands = cosine_topk_bruteforce(embeddings, queries, k=fetch_k, id_col=id_col, vec_col=vec_col)
+    pos = positives.select(
+        F.col("query_id"), F.col("pos_id").alias("neighbor_id")
+    )
+    neg = cands.join(F.broadcast(pos), ["query_id", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("query_id", "neg_rank", "neighbor_id", "cosine")
+    )

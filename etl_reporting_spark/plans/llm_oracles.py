@@ -1594,3 +1594,40 @@ SELECT query_id, rank, neighbor_id, adc_score FROM (
 ) t WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+# Hard negatives: exact top-(k+8) per query minus the labeled
+# positives, re-ranked; same fold/tie-break conventions as
+# ann_cosine_topk.
+LLM_ORACLE_SQL["emb_hard_negatives"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    {_COS.format(dot=_DOT9.format(a='q.qvec', b='c.embedding'),
+                 na=_DOT9.format(a='q.qvec', b='q.qvec'),
+                 nb=_DOT9.format(a='c.embedding', b='c.embedding'))} AS cosine
+  FROM q JOIN embeddings c ON c.vec_id != q.query_id
+),
+cands AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) t WHERE rank <= 13
+),
+pos AS (
+  SELECT query_id, query_id + 100 AS pos_id FROM q
+  UNION ALL
+  SELECT query_id, query_id + 200 AS pos_id FROM q
+),
+neg AS (
+  SELECT c.* FROM cands c
+  LEFT JOIN pos p ON c.query_id = p.query_id AND c.neighbor_id = p.pos_id
+  WHERE p.query_id IS NULL
+)
+SELECT query_id, neg_rank, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS neg_rank
+  FROM neg
+) t WHERE neg_rank <= 5
+ORDER BY query_id, neg_rank
+"""

@@ -694,6 +694,25 @@ def ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: labeled positives (q+100, q+200 — a
+    deterministic stand-in for click/pairing labels) excluded from
+    the exact top candidates, strongest non-positives kept."""
+    from etl_reporting_spark.llm.similarity import mine_hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    positives = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(F.col("vec_id") + 100, F.col("vec_id") + 200)
+        ).alias("pos_id"),
+    )
+    return mine_hard_negatives(emb, queries, positives, k=5).orderBy(
+        "query_id", "neg_rank"
+    )
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -771,4 +790,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_phash": mm_phash,
     "ann_cosine_pq": ann_cosine_pq,
     "ann_cosine_ivfpq": ann_cosine_ivfpq,
+    "emb_hard_negatives": emb_hard_negatives,
 }

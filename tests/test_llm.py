@@ -706,3 +706,24 @@ def test_phash_near_duplicates_planted_reencode(spark):
     pairs = phash_near_duplicates(df, max_hamming=3).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
     assert pairs[0]["hamming"] == 0
+
+
+def test_mine_hard_negatives_excludes_planted_positive(spark):
+    from etl_reporting_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        mine_hard_negatives,
+    )
+
+    # 10/11 share the query's direction (the labeled positive and the
+    # hard negative); everything else is noise.
+    rows = [(0, [1.0] * 8), (10, [1.0] * 7 + [0.9]), (11, [1.0] * 7 + [0.8])]
+    rows += [(i, [float((i * 5 + j) % 7 - 3) for j in range(8)]) for i in range(1, 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    top = [r["neighbor_id"] for r in
+           cosine_topk_bruteforce(emb, q, k=2).orderBy("rank").collect()]
+    assert top == [10, 11]  # the positive IS the top hit
+    positives = spark.createDataFrame([(0, 10)], "query_id long, pos_id long")
+    neg = mine_hard_negatives(emb, q, positives, k=2).orderBy("neg_rank").collect()
+    assert [r["neighbor_id"] for r in neg] == [11] + [neg[1]["neighbor_id"]]
+    assert neg[0]["neighbor_id"] == 11 and 10 not in {r["neighbor_id"] for r in neg}
