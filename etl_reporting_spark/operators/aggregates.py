@@ -112,3 +112,64 @@ def column_profile(df: DataFrame, column: str, freshness_col: str | None = None)
     if freshness_col:
         aggs.append(F.max(F.col(freshness_col)).alias("latest_ts"))
     return df.agg(*aggs)
+
+
+def partial_aggregate(
+    df: DataFrame, keys: Sequence[str], value_col: str, scale: int = 4
+) -> DataFrame:
+    """Mergeable partial aggregate — the building block of
+    incremental rollup maintenance (the lakehouse materialized-view
+    pattern: each day/batch/partition aggregates ALONE, and the
+    standing summary folds the partials instead of rescanning
+    history). Per key: count, DECIMAL-exact sum and sum of squares
+    (order-independent — a double sum would drift between the
+    incremental and recompute paths), min, max.
+
+    count/sum/sumsq/min/max are all associative+commutative, which is
+    the entire contract: merge(partial(A), partial(B)) ≡
+    partial(A ∪ B), proven against the full-recompute oracle by the
+    a15 gate."""
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum(v).alias("p_sum"),
+        F.min(v).alias("p_min"),
+        F.max(v).alias("p_max"),
+        F.sum((v * v)).alias("p_sumsq"),
+    )
+
+
+def merge_partials(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold partial aggregates (a union of any number of
+    ``partial_aggregate`` outputs — yesterday's summary is itself a
+    partial) into one summary row per key. Cost ∝ number of partial
+    rows (keys × batches), never the underlying fact rows — the
+    point of the pattern at 100 TB, where the nightly delta is GBs
+    but history is the lake."""
+    return partials.groupBy(*keys).agg(
+        F.sum("p_cnt").alias("p_cnt"),
+        F.sum("p_sum").alias("p_sum"),
+        F.min("p_min").alias("p_min"),
+        F.max("p_max").alias("p_max"),
+        F.sum("p_sumsq").alias("p_sumsq"),
+    )
+
+
+def finalize_stats(merged: DataFrame) -> DataFrame:
+    """Derive the read-time statistics from merged partials: avg and
+    sample stddev as FIXED-SHAPE double expressions over the exact
+    decimal sums (identical in any engine given identical partials —
+    the only doubles are the final few ops)."""
+    n = F.col("p_cnt").cast("double")
+    s = F.col("p_sum").cast("double")
+    ss = F.col("p_sumsq").cast("double")
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    return merged.select(
+        *[c for c in merged.columns if not c.startswith("p_")],
+        F.col("p_cnt").alias("n_rows"),
+        s.alias("sum_value"),
+        F.col("p_min").cast("double").alias("min_value"),
+        F.col("p_max").cast("double").alias("max_value"),
+        (s / n).alias("avg_value"),
+        F.when(F.col("p_cnt") > 1, F.sqrt(var)).alias("stddev_value"),
+    )

@@ -671,3 +671,36 @@ SELECT month, region_name, n_orders, revenue,
            AS DOUBLE) AS region_share
 FROM monthly ORDER BY month, region_name
 """
+
+# a15: the oracle is the FULL RECOMPUTE over all of orders — the gate
+# computes the same numbers incrementally (three batch partials
+# merged), so the hash match PROVES merge(partials) ≡ recompute.
+# Decimal-exact sums; doubles only in the final derived expressions,
+# mirrored shape-for-shape.
+ORACLE_SQL["a15_incremental_rollup"] = """
+WITH p AS (
+  SELECT o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS p_cnt,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS p_sum,
+    MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS p_min,
+    MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS p_max,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)))
+         AS DECIMAL(38,8)) AS p_sumsq
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+  p_cnt AS n_rows,
+  CAST(p_sum AS DOUBLE) AS sum_value,
+  CAST(p_min AS DOUBLE) AS min_value,
+  CAST(p_max AS DOUBLE) AS max_value,
+  CAST(p_sum AS DOUBLE) / CAST(p_cnt AS DOUBLE) AS avg_value,
+  -- DECIMAL(38,8)→DOUBLE is not correctly rounded in DuckDB for
+  -- int128-backed values (off by 1 ulp vs Spark's BigDecimal path);
+  -- VARCHAR→DOUBLE goes through strtod, which is — route through it.
+  CASE WHEN p_cnt > 1 THEN sqrt(
+    (CAST(CAST(p_sumsq AS VARCHAR) AS DOUBLE)
+     - CAST(p_sum AS DOUBLE) * CAST(p_sum AS DOUBLE) / CAST(p_cnt AS DOUBLE))
+    / (CAST(p_cnt AS DOUBLE) - 1.0)
+  ) END AS stddev_value
+FROM p ORDER BY o_orderpriority
+"""

@@ -1024,6 +1024,36 @@ def a14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (A3/A7 family at production
+    shape): orders split into three "daily load" windows, each
+    partial-aggregated ALONE, partials folded into the standing
+    summary — the oracle is the FULL RECOMPUTE, so the gate proves
+    incremental ≡ recompute exactly (the w9 apply-changes pattern
+    applied to aggregates). Decimal-exact partials; doubles only in
+    the final derived stats."""
+    from etl_reporting_spark.operators.aggregates import (
+        finalize_stats,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    batches = [
+        orders.filter(F.col("o_orderdate") < F.lit("1994-01-01")),
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        ),
+        orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01")),
+    ]
+    partials = batches[0].transform(lambda d: partial_aggregate(d, keys, "o_totalprice"))
+    for b in batches[1:]:
+        partials = partials.unionByName(partial_aggregate(b, keys, "o_totalprice"))
+    return finalize_stats(merge_partials(partials, keys)).orderBy("o_orderpriority")
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -1145,7 +1175,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": LLM_QUERIES["ann_cosine_topk"],
     "text_quality_scores": LLM_QUERIES["text_quality_scores"],
     "mm_decode_metadata": LLM_QUERIES["mm_decode_metadata"],
-    # ---- remaining LLM gates (driver rows 51+; locally verified) ----
+    # ---- remaining gates (driver rows 51+; locally verified) ----
+    "a15_incremental_rollup": a15_incremental_rollup,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

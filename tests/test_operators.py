@@ -303,3 +303,28 @@ def test_merge_upsert_delta_full_branches(spark, tmp_path):
     assert rows == {1: ("new1", 11), 4: ("new4", 40)}
     assert (res.rows_inserted, res.rows_updated, res.rows_deleted) == (1, 1, 2)
     assert res.rows_unchanged == 0
+
+
+def test_partial_aggregate_merge_equals_recompute(spark):
+    import pyspark.sql.functions as F
+
+    from etl_reporting_spark.operators.aggregates import (
+        finalize_stats,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        (F.col("id") * 7 % 113).cast("double").alias("v"),
+    )
+    # arbitrary 3-way split; each batch partial-aggregated alone
+    parts = None
+    for i in range(3):
+        p = partial_aggregate(df.filter(F.col("id") % 3 == i), ["k"], "v")
+        parts = p if parts is None else parts.unionByName(p)
+    merged = finalize_stats(merge_partials(parts, ["k"]))
+    full = finalize_stats(partial_aggregate(df, ["k"], "v"))
+    got = {r["k"]: tuple(r)[1:] for r in merged.collect()}
+    ref = {r["k"]: tuple(r)[1:] for r in full.collect()}
+    assert got == ref  # bit-identical, including stddev
