@@ -1631,3 +1631,34 @@ SELECT query_id, neg_rank, neighbor_id, cosine FROM (
 ) t WHERE neg_rank <= 5
 ORDER BY query_id, neg_rank
 """
+
+# Language mixture: language-ID CTE feeding the temperature-weight
+# math (n^0.25 via sqrt(sqrt) — IEEE-exact; ordered group fold for
+# the normalizing total, as the mixture gates).
+LLM_ORACLE_SQL["corpus_language_mixture"] = f"""
+WITH scores AS (
+  SELECT doc_id,
+{_LANG_SCORES}
+  FROM documents
+),
+lang AS (
+  SELECT doc_id, {_LANG_PRED} AS predicted_lang FROM scores
+),
+mc AS (
+  SELECT predicted_lang AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM lang GROUP BY predicted_lang
+),
+mw AS (SELECT grp, n_docs, sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS w_raw FROM mc),
+mt AS (
+  SELECT list_reduce(list(w_raw ORDER BY grp), (acc, x) -> acc + x) AS w_total
+  FROM mw
+),
+mq AS (
+  SELECT grp, n_docs, w_raw, w_raw / w_total AS weight,
+    least(n_docs,
+          CAST(floor(300.0 * (w_raw / w_total)) AS BIGINT)) AS planned_docs
+  FROM mw, mt
+)
+SELECT grp AS predicted_lang, n_docs, w_raw, weight, planned_docs
+FROM mq ORDER BY predicted_lang
+"""

@@ -713,6 +713,23 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multilingual curation pass: language-ID every doc
+    (narrow n-gram scores), then temperature-weight the per-language
+    mixture (alpha=0.25 — the heavy small-language up-weighting
+    multilingual pretraining uses) with per-language quotas."""
+    from etl_reporting_spark.llm.sampling import mixture_weights
+    from etl_reporting_spark.llm.textstats import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = language_id(docs).select("doc_id", "predicted_lang")
+    return (
+        mixture_weights(lang, "predicted_lang", budget=300, alpha=0.25)
+        .withColumnRenamed("grp", "predicted_lang")
+        .orderBy("predicted_lang")
+    )
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -791,4 +808,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_pq": ann_cosine_pq,
     "ann_cosine_ivfpq": ann_cosine_ivfpq,
     "emb_hard_negatives": emb_hard_negatives,
+    "corpus_language_mixture": corpus_language_mixture,
 }

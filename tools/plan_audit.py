@@ -65,6 +65,7 @@ _BNLJ_OK: dict[str, str] = {
     "semdedup_flags": "centroid table broadcast for cluster assignment",
     "ann_cosine_ivfpq": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
     "emb_hard_negatives": "query set broadcast against partitioned corpus (as ann_cosine_topk)",
+    "corpus_language_mixture": "single normalizing-total row broadcast (as sample_mixture_weights)",
 }
 
 
