@@ -127,3 +127,59 @@ def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
     # partition-dir values come back through Spark's partition-column
     # type inference (string dirs -> int values here)
     assert sorted(r["day"] for r in back.select("day").distinct().collect()) == [0, 1, 2]
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from etl_reporting_spark.operators.skew import zorder_key
+
+    rows = [(i, float(i % 7), float(i % 5)) for i in range(35)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["id"]: r["z"] for r in
+           df.select("id", zorder_key(["x", "y"], [0.0, 0.0], [6.0, 4.0], bits=4)
+                     .alias("z")).collect()}
+
+    def interleave(a, b, bits=4):
+        z = 0
+        for j in range(bits):
+            z |= ((a >> j) & 1) << (2 * j) | ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    import math
+    for i, x, y in rows:
+        a = math.floor(min(max(x / 6.0, 0.0), 1.0) * 15)
+        b = math.floor(min(max(y / 4.0, 0.0), 1.0) * 15)
+        assert got[i] == interleave(a, b), (i, x, y, a, b)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """The layout claim itself: after a z-ordered write every file
+    covers a small rectangle of (x, y) — BOTH dimensions' per-file
+    spans shrink, where an x-sorted write leaves y unclustered."""
+    import pyspark.sql.functions as F
+
+    from etl_reporting_spark.operators.skew import write_zordered
+
+    n = 20_000
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % 9973).cast("double").alias("x"),
+        ((F.col("id") * 16807) % 9967).cast("double").alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], bits=10, n_files=16)
+
+    def mean_spans(path):
+        d = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        per = d.groupBy("f").agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        r = per.agg(F.avg("sx"), F.avg("sy")).first()
+        return r[0] / 9973.0, r[1] / 9967.0
+
+    # baseline: plain sort on x — x clusters, y spans the whole range
+    spath = str(tmp_path / "xsort")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+    zx, zy = mean_spans(zpath)
+    sx, sy = mean_spans(spath)
+    assert sx < 0.15 and sy > 0.9  # the baseline's failure mode
+    assert zx < 0.5 and zy < 0.5  # z-order: BOTH dims clustered
