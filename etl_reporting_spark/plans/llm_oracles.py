@@ -1662,3 +1662,64 @@ mq AS (
 SELECT grp AS predicted_lang, n_docs, w_raw, weight, planned_docs
 FROM mq ORDER BY predicted_lang
 """
+
+# HTML extraction: identical Java∩RE2 patterns; DuckDB regexp_replace
+# needs the explicit 'g' flag (Spark replaces all matches by default)
+# and chr(10) in replacements (escape sequences stay literal in SQL
+# strings).
+_SYNTH_HTML = """
+hsrc AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || ' &amp; friends</title><script>var x=1;</script>'
+    || '<style>.a{color:red}</style></head><body>'
+    || '<div id="nav">home | <a href="https://site' || CAST(doc_id % 7 AS VARCHAR)
+    || '.org/a">one</a></div><p>'
+    || substring(text, 1, 60)
+    || '</p><P>'
+    || substring(text, 61)
+    || '</P><a href="/rel/' || CAST(doc_id % 11 AS VARCHAR)
+    || '">rel</a>&nbsp;&lt;end&gt;</body></html>' AS html
+  FROM documents
+)
+"""
+
+LLM_ORACLE_SQL["web_text_extraction"] = f"""
+WITH {_SYNTH_HTML.strip()},
+stripped AS (
+  SELECT doc_id, html,
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html,
+                    '(?s)<(script|style|head)[^>]*>.*?</(script|style|head)>', ' ', 'g'),
+                  '(?i)</(p|div|li|h[1-6]|tr|table|ul|ol)>|<br[^>]*>', chr(10), 'g'),
+                '<[^>]+>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+          '[ \t]+', ' ', 'g'),
+        ' ?' || chr(10) || ' ?', chr(10), 'g'),
+        chr(10) || '{{2,}}', chr(10), 'g'),
+      '^' || chr(10) || '+|' || chr(10) || '+$', '', 'g')
+    ) AS text_clean
+  FROM hsrc
+),
+titled AS (
+  SELECT doc_id, html, text_clean,
+    trim(replace(replace(replace(replace(replace(replace(
+      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')) AS title,
+    regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"', 1) AS links
+  FROM stripped
+)
+SELECT doc_id, title, text_clean,
+  CAST(len(links) AS INTEGER) AS n_links,
+  links[1] AS link_1, links[2] AS link_2
+FROM titled ORDER BY doc_id
+"""

@@ -730,6 +730,54 @@ def corpus_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_synth_html(docs: DataFrame) -> DataFrame:
+    """Deterministic HTML wrapper per doc (the corpus stores plain
+    text): title with an entity, script/style subtrees that must NOT
+    leak into text, nav boilerplate, two paragraphs, absolute +
+    relative links, trailing entities — every extraction branch
+    exercised."""
+    d = F.col("doc_id")
+    half = (F.length("text") / 2).cast("int")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit(" &amp; friends</title><script>var x=1;</script>"),
+        F.lit("<style>.a{color:red}</style></head><body>"),
+        F.lit('<div id="nav">home | <a href="https://site'),
+        (d % 7).cast("string"),
+        F.lit('.org/a">one</a></div><p>'),
+        F.substring(F.col("text"), 1, 60),
+        F.lit("</p><P>"),
+        F.expr("substring(text, 61)"),
+        F.lit('</P><a href="/rel/'),
+        (d % 11).cast("string"),
+        F.lit('">rel</a>&nbsp;&lt;end&gt;</body></html>'),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def web_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side HTML → text/title/links extraction: narrow
+    Java∩RE2 regex expressions only, so the whole pass fuses into
+    the scan and the oracle replays it byte-for-byte."""
+    from etl_reporting_spark.llm.webtext import (
+        extract_links,
+        extract_text,
+        extract_title,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = _with_synth_html(docs)
+    out = extract_links(extract_title(extract_text(h)))
+    return out.select(
+        "doc_id",
+        "title",
+        "text_clean",
+        F.size("links").alias("n_links"),
+        F.element_at("links", 1).alias("link_1"),
+        F.element_at("links", 2).alias("link_2"),
+    ).orderBy("doc_id")
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -809,4 +857,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_ivfpq": ann_cosine_ivfpq,
     "emb_hard_negatives": emb_hard_negatives,
     "corpus_language_mixture": corpus_language_mixture,
+    "web_text_extraction": web_text_extraction,
 }
