@@ -202,3 +202,42 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Key-distribution diagnostic that decides the join strategy:
+    per hot key its row count and share, plus the whole-relation
+    stats every row repeats (n_keys, total, avg rows/key,
+    skew_ratio = hottest/avg). Read it as: skew_ratio ≲ 10 → let AQE
+    split; one pathological key ≫ rest → ``salted_join``; top keys
+    are a bounded set → broadcast a filtered dimension for them.
+
+    One map-side-combinable count + a TakeOrderedAndProject top-k +
+    a 1-row aggregate broadcast back — diagnostic cost is one scan,
+    safe to run on the 100 TB fact itself.
+    """
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key_value").asc()).limit(top_k)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key_value",
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.col("total_rows").cast("double")).alias(
+            "share"
+        ),
+        "n_keys",
+        "total_rows",
+        (F.col("total_rows").cast("double") / F.col("n_keys").cast("double")).alias(
+            "avg_rows_per_key"
+        ),
+        (
+            F.col("max_rows").cast("double")
+            / (F.col("total_rows").cast("double") / F.col("n_keys").cast("double"))
+        ).alias("skew_ratio"),
+    )

@@ -704,3 +704,60 @@ SELECT o_orderpriority,
   ) END AS stddev_value
 FROM p ORDER BY o_orderpriority
 """
+
+ORACLE_SQL["ops_skew_report"] = """
+WITH c AS (
+  SELECT user_id AS key_value, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         CAST(MAX(n_rows) AS BIGINT) AS max_rows
+  FROM c
+)
+SELECT key_value, n_rows,
+  CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+  n_keys, total_rows,
+  CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_rows_per_key,
+  CAST(max_rows AS DOUBLE)
+    / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_ratio
+FROM c, s
+ORDER BY n_rows DESC, key_value ASC
+LIMIT 10
+"""
+
+# Drift: TVD folds |delta| in category order (list_reduce ≡ Spark's
+# sorted-struct aggregate fold), halved at the end.
+ORACLE_SQL["dq_drift_check"] = """
+WITH cur AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_cur
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type
+),
+base AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_base
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type
+),
+j AS (
+  SELECT COALESCE(cur.category, base.category) AS category,
+    COALESCE(n_cur, 0) AS n_cur, COALESCE(n_base, 0) AS n_base
+  FROM cur FULL OUTER JOIN base ON cur.category = base.category
+),
+t AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS t_cur, CAST(SUM(n_base) AS BIGINT) AS t_base FROM j),
+sh AS (
+  SELECT category, n_cur, n_base,
+    CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS share_cur,
+    CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE) AS share_base,
+    abs(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)
+        - CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE)) AS abs_delta
+  FROM j, t
+),
+tv AS (
+  SELECT list_reduce(list(abs_delta ORDER BY category), (acc, x) -> acc + x) / 2.0 AS tvd
+  FROM sh
+)
+SELECT category, n_cur, n_base, share_cur, share_base, abs_delta, tvd,
+  tvd <= 0.1 AS passed
+FROM sh, tv
+ORDER BY category
+"""

@@ -1054,6 +1054,33 @@ def a15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_stats(merge_partials(partials, keys)).orderBy("o_orderpriority")
 
 
+def ops_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over the events fact (the input to the
+    salted-join / AQE / broadcast decision): hottest 10 user_ids with
+    shares plus whole-relation skew stats — one scan, map-side
+    combined."""
+    from etl_reporting_spark.operators.skew import skew_report
+
+    events = _t(spark, sf_dir, "events")
+    return skew_report(events, "user_id", top_k=10).orderBy(
+        F.col("n_rows").desc(), F.col("key_value").asc()
+    )
+
+
+def dq_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift DQ check (layer-1 family): event_type mix
+    of the second half of January vs the first, TVD verdict — pure
+    arithmetic on exact counts (no libm/PSI binning), reproducible
+    anywhere."""
+    from etl_reporting_spark.dq.checks import drift_check
+
+    events = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    cur = events.filter(F.col("ts") >= cutoff)
+    base = events.filter(F.col("ts") < cutoff)
+    return drift_check(cur, base, "event_type", max_tvd=0.1).orderBy("category")
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -1177,6 +1204,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_metadata": LLM_QUERIES["mm_decode_metadata"],
     # ---- remaining gates (driver rows 51+; locally verified) ----
     "a15_incremental_rollup": a15_incremental_rollup,
+    "ops_skew_report": ops_skew_report,
+    "dq_drift_check": dq_drift_check,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

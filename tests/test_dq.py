@@ -227,3 +227,19 @@ def test_fused_row_checks_one_scan(spark):
     empty = spark.createDataFrame([], "name string, bal int")
     rows = fused_row_checks(empty, {"NN": F.col("name").isNull()}).collect()
     assert rows[0]["failed_rows"] == 0 and rows[0]["status"] == "PASS"
+
+
+def test_drift_check_tvd_semantics(spark):
+    from etl_reporting_spark.dq.checks import drift_check
+
+    base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "c string")
+    same = spark.createDataFrame([("a",)] * 20 + [("b",)] * 20, "c string")
+    r = drift_check(same, base, "c").first()
+    assert r["tvd"] == 0.0 and r["passed"]
+    # category swap: a 100%→0%, c 0%→100% ⇒ TVD = 1.0
+    moved = spark.createDataFrame([("c",)] * 10, "c string")
+    only_a = spark.createDataFrame([("a",)] * 10, "c string")
+    rows = drift_check(moved, only_a, "c").collect()
+    assert all(r["tvd"] == 1.0 and not r["passed"] for r in rows)
+    cats = {r["category"]: r for r in rows}
+    assert cats["a"]["n_cur"] == 0 and cats["c"]["n_base"] == 0  # absent sides = 0

@@ -66,6 +66,8 @@ _BNLJ_OK: dict[str, str] = {
     "ann_cosine_ivfpq": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
     "emb_hard_negatives": "query set broadcast against partitioned corpus (as ann_cosine_topk)",
     "corpus_language_mixture": "single normalizing-total row broadcast (as sample_mixture_weights)",
+    "ops_skew_report": "single whole-relation stats row broadcast into the top-k rows",
+    "dq_drift_check": "single totals/TVD rows broadcast into category rows",
 }
 
 
