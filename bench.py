@@ -71,6 +71,9 @@ HEADLINE = [
     "mm_phash",
     "ann_cosine_pq",
     "ann_cosine_ivfpq",
+    "a15_incremental_rollup",
+    "web_text_extraction",
+    "w10_cohort_retention",
 ]
 
 

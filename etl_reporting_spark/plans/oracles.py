@@ -761,3 +761,71 @@ SELECT category, n_cur, n_base, share_cur, share_base, abs_delta, tvd,
 FROM sh, tv
 ORDER BY category
 """
+
+# Cohort retention: date_trunc('week') is Monday-start in both
+# engines; offsets are day-diffs // 7 on exact dates.
+ORACLE_SQL["w10_cohort_retention"] = """
+WITH first AS (
+  SELECT user_id AS u, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_period
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS active_period
+  FROM events
+),
+j AS (
+  SELECT a.u, f.cohort_period,
+    CAST((a.active_period - f.cohort_period) // 7 AS INTEGER) AS period_offset
+  FROM activity a JOIN first f USING (u)
+),
+c AS (
+  SELECT cohort_period, period_offset, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+  FROM j GROUP BY cohort_period, period_offset
+),
+s AS (
+  SELECT cohort_period, CAST(COUNT(DISTINCT u) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_period
+)
+SELECT c.cohort_period, c.period_offset, c.n_active, s.cohort_size,
+  CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM c JOIN s USING (cohort_period)
+ORDER BY c.cohort_period, c.period_offset
+"""
+
+# Funnel: stage-(i) conversion = earliest stage-i event at/after the
+# stage-(i-1) conversion time, per user; counts + window conversions.
+ORACLE_SQL["w11_funnel_conversion"] = """
+WITH s0 AS (
+  SELECT user_id AS u, MIN(ts) AS stage_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS stage_ts
+  FROM events e JOIN s0 ON e.user_id = s0.u
+  WHERE e.event_type = 'click' AND e.ts >= s0.stage_ts
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS stage_ts
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'purchase' AND e.ts >= s1.stage_ts
+  GROUP BY e.user_id
+),
+stacked AS (
+  SELECT 0 AS stage_idx, 'view' AS stage, CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+  UNION ALL
+  SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+)
+SELECT stage_idx, stage, n_users,
+  CASE WHEN stage_idx = 0 THEN 1.0
+       WHEN lag(n_users) OVER (ORDER BY stage_idx) > 0
+         THEN CAST(n_users AS DOUBLE) / CAST(lag(n_users) OVER (ORDER BY stage_idx) AS DOUBLE)
+  END AS conv_from_prev,
+  CASE WHEN first_value(n_users) OVER (ORDER BY stage_idx) > 0
+         THEN CAST(n_users AS DOUBLE)
+              / CAST(first_value(n_users) OVER (ORDER BY stage_idx) AS DOUBLE)
+  END AS conv_from_first
+FROM stacked ORDER BY stage_idx
+"""

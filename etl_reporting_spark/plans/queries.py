@@ -1081,6 +1081,26 @@ def dq_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_check(cur, base, "event_type", max_tvd=0.1).orderBy("category")
 
 
+def w10_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events fact (W-family
+    reporting staple): users bucketed by first-activity week,
+    activity per (cohort, offset) with retention shares."""
+    from etl_reporting_spark.operators.analytics import cohort_retention
+
+    events = _t(spark, sf_dir, "events")
+    return cohort_retention(events).orderBy("cohort_period", "period_offset")
+
+
+def w11_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered first-touch funnel view → click → purchase:
+    k conditional-min key aggregations, lazy one-row stage counts,
+    window-derived conversions."""
+    from etl_reporting_spark.operators.analytics import funnel
+
+    events = _t(spark, sf_dir, "events")
+    return funnel(events, ["view", "click", "purchase"]).orderBy("stage_idx")
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -1206,6 +1226,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a15_incremental_rollup": a15_incremental_rollup,
     "ops_skew_report": ops_skew_report,
     "dq_drift_check": dq_drift_check,
+    "w10_cohort_retention": w10_cohort_retention,
+    "w11_funnel_conversion": w11_funnel_conversion,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

@@ -328,3 +328,50 @@ def test_partial_aggregate_merge_equals_recompute(spark):
     got = {r["k"]: tuple(r)[1:] for r in merged.collect()}
     ref = {r["k"]: tuple(r)[1:] for r in full.collect()}
     assert got == ref  # bit-identical, including stddev
+
+
+def test_funnel_strict_ordering_and_counts(spark):
+    import datetime as dt
+
+    from etl_reporting_spark.operators.analytics import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order: view(1) click(2) purchase(3)
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, t(2), "click"), (2, t(5), "view"),
+        # u3 views+clicks, purchase precedes click: purchase not counted
+        (3, t(1), "view"), (3, t(2), "purchase"), (3, t(4), "click"),
+        # u4 never views: excluded entirely
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["stage"]: r for r in funnel(events, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 3        # u1, u2, u3
+    assert out["click"]["n_users"] == 2       # u1, u3 (u2's click too early)
+    assert out["purchase"]["n_users"] == 1    # u1 only
+    assert out["click"]["conv_from_prev"] == 2 / 3
+    assert out["purchase"]["conv_from_first"] == 1 / 3
+
+
+def test_cohort_retention_offsets(spark):
+    import datetime as dt
+
+    from etl_reporting_spark.operators.analytics import cohort_retention
+
+    # week of Jan 1 2024 starts Monday Jan 1
+    rows = [
+        (1, dt.datetime(2024, 1, 2)),   # cohort wk0
+        (1, dt.datetime(2024, 1, 10)),  # active wk1
+        (2, dt.datetime(2024, 1, 3)),   # cohort wk0, never returns
+        (3, dt.datetime(2024, 1, 9)),   # cohort wk1
+        (3, dt.datetime(2024, 1, 22)),  # active wk3 => offset 2
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r["cohort_period"]), r["period_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+           for r in cohort_retention(events).collect()}
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-08", 2)] == (1, 1, 1.0)
