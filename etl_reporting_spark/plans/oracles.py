@@ -829,3 +829,29 @@ SELECT stage_idx, stage, n_users,
   END AS conv_from_first
 FROM stacked ORDER BY stage_idx
 """
+
+# Hierarchy flatten: DuckDB runs the REAL recursive CTE; the Spark
+# side is the iterative walker — the hash match proves the loop ≡
+# SQL recursion.
+ORACLE_SQL["h1_hierarchy_flatten"] = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS node,
+    CASE WHEN doc_id = 0 THEN NULL ELSE doc_id // 7 END AS parent
+  FROM documents
+),
+walk AS (
+  SELECT node, node AS cur, 0 AS depth, CAST(node AS VARCHAR) AS path
+  FROM e
+  UNION ALL
+  SELECT w.node, e.parent AS cur, w.depth + 1,
+    CAST(e.parent AS VARCHAR) || '/' || w.path
+  FROM walk w JOIN e ON w.cur = e.node
+  WHERE e.parent IS NOT NULL
+)
+SELECT node, cur AS root, CAST(depth AS INTEGER) AS depth, path
+FROM walk w
+WHERE NOT EXISTS (
+  SELECT 1 FROM e WHERE e.node = w.cur AND e.parent IS NOT NULL
+)
+ORDER BY node
+"""

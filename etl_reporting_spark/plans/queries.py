@@ -1101,6 +1101,24 @@ def w11_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(events, ["view", "click", "purchase"]).orderBy("stage_idx")
 
 
+def h1_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE workload on Spark: synthetic org tree over the
+    documents ids (parent = id // 7, root 0), flattened to
+    (node, root, depth, root→node path) by the iterative walker —
+    the oracle IS a real WITH RECURSIVE, so the loop's equivalence
+    to SQL recursion is hash-checked."""
+    from etl_reporting_spark.operators.hierarchy import flatten_hierarchy
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("doc_id") / 7).cast("long"))
+        .alias("parent"),
+    )
+    return flatten_hierarchy(edges).orderBy("node")
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -1228,6 +1246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_drift_check": dq_drift_check,
     "w10_cohort_retention": w10_cohort_retention,
     "w11_funnel_conversion": w11_funnel_conversion,
+    "h1_hierarchy_flatten": h1_hierarchy_flatten,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

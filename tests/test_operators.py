@@ -375,3 +375,21 @@ def test_cohort_retention_offsets(spark):
     assert got[("2024-01-01", 1)] == (1, 2, 0.5)
     assert got[("2024-01-08", 0)] == (1, 1, 1.0)
     assert got[("2024-01-08", 2)] == (1, 1, 1.0)
+
+
+def test_flatten_hierarchy_paths_and_cycle_guard(spark):
+    import pytest
+
+    from etl_reporting_spark.operators.hierarchy import flatten_hierarchy
+
+    # two trees: 0←1←3, 0←2 and a separate root 10←11
+    rows = [(0, None), (1, 0), (2, 0), (3, 1), (10, None), (11, 10)]
+    edges = spark.createDataFrame(rows, "node long, parent long")
+    got = {r["node"]: r for r in flatten_hierarchy(edges).collect()}
+    assert got[3]["root"] == 0 and got[3]["depth"] == 2 and got[3]["path"] == "0/1/3"
+    assert got[0]["depth"] == 0 and got[0]["path"] == "0"
+    assert got[11]["root"] == 10 and got[11]["path"] == "10/11"
+    # cycle: must raise, not loop forever
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
+    with pytest.raises(RuntimeError, match="max_depth"):
+        flatten_hierarchy(cyc, max_depth=5)
