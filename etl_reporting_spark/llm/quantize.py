@@ -178,10 +178,8 @@ def cosine_topk_quantized(
 # total tie-breaks) so even this doubly-approximate path is
 # oracle-checked value-for-value.
 
-_SUBFOLD_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-)
+from etl_reporting_spark.llm.similarity import _DOT as _SUBFOLD_DOT  # noqa: E402
+
 _SUBFOLD_L2 = (
     "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
     " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
@@ -259,6 +257,58 @@ def pq_encode(
     )
 
 
+def _adc_topk(
+    codes: DataFrame, lut: DataFrame, id_col: str, k: int, cell_match: bool
+) -> DataFrame:
+    """Shared LUT/ADC scoring tail of the PQ scorers: broadcast the
+    per-query lookup table, probe it per (subspace, code) — plus the
+    IVF cell equality when pruning — and fold the per-subspace dots
+    and code norms IN SUBSPACE ORDER for bit-reproducible scores.
+    The probe side's join columns are renamed first: codes and lut
+    share the codebook lineage, and same-lineage column refs in a
+    join condition are ambiguous (Spark's "trivially true predicate"
+    trap)."""
+    lut_r = lut.withColumnRenamed("subspace", "l_subspace").withColumnRenamed(
+        "code", "l_code"
+    )
+    cond = (F.col("subspace") == F.col("l_subspace")) & (
+        F.col("code") == F.col("l_code")
+    )
+    if cell_match:
+        cond = cond & (F.col("centroid_id") == F.col("qcell"))
+    parts = (
+        codes.join(F.broadcast(lut_r), cond)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.first("qn2").alias("qn2"),
+            F.array_sort(
+                F.collect_list(F.struct("subspace", "pdot", "cn2"))
+            ).alias("__m"),
+        )
+        .withColumn(
+            "adc_dot",
+            F.expr("aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.pdot)"),
+        )
+        .withColumn(
+            "approx_cn2",
+            F.expr("aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.cn2)"),
+        )
+    )
+    scored = parts.withColumn(
+        "adc_score",
+        F.col("adc_dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("approx_cn2"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "adc_score")
+    )
+
+
 def cosine_topk_pq(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -305,41 +355,7 @@ def cosine_topk_pq(
             "cn2",
         )
     )
-    parts = (
-        codes.join(F.broadcast(lut), ["subspace", "code"])
-        .filter(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(
-            F.first("qn2").alias("qn2"),
-            F.array_sort(
-                F.collect_list(F.struct("subspace", "pdot", "cn2"))
-            ).alias("__m"),
-        )
-        .withColumn(
-            "adc_dot",
-            F.expr(
-                "aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.pdot)"
-            ),
-        )
-        .withColumn(
-            "approx_cn2",
-            F.expr(
-                "aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.cn2)"
-            ),
-        )
-    )
-    scored = parts.withColumn(
-        "adc_score",
-        F.col("adc_dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("approx_cn2"))),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "adc_score")
-    )
+    return _adc_topk(codes, lut, id_col, k, cell_match=False)
 
 
 def cosine_topk_ivfpq(
@@ -403,46 +419,4 @@ def cosine_topk_ivfpq(
             "cn2",
         )
     )
-    # Rename the probe side's join columns before joining: codes and
-    # lut share the codebook lineage, and same-lineage column refs in
-    # a join condition are ambiguous (Spark's "trivially true
-    # predicate" trap).
-    lut_r = lut.withColumnRenamed("subspace", "l_subspace").withColumnRenamed(
-        "code", "l_code"
-    )
-    parts = (
-        codes.join(
-            F.broadcast(lut_r),
-            (F.col("subspace") == F.col("l_subspace"))
-            & (F.col("code") == F.col("l_code"))
-            & (F.col("centroid_id") == F.col("qcell")),
-        )
-        .filter(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(
-            F.first("qn2").alias("qn2"),
-            F.array_sort(
-                F.collect_list(F.struct("subspace", "pdot", "cn2"))
-            ).alias("__m"),
-        )
-        .withColumn(
-            "adc_dot",
-            F.expr("aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.pdot)"),
-        )
-        .withColumn(
-            "approx_cn2",
-            F.expr("aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.cn2)"),
-        )
-    )
-    scored = parts.withColumn(
-        "adc_score",
-        F.col("adc_dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("approx_cn2"))),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "adc_score")
-    )
+    return _adc_topk(codes, lut, id_col, k, cell_match=True)

@@ -173,11 +173,16 @@ def apply_domain_blocklist(
     broadcast when the blocklist is broadcastable (a million-domain
     list is ~20 MB — always). One narrow explode, one broadcast hash
     join, one groupBy on the row id to collapse multi-level matches;
-    nothing quadratic anywhere. The groupBy key is the synthetic
-    per-row ``__rid`` so duplicate URLs never merge.
+    nothing quadratic anywhere. The verdict depends only on the HOST,
+    so the internal key is md5(host) — deterministic under reruns,
+    repartitioning, and double evaluation (this frame feeds both join
+    sides; a monotonically_increasing_id here could diverge between
+    evaluations and mislabel rows). Duplicate hosts collapse in the
+    hits relation and fan back out on the join — one output row per
+    input row either way.
     """
     parts = df if "host" in df.columns else with_url_parts(df, url_col)
-    work = parts.withColumn("__rid", F.monotonically_increasing_id())
+    work = parts.withColumn("__rid", F.md5(F.col("host")))
     labels = F.split(F.col("host"), r"\.")
     sufs = work.select(
         "__rid",

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 # Order matters: subtree drops first (their inner text must never
 # survive), then block boundaries, then the generic tag strip.
-_SUBTREE = r"(?s)<(script|style|head)[^>]*>.*?</(script|style|head)>"
+_SUBTREE = r"(?is)<(script|style|head)[^>]*>.*?</(script|style|head)>"
 _BLOCK_BREAK = r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol)>|<br[^>]*>"
 _TAG = r"<[^>]+>"
 
@@ -83,9 +83,18 @@ def extract_links(
 ) -> DataFrame:
     """href targets of every <a> tag, in document order —
     the crawl-frontier feed; join to ``llm.urls`` for domain policy."""
-    return df.withColumn(
-        out_col,
-        F.expr(
-            f"""regexp_extract_all({html_col}, '(?i)<a[^>]*href="([^"]*)"', 1)"""
-        ),
+    # one capture group covering double-quoted, single-quoted, and
+    # bare attribute values (RE2-safe: alternation, no backrefs); the
+    # transform strips the delimiters afterwards.
+    raw = F.expr(
+        f"regexp_extract_all({html_col},"
+        " '(?i)<a[^>]*href=(\"[^\"]*\"|\\'[^\\']*\\'|[^\"\\'\\s>]+)', 1)"
     )
+    stripped = F.transform(
+        raw,
+        lambda x: F.when(
+            x.startswith('"') | x.startswith("'"),
+            x.substr(F.lit(2), F.length(x) - 2),
+        ).otherwise(x),
+    )
+    return df.withColumn(out_col, stripped)

@@ -163,7 +163,10 @@ def finalize_stats(merged: DataFrame) -> DataFrame:
     n = F.col("p_cnt").cast("double")
     s = F.col("p_sum").cast("double")
     ss = F.col("p_sumsq").cast("double")
-    var = (ss - s * s / n) / (n - F.lit(1.0))
+    # clamp: the sums are exact but their DOUBLE casts round, and for
+    # large near-equal values the subtraction can land epsilon-negative
+    # (Spark's own stddev clamps for the same reason)
+    var = F.greatest((ss - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
     return merged.select(
         *[c for c in merged.columns if not c.startswith("p_")],
         F.col("p_cnt").alias("n_rows"),

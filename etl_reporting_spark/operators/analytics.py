@@ -71,6 +71,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Strictly-ordered first-touch funnel: a user converts stage i
     iff a stage-i event exists AT OR AFTER their stage-(i-1)
@@ -80,9 +81,21 @@ def funnel(
     from pyspark.sql import Window
 
     assert len(stages) >= 2
-    reached = events.filter(F.col(type_col) == stages[0]).groupBy(
-        F.col(user_col).alias("u")
-    ).agg(F.min(ts_col).alias("stage_ts"))
+    # each reached frame feeds BOTH its one-row count and the next
+    # stage's join — persist (lazily) so the k-stage chain scans the
+    # events fact k times, not O(k²); pass ``cleanup`` to release the
+    # caches once the funnel is consumed (house pattern).
+    def _persisted(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        if cleanup is not None:
+            cleanup.append(df)
+        return df
+
+    reached = _persisted(
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("stage_ts"))
+    )
     per_stage = [
         reached.agg(
             F.lit(0).alias("stage_idx"),
@@ -91,7 +104,7 @@ def funnel(
         )
     ]
     for i, stage in enumerate(stages[1:], start=1):
-        reached = (
+        reached = _persisted(
             events.filter(F.col(type_col) == stage)
             .select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"))
             .join(reached.select("u", "stage_ts"), "u")

@@ -32,15 +32,18 @@ def flatten_hierarchy(
     rounds — a cycle or a deeper-than-expected tree; both deserve a
     loud failure, not an infinite loop.
     """
+    # keep the caller's id type (numeric keys, string org codes, ...)
+    # — a silent cast("long") would null out non-numeric hierarchies
+    # and return structurally-valid nonsense
     e = edges.select(
-        F.col(id_col).cast("long").alias("__child"),
-        F.col(parent_col).cast("long").alias("__parent"),
+        F.col(id_col).alias("__child"),
+        F.col(parent_col).alias("__parent"),
     )
     if broadcast_edges:
         e = F.broadcast(e)
     state = edges.select(
-        F.col(id_col).cast("long").alias("node"),
-        F.col(id_col).cast("long").alias("cur"),
+        F.col(id_col).alias("node"),
+        F.col(id_col).alias("cur"),
         F.lit(0).alias("depth"),
         F.col(id_col).cast("string").alias("path"),
     )

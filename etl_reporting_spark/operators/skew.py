@@ -155,7 +155,9 @@ def zorder_key(
     normed = []
     for c, mn, mx in zip(cols, mins, maxes):
         span = float(mx) - float(mn) or 1.0
-        v = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(span)
+        # nulls clamp to the range floor (a null key would silently
+        # null the whole z-key and collapse ordering)
+        v = (F.coalesce(F.col(c).cast("double"), F.lit(float(mn))) - F.lit(float(mn))) / F.lit(span)
         v = F.least(F.greatest(v, F.lit(0.0)), F.lit(1.0))
         normed.append(F.floor(v * F.lit(float(cap))).cast("long"))
     z = F.lit(0).cast("long")
@@ -193,6 +195,17 @@ def write_zordered(
     ).first()
     mins = [ranges[f"mn_{i}"] for i in range(len(cols))]
     maxes = [ranges[f"mx_{i}"] for i in range(len(cols))]
+    if any(v is None for v in mins + maxes):
+        if all(v is None for v in mins + maxes):
+            # empty input (a no-new-rows refresh): write the empty
+            # frame with its schema; nothing to cluster
+            df.write.mode("overwrite").parquet(path)
+            return
+        bad = [c for i, c in enumerate(cols) if mins[i] is None or maxes[i] is None]
+        raise ValueError(
+            f"z-order columns with no non-null values: {bad} — drop them "
+            "from the clustering key or filter the nulls first"
+        )
     z = zorder_key(cols, mins, maxes, bits=bits)
     (
         df.withColumn("__z", z)

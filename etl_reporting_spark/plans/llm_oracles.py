@@ -1679,7 +1679,8 @@ hsrc AS (
     || '</p><P>'
     || substring(text, 61)
     || '</P><a href="/rel/' || CAST(doc_id % 11 AS VARCHAR)
-    || '">rel</a>&nbsp;&lt;end&gt;</body></html>' AS html
+    || '">rel</a><a href=' || chr(39) || '/sq/' || CAST(doc_id % 5 AS VARCHAR)
+    || chr(39) || '>s</a>&nbsp;&lt;end&gt;</body></html>' AS html
   FROM documents
 )
 """
@@ -1697,7 +1698,7 @@ stripped AS (
               regexp_replace(
                 regexp_replace(
                   regexp_replace(html,
-                    '(?s)<(script|style|head)[^>]*>.*?</(script|style|head)>', ' ', 'g'),
+                    '(?is)<(script|style|head)[^>]*>.*?</(script|style|head)>', ' ', 'g'),
                   '(?i)</(p|div|li|h[1-6]|tr|table|ul|ol)>|<br[^>]*>', chr(10), 'g'),
                 '<[^>]+>', ' ', 'g'),
             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
@@ -1715,11 +1716,17 @@ titled AS (
       regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
       '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')) AS title,
-    regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"', 1) AS links
+    list_transform(
+      regexp_extract_all(html,
+        '(?i)<a[^>]*href=("[^"]*"|' || chr(39) || '[^' || chr(39) || ']*' || chr(39)
+        || '|[^"' || chr(39) || E'\\s>]+)', 1),
+      x -> CASE WHEN substring(x, 1, 1) IN ('"', chr(39))
+                THEN substring(x, 2, length(x) - 2) ELSE x END
+    ) AS links
   FROM stripped
 )
 SELECT doc_id, title, text_clean,
   CAST(len(links) AS INTEGER) AS n_links,
-  links[1] AS link_1, links[2] AS link_2
+  links[1] AS link_1, links[2] AS link_2, links[3] AS link_3
 FROM titled ORDER BY doc_id
 """

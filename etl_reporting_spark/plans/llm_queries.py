@@ -750,7 +750,9 @@ def _with_synth_html(docs: DataFrame) -> DataFrame:
         F.expr("substring(text, 61)"),
         F.lit('</P><a href="/rel/'),
         (d % 11).cast("string"),
-        F.lit('">rel</a>&nbsp;&lt;end&gt;</body></html>'),
+        F.lit("\">rel</a><a href='/sq/"),
+        (d % 5).cast("string"),
+        F.lit("'>s</a>&nbsp;&lt;end&gt;</body></html>"),
     )
     return docs.select("doc_id", html.alias("html"))
 
@@ -775,6 +777,7 @@ def web_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("links").alias("n_links"),
         F.element_at("links", 1).alias("link_1"),
         F.element_at("links", 2).alias("link_2"),
+        F.element_at("links", 3).alias("link_3"),
     ).orderBy("doc_id")
 
 

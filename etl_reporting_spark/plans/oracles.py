@@ -697,10 +697,10 @@ SELECT o_orderpriority,
   -- DECIMAL(38,8)→DOUBLE is not correctly rounded in DuckDB for
   -- int128-backed values (off by 1 ulp vs Spark's BigDecimal path);
   -- VARCHAR→DOUBLE goes through strtod, which is — route through it.
-  CASE WHEN p_cnt > 1 THEN sqrt(
+  CASE WHEN p_cnt > 1 THEN sqrt(greatest(
     (CAST(CAST(p_sumsq AS VARCHAR) AS DOUBLE)
      - CAST(p_sum AS DOUBLE) * CAST(p_sum AS DOUBLE) / CAST(p_cnt AS DOUBLE))
-    / (CAST(p_cnt AS DOUBLE) - 1.0)
+    / (CAST(p_cnt AS DOUBLE) - 1.0), 0.0)
   ) END AS stddev_value
 FROM p ORDER BY o_orderpriority
 """

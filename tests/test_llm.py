@@ -725,5 +725,7 @@ def test_mine_hard_negatives_excludes_planted_positive(spark):
     assert top == [10, 11]  # the positive IS the top hit
     positives = spark.createDataFrame([(0, 10)], "query_id long, pos_id long")
     neg = mine_hard_negatives(emb, q, positives, k=2).orderBy("neg_rank").collect()
-    assert [r["neighbor_id"] for r in neg] == [11] + [neg[1]["neighbor_id"]]
-    assert neg[0]["neighbor_id"] == 11 and 10 not in {r["neighbor_id"] for r in neg}
+    assert len(neg) == 2 and neg[0]["neighbor_id"] == 11  # next-best takes rank 1
+    assert 10 not in {r["neighbor_id"] for r in neg}  # the positive is excluded
+    assert neg[1]["neighbor_id"] in range(1, 8)  # rank 2 is a noise vector
+    assert neg[0]["cosine"] > neg[1]["cosine"]  # re-rank preserves score order

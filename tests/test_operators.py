@@ -393,3 +393,12 @@ def test_flatten_hierarchy_paths_and_cycle_guard(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
     with pytest.raises(RuntimeError, match="max_depth"):
         flatten_hierarchy(cyc, max_depth=5)
+
+
+def test_flatten_hierarchy_string_ids(spark):
+    from etl_reporting_spark.operators.hierarchy import flatten_hierarchy
+
+    rows = [("CEO", None), ("VP1", "CEO"), ("E9", "VP1")]
+    edges = spark.createDataFrame(rows, "node string, parent string")
+    got = {r["node"]: r for r in flatten_hierarchy(edges).collect()}
+    assert got["E9"]["root"] == "CEO" and got["E9"]["path"] == "CEO/VP1/E9"

@@ -183,3 +183,23 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     sx, sy = mean_spans(spath)
     assert sx < 0.15 and sy > 0.9  # the baseline's failure mode
     assert zx < 0.5 and zy < 0.5  # z-order: BOTH dims clustered
+
+
+def test_zorder_write_empty_and_allnull_inputs(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.operators.skew import write_zordered
+
+    empty = spark.range(0).select(
+        F.col("id").cast("double").alias("x"), F.col("id").cast("double").alias("y")
+    )
+    p = str(tmp_path / "empty")
+    write_zordered(empty, p, ["x", "y"])  # no crash, schema preserved
+    assert spark.read.parquet(p).count() == 0
+
+    allnull = spark.range(5).select(
+        F.col("id").cast("double").alias("x"), F.lit(None).cast("double").alias("y")
+    )
+    with pytest.raises(ValueError, match="no non-null values"):
+        write_zordered(allnull, str(tmp_path / "nope"), ["x", "y"])
