@@ -274,3 +274,38 @@ def drift_check(
         "tvd",
         (F.col("tvd") <= F.lit(float(max_tvd))).alias("passed"),
     )
+
+
+def drift_check_numeric(
+    current: DataFrame,
+    baseline: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    max_tvd: float = 0.1,
+) -> DataFrame:
+    """Numeric twin of :func:`drift_check`: values bucketed into
+    ``n_bins`` FIXED-WIDTH bins over [lo, hi] (explicit range, not
+    data-derived — a drifting max must not silently re-stretch the
+    bins it is supposed to trip), out-of-range and NULL values land
+    in guard bins (-1 below / n_bins above / n_bins+1 null) so drift
+    INTO the tails is visible rather than clamped away. Same TVD
+    verdict, same deterministic arithmetic. Bin ids are plain integer
+    math on doubles — identical in any engine."""
+    span = float(hi) - float(lo)
+    assert span > 0 and n_bins > 0
+
+    def binned(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = F.floor((v - F.lit(float(lo))) / F.lit(span) * F.lit(n_bins)).cast("int")
+        return df.select(
+            F.when(v.isNull(), F.lit(n_bins + 1))
+            .when(b < 0, F.lit(-1))
+            .when(b >= n_bins, F.lit(n_bins))
+            .otherwise(b)
+            .cast("string")
+            .alias("__bin")
+        )
+
+    return drift_check(binned(current), binned(baseline), "__bin", max_tvd=max_tvd)

@@ -91,3 +91,65 @@ def conditional_insert_missing(
     """Idempotent conditional insert (A10, report_period_config.sql:66-81):
     rows of ``source`` whose key is absent from ``target`` — append-ready."""
     return source.join(target.select(*keys).distinct(), on=list(keys), how="left_anti")
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys,
+    compare_cols=None,
+):
+    """Row-level snapshot diff — the reconciliation view behind
+    source-vs-target sign-off (reference's count-difference check,
+    generalized to WHICH rows and WHICH columns): full-outer join on
+    the business key, each row tagged added / removed / changed /
+    unchanged with the list of changed columns.
+
+    NULL-safe comparison (``eqNullSafe``: NULL→value and value→NULL
+    both count as changes, NULL→NULL doesn't). One key-shuffle join;
+    output is row-level — aggregate it (see the j12 gate) for the
+    summary, or anti-filter 'unchanged' for a changes-only feed.
+
+    At 100 TB: bucket both snapshots by the key (`skew.write_bucketed`)
+    and the join is shuffle-free; the common case (daily snapshot vs
+    yesterday) diffs partition-by-partition under date pruning.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c in set(new.columns) and c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, [f"__k_{k}" for k in keys], "full_outer")
+    changed_cols = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[F.col(f"__k_{k}").alias(k) for k in keys],
+        status.alias("diff_status"),
+        F.when(
+            F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(), changed_cols
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )

@@ -855,3 +855,88 @@ WHERE NOT EXISTS (
 )
 ORDER BY node
 """
+
+# j12: same mutation recipe, diff via full-outer + null-safe compares.
+ORACLE_SQL["j12_table_diff"] = """
+WITH new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN o_orderkey % 11 = 0 THEN '9-RECLASSIFIED' ELSE o_orderpriority END AS o_orderpriority,
+    o_orderstatus
+  FROM orders WHERE o_orderkey % 97 != 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority, o_orderstatus
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+    o.o_orderkey IS NULL AS is_added, n.o_orderkey IS NULL AS is_removed,
+    o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+      AND o.o_totalprice IS DISTINCT FROM n.o_totalprice AS ch_price,
+    o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+      AND o.o_orderpriority IS DISTINCT FROM n.o_orderpriority AS ch_prio,
+    o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+      AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS ch_status
+  FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+),
+statused AS (
+  SELECT k,
+    CASE WHEN is_added THEN 'added'
+         WHEN is_removed THEN 'removed'
+         WHEN ch_price OR ch_prio OR ch_status THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    ch_price, ch_prio, ch_status
+  FROM j
+),
+counts AS (
+  SELECT status AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM statused GROUP BY status
+  UNION ALL
+  SELECT 'col:o_totalprice', CAST(COUNT(*) AS BIGINT) FROM statused WHERE ch_price
+  UNION ALL
+  SELECT 'col:o_orderpriority', CAST(COUNT(*) AS BIGINT) FROM statused WHERE ch_prio
+)
+SELECT metric, n FROM counts WHERE n > 0 OR metric NOT LIKE 'col:%'
+ORDER BY metric
+"""
+
+ORACLE_SQL["dq_drift_numeric"] = """
+WITH b AS (
+  SELECT ts,
+    CAST(CASE WHEN value IS NULL THEN 11
+      WHEN CAST(floor((CAST(value AS DOUBLE) - 0.0) / 1000.0 * 10) AS INTEGER) < 0 THEN -1
+      WHEN CAST(floor((CAST(value AS DOUBLE) - 0.0) / 1000.0 * 10) AS INTEGER) >= 10 THEN 10
+      ELSE CAST(floor((CAST(value AS DOUBLE) - 0.0) / 1000.0 * 10) AS INTEGER)
+    END AS VARCHAR) AS category
+  FROM events
+),
+cur AS (
+  SELECT category, CAST(COUNT(*) AS BIGINT) AS n_cur FROM b
+  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY category
+),
+base AS (
+  SELECT category, CAST(COUNT(*) AS BIGINT) AS n_base FROM b
+  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY category
+),
+j AS (
+  SELECT COALESCE(cur.category, base.category) AS category,
+    COALESCE(n_cur, 0) AS n_cur, COALESCE(n_base, 0) AS n_base
+  FROM cur FULL OUTER JOIN base ON cur.category = base.category
+),
+t AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS t_cur, CAST(SUM(n_base) AS BIGINT) AS t_base FROM j),
+sh AS (
+  SELECT category, n_cur, n_base,
+    CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS share_cur,
+    CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE) AS share_base,
+    abs(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)
+        - CAST(n_base AS DOUBLE) / CAST(t_base AS DOUBLE)) AS abs_delta
+  FROM j, t
+),
+tv AS (
+  SELECT list_reduce(list(abs_delta ORDER BY category), (acc, x) -> acc + x) / 2.0 AS tvd
+  FROM sh
+)
+SELECT category, n_cur, n_base, share_cur, share_base, abs_delta, tvd,
+  tvd <= 0.1 AS passed
+FROM sh, tv
+ORDER BY CAST(category AS INTEGER)
+"""

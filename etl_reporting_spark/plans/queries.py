@@ -1119,6 +1119,64 @@ def h1_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_hierarchy(edges).orderBy("node")
 
 
+def j12_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: yesterday's orders vs a mutated today
+    (dropped keys, price bumps, priority flips, brand-new keys),
+    diffed row-level then rolled to a summary — status counts plus
+    per-column change counts in one output."""
+    from etl_reporting_spark.operators.relational import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    new = (
+        orders.filter(key % 97 != 0)  # removed rows
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 13 == 0, F.col("o_totalprice") + 5.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(key % 11 == 0, F.lit("9-RECLASSIFIED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(  # added rows: shifted ids are unseen keys
+            orders.filter(key % 101 == 0).withColumn(
+                "o_orderkey", key + 10_000_000
+            )
+        )
+    )
+    diff = table_diff(
+        orders, new, "o_orderkey", ["o_totalprice", "o_orderpriority", "o_orderstatus"]
+    )
+    status_counts = diff.groupBy(F.col("diff_status").alias("metric")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    col_counts = (
+        diff.select(F.explode("changed_cols").alias("c"))
+        .groupBy(F.concat(F.lit("col:"), F.col("c")).alias("metric"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return status_counts.unionByName(col_counts).orderBy("metric")
+
+
+def dq_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift over events.value: second half of January vs
+    first, 10 fixed-width bins on [0, 1000) with tail/null guard
+    bins, TVD verdict."""
+    from etl_reporting_spark.dq.checks import drift_check_numeric
+
+    events = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    cur = events.filter(F.col("ts") >= cutoff)
+    base = events.filter(F.col("ts") < cutoff)
+    return drift_check_numeric(cur, base, "value", lo=0.0, hi=1000.0).orderBy(
+        F.col("category").cast("int")
+    )
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -1247,6 +1305,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w10_cohort_retention": w10_cohort_retention,
     "w11_funnel_conversion": w11_funnel_conversion,
     "h1_hierarchy_flatten": h1_hierarchy_flatten,
+    "j12_table_diff": j12_table_diff,
+    "dq_drift_numeric": dq_drift_numeric,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

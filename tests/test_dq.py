@@ -243,3 +243,18 @@ def test_drift_check_tvd_semantics(spark):
     assert all(r["tvd"] == 1.0 and not r["passed"] for r in rows)
     cats = {r["category"]: r for r in rows}
     assert cats["a"]["n_cur"] == 0 and cats["c"]["n_base"] == 0  # absent sides = 0
+
+
+def test_drift_numeric_guard_bins(spark):
+    from etl_reporting_spark.dq.checks import drift_check_numeric
+
+    base = spark.createDataFrame([(float(v),) for v in range(10)], "v double")
+    cur = spark.createDataFrame(
+        [(-5.0,), (50.0,), (None,)], "v double"
+    )  # below-range, above-range, null
+    rows = {r["category"]: r for r in
+            drift_check_numeric(cur, base, "v", lo=0.0, hi=10.0, n_bins=10).collect()}
+    assert rows["-1"]["n_cur"] == 1 and rows["-1"]["n_base"] == 0   # below range
+    assert rows["10"]["n_cur"] == 1                                  # above range
+    assert rows["11"]["n_cur"] == 1                                  # null bin
+    assert all(not r["passed"] for r in rows.values())               # massive drift

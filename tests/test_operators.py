@@ -402,3 +402,22 @@ def test_flatten_hierarchy_string_ids(spark):
     edges = spark.createDataFrame(rows, "node string, parent string")
     got = {r["node"]: r for r in flatten_hierarchy(edges).collect()}
     assert got["E9"]["root"] == "CEO" and got["E9"]["path"] == "CEO/VP1/E9"
+
+
+def test_table_diff_null_semantics(spark):
+    from etl_reporting_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, None), (3, None, None), (4, 1.0, "x")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 7.0, "a"), (2, None, None), (3, None, None), (5, 2.0, "y")],
+        "k long, v double, s string",
+    )
+    got = {r["k"]: r for r in table_diff(old, new, "k").collect()}
+    assert got[1]["diff_status"] == "changed" and got[1]["changed_cols"] == ["v"]
+    assert got[2]["diff_status"] == "changed" and got[2]["changed_cols"] == ["v"]
+    assert got[3]["diff_status"] == "unchanged"  # NULL == NULL, null-safely
+    assert got[4]["diff_status"] == "removed" and got[4]["changed_cols"] == []
+    assert got[5]["diff_status"] == "added"

@@ -68,6 +68,7 @@ _BNLJ_OK: dict[str, str] = {
     "corpus_language_mixture": "single normalizing-total row broadcast (as sample_mixture_weights)",
     "ops_skew_report": "single whole-relation stats row broadcast into the top-k rows",
     "dq_drift_check": "single totals/TVD rows broadcast into category rows",
+    "dq_drift_numeric": "single totals/TVD rows broadcast into bin rows (as dq_drift_check)",
 }
 
 
