@@ -290,3 +290,69 @@ def interval_join(
         *[F.col(f"__f.{c}") for c in facts.columns],
         *[F.col(f"__d.{c}") for c in dim.columns if c not in keys],
     )
+
+
+def resample_forward_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_minutes: int = 60,
+) -> DataFrame:
+    """Regularize an irregular series per key: generate the full
+    time spine from each key's first to last observation at
+    ``step_minutes`` resolution, then forward-fill the latest
+    observation onto every slot — the gap-filling prelude to any
+    period-over-period comparison on sparse data.
+
+    Plan shape: the spine is sequence+explode over per-key min/max
+    (one aggregate — spine length is (range/step) per key, generated
+    distributed, never on the driver); observations aggregate to
+    per-slot LAST (deterministic: latest ts wins within a slot);
+    the fill is one ``last(ignorenulls)`` running window per key.
+    Two key-shuffles total, state bounded per key-partition.
+    Epoch math via ``timestamp_diff`` (NTZ-safe, the sessionize
+    convention — ``unix_timestamp`` rejects TIMESTAMP_NTZ).
+    """
+    step_s = step_minutes * 60
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def to_slot(col):
+        secs = F.timestamp_diff("SECOND", epoch, col.cast("timestamp_ntz"))
+        return (F.floor(secs / step_s) * step_s).cast("long")
+
+    slot = to_slot(F.col(ts_col))
+    obs = (
+        df.select(
+            F.col(key_col).alias("k"), slot.alias("slot_s"),
+            F.col(ts_col).alias("t"), F.col(value_col).alias("v"),
+        )
+        .groupBy("k", "slot_s")
+        .agg(F.max_by("v", "t").alias("v"))
+    )
+    spine = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(
+            to_slot(F.min(ts_col)).alias("lo"),
+            to_slot(F.max(ts_col)).alias("hi"),
+        )
+        .select(
+            "k",
+            F.explode(F.sequence("lo", "hi", F.lit(step_s))).alias("slot_s"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("slot_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(obs, ["k", "slot_s"], "left")
+        .withColumn("filled", F.last("v", ignorenulls=True).over(w))
+        .select(
+            F.col("k").alias(key_col),
+            F.timestamp_add("SECOND", F.col("slot_s").cast("int"), epoch).alias("slot_ts"),
+            F.col("v").alias("observed"),
+            F.col("filled").alias(value_col),
+        )
+    )

@@ -940,3 +940,59 @@ SELECT category, n_cur, n_base, share_cur, share_base, abs_delta, tvd,
 FROM sh, tv
 ORDER BY CAST(category AS INTEGER)
 """
+
+# Forward fill: same slot arithmetic (floor(epoch/step)*step), spine
+# via range(lo, hi+step, step), per-slot latest by arg_max, fill via
+# last_value IGNORE NULLS over the running frame.
+ORACLE_SQL["ts_forward_fill"] = """
+WITH src AS (
+  SELECT event_type, ts, value FROM events WHERE user_id < 5
+),
+obs AS (
+  SELECT event_type AS k,
+    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS slot_s,
+    arg_max(value, ts) AS v
+  FROM src GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type AS k,
+    CAST(floor(epoch(MIN(ts)) / 3600) * 3600 AS BIGINT) AS lo,
+    CAST(floor(epoch(MAX(ts)) / 3600) * 3600 AS BIGINT) AS hi
+  FROM src GROUP BY 1
+),
+spine AS (
+  SELECT k, unnest(range(lo, hi + 3600, 3600)) AS slot_s FROM bounds
+),
+f AS (
+  SELECT s.k, s.slot_s, o.v,
+    last_value(o.v IGNORE NULLS) OVER (
+      PARTITION BY s.k ORDER BY s.slot_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS filled
+  FROM spine s LEFT JOIN obs o ON s.k = o.k AND s.slot_s = o.slot_s
+)
+SELECT k AS event_type, make_timestamp(slot_s * 1000000) AS slot_ts,
+  v AS observed, filled AS value
+FROM f ORDER BY event_type, slot_ts
+"""
+
+ORACLE_SQL["fn_window_gallery"] = """
+WITH src AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+  FROM events WHERE event_id < 200
+)
+SELECT event_id, event_type,
+  ntile(4) OVER w AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
+  CAST(nth_value(v, 2) OVER (
+    PARTITION BY event_type ORDER BY event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS DOUBLE) AS second_value,
+  CAST(SUM(v) OVER f3 AS DOUBLE) / CAST(COUNT(v) OVER f3 AS DOUBLE) AS moving_avg3
+FROM src
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id),
+  f3 AS (PARTITION BY event_type ORDER BY event_id
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+ORDER BY event_id
+"""

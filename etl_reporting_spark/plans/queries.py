@@ -1177,6 +1177,54 @@ def dq_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event_type over January: full
+    spine from first to last observation, per-slot latest value,
+    forward fill — the regularization every period-over-period
+    report needs on sparse data. NTZ-safe epoch math."""
+    from etl_reporting_spark.operators.cdc import resample_forward_fill
+
+    events = _t(spark, sf_dir, "events")
+    # restrict to a user slice so the spine stays report-sized at any sf
+    src = events.filter(F.col("user_id") < 5)
+    return resample_forward_fill(src, "event_type", "ts", "value").orderBy(
+        "event_type", "slot_ts"
+    )
+
+
+def fn_window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window battery (§2.5 breadth): ntile,
+    percent_rank, cume_dist, nth_value, and a centered moving
+    average — per event_type over the user's first 200 events."""
+    from pyspark.sql import Window as W
+
+    events = _t(spark, sf_dir, "events")
+    src = events.filter(F.col("event_id") < 200).select(
+        "event_id", "event_type", _dec("value").alias("v")
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("event_id").asc())
+    frame = w.rowsBetween(-1, 1)
+    return (
+        src.select(
+            "event_id",
+            "event_type",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("v", 2).over(
+                w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ).cast("double").alias("second_value"),
+            # exact decimal SUM over the frame, ONE double division —
+            # a double avg would sum the frame in engine-chosen order
+            (
+                F.sum("v").over(frame).cast("double")
+                / F.count("v").over(frame).cast("double")
+            ).alias("moving_avg3"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -1307,6 +1355,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h1_hierarchy_flatten": h1_hierarchy_flatten,
     "j12_table_diff": j12_table_diff,
     "dq_drift_numeric": dq_drift_numeric,
+    "ts_forward_fill": ts_forward_fill,
+    "fn_window_gallery": fn_window_gallery,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

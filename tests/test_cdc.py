@@ -143,3 +143,25 @@ def test_scd2_apply_changes_incremental_equals_rebuild(spark):
     # key 'a' closed its old head; new version is current
     assert got[("a", dt.datetime(2024, 2, 1))][1] == 1
     assert got[("a", dt.datetime(2024, 1, 9))] == (dt.datetime(2024, 2, 1), 0)
+
+
+def test_resample_forward_fill_semantics(spark):
+    import datetime as dt
+
+    from etl_reporting_spark.operators.cdc import resample_forward_fill
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 50), 2.0),   # same slot: latest wins
+        ("a", dt.datetime(2024, 1, 1, 3, 5), 9.0),    # two-hour gap to fill
+        ("b", dt.datetime(2024, 1, 1, 5, 0), 7.0),    # independent key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {(r["k"], r["slot_ts"].hour): r
+           for r in resample_forward_fill(df, "k", "ts", "v").collect()}
+    assert out[("a", 0)]["v"] == 2.0 and out[("a", 0)]["observed"] == 2.0
+    assert out[("a", 1)]["v"] == 2.0 and out[("a", 1)]["observed"] is None  # filled
+    assert out[("a", 2)]["v"] == 2.0
+    assert out[("a", 3)]["v"] == 9.0
+    assert len([k for k in out if k[0] == "a"]) == 4  # full spine 0..3
+    assert out[("b", 5)]["v"] == 7.0 and len([k for k in out if k[0] == "b"]) == 1

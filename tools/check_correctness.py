@@ -30,9 +30,11 @@ TABLES = (
 
 
 def canon(v):
-    """Canonicalize a value for cross-engine comparison."""
+    """Canonicalize a value for cross-engine comparison. NULL maps to
+    a tuple sentinel so mixed null/non-null columns still sort (every
+    canon value is a tuple; "_" sorts below the type tags used)."""
     if v is None:
-        return None
+        return ("_null",)
     if isinstance(v, Decimal):
         return ("dec", str(v.normalize()))
     if isinstance(v, float):
