@@ -246,6 +246,25 @@ class Engine:
         _validate_identifier(name)
         self.spark.sql(f"TRUNCATE TABLE {name}")
 
+    def analyze_table(self, name: str, columns: "Sequence[str] | None" = None) -> None:
+        """Collect table (and optionally column) statistics for the
+        cost-based optimizer — the engine-side analogue of the
+        warehouse's automatic stats. Row count/size drive join-order
+        and broadcast decisions; column NDV/min/max feed selectivity
+        estimates. Run after bulk loads of recurring-join tables
+        (merge targets, dims) — at 100 TB a mis-sized broadcast or a
+        bad join order costs far more than the stats scan."""
+        _validate_identifier(name)
+        if columns:
+            for c in columns:
+                _validate_identifier(c)
+            cols = ", ".join(columns)
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+        else:
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         _validate_identifier(name)
         self.spark.sql(f"DROP TABLE {'IF EXISTS ' if if_exists else ''}{name}")

@@ -580,3 +580,21 @@ def test_streaming_sketch_maintenance_equals_batch_build(spark, tmp_path):
     bf_got = {(r["word_idx"], r["word"])
               for r in read_bloom_store(spark, str(tmp_path / "store")).collect()}
     assert bf_got == bf_ref
+
+
+def test_analyze_table_collects_stats(spark, tmp_path):
+    engine = Engine(spark)
+    spark.range(100).selectExpr("id", "id % 7 AS grp").write.mode(
+        "overwrite"
+    ).saveAsTable("stats_demo")
+    engine.analyze_table("stats_demo")
+    row_count = spark.sql("DESCRIBE TABLE EXTENDED stats_demo").filter(
+        "col_name = 'Statistics'"
+    ).first()
+    assert row_count is not None and "rows" in row_count["data_type"]
+    engine.analyze_table("stats_demo", ["grp"])
+    ndv = spark.sql("DESCRIBE EXTENDED stats_demo grp").filter(
+        "info_name = 'distinct_count'"
+    ).first()
+    assert ndv is not None and int(ndv["info_value"]) >= 6
+    spark.sql("DROP TABLE stats_demo")
