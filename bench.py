@@ -74,6 +74,9 @@ HEADLINE = [
     "a15_incremental_rollup",
     "web_text_extraction",
     "w10_cohort_retention",
+    "w11_funnel_conversion",
+    "j12_table_diff",
+    "ts_forward_fill",
 ]
 
 
