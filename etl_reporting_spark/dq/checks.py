@@ -286,7 +286,7 @@ def drift_check_numeric(
     max_tvd: float = 0.1,
 ) -> DataFrame:
     """Numeric twin of :func:`drift_check`: values bucketed into
-    ``n_bins`` FIXED-WIDTH bins over [lo, hi] (explicit range, not
+    ``n_bins`` FIXED-WIDTH bins over the half-open [lo, hi) (explicit range, not
     data-derived — a drifting max must not silently re-stretch the
     bins it is supposed to trip), out-of-range and NULL values land
     in guard bins (-1 below / n_bins above / n_bins+1 null) so drift
@@ -294,7 +294,10 @@ def drift_check_numeric(
     verdict, same deterministic arithmetic. Bin ids are plain integer
     math on doubles — identical in any engine."""
     span = float(hi) - float(lo)
-    assert span > 0 and n_bins > 0
+    if span <= 0 or n_bins <= 0:
+        raise ValueError(
+            f"need hi > lo and n_bins > 0 (got lo={lo}, hi={hi}, n_bins={n_bins})"
+        )
 
     def binned(df: DataFrame) -> DataFrame:
         v = F.col(value_col).cast("double")

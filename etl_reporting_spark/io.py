@@ -255,6 +255,8 @@ class Engine:
         (merge targets, dims) — at 100 TB a mis-sized broadcast or a
         bad join order costs far more than the stats scan."""
         _validate_identifier(name)
+        if isinstance(columns, str):
+            columns = [columns]
         if columns:
             for c in columns:
                 _validate_identifier(c)

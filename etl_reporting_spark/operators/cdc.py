@@ -305,15 +305,26 @@ def resample_forward_fill(
     observation onto every slot — the gap-filling prelude to any
     period-over-period comparison on sparse data.
 
+    NULL observations are DROPPED before slotting (a null reading is
+    "no reading" to a forward fill — and engines disagree on whether
+    null beats an earlier value in an arg-max, so keeping them would
+    also be non-portable). Within-slot ties on the timestamp break
+    on the value (max struct(t, v) — total, engine-agnostic).
+
     Plan shape: the spine is sequence+explode over per-key min/max
     (one aggregate — spine length is (range/step) per key, generated
     distributed, never on the driver); observations aggregate to
-    per-slot LAST (deterministic: latest ts wins within a slot);
-    the fill is one ``last(ignorenulls)`` running window per key.
+    per-slot LAST; the fill is one ``last(ignorenulls)`` running
+    window per key.
     Two key-shuffles total, state bounded per key-partition.
     Epoch math via ``timestamp_diff`` (NTZ-safe, the sessionize
     convention — ``unix_timestamp`` rejects TIMESTAMP_NTZ).
     """
+    if key_col in ("slot_ts", "observed") or value_col in ("slot_ts", "observed"):
+        raise ValueError(
+            "key/value column may not be named 'slot_ts' or 'observed' "
+            "(reserved output columns)"
+        )
     step_s = step_minutes * 60
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 
@@ -323,12 +334,13 @@ def resample_forward_fill(
 
     slot = to_slot(F.col(ts_col))
     obs = (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(key_col).alias("k"), slot.alias("slot_s"),
             F.col(ts_col).alias("t"), F.col(value_col).alias("v"),
         )
         .groupBy("k", "slot_s")
-        .agg(F.max_by("v", "t").alias("v"))
+        .agg(F.max(F.struct("t", "v"))["v"].alias("v"))
     )
     spine = (
         df.groupBy(F.col(key_col).alias("k"))
@@ -351,7 +363,7 @@ def resample_forward_fill(
         .withColumn("filled", F.last("v", ignorenulls=True).over(w))
         .select(
             F.col("k").alias(key_col),
-            F.timestamp_add("SECOND", F.col("slot_s").cast("int"), epoch).alias("slot_ts"),
+            F.timestamp_add("SECOND", F.col("slot_s"), epoch).alias("slot_ts"),
             F.col("v").alias("observed"),
             F.col("filled").alias(value_col),
         )

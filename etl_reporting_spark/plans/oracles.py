@@ -946,13 +946,14 @@ ORDER BY CAST(category AS INTEGER)
 # last_value IGNORE NULLS over the running frame.
 ORACLE_SQL["ts_forward_fill"] = """
 WITH src AS (
-  SELECT event_type, ts, value FROM events WHERE user_id < 5
+  SELECT event_type, ts, value FROM events WHERE user_id < 5 AND value IS NOT NULL
 ),
 obs AS (
   SELECT event_type AS k,
     CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS slot_s,
-    arg_max(value, ts) AS v
-  FROM src GROUP BY 1, 2
+    (MAX({'t': ts, 'v': value})).v AS v
+  FROM src
+  GROUP BY 1, 2
 ),
 bounds AS (
   SELECT event_type AS k,

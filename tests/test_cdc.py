@@ -165,3 +165,23 @@ def test_resample_forward_fill_semantics(spark):
     assert out[("a", 3)]["v"] == 9.0
     assert len([k for k in out if k[0] == "a"]) == 4  # full spine 0..3
     assert out[("b", 5)]["v"] == 7.0 and len([k for k in out if k[0] == "b"]) == 1
+
+
+def test_resample_forward_fill_null_and_tie_semantics(spark):
+    import datetime as dt
+    import pytest
+
+    from etl_reporting_spark.operators.cdc import resample_forward_fill
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 50), None),   # null = no reading
+        ("a", dt.datetime(2024, 1, 1, 1, 30), 3.0),
+        ("a", dt.datetime(2024, 1, 1, 1, 30), 2.0),    # exact-ts tie: max value wins
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["slot_ts"].hour: r for r in resample_forward_fill(df, "k", "ts", "v").collect()}
+    assert out[0]["v"] == 1.0          # null at latest ts doesn't shadow the value
+    assert out[1]["v"] == 3.0          # deterministic tiebreak
+    with pytest.raises(ValueError, match="reserved"):
+        resample_forward_fill(df.withColumnRenamed("v", "observed"), "k", "ts", "observed")

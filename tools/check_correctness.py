@@ -50,7 +50,7 @@ def canon(v):
     if isinstance(v, dt.date):
         return ("d", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
+        return ("a", tuple(canon(x) for x in v))
     if isinstance(v, bytes):
         return ("b", v.hex())
     return ("s", str(v))
