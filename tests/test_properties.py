@@ -378,3 +378,69 @@ def test_blocklist_matches_python_suffix_rule(spark, hosts, blocked):
         # python oracle: blocked iff some label-suffix of the host is listed
         suffixes = {".".join(h[j:]) for j in range(len(h))}
         assert got[i] == (1 if suffixes & bset else 0), (h, bset)
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50), st.sampled_from("ABC")),
+        min_size=1, max_size=40,
+    )
+)
+def test_funnel_matches_python_first_touch(spark, events):
+    import datetime as dt
+
+    from etl_reporting_spark.operators.analytics import funnel
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), t)
+        for u, m, t in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["stage"]: r["n_users"] for r in funnel(df, ["A", "B", "C"]).collect()}
+
+    def first_at_or_after(u, t, lo):
+        cand = [ts for uu, ts, tt in rows if uu == u and tt == t and ts >= lo]
+        return min(cand) if cand else None
+
+    import datetime as dt2
+    zero = dt2.datetime(1900, 1, 1)
+    exp = {"A": 0, "B": 0, "C": 0}
+    for u in {e[0] for e in events}:
+        a = first_at_or_after(u, "A", zero)
+        if a is None:
+            continue
+        exp["A"] += 1
+        b = first_at_or_after(u, "B", a)
+        if b is None:
+            continue
+        exp["B"] += 1
+        if first_at_or_after(u, "C", b) is not None:
+            exp["C"] += 1
+    assert got == exp
+
+
+@SLOW
+@given(
+    old=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+    new=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+)
+def test_table_diff_matches_python(spark, old, new):
+    from etl_reporting_spark.operators.relational import table_diff
+
+    o = spark.createDataFrame([(k, v) for k, v in old.items()] or [(None, None)],
+                              "k long, v long").filter("k IS NOT NULL")
+    n = spark.createDataFrame([(k, v) for k, v in new.items()] or [(None, None)],
+                              "k long, v long").filter("k IS NOT NULL")
+    got = {r["k"]: r["diff_status"] for r in table_diff(o, n, "k").collect()}
+    exp = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            exp[k] = "added"
+        elif k not in new:
+            exp[k] = "removed"
+        elif old[k] != new[k]:
+            exp[k] = "changed"
+        else:
+            exp[k] = "unchanged"
+    assert got == exp
