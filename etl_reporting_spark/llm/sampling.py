@@ -249,3 +249,83 @@ def temperature_sample(
     return ranked.filter(F.col("__rn") <= F.col("planned_docs")).drop(
         "__rn", "planned_docs"
     )
+
+
+PACK_BFD_SCHEMA = "doc_id long, shard int, bin_idx int, bin_fill long"
+
+
+def pack_documents_bfd(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shards: int = 256,
+    shard_salt: str = "pack",
+) -> DataFrame:
+    """Best-fit-decreasing packing — the higher-utilization
+    alternative to :func:`pack_documents`' boundary fill, for when
+    pad-token waste matters more than streaming simplicity. Docs
+    shard by hash exactly as ``pack_documents`` (parallelism = shard
+    count, no global state); WITHIN a shard the classic BFD runs in
+    an Arrow-batched ``applyInPandas``: sort by (tokens DESC, id),
+    place each doc into the fullest bin it still fits (ties: lowest
+    bin), open a new bin when none fits. Oversized docs (> budget)
+    get a bin of their own rather than being dropped silently.
+
+    Deterministic: the shard assignment is hash-based and the
+    in-shard order is total, so reruns and repartitioning reproduce
+    bit-identically (the per-shard pandas group arrives complete —
+    groupBy semantics — regardless of upstream partitioning).
+
+    BFD is O(n log n) per shard with a small constant; shards bound
+    the group size, so executor memory holds one shard's doc list,
+    never the corpus. Returns (doc_id, shard, bin_idx, bin_fill) —
+    bin_fill repeated per member for downstream utilization audits.
+    """
+    import bisect
+
+    import pandas as pd
+
+    budget = int(budget_tokens)
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        docs = sorted(
+            zip(pdf[id_col], pdf[token_col]), key=lambda x: (-int(x[1]), int(x[0]))
+        )
+        # bins kept sorted by remaining capacity for bisect lookup:
+        # entries are (remaining, bin_idx)
+        bins: list[tuple[int, int]] = []
+        fills: dict[int, int] = {}
+        assign: dict[int, int] = {}
+        for doc, tok in docs:
+            doc, tok = int(doc), int(tok)
+            # smallest remaining >= tok ("best fit"); ties → the entry
+            # with the lowest bin_idx at that remaining (tuple order)
+            i = bisect.bisect_left(bins, (tok, -1))
+            if i < len(bins):
+                rem, b = bins.pop(i)
+                bins.insert(bisect.bisect_left(bins, (rem - tok, b)), (rem - tok, b))
+                assign[doc] = b
+                fills[b] += tok
+            else:
+                b = len(fills)
+                fills[b] = tok
+                rem = max(budget - tok, 0)
+                bins.insert(bisect.bisect_left(bins, (rem, b)), (rem, b))
+                assign[doc] = b
+        shard_val = int(pdf["shard"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": list(assign.keys()),
+                "shard": shard_val,
+                "bin_idx": [assign[d] for d in assign],
+                "bin_fill": [fills[assign[d]] for d in assign],
+            }
+        )
+
+    shard = hash_bucket(id_col, buckets=shards, salt=shard_salt)
+    return (
+        df.select(F.col(id_col), F.col(token_col), shard.alias("shard"))
+        .groupBy("shard")
+        .applyInPandas(pack, schema=PACK_BFD_SCHEMA)
+    )

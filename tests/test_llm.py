@@ -729,3 +729,30 @@ def test_mine_hard_negatives_excludes_planted_positive(spark):
     assert 10 not in {r["neighbor_id"] for r in neg}  # the positive is excluded
     assert neg[1]["neighbor_id"] in range(1, 8)  # rank 2 is a noise vector
     assert neg[0]["cosine"] > neg[1]["cosine"]  # re-rank preserves score order
+
+
+def test_pack_bfd_beats_boundary_fill_and_is_stable(spark):
+    import pyspark.sql.functions as F
+    from etl_reporting_spark.llm.sampling import pack_documents, pack_documents_bfd
+
+    # token lengths engineered so boundary fill wastes: 600,500,400,
+    # 300×2, 200... BFD pairs them tightly under budget 1000
+    rows = [(i, t) for i, t in enumerate([600, 500, 400, 300, 300, 200, 700, 100])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    bfd = pack_documents_bfd(df, 1000, shards=1)
+    got = {r["doc_id"]: r for r in bfd.collect()}
+    assert len(got) == 8  # every doc placed exactly once
+    # no bin overruns its budget (no doc exceeds it here)
+    assert all(r["bin_fill"] <= 1000 for r in got.values())
+    n_bins_bfd = len({r["bin_idx"] for r in got.values()})
+    boundary = pack_documents(df, 1000, shards=1)
+    n_bins_boundary = boundary.select("pack_id").distinct().count()
+    assert n_bins_bfd <= n_bins_boundary  # utilization never worse
+    assert n_bins_bfd == 4  # 3100 tokens within 1000-budget bins: optimal here is 4
+    # rerun + repartition stability
+    again = pack_documents_bfd(df.repartition(5), 1000, shards=1)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in bfd.collect()}
+    # oversized doc gets its own bin, never dropped
+    big = spark.createDataFrame([(1, 5000), (2, 10)], "doc_id long, n_tokens long")
+    bg = {r["doc_id"]: r for r in pack_documents_bfd(big, 1000, shards=1).collect()}
+    assert bg[1]["bin_fill"] == 5000 and bg[1]["bin_idx"] != bg[2]["bin_idx"]
