@@ -329,3 +329,43 @@ def pack_documents_bfd(
         .groupBy("shard")
         .applyInPandas(pack, schema=PACK_BFD_SCHEMA)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: "Mapping[str, float]",
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_name: str = "split",
+    k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the hash-split key is the document's near-dup CLUSTER id,
+    not its own id — every member of a cluster lands in the same
+    split by construction. Splitting doc-wise first and deduping
+    later (or vice versa, per split) is the classic eval-contamination
+    bug: a test document's near-twin in train inflates every metric.
+
+    Pass ``clusters`` (a ``near_duplicate_clusters`` output, usually
+    materialized by the nightly dedup pass) to reuse existing work;
+    otherwise it is derived here with (k, min_jaccard). Output: one
+    row per doc — (id, cluster_id, cluster_size, split).
+
+    Scale: one id-join against the cluster table on top of whatever
+    the cluster pass cost; the split itself is the same narrow
+    hash-bucket expression as :func:`with_hash_split`.
+    """
+    if clusters is None:
+        from etl_reporting_spark.llm.cluster import near_duplicate_clusters
+
+        clusters = near_duplicate_clusters(docs, k=k, min_jaccard=min_jaccard, id_col=id_col)
+    labeled = with_hash_split(
+        clusters.select(id_col, "cluster_id", "cluster_size"),
+        weights,
+        id_col="cluster_id",
+        salt=salt,
+        split_name=split_name,
+    )
+    return labeled

@@ -1730,3 +1730,21 @@ SELECT doc_id, title, text_clean,
   links[1] AS link_1, links[2] AS link_2, links[3] AS link_3
 FROM titled ORDER BY doc_id
 """
+
+
+# Leakage-safe split: the full cluster-resolution oracle as a
+# subquery, split boundaries on md5(cluster_id) buckets — identical
+# 800/900 cut points as with_hash_split({train:.8, val:.1, test:.1}).
+LLM_ORACLE_SQL["sample_leakage_safe_split"] = f"""
+WITH clusters AS (
+{LLM_ORACLE_SQL["dedup_cluster_resolution"].strip()}
+)
+SELECT doc_id, cluster_id, cluster_size,
+  CASE WHEN b < 800 THEN 'train'
+       WHEN b < 900 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT *, {_HASH_BUCKET.format(id="cluster_id", buckets=1000)} AS b FROM clusters
+) t
+ORDER BY doc_id
+"""

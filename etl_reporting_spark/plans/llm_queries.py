@@ -781,6 +781,19 @@ def web_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination-proof split: the hash key is the near-dup
+    CLUSTER id, so a test doc's near-twin can never sit in train —
+    the composition (cluster pass ∘ hash split) checked end-to-end
+    against the recursive-CTE + md5-bucket oracle."""
+    from etl_reporting_spark.llm.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).orderBy("doc_id")
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -861,4 +874,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_hard_negatives": emb_hard_negatives,
     "corpus_language_mixture": corpus_language_mixture,
     "web_text_extraction": web_text_extraction,
+    "sample_leakage_safe_split": sample_leakage_safe_split,
 }

@@ -756,3 +756,16 @@ def test_pack_bfd_beats_boundary_fill_and_is_stable(spark):
     big = spark.createDataFrame([(1, 5000), (2, 10)], "doc_id long, n_tokens long")
     bg = {r["doc_id"]: r for r in pack_documents_bfd(big, 1000, shards=1).collect()}
     assert bg[1]["bin_fill"] == 5000 and bg[1]["bin_idx"] != bg[2]["bin_idx"]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from etl_reporting_spark.llm.sampling import leakage_safe_split
+
+    out = leakage_safe_split(
+        _docs(spark), {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # 0/1/3 form one near-dup cluster: ALL must share one split
+    assert by_id[0]["cluster_id"] == by_id[1]["cluster_id"] == by_id[3]["cluster_id"]
+    assert by_id[0]["split"] == by_id[1]["split"] == by_id[3]["split"]
+    assert by_id[2]["cluster_size"] == 1  # the unrelated doc stands alone
