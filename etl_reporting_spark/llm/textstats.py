@@ -264,3 +264,29 @@ def vocab_top_terms(
         F.count(F.lit(1)).alias("doc_freq"),
     )
     return vocab.orderBy(F.col("total_tf").desc(), F.col("term").asc()).limit(k_top)
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Canonicalization pass that runs BEFORE exact/near dedup so
+    trivially-different re-publications (case, punctuation style,
+    spacing) hash together: lowercase, map curly quotes/dashes and
+    NBSP to ASCII, strip remaining punctuation to spaces, collapse
+    whitespace, trim. Entirely narrow regexp/translate expressions
+    in the Java∩RE2 subset — fuses into the scan, linear in corpus
+    bytes, and replayed exactly by the oracle.
+
+    Deliberately NOT Unicode case folding / NFC (engine- and
+    ICU-version-dependent); the mapping here is the stable ASCII
+    core. A full ICU normalizer belongs in a mapInPandas stage where
+    the Python `unicodedata` version is pinned by the environment.
+    """
+    c = F.lower(F.col(text_col))
+    # curly quotes, en/em dashes, NBSP → ASCII equivalents
+    c = F.translate(c, "‘’“”–— ", "''\"\"-- ")
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return docs.withColumn(out_col, F.trim(c))

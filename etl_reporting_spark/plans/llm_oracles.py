@@ -1748,3 +1748,24 @@ FROM (
 ) t
 ORDER BY doc_id
 """
+
+# Normalization dedup: same lower/translate/strip/collapse chain
+# (DuckDB regexp_replace with 'g'); group sizes per raw and
+# normalized hash joined back per doc.
+LLM_ORACLE_SQL["text_normalize_dedup"] = """
+WITH n AS (
+  SELECT doc_id, md5(text) AS raw_hash,
+    md5(trim(regexp_replace(regexp_replace(
+      translate(lower(text),
+        chr(8216) || chr(8217) || chr(8220) || chr(8221)
+          || chr(8211) || chr(8212) || chr(160),
+        chr(39) || chr(39) || '""--' || ' '),
+      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_hash
+  FROM documents
+),
+r AS (SELECT raw_hash, CAST(COUNT(*) AS BIGINT) AS raw_group_size FROM n GROUP BY 1),
+m AS (SELECT norm_hash, CAST(COUNT(*) AS BIGINT) AS norm_group_size FROM n GROUP BY 1)
+SELECT n.doc_id, n.norm_hash, r.raw_group_size, m.norm_group_size
+FROM n JOIN r USING (raw_hash) JOIN m USING (norm_hash)
+ORDER BY n.doc_id
+"""

@@ -794,6 +794,29 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact-dedup: per doc the normalized hash,
+    its group size, and whether normalization MERGED docs the raw
+    hash kept apart (norm_group_size > raw_group_size) — the reason
+    the pass runs before dedup at all."""
+    from etl_reporting_spark.llm.textstats import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = normalize_text(docs).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("raw_hash"),
+        F.md5(F.col("text_norm")).alias("norm_hash"),
+    )
+    raw_sizes = n.groupBy("raw_hash").agg(F.count(F.lit(1)).alias("raw_group_size"))
+    norm_sizes = n.groupBy("norm_hash").agg(F.count(F.lit(1)).alias("norm_group_size"))
+    return (
+        n.join(raw_sizes, "raw_hash")
+        .join(norm_sizes, "norm_hash")
+        .select("doc_id", "norm_hash", "raw_group_size", "norm_group_size")
+        .orderBy("doc_id")
+    )
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -875,4 +898,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_language_mixture": corpus_language_mixture,
     "web_text_extraction": web_text_extraction,
     "sample_leakage_safe_split": sample_leakage_safe_split,
+    "text_normalize_dedup": text_normalize_dedup,
 }

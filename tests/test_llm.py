@@ -769,3 +769,17 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert by_id[0]["cluster_id"] == by_id[1]["cluster_id"] == by_id[3]["cluster_id"]
     assert by_id[0]["split"] == by_id[1]["split"] == by_id[3]["split"]
     assert by_id[2]["cluster_size"] == 1  # the unrelated doc stands alone
+
+
+def test_normalize_text_merges_stylistic_variants(spark):
+    from etl_reporting_spark.llm.textstats import normalize_text
+
+    rows = [
+        (0, "The Fox’s “Great” Plan — now!"),
+        (1, "the  fox's \"great\" plan - NOW"),
+        (2, "entirely different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_norm"] for r in normalize_text(df).collect()}
+    assert got[0] == got[1] == "the fox s great plan now"
+    assert got[2] == "entirely different"
