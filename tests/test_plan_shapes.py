@@ -267,3 +267,41 @@ def test_quality_classifier_is_narrow(spark, sf_dir):
     df = quality_classifier_score(load_table(spark, sf_dir, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_url_blocklist_is_broadcast_equi_join(spark, sf_dir):
+    """The suffix explode must buy an equi hash join against the
+    broadcast blocklist — never a LIKE/endswith nested loop."""
+    plan = _plan(spark, sf_dir, "url_blocklist")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_sketches_partial_aggregate(spark, sf_dir):
+    """Count-min and Bloom builds must map-side combine: each task
+    ships at most depth*width / m/32 rows, not the corpus."""
+    for gate in ("sketch_countmin", "sketch_bloom_screen"):
+        plan = _plan(spark, sf_dir, gate)
+        assert "partial_" in plan or "HashAggregate" in plan, gate
+        assert "CartesianProduct" not in plan, gate
+
+
+def test_pq_encode_uses_window_group_limit(spark, sf_dir):
+    """The per-(vector, subspace) argmin rank must compile to
+    WindowGroupLimit so map tasks keep only their local top-1."""
+    plan = _plan(spark, sf_dir, "ann_cosine_pq")
+    assert "WindowGroupLimit" in plan
+
+
+def test_forward_fill_single_fill_window(spark, sf_dir):
+    """One running fill window per key — no extra global sort beyond
+    the output order-by, no nested loop from the spine join."""
+    plan = _plan(spark, sf_dir, "ts_forward_fill")
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_table_diff_single_outer_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j12_table_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
