@@ -1769,3 +1769,28 @@ SELECT n.doc_id, n.norm_hash, r.raw_group_size, m.norm_group_size
 FROM n JOIN r USING (raw_hash) JOIN m USING (norm_hash)
 ORDER BY n.doc_id
 """
+
+# Corpus DQ battery: same fused checks, same verdict shape.
+LLM_ORACLE_SQL["dq_corpus_battery"] = """
+WITH base AS (
+  SELECT
+    CAST(COUNT(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 END) AS BIGINT) AS c1,
+    CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS c2,
+    CAST(COUNT(CASE WHEN len(string_split(text, ' ')) < 5 THEN 1 END) AS BIGINT) AS c3
+  FROM documents
+),
+dup AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT) AS c4  -- lint: sum-ok (BIGINT cast)
+  FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1) g
+),
+stacked AS (
+  SELECT 'CORPUS-001' AS test_id, c1 AS failed_rows FROM base
+  UNION ALL SELECT 'CORPUS-002', c2 FROM base
+  UNION ALL SELECT 'CORPUS-003', c3 FROM base
+  UNION ALL SELECT 'CORPUS-004', c4 FROM dup
+)
+SELECT test_id,
+  CASE WHEN failed_rows = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+  failed_rows
+FROM stacked ORDER BY test_id
+"""

@@ -817,6 +817,48 @@ def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_corpus_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ framework pointed at the CORPUS (the pre-training
+    ingest sign-off): empty/whitespace docs, duplicate ids, token
+    outliers vs the corpus mean, and exact-dup text rate — one lazy
+    union of verdicts, fused scans where checks share a table, same
+    TEST_ID/STATUS/FAILED_ROWS shape as the warehouse battery."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def verdict(test_id: str, failed):
+        return failed.select(
+            F.lit(test_id).alias("test_id"),
+            F.when(F.col("failed_rows") == 0, "PASS").otherwise("FAIL").alias("status"),
+            F.col("failed_rows"),
+        )
+
+    # CORPUS-001/2/3 fuse into ONE aggregate pass over the scan
+    base = docs.agg(
+        F.count(
+            F.when(F.col("text").isNull() | (F.trim(F.col("text")) == ""), 1)
+        ).alias("c1"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("c2"),
+        F.count(F.when(F.size(F.split(F.col("text"), " ")) < 5, 1)).alias("c3"),
+    )
+    fused = base.select(
+        F.expr(
+            "stack(3, 'CORPUS-001', c1, 'CORPUS-002', c2, 'CORPUS-003', c3)"
+            " AS (test_id, failed_rows)"
+        )
+    ).select(
+        "test_id",
+        F.when(F.col("failed_rows") == 0, "PASS").otherwise("FAIL").alias("status"),
+        F.col("failed_rows").cast("long").alias("failed_rows"),
+    )
+    # CORPUS-004: exact-dup text count (needs its own groupBy)
+    dup = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)).alias("failed_rows"))
+    )
+    return fused.unionByName(verdict("CORPUS-004", dup)).orderBy("test_id")
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -899,4 +941,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_text_extraction": web_text_extraction,
     "sample_leakage_safe_split": sample_leakage_safe_split,
     "text_normalize_dedup": text_normalize_dedup,
+    "dq_corpus_battery": dq_corpus_battery,
 }
