@@ -1794,3 +1794,41 @@ SELECT test_id,
   failed_rows
 FROM stacked ORDER BY test_id
 """
+
+# Multi-probe IVF: identical to ann_cosine_ivf except the probe side
+# keeps rn <= 2 cells per query.
+LLM_ORACLE_SQL["ann_cosine_ivf_probe2"] = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='c.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='c.cvec', b='c.cvec'))} AS cosine
+  FROM embeddings e, cent c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+  FROM scored_assign
+),
+assign AS (SELECT vec_id, embedding, centroid_id FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id, embedding, centroid_id FROM ranked WHERE rn <= 2 AND vec_id < 5
+),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+    {_COS.format(dot=_DOT9.format(a='q.embedding', b='a.embedding'),
+                 na=_DOT9.format(a='q.embedding', b='q.embedding'),
+                 nb=_DOT9.format(a='a.embedding', b='a.embedding'))} AS cosine
+  FROM probes q JOIN assign a
+    ON q.centroid_id = a.centroid_id AND a.vec_id != q.vec_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t WHERE rank <= 5
+ORDER BY query_id, rank
+"""

@@ -859,6 +859,18 @@ def dq_corpus_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.unionByName(verdict("CORPUS-004", dup)).orderBy("test_id")
 
 
+def ann_cosine_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (n_probe=2): each query searches its TWO
+    nearest cells — the standard recall lever over single-cell IVF;
+    neighbors whose cell is adjacent to the query's become visible
+    at 2/n_centroids of brute-force cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(emb, queries, k=5, n_centroids=8, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 def text_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter pass with a char-bigram frequency model
     (train counts → broadcast → one narrow scoring aggregate): mean
@@ -942,4 +954,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_leakage_safe_split": sample_leakage_safe_split,
     "text_normalize_dedup": text_normalize_dedup,
     "dq_corpus_battery": dq_corpus_battery,
+    "ann_cosine_ivf_probe2": ann_cosine_ivf_probe2,
 }

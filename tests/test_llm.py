@@ -783,3 +783,22 @@ def test_normalize_text_merges_stylistic_variants(spark):
     got = {r["doc_id"]: r["text_norm"] for r in normalize_text(df).collect()}
     assert got[0] == got[1] == "the fox s great plan now"
     assert got[2] == "entirely different"
+
+
+def test_ivf_multiprobe_recall_superset(spark):
+    import pyspark.sql.functions as F
+    from etl_reporting_spark.llm.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    rows = [(i, [float((i * 13 + j * 7) % 11 - 5) for j in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 20)
+    exact = [r["neighbor_id"] for r in cosine_topk_bruteforce(emb, q, k=5).orderBy("rank").collect()]
+
+    def recall(n_probe):
+        got = {r["neighbor_id"] for r in
+               cosine_topk_ivf(emb, q, k=5, n_centroids=6, n_probe=n_probe).collect()}
+        return len(got & set(exact))
+
+    r1, r3, r6 = recall(1), recall(3), recall(6)
+    assert r1 <= r3 <= r6          # more probes never lose recall
+    assert r6 == 5                 # probing every cell == exact top-5

@@ -64,6 +64,7 @@ _BNLJ_OK: dict[str, str] = {
     "url_domain_stats": "single corpus-total row broadcast into domain shares",
     "semdedup_flags": "centroid table broadcast for cluster assignment",
     "ann_cosine_ivfpq": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
+    "ann_cosine_ivf_probe2": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
     "emb_hard_negatives": "query set broadcast against partitioned corpus (as ann_cosine_topk)",
     "corpus_language_mixture": "single normalizing-total row broadcast (as sample_mixture_weights)",
     "ops_skew_report": "single whole-relation stats row broadcast into the top-k rows",
