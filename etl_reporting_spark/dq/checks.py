@@ -234,7 +234,20 @@ def drift_check(
     base = baseline.groupBy(F.col(category_col).alias("category")).agg(
         F.count(F.lit(1)).alias("n_base")
     )
-    joined = cur.join(base, "category", "full_outer").select(
+    return drift_check_from_counts(cur, base, max_tvd=max_tvd)
+
+
+def drift_check_from_counts(
+    cur_counts: DataFrame,
+    base_counts: DataFrame,
+    max_tvd: float = 0.1,
+) -> DataFrame:
+    """The counts-level core of :func:`drift_check`, for callers that
+    already hold per-category counts — a persisted baseline snapshot,
+    a streaming micro-batch's aggregate (``streaming_drift_screen``).
+    Inputs: (category, n_cur) and (category, n_base). Same output,
+    same deterministic TVD arithmetic."""
+    joined = cur_counts.join(base_counts, "category", "full_outer").select(
         "category",
         F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
         F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),

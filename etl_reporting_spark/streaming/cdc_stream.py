@@ -340,3 +340,46 @@ def read_bloom_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.expr("bit_or(word)").alias("word"))
     )
+
+
+def streaming_drift_screen(
+    doc_stream: DataFrame,
+    baseline_counts: DataFrame,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    category_col: str = "category",
+    max_tvd: float = 0.1,
+) -> StreamingQuery:
+    """Distribution drift on the ingest stream: every micro-batch's
+    category mix is compared to the STANDING baseline counts
+    (columns ``(category_col, n)`` — the last signed-off snapshot's
+    ``groupBy(category).count()``, a category-cardinality table,
+    trivially persistable) with the batch-DQ TVD verdict
+    (``drift_check_from_counts`` — no re-inflation of the baseline); ``sink`` receives the
+    verdict frame per epoch (typical: alert when ``passed`` is false,
+    append the verdict to the DQ log, and promote the batch's counts
+    into the next baseline on sign-off).
+
+    Per-epoch cost ∝ batch (one count + one category-sized join) —
+    the streaming twin of ``dq.checks.drift_check``, same arithmetic,
+    same verdict shape.
+    """
+    from etl_reporting_spark.dq.checks import drift_check_from_counts
+
+    base = baseline_counts.select(
+        F.col(category_col).alias("category"), F.col("n").alias("n_base")
+    )
+
+    def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = batch_df.groupBy(F.col(category_col).alias("category")).agg(
+            F.count(F.lit(1)).alias("n_cur")
+        )
+        verdict = drift_check_from_counts(cur, base, max_tvd=max_tvd)
+        sink(verdict, epoch_id)
+
+    return (
+        doc_stream.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -598,3 +598,36 @@ def test_analyze_table_collects_stats(spark, tmp_path):
     ).first()
     assert ndv is not None and int(ndv["info_value"]) >= 6
     spark.sql("DROP TABLE stats_demo")
+
+
+def test_streaming_drift_screen_e2e(spark, tmp_path):
+    """Drift verdicts per micro-batch against a standing baseline:
+    a balanced baseline vs a skewed stream must FAIL the TVD gate;
+    the verdict frame matches the batch drift_check's shape."""
+    import pyspark.sql.functions as F
+
+    from etl_reporting_spark.streaming.cdc_stream import streaming_drift_screen
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    skewed = [("a",)] * 18 + [("b",)] * 2
+    spark.createDataFrame(skewed, "category string").write.mode("append").parquet(str(src))
+
+    baseline = spark.createDataFrame(
+        [("a", 50), ("b", 50)], "category string, n long"
+    )
+    got: list = []
+
+    def sink(verdict, epoch_id):
+        got.append({r["category"]: r for r in verdict.collect()})
+
+    stream = spark.readStream.schema("category string").parquet(str(src))
+    q = streaming_drift_screen(
+        stream, baseline, str(tmp_path / "cp_drift"), sink, max_tvd=0.1
+    )
+    q.awaitTermination(120)
+    assert len(got) == 1
+    v = got[0]
+    assert abs(v["a"]["tvd"] - 0.4) < 1e-12  # |0.9-0.5|/2 + |0.1-0.5|/2
+    assert not v["a"]["passed"] and not v["b"]["passed"]
+    assert v["a"]["n_base"] == 50 and v["a"]["n_cur"] == 18
