@@ -251,9 +251,6 @@ def temperature_sample(
     )
 
 
-PACK_BFD_SCHEMA = "doc_id long, shard int, bin_idx int, bin_fill long"
-
-
 def pack_documents_bfd(
     df: DataFrame,
     budget_tokens: int,
@@ -316,7 +313,7 @@ def pack_documents_bfd(
         shard_val = int(pdf["shard"].iloc[0])
         return pd.DataFrame(
             {
-                "doc_id": list(assign.keys()),
+                id_col: list(assign.keys()),
                 "shard": shard_val,
                 "bin_idx": [assign[d] for d in assign],
                 "bin_fill": [fills[assign[d]] for d in assign],
@@ -327,7 +324,9 @@ def pack_documents_bfd(
     return (
         df.select(F.col(id_col), F.col(token_col), shard.alias("shard"))
         .groupBy("shard")
-        .applyInPandas(pack, schema=PACK_BFD_SCHEMA)
+        .applyInPandas(
+            pack, schema=f"{id_col} long, shard int, bin_idx int, bin_fill long"
+        )
     )
 
 
@@ -340,6 +339,7 @@ def leakage_safe_split(
     split_name: str = "split",
     k: int = 3,
     min_jaccard: float = 0.5,
+    text_col: str = "text",
 ) -> DataFrame:
     """Train/val/test split that cannot leak near-duplicates across
     splits: the hash-split key is the document's near-dup CLUSTER id,
@@ -360,7 +360,9 @@ def leakage_safe_split(
     if clusters is None:
         from etl_reporting_spark.llm.cluster import near_duplicate_clusters
 
-        clusters = near_duplicate_clusters(docs, k=k, min_jaccard=min_jaccard, id_col=id_col)
+        clusters = near_duplicate_clusters(
+            docs, k=k, min_jaccard=min_jaccard, text_col=text_col, id_col=id_col
+        )
     labeled = with_hash_split(
         clusters.select(id_col, "cluster_id", "cluster_size"),
         weights,

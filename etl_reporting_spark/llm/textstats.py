@@ -273,20 +273,22 @@ def normalize_text(
 ) -> DataFrame:
     """Canonicalization pass that runs BEFORE exact/near dedup so
     trivially-different re-publications (case, punctuation style,
-    spacing) hash together: lowercase, map curly quotes/dashes and
-    NBSP to ASCII, strip remaining punctuation to spaces, collapse
-    whitespace, trim. Entirely narrow regexp/translate expressions
-    in the Java∩RE2 subset — fuses into the scan, linear in corpus
-    bytes, and replayed exactly by the oracle.
+    spacing) hash together: strip non-ASCII, lowercase, strip
+    punctuation to spaces, collapse whitespace, trim. Entirely
+    narrow regexp expressions in the Java/RE2 shared subset — fuses
+    into the scan, linear in corpus bytes, and replayed exactly by
+    the oracle.
 
-    Deliberately NOT Unicode case folding / NFC (engine- and
-    ICU-version-dependent); the mapping here is the stable ASCII
-    core. A full ICU normalizer belongs in a mapInPandas stage where
-    the Python `unicodedata` version is pinned by the environment.
+    Deliberately ASCII-core: non-ASCII bytes are stripped BEFORE
+    lowercasing, because engines disagree on Unicode case mapping
+    (Java full case mapping turns U+0130 into 'i' + a combining dot;
+    utf8proc maps it to plain 'i') — stripping first makes the pass
+    engine- and ICU-version-stable. A full Unicode normalizer
+    belongs in a mapInPandas stage where the Python ``unicodedata``
+    version is pinned by the environment.
     """
-    c = F.lower(F.col(text_col))
-    # curly quotes, en/em dashes, NBSP → ASCII equivalents
-    c = F.translate(c, "‘’“”–— ", "''\"\"-- ")
+    c = F.regexp_replace(F.col(text_col), r"[^\x20-\x7e]", " ")
+    c = F.lower(c)
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return docs.withColumn(out_col, F.trim(c))

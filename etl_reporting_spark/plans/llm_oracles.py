@@ -1756,10 +1756,7 @@ LLM_ORACLE_SQL["text_normalize_dedup"] = """
 WITH n AS (
   SELECT doc_id, md5(text) AS raw_hash,
     md5(trim(regexp_replace(regexp_replace(
-      translate(lower(text),
-        chr(8216) || chr(8217) || chr(8220) || chr(8221)
-          || chr(8211) || chr(8212) || chr(160),
-        chr(39) || chr(39) || '""--' || ' '),
+      lower(regexp_replace(text, '[^\\x20-\\x7e]', ' ', 'g')),
       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_hash
   FROM documents
 ),
@@ -1776,7 +1773,7 @@ WITH base AS (
   SELECT
     CAST(COUNT(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 END) AS BIGINT) AS c1,
     CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS c2,
-    CAST(COUNT(CASE WHEN len(string_split(text, ' ')) < 5 THEN 1 END) AS BIGINT) AS c3
+    CAST(COUNT(CASE WHEN text IS NOT NULL AND len(string_split(text, ' ')) < 5 THEN 1 END) AS BIGINT) AS c3
   FROM documents
 ),
 dup AS (

@@ -819,8 +819,8 @@ def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dq_corpus_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DQ framework pointed at the CORPUS (the pre-training
-    ingest sign-off): empty/whitespace docs, duplicate ids, token
-    outliers vs the corpus mean, and exact-dup text rate — one lazy
+    ingest sign-off): empty/whitespace docs, duplicate ids, a token-length
+    floor, and exact-dup text rate — one lazy
     union of verdicts, fused scans where checks share a table, same
     TEST_ID/STATUS/FAILED_ROWS shape as the warehouse battery."""
     docs = load_table(spark, sf_dir, "documents")
@@ -838,7 +838,13 @@ def dq_corpus_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("text").isNull() | (F.trim(F.col("text")) == ""), 1)
         ).alias("c1"),
         (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("c2"),
-        F.count(F.when(F.size(F.split(F.col("text"), " ")) < 5, 1)).alias("c3"),
+        F.count(
+            F.when(
+                F.col("text").isNotNull()
+                & (F.size(F.split(F.col("text"), " ")) < 5),
+                1,
+            )
+        ).alias("c3"),
     )
     fused = base.select(
         F.expr(

@@ -745,10 +745,13 @@ def test_pack_bfd_beats_boundary_fill_and_is_stable(spark):
     # no bin overruns its budget (no doc exceeds it here)
     assert all(r["bin_fill"] <= 1000 for r in got.values())
     n_bins_bfd = len({r["bin_idx"] for r in got.values()})
-    boundary = pack_documents(df, 1000, shards=1)
-    n_bins_boundary = boundary.select("pack_id").distinct().count()
-    assert n_bins_bfd <= n_bins_boundary  # utilization never worse
     assert n_bins_bfd == 4  # 3100 tokens within 1000-budget bins: optimal here is 4
+    # NOTE: no general bin-count ordering vs pack_documents exists —
+    # boundary fill OVERRUNS budgets (its count is ceil(total/budget),
+    # a lower bound no budget-respecting packer can always match);
+    # on this fixture both happen to pack 4.
+    boundary = pack_documents(df, 1000, shards=1)
+    assert boundary.select("pack_id").distinct().count() == 4
     # rerun + repartition stability
     again = pack_documents_bfd(df.repartition(5), 1000, shards=1)
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in bfd.collect()}
