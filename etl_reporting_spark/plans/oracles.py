@@ -997,3 +997,24 @@ WINDOW w AS (PARTITION BY event_type ORDER BY event_id),
          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
 ORDER BY event_id
 """
+
+# Period-over-period growth: decimal-exact monthly sums, lag over the
+# month sequence, doubles only in the derived delta/rate.
+ORACLE_SQL["u5_period_growth"] = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev  -- lint: sum-ok (decimal)
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+  CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE) AS delta,
+  CASE WHEN lag(rev) OVER (ORDER BY month) IS NOT NULL
+        AND lag(rev) OVER (ORDER BY month) != 0
+       THEN CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
+            / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE)
+  END AS growth_rate
+FROM m ORDER BY month
+"""

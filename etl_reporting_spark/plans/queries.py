@@ -1225,6 +1225,37 @@ def fn_window_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u5_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period report (U2's sibling): monthly order
+    revenue with previous-month lag, absolute delta, and growth rate
+    — decimal-exact monthly sums, lag over the month sequence,
+    doubles only in the final two derived columns."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    monthly = (
+        orders.groupBy(F.date_trunc("MONTH", F.col("o_orderdate")).alias("month_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 2)).alias("__rev"),
+        )
+        .select(F.to_date("month_ts").alias("month"), "n_orders", "__rev")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("__rev").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.col("__rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        (F.col("__rev") - prev).cast("double").alias("delta"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            ((F.col("__rev") - prev).cast("double") / prev.cast("double")),
+        ).alias("growth_rate"),
+    ).orderBy("month")
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -1357,6 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_drift_numeric": dq_drift_numeric,
     "ts_forward_fill": ts_forward_fill,
     "fn_window_gallery": fn_window_gallery,
+    "u5_period_growth": u5_period_growth,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",
