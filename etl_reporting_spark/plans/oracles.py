@@ -1018,3 +1018,26 @@ SELECT month, n_orders,
   END AS growth_rate
 FROM m ORDER BY month
 """
+
+# Stickiness: distinct (user, day) base, two rollups, one division.
+ORACLE_SQL["w12_stickiness"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+    CAST(date_trunc('day', ts) AS DATE) AS day,
+    CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+dau AS (
+  SELECT week, CAST(SUM(dau) AS BIGINT) AS dau_sum, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM (SELECT week, day, COUNT(*) AS dau FROM ud GROUP BY 1, 2) d
+  GROUP BY week
+),
+wau AS (
+  SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM ud GROUP BY week
+)
+SELECT dau.week, wau.wau, dau.n_days,
+  CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau,
+  CAST(dau_sum AS DOUBLE) / CAST(n_days * wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau USING (week)
+ORDER BY dau.week
+"""

@@ -1256,6 +1256,45 @@ def u5_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month")
 
 
+def w12_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness per week: avg daily-active users over
+    weekly-active users — two distinct-count rollups off ONE distinct
+    (user, day) base, one tiny week-grain join; the ratio is a single
+    double division of exact counts."""
+    events = _t(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id",
+        F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day"),
+        F.to_date(F.date_trunc("WEEK", F.col("ts"))).alias("week"),
+    ).distinct()
+    dau = (
+        user_days.groupBy("week", "day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .groupBy("week")
+        .agg(
+            F.sum("dau").alias("__dau_sum"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    wau = user_days.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "week")
+        .select(
+            "week",
+            "wau",
+            "n_days",
+            (F.col("__dau_sum").cast("double") / F.col("n_days").cast("double")).alias(
+                "avg_dau"
+            ),
+            (
+                F.col("__dau_sum").cast("double")
+                / (F.col("n_days") * F.col("wau")).cast("double")
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
 def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
@@ -1389,6 +1428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_forward_fill": ts_forward_fill,
     "fn_window_gallery": fn_window_gallery,
     "u5_period_growth": u5_period_growth,
+    "w12_stickiness": w12_stickiness,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",
