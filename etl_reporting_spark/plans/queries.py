@@ -1412,10 +1412,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_udf_in_sql": f1_udf_in_sql,
     "a14_cube": a14_cube,
     # ---- representative LLM gates inside the 50-row driver window ----
+    # round-5 rotation (round-4 verdict #7): the iterative-graph and
+    # composed-ANN paths move INTO driver verification; the simpler
+    # text_quality_scores / mm_decode_metadata they displace are
+    # pytest-covered and stay locally verified in the tail.
     "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
     "ann_cosine_topk": LLM_QUERIES["ann_cosine_topk"],
-    "text_quality_scores": LLM_QUERIES["text_quality_scores"],
-    "mm_decode_metadata": LLM_QUERIES["mm_decode_metadata"],
+    "dedup_cluster_resolution": LLM_QUERIES["dedup_cluster_resolution"],
+    "ann_cosine_ivfpq": LLM_QUERIES["ann_cosine_ivfpq"],
     # ---- remaining gates (driver rows 51+; locally verified) ----
     "a15_incremental_rollup": a15_incremental_rollup,
     "ops_skew_report": ops_skew_report,
@@ -1432,7 +1436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",
-        "text_quality_scores",
-        "mm_decode_metadata",
+        "dedup_cluster_resolution",
+        "ann_cosine_ivfpq",
     )},
 }

@@ -61,8 +61,8 @@ EXPECTED_WINDOW = [
     "a14_cube",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    "text_quality_scores",
-    "mm_decode_metadata",
+    "dedup_cluster_resolution",
+    "ann_cosine_ivfpq",
 ]
 
 
@@ -72,8 +72,15 @@ def test_driver_window_is_pinned():
 
 
 def test_window_split_is_46_reference_plus_4_llm():
-    """The documented split (plans/queries.py ordering comment)."""
-    llm = {"dedup_minhash_lsh", "ann_cosine_topk", "text_quality_scores", "mm_decode_metadata"}
+    """The documented split (plans/queries.py ordering comment).
+    Round-5 rotation: the iterative-graph (dedup_cluster_resolution)
+    and composed-ANN (ann_cosine_ivfpq) paths are driver-verified."""
+    llm = {
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "dedup_cluster_resolution",
+        "ann_cosine_ivfpq",
+    }
     assert [n for n in EXPECTED_WINDOW if n in llm] == EXPECTED_WINDOW[46:]
 
 

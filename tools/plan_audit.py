@@ -23,6 +23,18 @@ SCALE.md posture bans:
 - **Unpruned wide scans** — a parquet scan whose ReadSchema carries
   ≥ ``max_scan_cols`` columns when the query declares it needs fewer
   (column-pruning regression).
+- **Shuffle budgets** (round-5): the flagship/heavy gates carry a
+  pinned maximum shuffle-exchange count (``_SHUFFLE_BUDGET``). The
+  round-4 bench showed local wall-clock can no longer detect a plan
+  regression at sf0.1 — "a second Exchange appeared where one
+  sufficed" must be caught STRUCTURALLY. Counting walks the executed
+  plan tree (not the string — the string re-prints cached subtrees at
+  every InMemoryTableScan reference and overcounts 3-17x), skipping
+  InMemoryTableScan children (their shuffles were paid once at
+  materialization, inside the operator that persisted them) and
+  ReusedExchange (no new shuffle work). Budgets are upper bounds
+  measured at sf0.001 with a cold cache; warm caches only lower the
+  count, so the check is order-independent within a test session.
 
 Usage:
     python tools/plan_audit.py [--sf-dir /root/testdata/sf0.001] [query ...]
@@ -71,6 +83,78 @@ _BNLJ_OK: dict[str, str] = {
     "dq_drift_check": "single totals/TVD rows broadcast into category rows",
     "dq_drift_numeric": "single totals/TVD rows broadcast into bin rows (as dq_drift_check)",
 }
+
+
+# Maximum shuffle exchanges per gate, measured cold at sf0.001
+# (2026-08, round 5). A regression that adds an exchange — a lost
+# broadcast, a redundant repartition, a window that stopped sharing
+# its partitioning with the following agg — fails the suite even when
+# local wall-clock can't see it.
+_SHUFFLE_BUDGET: dict[str, int] = {
+    "flagship_active_claimants": 4,
+    "q1_pricing_summary": 2,
+    "j1_revenue_by_nation": 2,
+    "w1_dedup_latest": 1,
+    "j5_asof_join": 1,
+    "w8_sessionization": 2,
+    "a9_outlier_events": 2,
+    "dq_battery": 9,
+    "j10_merge_upsert": 1,
+    "dedup_minhash_lsh": 3,
+    "dedup_simhash_pairs": 1,
+    "dedup_cluster_resolution": 5,
+    "dedup_incremental_screen_store": 3,
+    "text_charlm_score": 4,
+    "ann_cosine_pq": 4,
+    "ann_cosine_ivfpq": 6,
+    "corpus_curation": 2,
+    "u2_period_rollup": 3,
+}
+
+
+def count_shuffle_exchanges(df) -> int:
+    """Count ShuffleExchangeExec nodes in the executed plan TREE.
+
+    Unwraps AQE (AdaptiveSparkPlanExec → its final plan) and query
+    stages; skips InMemoryTableScan subtrees and ReusedExchange (see
+    module doc). Run an action on ``df`` first so AQE has finalized.
+    """
+
+    def walk(node, acc) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), acc)
+            return
+        if cls in (
+            "ShuffleQueryStageExec",
+            "BroadcastQueryStageExec",
+            "TableCacheQueryStageExec",
+        ):
+            walk(node.plan(), acc)
+            return
+        if cls in ("ReusedExchangeExec", "InMemoryTableScanExec"):
+            return
+        if cls == "ShuffleExchangeExec":
+            acc[0] += 1
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i), acc)
+
+    acc = [0]
+    walk(df._jdf.queryExecution().executedPlan(), acc)
+    return acc[0]
+
+
+def audit_shuffle_budget(name: str, df) -> list[str]:
+    """Budget check for one gate; empty list when within budget or
+    unbudgeted."""
+    if name not in _SHUFFLE_BUDGET:
+        return []
+    n = count_shuffle_exchanges(df)
+    budget = _SHUFFLE_BUDGET[name]
+    if n > budget:
+        return [f"{n} shuffle exchanges (budget {budget}) — a new Exchange appeared"]
+    return []
 
 
 def audit_plan(name: str, plan: str, max_scan_cols: int = 12) -> list[str]:
@@ -126,7 +210,7 @@ def main() -> int:
         df = qs[name](spark, args.sf_dir)
         df.count()  # let AQE finalize the executed plan
         plan = df._jdf.queryExecution().executedPlan().toString()
-        problems = audit_plan(name, plan)
+        problems = audit_plan(name, plan) + audit_shuffle_budget(name, df)
         if problems:
             failures += 1
             print(f"FLAG {name}: {'; '.join(problems)}")
