@@ -84,6 +84,20 @@ class Engine:
     spark: SparkSession
     session_variables: dict[str, str] = field(default_factory=dict)
 
+    @staticmethod
+    def cache_scope():
+        """Scoped release for operator-persisted intermediates — see
+        etl_reporting_spark.caching. Usage:
+
+            with engine.cache_scope():
+                clusters = near_duplicate_clusters(docs)
+                clusters.write.parquet(out)
+            # every frame the operators persisted is now unpersisted
+        """
+        from etl_reporting_spark.caching import cache_scope
+
+        return cache_scope()
+
     # ------------------------------------------------------------- exec
     def execute_query(self, query: str, lazy: bool = True) -> DataFrame | list[Row]:
         rendered = self._render_session_vars(query)

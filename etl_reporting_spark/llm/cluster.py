@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_reporting_spark.caching import track
+
 
 def connected_components(
     pairs: DataFrame,
@@ -91,8 +93,7 @@ def connected_components(
         labels, _rounds = _star_components(
             pairs, src=src, dst=dst, max_iterations=max_iterations
         )
-        if cleanup is not None:
-            cleanup.append(labels)
+        track(labels, cleanup)
         return labels.select("node", "component")
     if algorithm != "propagation":
         raise ValueError(
@@ -138,8 +139,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             edges.unpersist()
-            if cleanup is not None:
-                cleanup.append(labels)
+            track(labels, cleanup)
             return labels.select("node", "component")
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds; "

@@ -30,6 +30,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_reporting_spark.caching import track
+
 NUM_HASHES = 12
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
@@ -324,8 +326,7 @@ def minhash_near_duplicates(
     # InMemoryRelation. Measured ~2x on the composed gate's first run.
     cands = lsh_candidate_pairs(sigs, id_col=id_col).persist()
     cands.count()
-    if cleanup is not None:
-        cleanup.append(cands)
+    track(cands, cleanup)
     cand_ids = (
         cands.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
     )
@@ -444,8 +445,7 @@ def simhash_near_duplicates(
     ``cleanup`` to release it once the pairs are consumed."""
     sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col).persist()
     sigs.count()  # eager: both join sides then plan against the cache
-    if cleanup is not None:
-        cleanup.append(sigs)
+    track(sigs, cleanup)
     cands = simhash_candidate_pairs(sigs, id_col=id_col, max_hamming=max_hamming)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
@@ -674,8 +674,7 @@ def incremental_near_duplicates(
     accumulate for the life of the stream.
     """
     new_arr = shingle_arrays(new_docs, k=k, text_col=text_col, id_col=id_col).persist()
-    if cleanup is not None:
-        cleanup.append(new_arr)
+    track(new_arr, cleanup)
     new_sigs = minhash_signatures(
         new_arr.select(F.col(id_col), F.explode("shingles").alias("shingle")), id_col=id_col
     )
@@ -707,8 +706,7 @@ def incremental_near_duplicates(
     # binaries on the composed first run).
     cands = raw.distinct().persist()
     cands.count()
-    if cleanup is not None:
-        cleanup.append(cands)
+    track(cands, cleanup)
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))

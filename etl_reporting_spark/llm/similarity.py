@@ -23,6 +23,8 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_reporting_spark.caching import track
+
 # Sequential left-to-right double fold: float→double promotion and
 # IEEE multiply/add are bit-identical across engines when the order
 # is fixed, and aggregate() folds in array order (the oracle mirrors
@@ -485,8 +487,7 @@ def semantic_dedup(
     # ``cleanup`` to release the cache once the output is consumed.
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col).persist()
     assigned.count()
-    if cleanup is not None:
-        cleanup.append(assigned)
+    track(assigned, cleanup)
     m = assigned.select(
         F.col(id_col).alias("vid"),
         "centroid_id",
