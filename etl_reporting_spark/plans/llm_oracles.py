@@ -1829,3 +1829,47 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 ) t WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+# REAL-codec decode (round-5): the Spark side encodes actual
+# PNG/BMP/PPM bytes and decodes them with the pure-stdlib codecs; the
+# oracle needs no codec because the pixels follow
+# (doc_id*7 + p*13) % 256 analytically. A decoder defect (PNG filter
+# math, BMP BGR/row-padding, PPM header) breaks pixel_sum.
+LLM_ORACLE_SQL["mm_decode_real"] = """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST(SUM((d.doc_id * 7 + p.p * 13) % 256) AS BIGINT) AS pixel_sum
+  FROM documents d, generate_series(0, 767) AS p(p)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' ELSE 'png' END AS fmt,
+       16 AS width, 16 AS height, 3 AS channels, pixel_sum
+FROM px
+ORDER BY doc_id
+"""
+
+# Average-hash over the real decoded pixels, replayed in SQL: cell i
+# of the 8x8 thumbnail reads source pixel (2*(i//8), 2*(i%8)) (16x16
+# -> 8x8 nearest), gray = (r+g+b)//3, bit set iff gray*64 > total,
+# bit 63 packed as -2^63 (two's complement, same signed BIGINT the
+# Pandas UDF emits).
+LLM_ORACLE_SQL["mm_ahash_real"] = """
+WITH cell AS (
+  SELECT d.doc_id, t.i,
+    (
+      (d.doc_id * 7 + (((t.i // 8) * 2 * 16 + (t.i % 8) * 2) * 3 + 0) * 13) % 256
+    + (d.doc_id * 7 + (((t.i // 8) * 2 * 16 + (t.i % 8) * 2) * 3 + 1) * 13) % 256
+    + (d.doc_id * 7 + (((t.i // 8) * 2 * 16 + (t.i % 8) * 2) * 3 + 2) * 13) % 256
+    ) // 3 AS gray
+  FROM documents d, generate_series(0, 63) AS t(i)
+),
+tot AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total FROM cell GROUP BY doc_id)
+SELECT cell.doc_id,
+  CAST(SUM(CASE WHEN gray * 64 > total THEN
+    CASE WHEN i = 63 THEN -9223372036854775808 ELSE CAST(1 AS BIGINT) << i END
+  ELSE 0 END) AS BIGINT) AS ahash
+FROM cell JOIN tot USING (doc_id)
+GROUP BY cell.doc_id
+ORDER BY cell.doc_id
+"""
