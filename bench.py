@@ -128,6 +128,7 @@ HEAVY_REL = [
     "w8_sessionization",
     "dq_battery",
     "dedup_simhash_pairs",  # 500k docs — under the bar at the sf3 tier
+    "j13_salted_join",  # 60M skewed rows; plain join is 2.4x slower
 ]
 
 

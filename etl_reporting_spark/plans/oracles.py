@@ -1041,3 +1041,36 @@ SELECT dau.week, wau.wau, dau.n_days,
 FROM dau JOIN wau USING (week)
 ORDER BY dau.week
 """
+
+# Salted skew join: the salt is internal to the operator, so the
+# oracle is the PLAIN equi-join on the skewed derived key — value
+# equality IS the proof the salt doesn't leak into results.
+ORACLE_SQL["j13_salted_join"] = """
+WITH skewed AS (
+  SELECT CASE WHEN event_id % 5 != 0 THEN 1 ELSE user_id END AS k, value
+  FROM events
+)
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM skewed s JOIN customer c ON s.k = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY mktsegment
+"""
+
+# Two-path skew join: grouping by the hot/cold split verifies the
+# broadcast-hot-slice path and the plain-cold path independently;
+# the union must equal the plain equi-join row-for-row.
+ORACLE_SQL["j14_skew_aware_join"] = """
+WITH skewed AS (
+  SELECT CASE WHEN event_id % 5 != 0 THEN 1 ELSE user_id END AS k, value
+  FROM events
+)
+SELECT c.c_mktsegment AS mktsegment,
+       (s.k = 1) AS is_hot,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM skewed s JOIN customer c ON s.k = c.c_custkey
+GROUP BY c.c_mktsegment, (s.k = 1)
+ORDER BY mktsegment, is_hot
+"""

@@ -1067,6 +1067,70 @@ def ops_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join under pathological skew (round-5, verdict
+    #5): 80% of event rows are remapped onto ONE join key, then joined
+    to the customer dimension through ``operators.skew.salted_join``
+    (16 salt buckets — the hot key's probe rows spread over 16 tasks
+    instead of serializing on one). The salt never escapes, so the
+    output — and the oracle — is exactly the plain equi-join;
+    tests/test_skew_join.py pins the per-task bound the salt buys."""
+    from etl_reporting_spark.operators.skew import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    skewed = events.select(
+        F.when(F.col("event_id") % 5 != 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    dim = customer.select(F.col("c_custkey").alias("k"), "c_mktsegment")
+    return (
+        salted_join(skewed, dim, ["k"], salt_buckets=16, how="inner")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+def j14_skew_aware_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-path skew join gate (round-5): the same 80%-hot key shape
+    as j13, but through ``skew_aware_join`` — hot keys detected from a
+    map-side-combined count, joined via an explicit broadcast of the
+    dim SLICE; cold keys take the plain join. Output groups by the
+    hot/cold split so the oracle verifies BOTH paths' rows
+    independently; their union must equal the plain equi-join."""
+    from etl_reporting_spark.operators.skew import skew_aware_join
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    skewed = events.select(
+        F.when(F.col("event_id") % 5 != 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    dim = customer.select(F.col("c_custkey").alias("k"), "c_mktsegment")
+    joined = skew_aware_join(skewed, dim, ["k"], min_hot_rows=1000)
+    return (
+        joined.groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            (F.col("k") == 1).alias("is_hot"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("mktsegment", "is_hot")
+    )
+
+
 def dq_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift DQ check (layer-1 family): event_type mix
     of the second half of January vs the first, TVD verdict — pure
@@ -1433,6 +1497,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_window_gallery": fn_window_gallery,
     "u5_period_growth": u5_period_growth,
     "w12_stickiness": w12_stickiness,
+    "j13_salted_join": j13_salted_join,
+    "j14_skew_aware_join": j14_skew_aware_join,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",
