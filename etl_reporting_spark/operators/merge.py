@@ -19,6 +19,15 @@ metrics surface in the same shape from the commit's
 ``operationMetrics``. Environments without Delta keep the join
 rewrite, which is oracle-verified (j10_merge_upsert).
 
+``backend="wap"`` (round-5) is the EXECUTED transactional path for
+Delta-less environments: the join rewrite computes the post-merge
+state and ``operators.wap`` commits it write-audit-publish — snapshot
+written to an immutable dir, re-read and row-counted against the
+merge metrics before publish, published by an atomic create-if-absent
+commit record. Crash at any step leaves readers on the previous
+snapshot; concurrent writers race to one winner
+(tests/test_wap.py).
+
 Scale notes: one shuffle on the merge keys (or a broadcast if the
 source is small — AQE decides); metrics come from a single aggregate
 over the join result, not from driver-side row loops.
@@ -161,8 +170,26 @@ def merge_upsert(
             delete_condition=delete_condition,
             validate_source_unique=validate_source_unique,
         )
+    if backend == "wap":
+        if spark is None or target_table is None:
+            raise ValueError("backend='wap' requires spark= and target_table= (a path)")
+        return merge_upsert_wap(
+            spark,
+            target_table,
+            source,
+            keys,
+            update_cols=update_cols,
+            insert_cols=insert_cols,
+            matched_condition=matched_condition,
+            not_matched_condition=not_matched_condition,
+            delete_not_matched_by_source=delete_not_matched_by_source,
+            delete_condition=delete_condition,
+            validate_source_unique=validate_source_unique,
+        )
     if backend != "join":
-        raise ValueError(f"unknown merge backend {backend!r}: expected 'join' or 'delta'")
+        raise ValueError(
+            f"unknown merge backend {backend!r}: expected 'join', 'wap' or 'delta'"
+        )
 
     keys = list(keys)
     non_key_source = [c for c in source.columns if c not in keys]
@@ -360,6 +387,93 @@ def merge_upsert_delta(
         dt.history(1).select("operationMetrics").collect()[0]["operationMetrics"] or {}
     )
     return DeltaMergeResult(df=dt.toDF(), metrics=metrics_row)
+
+
+class WapMergeResult:
+    """MergeResult-shaped outcome of a committed WAP merge. Metrics
+    come from the join classification captured BEFORE publish (they
+    were the audit's expectation); ``df`` reads the COMMITTED
+    snapshot, so downstream consumers see exactly what any other
+    reader sees."""
+
+    def __init__(self, df: DataFrame, counts: dict[str, int], version: int) -> None:
+        self.df = df
+        self._counts = counts
+        self.version = version
+
+    @property
+    def rows_inserted(self) -> int:
+        return self._counts["I"]
+
+    @property
+    def rows_updated(self) -> int:
+        return self._counts["U"]
+
+    @property
+    def rows_deleted(self) -> int:
+        return self._counts["D"]
+
+    @property
+    def rows_unchanged(self) -> int:
+        return self._counts["M"] + self._counts["K"]
+
+    def unpersist(self) -> None:
+        """API parity with MergeResult — the join cache is already
+        released at commit time."""
+
+
+def merge_upsert_wap(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    insert_cols: Sequence[str] | None = None,
+    matched_condition: Column | None = None,
+    not_matched_condition: Column | None = None,
+    delete_not_matched_by_source: bool = False,
+    delete_condition: Column | None = None,
+    validate_source_unique: bool = True,
+) -> WapMergeResult:
+    """MERGE with an EXECUTED transactional commit and no Delta
+    dependency: the join-rewrite computes the post-merge state, then
+    ``operators.wap`` runs write → audit (committed files re-read and
+    row-counted against the merge metrics' expectation) → atomic
+    publish. Readers never see partial state (crash-step tests in
+    tests/test_wap.py); two writers racing from one base version get
+    one winner and one :class:`wap.ConcurrentWriteError`.
+
+    Branch semantics and conditions are the join backend's (conditions
+    see the bare merged schema, not t/s aliases)."""
+    from etl_reporting_spark.operators.wap import WapTable
+
+    table = WapTable(spark, table_path)
+    base = table.current_version()
+    target = table.read(version=base)
+    res = merge_upsert(
+        target,
+        source,
+        keys,
+        update_cols=update_cols,
+        insert_cols=insert_cols,
+        matched_condition=matched_condition,
+        not_matched_condition=not_matched_condition,
+        delete_not_matched_by_source=delete_not_matched_by_source,
+        delete_condition=delete_condition,
+        validate_source_unique=validate_source_unique,
+        backend="join",
+    )
+    counts = dict(res._metrics())
+    # the audit expectation: every classified row except deletes and
+    # condition-failed source-only rows survives into the snapshot
+    expected = counts["U"] + counts["I"] + counts["M"] + counts["K"]
+    try:
+        version = table.commit(
+            res.df, expected_rows=expected, base_version=base, operation="merge"
+        )
+    finally:
+        res.unpersist()
+    return WapMergeResult(df=table.read(version=version), counts=counts, version=version)
 
 
 def source_target_count_difference(source: DataFrame, target: DataFrame) -> int:
