@@ -434,6 +434,7 @@ def merge_upsert_wap(
     delete_not_matched_by_source: bool = False,
     delete_condition: Column | None = None,
     validate_source_unique: bool = True,
+    commit_extra: dict | None = None,
 ) -> WapMergeResult:
     """MERGE with an EXECUTED transactional commit and no Delta
     dependency: the join-rewrite computes the post-merge state, then
@@ -469,7 +470,11 @@ def merge_upsert_wap(
     expected = counts["U"] + counts["I"] + counts["M"] + counts["K"]
     try:
         version = table.commit(
-            res.df, expected_rows=expected, base_version=base, operation="merge"
+            res.df,
+            expected_rows=expected,
+            base_version=base,
+            operation="merge",
+            extra=commit_extra,
         )
     finally:
         res.unpersist()

@@ -117,12 +117,16 @@ class WapTable:
         base_version: int | None = None,
         operation: str = "overwrite",
         n_files: int | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Run the full write-audit-publish cycle; returns the new
         version. ``base_version`` (default: the version observed now)
         is the optimistic-concurrency token — publish targets
         ``base_version + 1`` and raises :class:`ConcurrentWriteError`
-        if that version was taken meanwhile."""
+        if that version was taken meanwhile. ``extra`` merges opaque
+        caller metadata into the commit record — e.g. a streaming
+        epoch id, which is how a sink makes replayed micro-batches
+        idempotent (the Delta txnVersion pattern)."""
         if base_version is None:
             base_version = self.current_version()
         new_version = base_version + 1
@@ -155,8 +159,15 @@ class WapTable:
             "operation": operation,
             "committed_at": time.time(),
         }
+        if extra:
+            record.update(extra)
         self._publish(record)
         return new_version
+
+    def latest_record(self) -> dict | None:
+        """The current commit's record, None for an empty table."""
+        v = self.current_version()
+        return self._commit_record(v) if v else None
 
     def _publish(self, record: dict) -> None:
         """The atomic step, isolated so crash tests can stop before it.

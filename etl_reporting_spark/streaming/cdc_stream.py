@@ -192,6 +192,56 @@ def foreach_batch_upsert(
     )
 
 
+def streaming_wap_upsert(
+    stream: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    order_cols: Sequence[str] | None = None,
+) -> StreamingQuery:
+    """Per-epoch TRANSACTIONAL merge into a WAP table (round-5): each
+    micro-batch is deduped to one row per key (latest by
+    ``order_cols`` — a CDC batch can carry several versions of a key),
+    merged through ``merge_upsert_wap``, and published atomically.
+    Readers polling the serving table only ever see fully-applied
+    epochs — never a half-merged micro-batch, the property a plain
+    parquet overwrite sink cannot give.
+
+    Exactly-once publish across retries (the Delta ``txnVersion``
+    pattern): the epoch id rides the commit record; a replayed epoch —
+    the crash window is "commit published, checkpoint not yet
+    advanced" — is detected by ``epoch_id <= last committed epoch``
+    and skipped, so at-least-once delivery composes to exactly-once
+    table state. The stream is the single writer; a concurrent writer
+    surfacing :class:`wap.ConcurrentWriteError` fails the query
+    rather than corrupting state.
+    """
+    from etl_reporting_spark.operators.cdc import dedup_latest
+    from etl_reporting_spark.operators.merge import merge_upsert_wap
+    from etl_reporting_spark.operators.wap import WapTable
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = WapTable(spark, table_path)
+        last = (table.latest_record() or {}).get("epoch_id")
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed
+        batch = (
+            dedup_latest(batch_df, list(keys), list(order_cols))
+            if order_cols
+            else batch_df.dropDuplicates(list(keys))
+        )
+        merge_upsert_wap(
+            spark,
+            table_path,
+            batch,
+            keys,
+            commit_extra={"epoch_id": int(epoch_id)},
+        )
+
+    return foreach_batch_upsert(stream, checkpoint_dir, upsert)
+
+
 def streaming_dedup_screen(
     doc_stream: DataFrame,
     corpus_docs: DataFrame,
