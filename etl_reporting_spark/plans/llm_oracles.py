@@ -1873,3 +1873,86 @@ FROM cell JOIN tot USING (doc_id)
 GROUP BY cell.doc_id
 ORDER BY cell.doc_id
 """
+
+
+# Recall@5 of IVF vs exact brute force, per query, probes 1 and 2 —
+# the recall-lever evidence. Both pipelines are replayed exactly; a
+# join-semantics bug moves a recall number and breaks the hash.
+LLM_ORACLE_SQL["ann_recall_ivf"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+exact_scored AS (
+  SELECT query_id, neighbor_id,
+    CAST({_DOT9.format(a='qvec', b='cvec')} AS DOUBLE)
+      / (sqrt(CAST({_DOT9.format(a='qvec', b='qvec')} AS DOUBLE))
+         * sqrt(CAST({_DOT9.format(a='cvec', b='cvec')} AS DOUBLE))) AS cosine
+  FROM c, q WHERE neighbor_id != query_id
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM exact_scored
+  ) t WHERE rank <= 5
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, ct.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='ct.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='ct.cvec', b='ct.cvec'))} AS cosine
+  FROM embeddings e, cent ct
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+  FROM scored_assign
+),
+assign AS (SELECT vec_id, embedding, centroid_id FROM ranked WHERE rn = 1),
+ivf_scored AS (
+  SELECT p.vec_id AS query_id, p.rn AS probe_rn, a.vec_id AS neighbor_id,
+    {_COS.format(dot=_DOT9.format(a='p.embedding', b='a.embedding'),
+                 na=_DOT9.format(a='p.embedding', b='p.embedding'),
+                 nb=_DOT9.format(a='a.embedding', b='a.embedding'))} AS cosine
+  FROM (SELECT * FROM ranked WHERE rn <= 2 AND vec_id < 20) p
+  JOIN assign a
+    ON p.centroid_id = a.centroid_id AND a.vec_id != p.vec_id
+),
+ivf_top_p1 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ivf_scored WHERE probe_rn = 1
+  ) t WHERE rank <= 5
+),
+ivf_top_p2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ivf_scored
+  ) t WHERE rank <= 5
+),
+h1 AS (
+  SELECT e.query_id, COUNT(*) AS hits FROM exact_top e
+  JOIN ivf_top_p1 i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY e.query_id
+),
+h2 AS (
+  SELECT e.query_id, COUNT(*) AS hits FROM exact_top e
+  JOIN ivf_top_p2 i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT b.query_id,
+  CAST(COALESCE(h1.hits, 0) AS BIGINT) AS hits_p1,
+  CAST(COALESCE(h1.hits, 0) AS DOUBLE) / 5.0 AS recall_p1,
+  CAST(COALESCE(h2.hits, 0) AS BIGINT) AS hits_p2,
+  CAST(COALESCE(h2.hits, 0) AS DOUBLE) / 5.0 AS recall_p2
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20) b
+LEFT JOIN h1 ON b.query_id = h1.query_id
+LEFT JOIN h2 ON b.query_id = h2.query_id
+ORDER BY b.query_id
+"""

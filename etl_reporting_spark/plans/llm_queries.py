@@ -669,6 +669,47 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_hash(with_binary_payload(docs)).orderBy("doc_id")
 
 
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index vs exact brute force, per query, at
+    n_probe 1 and 2 — the approximation-quality observable an ANN
+    serving stack monitors, and the direct evidence for the "n_probe
+    is the recall lever" claim (similarity.py:307). Both paths are
+    deterministic, so per-query recall is itself value-hash-oracled:
+    a blocking bug (wrong cell assignment, lost tie-break) moves a
+    recall number, not just a latency."""
+    from etl_reporting_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id")
+
+    def hits(n_probe: int, alias: str):
+        approx = cosine_topk_ivf(
+            emb, queries, k=5, n_centroids=8, n_probe=n_probe
+        ).select("query_id", "neighbor_id")
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    out = (
+        base.join(hits(1, "hits_p1"), "query_id", "left")
+        .join(hits(2, "hits_p2"), "query_id", "left")
+    )
+    return out.select(
+        "query_id",
+        F.coalesce("hits_p1", F.lit(0)).cast("bigint").alias("hits_p1"),
+        (F.coalesce("hits_p1", F.lit(0)).cast("double") / F.lit(5.0)).alias("recall_p1"),
+        F.coalesce("hits_p2", F.lit(0)).cast("bigint").alias("hits_p2"),
+        (F.coalesce("hits_p2", F.lit(0)).cast("double") / F.lit(5.0)).alias("recall_p2"),
+    ).orderBy("query_id")
+
+
 def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec decode gate (round-5, closes verdict gap #1): one
     encoded image per document — PNG via stdlib zlib + filter
@@ -951,6 +992,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "mm_decode_real": mm_decode_real,
     "mm_ahash_real": mm_ahash_real,
+    "ann_recall_ivf": ann_recall_ivf,
     "text_chunking": text_chunking,
     "sample_hash_split": sample_hash_split,
     "sample_stratified": sample_stratified,
