@@ -1956,3 +1956,51 @@ LEFT JOIN h1 ON b.query_id = h1.query_id
 LEFT JOIN h2 ON b.query_id = h2.query_id
 ORDER BY b.query_id
 """
+
+# DSIR importance: hashed unigram+bigram buckets (md5 % 1024, 'dsir'
+# salt), integer bucket masses against the en-target and whole-corpus
+# models, one IEEE-exact multiply/divide for the surrogate score.
+LLM_ORACLE_SQL["text_dsir_importance"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uni AS (
+  SELECT doc_id, '1|' || u.w AS gram FROM toks, unnest(ws) AS u(w)
+),
+bi AS (
+  SELECT doc_id, '2|' || g AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS g
+    FROM toks
+  )
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+db AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('dsir' || gram), 1, 8))::BIGINT % 1024 AS bucket,
+         COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, bucket
+),
+tmodel AS (
+  SELECT bucket, SUM(cnt) AS tcnt
+  FROM db JOIN documents USING (doc_id) WHERE lang = 'en'
+  GROUP BY bucket
+),
+pmodel AS (SELECT bucket, SUM(cnt) AS pcnt FROM db GROUP BY bucket),
+tot AS (
+  SELECT CAST((SELECT SUM(tcnt) FROM tmodel) AS BIGINT) AS T,
+         CAST((SELECT SUM(pcnt) FROM pmodel) AS BIGINT) AS P
+),
+scored AS (
+  SELECT db.doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_grams,
+    CAST(SUM(cnt * COALESCE(tcnt, 0)) AS BIGINT) AS target_mass,
+    CAST(SUM(cnt * COALESCE(pcnt, 0)) AS BIGINT) AS proposal_mass
+  FROM db LEFT JOIN tmodel USING (bucket) LEFT JOIN pmodel USING (bucket)
+  GROUP BY db.doc_id
+)
+SELECT s.doc_id, s.n_grams, s.target_mass, s.proposal_mass,
+  (CAST(s.target_mass + 1 AS DOUBLE) * CAST(tot.P + 1 AS DOUBLE))
+    / (CAST(s.proposal_mass + 1 AS DOUBLE) * CAST(tot.T + 1 AS DOUBLE)) AS importance
+FROM scored s, tot
+ORDER BY s.doc_id
+"""

@@ -669,6 +669,20 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_hash(with_binary_payload(docs)).orderBy("doc_id")
 
 
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed n-gram importance weighting (llm/importance.py;
+    Xie et al. 2023): every document scored for similarity to the
+    English-labelled target sample in a 1024-bucket hashed
+    unigram+bigram feature space. The gate hashes the integer bucket
+    masses AND the surrogate importance score (IEEE-exact arithmetic
+    only — see the module's determinism convention)."""
+    from etl_reporting_spark.llm.importance import importance_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return importance_scores(docs, target).orderBy("doc_id")
+
+
 def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index vs exact brute force, per query, at
     n_probe 1 and 2 — the approximation-quality observable an ANN
@@ -993,6 +1007,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_real": mm_decode_real,
     "mm_ahash_real": mm_ahash_real,
     "ann_recall_ivf": ann_recall_ivf,
+    "text_dsir_importance": text_dsir_importance,
     "text_chunking": text_chunking,
     "sample_hash_split": sample_hash_split,
     "sample_stratified": sample_stratified,
