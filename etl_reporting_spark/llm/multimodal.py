@@ -241,6 +241,50 @@ def decode_media_real(with_payload: DataFrame) -> DataFrame:
     )
 
 
+def resize_media_real(
+    with_payload: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Real resize on real pixels: decode, nearest-neighbor sample to
+    (width, height) with integer source indices (``sy = y·H // height``
+    — the deterministic resampler an oracle can replay; production
+    swaps in a box/bilinear kernel inside the same batch), and emit
+    geometry + exact checksums of the RESIZED image (full pixel sum +
+    two corner anchors, so a transposed axis or off-by-one index
+    breaks the hash)."""
+    import numpy as np
+
+    from etl_reporting_spark.llm.imagecodec import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "channels": [],
+                "pixel_sum": [], "corner_tl": [], "corner_br": [],
+            }
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                arr = decode_image(bytes(payload))
+                h, w, c = arr.shape
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                small = arr[np.ix_(ys, xs)].astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["channels"].append(c)
+                out["pixel_sum"].append(int(small.sum()))
+                out["corner_tl"].append(int(small[0, 0, 0]))
+                out["corner_br"].append(int(small[-1, -1, c - 1]))
+            yield pd.DataFrame(out)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, channels int,"
+            " pixel_sum long, corner_tl int, corner_br int"
+        ),
+    )
+
+
 def ahash_real(with_payload: DataFrame, hash_size: int = 8) -> DataFrame:
     """Classic average-hash over REAL decoded pixels: decode →
     integer-luma grayscale ((r+g+b)//3) → nearest-neighbor resize to

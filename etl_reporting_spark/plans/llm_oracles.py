@@ -1981,14 +1981,14 @@ db AS (
   FROM grams GROUP BY doc_id, bucket
 ),
 tmodel AS (
-  SELECT bucket, SUM(cnt) AS tcnt
+  SELECT bucket, SUM(cnt) AS tcnt  -- lint: sum-ok (multiplied then CAST at output)
   FROM db JOIN documents USING (doc_id) WHERE lang = 'en'
   GROUP BY bucket
 ),
-pmodel AS (SELECT bucket, SUM(cnt) AS pcnt FROM db GROUP BY bucket),
+pmodel AS (SELECT bucket, SUM(cnt) AS pcnt FROM db GROUP BY bucket),  -- lint: sum-ok (multiplied then CAST at output)
 tot AS (
-  SELECT CAST((SELECT SUM(tcnt) FROM tmodel) AS BIGINT) AS T,
-         CAST((SELECT SUM(pcnt) FROM pmodel) AS BIGINT) AS P
+  SELECT CAST((SELECT SUM(tcnt) FROM tmodel) AS BIGINT) AS T,  -- lint: sum-ok (outer CAST)
+         CAST((SELECT SUM(pcnt) FROM pmodel) AS BIGINT) AS P  -- lint: sum-ok (outer CAST)
 ),
 scored AS (
   SELECT db.doc_id,
@@ -2003,4 +2003,23 @@ SELECT s.doc_id, s.n_grams, s.target_mass, s.proposal_mass,
     / (CAST(s.proposal_mass + 1 AS DOUBLE) * CAST(tot.T + 1 AS DOUBLE)) AS importance
 FROM scored s, tot
 ORDER BY s.doc_id
+"""
+
+# Real resize: 8x8 nearest sample of the 16x16 formula image — source
+# pixel for cell (y, x, ch) is p = (2y*16 + 2x)*3 + ch.
+LLM_ORACLE_SQL["mm_resize_real"] = """
+WITH cell AS (
+  SELECT d.doc_id, t.i, ch.c,
+    (d.doc_id * 7
+     + (((t.i // 8) * 2 * 16 + (t.i % 8) * 2) * 3 + ch.c) * 13) % 256 AS v
+  FROM documents d, generate_series(0, 63) AS t(i), generate_series(0, 2) AS ch(c)
+)
+SELECT doc_id,
+       8 AS width, 8 AS height, 3 AS channels,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MAX(CASE WHEN i = 0 AND c = 0 THEN v END) AS INTEGER) AS corner_tl,
+       CAST(MAX(CASE WHEN i = 63 AND c = 2 THEN v END) AS INTEGER) AS corner_br
+FROM cell
+GROUP BY doc_id
+ORDER BY doc_id
 """

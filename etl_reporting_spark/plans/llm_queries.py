@@ -683,6 +683,17 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_scores(docs, target).orderBy("doc_id")
 
 
+def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize on REAL decoded pixels, 16x16 -> 8x8,
+    verified by exact checksums the oracle re-derives from the pixel
+    formula (full sum + both corner anchors — a transposed axis or
+    off-by-one source index breaks the hash)."""
+    from etl_reporting_spark.llm.multimodal import resize_media_real, synthesize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media_real(synthesize_images(docs)).orderBy("doc_id")
+
+
 def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index vs exact brute force, per query, at
     n_probe 1 and 2 — the approximation-quality observable an ANN
@@ -1006,6 +1017,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "mm_decode_real": mm_decode_real,
     "mm_ahash_real": mm_ahash_real,
+    "mm_resize_real": mm_resize_real,
     "ann_recall_ivf": ann_recall_ivf,
     "text_dsir_importance": text_dsir_importance,
     "text_chunking": text_chunking,

@@ -82,6 +82,8 @@ _BNLJ_OK: dict[str, str] = {
     "ops_skew_report": "single whole-relation stats row broadcast into the top-k rows",
     "dq_drift_check": "single totals/TVD rows broadcast into category rows",
     "dq_drift_numeric": "single totals/TVD rows broadcast into bin rows (as dq_drift_check)",
+    "text_dsir_importance": "single T/P totals row broadcast into doc scores (as sample_mixture_weights)",
+    "ann_recall_ivf": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
 }
 
 
