@@ -150,31 +150,16 @@ def main() -> None:
     qs["w1_dedup_latest"](spark, sf_dir).count()
     qs["text_quality_scores"](spark, sf_dir).count()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        runs = []
-        for _ in range(repeats):
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            runs.append(time.time() - t0)
-        timings[name] = round(statistics.median(runs), 3)
-
-    out = {
-        "metric": "headline_queries_total_wall_clock",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-
+    # Heavy tiers run FIRST (right after warm-up): the A/B data in
+    # BENCH_NOTES.md measured a ~10% JVM-aging tax with rising
+    # variance on queries timed after the full 45-gate sweep — the
+    # regression instrument gets the young, quiet heap.
+    heavy: dict[str, dict] | None = None
     if os.environ.get("SPARK_GRAFT_HEAVY", "1") != "0":
         from tools.gen_sf import ensure_tier
 
         repeats_heavy = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS_HEAVY", "2"))
-        heavy: dict[str, dict] = {}
+        heavy = {}
         for tier, names in (("sf3", HEAVY_LLM), ("sf10", HEAVY_REL)):
             tier_dir = ensure_tier(spark, tier)
             tq: dict[str, float] = {}
@@ -195,6 +180,27 @@ def main() -> None:
                 "value": round(sum(tq.values()), 3),
                 "queries": tq,
             }
+
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if heavy is not None:
         out["heavy"] = heavy
 
     print(json.dumps(out))

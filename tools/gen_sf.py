@@ -82,13 +82,15 @@ RELATIONAL_TABLES = [
     "orders", "lineitem", "events",
 ]
 
-#: tier name -> {table: k}; tables absent from the dict are skipped
+#: tier name -> {table: k}; tables absent from the dict are skipped.
+#: Per-table k values are calibrated so every heavy-bench gate runs
+#: >=5 s COLD on a YOUNG JVM (bench.py times heavies first; the aged
+#: session that earlier calibrations ran under reads ~10-60% slower):
+#: embeddings scale further than documents (PQ/IVF probes are cheap
+#: per vector), events further than lineitem (single-window plans).
 TIERS: dict[str, dict[str, int]] = {
-    "sf3": {t: 30 for t in _OFFSET_COLS},
-    # documents rides along at k=100: simhash's blocked join is cheap
-    # enough that 30x leaves it under the 5 s bar — it alone benches
-    # at the 500k-doc tier
-    "sf10": {**{t: 100 for t in RELATIONAL_TABLES}, "events": 600, "documents": 100},
+    "sf3": {**{t: 30 for t in _OFFSET_COLS}, "embeddings": 100},
+    "sf10": {**{t: 100 for t in RELATIONAL_TABLES}, "events": 1200, "documents": 100},
 }
 
 
