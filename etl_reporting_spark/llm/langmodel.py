@@ -110,3 +110,39 @@ def charlm_score(
             F.col("hit_sum").cast("double") / F.col("n_ngrams").cast("double"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): split the corpus into head/middle/tail tertiles
+    by reference-LM score — downstream pipelines train on head+middle
+    or reweight by bucket. Here the LM is ``charlm_score``'s
+    bit-reproducible frequency model (high ``avg_df`` = common,
+    fluent text = head).
+
+    One extra 2-cell aggregate over the scored relation (exact
+    percentile tertile thresholds, broadcast back — no global sort at
+    any corpus size); the comparison against thresholds is exact
+    double equality-compatible in both engines because Spark's
+    ``percentile`` and DuckDB's ``percentile_cont`` share the
+    a + f·(b−a) interpolation (same convention as gate a12)."""
+    scored = charlm_score(df, model=model, n=n, id_col=id_col, text_col=text_col)
+    thr = scored.agg(
+        F.expr(f"percentile(avg_df, {2 / 3!r})").alias("__p_head"),
+        F.expr(f"percentile(avg_df, {1 / 3!r})").alias("__p_mid"),
+    )
+    bucket = (
+        F.when(F.col("avg_df") >= F.col("__p_head"), F.lit("head"))
+        .when(F.col("avg_df") >= F.col("__p_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(id_col, "n_ngrams", "hit_sum", "avg_df", bucket.alias("bucket"))
+    )

@@ -2023,3 +2023,36 @@ FROM cell
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# CCNet tertiles over the charlm scores: percentile_cont shares
+# Spark's a + f*(b-a) interpolation (a12 convention), and 2.0/3.0 is
+# the same IEEE double both sides, so the bucket boundaries agree
+# bit-for-bit.
+LLM_ORACLE_SQL["text_ccnet_buckets"] = """
+WITH big AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+  FROM (
+    SELECT doc_id, text, unnest(range(1, length(text))) AS i
+    FROM documents WHERE length(text) >= 2
+  ) t
+),
+m AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM big GROUP BY bg),
+scored AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+    CAST(SUM(m.cnt) AS BIGINT) AS hit_sum,
+    CAST(SUM(m.cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_df
+  FROM big b JOIN m USING (bg)
+  GROUP BY b.doc_id
+),
+thr AS (
+  SELECT percentile_cont(2.0/3.0) WITHIN GROUP (ORDER BY avg_df) AS p_head,
+         percentile_cont(1.0/3.0) WITHIN GROUP (ORDER BY avg_df) AS p_mid
+  FROM scored
+)
+SELECT s.doc_id, s.n_ngrams, s.hit_sum, s.avg_df,
+  CASE WHEN s.avg_df >= t.p_head THEN 'head'
+       WHEN s.avg_df >= t.p_mid THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM scored s, thr t
+ORDER BY s.doc_id
+"""

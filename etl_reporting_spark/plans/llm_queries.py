@@ -694,6 +694,16 @@ def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media_real(synthesize_images(docs)).orderBy("doc_id")
 
 
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tertiles over the charlm
+    scores — the bucket label every doc carries into mixture
+    decisions; thresholds are exact percentiles broadcast back."""
+    from etl_reporting_spark.llm.langmodel import ccnet_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_buckets(docs).orderBy("doc_id")
+
+
 def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index vs exact brute force, per query, at
     n_probe 1 and 2 — the approximation-quality observable an ANN
@@ -1020,6 +1030,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize_real": mm_resize_real,
     "ann_recall_ivf": ann_recall_ivf,
     "text_dsir_importance": text_dsir_importance,
+    "text_ccnet_buckets": text_ccnet_buckets,
     "text_chunking": text_chunking,
     "sample_hash_split": sample_hash_split,
     "sample_stratified": sample_stratified,

@@ -444,3 +444,35 @@ def test_table_diff_matches_python(spark, old, new):
         else:
             exp[k] = "unchanged"
     assert got == exp
+
+
+# ---------------------------------------------------------- image codecs
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    """decode(encode(x)) == x for arbitrary shapes/contents — pure
+    Python, no Spark job per example, so the budget is generous."""
+    import numpy as np
+
+    from etl_reporting_spark.llm import imagecodec as ic
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    assert np.array_equal(ic.decode_png(ic.encode_png(arr)), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(1, 16), w=st.integers(1, 16), seed=st.integers(0, 2**31 - 1))
+def test_bmp_ppm_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from etl_reporting_spark.llm import imagecodec as ic
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(ic.decode_bmp(ic.encode_bmp(arr)), arr)
+    assert np.array_equal(ic.decode_ppm(ic.encode_ppm(arr)), arr)

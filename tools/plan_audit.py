@@ -84,6 +84,7 @@ _BNLJ_OK: dict[str, str] = {
     "dq_drift_numeric": "single totals/TVD rows broadcast into bin rows (as dq_drift_check)",
     "text_dsir_importance": "single T/P totals row broadcast into doc scores (as sample_mixture_weights)",
     "ann_recall_ivf": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
+    "text_ccnet_buckets": "2-cell percentile-threshold row broadcast into doc scores (as dq_drift_check)",
 }
 
 
