@@ -371,3 +371,72 @@ def leakage_safe_split(
         split_name=split_name,
     )
     return labeled
+
+
+def epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Data-constrained epoch planning: given per-source token
+    inventories, a temperature mixture and a total token budget,
+    decide how many EPOCHS of each source to run (Muennighoff et al.
+    2023, arXiv:2305.16264 — repeating data up to ~4 epochs costs
+    little vs fresh data; beyond that returns decay, hence the
+    ``max_epochs`` cap).
+
+    One row per source: ``available_tokens``, the temperature weight
+    (``available^alpha``, normalized with the same group-ordered fold
+    as :func:`mixture_weights`), ``ideal_tokens = budget·weight``,
+    ``epochs = min(max_epochs, ideal/available)``,
+    ``planned_tokens = floor(min(ideal, available·max_epochs))``, and
+    ``capped`` — true when the cap bites, i.e. the mixture wants more
+    of this source than ``max_epochs`` passes can supply. A planner
+    that redistributes the unabsorbed budget iterates this relation
+    (it is one tiny row per source — driver-side iteration is free);
+    the single-pass plan is what the gate verifies.
+
+    Determinism: integer token sums; sqrt-family weights
+    (IEEE-correctly-rounded); the normalizing total folds in group
+    order; everything after is one multiply/divide/min per row.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).alias("available_tokens"),
+    )
+    n = F.col("available_tokens").cast("double")
+    if alpha == 1.0:
+        w_raw = n
+    elif alpha == 0.5:
+        w_raw = F.sqrt(n)
+    elif alpha == 0.25:
+        w_raw = F.sqrt(F.sqrt(n))
+    else:
+        w_raw = F.pow(n, F.lit(float(alpha)))
+    counts = counts.withColumn("w_raw", w_raw)
+    total = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("grp"), F.col("w_raw")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w_raw"],
+        ).alias("w_total")
+    )
+    out = counts.crossJoin(F.broadcast(total))
+    weight = F.col("w_raw") / F.col("w_total")
+    ideal = F.lit(float(budget_tokens)) * weight
+    avail = F.col("available_tokens").cast("double")
+    cap = avail * F.lit(float(max_epochs))
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "available_tokens",
+        "w_raw",
+        weight.alias("weight"),
+        ideal.alias("ideal_tokens"),
+        F.least(F.lit(float(max_epochs)), ideal / avail).alias("epochs"),
+        F.floor(F.least(ideal, cap)).cast("long").alias("planned_tokens"),
+        (ideal > cap).alias("capped"),
+    )

@@ -2056,3 +2056,29 @@ SELECT s.doc_id, s.n_ngrams, s.hit_sum, s.avg_df,
 FROM scored s, thr t
 ORDER BY s.doc_id
 """
+
+# Epoch plan: integer token sums, sqrt weight, group-ordered
+# normalizing fold, then one multiply/divide/min chain per row — all
+# IEEE-exact, so even the double epochs column hash-matches.
+LLM_ORACLE_SQL["sample_epoch_plan"] = """
+WITH inv AS (
+  SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT *, sqrt(CAST(available_tokens AS DOUBLE)) AS w_raw FROM inv
+),
+t AS (
+  SELECT list_reduce(list(w_raw ORDER BY grp), (acc, x) -> acc + x) AS w_total FROM w
+)
+SELECT grp AS lang, n_docs, available_tokens, w_raw,
+  w_raw / w_total AS weight,
+  100000.0 * (w_raw / w_total) AS ideal_tokens,
+  least(4.0, (100000.0 * (w_raw / w_total)) / CAST(available_tokens AS DOUBLE)) AS epochs,
+  CAST(floor(least(100000.0 * (w_raw / w_total),
+                   CAST(available_tokens AS DOUBLE) * 4.0)) AS BIGINT) AS planned_tokens,
+  (100000.0 * (w_raw / w_total)) > (CAST(available_tokens AS DOUBLE) * 4.0) AS capped
+FROM w, t
+ORDER BY lang
+"""

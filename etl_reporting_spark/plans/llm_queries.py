@@ -694,6 +694,21 @@ def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media_real(synthesize_images(docs)).orderBy("doc_id")
 
 
+def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch plan per language: 100k-token budget,
+    sqrt temperature, 4-epoch repetition cap — sized so the corpus
+    exercises BOTH branches (the big language stays under the cap,
+    small ones hit it and flag capped=true)."""
+    from etl_reporting_spark.llm.sampling import epoch_plan
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    return epoch_plan(
+        docs, "lang", "n_tokens", budget_tokens=100_000, alpha=0.5, max_epochs=4.0
+    ).orderBy("lang")
+
+
 def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity tertiles over the charlm
     scores — the bucket label every doc carries into mixture
@@ -1031,6 +1046,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_ivf": ann_recall_ivf,
     "text_dsir_importance": text_dsir_importance,
     "text_ccnet_buckets": text_ccnet_buckets,
+    "sample_epoch_plan": sample_epoch_plan,
     "text_chunking": text_chunking,
     "sample_hash_split": sample_hash_split,
     "sample_stratified": sample_stratified,

@@ -85,6 +85,7 @@ _BNLJ_OK: dict[str, str] = {
     "text_dsir_importance": "single T/P totals row broadcast into doc scores (as sample_mixture_weights)",
     "ann_recall_ivf": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
     "text_ccnet_buckets": "2-cell percentile-threshold row broadcast into doc scores (as dq_drift_check)",
+    "sample_epoch_plan": "single normalizing-total row broadcast (as sample_mixture_weights)",
 }
 
 
