@@ -165,6 +165,28 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+def iter_png_streams(data: bytes):
+    """Split a concatenation of PNG streams into the individual
+    images by WALKING THE CHUNK STRUCTURE (length-prefixed chunks up
+    to IEND) — never by searching for the magic, which can occur
+    inside compressed IDAT bytes. This is the container format the
+    synthetic "video" payloads use: one PNG per frame, back to back.
+    """
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 8] != PNG_MAGIC:
+            raise ValueError(f"PNG stream: bad magic at offset {pos}")
+        start = pos
+        pos += 8
+        while True:
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            ctype = data[pos + 4 : pos + 8]
+            pos += 12 + length
+            if ctype == b"IEND":
+                break
+        yield data[start:pos]
+
+
 # ------------------------------------------------------------------ BMP
 
 def decode_bmp(data: bytes) -> np.ndarray:

@@ -285,6 +285,134 @@ def resize_media_real(
     )
 
 
+FRAME_W = FRAME_H = 8
+
+
+def synthesize_videos(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real multi-frame payload per document: ``4 + doc_id % 3``
+    back-to-back PNG streams (frame f's pixel p =
+    ``(doc_id*7 + f*19 + p*13) % 256``, 8×8 RGB) — the concatenated
+    container a frame sampler must split by parsing chunk structure,
+    not by byte search."""
+    import numpy as np
+
+    from etl_reporting_spark.llm.imagecodec import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.arange(FRAME_W * FRAME_H * 3, dtype=np.int64)
+        for batch in batches:
+            payloads, counts = [], []
+            for doc_id in batch[id_col]:
+                d = int(doc_id)
+                n_frames = 4 + d % 3
+                frames = [
+                    encode_png(
+                        ((d * 7 + f * 19 + p * 13) % 256)
+                        .astype(np.uint8)
+                        .reshape(FRAME_H, FRAME_W, 3)
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(b"".join(frames))
+                counts.append(n_frames)
+            yield pd.DataFrame(
+                {"doc_id": batch[id_col], "payload": payloads, "n_frames": counts}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema="doc_id long, payload binary, n_frames int"
+    )
+
+
+def sample_frames_real(with_payload: DataFrame, every_nth: int = 2) -> DataFrame:
+    """REAL frame sampling: split the concatenated-PNG payload by
+    chunk-walking, decode every ``every_nth``-th frame with the real
+    codec, 1→N fan-out with exact per-frame pixel checksums. ffmpeg
+    keyframe extraction drops into the same generator; the Arrow
+    batch shape, fan-out, and schema are identical."""
+    import numpy as np
+
+    from etl_reporting_spark.llm.imagecodec import decode_png, iter_png_streams
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "pixel_sum": [],
+            }
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                for idx, stream in enumerate(iter_png_streams(bytes(payload))):
+                    if idx % every_nth:
+                        continue
+                    arr = decode_png(stream)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["height"].append(arr.shape[0])
+                    out["width"].append(arr.shape[1])
+                    out["pixel_sum"].append(int(arr.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, frame_idx int, width int, height int, pixel_sum long"
+    )
+
+
+def synthesize_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real RIFF/PCM16 payload per document:
+    ``256 + (doc_id % 4)·64`` mono samples with
+    ``s[i] = (doc_id·31 + i·17) % 65536 − 32768`` — analytic, so the
+    decoded waveform's features are oracle-replayable."""
+    import numpy as np
+
+    from etl_reporting_spark.llm.audiocodec import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch[id_col]:
+                d = int(doc_id)
+                n = 256 + (d % 4) * 64
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+                payloads.append(encode_wav(s, sample_rate=16_000))
+            yield pd.DataFrame({"doc_id": batch[id_col], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+def audio_features_real(with_payload: DataFrame) -> DataFrame:
+    """REAL audio decode + waveform features through the Arrow batch
+    contract: frames/channels/energy/peak/zero-crossings are integer;
+    rms is one sqrt(division) — all oracle-replayable."""
+    from etl_reporting_spark.llm.audiocodec import audio_features, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_frames": [], "n_channels": [],
+                "energy": [], "peak": [], "zero_crossings": [], "rms": [],
+            }
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                arr, rate = decode_wav(bytes(payload))
+                feats = audio_features(arr)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                for k in ("n_frames", "n_channels", "energy", "peak",
+                          "zero_crossings", "rms"):
+                    out[k].append(feats[k])
+            yield pd.DataFrame(out)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, sample_rate int, n_frames int, n_channels int,"
+            " energy long, peak int, zero_crossings int, rms double"
+        ),
+    )
+
+
 def ahash_real(with_payload: DataFrame, hash_size: int = 8) -> DataFrame:
     """Classic average-hash over REAL decoded pixels: decode →
     integer-luma grayscale ((r+g+b)//3) → nearest-neighbor resize to

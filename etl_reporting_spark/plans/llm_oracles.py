@@ -2082,3 +2082,56 @@ SELECT grp AS lang, n_docs, available_tokens, w_raw,
 FROM w, t
 ORDER BY lang
 """
+
+# Real frame sampling: frame f of doc d has pixel p =
+# (d*7 + f*19 + p*13) % 256 over an 8x8 RGB frame (192 positions);
+# frames 0..(4 + d%3 - 1), every 2nd sampled.
+LLM_ORACLE_SQL["mm_frames_real"] = """
+WITH fr AS (
+  SELECT d.doc_id, f.f AS frame_idx
+  FROM documents d, generate_series(0, 6) AS f(f)
+  WHERE f.f < 4 + d.doc_id % 3 AND f.f % 2 = 0
+),
+px AS (
+  SELECT fr.doc_id, fr.frame_idx,
+    CAST(SUM((fr.doc_id * 7 + fr.frame_idx * 19 + p.p * 13) % 256) AS BIGINT)
+      AS pixel_sum
+  FROM fr, generate_series(0, 191) AS p(p)
+  GROUP BY fr.doc_id, fr.frame_idx
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       8 AS width, 8 AS height, pixel_sum
+FROM px
+ORDER BY doc_id, frame_idx
+"""
+
+# Real audio decode: doc d carries 256 + (d%4)*64 mono PCM16 samples
+# with s[i] = (d*31 + i*17) % 65536 - 32768; features are integer
+# (energy, peak, sign-change count) plus one IEEE sqrt-division rms.
+LLM_ORACLE_SQL["mm_audio_features"] = """
+WITH base AS (SELECT doc_id, 256 + (doc_id % 4) * 64 AS n FROM documents),
+s AS (
+  SELECT b.doc_id, i.i, ((b.doc_id * 31 + i.i * 17) % 65536) - 32768 AS v, b.n
+  FROM base b, generate_series(0, 447) AS i(i) WHERE i.i < b.n
+),
+feat AS (
+  SELECT doc_id, MAX(n) AS n,
+    CAST(SUM(v * v) AS BIGINT) AS energy,
+    CAST(MAX(abs(v)) AS INTEGER) AS peak
+  FROM s GROUP BY doc_id
+),
+lagged AS (
+  SELECT doc_id, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s
+),
+zc AS (
+  SELECT doc_id,
+    CAST(COUNT(*) FILTER (WHERE sign(v) * sign(prev) < 0) AS INTEGER)
+      AS zero_crossings
+  FROM lagged GROUP BY doc_id
+)
+SELECT f.doc_id, 16000 AS sample_rate, CAST(f.n AS INTEGER) AS n_frames,
+  1 AS n_channels, f.energy, f.peak, z.zero_crossings,
+  sqrt(CAST(f.energy AS DOUBLE) / CAST(f.n AS DOUBLE)) AS rms
+FROM feat f JOIN zc z USING (doc_id)
+ORDER BY f.doc_id
+"""

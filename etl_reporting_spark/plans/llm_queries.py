@@ -152,7 +152,13 @@ def dedup_incremental_screen_store(spark: SparkSession, sf_dir: str) -> DataFram
     corpus, new = _corpus_increment_split(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     store = _SIG_STORE_CACHE.get(key)
-    if store is None:
+    lvl = store.storageLevel if store is not None else None
+    if store is None or not (lvl.useMemory or lvl.useDisk):
+        # (re)materialize — also after an external clearCache() (the
+        # bench's cold-run discipline) evicted the standing store;
+        # without this the gate would silently replay the corpus
+        # signing inside EVERY downstream consumer instead of once,
+        # measuring neither the production path nor the fallback
         store = build_signature_store(corpus, k=3).persist()
         store.count()
         _SIG_STORE_CACHE[key] = store
@@ -719,6 +725,29 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(docs).orderBy("doc_id")
 
 
+def mm_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling: per-doc multi-frame payloads (4-6
+    concatenated PNG streams), split by chunk-walking — never byte
+    search, compressed IDAT can contain the magic — and every 2nd
+    frame decoded with the real codec; per-frame exact pixel sums."""
+    from etl_reporting_spark.llm.multimodal import sample_frames_real, synthesize_videos
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames_real(synthesize_videos(docs), every_nth=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: RIFF/PCM16 payloads through the pure-stdlib
+    WAV codec (llm/audiocodec.py), waveform features integer-exact
+    (energy, peak, zero crossings) plus one sqrt-division rms."""
+    from etl_reporting_spark.llm.multimodal import audio_features_real, synthesize_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features_real(synthesize_audio(docs)).orderBy("doc_id")
+
+
 def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index vs exact brute force, per query, at
     n_probe 1 and 2 — the approximation-quality observable an ANN
@@ -1043,6 +1072,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_real": mm_decode_real,
     "mm_ahash_real": mm_ahash_real,
     "mm_resize_real": mm_resize_real,
+    "mm_frames_real": mm_frames_real,
+    "mm_audio_features": mm_audio_features,
     "ann_recall_ivf": ann_recall_ivf,
     "text_dsir_importance": text_dsir_importance,
     "text_ccnet_buckets": text_ccnet_buckets,

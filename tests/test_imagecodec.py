@@ -179,3 +179,48 @@ def test_ahash_is_encoding_invariant_and_local(spark):
     # 4 touched cells + the global mean shift can flip a few
     # borderline cells too — locality, not identity, is the claim
     assert bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1") <= 10
+
+
+# ------------------------------------------------- audio + video frames
+
+def test_wav_roundtrip_mono_and_stereo():
+    from etl_reporting_spark.llm import audiocodec as ac
+
+    rng = _rng()
+    mono = rng.integers(-32768, 32768, 500, dtype=np.int16)
+    arr, rate = ac.decode_wav(ac.encode_wav(mono, sample_rate=22050))
+    assert rate == 22050 and arr.shape == (500, 1)
+    assert np.array_equal(arr[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, (300, 2), dtype=np.int16)
+    arr2, _ = ac.decode_wav(ac.encode_wav(stereo))
+    assert np.array_equal(arr2, stereo)
+    with pytest.raises(ValueError, match="RIFF"):
+        ac.decode_wav(b"not audio")
+
+
+def test_audio_features_match_numpy():
+    from etl_reporting_spark.llm import audiocodec as ac
+
+    s = np.array([100, -50, 0, 30, -30, -30, 5], dtype=np.int16)
+    f = ac.audio_features(s)
+    assert f["n_frames"] == 7 and f["n_channels"] == 1
+    assert f["energy"] == int((s.astype(np.int64) ** 2).sum())
+    assert f["peak"] == 100
+    # crossings: 100->-50, 30->-30, -30->5; pairs touching the 0
+    # sample don't count (sign product is 0, not negative)
+    assert f["zero_crossings"] == 3
+    assert f["rms"] == pytest.approx((f["energy"] / 7) ** 0.5)
+
+
+def test_png_stream_splitting_by_chunk_walk():
+    """Concatenated PNGs split at exact chunk boundaries; every frame
+    decodes to its own pixels."""
+    rng = _rng()
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(5)]
+    blob = b"".join(ic.encode_png(f) for f in frames)
+    out = list(ic.iter_png_streams(blob))
+    assert len(out) == 5
+    for f, stream in zip(frames, out):
+        assert np.array_equal(ic.decode_png(stream), f)
+    with pytest.raises(ValueError, match="bad magic"):
+        list(ic.iter_png_streams(blob + b"junk"))

@@ -159,10 +159,19 @@ def generate(
         if not cols:
             full.coalesce(n_files).write.mode("overwrite").parquet(dest)
             continue
-        # scale file count with k; one deterministic range-repartition so
-        # file sizes are even regardless of base-tier layout
+        # scale file count with k; HASH-repartition on the key so the
+        # row→file assignment is a pure function of the key (range
+        # partitioning samples its bounds and jitters a few boundary
+        # rows between generations — tests/test_gen_sf.py pins
+        # byte-level reproducibility because round-over-round bench
+        # comparability rests on identical physical layout)
         n_out = max(n_files, min(64, n_files * kt // 10))
-        full.repartitionByRange(n_out, F.col(cols[0])).write.mode("overwrite").parquet(dest)
+        (
+            full.repartition(n_out, F.col(cols[0]))
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
 
 
 def ensure_tier(spark: SparkSession, tier: str, out_dir: str | None = None) -> str:

@@ -113,6 +113,18 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "ann_cosine_ivfpq": 6,
     "corpus_curation": 2,
     "u2_period_rollup": 3,
+    # round-5 gates (measured cold at sf0.001, same discipline)
+    "j13_salted_join": 4,
+    "j14_skew_aware_join": 2,
+    "text_dsir_importance": 13,
+    "ann_recall_ivf": 20,
+    "text_ccnet_buckets": 8,
+    "sample_epoch_plan": 4,
+    "mm_decode_real": 1,
+    "mm_ahash_real": 1,
+    "mm_resize_real": 1,
+    "mm_frames_real": 1,
+    "mm_audio_features": 1,
 }
 
 
