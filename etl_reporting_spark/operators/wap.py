@@ -212,6 +212,20 @@ class WapTable:
         return removed
 
 
+def register_wap_view(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> WapTable:
+    """Expose a WAP table's committed snapshot to SQL as a temp view —
+    the bridge between the transactional layer and the templated-SQL
+    report pipeline (reports query ``name`` like any table; the view
+    pins the snapshot resolved NOW, so a mid-report commit cannot
+    shear the report across versions — re-register to pick up a newer
+    version)."""
+    table = WapTable(spark, path)
+    table.read(version=version).createOrReplaceTempView(name)
+    return table
+
+
 def create_wap_table(spark: SparkSession, path: str, df: DataFrame) -> WapTable:
     """Initialize a WAP table with version 1 = ``df``."""
     os.makedirs(path, exist_ok=True)

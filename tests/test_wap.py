@@ -247,3 +247,21 @@ def test_streaming_wap_upsert_e2e(spark, tmp_path):
     captured[0](replay, last_epoch + 1)  # genuinely new epoch applies
     assert t.current_version() == version_after + 1
     assert {r["id"]: r["name"] for r in t.read().collect()}[1] == "a999"
+
+
+def test_register_wap_view_pins_snapshot(spark, tmp_path, target_df, source_df):
+    """SQL reports read the committed snapshot through a temp view;
+    a commit AFTER registration doesn't shear the running report —
+    re-registering picks up the new version."""
+    from etl_reporting_spark.operators.wap import register_wap_view
+
+    t = _table(spark, tmp_path, target_df)
+    register_wap_view(spark, t.path, "serving_v")
+    assert spark.sql("SELECT COUNT(*) AS n FROM serving_v").collect()[0]["n"] == 3
+    t.commit(source_df, operation="merge")
+    # the view still resolves the version pinned at registration
+    assert spark.sql("SELECT COUNT(*) AS n FROM serving_v").collect()[0]["n"] == 3
+    register_wap_view(spark, t.path, "serving_v")
+    ids = {r["id"] for r in spark.sql("SELECT id FROM serving_v").collect()}
+    assert ids == {1, 2, 4}
+    spark.catalog.dropTempView("serving_v")
