@@ -18,8 +18,8 @@ replication of the read-only driver sf0.1 data) and times the heavy
 gates there, where every reported query runs >=5 s and a regression
 has to be real to show up:
 
-- sf3  (30x, all tables)              — LLM heavies (dedup, ANN, charlm)
-- sf10 (100x facts / 600x events)     — flagship / j1 / w8 / dq_battery
+- sf3  (30x tables, 100x embeddings)  — LLM heavies (dedup, ANN, charlm)
+- sf10 (300x join chain, 1200x events) — flagship / j1 / w8 / dq_battery
 
 Heavy queries report the MIN of REPEATS_HEAVY runs: at >=5 s compute
 dominates and timing noise is strictly additive (GC, page cache,
@@ -120,15 +120,15 @@ HEAVY_LLM = [
     "ann_cosine_ivfpq",
 ]
 
-# Relational heads timed at the sf10 tier (fact tables 100x, events
-# 600x — see tools/gen_sf.py TIERS for why events scales further).
+# Relational heads timed at the sf10 tier (join chain 300x, events
+# 1200x — see tools/gen_sf.py TIERS for the full layout).
 HEAVY_REL = [
     "flagship_active_claimants",
     "j1_revenue_by_nation",
     "w8_sessionization",
     "dq_battery",
     "dedup_simhash_pairs",  # 500k docs — under the bar at the sf3 tier
-    "j13_salted_join",  # 60M skewed rows; plain join is 2.4x slower
+    "j13_salted_join",  # 120M skewed rows; plain join measured 2.4x slower
 ]
 
 

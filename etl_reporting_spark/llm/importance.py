@@ -111,6 +111,7 @@ def importance_scores(
     proposal_model: DataFrame | None = None,
     with_log_weight: bool = False,
     smoothing: float = 1.0,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Per-document importance vs the target corpus:
     (id, n_grams, target_mass, proposal_mass, importance
@@ -123,22 +124,36 @@ def importance_scores(
     so the value hashes identically in any engine. Pass precomputed
     ``target_model``/``proposal_model`` to reuse nightly models (the
     production pattern — the target model rarely changes)."""
+    doc_buckets = hashed_ngram_buckets(docs, buckets, ns, id_col, text_col)
+    if proposal_model is None:
+        # The per-doc bucket counts feed BOTH the default proposal
+        # model (Σ_docs c_db = p_b — algebraically the same counts)
+        # and the scoring join. Spark does not reuse the exchange
+        # across those two consumers (verified: zero ReusedExchange
+        # in the executed plan), so without a persist the expensive
+        # featurization pass — word split, n-gram build, md5 — runs
+        # TWICE over the corpus. The persisted relation is narrow
+        # (id, bucket, cnt), a fraction of the text it derives from;
+        # released via the cleanup list / cache_scope convention.
+        from etl_reporting_spark.caching import track
+
+        doc_buckets = doc_buckets.persist()
+        doc_buckets.count()
+        track(doc_buckets, cleanup)
     t_model = (
         target_model
         if target_model is not None
         else bucket_model(target, buckets, ns, id_col, text_col)
     ).select("bucket", F.col("cnt").alias("__t_cnt"))
     p_model = (
-        proposal_model
+        proposal_model.select("bucket", F.col("cnt").alias("__p_cnt"))
         if proposal_model is not None
-        else bucket_model(docs, buckets, ns, id_col, text_col)
-    ).select("bucket", F.col("cnt").alias("__p_cnt"))
+        else doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("__p_cnt"))
+    )
 
     totals = t_model.agg(F.sum("__t_cnt").alias("__T")).crossJoin(
         p_model.agg(F.sum("__p_cnt").alias("__P"))
     )
-
-    doc_buckets = hashed_ngram_buckets(docs, buckets, ns, id_col, text_col)
     joined = (
         doc_buckets.join(F.broadcast(t_model), "bucket", "left")
         .join(F.broadcast(p_model), "bucket", "left")

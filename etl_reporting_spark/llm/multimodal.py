@@ -188,7 +188,7 @@ def synthesize_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         p = np.arange(IMG_W * IMG_H * 3, dtype=np.int64)
         for batch in batches:
             payloads, fmts = [], []
-            for doc_id in batch[id_col]:
+            for doc_id in batch["doc_id"]:
                 arr = ((int(doc_id) * 7 + p * 13) % 256).astype(np.uint8).reshape(
                     IMG_H, IMG_W, 3
                 )
@@ -197,7 +197,7 @@ def synthesize_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(enc(arr))
                 fmts.append(fmt)
             yield pd.DataFrame(
-                {"doc_id": batch[id_col], "payload": payloads, "fmt": fmts}
+                {"doc_id": batch["doc_id"], "payload": payloads, "fmt": fmts}
             )
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
@@ -302,7 +302,7 @@ def synthesize_videos(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         p = np.arange(FRAME_W * FRAME_H * 3, dtype=np.int64)
         for batch in batches:
             payloads, counts = [], []
-            for doc_id in batch[id_col]:
+            for doc_id in batch["doc_id"]:
                 d = int(doc_id)
                 n_frames = 4 + d % 3
                 frames = [
@@ -316,7 +316,7 @@ def synthesize_videos(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(b"".join(frames))
                 counts.append(n_frames)
             yield pd.DataFrame(
-                {"doc_id": batch[id_col], "payload": payloads, "n_frames": counts}
+                {"doc_id": batch["doc_id"], "payload": payloads, "n_frames": counts}
             )
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
@@ -369,13 +369,13 @@ def synthesize_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             payloads = []
-            for doc_id in batch[id_col]:
+            for doc_id in batch["doc_id"]:
                 d = int(doc_id)
                 n = 256 + (d % 4) * 64
                 i = np.arange(n, dtype=np.int64)
                 s = ((d * 31 + i * 17) % 65536 - 32768).astype(np.int16)
                 payloads.append(encode_wav(s, sample_rate=16_000))
-            yield pd.DataFrame({"doc_id": batch[id_col], "payload": payloads})
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary"
@@ -468,6 +468,13 @@ def phash_near_duplicates_real(
     lightly perturbed one lands within the hamming budget."""
     from etl_reporting_spark.llm.dedup import simhash_candidate_pairs
 
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4x16-bit banding only guarantees "
+            "candidate generation for hamming <= 3 (pigeonhole) — a larger "
+            "radius would SILENTLY miss pairs whose differing bits spread "
+            "across all four blocks; raise the block count instead"
+        )
     sigs = ahash_real(with_payload).withColumnRenamed("ahash", "simhash")
     pairs = simhash_candidate_pairs(
         sigs, blocks=4, block_bits=16, max_hamming=max_hamming

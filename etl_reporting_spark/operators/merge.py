@@ -450,7 +450,18 @@ def merge_upsert_wap(
 
     table = WapTable(spark, table_path)
     base = table.current_version()
-    target = table.read(version=base)
+    if base == 0:
+        # bootstrap: merging into a table that doesn't exist yet is a
+        # well-defined MERGE (empty target → every source row takes the
+        # not-matched INSERT branch); the first commit creates the
+        # table, so streaming_wap_upsert works on a fresh path with no
+        # separate create step
+        import os
+
+        os.makedirs(table_path, exist_ok=True)
+        target = spark.createDataFrame([], source.schema)
+    else:
+        target = table.read(version=base)
     res = merge_upsert(
         target,
         source,

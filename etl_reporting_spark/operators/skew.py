@@ -40,8 +40,8 @@ def salted_join(
     Use when: both sides too big to broadcast AND key histogram is
     pathological AND AQE skew splitting still leaves a straggler
     (AQE splits by partition size, not by key — a single key larger
-    than one split still serializes). Measured at the sf10 bench tier
-    (60M rows, one 80%-hot key, broadcast off): plain SMJ 24.6 s with
+    than one split still serializes). Measured on a 60M-row skewed
+    events tier (one 80%-hot key, broadcast off): plain SMJ 24.6 s with
     AQE skew splitting ON — splitting by size does not rescue a
     single hot key — vs 9.9 s salted (2.4×).
 
@@ -91,6 +91,20 @@ def skew_aware_join(
     partitioned into hot/cold; NULL keys fall to the cold path, where
     standard null-equi semantics apply for inner/left joins).
 
+    Only LEFT-PRESERVING joins are supported (``inner``/``left``/
+    ``left_semi``/``left_anti``): the decomposition splits the LEFT
+    side, so for right/full joins a hot-key right row would match in
+    the hot path AND appear null-padded-unmatched from the cold path
+    (whose left side has no hot rows) — duplicated output. Those
+    shapes need a dual-side decomposition; this raises rather than
+    silently corrupting.
+
+    Hot keys containing a NULL component are dropped from the hot set
+    (a NULL never equi-matches, so such a "hot key" can only come
+    from a null-sentinel histogram entry — its rows belong on the
+    cold path, and keeping it would turn ``is_hot`` three-valued and
+    silently drop rows from BOTH paths).
+
     ``hot_keys`` can come from ``skew_report`` (production: computed
     on yesterday's partition, cached); when omitted, one map-side-
     combined count over ``left`` detects keys with ≥ ``min_hot_rows``
@@ -99,6 +113,13 @@ def skew_aware_join(
     prefer it unless the hot set is unbounded (then salt).
     """
     on = list(on)
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"skew_aware_join supports left-preserving joins only, got {how!r} "
+            "— right/full would duplicate hot-key right rows across the paths"
+        )
     if hot_keys is None:
         counts = (
             left.groupBy(*on)
@@ -113,9 +134,13 @@ def skew_aware_join(
     if not hot_keys:
         return left.join(right, on, how)
 
+    # NULL-component hot keys can't equi-match; keeping them would
+    # make is_hot three-valued (see docstring)
+    hot_keys = [k for k in hot_keys if all(v is not None for v in k)]
+    if not hot_keys:
+        return left.join(right, on, how)
     if len(on) == 1:
-        vals = [k[0] for k in hot_keys if k[0] is not None]
-        is_hot = F.col(on[0]).isin(vals)
+        is_hot = F.col(on[0]).isin([k[0] for k in hot_keys])
     else:
         is_hot = F.lit(False)
         for k in hot_keys:

@@ -195,20 +195,40 @@ class WapTable:
             os.unlink(tmp)
 
     # ------------------------------------------------------- housekeep
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove snapshot dirs not referenced by the last
-        ``keep_last`` commits (and any crash orphans). Returns removed
-        dir names. Like Delta VACUUM, this bounds time travel."""
+        ``keep_last`` commits (and crash orphans). Returns removed
+        dir names. Like Delta VACUUM, this bounds time travel.
+
+        ``min_age_seconds`` is the safety horizon (Delta's retention
+        check): an unreferenced dir younger than it is SKIPPED,
+        because it may be a concurrent writer's in-flight snapshot —
+        written in step 1, not yet published in step 3. Deleting it
+        would fail that writer's audit, or worse, orphan a commit
+        record published a moment later. Set 0 only when no other
+        writer can be active (tests, single-writer maintenance
+        windows)."""
+        import time as _time
+
         current = self.current_version()
         keep = {
             self._commit_record(v)["data_dir"]
             for v in range(max(1, current - keep_last + 1), current + 1)
         }
         removed = []
+        now = _time.time()
         for entry in os.listdir(self.path):
-            if entry.startswith("v") and "-" in entry and entry not in keep:
-                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
-                removed.append(entry)
+            if not (entry.startswith("v") and "-" in entry) or entry in keep:
+                continue
+            full = os.path.join(self.path, entry)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < min_age_seconds:
+                continue  # possibly a concurrent writer mid-commit
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(entry)
         return removed
 
 

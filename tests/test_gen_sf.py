@@ -105,3 +105,26 @@ def test_embeddings_rotated_same_norms(spark, tiers):
     # rotation preserves the norm but produces distinct vectors
     assert all(r["n_norms"] == 1 for r in rows)
     assert all(r["n_distinct_vecs"] == K for r in rows)
+
+
+def test_embeddings_distinct_beyond_dim_replicas(spark, tmp_path):
+    """k > dim: pure rotation is the identity at rep % dim == 0; the
+    sign flip must keep every replica's vector distinct (no
+    degenerate cosine-1.0 ties in the ANN benches)."""
+    out = str(tmp_path / "emb66")
+    generate(spark, BASE, out, k=66, tables=["embeddings"])
+    emb = spark.read.parquet(f"{out}/embeddings.parquet").withColumn(
+        "base_id", F.col("vec_id") % KEY_OFFSET
+    )
+    per_base = emb.groupBy("base_id").agg(
+        F.countDistinct(F.col("embedding").cast("string")).alias("n_distinct")
+    )
+    bad = per_base.filter(F.col("n_distinct") != 66).count()
+    assert bad == 0
+
+
+def test_embeddings_k_beyond_transform_family_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        generate(spark, BASE, str(tmp_path / "emb999"), k=200, tables=["embeddings"])

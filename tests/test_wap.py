@@ -115,8 +115,11 @@ def test_crash_before_publish_is_invisible(spark, tmp_path, target_df, source_df
     # ...and a retry (new writer) publishes fine despite it
     assert t.commit(source_df, operation="merge") == 2
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 4]
-    # vacuum clears the orphan
-    removed = t.vacuum(keep_last=2)
+    # a YOUNG orphan is protected by the retention horizon (it could
+    # be a concurrent writer mid-commit) ...
+    assert t.vacuum(keep_last=2) == []
+    # ... and cleared once the horizon is waived (single-writer admin)
+    removed = t.vacuum(keep_last=2, min_age_seconds=0)
     assert any(d in removed for d in orphans)
 
 

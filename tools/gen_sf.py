@@ -27,31 +27,34 @@ Replication design (deterministic, no RNG — same output every run):
   benchmarks would measure an artificial quadratic in-bucket blowup
   instead of linear corpus growth. ``n_chars`` is recomputed.
 - ``embeddings.embedding``: replica ``i`` rotates the vector left by
-  ``i mod dim`` positions — norm-preserving, so the cosine geometry
-  of each replica matches the base tier, but vectors are distinct
-  across replicas (no degenerate top-k ties).
+  ``i mod dim`` positions and negates it on every second trip around
+  the dim cycle — both transforms norm-preserving, so the cosine
+  geometry of each replica matches the base tier, and all 2·dim
+  transforms are distinct (no degenerate cosine-1.0 top-k ties;
+  generation refuses k beyond the family).
 - Timestamps/dates/measures are copied unchanged: time-window queries
   see Kx rows per window, the same group count — the scale-up shape a
   real Kx traffic increase produces.
 
 Tiers (generated under .localdata/, gitignored):
 
-- ``sf3``  — all tables at k=30. Sized so every LLM heavy gate
-  (dedup, ANN, charlm) runs >=5 s COLD on local[32] (measured at
-  k=15: simhash/PQ/IVFPQ steady out at ~3 s — half the bar).
-- ``sf10`` — relational facts at k=100, ``events`` at k=600 (the
-  events-driven gates — flagship, sessionization — are
-  single-window + broadcast-join plans that need ~6x more rows than
-  the lineitem joins before compute dominates). Events replicas
-  beyond k=100 carry user_ids with no customer row; the flagship
-  join's probe-side cost (the heavy part) still scales honestly,
-  the hit rate just drops — documented here so nobody reads the
-  output row count as a scale check.
+- ``sf3``  — all tables at k=30, ``embeddings`` at k=100 (PQ/IVF
+  probes are cheap per vector). Sized so every LLM heavy gate
+  (dedup, ANN, charlm) runs >=5 s COLD on local[32].
+- ``sf10`` — join chain (customer/orders/lineitem) at k=300, other
+  facts k=100, ``events`` at k=1200 (the events-driven gates —
+  flagship, sessionization — are single-window + broadcast-join
+  plans needing far more rows before compute dominates), documents
+  k=100. See TIERS below for the authoritative numbers. Events
+  replicas beyond the customer k carry user_ids with no customer
+  row; the flagship join's probe-side cost (the heavy part) still
+  scales honestly, the hit rate just drops — documented here so
+  nobody reads the output row count as a scale check.
 
 Usage:
     python tools/gen_sf.py            # builds both bench tiers
     python tools/gen_sf.py BASE OUT K # one custom tier
-or programmatically ``ensure_tier(spark, "sf1_5")``.
+or programmatically ``ensure_tier(spark, "sf3")``.
 """
 
 from __future__ import annotations
@@ -124,17 +127,29 @@ def _replicate(spark: SparkSession, df: DataFrame, table: str, k: int) -> DataFr
             "text", F.when(F.col("__rep") == 0, F.col("text")).otherwise(suffixed)
         ).withColumn("n_chars", F.length("text").cast("bigint"))
     if table == "embeddings":
+        # rotate by rep % dim; NEGATE on every second trip around the
+        # dim cycle. Rotation alone is the identity at rep % dim == 0,
+        # so k > dim would duplicate replica 0's vectors exactly
+        # (degenerate cosine-1.0 ties in the ANN benches); the sign
+        # flip keeps all 2·dim transforms distinct and norm-preserving.
         rot = F.expr(
-            "concat(slice(embedding, CAST(__rep % size(embedding) AS INT) + 1,"
-            "             size(embedding) - CAST(__rep % size(embedding) AS INT)),"
-            "       slice(embedding, 1, CAST(__rep % size(embedding) AS INT)))"
+            "transform("
+            " concat(slice(embedding, CAST(__rep % size(embedding) AS INT) + 1,"
+            "              size(embedding) - CAST(__rep % size(embedding) AS INT)),"
+            "        slice(embedding, 1, CAST(__rep % size(embedding) AS INT))),"
+            " x -> CASE WHEN (__rep DIV size(embedding)) % 2 = 1"
+            "      THEN -x ELSE x END)"
         )
         out = out.withColumn(
-            "embedding",
-            F.when(F.col("__rep") % F.size("embedding") == 0, F.col("embedding"))
-            .otherwise(rot)
-            .cast(df.schema["embedding"].dataType),
+            "embedding", rot.cast(df.schema["embedding"].dataType)
         )
+        n_transforms = 2 * 64  # dim of the driver embeddings
+        if k > n_transforms:
+            raise ValueError(
+                f"embeddings k={k} exceeds the {n_transforms} distinct "
+                "rotate+negate transforms — add another transform family "
+                "before scaling further"
+            )
     return out.drop("__rep")
 
 

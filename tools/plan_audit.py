@@ -116,7 +116,7 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # round-5 gates (measured cold at sf0.001, same discipline)
     "j13_salted_join": 4,
     "j14_skew_aware_join": 2,
-    "text_dsir_importance": 13,
+    "text_dsir_importance": 10,
     "ann_recall_ivf": 20,
     "text_ccnet_buckets": 8,
     "sample_epoch_plan": 4,
