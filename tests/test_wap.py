@@ -268,3 +268,50 @@ def test_register_wap_view_pins_snapshot(spark, tmp_path, target_df, source_df):
     ids = {r["id"] for r in spark.sql("SELECT id FROM serving_v").collect()}
     assert ids == {1, 2, 4}
     spark.catalog.dropTempView("serving_v")
+
+
+def test_threaded_writers_race_exactly_one_winner(spark, tmp_path, target_df):
+    """Two real threads race the SAME version's publish; the os.link
+    CAS admits exactly one. (The earlier sequential test pins the
+    protocol; this one pins it under actual concurrency.)"""
+    import threading
+
+    t = _table(spark, tmp_path, target_df)
+    base = t.current_version()
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag: str, df) -> None:
+        try:
+            barrier.wait(timeout=30)
+            results[tag] = t.commit(df, base_version=base, operation=f"merge {tag}")
+        except ConcurrentWriteError as e:
+            results[tag] = e
+
+    th_a = threading.Thread(target=writer, args=("A", target_df.filter("id != 1")))
+    th_b = threading.Thread(target=writer, args=("B", target_df.filter("id != 2")))
+    th_a.start(); th_b.start()
+    th_a.join(120); th_b.join(120)
+
+    wins = [tag for tag, r in results.items() if r == 2]
+    losses = [tag for tag, r in results.items() if isinstance(r, ConcurrentWriteError)]
+    assert len(wins) == 1 and len(losses) == 1, results
+    assert t.current_version() == 2
+    # the committed state is exactly the winner's, never a blend
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert ids == ([2, 3] if wins[0] == "A" else [1, 3])
+
+
+def test_wap_merge_bootstraps_fresh_table(spark, tmp_path, source_df):
+    """MERGE into a path with no table: every source row inserts and
+    the first commit creates the log (streaming on a fresh serving
+    path needs no separate create step)."""
+    path = str(tmp_path / "fresh")
+    res = merge_upsert(
+        None, source_df, ["id"], backend="wap", spark=spark, target_table=path
+    )
+    assert res.version == 1
+    assert (res.rows_inserted, res.rows_updated, res.rows_deleted) == (3, 0, 0)
+    t = WapTable(spark, path)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 4]
+    assert [h["operation"] for h in t.history()] == ["merge"]
