@@ -104,9 +104,17 @@ def decode_png(data: bytes) -> np.ndarray:
     channels = None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("PNG: truncated chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"PNG: truncated {ctype!r} chunk")
         body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            # corruption must fail loudly, not decode garbage pixels
+            raise ValueError(f"PNG: CRC mismatch in {ctype!r} chunk")
         pos += 12 + length  # length + type + body + crc
         if ctype == b"IHDR":
             width, height, depth, color, comp, filt, interlace = struct.unpack(

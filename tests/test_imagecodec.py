@@ -224,3 +224,16 @@ def test_png_stream_splitting_by_chunk_walk():
         assert np.array_equal(ic.decode_png(stream), f)
     with pytest.raises(ValueError, match="bad magic"):
         list(ic.iter_png_streams(blob + b"junk"))
+
+
+def test_png_corruption_fails_loudly():
+    """CRC mismatches and truncation raise instead of decoding
+    garbage — corpus-scale ingestion routes these to quarantine."""
+    good = ic.encode_png(_rng().integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    # flip a byte inside the IDAT body (past the IHDR chunk)
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|filter|IDAT|zlib|Error -3"):
+        ic.decode_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated"):
+        ic.decode_png(good[: len(good) - 7])
