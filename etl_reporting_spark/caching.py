@@ -67,6 +67,24 @@ def track(df: DataFrame, cleanup: list | None = None) -> DataFrame:
     return df
 
 
+def maybe_persist(df: DataFrame, cleanup: list | None = None) -> DataFrame:
+    """Persist + track ``df`` only when somebody can release it — the
+    caller passed an explicit ``cleanup`` list or an active
+    ``cache_scope`` is open on this thread. Otherwise return ``df``
+    un-persisted: recomputing a lineage twice is bounded work, while a
+    persist that nothing releases leaks storage memory for the session
+    lifetime (the exact failure mode this module exists to prevent).
+
+    Persisting is eager (``count()``) so both downstream consumers hit
+    the cache instead of racing to materialize it.
+    """
+    if cleanup is None and not _stack():
+        return df
+    df = df.persist()
+    df.count()
+    return track(df, cleanup)
+
+
 @contextmanager
 def cache_scope() -> Iterator[list[DataFrame]]:
     """Auto-unpersist every operator-persisted frame on exit (LIFO).

@@ -298,6 +298,53 @@ def sampled_quantiles(
     return samp.groupBy(group_col).agg(*aggs)
 
 
+def global_sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    quantiles: dict[str, float],
+    k: int = 256,
+    salt: str = "gq",
+) -> DataFrame:
+    """One-row threshold frame: EXACT interpolated percentiles over
+    the k hash-smallest rows of the WHOLE relation — the corpus-wide
+    (ungrouped) twin of :func:`sampled_quantiles`, for operators that
+    need a global cut-point (CCNet tertiles, DSIR top-fraction)
+    without a whole-corpus percentile buffer.
+
+    Why not exact ``percentile()`` over everything: Spark's exact
+    percentile aggregate buffers every distinct value in its merge
+    state, and division-produced double scores are essentially all
+    distinct — at 10⁹ documents that is a multi-GB single-task
+    buffer. Here state is bounded everywhere: Catalyst rewrites the
+    rank filter into ``TakeOrderedAndProject(k)`` (verified in the
+    physical plan) — each map task keeps a k-row heap, the merge
+    task sees ≤ k·num_partitions rows, and the percentile buffers ≤
+    k values, regardless of corpus size. Sampling error ~1/sqrt(k)
+    per quantile; corpora smaller than k are exact.
+
+    Determinism: the sample is keyed by the md5-derived ``_hash32``
+    of the row id (uniform, engine-independent), and the percentile
+    interpolation (a + f·(b−a)) matches DuckDB's percentile_cont —
+    so an oracle drawing the identical sample reproduces the
+    thresholds bit-for-bit.
+
+    ``quantiles`` maps output column name -> percentile fraction.
+    """
+    h = _hash32(F.col(id_col), salt)
+    w = Window.partitionBy(F.lit(0)).orderBy(h.asc(), F.col(id_col).asc())
+    samp = (
+        df.select(value_col, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(k)))
+    )
+    aggs = [
+        F.expr(f"percentile({value_col}, {q!r})").alias(name)
+        for name, q in quantiles.items()
+    ]
+    return samp.agg(*aggs)
+
+
 def countmin_sketch(
     df: DataFrame,
     term_col: str,

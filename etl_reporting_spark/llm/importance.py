@@ -38,8 +38,9 @@ Scale notes: featurization is narrow; both models build with
 map-side-combined groupBys whose output is bounded by ``buckets``;
 scoring shuffles once on (doc, bucket) then once on doc — both keyed
 on the id the explode preserved. The only broadcast relations are
-``buckets``-sized. Selection threshold is one exact-percentile
-aggregate broadcast back (no global sort).
+``buckets``-sized. Selection threshold is an exact percentile over a
+k-hash-smallest sample (bounded state, broadcast back — no global
+sort, no whole-corpus percentile buffer).
 """
 
 from __future__ import annotations
@@ -134,12 +135,13 @@ def importance_scores(
         # featurization pass — word split, n-gram build, md5 — runs
         # TWICE over the corpus. The persisted relation is narrow
         # (id, bucket, cnt), a fraction of the text it derives from;
-        # released via the cleanup list / cache_scope convention.
-        from etl_reporting_spark.caching import track
+        # persisted only when releasable (active cache_scope or an
+        # explicit cleanup list) — a persist nothing can release
+        # would leak for the session lifetime, so a bare call takes
+        # the recompute instead.
+        from etl_reporting_spark.caching import maybe_persist
 
-        doc_buckets = doc_buckets.persist()
-        doc_buckets.count()
-        track(doc_buckets, cleanup)
+        doc_buckets = maybe_persist(doc_buckets, cleanup)
     t_model = (
         target_model
         if target_model is not None
@@ -223,14 +225,30 @@ def select_top_fraction(
     fraction: float = 0.25,
     score_col: str = "importance",
     id_col: str = "doc_id",
+    k: int = 256,
 ) -> DataFrame:
-    """Deterministic selection of the most target-like ``fraction``:
-    one exact-percentile aggregate gives the threshold (broadcast
-    back — no global sort); ties on the threshold value break by the
-    md5 hash of the id, so reruns and repartitions select the same
-    set. Adds ``selected`` without dropping fate rows."""
-    thresh = scored.agg(
-        F.expr(f"percentile({score_col}, {1.0 - fraction})").alias("__thr")
+    """Deterministic selection of the most target-like ``fraction``.
+
+    The threshold is an exact interpolated percentile over the ``k``
+    hash-smallest docs
+    (:func:`~etl_reporting_spark.llm.corpusops.global_sampled_quantiles`
+    — bounded state at any corpus size; a whole-corpus exact
+    ``percentile()`` would buffer every distinct double score on one
+    merge task). DSIR's paper likewise selects by a threshold
+    estimated from a sample, not a global sort. The selected fraction
+    is therefore ``fraction ± O(1/sqrt(k))``; corpora ≤ k rows get
+    the exact cut. Ties on the threshold value break by the md5 hash
+    of the id, so reruns and repartitions select the same set. Adds
+    ``selected`` without dropping fate rows."""
+    from etl_reporting_spark.llm.corpusops import global_sampled_quantiles
+
+    thresh = global_sampled_quantiles(
+        scored,
+        score_col,
+        id_col,
+        {"__thr": 1.0 - fraction},
+        k=k,
+        salt="dsir-thr",
     )
     tie = F.pmod(_hash32(F.col(id_col), "dsir-tie"), F.lit(2)) == 0
     return scored.crossJoin(F.broadcast(thresh)).withColumn(

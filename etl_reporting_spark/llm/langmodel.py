@@ -118,6 +118,8 @@ def ccnet_buckets(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    k: int = 256,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020,
     arXiv:1911.00359): split the corpus into head/middle/tail tertiles
@@ -126,16 +128,37 @@ def ccnet_buckets(
     bit-reproducible frequency model (high ``avg_df`` = common,
     fluent text = head).
 
-    One extra 2-cell aggregate over the scored relation (exact
-    percentile tertile thresholds, broadcast back — no global sort at
-    any corpus size); the comparison against thresholds is exact
-    double equality-compatible in both engines because Spark's
-    ``percentile`` and DuckDB's ``percentile_cont`` share the
-    a + f·(b−a) interpolation (same convention as gate a12)."""
-    scored = charlm_score(df, model=model, n=n, id_col=id_col, text_col=text_col)
-    thr = scored.agg(
-        F.expr(f"percentile(avg_df, {2 / 3!r})").alias("__p_head"),
-        F.expr(f"percentile(avg_df, {1 / 3!r})").alias("__p_mid"),
+    Tertile thresholds come from
+    :func:`~etl_reporting_spark.llm.corpusops.global_sampled_quantiles`
+    — exact interpolated percentiles over the ``k`` hash-smallest
+    docs, bounded state at any corpus size (an exact whole-corpus
+    ``percentile()`` would buffer every distinct double score on one
+    merge task — a single-task memory bomb at 10⁹ docs). The tiny
+    threshold row broadcasts back; the comparison is exact-double
+    compatible in both engines because Spark's ``percentile`` and
+    DuckDB's ``percentile_cont`` share the a + f·(b−a) interpolation
+    (same convention as gate a12), and the sample is keyed by the
+    engine-independent md5 hash of the doc id. CCNet's own thresholds
+    are likewise computed on a fixed-size sample of the crawl, not
+    the full corpus. Corpora ≤ k get exact tertiles.
+
+    ``scored`` feeds both the threshold sample and the output rows;
+    it is persisted only when releasable (active ``cache_scope`` or
+    explicit ``cleanup`` list), else recomputed once."""
+    from etl_reporting_spark.caching import maybe_persist
+    from etl_reporting_spark.llm.corpusops import global_sampled_quantiles
+
+    scored = maybe_persist(
+        charlm_score(df, model=model, n=n, id_col=id_col, text_col=text_col),
+        cleanup,
+    )
+    thr = global_sampled_quantiles(
+        scored,
+        "avg_df",
+        id_col,
+        {"__p_head": 2 / 3, "__p_mid": 1 / 3},
+        k=k,
+        salt="ccnet-thr",
     )
     bucket = (
         F.when(F.col("avg_df") >= F.col("__p_head"), F.lit("head"))

@@ -2005,6 +2005,77 @@ FROM scored s, tot
 ORDER BY s.doc_id
 """
 
+# DSIR top-25% selection: same scored relation, threshold = exact
+# percentile(0.75) over the 256 hash-smallest docs (the bounded-state
+# global_sampled_quantiles sample — md5('dsir-thr'||id) order), ties
+# on the threshold broken by md5('dsir-tie'||id) % 2 = 0. The
+# importance double, the sampled threshold, and the tie hash all
+# reproduce bit-for-bit, so the boolean hashes too.
+LLM_ORACLE_SQL["text_dsir_select"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uni AS (
+  SELECT doc_id, '1|' || u.w AS gram FROM toks, unnest(ws) AS u(w)
+),
+bi AS (
+  SELECT doc_id, '2|' || g AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS g
+    FROM toks
+  )
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+db AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('dsir' || gram), 1, 8))::BIGINT % 1024 AS bucket,
+         COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, bucket
+),
+tmodel AS (
+  SELECT bucket, SUM(cnt) AS tcnt  -- lint: sum-ok (multiplied then CAST at output)
+  FROM db JOIN documents USING (doc_id) WHERE lang = 'en'
+  GROUP BY bucket
+),
+pmodel AS (SELECT bucket, SUM(cnt) AS pcnt FROM db GROUP BY bucket),  -- lint: sum-ok (multiplied then CAST at output)
+tot AS (
+  SELECT CAST((SELECT SUM(tcnt) FROM tmodel) AS BIGINT) AS T,  -- lint: sum-ok (outer CAST)
+         CAST((SELECT SUM(pcnt) FROM pmodel) AS BIGINT) AS P  -- lint: sum-ok (outer CAST)
+),
+scored AS (
+  SELECT db.doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_grams,
+    CAST(SUM(cnt * COALESCE(tcnt, 0)) AS BIGINT) AS target_mass,
+    CAST(SUM(cnt * COALESCE(pcnt, 0)) AS BIGINT) AS proposal_mass
+  FROM db LEFT JOIN tmodel USING (bucket) LEFT JOIN pmodel USING (bucket)
+  GROUP BY db.doc_id
+),
+fs AS (
+  SELECT s.doc_id, s.n_grams, s.target_mass, s.proposal_mass,
+    (CAST(s.target_mass + 1 AS DOUBLE) * CAST(tot.P + 1 AS DOUBLE))
+      / (CAST(s.proposal_mass + 1 AS DOUBLE) * CAST(tot.T + 1 AS DOUBLE)) AS importance
+  FROM scored s, tot
+),
+samp AS (
+  SELECT importance,
+         row_number() OVER (
+           ORDER BY ('0x' || substring(md5('dsir-thr' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM fs
+),
+thr AS (
+  SELECT percentile_cont(0.75) WITHIN GROUP (ORDER BY importance) AS t
+  FROM samp WHERE rn <= 256
+)
+SELECT fs.doc_id, fs.n_grams, fs.target_mass, fs.proposal_mass, fs.importance,
+  (fs.importance > thr.t
+   OR (fs.importance = thr.t
+       AND ('0x' || substring(md5('dsir-tie' || CAST(fs.doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0)
+  ) AS selected
+FROM fs, thr
+ORDER BY fs.doc_id
+"""
+
 # Real resize: 8x8 nearest sample of the 16x16 formula image — source
 # pixel for cell (y, x, ch) is p = (2y*16 + 2x)*3 + ch.
 LLM_ORACLE_SQL["mm_resize_real"] = """
@@ -2024,9 +2095,12 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
-# CCNet tertiles over the charlm scores: percentile_cont shares
-# Spark's a + f*(b-a) interpolation (a12 convention), and 2.0/3.0 is
-# the same IEEE double both sides, so the bucket boundaries agree
+# CCNet tertiles over the charlm scores: thresholds are exact
+# percentiles over the 256 hash-smallest docs (the bounded-state
+# global_sampled_quantiles sample — md5('ccnet-thr'||id) order, the
+# same rows in both engines); percentile_cont shares Spark's
+# a + f*(b-a) interpolation (a12 convention), and 2.0/3.0 is the
+# same IEEE double both sides, so the bucket boundaries agree
 # bit-for-bit.
 LLM_ORACLE_SQL["text_ccnet_buckets"] = """
 WITH big AS (
@@ -2044,10 +2118,18 @@ scored AS (
   FROM big b JOIN m USING (bg)
   GROUP BY b.doc_id
 ),
+samp AS (
+  SELECT avg_df,
+         row_number() OVER (
+           ORDER BY ('0x' || substring(md5('ccnet-thr' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM scored
+),
 thr AS (
   SELECT percentile_cont(2.0/3.0) WITHIN GROUP (ORDER BY avg_df) AS p_head,
          percentile_cont(1.0/3.0) WITHIN GROUP (ORDER BY avg_df) AS p_mid
-  FROM scored
+  FROM samp WHERE rn <= 256
 )
 SELECT s.doc_id, s.n_ngrams, s.hit_sum, s.avg_df,
   CASE WHEN s.avg_df >= t.p_head THEN 'head'

@@ -689,6 +689,25 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_scores(docs, target).orderBy("doc_id")
 
 
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR top-fraction selection over the importance scores: the
+    25% threshold is an exact percentile over the 256 hash-smallest
+    docs (bounded state — global_sampled_quantiles), ties broken by
+    the md5 id hash. The gate hashes the masses, the score, AND the
+    selected flag, so the sampled threshold and the tie rule must
+    agree bit-for-bit with the oracle's replay."""
+    from etl_reporting_spark.llm.importance import (
+        importance_scores,
+        select_top_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return select_top_fraction(
+        importance_scores(docs, target), fraction=0.25
+    ).orderBy("doc_id")
+
+
 def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor resize on REAL decoded pixels, 16x16 -> 8x8,
     verified by exact checksums the oracle re-derives from the pixel
@@ -1076,6 +1095,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_audio_features": mm_audio_features,
     "ann_recall_ivf": ann_recall_ivf,
     "text_dsir_importance": text_dsir_importance,
+    "text_dsir_select": text_dsir_select,
     "text_ccnet_buckets": text_ccnet_buckets,
     "sample_epoch_plan": sample_epoch_plan,
     "text_chunking": text_chunking,

@@ -1363,7 +1363,16 @@ def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (A3 family): Spark's ``percentile``
     and DuckDB's ``percentile_cont`` share the a + f·(b−a)
     interpolation, so even interpolated p90s hash-match bit-for-bit.
-    (``percentile_approx`` would NOT — different sketch.)"""
+    (``percentile_approx`` would NOT — different sketch.)
+
+    Scale caveat: exact ``percentile`` buffers every group value in
+    the aggregation state — fine HERE because it mirrors the
+    reference's report-scale semantics (orders per priority, bounded
+    groups), but it is NOT the pattern for corpus-scale thresholds:
+    those use bounded-state sampling
+    (``corpusops.sampled_quantiles`` per group,
+    ``corpusops.global_sampled_quantiles`` corpus-wide — see
+    ccnet_buckets / select_top_fraction)."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")

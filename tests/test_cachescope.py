@@ -98,3 +98,51 @@ def test_semantic_dedup_scoped(spark, sf_dir, no_preexisting_cache):
         assert fate.count() > 0
         assert _n_cached(spark) == 1  # the IVF assignment
     assert _n_cached(spark) == 0
+
+
+class TestMaybePersist:
+    """Round-5 advice: importance_scores persisted even when nothing
+    could release the frame. maybe_persist makes the persist
+    conditional on releasability."""
+
+    def test_bare_call_does_not_persist(self, spark, no_preexisting_cache):
+        from etl_reporting_spark.caching import maybe_persist
+
+        df = maybe_persist(spark.range(50))
+        assert df.count() == 50
+        assert _n_cached(spark) == 0
+
+    def test_persists_inside_scope_and_releases(self, spark, no_preexisting_cache):
+        from etl_reporting_spark.caching import maybe_persist
+
+        with cache_scope():
+            df = maybe_persist(spark.range(50))
+            assert df.count() == 50
+            assert _n_cached(spark) == 1
+        assert _n_cached(spark) == 0
+
+    def test_persists_with_cleanup_list(self, spark, no_preexisting_cache):
+        from etl_reporting_spark.caching import maybe_persist
+
+        cleanup: list = []
+        df = maybe_persist(spark.range(50), cleanup)
+        assert cleanup == [df]
+        assert _n_cached(spark) == 1
+        for f in cleanup:
+            f.unpersist()
+        assert _n_cached(spark) == 0
+
+    def test_bare_dsir_and_ccnet_gates_leave_nothing_cached(
+        self, spark, sf_dir, no_preexisting_cache
+    ):
+        """The exact advice scenario: the driver gates call the
+        operators with neither a scope nor a cleanup list — after
+        consumption the session cache must be empty."""
+        from etl_reporting_spark.plans.llm_queries import (
+            text_ccnet_buckets,
+            text_dsir_select,
+        )
+
+        assert text_dsir_select(spark, sf_dir).count() > 0
+        assert text_ccnet_buckets(spark, sf_dir).count() > 0
+        assert _n_cached(spark) == 0

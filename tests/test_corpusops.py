@@ -229,3 +229,65 @@ def test_bloom_no_false_negatives_and_merge(spark):
               .agg(F.expr("bit_or(word)").alias("word")))
     assert {(r["word_idx"], r["word"]) for r in merged.collect()} == \
            {(r["word_idx"], r["word"]) for r in bloom.collect()}
+
+
+class TestGlobalSampledQuantiles:
+    """Corpus-wide bounded-state thresholds (round-6 verdict #1): the
+    whole-relation twin of sampled_quantiles that replaced the exact
+    whole-corpus percentile() in ccnet_buckets / select_top_fraction."""
+
+    def test_exact_when_corpus_fits_in_k(self, spark):
+        from etl_reporting_spark.llm.corpusops import global_sampled_quantiles
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 102)], "doc_id long, score double"
+        )
+        row = global_sampled_quantiles(
+            df, "score", "doc_id", {"p50": 0.5, "p90": 0.9}, k=256
+        ).collect()[0]
+        # 101 rows <= k: the sample IS the corpus, so percentiles are exact
+        assert row["p50"] == 51.0
+        assert row["p90"] == 91.0
+
+    def test_deterministic_across_repartition(self, spark):
+        from etl_reporting_spark.llm.corpusops import global_sampled_quantiles
+
+        df = spark.createDataFrame(
+            [(i, float(i * 37 % 1009)) for i in range(2000)],
+            "doc_id long, score double",
+        )
+        a = global_sampled_quantiles(
+            df, "score", "doc_id", {"t": 0.75}, k=64
+        ).collect()[0]["t"]
+        b = global_sampled_quantiles(
+            df.repartition(13), "score", "doc_id", {"t": 0.75}, k=64
+        ).collect()[0]["t"]
+        assert a == b  # hash-keyed sample: layout-independent
+
+    def test_plan_is_bounded_topk_not_full_window(self, spark):
+        """The scale claim itself: Catalyst must rewrite the rank
+        filter into TakeOrderedAndProject(k) — per-task k-row heaps —
+        not a full shuffle-everything Sort+Window."""
+        from etl_reporting_spark.llm.corpusops import global_sampled_quantiles
+
+        df = spark.range(10_000).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 1.0).alias("score")
+        )
+        plan = global_sampled_quantiles(
+            df, "score", "doc_id", {"t": 0.5}, k=128
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "128" in plan
+
+    def test_sample_error_is_small(self, spark):
+        from etl_reporting_spark.llm.corpusops import global_sampled_quantiles
+
+        n = 20_000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 1.0).alias("score")
+        )
+        t = global_sampled_quantiles(
+            df, "score", "doc_id", {"t": 0.5}, k=512
+        ).collect()[0]["t"]
+        # uniform scores: sampled median within ~3/sqrt(k) of true median
+        assert abs(t / n - 0.5) < 3 / (512 ** 0.5)

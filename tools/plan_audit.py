@@ -85,6 +85,7 @@ _BNLJ_OK: dict[str, str] = {
     "text_dsir_importance": "single T/P totals row broadcast into doc scores (as sample_mixture_weights)",
     "ann_recall_ivf": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
     "text_ccnet_buckets": "2-cell percentile-threshold row broadcast into doc scores (as dq_drift_check)",
+    "text_dsir_select": "T/P totals + sampled-threshold rows broadcast into doc scores (as text_dsir_importance)",
     "sample_epoch_plan": "single normalizing-total row broadcast (as sample_mixture_weights)",
 }
 
@@ -116,9 +117,15 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # round-5 gates (measured cold at sf0.001, same discipline)
     "j13_salted_join": 4,
     "j14_skew_aware_join": 2,
-    "text_dsir_importance": 10,
+    # round-6: the dsir/ccnet gates run BARE (no cache_scope, no
+    # cleanup list), so maybe_persist correctly skips caching and the
+    # featurization/scoring subtree re-executes per consumer — the
+    # price of not leaking a session-lifetime persist. Callers inside
+    # cache_scope() get the r5 counts (10 / 13) back.
+    "text_dsir_importance": 13,
+    "text_dsir_select": 25,
     "ann_recall_ivf": 20,
-    "text_ccnet_buckets": 8,
+    "text_ccnet_buckets": 7,
     "sample_epoch_plan": 4,
     "mm_decode_real": 1,
     "mm_ahash_real": 1,
@@ -190,9 +197,19 @@ def audit_plan(name: str, plan: str, max_scan_cols: int = 12) -> list[str]:
     # approximated by allowing ONE global sort when the plan's final
     # output is ordered (every gate orders output), and flagging any
     # additional ones.
-    global_sorts = len(re.findall(r"\bSort \[.*\], true,", plan))
-    take_ordered = len(re.findall(r"TakeOrderedAndProject", plan))
-    allowed = 0 if take_ordered else 1
+    sort_pos = [m.start() for m in re.finditer(r"\bSort \[.*\], true,", plan)]
+    take_pos = [m.start() for m in re.finditer(r"TakeOrderedAndProject", plan)]
+    global_sorts = len(sort_pos)
+    if not take_pos:
+        allowed = 1
+    elif sort_pos and sort_pos[0] < min(take_pos):
+        # Root presentation Sort printed ABOVE an interior
+        # limit-bounded top-k (e.g. global_sampled_quantiles'
+        # TakeOrderedAndProject(k)): the top-k is not the
+        # presentation order, so the root sort is still legitimate.
+        allowed = 1
+    else:
+        allowed = 0
     if name not in _INTERIOR_SORT_OK and global_sorts > allowed:
         problems.append(
             f"{global_sorts} global Sort nodes (≤{allowed} presentation sort expected)"
