@@ -53,8 +53,20 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # Fail loudly, like the PNG decoder: a truncated data
+            # chunk would otherwise silently decode fewer frames and
+            # yield wrong features with no error.
+            raise ValueError(
+                f"WAV: truncated {cid!r} chunk (declared {size} bytes, "
+                f"{len(body)} present)"
+            )
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"WAV: fmt chunk too short ({len(body)} bytes, need 16)"
+                )
             audio_fmt, n_ch, sample_rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
             if audio_fmt != 1 or bits != 16:

@@ -187,8 +187,15 @@ def iter_png_streams(data: bytes):
         start = pos
         pos += 8
         while True:
+            if pos + 8 > len(data):
+                raise ValueError("PNG stream: truncated chunk header")
             (length,) = struct.unpack(">I", data[pos : pos + 4])
             ctype = data[pos + 4 : pos + 8]
+            if pos + 12 + length > len(data):
+                # A corrupt length field must not silently jump past
+                # the buffer end (module convention: ValueError, as
+                # decode_png raises on truncation).
+                raise ValueError("PNG stream: truncated chunk")
             pos += 12 + length
             if ctype == b"IEND":
                 break

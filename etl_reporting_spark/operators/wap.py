@@ -229,6 +229,24 @@ class WapTable:
                 continue  # possibly a concurrent writer mid-commit
             shutil.rmtree(full, ignore_errors=True)
             removed.append(entry)
+        # Stale temp commit records: a writer hard-killed between
+        # writing .tmp-*.json and linking it never reaches the
+        # finally-unlink, so the temp files would accumulate forever.
+        # Same age horizon as snapshot dirs — a young temp may belong
+        # to a writer about to link it.
+        wap = os.path.join(self.path, "_wap")
+        if os.path.isdir(wap):
+            for entry in os.listdir(wap):
+                if not (entry.startswith(".tmp-") and entry.endswith(".json")):
+                    continue
+                full = os.path.join(wap, entry)
+                try:
+                    if now - os.path.getmtime(full) < min_age_seconds:
+                        continue
+                    os.unlink(full)
+                except OSError:
+                    continue
+                removed.append(os.path.join("_wap", entry))
         return removed
 
 

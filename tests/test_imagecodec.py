@@ -237,3 +237,40 @@ def test_png_corruption_fails_loudly():
         ic.decode_png(bytes(corrupt))
     with pytest.raises(ValueError, match="truncated"):
         ic.decode_png(good[: len(good) - 7])
+
+
+def test_wav_truncation_fails_loudly():
+    """Round-5 advice: a truncated data chunk must raise, not silently
+    decode fewer frames (the PNG convention)."""
+    from etl_reporting_spark.llm import audiocodec as ac
+
+    good = ac.encode_wav(
+        _rng().integers(-32768, 32768, 100, dtype=np.int16)
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        ac.decode_wav(good[:-20])  # data chunk short of declared size
+    # fmt chunk shorter than the 16-byte PCM header
+    bad_fmt = ac.encode_wav(np.zeros(4, dtype=np.int16))
+    import struct as _s
+    cut = bytearray(bad_fmt)
+    # shrink fmt declared size to 8 and drop 8 body bytes
+    assert cut[12:16] == b"fmt "
+    cut[16:20] = _s.pack("<I", 8)
+    del cut[28:36]
+    cut[4:8] = _s.pack("<I", len(cut) - 8)
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        ac.decode_wav(bytes(cut))
+
+
+def test_png_stream_truncation_fails_loudly():
+    """Round-5 advice: iter_png_streams bounds-checks the chunk walk —
+    truncated payloads and corrupt length fields raise the module's
+    ValueError, never struct.error or a silent out-of-bounds jump."""
+    good = ic.encode_png(_rng().integers(0, 256, (4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        list(ic.iter_png_streams(good[:-6]))  # cut inside IEND
+    corrupt = bytearray(good)
+    # IHDR length field at offset 8: inflate it past the buffer end
+    corrupt[8:12] = (1 << 24).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated"):
+        list(ic.iter_png_streams(bytes(corrupt)))

@@ -315,3 +315,25 @@ def test_wap_merge_bootstraps_fresh_table(spark, tmp_path, source_df):
     t = WapTable(spark, path)
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 4]
     assert [h["operation"] for h in t.history()] == ["merge"]
+
+
+def test_vacuum_clears_stale_tmp_records(spark, tmp_path, target_df):
+    """Round-5 advice: a writer hard-killed between writing
+    .tmp-*.json and linking it leaves a temp record the
+    finally-unlink never removes; vacuum clears those past the
+    retention horizon, but protects young ones (a live writer may be
+    about to link)."""
+    t = _table(spark, tmp_path, target_df)
+    wap = os.path.join(t.path, "_wap")
+    stale = os.path.join(wap, ".tmp-deadbeef.json")
+    with open(stale, "w") as fh:
+        fh.write('{"version": 2, "data_dir": "v00002-dead"}')
+    # young: protected by the default horizon
+    assert t.vacuum(keep_last=2) == []
+    assert os.path.exists(stale)
+    # horizon waived: cleared, and reported with its _wap/ prefix
+    removed = t.vacuum(keep_last=2, min_age_seconds=0)
+    assert os.path.join("_wap", ".tmp-deadbeef.json") in removed
+    assert not os.path.exists(stale)
+    # published commit records are never touched
+    assert t.current_version() == 1 and t.read().count() == 3
