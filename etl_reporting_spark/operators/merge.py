@@ -114,6 +114,7 @@ def merge_upsert(
     backend: str = "join",
     spark: SparkSession | None = None,
     target_table: str | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> "MergeResult | DeltaMergeResult":
     """Join-based MERGE. Column lists default to every non-key source
     column, the same auto-derivation the reference performs
@@ -185,6 +186,7 @@ def merge_upsert(
             delete_not_matched_by_source=delete_not_matched_by_source,
             delete_condition=delete_condition,
             validate_source_unique=validate_source_unique,
+            partition_by=partition_by,
         )
     if backend != "join":
         raise ValueError(
@@ -435,6 +437,7 @@ def merge_upsert_wap(
     delete_condition: Column | None = None,
     validate_source_unique: bool = True,
     commit_extra: dict | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> WapMergeResult:
     """MERGE with an EXECUTED transactional commit and no Delta
     dependency: the join-rewrite computes the post-merge state, then
@@ -444,22 +447,61 @@ def merge_upsert_wap(
     tests/test_wap.py); two writers racing from one base version get
     one winner and one :class:`wap.ConcurrentWriteError`.
 
+    ``partition_by`` switches to the FACT-SCALE path
+    (:class:`wap.PartitionedWapTable`): the touched partition set is
+    the source's distinct partition values, the target is read
+    metadata-pruned to exactly those partitions, and the commit
+    replaces only their directories — merge cost (read, join, write,
+    audit) is proportional to touched data, not table size, and
+    concurrent merges into disjoint partition sets both land (the
+    loser rebases automatically). SEMANTIC SCOPE: with
+    ``delete_not_matched_by_source``/``delete_condition``, only
+    target rows INSIDE touched partitions are delete candidates —
+    rows in untouched partitions are inherited byte-for-byte, the
+    standard partition-pruned MERGE contract (Delta's
+    partition-predicate merge idiom).
+
     Branch semantics and conditions are the join backend's (conditions
     see the bare merged schema, not t/s aliases)."""
-    from etl_reporting_spark.operators.wap import WapTable
+    import os
 
-    table = WapTable(spark, table_path)
+    from etl_reporting_spark.operators.wap import (
+        PartitionedWapTable,
+        WapTable,
+        hive_partition_key,
+    )
+
+    if partition_by:
+        table: WapTable = PartitionedWapTable(spark, table_path, partition_by)
+    else:
+        table = WapTable(spark, table_path)
     base = table.current_version()
+    touched: list[str] | None = None
+    if partition_by:
+        # the touched set: every partition the source delta lands in,
+        # rendered exactly as the hive dir keys the writer will produce
+        vals = (
+            source.select(*[F.col(c).cast("string") for c in partition_by])
+            .distinct()
+            .collect()
+        )
+        touched = sorted(hive_partition_key(partition_by, tuple(r)) for r in vals)
     if base == 0:
         # bootstrap: merging into a table that doesn't exist yet is a
         # well-defined MERGE (empty target → every source row takes the
         # not-matched INSERT branch); the first commit creates the
         # table, so streaming_wap_upsert works on a fresh path with no
         # separate create step
-        import os
-
         os.makedirs(table_path, exist_ok=True)
         target = spark.createDataFrame([], source.schema)
+    elif touched is not None:
+        existing = set(table.partition_map(version=base))
+        present = [k for k in touched if k in existing]
+        target = (
+            table.read(version=base, partitions=present)
+            if present
+            else spark.createDataFrame([], source.schema)
+        )
     else:
         target = table.read(version=base)
     res = merge_upsert(
@@ -478,15 +520,26 @@ def merge_upsert_wap(
     counts = dict(res._metrics())
     # the audit expectation: every classified row except deletes and
     # condition-failed source-only rows survives into the snapshot
+    # (for the partitioned path: within the touched partitions)
     expected = counts["U"] + counts["I"] + counts["M"] + counts["K"]
     try:
-        version = table.commit(
-            res.df,
-            expected_rows=expected,
-            base_version=base,
-            operation="merge",
-            extra=commit_extra,
-        )
+        if touched is not None:
+            version = table.commit_partitions(
+                res.df,
+                replace=touched,
+                expected_rows=expected,
+                base_version=base,
+                operation="merge",
+                extra=commit_extra,
+            )
+        else:
+            version = table.commit(
+                res.df,
+                expected_rows=expected,
+                base_version=base,
+                operation="merge",
+                extra=commit_extra,
+            )
     finally:
         res.unpersist()
     return WapMergeResult(df=table.read(version=version), counts=counts, version=version)

@@ -1,0 +1,399 @@
+"""Partition-scoped WAP commits + the CommitStore seam (round-6
+verdict #3/#4).
+
+What must hold:
+- a commit into a date-partitioned fact rewrites ONLY the touched
+  partition directories — untouched entries are inherited verbatim
+  (asserted on disk, not just via read());
+- concurrent writers to DISJOINT partition sets BOTH succeed (the
+  loser rebases); overlapping sets get one winner and one
+  ConcurrentWriteError;
+- the crash/race behavior depends only on the CommitStore CAS
+  contract: the suite parametrizes over the POSIX os.link store and
+  an object-store-shaped in-memory CAS, and a failure-injecting
+  wrapper proves both writer-death points (before the CAS →
+  invisible; after the CAS → durable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.merge import merge_upsert
+from etl_reporting_spark.operators.wap import (
+    AuditError,
+    ConcurrentWriteError,
+    FlakyCommitStore,
+    InMemoryCommitStore,
+    LocalFSCommitStore,
+    PartitionedWapTable,
+    create_partitioned_wap_table,
+    hive_partition_key,
+)
+
+
+@pytest.fixture()
+def fact_df(spark):
+    # three days of a fact table, id unique within the table
+    rows = [
+        (i, f"2026-01-{1 + i % 3:02d}", float(i * 10)) for i in range(1, 13)
+    ]
+    return spark.createDataFrame(rows, "id long, ds string, amount double")
+
+
+def _ptable(spark, tmp_path, df, name="fact") -> PartitionedWapTable:
+    return create_partitioned_wap_table(spark, str(tmp_path / name), df, ["ds"])
+
+
+def _data_roots(path) -> list[str]:
+    return sorted(d for d in os.listdir(path) if d.startswith("d-"))
+
+
+# ------------------------------------------------------------ behavior
+
+def test_commit_rewrites_only_touched_partitions(spark, tmp_path, fact_df):
+    t = _ptable(spark, tmp_path, fact_df)
+    m1 = t.partition_map()
+    assert set(m1) == {"ds=2026-01-01", "ds=2026-01-02", "ds=2026-01-03"}
+    roots_before = _data_roots(t.path)
+
+    # upsert one day: update id 4 (lives in ds=2026-01-02), insert id 100
+    delta = spark.createDataFrame(
+        [(4, "2026-01-02", 999.0), (100, "2026-01-02", 1.0)],
+        "id long, ds string, amount double",
+    )
+    res = merge_upsert(
+        None, delta, ["id"], backend="wap", spark=spark,
+        target_table=t.path, partition_by=["ds"],
+    )
+    assert res.version == 2
+    assert (res.rows_updated, res.rows_inserted) == (1, 1)
+
+    m2 = t.partition_map()
+    # untouched entries inherited VERBATIM — same dir strings, no rewrite
+    assert m2["ds=2026-01-01"] == m1["ds=2026-01-01"]
+    assert m2["ds=2026-01-03"] == m1["ds=2026-01-03"]
+    assert m2["ds=2026-01-02"] != m1["ds=2026-01-02"]
+    # exactly one new data root, containing ONLY the touched day
+    new_roots = sorted(set(_data_roots(t.path)) - set(roots_before))
+    assert len(new_roots) == 1
+    leaves = [
+        d for d in os.listdir(os.path.join(t.path, new_roots[0])) if "=" in d
+    ]
+    assert leaves == ["ds=2026-01-02"]
+    # the record declares its touched set
+    assert t.latest_record()["touched"] == ["ds=2026-01-02"]
+    # content: day 2 merged, other days untouched
+    out = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert out[4] == 999.0 and out[100] == 1.0
+    assert out[3] == 30.0 and len(out) == 13
+
+
+def test_partitioned_merge_matches_join_backend_content(
+    spark, tmp_path, fact_df
+):
+    """End state of scoped merges == one big unpartitioned merge."""
+    t = _ptable(spark, tmp_path, fact_df)
+    delta = spark.createDataFrame(
+        [(1, "2026-01-01", -1.0), (5, "2026-01-02", -5.0), (200, "2026-01-03", 7.0)],
+        "id long, ds string, amount double",
+    )
+    expected = sorted(
+        map(tuple, merge_upsert(fact_df, delta, ["id"]).df.collect())
+    )
+    merge_upsert(
+        None, delta, ["id"], backend="wap", spark=spark,
+        target_table=t.path, partition_by=["ds"],
+    )
+    assert sorted(map(tuple, t.read().collect())) == expected
+
+
+def test_read_prunes_at_metadata_layer(spark, tmp_path, fact_df):
+    t = _ptable(spark, tmp_path, fact_df)
+    day2 = t.read(partitions=["ds=2026-01-02"])
+    assert sorted(r["id"] for r in day2.collect()) == [1, 4, 7, 10]
+    # the pruned read PLANS only the one partition dir
+    files = day2.inputFiles()
+    assert files and all("ds=2026-01-02" in f for f in files)
+    with pytest.raises(KeyError, match="unknown partitions"):
+        t.read(partitions=["ds=1999-01-01"])
+
+
+def test_empty_post_merge_partition_drops_its_entry(spark, tmp_path, fact_df):
+    """Deleting every row of a day removes the map entry (an empty
+    partition writes no dir, so `replace` must carry the drop)."""
+    t = _ptable(spark, tmp_path, fact_df)
+    empty = spark.createDataFrame([], "id long, ds string, amount double")
+    v = t.commit_partitions(
+        empty, replace=["ds=2026-01-03"], operation="purge day"
+    )
+    assert v == 2
+    assert "ds=2026-01-03" not in t.partition_map()
+    assert sorted({r["ds"] for r in t.read().collect()}) == [
+        "2026-01-01", "2026-01-02",
+    ]
+    # time travel still sees the purged day
+    assert "ds=2026-01-03" in t.partition_map(version=1)
+
+
+def test_update_moving_rows_across_partitions_is_refused(
+    spark, tmp_path, fact_df
+):
+    t = _ptable(spark, tmp_path, fact_df)
+    stray = spark.createDataFrame(
+        [(1, "2026-01-05", 0.0)], "id long, ds string, amount double"
+    )
+    with pytest.raises(AuditError, match="outside the declared replace set"):
+        t.commit_partitions(stray, replace=["ds=2026-01-01"])
+    # nothing published, no data roots leaked
+    assert t.current_version() == 1
+    assert len(_data_roots(t.path)) == 1
+
+
+def test_disjoint_threaded_writers_both_land(spark, tmp_path, fact_df):
+    """The fact-scale concurrency contract: two real threads commit
+    from the SAME base into different days; the version CAS makes one
+    rebase, and BOTH changes are in the final snapshot."""
+    t = _ptable(spark, tmp_path, fact_df)
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag: str, day: str, ids) -> None:
+        delta = spark.createDataFrame(
+            [(i, day, float(1000 + i)) for i in ids],
+            "id long, ds string, amount double",
+        )
+        try:
+            barrier.wait(timeout=60)
+            results[tag] = merge_upsert(
+                None, delta, ["id"], backend="wap", spark=spark,
+                target_table=t.path, partition_by=["ds"],
+            ).version
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            results[tag] = e
+
+    th_a = threading.Thread(target=writer, args=("A", "2026-01-01", [3, 50]))
+    th_b = threading.Thread(target=writer, args=("B", "2026-01-02", [1, 60]))
+    th_a.start(); th_b.start()
+    th_a.join(180); th_b.join(180)
+
+    assert sorted(results.values()) == [2, 3], results
+    out = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert out[3] == 1003.0 and out[50] == 1050.0  # A landed
+    assert out[1] == 1001.0 and out[60] == 1060.0  # B landed
+    assert len(out) == 14
+    touched = [rec["touched"] for rec in t.history()[1:]]
+    assert sorted(map(tuple, touched)) == [
+        ("ds=2026-01-01",), ("ds=2026-01-02",),
+    ]
+
+
+def test_overlapping_writers_one_winner(spark, tmp_path, fact_df):
+    t = _ptable(spark, tmp_path, fact_df)
+    base = t.current_version()
+    day = spark.createDataFrame(
+        [(2, "2026-01-02", 1.0)], "id long, ds string, amount double"
+    )
+    assert t.commit_partitions(day, base_version=base, operation="A") == 2
+    roots_after_a = _data_roots(t.path)
+    with pytest.raises(ConcurrentWriteError, match="ds=2026-01-02"):
+        t.commit_partitions(
+            day.withColumn("amount", F.lit(2.0)),
+            base_version=base,
+            operation="B",
+        )
+    # loser cleaned its data root; winner's state intact
+    assert _data_roots(t.path) == roots_after_a
+    assert t.current_version() == 2
+    assert {r["amount"] for r in t.read(partitions=["ds=2026-01-02"]).collect()} == {1.0}
+
+
+def test_partition_level_vacuum(spark, tmp_path, fact_df):
+    t = _ptable(spark, tmp_path, fact_df)
+    day = spark.createDataFrame(
+        [(2, "2026-01-02", 1.0)], "id long, ds string, amount double"
+    )
+    t.commit_partitions(day, operation="rewrite day2")
+    # young superseded leaf is protected by the horizon
+    assert t.vacuum(keep_last=1) == []
+    removed = t.vacuum(keep_last=1, min_age_seconds=0)
+    # ONLY the superseded day-2 leaf of the create root goes; the
+    # still-referenced day-1/day-3 leaves in the SAME root survive
+    assert [r for r in removed if not r.startswith("_wap")] == [
+        f"{_data_roots(t.path)[0]}/ds=2026-01-02"
+    ]
+    live = t.read()
+    assert live.count() == 9
+    assert sorted({r["ds"] for r in live.collect()}) == [
+        "2026-01-01", "2026-01-02", "2026-01-03",
+    ]
+
+
+def test_hive_partition_key_matches_spark_writer(spark, tmp_path):
+    """The metadata-layer key must equal the dir name Spark writes —
+    including percent-escaping and the null sentinel."""
+    df = spark.createDataFrame(
+        [(1, "EU/WEST", 1.0), (2, "plain", 2.0), (3, None, 3.0)],
+        "id long, region string, v double",
+    )
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "esc"), df, ["region"]
+    )
+    expected = {
+        hive_partition_key(["region"], [r])
+        for r in ("EU/WEST", "plain", None)
+    }
+    assert set(t.partition_map()) == expected
+    assert "region=EU%2FWEST" in expected
+    assert "region=__HIVE_DEFAULT_PARTITION__" in expected
+    # and reads resolve through those keys
+    assert t.read(partitions=["region=EU%2FWEST"]).count() == 1
+
+
+def test_multi_column_partitioning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", "EU", 1.0), (2, "2026-01-01", "US", 2.0),
+         (3, "2026-01-02", "EU", 3.0)],
+        "id long, ds string, region string, v double",
+    )
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "mc"), df, ["ds", "region"]
+    )
+    assert set(t.partition_map()) == {
+        "ds=2026-01-01/region=EU", "ds=2026-01-01/region=US",
+        "ds=2026-01-02/region=EU",
+    }
+    delta = spark.createDataFrame(
+        [(2, "2026-01-01", "US", 99.0)],
+        "id long, ds string, region string, v double",
+    )
+    merge_upsert(
+        None, delta, ["id"], backend="wap", spark=spark,
+        target_table=t.path, partition_by=["ds", "region"],
+    )
+    assert t.latest_record()["touched"] == ["ds=2026-01-01/region=US"]
+    out = {r["id"]: r["v"] for r in t.read().collect()}
+    assert out == {1: 1.0, 2: 99.0, 3: 3.0}
+
+
+# ----------------------------------------------------- CommitStore seam
+
+def _store_factories(tmp_path):
+    return {
+        "localfs": lambda: LocalFSCommitStore(str(tmp_path / "log")),
+        "inmemory": lambda: InMemoryCommitStore(),
+    }
+
+
+@pytest.mark.parametrize("kind", ["localfs", "inmemory"])
+def test_store_cas_contract(tmp_path, kind):
+    """Publish is create-if-absent; the payload round-trips complete."""
+    from etl_reporting_spark.operators.wap import CommitConflict
+
+    store = _store_factories(tmp_path)[kind]()
+    assert store.max_version() == 0 and store.read(1) is None
+    store.publish(1, b'{"version": 1}')
+    assert store.max_version() == 1
+    assert json.loads(store.read(1)) == {"version": 1}
+    with pytest.raises(CommitConflict):
+        store.publish(1, b'{"version": "usurper"}')
+    assert json.loads(store.read(1)) == {"version": 1}  # first write wins
+
+
+@pytest.mark.parametrize("kind", ["localfs", "inmemory"])
+def test_store_threaded_cas_exactly_one_winner(tmp_path, kind):
+    from etl_reporting_spark.operators.wap import CommitConflict
+
+    store = _store_factories(tmp_path)[kind]()
+    outcomes: dict[str, bool] = {}
+    barrier = threading.Barrier(4)
+
+    def attempt(tag: str) -> None:
+        try:
+            barrier.wait(timeout=30)
+            store.publish(7, tag.encode())
+            outcomes[tag] = True
+        except CommitConflict:
+            outcomes[tag] = False
+
+    threads = [
+        threading.Thread(target=attempt, args=(f"w{i}",)) for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(60)
+    assert sum(outcomes.values()) == 1
+    assert store.read(7).decode() in outcomes
+
+
+@pytest.mark.parametrize("kind", ["localfs", "inmemory"])
+def test_partitioned_table_over_either_store(spark, tmp_path, fact_df, kind):
+    """The protocol depends only on the store contract: the same
+    disjoint-rebase + overlap-conflict behavior holds over the POSIX
+    link store and the object-store-shaped CAS."""
+    store = _store_factories(tmp_path)[kind]()
+    path = str(tmp_path / f"t_{kind}")
+    t = create_partitioned_wap_table(spark, path, fact_df, ["ds"], store=store)
+    base = t.current_version()
+    d1 = spark.createDataFrame(
+        [(600, "2026-01-01", -1.0)], "id long, ds string, amount double"
+    )
+    d2 = spark.createDataFrame(
+        [(700, "2026-01-02", -2.0)], "id long, ds string, amount double"
+    )
+    # disjoint from the same base: second rebases automatically
+    assert t.commit_partitions(d1, base_version=base) == 2
+    assert t.commit_partitions(d2, base_version=base) == 3
+    # overlapping from a stale base: conflict
+    with pytest.raises(ConcurrentWriteError):
+        t.commit_partitions(d1, base_version=base)
+    out = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert out[600] == -1.0 and out[700] == -2.0
+
+
+def test_crash_before_cas_is_invisible(spark, tmp_path, fact_df):
+    store = FlakyCommitStore(
+        LocalFSCommitStore(str(tmp_path / "t" / "_wap")), crash_before=2
+    )
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "t"), fact_df, ["ds"], store=store
+    )
+    day = spark.createDataFrame(
+        [(2, "2026-01-02", 1.0)], "id long, ds string, amount double"
+    )
+    with pytest.raises(RuntimeError, match="before publish"):
+        t.commit_partitions(day)
+    # record never installed → readers still on v1, day-2 unchanged
+    assert t.current_version() == 1
+    assert {r["amount"] for r in t.read(partitions=["ds=2026-01-02"]).collect()} == {
+        10.0, 40.0, 70.0, 100.0,
+    }
+
+
+def test_crash_after_cas_is_durable(spark, tmp_path, fact_df):
+    """Writer dies AFTER the CAS: the commit is published and a
+    recovering reader sees it — the record, not the writer process,
+    is the source of truth."""
+    store = FlakyCommitStore(
+        LocalFSCommitStore(str(tmp_path / "t" / "_wap")), crash_after=2
+    )
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "t"), fact_df, ["ds"], store=store
+    )
+    day = spark.createDataFrame(
+        [(500, "2026-01-02", 777.0)], "id long, ds string, amount double"
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.commit_partitions(day, replace=["ds=2026-01-02"])
+    # fresh handle (new "process"), plain store: the commit IS there
+    t2 = PartitionedWapTable(spark, t.path, ["ds"])
+    assert t2.current_version() == 2
+    out = {r["id"]: r["amount"] for r in t2.read().collect()}
+    assert out[500] == 777.0 and len(out) == 9  # day-2 replaced by 1 row
