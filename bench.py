@@ -118,6 +118,10 @@ HEAVY_LLM = [
     "text_charlm_score",
     "ann_cosine_pq",
     "ann_cosine_ivfpq",
+    # round-6: decode throughput over 96x96 real-codec images (30x
+    # documents -> 150k images, ~1.8 GB of pixels through the pure-
+    # Python codecs inside the Arrow batch contract)
+    "mm_decode_throughput",
 ]
 
 # Relational heads timed at the sf10 tier (join chain 300x, events

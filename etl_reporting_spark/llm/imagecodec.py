@@ -57,43 +57,77 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
     """Reverse the per-scanline filters (PNG spec §9). ``stride`` is
     bytes per scanline (excluding the filter byte); ``bpp`` the filter
-    unit (bytes per pixel)."""
-    out = bytearray(height * stride)
-    pos = 0
+    unit (bytes per pixel).
+
+    Vectorization (round-5 verdict #5 — the inner loop was interpreted
+    Python per BYTE): None is a copy; Up is one whole-row uint8 numpy
+    add against the reconstructed previous row; Sub is a per-lane
+    running sum — ``np.cumsum(..., dtype=np.uint8)`` accumulates in
+    uint8, whose wraparound IS the spec's mod-256 arithmetic — so all
+    three common filters now cost numpy-kernel time. Average and Paeth
+    carry a true sequential dependency through the reconstructed LEFT
+    neighbor with a nonlinear step (floor-half / predictor select), so
+    no prefix trick applies; they run as Python loops over int lists
+    (list indexing beats numpy scalar indexing ~5×), vectorizing only
+    the row setup. That asymmetry matches real corpora: libpng's
+    default heuristic emits None/Sub/Up-heavy filter streams, and our
+    own encoder emits None — Paeth-dense inputs are the documented
+    ceiling (PIL/ffmpeg behind the same contract is the dependency
+    swap, not a redesign)."""
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:]
+    if not ftypes.any():
+        # all-None stream (this module's encoder, many screenshots):
+        # one strided copy, no per-row dispatch at all
+        return rows.tobytes()
+    out = np.empty((height, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[pos]
-        pos += 1
-        line = bytearray(raw[pos : pos + stride])
-        pos += stride
-        prev_off = (y - 1) * stride
-        cur_off = y * stride
+        ftype = ftypes[y]
+        cur = rows[y]
+        prev = out[y - 1] if y > 0 else zero_row
         if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
+            out[y] = cur
+        elif ftype == 1:  # Sub: lane-wise running sum, uint8 wrap = mod 256
+            np.cumsum(
+                cur.reshape(-1, bpp), axis=0, dtype=np.uint8, out=out[y].reshape(-1, bpp)
+            )
+        elif ftype == 2:  # Up: one vector add against the prior row
+            np.add(cur, prev, out=out[y])
+        elif ftype == 3:  # Average: sequential through reconstructed left
+            line = cur.tolist()
+            up = prev.tolist()
+            for i in range(bpp):
+                line[i] = (line[i] + (up[i] >> 1)) & 0xFF
             for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            if y > 0:
-                for i in range(stride):
-                    line[i] = (line[i] + out[prev_off + i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                up = out[prev_off + i] if y > 0 else 0
-                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                up = out[prev_off + i] if y > 0 else 0
-                ul = out[prev_off + i - bpp] if (y > 0 and i >= bpp) else 0
-                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+                line[i] = (line[i] + ((line[i - bpp] + up[i]) >> 1)) & 0xFF
+            out[y] = line
+        elif ftype == 4:  # Paeth: sequential through reconstructed left
+            line = cur.tolist()
+            up = prev.tolist()
+            for i in range(bpp):
+                line[i] = (line[i] + up[i]) & 0xFF  # left=ul=0 → predictor=up
+            for i in range(bpp, stride):
+                a, b, c = line[i - bpp], up[i], up[i - bpp]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                line[i] = (line[i] + pred) & 0xFF
+            out[y] = line
         else:
             raise ValueError(f"PNG: unknown filter type {ftype} on row {y}")
-        out[cur_off : cur_off + stride] = line
-    return out
+    return out.tobytes()
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -219,13 +253,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
     bottom_up = height_raw > 0
     height = abs(height_raw)
     row_bytes = (width * 3 + 3) & ~3  # 4-byte row padding
-    out = np.empty((height, width, 3), dtype=np.uint8)
-    for y in range(height):
-        src_y = (height - 1 - y) if bottom_up else y
-        row = data[pixel_off + src_y * row_bytes : pixel_off + src_y * row_bytes + width * 3]
-        bgr = np.frombuffer(row, dtype=np.uint8).reshape(width, 3)
-        out[y] = bgr[:, ::-1]  # BGR → RGB
-    return out
+    end = pixel_off + height * row_bytes
+    if len(data) < end:
+        raise ValueError("BMP: truncated pixel data")
+    rows = np.frombuffer(data[pixel_off:end], dtype=np.uint8).reshape(
+        height, row_bytes
+    )[:, : width * 3]
+    if bottom_up:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows.reshape(height, width, 3)[:, :, ::-1])  # BGR → RGB
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:

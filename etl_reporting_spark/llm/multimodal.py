@@ -175,22 +175,29 @@ def extract_features(with_payload: DataFrame, dim: int = 16) -> DataFrame:
 IMG_W, IMG_H = 16, 16
 
 
-def synthesize_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_images(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = IMG_W,
+    height: int = IMG_H,
+) -> DataFrame:
     """Real encoded image per document: pixel p (row-major RGB
     interleaved, p in [0, W*H*3)) has value ``(doc_id*7 + p*13) % 256``
     — analytic, so the decode oracle needs no codec. Format rotates by
-    doc_id % 4 (png, png, bmp, ppm) to exercise every decoder."""
+    doc_id % 4 (png, png, bmp, ppm) to exercise every decoder.
+    ``width``/``height`` scale the per-image work (the decode
+    throughput bench uses 64×64; the correctness gates 16×16)."""
     import numpy as np
 
     from etl_reporting_spark.llm.imagecodec import encode_bmp, encode_png, encode_ppm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p = np.arange(IMG_W * IMG_H * 3, dtype=np.int64)
+        p = np.arange(width * height * 3, dtype=np.int64)
         for batch in batches:
             payloads, fmts = [], []
             for doc_id in batch["doc_id"]:
                 arr = ((int(doc_id) * 7 + p * 13) % 256).astype(np.uint8).reshape(
-                    IMG_H, IMG_W, 3
+                    height, width, 3
                 )
                 fmt = ("png", "png", "bmp", "ppm")[int(doc_id) % 4]
                 enc = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}[fmt]

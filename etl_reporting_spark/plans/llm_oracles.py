@@ -1849,6 +1849,22 @@ FROM px
 ORDER BY doc_id
 """
 
+# 96x96 variant of the decode gate (throughput instrument): same
+# analytic pixel formula, 27648 pixel bytes per image.
+LLM_ORACLE_SQL["mm_decode_throughput"] = """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST(SUM((d.doc_id * 7 + p.p * 13) % 256) AS BIGINT) AS pixel_sum
+  FROM documents d, generate_series(0, 27647) AS p(p)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' ELSE 'png' END AS fmt,
+       96 AS width, 96 AS height, 3 AS channels, pixel_sum
+FROM px
+ORDER BY doc_id
+"""
+
 # Average-hash over the real decoded pixels, replayed in SQL: cell i
 # of the 8x8 thumbnail reads source pixel (2*(i//8), 2*(i%8)) (16x16
 # -> 8x8 nearest), gray = (r+g+b)//3, bit set iff gray*64 > total,

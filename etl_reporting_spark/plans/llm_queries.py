@@ -757,6 +757,21 @@ def mm_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_decode_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-throughput instrument (round-6 verdict #5): the same
+    real-codec path as mm_decode_real but at 96x96 — 36x the pixel
+    work per image, so the heavy bench tier measures codec compute
+    (filter reconstruction, zlib, BGR swizzle), not mapInPandas
+    scheduling. Same analytic pixel formula, so the full value-hash
+    oracle holds at any image size."""
+    from etl_reporting_spark.llm.multimodal import decode_media_real, synthesize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_real(
+        synthesize_images(docs, width=96, height=96)
+    ).orderBy("doc_id")
+
+
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: RIFF/PCM16 payloads through the pure-stdlib
     WAV codec (llm/audiocodec.py), waveform features integer-exact
@@ -1093,6 +1108,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize_real": mm_resize_real,
     "mm_frames_real": mm_frames_real,
     "mm_audio_features": mm_audio_features,
+    "mm_decode_throughput": mm_decode_throughput,
     "ann_recall_ivf": ann_recall_ivf,
     "text_dsir_importance": text_dsir_importance,
     "text_dsir_select": text_dsir_select,

@@ -128,6 +128,7 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "text_ccnet_buckets": 7,
     "sample_epoch_plan": 4,
     "mm_decode_real": 1,
+    "mm_decode_throughput": 1,
     "mm_ahash_real": 1,
     "mm_resize_real": 1,
     "mm_frames_real": 1,
