@@ -726,6 +726,104 @@ class PartitionedWapTable(WapTable):
         return removed
 
 
+# ------------------------------------------------------ change feed
+def table_changes(
+    table: WapTable,
+    keys: Sequence[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes between two committed snapshots — the
+    diff-derived twin of Delta's change data feed. Emits the table's
+    columns plus ``_change_type`` ∈ {insert, delete,
+    update_preimage, update_postimage} (Delta's CDF vocabulary), keyed
+    by ``keys``: a key only in the newer snapshot is an insert, only
+    in the older a delete, in both with any non-key difference an
+    update (both images emitted).
+
+    Scale: for a :class:`PartitionedWapTable` the diff reads ONLY
+    partitions whose directory pointer changed between the two
+    versions' maps — a metadata-level comparison, no data touched for
+    inherited partitions — so CDC cost tracks churn, not table size
+    (a one-day upsert into a years-deep fact diffs one day). A
+    full-snapshot table diffs everything, which is what its commit
+    rewrote anyway. One full-outer shuffle on the keys either way.
+    """
+    to_version = to_version if to_version is not None else table.current_version()
+    from pyspark.sql import functions as F
+
+    if isinstance(table, PartitionedWapTable):
+        m_old = table.partition_map(from_version)
+        m_new = table.partition_map(to_version)
+        changed_old = sorted(k for k, d in m_old.items() if m_new.get(k) != d)
+        changed_new = sorted(k for k, d in m_new.items() if m_old.get(k) != d)
+        old = table.read(version=from_version, partitions=changed_old)
+        new = table.read(version=to_version, partitions=changed_new)
+    else:
+        old = table.read(version=from_version)
+        new = table.read(version=to_version)
+    keys = list(keys)
+    nonkeys = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys,
+        F.struct(*nonkeys).alias("__o"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *keys,
+        F.struct(*nonkeys).alias("__n"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    ins = j.filter(F.col("__in_old").isNull()).select(
+        *keys, F.col("__n").alias("__v"), F.lit("insert").alias("_change_type")
+    )
+    dele = j.filter(F.col("__in_new").isNull()).select(
+        *keys, F.col("__o").alias("__v"), F.lit("delete").alias("_change_type")
+    )
+    upd = j.filter(
+        F.col("__in_old").isNotNull()
+        & F.col("__in_new").isNotNull()
+        # null-safe struct compare: any non-key difference is a change
+        & ~F.col("__o").eqNullSafe(F.col("__n"))
+    )
+    pre = upd.select(
+        *keys, F.col("__o").alias("__v"), F.lit("update_preimage").alias("_change_type")
+    )
+    post = upd.select(
+        *keys, F.col("__n").alias("__v"), F.lit("update_postimage").alias("_change_type")
+    )
+    stacked = ins.unionByName(dele).unionByName(pre).unionByName(post)
+    return stacked.select(
+        *keys, *[F.col(f"__v.{c}").alias(c) for c in nonkeys], "_change_type"
+    )
+
+
+def optimize_partitions(
+    table: PartitionedWapTable,
+    partitions: Sequence[str] | None = None,
+    n_files: int = 1,
+) -> int:
+    """Compaction commit (Delta OPTIMIZE at partition granularity):
+    rewrite the named partitions' many small files — the residue of
+    high-frequency streaming epochs — into ``n_files`` per partition,
+    as a normal partition-scoped commit with IDENTICAL logical
+    content. Returns the new version.
+
+    Because compaction rides the same commit protocol, it gets the
+    same guarantees free: readers atomically flip to the compacted
+    layout, time travel keeps the old one, a concurrent upsert to the
+    SAME partition conflicts (one winner — rerun compaction on the
+    merged state), and disjoint-partition writers are untouched by
+    the rebase rule."""
+    pmap = table.partition_map()
+    todo = sorted(pmap) if partitions is None else sorted(partitions)
+    df = table.read(partitions=todo).coalesce(n_files)
+    return table.commit_partitions(
+        df, replace=todo, operation="optimize"
+    )
+
+
 # ----------------------------------------------------------- utilities
 def register_wap_view(
     spark: SparkSession, path: str, name: str, version: int | None = None

@@ -198,6 +198,7 @@ def streaming_wap_upsert(
     keys: Sequence[str],
     checkpoint_dir: str,
     order_cols: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> StreamingQuery:
     """Per-epoch TRANSACTIONAL merge into a WAP table (round-5): each
     micro-batch is deduped to one row per key (latest by
@@ -215,14 +216,27 @@ def streaming_wap_upsert(
     table state. The stream is the single writer; a concurrent writer
     surfacing :class:`wap.ConcurrentWriteError` fails the query
     rather than corrupting state.
+
+    ``partition_by`` switches the backing table to partition-scoped
+    commits (:class:`wap.PartitionedWapTable`): each epoch rewrites
+    only the partitions its micro-batch touches — the fact-scale
+    streaming sink, where per-epoch commit cost tracks the batch, not
+    the accumulated table. A CDC stream keyed by event date is the
+    canonical fit: a day's epoch touches one or two partitions of a
+    years-deep table. Epoch-id idempotence is unchanged (the record
+    carries it either way).
     """
     from etl_reporting_spark.operators.cdc import dedup_latest
     from etl_reporting_spark.operators.merge import merge_upsert_wap
-    from etl_reporting_spark.operators.wap import WapTable
+    from etl_reporting_spark.operators.wap import PartitionedWapTable, WapTable
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        table = WapTable(spark, table_path)
+        table = (
+            PartitionedWapTable(spark, table_path, partition_by)
+            if partition_by
+            else WapTable(spark, table_path)
+        )
         last = (table.latest_record() or {}).get("epoch_id")
         if last is not None and epoch_id <= last:
             return  # replayed epoch: already committed
@@ -237,6 +251,7 @@ def streaming_wap_upsert(
             batch,
             keys,
             commit_extra={"epoch_id": int(epoch_id)},
+            partition_by=partition_by,
         )
 
     return foreach_batch_upsert(stream, checkpoint_dir, upsert)

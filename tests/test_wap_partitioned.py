@@ -397,3 +397,130 @@ def test_crash_after_cas_is_durable(spark, tmp_path, fact_df):
     assert t2.current_version() == 2
     out = {r["id"]: r["amount"] for r in t2.read().collect()}
     assert out[500] == 777.0 and len(out) == 9  # day-2 replaced by 1 row
+
+
+# ------------------------------------------- change feed + compaction
+
+def test_table_changes_partitioned_prunes_to_churned_days(
+    spark, tmp_path, fact_df
+):
+    """Diff-derived CDF: between two versions of a partitioned table,
+    only partitions whose dir pointer changed are read at all —
+    inherited days contribute zero input files to the diff plan."""
+    from etl_reporting_spark.operators.wap import table_changes
+
+    t = _ptable(spark, tmp_path, fact_df)
+    delta = spark.createDataFrame(
+        # update id 4, insert id 100, and day-2's other rows survive
+        [(4, "2026-01-02", 999.0), (100, "2026-01-02", 1.0),
+         (1, "2026-01-02", 10.0), (7, "2026-01-02", 70.0),
+         (10, "2026-01-02", 100.0)],
+        "id long, ds string, amount double",
+    )
+    merge_upsert(
+        None, delta, ["id"], backend="wap", spark=spark,
+        target_table=t.path, partition_by=["ds"],
+    )
+    ch = table_changes(t, ["id"], from_version=1, to_version=2)
+    rows = {(r["id"], r["_change_type"]): r["amount"] for r in ch.collect()}
+    assert rows == {
+        (100, "insert"): 1.0,
+        (4, "update_preimage"): 40.0,
+        (4, "update_postimage"): 999.0,
+    }
+    # metadata pruning: the diff's scans touch ONLY day-2 files
+    files = ch.inputFiles()
+    assert files and all("ds=2026-01-02" in f for f in files)
+
+
+def test_table_changes_full_snapshot_table(spark, tmp_path):
+    from etl_reporting_spark.operators.wap import create_wap_table, table_changes
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+    )
+    t = create_wap_table(spark, str(tmp_path / "t"), a)
+    t.commit(b, operation="overwrite")
+    ch = {(r["id"], r["_change_type"]): r["v"]
+          for r in table_changes(t, ["id"], 1, 2).collect()}
+    assert ch == {
+        (3, "delete"): "c",
+        (4, "insert"): "d",
+        (2, "update_preimage"): "b",
+        (2, "update_postimage"): "B",
+    }
+
+
+def test_optimize_compacts_without_changing_content(spark, tmp_path, fact_df):
+    from etl_reporting_spark.operators.wap import optimize_partitions
+
+    t = _ptable(spark, tmp_path, fact_df.repartition(8))
+    before = sorted(map(tuple, t.read().collect()))
+    n_files_before = len(t.read(partitions=["ds=2026-01-02"]).inputFiles())
+    assert n_files_before > 1
+    v = optimize_partitions(t, ["ds=2026-01-02"], n_files=1)
+    assert v == 2
+    assert t.latest_record()["operation"] == "optimize"
+    assert len(t.read(partitions=["ds=2026-01-02"]).inputFiles()) == 1
+    # logical content identical; untouched days inherited
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert t.partition_map()["ds=2026-01-01"] == t.partition_map(1)["ds=2026-01-01"]
+    # and the CDF between the two versions is EMPTY — compaction is
+    # a physical rewrite, not a logical change
+    from etl_reporting_spark.operators.wap import table_changes
+
+    assert table_changes(t, ["id"], 1, 2).count() == 0
+
+
+def test_streaming_wap_upsert_partitioned(spark, tmp_path):
+    """The fact-scale streaming sink: per-epoch commits touch only
+    the partitions the micro-batch lands in."""
+    from etl_reporting_spark.operators.wap import create_partitioned_wap_table
+    from etl_reporting_spark.streaming.cdc_stream import (
+        read_event_stream,
+        streaming_wap_upsert,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "2026-01-01", 1), (2, "2026-01-02", 1)],
+        "id long, ds string, seq long",
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(1, "2026-01-01", 2), (3, "2026-01-01", 1)],
+        "id long, ds string, seq long",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    path = str(tmp_path / "serving")
+    t = create_partitioned_wap_table(
+        spark, path,
+        spark.createDataFrame(
+            [(0, "2025-12-31", 0)], "id long, ds string, seq long"
+        ),
+        ["ds"],
+    )
+    stream = read_event_stream(
+        spark, str(src / "*"), "id long, ds string, seq long",
+        max_files_per_trigger=1,
+    )
+    q = streaming_wap_upsert(
+        stream, path, ["id"], str(tmp_path / "ckpt"),
+        order_cols=["seq"], partition_by=["ds"],
+    )
+    q.awaitTermination(120)
+
+    state = {r["id"]: (r["ds"], r["seq"]) for r in t.read().collect()}
+    assert state == {
+        0: ("2025-12-31", 0), 1: ("2026-01-01", 2),
+        2: ("2026-01-02", 1), 3: ("2026-01-01", 1),
+    }
+    # every epoch commit declares a touched set scoped to its batch's
+    # days — never the seed partition
+    for rec in t.history()[1:]:
+        assert rec["operation"] == "merge"
+        assert "ds=2025-12-31" not in rec["touched"]
+        assert rec["epoch_id"] is not None
