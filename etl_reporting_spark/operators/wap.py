@@ -546,15 +546,26 @@ class PartitionedWapTable(WapTable):
         ]
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            # allowMissingColumns = schema evolution (Delta ADD
+            # COLUMN semantics): a partition written before a column
+            # existed reads as NULL for it, no backfill rewrite
+            out = out.unionByName(f, allowMissingColumns=True)
         # restore the COMMITTED schema: hive partition inference types
         # the path values (e.g. ds=2026-01-01 → DATE) and appends the
         # partition columns last; readers must see exactly what the
-        # writer committed, in its column order and types
+        # resolved version's writer committed, in its column order and
+        # types. A column the resolved schema dropped is projected
+        # away; one it added reads NULL from older roots (above).
         from pyspark.sql import functions as F
 
+        names = {c.lower() for c in out.columns}
         return out.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name.lower() in names
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
         )
 
     # ----------------------------------------------------------- write

@@ -1074,3 +1074,58 @@ FROM skewed s JOIN customer c ON s.k = c.c_custkey
 GROUP BY c.c_mktsegment, (s.k = 1)
 ORDER BY mktsegment, is_hot
 """
+
+# Fuzzy dedup: the full q-gram-blocked pipeline replayed — planted
+# one-char-deletion twins of 300 part names, trigram inverted
+# index with df cap 50, length-bucket pass for strings under the
+# (k+1)*q lemma floor, exact levenshtein verify (DuckDB's and Spark's
+# levenshtein agree exactly).
+ORACLE_SQL["fuzzy_address_dedup"] = """
+WITH cust AS (
+  SELECT p_partkey AS id, p_name AS text
+  FROM part WHERE p_partkey <= 300
+),
+mut AS (
+  SELECT id + 100000 AS id,
+         substr(text, 1, (id % length(text)) + 1 - 1)
+           || substr(text, (id % length(text)) + 1 + 1, 1000) AS text
+  FROM cust
+),
+allr AS (SELECT * FROM cust UNION ALL SELECT * FROM mut),
+grams AS (
+  SELECT DISTINCT id, g FROM (
+    SELECT id,
+           unnest(list_transform(
+             generate_series(1, greatest(length(text) - 2, 1)),
+             i -> substr(text, i, 3))) AS g
+    FROM allr
+  ) WHERE length(g) = 3
+),
+kept AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 50
+),
+gk AS (SELECT grams.id, grams.g FROM grams JOIN kept USING (g)),
+block_cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM gk a JOIN gk b ON a.g = b.g AND a.id < b.id
+),
+shorts AS (SELECT id, length(text) AS n FROM allr WHERE length(text) < 9),
+short_cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM shorts a JOIN shorts b
+    ON a.id < b.id AND abs(a.n - b.n) <= 2
+),
+cand AS (
+  SELECT id_a, id_b FROM block_cand
+  UNION
+  SELECT id_a, id_b FROM short_cand
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_distance
+FROM cand c
+JOIN allr ta ON ta.id = c.id_a
+JOIN allr tb ON tb.id = c.id_b
+WHERE abs(length(ta.text) - length(tb.text)) <= 2
+  AND levenshtein(ta.text, tb.text) <= 2
+ORDER BY c.id_a, c.id_b
+"""

@@ -1427,6 +1427,36 @@ def a2_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_address_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: q-gram blocked edit-distance dedup (Gravano
+    et al., VLDB 2001 — the approximate-string-join pattern). 300
+    customers plus a planted "dirty" twin of each address (one char
+    deleted at a key-derived position); the operator recovers pairs
+    within 2 edits by q-gram blocking (df-capped inverted index — the
+    same max_df guard as the shingle Jaccard path), a length-bucket
+    pass for sub-lemma-length strings, and exact ``levenshtein``
+    verification. Spark's and DuckDB's levenshtein agree exactly, so
+    pairs AND distances hash-match."""
+    from etl_reporting_spark.operators.fuzzy import fuzzy_dedup_pairs
+
+    cust = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 300)
+        .select(F.col("p_partkey").alias("id"), F.col("p_name").alias("text"))
+    )
+    pos = F.pmod(F.col("id"), F.length("text")) + F.lit(1)
+    mut = cust.select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat(
+            F.col("text").substr(F.lit(1), pos - 1),
+            F.col("text").substr(pos + 1, F.lit(1000)),
+        ).alias("text"),
+    )
+    return fuzzy_dedup_pairs(
+        cust.unionByName(mut), "id", "text", q=3, max_edit=2, max_df=50
+    ).orderBy("id_a", "id_b")
+
+
 from etl_reporting_spark.plans.llm_queries import LLM_QUERIES  # noqa: E402
 
 # Ordering contract: the driver records correctness rows for the FIRST
@@ -1508,6 +1538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w12_stickiness": w12_stickiness,
     "j13_salted_join": j13_salted_join,
     "j14_skew_aware_join": j14_skew_aware_join,
+    "fuzzy_address_dedup": fuzzy_address_dedup,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

@@ -216,6 +216,9 @@ def test_overlapping_writers_one_winner(spark, tmp_path, fact_df):
 
 def test_partition_level_vacuum(spark, tmp_path, fact_df):
     t = _ptable(spark, tmp_path, fact_df)
+    # capture the create commit's root NOW — uuid-named roots have no
+    # stable sort order once the second commit's root appears
+    create_root = _data_roots(t.path)[0]
     day = spark.createDataFrame(
         [(2, "2026-01-02", 1.0)], "id long, ds string, amount double"
     )
@@ -226,7 +229,7 @@ def test_partition_level_vacuum(spark, tmp_path, fact_df):
     # ONLY the superseded day-2 leaf of the create root goes; the
     # still-referenced day-1/day-3 leaves in the SAME root survive
     assert [r for r in removed if not r.startswith("_wap")] == [
-        f"{_data_roots(t.path)[0]}/ds=2026-01-02"
+        f"{create_root}/ds=2026-01-02"
     ]
     live = t.read()
     assert live.count() == 9
@@ -457,7 +460,10 @@ def test_table_changes_full_snapshot_table(spark, tmp_path):
 def test_optimize_compacts_without_changing_content(spark, tmp_path, fact_df):
     from etl_reporting_spark.operators.wap import optimize_partitions
 
-    t = _ptable(spark, tmp_path, fact_df.repartition(8))
+    # hash-repartition by id: file layout is a pure function of the
+    # values (day-2 ids 1/4/7/10 hash to >1 of the 4 buckets), immune
+    # to input slicing and AQE
+    t = _ptable(spark, tmp_path, fact_df.repartition(4, "id"))
     before = sorted(map(tuple, t.read().collect()))
     n_files_before = len(t.read(partitions=["ds=2026-01-02"]).inputFiles())
     assert n_files_before > 1
@@ -524,3 +530,26 @@ def test_streaming_wap_upsert_partitioned(spark, tmp_path):
         assert rec["operation"] == "merge"
         assert "ds=2025-12-31" not in rec["touched"]
         assert rec["epoch_id"] is not None
+
+
+def test_schema_evolution_add_column(spark, tmp_path, fact_df):
+    """Delta ADD COLUMN semantics without a backfill rewrite: a
+    commit may carry a new column; partitions inherited from before
+    it existed read as NULL for it, and the resolved version's schema
+    governs the read."""
+    t = _ptable(spark, tmp_path, fact_df)
+    evolved = spark.createDataFrame(
+        [(4, "2026-01-02", 999.0, "audited")],
+        "id long, ds string, amount double, note string",
+    )
+    v = t.commit_partitions(evolved, replace=["ds=2026-01-02"])
+    assert v == 2
+    out = t.read()
+    assert out.columns == ["id", "ds", "amount", "note"]
+    rows = {r["id"]: r["note"] for r in out.collect()}
+    assert rows[4] == "audited"
+    # inherited day-1/day-3 rows: NULL note, nothing rewritten
+    assert rows[3] is None and rows[2] is None
+    assert t.partition_map()["ds=2026-01-01"] == t.partition_map(1)["ds=2026-01-01"]
+    # time travel to v1 shows the OLD schema
+    assert t.read(version=1).columns == ["id", "ds", "amount"]
