@@ -182,6 +182,8 @@ def asof_join(
     build_time: str,
     build_cols: Sequence[str] | None = None,
     tie_break: Sequence[str] | None = None,
+    tolerance: str | None = None,
+    matched_time_col: str | None = None,
 ) -> DataFrame:
     """As-of join: each probe row gets the latest build row with
     ``build_time <= probe_time`` for the same key (left semantics —
@@ -192,6 +194,17 @@ def asof_join(
     ``last(..., ignorenulls)`` window ordered by event time carries the
     most recent build values forward onto each probe row. One shuffle
     on the key; skew is AQE's problem, not a Python loop's.
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)`` / kdb ``wj``
+    parity) bounds staleness: a match older than the probe time by
+    more than it is treated as NO match (build columns NULL). Pass a
+    SQL expression string added to the matched time — an interval
+    literal for timestamps (``"INTERVAL '2' DAY"``) or a number for
+    numeric times — evaluated engine-side, so the plan shape is
+    unchanged (the window already carries the matched ``build_time``;
+    tolerance is one more projected predicate, not another join).
+    ``matched_time_col`` exposes the matched build time (NULL outside
+    tolerance) — the staleness measurement feeds data-freshness DQ.
 
     Reference composite: P4 cutoff + W1 dedup + equi-join
     (…detail.sql:26-33 + 75; KIMBALL_CDC_DATA_DESIGN.md:99-103).
@@ -244,14 +257,29 @@ def asof_join(
         *keys,
         "__t",
         "__side",
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+        ).over(w).alias("__bt"),
         *[F.last(F.col(f"__b_{c}"), ignorenulls=True).over(w).alias(f"__b_{c}") for c in build_cols],
         *[F.col(f"__p_{c}") for c in probe_payload],
+    )
+    if tolerance is not None:
+        within = F.col("__bt").isNotNull() & (
+            F.col("__t") <= F.col("__bt") + F.expr(tolerance)
+        )
+    else:
+        within = F.lit(True)
+    matched = (
+        [F.when(within, F.col("__bt")).alias(matched_time_col)]
+        if matched_time_col
+        else []
     )
     out = carried.filter(F.col("__side") == 1).select(
         *keys,
         F.col("__t").alias(probe_time),
         *[F.col(f"__p_{c}").alias(c) for c in probe_payload],
-        *[F.col(f"__b_{c}").alias(c) for c in build_cols],
+        *[F.when(within, F.col(f"__b_{c}")).alias(c) for c in build_cols],
+        *matched,
     )
     return out
 

@@ -1129,3 +1129,27 @@ WHERE abs(length(ta.text) - length(tb.text)) <= 2
   AND levenshtein(ta.text, tb.text) <= 2
 ORDER BY c.id_a, c.id_b
 """
+
+# As-of with tolerance: "latest within 7 days at or before" — the
+# latest-prior row IS the latest-within-tolerance when it qualifies,
+# and no row qualifies when it doesn't, so the LEFT JOIN restricted to
+# the tolerance window + rank-1 is exactly the operator's
+# null-out-stale-match semantics. matched_pts is the freshness probe.
+ORACLE_SQL["j5b_asof_tolerance"] = """
+WITH views AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, ts, purchase_id, purchase_value, matched_pts FROM (
+  SELECT v.user_id, v.event_id, v.ts, p.purchase_id, p.purchase_value,
+         p.pts AS matched_pts,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.event_id
+           ORDER BY p.pts DESC NULLS LAST, p.purchase_id DESC NULLS LAST) AS rn
+  FROM views v LEFT JOIN purchases p
+    ON v.user_id = p.user_id AND p.pts <= v.ts
+   AND p.pts >= v.ts - INTERVAL 7 DAY
+) t WHERE rn = 1
+"""

@@ -170,6 +170,31 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "purchase_id", "purchase_value")
 
 
+def j5b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness (pandas merge_asof
+    ``tolerance`` parity): the j5 shape, but a purchase older than 7
+    days at view time is NO match — build columns null out, and the
+    matched purchase time is exposed (NULL outside tolerance) as the
+    freshness measurement. Same one-shuffle union-merge plan; the
+    tolerance is a projected predicate, not another join."""
+    events = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        views, purchases, "user_id", "ts", "pts",
+        build_cols=["purchase_id", "purchase_value"], tie_break=["purchase_id"],
+        tolerance="INTERVAL '7' DAY", matched_time_col="matched_pts",
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "purchase_id", "purchase_value", "matched_pts"
+    )
+
+
 # --------------------------------------------------------------------
 # Q1-style pricing summary (A3/A4 aggregate battery, P3 range filter)
 # --------------------------------------------------------------------
@@ -1539,6 +1564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j13_salted_join": j13_salted_join,
     "j14_skew_aware_join": j14_skew_aware_join,
     "fuzzy_address_dedup": fuzzy_address_dedup,
+    "j5b_asof_tolerance": j5b_asof_tolerance,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

@@ -185,3 +185,41 @@ def test_resample_forward_fill_null_and_tie_semantics(spark):
     assert out[1]["v"] == 3.0          # deterministic tiebreak
     with pytest.raises(ValueError, match="reserved"):
         resample_forward_fill(df.withColumnRenamed("v", "observed"), "k", "ts", "observed")
+
+
+def test_asof_join_tolerance_and_matched_time(spark):
+    """Bounded-staleness as-of (pandas merge_asof tolerance parity):
+    matches older than the tolerance null out, matched_time_col
+    exposes the freshness probe, and numeric time axes work too."""
+    import datetime as dt
+
+    from etl_reporting_spark.operators.cdc import asof_join
+
+    probe = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 10)), ("k", dt.datetime(2024, 1, 30))],
+        "key string, pt timestamp",
+    )
+    build = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 8), 100.0)],
+        "key string, bt timestamp, price double",
+    )
+    out = {
+        r["pt"].day: r
+        for r in asof_join(
+            probe, build, "key", "pt", "bt",
+            tolerance="INTERVAL '7' DAY", matched_time_col="m",
+        ).collect()
+    }
+    # day 10: match 2 days old — within tolerance
+    assert out[10]["price"] == 100.0 and out[10]["m"] == dt.datetime(2024, 1, 8)
+    # day 30: latest match is 22 days stale — nulled, freshness NULL
+    assert out[30]["price"] is None and out[30]["m"] is None
+
+    # numeric time axis: tolerance is a plain number expression
+    p2 = spark.createDataFrame([(1, 100), (1, 200)], "k long, t long")
+    b2 = spark.createDataFrame([(1, 95, "x")], "k long, t2 long, tag string")
+    got = {
+        r["t"]: r["tag"]
+        for r in asof_join(p2, b2, "k", "t", "t2", tolerance="10").collect()
+    }
+    assert got == {100: "x", 200: None}
