@@ -1153,3 +1153,18 @@ SELECT user_id, event_id, ts, purchase_id, purchase_value, matched_pts FROM (
    AND p.pts >= v.ts - INTERVAL 7 DAY
 ) t WHERE rn = 1
 """
+
+# IVM join gate: the oracle recomputes the join FROM SCRATCH — the
+# operator must make increment == recompute, so the identity's three
+# delta terms (and no overlap between them) are what's under test.
+ORACLE_SQL["ivm_join_maintenance"] = """
+SELECT o.o_orderpriority,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""

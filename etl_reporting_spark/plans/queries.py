@@ -170,6 +170,45 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "purchase_id", "purchase_value")
 
 
+def ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for joins (Blakeley et al. 1986):
+    lineitem and orders are each split into a standing slice and an
+    append delta on independent dates; the maintained join = old join
+    ∪ (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB), and the gate's aggregate over it must
+    equal the oracle's FULL-recompute join — a missing or duplicated
+    delta term breaks the hash (the join twin of
+    a15_incremental_rollup). At production scale the old join is the
+    table the previous refresh committed; only the delta terms run."""
+    from etl_reporting_spark.operators.incremental import ivm_join_refresh
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_shipdate", "l_extendedprice", "l_discount",
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    a_old = li.filter(F.col("l_shipdate") < F.lit("1995-01-01"))
+    delta_a = li.filter(F.col("l_shipdate") >= F.lit("1995-01-01"))
+    b_old = orders.filter(F.col("o_orderdate") < F.lit("1995-06-01"))
+    delta_b = orders.filter(F.col("o_orderdate") >= F.lit("1995-06-01"))
+    old_join = a_old.join(b_old, "orderkey")  # in prod: READ, not recomputed
+    refreshed = ivm_join_refresh(
+        old_join, a_old, delta_a, b_old, delta_b, on="orderkey"
+    )
+    revenue = _dec("l_extendedprice", 2) * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 2)
+    )
+    return (
+        refreshed.groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def j5b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with bounded staleness (pandas merge_asof
     ``tolerance`` parity): the j5 shape, but a purchase older than 7
@@ -1565,6 +1604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j14_skew_aware_join": j14_skew_aware_join,
     "fuzzy_address_dedup": fuzzy_address_dedup,
     "j5b_asof_tolerance": j5b_asof_tolerance,
+    "ivm_join_maintenance": ivm_join_maintenance,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

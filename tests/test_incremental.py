@@ -1,0 +1,72 @@
+"""Join IVM (operators/incremental.py): increment == recompute under
+append-only deltas; gate ivm_join_maintenance carries the full-
+recompute oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_reporting_spark.operators.incremental import (
+    ivm_join_refresh,
+    join_insert_delta,
+)
+
+
+def _frames(spark):
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (2, "a2")], "k long, av string"
+    )
+    delta_a = spark.createDataFrame(
+        [(2, "a2x"), (3, "a3")], "k long, av string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (3, "b3")], "k long, bv string"
+    )
+    delta_b = spark.createDataFrame(
+        [(2, "b2"), (3, "b3x")], "k long, bv string"
+    )
+    return a_old, delta_a, b_old, delta_b
+
+
+def test_refresh_equals_full_recompute(spark):
+    a_old, da, b_old, db = _frames(spark)
+    full = (
+        a_old.unionByName(da)
+        .join(b_old.unionByName(db), "k")
+        .collect()
+    )
+    old_join = a_old.join(b_old, "k")
+    refreshed = ivm_join_refresh(old_join, a_old, da, b_old, db, "k").collect()
+    assert sorted(map(tuple, refreshed)) == sorted(map(tuple, full))
+
+
+def test_empty_deltas_are_noops(spark):
+    a_old, _, b_old, _ = _frames(spark)
+    empty_a = a_old.limit(0)
+    empty_b = b_old.limit(0)
+    old_join = a_old.join(b_old, "k")
+    assert join_insert_delta(a_old, empty_a, b_old, empty_b, "k").count() == 0
+    refreshed = ivm_join_refresh(
+        old_join, a_old, empty_a, b_old, empty_b, "k"
+    ).collect()
+    assert sorted(map(tuple, refreshed)) == sorted(map(tuple, old_join.collect()))
+
+
+def test_delta_work_covers_all_three_terms(spark):
+    """Drop any one term and the result is wrong — pin each term's
+    contribution: ΔA⋈B (3,a3 × 3,b3), A⋈ΔB (2,a2 × 2,b2), ΔA⋈ΔB
+    (2,a2x × 2,b2 and 3,a3 × 3,b3x)."""
+    a_old, da, b_old, db = _frames(spark)
+    delta = join_insert_delta(a_old, da, b_old, db, "k")
+    rows = sorted(map(tuple, delta.collect()))
+    assert (3, "a3", "b3") in rows          # ΔA ⋈ B_old
+    assert (2, "a2", "b2") in rows          # A_old ⋈ ΔB
+    assert (2, "a2x", "b2") in rows         # ΔA ⋈ ΔB
+    assert (3, "a3", "b3x") in rows         # ΔA ⋈ ΔB
+    assert len(rows) == 4
+
+
+def test_outer_join_refused_with_guidance(spark):
+    a_old, da, b_old, db = _frames(spark)
+    with pytest.raises(ValueError, match="retraction"):
+        join_insert_delta(a_old, da, b_old, db, "k", how="left")
