@@ -133,6 +133,10 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "mm_resize_real": 1,
     "mm_frames_real": 1,
     "mm_audio_features": 1,
+    # round-6 gates (measured cold at sf0.001)
+    "fuzzy_address_dedup": 5,
+    "j5b_asof_tolerance": 1,  # tolerance adds ZERO shuffles over j5
+    "ivm_join_maintenance": 2,
 }
 
 
