@@ -106,6 +106,13 @@ HEADLINE = [
     "w11_funnel_conversion",
     "j12_table_diff",
     "ts_forward_fill",
+    # round-6 additions: fuzzy matching, join IVM, RANGE-frame rolling,
+    # bounded-staleness as-of, sampled-threshold DSIR selection
+    "fuzzy_address_dedup",
+    "ivm_join_maintenance",
+    "w13_rolling_window",
+    "j5b_asof_tolerance",
+    "text_dsir_select",
 ]
 
 # Heavy gates timed at the self-generated sf3 tier (30x sf0.1, all

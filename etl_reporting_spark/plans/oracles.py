@@ -1168,3 +1168,23 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 ORDER BY 1
 """
+
+# RANGE-frame rolling aggregate: epoch-day numeric ordering so both
+# engines share identical frame boundaries; DECIMAL sum inside the
+# frame, one cast at the edge (the a12/q1 convention).
+ORACLE_SQL["w13_rolling_window"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey
+    ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS rolling_90d_total,
+  COUNT(*) OVER (
+    PARTITION BY o_custkey
+    ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW
+  ) AS rolling_90d_orders
+FROM orders
+WHERE o_custkey <= 500
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""

@@ -635,6 +635,36 @@ def w45_event_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "decision_rank")
 
 
+def w13_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True RANGE-frame moving aggregate (W7 family): per customer,
+    the trailing-90-day order total and count at each order date —
+    the frame is VALUE-bounded (all rows within 90 days), not
+    row-count-bounded, so bursts widen the frame and gaps shrink it.
+    Both engines order by the epoch-day integer with a numeric RANGE
+    frame, sidestepping interval-frame dialect differences; sums stay
+    DECIMAL inside the frame (shuffle-order-proof) and cast once at
+    output. One shuffle on the customer key."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 500)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-89, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(_dec("o_totalprice", 2)).over(w).cast("double").alias(
+                "rolling_90d_total"
+            ),
+            F.count(F.lit(1)).over(w).alias("rolling_90d_orders"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------
 # P10 — LIKE / pattern predicates
 # --------------------------------------------------------------------
@@ -1605,6 +1635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_address_dedup": fuzzy_address_dedup,
     "j5b_asof_tolerance": j5b_asof_tolerance,
     "ivm_join_maintenance": ivm_join_maintenance,
+    "w13_rolling_window": w13_rolling_window,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "dedup_minhash_lsh",
         "ann_cosine_topk",

@@ -137,6 +137,7 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "fuzzy_address_dedup": 5,
     "j5b_asof_tolerance": 1,  # tolerance adds ZERO shuffles over j5
     "ivm_join_maintenance": 2,
+    "w13_rolling_window": 2,  # key shuffle + presentation sort
 }
 
 
