@@ -55,14 +55,14 @@ EXPECTED_WINDOW = [
     "dq_report_battery",
     "u3_intersect_except",
     "p2_exclude_projection",
-    "fn_try_to_date",
+    "j5b_asof_tolerance",
     "a2_distinct_counts",
-    "f1_udf_in_sql",
+    "w13_rolling_window",
     "a14_cube",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "dedup_cluster_resolution",
-    "ann_cosine_ivfpq",
+    "fuzzy_address_dedup",
+    "ivm_join_maintenance",
+    "text_dsir_select",
+    "mm_decode_throughput",
 ]
 
 
@@ -71,17 +71,34 @@ def test_driver_window_is_pinned():
     assert names[:50] == EXPECTED_WINDOW
 
 
-def test_window_split_is_46_reference_plus_4_llm():
-    """The documented split (plans/queries.py ordering comment).
-    Round-5 rotation: the iterative-graph (dedup_cluster_resolution)
-    and composed-ANN (ann_cosine_ivfpq) paths are driver-verified."""
-    llm = {
+def test_window_split_contains_the_round6_rotation():
+    """Round-6 rotation: the six NEW capabilities are driver-verified
+    (tolerance as-of, RANGE rolling window, fuzzy dedup, join IVM,
+    sampled-threshold DSIR selection, vectorized-codec throughput).
+    Rotated out to the locally-verified tail: fn_try_to_date and
+    f1_udf_in_sql (their F1/date families keep driver-green
+    representatives) and the four round-5 LLM picks (driver-green in
+    CORRECTNESS_r05)."""
+    new_r6 = {
+        "j5b_asof_tolerance",
+        "w13_rolling_window",
+        "fuzzy_address_dedup",
+        "ivm_join_maintenance",
+        "text_dsir_select",
+        "mm_decode_throughput",
+    }
+    assert new_r6 <= set(EXPECTED_WINDOW)
+    rotated_out = {
+        "fn_try_to_date",
+        "f1_udf_in_sql",
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "dedup_cluster_resolution",
         "ann_cosine_ivfpq",
     }
-    assert [n for n in EXPECTED_WINDOW if n in llm] == EXPECTED_WINDOW[46:]
+    names = list(entry.queries())
+    assert rotated_out.isdisjoint(EXPECTED_WINDOW)
+    assert rotated_out <= set(names[50:])  # still present, locally verified
 
 
 def test_every_query_has_oracle_or_is_documented():
