@@ -438,6 +438,7 @@ def merge_upsert_wap(
     validate_source_unique: bool = True,
     commit_extra: dict | None = None,
     partition_by: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> WapMergeResult:
     """MERGE with an EXECUTED transactional commit and no Delta
     dependency: the join-rewrite computes the post-merge state, then
@@ -531,6 +532,7 @@ def merge_upsert_wap(
                 base_version=base,
                 operation="merge",
                 extra=commit_extra,
+                stats_cols=stats_cols,
             )
         else:
             version = table.commit(

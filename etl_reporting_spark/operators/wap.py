@@ -579,6 +579,7 @@ class PartitionedWapTable(WapTable):
         operation: str = "merge",
         extra: dict | None = None,
         max_rebase: int = 5,
+        stats_cols: Sequence[str] | None = None,
     ) -> int:
         """Write-audit-publish replacing ONLY the partitions ``df``
         covers (or the explicit ``replace`` set — pass it when a
@@ -589,7 +590,17 @@ class PartitionedWapTable(WapTable):
 
         ``expected_rows``/``audits`` see the read-back REPLACED
         partitions only — the audit cost, like the write cost, is
-        proportional to touched data."""
+        proportional to touched data.
+
+        ``stats_cols`` enables DATA SKIPPING (the Delta/Iceberg
+        file-statistics idea at partition granularity): per written
+        partition, min/max of each named column is computed from the
+        read-back slice (one small aggregate over touched data only)
+        and stored in the commit record; inherited partitions keep
+        their previously recorded stats. ``prune_partitions`` then
+        answers range predicates at the METADATA layer — e.g. a table
+        partitioned by region still skips partitions by order-date
+        bounds without listing a file."""
         base = base_version if base_version is not None else self.current_version()
         root = f"d-{uuid.uuid4().hex[:12]}"
         root_path = os.path.join(self.path, root)
@@ -641,15 +652,22 @@ class PartitionedWapTable(WapTable):
 
         ours = {w: f"{root}/{w}" for w in written}
         schema_json = df.schema.jsonValue()
+        our_stats = (
+            self._slice_stats(back, stats_cols) if stats_cols and written else {}
+        )
 
         # 3. PUBLISH — CAS with automatic disjoint-partition rebase
         attempt = 0
         while True:
             new_version = base + 1
-            pmap = self.partition_map(base) if base else {}
+            base_rec = self._commit_record(base) if base else {}
+            pmap = dict(base_rec.get("partitions", {}))
+            stats = dict(base_rec.get("stats", {}))
             for t in touched:
                 pmap.pop(t, None)
+                stats.pop(t, None)
             pmap.update(ours)
+            stats.update(our_stats)
             record = {
                 "version": new_version,
                 "partitions": pmap,
@@ -659,6 +677,8 @@ class PartitionedWapTable(WapTable):
                 "operation": operation,
                 "committed_at": time.time(),
             }
+            if stats:
+                record["stats"] = stats
             if extra:
                 record.update(extra)
             try:
@@ -679,6 +699,110 @@ class PartitionedWapTable(WapTable):
                 # disjoint writers: rebase on the new tip and retry —
                 # data dirs are immutable, only the record changes
                 base = latest
+
+    def _slice_stats(
+        self, back: DataFrame, stats_cols: Sequence[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-partition [min, max] of each stats column over the
+        written slice — one map-side-combined aggregate over touched
+        data only, output bounded by |touched partitions|."""
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__lo_{c}"))
+            aggs.append(F.max(c).alias(f"__hi_{c}"))
+        rows = (
+            back.groupBy(
+                *[F.col(c).cast("string").alias(c) for c in self.partition_by]
+            )
+            .agg(*aggs)
+            .collect()
+        )
+
+        def safe(v):
+            import datetime as _dt
+            from decimal import Decimal
+
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, Decimal):
+                return str(v)
+            return v
+
+        out: dict[str, dict[str, list]] = {}
+        for r in rows:
+            key = hive_partition_key(
+                self.partition_by, [r[c] for c in self.partition_by]
+            )
+            out[key] = {
+                c: [safe(r[f"__lo_{c}"]), safe(r[f"__hi_{c}"])]
+                for c in stats_cols
+            }
+        return out
+
+    def prune_partitions(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> list[str]:
+        """Data skipping: partition keys whose recorded [min, max] for
+        ``col`` overlaps [lo, hi] — a pure metadata computation, no
+        filesystem or scan. Partitions with NO recorded stats for the
+        column are KEPT (conservative: skipping may only discard
+        provably-disjoint data). Feed the result to
+        ``read(partitions=...)``. Date/datetime bounds are compared in
+        ISO form, matching how stats are recorded."""
+        import datetime as _dt
+
+        def norm(v):
+            return v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
+
+        lo, hi = norm(lo), norm(hi)
+        v = version if version is not None else self.current_version()
+        rec = self._commit_record(v) if v else {}
+        stats = rec.get("stats", {})
+        keep = []
+        for key in self.partition_map(v):
+            s = stats.get(key, {}).get(col)
+            if s is None or s[0] is None or s[1] is None:
+                keep.append(key)  # unknown → cannot skip
+                continue
+            smin, smax = s
+            if (hi is None or smin <= hi) and (lo is None or smax >= lo):
+                keep.append(key)
+        return sorted(keep)
+
+    def partition_key_values(self, key: str) -> dict[str, str | None]:
+        """Parse a hive partition key back into column → value
+        (percent-unescaped; the null sentinel becomes None)."""
+        from urllib.parse import unquote
+
+        out: dict[str, str | None] = {}
+        for part in key.split("/"):
+            col, _, val = part.partition("=")
+            out[col] = (
+                None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+            )
+        return out
+
+    def select_partitions(
+        self,
+        predicate: Callable[[dict[str, str | None]], bool],
+        version: int | None = None,
+    ) -> list[str]:
+        """Metadata-layer partition selection by a predicate over the
+        PARSED partition values — e.g.
+        ``lambda p: p["ds"] >= "2026-01-02"``. Complements
+        ``prune_partitions`` (which ranges over recorded column
+        stats); both return keys for ``read(partitions=...)``."""
+        return sorted(
+            k
+            for k in self.partition_map(version)
+            if predicate(self.partition_key_values(k))
+        )
 
     def _conflicting_partitions(
         self, base: int, latest: int, touched: Sequence[str]
@@ -866,11 +990,12 @@ def create_partitioned_wap_table(
     df: DataFrame,
     partition_by: Sequence[str],
     store: CommitStore | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> PartitionedWapTable:
     """Initialize a partitioned WAP table with version 1 = ``df``."""
     os.makedirs(path, exist_ok=True)
     table = PartitionedWapTable(spark, path, partition_by, store=store)
     if table.current_version() != 0:
         raise FileExistsError(f"WAP table already exists at {path}")
-    table.commit_partitions(df, operation="create")
+    table.commit_partitions(df, operation="create", stats_cols=stats_cols)
     return table

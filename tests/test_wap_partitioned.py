@@ -553,3 +553,80 @@ def test_schema_evolution_add_column(spark, tmp_path, fact_df):
     assert t.partition_map()["ds=2026-01-01"] == t.partition_map(1)["ds=2026-01-01"]
     # time travel to v1 shows the OLD schema
     assert t.read(version=1).columns == ["id", "ds", "amount"]
+
+
+# -------------------------------------------------------- data skipping
+
+def test_stats_based_partition_pruning(spark, tmp_path):
+    """Delta/Iceberg data skipping at partition granularity: commit
+    records carry per-partition [min, max] of named columns; range
+    predicates prune at the METADATA layer even on columns the table
+    is NOT partitioned by."""
+    from etl_reporting_spark.operators.wap import create_partitioned_wap_table
+
+    df = spark.createDataFrame(
+        [(1, "EU", "2026-01-05", 10.0), (2, "EU", "2026-01-20", 20.0),
+         (3, "US", "2026-02-01", 30.0), (4, "US", "2026-02-10", 40.0),
+         (5, "AP", "2026-03-01", 50.0)],
+        "id long, region string, od string, amount double",
+    )
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "t"), df, ["region"], stats_cols=["od", "amount"]
+    )
+    rec = t.latest_record()
+    assert rec["stats"]["region=EU"]["od"] == ["2026-01-05", "2026-01-20"]
+    assert rec["stats"]["region=US"]["amount"] == [30.0, 40.0]
+    # range predicate on od — partitioned by REGION, pruned by DATE
+    assert t.prune_partitions("od", lo="2026-02-05") == [
+        "region=AP", "region=US",
+    ]
+    assert t.prune_partitions("od", hi="2026-01-31") == ["region=EU"]
+    assert t.prune_partitions("amount", lo=45.0) == ["region=AP"]
+    # the pruned read is correct AND plans only the kept partitions
+    out = t.read(partitions=t.prune_partitions("od", hi="2026-01-31"))
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+    assert all("region=EU" in f for f in out.inputFiles())
+
+
+def test_stats_inherit_and_replace_on_partial_commit(spark, tmp_path):
+    from etl_reporting_spark.operators.wap import create_partitioned_wap_table
+
+    df = spark.createDataFrame(
+        [(1, "EU", 10.0), (2, "US", 99.0)], "id long, region string, v double"
+    )
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "t"), df, ["region"], stats_cols=["v"]
+    )
+    day = spark.createDataFrame([(1, "EU", 77.0)], "id long, region string, v double")
+    t.commit_partitions(day, replace=["region=EU"], stats_cols=["v"])
+    rec = t.latest_record()
+    assert rec["stats"]["region=EU"]["v"] == [77.0, 77.0]   # replaced
+    assert rec["stats"]["region=US"]["v"] == [99.0, 99.0]   # inherited
+    # a commit WITHOUT stats_cols drops the touched partition's stats
+    t.commit_partitions(day.select("id", "region", (day.v * 2).alias("v")),
+                        replace=["region=EU"])
+    rec = t.latest_record()
+    assert "region=EU" not in rec["stats"]
+    # unknown stats are conservative: the partition is always kept
+    assert "region=EU" in t.prune_partitions("v", lo=1000.0)
+    assert t.prune_partitions("v", lo=1000.0) == ["region=EU"]
+
+
+def test_select_partitions_by_parsed_values(spark, tmp_path, fact_df):
+    t = _ptable(spark, tmp_path, fact_df)
+    assert t.select_partitions(lambda p: p["ds"] >= "2026-01-02") == [
+        "ds=2026-01-02", "ds=2026-01-03",
+    ]
+    # escaped values parse back to the raw string
+    df = spark.createDataFrame(
+        [(1, "EU/WEST", 1.0), (2, None, 2.0)], "id long, region string, v double"
+    )
+    from etl_reporting_spark.operators.wap import create_partitioned_wap_table
+
+    t2 = create_partitioned_wap_table(spark, str(tmp_path / "esc2"), df, ["region"])
+    assert t2.select_partitions(lambda p: p["region"] == "EU/WEST") == [
+        "region=EU%2FWEST"
+    ]
+    assert t2.select_partitions(lambda p: p["region"] is None) == [
+        "region=__HIVE_DEFAULT_PARTITION__"
+    ]
