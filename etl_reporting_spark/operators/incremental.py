@@ -79,3 +79,55 @@ def ivm_join_refresh(
     return old_join.unionByName(
         join_insert_delta(a_old, delta_a, b_old, delta_b, on)
     )
+
+
+def ivm_agg_delta(
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    weight_col: str = "__w",
+) -> DataFrame:
+    """Per-group partial state from a SIGNED delta (the counting
+    algorithm: +1 rows are inserts, −1 rows are retractions — an
+    update is retract-old + insert-new). Output: group columns,
+    ``__cnt`` = Σw, and ``sum_<c>`` = Σ(w·c) per sum column — the
+    mergeable partial that makes COUNT/SUM/AVG maintainable under
+    deletion, which plain append-IVM is not. MIN/MAX are NOT
+    maintainable this way (a retracted minimum needs the runner-up,
+    i.e. a rescan) and are deliberately absent from this API —
+    maintain them by recomputing the affected partitions instead."""
+    from pyspark.sql import functions as F
+
+    w = F.col(weight_col)
+    return delta.groupBy(*group_cols).agg(
+        F.sum(w).alias("__cnt"),
+        *[F.sum(w * F.col(c)).alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def ivm_agg_refresh(
+    old_state: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    weight_col: str = "__w",
+) -> DataFrame:
+    """Refreshed aggregate state: combine the standing partials with
+    the delta's partials (one delta-sized aggregate + one state-sized
+    merge groupBy — never a rescan of history) and DROP groups whose
+    count reaches zero, so a fully-retracted group disappears exactly
+    as a recompute would make it. ``old_state`` has the
+    ``ivm_agg_delta`` shape (the previous refresh's output, read from
+    its committed table)."""
+    from pyspark.sql import functions as F
+
+    d = ivm_agg_delta(delta, group_cols, sum_cols, weight_col)
+    return (
+        old_state.unionByName(d)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__cnt").alias("__cnt"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+        .filter(F.col("__cnt") != 0)
+    )

@@ -1188,3 +1188,33 @@ FROM orders
 WHERE o_custkey <= 500
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
+
+# Aggregate-IVM-with-retractions gate: the oracle builds the EFFECTIVE
+# final set directly (base minus cancellations, updated rows at the
+# uplifted price, plus inserts) and aggregates from scratch — the
+# signed counting must land on the identical state. lint: sum-ok
+# (decimal sums, one cast at the edge).
+ORACLE_SQL["ivm_agg_retraction"] = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE o_orderdate < DATE '1995-01-01'),
+final AS (
+  SELECT o_orderpriority,
+         CASE WHEN price > 300000
+              THEN CAST(price * CAST(1.05 AS DECIMAL(3,2)) AS DECIMAL(18,2))
+              ELSE price END AS price
+  FROM base WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderpriority, price FROM o
+  WHERE o_orderdate >= DATE '1995-01-01'
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM final
+GROUP BY 1
+ORDER BY 1
+"""

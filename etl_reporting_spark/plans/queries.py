@@ -209,6 +209,59 @@ def ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate IVM under RETRACTIONS (the counting algorithm —
+    signed ±1 multiplicities, the piece append-only IVM can't do):
+    the standing per-priority order aggregate absorbs a delta that
+    INSERTS the post-1995 orders, RETRACTS simulated cancellations
+    (orderkey % 10 = 0 among the standing set), and UPDATES high-value
+    standing orders (retract old + insert with a 5% uplift). The
+    maintained state must equal the oracle's from-scratch aggregate
+    over the effective final set — a wrong sign, a lost retraction, or
+    a kept zero-count group breaks the hash. Sums stay DECIMAL through
+    the signed arithmetic, so exactness survives the ± cancellation."""
+    from etl_reporting_spark.operators.incremental import (
+        ivm_agg_delta,
+        ivm_agg_refresh,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate",
+        _dec("o_totalprice", 2).alias("price"),
+    )
+    base = orders.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
+    inserts = orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01"))
+    cancelled = base.filter(F.col("o_orderkey") % 10 == 0)
+    upd = base.filter(
+        (F.col("o_orderkey") % 10 != 0) & (F.col("price") > 300000)
+    )
+    plus, minus = F.lit(1), F.lit(-1)
+    delta = (
+        inserts.withColumn("__w", plus)
+        .unionByName(cancelled.withColumn("__w", minus))
+        .unionByName(upd.withColumn("__w", minus))
+        .unionByName(
+            upd.withColumn(
+                "price",
+                (F.col("price") * F.lit(1.05).cast("decimal(3,2)")).cast(
+                    "decimal(18,2)"
+                ),
+            ).withColumn("__w", plus)
+        )
+        .select("o_orderpriority", "price", "__w")
+    )
+    state = ivm_agg_delta(
+        base.withColumn("__w", plus).select("o_orderpriority", "price", "__w"),
+        ["o_orderpriority"], ["price"],
+    )
+    refreshed = ivm_agg_refresh(state, delta, ["o_orderpriority"], ["price"])
+    return refreshed.select(
+        "o_orderpriority",
+        F.col("__cnt").alias("n_orders"),
+        F.col("sum_price").cast("double").alias("total_price"),
+    ).orderBy("o_orderpriority")
+
+
 def j5b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with bounded staleness (pandas merge_asof
     ``tolerance`` parity): the j5 shape, but a purchase older than 7
@@ -1619,6 +1672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_cube": a14_cube,
     "fuzzy_address_dedup": fuzzy_address_dedup,
     "ivm_join_maintenance": ivm_join_maintenance,
+    "ivm_agg_retraction": ivm_agg_retraction,
     "text_dsir_select": LLM_QUERIES["text_dsir_select"],
     "mm_decode_throughput": LLM_QUERIES["mm_decode_throughput"],
     # ---- remaining gates (driver rows 51+; locally verified) ----

@@ -7,6 +7,8 @@ from __future__ import annotations
 import pytest
 
 from etl_reporting_spark.operators.incremental import (
+    ivm_agg_delta,
+    ivm_agg_refresh,
     ivm_join_refresh,
     join_insert_delta,
 )
@@ -70,3 +72,39 @@ def test_outer_join_refused_with_guidance(spark):
     a_old, da, b_old, db = _frames(spark)
     with pytest.raises(ValueError, match="retraction"):
         join_insert_delta(a_old, da, b_old, db, "k", how="left")
+
+
+class TestAggRetraction:
+    """Signed-counting aggregate IVM: the retraction half
+    (ivm_agg_retraction gate carries the from-scratch oracle)."""
+
+    def test_retraction_equals_recompute(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("b", 5.0), ("b", 7.0)],
+            "g string, v double",
+        )
+        state = ivm_agg_delta(
+            rows.withColumn("__w", F.lit(1)), ["g"], ["v"]
+        )
+        # retract (a, 20), insert (a, 99) — i.e. update; insert (c, 1)
+        delta = spark.createDataFrame(
+            [("a", 20.0, -1), ("a", 99.0, 1), ("c", 1.0, 1)],
+            "g string, v double, __w int",
+        )
+        out = {
+            r["g"]: (r["__cnt"], r["sum_v"])
+            for r in ivm_agg_refresh(state, delta, ["g"], ["v"]).collect()
+        }
+        assert out == {"a": (2, 109.0), "b": (2, 12.0), "c": (1, 1.0)}
+
+    def test_fully_retracted_group_disappears(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = spark.createDataFrame([("a", 3.0)], "g string, v double")
+        state = ivm_agg_delta(rows.withColumn("__w", F.lit(1)), ["g"], ["v"])
+        delta = spark.createDataFrame(
+            [("a", 3.0, -1)], "g string, v double, __w int"
+        )
+        assert ivm_agg_refresh(state, delta, ["g"], ["v"]).count() == 0

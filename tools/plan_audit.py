@@ -138,6 +138,7 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "j5b_asof_tolerance": 1,  # tolerance adds ZERO shuffles over j5
     "ivm_join_maintenance": 2,
     "w13_rolling_window": 2,  # key shuffle + presentation sort
+    "ivm_agg_retraction": 3,  # base partials + delta partials + merge
 }
 
 
