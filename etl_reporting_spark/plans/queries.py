@@ -1672,11 +1672,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_cube": a14_cube,
     "fuzzy_address_dedup": fuzzy_address_dedup,
     "ivm_join_maintenance": ivm_join_maintenance,
-    "ivm_agg_retraction": ivm_agg_retraction,
     "text_dsir_select": LLM_QUERIES["text_dsir_select"],
     "mm_decode_throughput": LLM_QUERIES["mm_decode_throughput"],
     # ---- remaining gates (driver rows 51+; locally verified) ----
     "fn_try_to_date": fn_try_to_date,
+    "ivm_agg_retraction": ivm_agg_retraction,
     "f1_udf_in_sql": f1_udf_in_sql,
     "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
     "ann_cosine_topk": LLM_QUERIES["ann_cosine_topk"],
