@@ -108,3 +108,72 @@ class TestAggRetraction:
             [("a", 3.0, -1)], "g string, v double, __w int"
         )
         assert ivm_agg_refresh(state, delta, ["g"], ["v"]).count() == 0
+
+
+def test_streaming_ivm_agg_e2e(spark, tmp_path):
+    """Streaming materialized aggregate: signed deltas arrive over a
+    file stream in multiple epochs; the WAP-committed state must equal
+    the batch recompute over the effective final set, every commit is
+    epoch-tagged, and a replayed epoch is a no-op."""
+    from etl_reporting_spark.operators.wap import WapTable
+    from etl_reporting_spark.streaming.cdc_stream import (
+        read_event_stream,
+        streaming_ivm_agg,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    schema = "g string, v double, __w int"
+    # epoch 1: inserts
+    spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 20.0, 1), ("b", 5.0, 1)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # epoch 2: update (a,20)->(a,99); fully retract b; insert c
+    spark.createDataFrame(
+        [("a", 20.0, -1), ("a", 99.0, 1), ("b", 5.0, -1), ("c", 1.0, 1)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    path = str(tmp_path / "state")
+    q = streaming_ivm_agg(
+        read_event_stream(spark, str(src / "*"), schema, max_files_per_trigger=1),
+        path, ["g"], ["v"], str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    t = WapTable(spark, path)
+    state = {r["g"]: (r["__cnt"], r["sum_v"]) for r in t.read().collect()}
+    assert state == {"a": (2, 109.0), "c": (1, 1.0)}  # b fully retracted
+    records = t.history()
+    assert records[0]["operation"] == "ivm-init"
+    assert all(r["operation"] == "ivm-refresh" for r in records[1:])
+    epochs = [r["epoch_id"] for r in records]
+    assert epochs == sorted(epochs)
+    version_after = t.current_version()
+
+    # replay: drive the closure directly with an already-applied epoch
+    from etl_reporting_spark.streaming import cdc_stream as cs
+
+    captured = []
+
+    def fake_foreach(stream, ckpt, refresh):
+        captured.append(refresh)
+        class _Q:
+            def awaitTermination(self, *_):
+                return True
+        return _Q()
+
+    orig = cs.foreach_batch_upsert
+    cs.foreach_batch_upsert = fake_foreach
+    try:
+        streaming_ivm_agg(
+            read_event_stream(spark, str(src / "*"), schema),
+            path, ["g"], ["v"], "unused",
+        )
+    finally:
+        cs.foreach_batch_upsert = orig
+    replay = spark.createDataFrame([("a", 1000.0, 1)], schema)
+    captured[0](replay, max(epochs))       # replayed epoch: no-op
+    assert t.current_version() == version_after
+    captured[0](replay, max(epochs) + 1)   # new epoch applies
+    assert t.read().filter("g = 'a'").collect()[0]["sum_v"] == 1109.0
