@@ -476,3 +476,80 @@ def test_bmp_ppm_roundtrip_property(h, w, seed):
     arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
     assert np.array_equal(ic.decode_bmp(ic.encode_bmp(arr)), arr)
     assert np.array_equal(ic.decode_ppm(ic.encode_ppm(arr)), arr)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SLOW
+@given(
+    names=st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=14),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    max_edit=st.integers(1, 2),
+)
+def test_fuzzy_dedup_matches_bruteforce(spark, names, max_edit):
+    """The recall claim, adversarially random: q-gram blocking + the
+    short-string length pass together must find EXACTLY the pairs the
+    n² python levenshtein finds — including strings below the
+    (k+1)·q lemma floor and whitespace-heavy inputs (no df cap here:
+    the cap is a documented recall trade, not part of the claim)."""
+    from etl_reporting_spark.operators.fuzzy import fuzzy_dedup_pairs
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in fuzzy_dedup_pairs(
+            df, "id", "name", max_edit=max_edit, max_df=None
+        ).collect()
+    }
+    expected = {}
+    for i, a in enumerate(names):
+        for j in range(i + 1, len(names)):
+            d = _lev(a, names[j])
+            if d <= max_edit:
+                expected[(i, j)] = d
+    assert got == expected
+
+
+@SLOW
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    q=st.sampled_from([0.25, 0.5, 0.9]),
+)
+def test_global_sampled_quantiles_exact_when_corpus_fits(spark, values, q):
+    """Corpora ≤ k get the exact interpolated percentile — the sample
+    IS the corpus, so the result must equal numpy's linear
+    interpolation on any input."""
+    import numpy as np
+
+    from etl_reporting_spark.llm.corpusops import global_sampled_quantiles
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "doc_id long, score double"
+    )
+    got = global_sampled_quantiles(
+        df, "score", "doc_id", {"t": q}, k=256
+    ).collect()[0]["t"]
+    assert got == pytest_approx(np.percentile(values, q * 100, method="linear"))
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, rel=1e-12, abs=1e-9)
