@@ -630,3 +630,26 @@ def test_select_partitions_by_parsed_values(spark, tmp_path, fact_df):
     assert t2.select_partitions(lambda p: p["region"] is None) == [
         "region=__HIVE_DEFAULT_PARTITION__"
     ]
+
+
+def test_read_plans_one_scan_per_root_not_per_partition(spark, tmp_path):
+    """Scale shape: a snapshot whose partitions span R physical roots
+    plans R parquet scans (basePath grouping), NOT one per partition —
+    a years-deep fact with thousands of partitions but compacted
+    roots keeps a small plan."""
+    from etl_reporting_spark.operators.wap import create_partitioned_wap_table
+
+    rows = [(i, f"2026-01-{1 + i % 10:02d}", float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, ds string, v double")
+    t = create_partitioned_wap_table(spark, str(tmp_path / "t"), df, ["ds"])
+    # three single-day commits -> 4 roots total, 10 partitions
+    for day in ("2026-01-01", "2026-01-02", "2026-01-03"):
+        one = spark.createDataFrame(
+            [(1000, day, 0.0)], "id long, ds string, v double"
+        )
+        t.commit_partitions(one, replace=[f"ds={day}"])
+    assert len(t.partition_map()) == 10
+    assert len(_data_roots(t.path)) == 4
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 4, plan[:500]
