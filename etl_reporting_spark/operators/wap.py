@@ -960,6 +960,25 @@ def optimize_partitions(
 
 
 # ----------------------------------------------------------- utilities
+def open_wap_table(spark: SparkSession, path: str) -> WapTable:
+    """Handle to an existing WAP table, detecting its layout from the
+    latest commit record: a ``partitions`` map means
+    :class:`PartitionedWapTable` (partition_by recovered from the map
+    keys), otherwise the full-snapshot :class:`WapTable` — so callers
+    that only hold a path (SQL view registration, maintenance jobs)
+    need not know which writer created the table."""
+    table = WapTable(spark, path)
+    rec = table.latest_record()
+    if rec is not None and "partitions" in rec:
+        keys = list(rec["partitions"]) or rec.get("touched", [])
+        if keys:
+            cols = [part.split("=", 1)[0] for part in keys[0].split("/")]
+        else:
+            cols = []
+        return PartitionedWapTable(spark, path, cols)
+    return table
+
+
 def register_wap_view(
     spark: SparkSession, path: str, name: str, version: int | None = None
 ) -> WapTable:
@@ -968,8 +987,8 @@ def register_wap_view(
     report pipeline (reports query ``name`` like any table; the view
     pins the snapshot resolved NOW, so a mid-report commit cannot
     shear the report across versions — re-register to pick up a newer
-    version)."""
-    table = WapTable(spark, path)
+    version). Works for both layouts via :func:`open_wap_table`."""
+    table = open_wap_table(spark, path)
     table.read(version=version).createOrReplaceTempView(name)
     return table
 

@@ -653,3 +653,34 @@ def test_read_plans_one_scan_per_root_not_per_partition(spark, tmp_path):
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans == 4, plan[:500]
+
+
+def test_register_view_detects_partitioned_layout(spark, tmp_path, fact_df):
+    """SQL reports can sit on a partitioned fact without knowing the
+    layout: open_wap_table detects it from the commit record and the
+    registered view pins the snapshot at registration time."""
+    from etl_reporting_spark.operators.wap import (
+        PartitionedWapTable,
+        open_wap_table,
+        register_wap_view,
+    )
+
+    t = _ptable(spark, tmp_path, fact_df)
+    opened = open_wap_table(spark, t.path)
+    assert isinstance(opened, PartitionedWapTable)
+    assert opened.partition_by == ["ds"]
+
+    register_wap_view(spark, t.path, "fact_v")
+    total = spark.sql(
+        "SELECT CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS s FROM fact_v"
+    ).collect()[0]["s"]
+    assert total == sum(float(i * 10) for i in range(1, 13))
+    # a commit AFTER registration does not shear the view
+    day = spark.createDataFrame(
+        [(999, "2026-01-02", 1.0)], "id long, ds string, amount double"
+    )
+    t.commit_partitions(day, replace=["ds=2026-01-02"])
+    assert spark.sql("SELECT COUNT(*) AS n FROM fact_v").collect()[0]["n"] == 12
+    # re-register picks up the new snapshot
+    register_wap_view(spark, t.path, "fact_v")
+    assert spark.sql("SELECT COUNT(*) AS n FROM fact_v").collect()[0]["n"] == 9
