@@ -684,3 +684,31 @@ def test_register_view_detects_partitioned_layout(spark, tmp_path, fact_df):
     # re-register picks up the new snapshot
     register_wap_view(spark, t.path, "fact_v")
     assert spark.sql("SELECT COUNT(*) AS n FROM fact_v").collect()[0]["n"] == 9
+
+
+def test_rebase_exhaustion_cleans_orphan_root(spark, tmp_path, fact_df):
+    """If the CAS keeps conflicting past max_rebase (pathological
+    contention), the writer gives up with ConcurrentWriteError and
+    its already-written data root is removed — no disk leak."""
+    from etl_reporting_spark.operators.wap import (
+        CommitConflict,
+        LocalFSCommitStore,
+    )
+
+    t = _ptable(spark, tmp_path, fact_df)
+
+    class AlwaysConflict(LocalFSCommitStore):
+        def publish(self, version, payload):
+            raise CommitConflict(version)
+
+    t.store = AlwaysConflict(os.path.join(t.path, "_wap"))
+    roots_before = _data_roots(t.path)
+    day = spark.createDataFrame(
+        [(1, "2026-01-02", 0.0)], "id long, ds string, amount double"
+    )
+    with pytest.raises(ConcurrentWriteError):
+        t.commit_partitions(day, max_rebase=2)
+    assert _data_roots(t.path) == roots_before  # orphan cleaned
+    # table unharmed under the real store
+    t.store = LocalFSCommitStore(os.path.join(t.path, "_wap"))
+    assert t.current_version() == 1 and t.read().count() == 12
