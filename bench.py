@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
-(per-query sec), "sf"}.
+(per-query sec), "sf"}. Full per-query detail (all gates + heavy tier
+metadata) is written to BENCH_DETAIL.json beside this file; the
+printed line is budgeted to fit the driver's 2000-char stdout tail
+(round 6's full line outgrew it and the official artifact recorded
+"parsed": null).
 
 Timing is action-to-completion per query (count() of the final
 DataFrame — forces full execution without driver-side row transfer
@@ -143,6 +147,61 @@ HEAVY_REL = [
 ]
 
 
+# The driver captures only the LAST ~2000 chars of stdout; round 6's
+# line outgrew that (48 gates + two heavy tiers) and the official
+# artifact recorded "parsed": null. The final line is therefore built
+# by build_stdout_line() under a hard budget: full per-query detail
+# goes to BENCH_DETAIL.json, and the printed line keeps the summary
+# plus as many per-query entries (largest first) as fit.
+STDOUT_BUDGET = 1850  # headroom under the driver's 2000-char tail
+
+
+def build_stdout_line(out_full: dict, budget: int = STDOUT_BUDGET) -> str:
+    """Compact one-line JSON summary guaranteed to fit `budget` chars.
+
+    Keeps metric/value/unit/sf, heavy tier totals + heavy per-query,
+    then fills "queries" with headline gates in descending-time order
+    until the budget would be exceeded. "queries_omitted" records how
+    many gates were dropped from stdout (all of them are always in
+    BENCH_DETAIL.json).
+    """
+    line: dict = {
+        "metric": out_full["metric"],
+        "value": out_full["value"],
+        "unit": out_full["unit"],
+        "sf": out_full["sf"],
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if "heavy" in out_full:
+        line["heavy"] = {
+            tier: {"value": h["value"], "queries": h["queries"]}
+            for tier, h in out_full["heavy"].items()
+        }
+    timings = out_full["queries"]
+    # Reserve space for the queries_omitted field before filling.
+    line["queries_omitted"] = len(timings)
+    line["queries"] = {}
+
+    def _len() -> int:
+        return len(json.dumps(line, separators=(",", ":")))
+
+    for name in sorted(timings, key=lambda k: (-timings[k], k)):
+        line["queries"][name] = timings[name]
+        if _len() > budget:
+            del line["queries"][name]
+            break
+    line["queries_omitted"] = len(timings) - len(line["queries"])
+    if line["queries_omitted"] == 0:
+        del line["queries_omitted"]
+    s = json.dumps(line, separators=(",", ":"))
+    # Heavy dict itself could in principle outgrow the budget; degrade
+    # to tier totals only rather than emit an unparseable tail.
+    if len(s) > budget and "heavy" in line:
+        line["heavy"] = {t: {"value": h["value"]} for t, h in line["heavy"].items()}
+        s = json.dumps(line, separators=(",", ":"))
+    return s
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -219,7 +278,12 @@ def main() -> None:
     if heavy is not None:
         out["heavy"] = heavy
 
-    print(json.dumps(out))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+        f.write("\n")
+
+    print(build_stdout_line(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,95 @@
+"""The driver parses ONLY the last ~2000 chars of bench.py stdout.
+
+Round 6's final JSON line outgrew that tail (48 gates + two heavy
+tiers) and BENCH_r06.json recorded "parsed": null — the official
+bench signal was lost. These tests pin the contract of
+bench.build_stdout_line: whatever the gate count, the printed line
+is valid JSON, fits the budget, and keeps the summary fields the
+driver needs.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bench import STDOUT_BUDGET, build_stdout_line  # noqa: E402
+
+
+def _fake_out(n_queries: int, heavy: bool = True) -> dict:
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(0.1 * (i % 17 + 1) for i in range(n_queries)), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {
+            f"some_rather_long_query_name_{i:03d}": round(0.1 * (i % 17 + 1), 3)
+            for i in range(n_queries)
+        },
+    }
+    if heavy:
+        out["heavy"] = {
+            "sf3": {
+                "dir": "/root/repo/.localdata/sf3",
+                "estimator": "min of 3",
+                "value": 50.0,
+                "queries": {f"heavy_llm_gate_{i}": 7.0 + i for i in range(7)},
+            },
+            "sf10": {
+                "dir": "/root/repo/.localdata/sf10",
+                "estimator": "min of 2",
+                "value": 80.0,
+                "queries": {f"heavy_rel_gate_{i}": 13.0 + i for i in range(6)},
+            },
+        }
+    return out
+
+
+def test_small_run_keeps_every_query():
+    out = _fake_out(10)
+    line = build_stdout_line(out)
+    assert len(line) <= STDOUT_BUDGET
+    parsed = json.loads(line)
+    assert parsed["queries"] == out["queries"]
+    assert "queries_omitted" not in parsed
+    # heavy per-query retained, long dir strings dropped
+    assert parsed["heavy"]["sf3"]["queries"] == out["heavy"]["sf3"]["queries"]
+    assert "dir" not in parsed["heavy"]["sf3"]
+
+
+def test_huge_run_still_fits_and_parses():
+    for n in (48, 100, 500):
+        out = _fake_out(n)
+        line = build_stdout_line(out)
+        assert len(line) <= STDOUT_BUDGET, (n, len(line))
+        parsed = json.loads(line)
+        assert parsed["metric"] == out["metric"]
+        assert parsed["value"] == out["value"]
+        assert parsed["sf"] == 0.1
+        assert parsed["detail_file"] == "BENCH_DETAIL.json"
+        kept = parsed["queries"]
+        omitted = parsed.get("queries_omitted", 0)
+        assert len(kept) + omitted == n
+        # the slowest gates are the ones kept
+        if omitted:
+            kept_min = min(kept.values())
+            dropped = [v for k, v in out["queries"].items() if k not in kept]
+            assert max(dropped) <= kept_min + 1e-9
+
+
+def test_no_heavy_tier():
+    out = _fake_out(48, heavy=False)
+    line = build_stdout_line(out)
+    parsed = json.loads(line)
+    assert "heavy" not in parsed
+    assert len(line) <= STDOUT_BUDGET
+
+
+def test_tiny_budget_degrades_heavy_to_totals():
+    out = _fake_out(48)
+    line = build_stdout_line(out, budget=400)
+    parsed = json.loads(line)
+    # even at an absurd budget the line parses and keeps the headline value
+    assert parsed["value"] == out["value"]
+    assert parsed["heavy"]["sf3"] == {"value": 50.0}
