@@ -117,6 +117,9 @@ HEADLINE = [
     "w13_rolling_window",
     "j5b_asof_tolerance",
     "text_dsir_select",
+    # round-7: the IVF+PQ recall sweep (8 operating points, ADC +
+    # exact-rerank refine, from one encode pass per encoding)
+    "ann_recall_sweep",
 ]
 
 # Heavy gates timed at the self-generated sf3 tier (30x sf0.1, all

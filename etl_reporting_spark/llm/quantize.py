@@ -370,6 +370,8 @@ def cosine_topk_ivfpq(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    n_probe: int = 1,
+    residual: bool = False,
 ) -> DataFrame:
     """The composed serving path — IVF prune × PQ compress × ADC
     score: each query scores ONLY its centroid cell's inverted list
@@ -380,12 +382,36 @@ def cosine_topk_ivfpq(
     independently gated, and this composition is gated end-to-end.
 
     Scale: the cell join shuffles on (centroid_id ⋈) with the LUT
-    broadcast; candidate work per query is |corpus|/n_centroids · m
-    integer probes. Residual encoding (PQ over x − centroid, the
-    classic refinement) drops into ``pq_encode`` by pre-subtracting
-    the assigned centroid — omitted here to keep the gate's oracle
-    compact."""
+    broadcast; candidate work per query is |corpus|·n_probe/n_centroids
+    · m integer probes. ``n_probe > 1`` (multi-probe) and
+    ``residual=True`` (PQ over x − centroid — see the residual
+    section below) route through ``ivfpq_candidates``; the default
+    single-probe plain path keeps its original plan so the
+    long-standing ann_cosine_ivfpq value hash is untouched."""
     from etl_reporting_spark.llm.similarity import ivf_assign
+
+    if n_probe != 1 or residual:
+        cands = ivfpq_candidates(
+            embeddings,
+            queries,
+            n_probe=n_probe,
+            residual=residual,
+            n_centroids=n_centroids,
+            m=m,
+            n_codes=n_codes,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_score").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "adc_score")
+        )
 
     if centroids is None:
         centroids = embeddings.filter(F.col(id_col) < n_centroids)
@@ -420,3 +446,275 @@ def cosine_topk_ivfpq(
         )
     )
     return _adc_topk(codes, lut, id_col, k, cell_match=True)
+
+
+# --- Residual encoding + multi-probe (round-7) ---------------------
+#
+# The classic IVF+PQ refinement: PQ quantizes x − c(cell(x)) instead
+# of x. Residuals are much smaller in magnitude than raw vectors, so
+# the same 16-code budget spends its resolution on the part of the
+# vector the coarse quantizer didn't already explain — the ADC score
+# error drops and recall at a fixed n_probe rises (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+# §IV.C). The reconstruction is x ≈ c + r̂, so
+#
+#     <q, x>  ≈ <q, c>           (exact, per probed cell)
+#             + Σ_s LUT_r[s, code_s]      (residual ADC lookups)
+#     ‖x‖²    ≈ ‖c‖² + Σ_s (2·<c_s, r̂_s> + ‖r̂_s‖²)
+#
+# where <c_s, r̂_s> comes from a (cell, subspace, code) table of
+# n_centroids·m·n_codes rows — broadcast-sized at any corpus scale.
+# Every added term is a fixed-shape double op folded in subspace
+# order, so the residual path is value-hash-oracled exactly like the
+# plain one.
+
+
+def residualize(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Replace each vector with its IVF residual x − c(cell(x)).
+
+    Returns (id, centroid_id, vec_col=residual array<double>). One
+    broadcast assignment pass + one narrow zip_with — no shuffle
+    beyond ``ivf_assign``'s window."""
+    from etl_reporting_spark.llm.similarity import ivf_assign
+
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+    )
+    return assigned.join(F.broadcast(c), "centroid_id").select(
+        id_col,
+        "centroid_id",
+        F.expr(
+            f"zip_with({vec_col}, __cvec,"
+            " (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        ).alias(vec_col),
+    )
+
+
+def ivfpq_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 1,
+    residual: bool = False,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Scored IVF+PQ candidate set with the probe rank exposed:
+    (query_id, probe_rn, neighbor_id, adc_score), one row per
+    (query, candidate) pair whose candidate lives in one of the
+    query's ``n_probe`` nearest cells. Rank/filter downstream for a
+    top-k (``cosine_topk_ivfpq``) or sweep probe_rn thresholds from
+    ONE encode+score pass (``ann_recall_sweep`` — candidate work is
+    paid once at n_probe_max, not once per operating point).
+
+    ``residual=True`` PQ-encodes x − c(cell(x)) (see module note):
+    same plan shape — the only additions are two broadcast-sized
+    tables (per-cell base terms, per-(cell,subspace,code) cross
+    dots) folded into the LUT before the single scoring join."""
+    from etl_reporting_spark.llm.similarity import ivf_assign
+
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_centroids)
+    sub = dim // m
+
+    cells = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    enc_src = (
+        residualize(embeddings, centroids, id_col, vec_col).select(id_col, vec_col)
+        if residual
+        else embeddings
+    )
+    codebook = pq_codebook(enc_src, m, n_codes, dim, id_col, vec_col)
+    codes = pq_encode(enc_src, codebook, m, dim, id_col, vec_col).join(cells, id_col)
+
+    probes = ivf_assign(
+        queries, centroids, id_col, vec_col, n_nearest=n_probe, with_rank=True
+    )
+    q = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(_SUBFOLD_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
+        F.col("centroid_id").alias("qcell"),
+        "probe_rn",
+    )
+    if residual:
+        # Per-cell base terms: <q, c> (exact part of the dot) and
+        # ‖c‖² (base of the reconstructed norm).
+        centn = centroids.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            F.expr(_SUBFOLD_DOT.format(a=vec_col, b=vec_col)).alias("base_cn2"),
+        )
+        q = (
+            q.join(F.broadcast(centn), F.col("qcell") == F.col("__cid"))
+            .withColumn("base_dot", F.expr(_SUBFOLD_DOT.format(a="qvec", b="__cvec")))
+            .drop("__cid", "__cvec")
+        )
+    else:
+        q = q.withColumn("base_dot", F.lit(0.0)).withColumn("base_cn2", F.lit(0.0))
+
+    lut = (
+        _subspaces(q, m, sub, "qvec", "qsub")
+        .join(F.broadcast(codebook.select("subspace", "code", "subvec", "cn2")), "subspace")
+        .select(
+            "query_id",
+            "qn2",
+            "qcell",
+            "probe_rn",
+            "base_dot",
+            "base_cn2",
+            "subspace",
+            "code",
+            F.expr(_SUBFOLD_DOT.format(a="qsub", b="subvec")).alias("pdot"),
+            "cn2",
+        )
+    )
+    if residual:
+        # Cross dots <c_s, codevec_s>: the norm correction's middle
+        # term, keyed by the candidate's cell — which the scoring
+        # join pins equal to qcell, so it composes into the LUT.
+        csl = _subspaces(
+            centroids.select(F.col(id_col).alias("__ccell"), F.col(vec_col).alias("__cv")),
+            m,
+            sub,
+            "__cv",
+            "__csub",
+        ).select(
+            "__ccell",
+            F.col("subspace").alias("__csubspace"),
+            "__csub",
+        )
+        ccdot = csl.join(
+            F.broadcast(codebook.select(F.col("subspace").alias("__csubspace"),
+                                        F.col("code").alias("__ccode"), "subvec")),
+            "__csubspace",
+        ).select(
+            "__ccell",
+            "__csubspace",
+            "__ccode",
+            F.expr(_SUBFOLD_DOT.format(a="__csub", b="subvec")).alias("__ccdot"),
+        )
+        lut = (
+            lut.join(
+                F.broadcast(ccdot),
+                (F.col("qcell") == F.col("__ccell"))
+                & (F.col("subspace") == F.col("__csubspace"))
+                & (F.col("code") == F.col("__ccode")),
+            )
+            .withColumn("cn2", F.lit(2.0) * F.col("__ccdot") + F.col("cn2"))
+            .drop("__ccell", "__csubspace", "__ccode", "__ccdot")
+        )
+
+    lut_r = lut.withColumnRenamed("subspace", "l_subspace").withColumnRenamed(
+        "code", "l_code"
+    )
+    cond = (
+        (F.col("subspace") == F.col("l_subspace"))
+        & (F.col("code") == F.col("l_code"))
+        & (F.col("centroid_id") == F.col("qcell"))
+    )
+    parts = (
+        codes.join(F.broadcast(lut_r), cond)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.first("qn2").alias("qn2"),
+            F.first("probe_rn").alias("probe_rn"),
+            F.first("base_dot").alias("base_dot"),
+            F.first("base_cn2").alias("base_cn2"),
+            F.array_sort(
+                F.collect_list(F.struct("subspace", "pdot", "cn2"))
+            ).alias("__m"),
+        )
+        .withColumn(
+            "adc_dot",
+            F.col("base_dot")
+            + F.expr("aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.pdot)"),
+        )
+        .withColumn(
+            "approx_cn2",
+            F.col("base_cn2")
+            + F.expr("aggregate(__m, CAST(0 AS DOUBLE), (acc, e) -> acc + e.cn2)"),
+        )
+    )
+    return parts.select(
+        "query_id",
+        "probe_rn",
+        F.col(id_col).alias("neighbor_id"),
+        (
+            F.col("adc_dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("approx_cn2")))
+        ).alias("adc_score"),
+    )
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "adc_score",
+) -> DataFrame:
+    """Refine stage (the "R" of IVFADC-R, Jégou et al. 2011 §V):
+    shortlist the top-``shortlist`` candidates per query by the
+    approximate score, exact-cosine ONLY those, re-rank, keep top-k.
+
+    This is the lever that closes the ADC-vs-exact ranking gap: the
+    measured sweep (plans/llm_queries.ann_recall_sweep) shows seed-
+    codebook ADC alone ranks at recall@5 ≈ 0.4-0.5 while the same
+    shortlist refined exactly reaches the IVF cell ceiling (≥ 0.8 at
+    every probed level). Cost: ``shortlist`` full-width vector reads
+    + exact dots per query — candidates ∝ n_queries·shortlist, so the
+    refine join is query-sized, never corpus-sized. The exact cosine
+    reuses the brute-force fold/tie-break conventions, so refined
+    output stays value-hash-oracled.
+
+    Returns (query_id, rank, neighbor_id, cosine).
+    """
+    from etl_reporting_spark.llm.similarity import _DOT, _NORM2, _cosine_expr
+
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        candidates.withColumn("__srn", F.row_number().over(w_s))
+        .filter(F.col("__srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+    )
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn("cosine", _cosine_expr())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -168,12 +168,16 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_nearest: int = 1,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (IVF
     coarse quantization). Centroids broadcast; one pass over the
     corpus; ties break on centroid id — fully deterministic given
     fixed centroids. ``n_nearest > 1`` keeps one row per (vector,
-    cell) for the top cells — the multi-probe query side."""
+    cell) for the top cells — the multi-probe query side;
+    ``with_rank`` adds the cell's probe rank as ``probe_rn`` so a
+    single n_probe_max assignment can be filtered to any smaller
+    probe count downstream (the recall-sweep pattern)."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cvec"),
@@ -190,11 +194,14 @@ def ivf_assign(
         .withColumn("cosine", _cosine_expr())
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_nearest)
-        .select(id_col, vec_col, "centroid_id")
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= n_nearest
     )
+    if with_rank:
+        return ranked.select(
+            id_col, vec_col, "centroid_id", F.col("__rn").alias("probe_rn")
+        )
+    return ranked.select(id_col, vec_col, "centroid_id")
 
 
 def kmeans_step_components(

@@ -1973,6 +1973,229 @@ LEFT JOIN h2 ON b.query_id = h2.query_id
 ORDER BY b.query_id
 """
 
+# IVF+PQ recall sweep (round-7): n_probe 1..4 × {plain, residual}
+# encodings, ADC ranking AND the exact-rerank refine stage, all
+# replayed exactly. Shared CTEs do the expensive work once (cell
+# assignment, both encodings, both scored candidate relations with
+# probe_rn exposed); the 8 per-config tails are generated by the
+# Python loop below — each is just two windowed top-k's over the
+# shared scored relation plus two hit counts vs the exact top-5.
+def _ann_recall_sweep_sql() -> str:
+    n_cent, n_codes, n_q, k, shortlist = 32, 64, 20, 5, 32
+    denom = float(n_q * k)
+    shared = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {n_cent}
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, ct.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='ct.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='ct.cvec', b='ct.cvec'))} AS cosine
+  FROM embeddings e, cent ct
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+  FROM scored_assign
+),
+assign AS (SELECT vec_id, embedding, centroid_id FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id, embedding, centroid_id, rn AS probe_rn
+  FROM ranked WHERE rn <= 4 AND vec_id < {n_q}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+    {_DOT9.format(a='embedding', b='embedding')} AS qn2
+  FROM embeddings WHERE vec_id < {n_q}
+),
+exact_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    {_COS.format(dot=_DOT9.format(a='q.qvec', b='c.embedding'),
+                 na=_DOT9.format(a='q.qvec', b='q.qvec'),
+                 nb=_DOT9.format(a='c.embedding', b='c.embedding'))} AS cosine
+  FROM q, embeddings c WHERE c.vec_id != q.query_id
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM exact_scored
+  ) t WHERE rank <= {k}
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, p.probe_rn, a.vec_id AS neighbor_id, a.centroid_id
+  FROM probes p JOIN assign a
+    ON a.centroid_id = p.centroid_id AND a.vec_id != p.vec_id
+),
+subs AS (SELECT unnest(range(0, 8)) AS subspace),
+cbn_p AS (
+  SELECT s.subspace, e.vec_id AS code,
+    list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8) AS subvec,
+    {_PQ_DOT.format(a="list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8)",
+                    b="list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8)")} AS cn2
+  FROM embeddings e, subs s WHERE e.vec_id < {n_codes}
+),
+enc_p AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT ex.vec_id, ex.subspace, cbn_p.code,
+      ROW_NUMBER() OVER (
+        PARTITION BY ex.vec_id, ex.subspace
+        ORDER BY {_PQ_L2.format(a='ex.xsub', b='cbn_p.subvec')} ASC, cbn_p.code ASC
+      ) AS rn
+    FROM (
+      SELECT e.vec_id, s.subspace,
+        list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8) AS xsub
+      FROM embeddings e, subs s
+    ) ex JOIN cbn_p ON ex.subspace = cbn_p.subspace
+  ) t WHERE rn = 1
+),
+lut_p AS (
+  SELECT q.query_id, q.qn2, cbn_p.subspace, cbn_p.code, cbn_p.cn2,
+    {_PQ_DOT.format(a="list_slice(q.qvec, cbn_p.subspace * 8 + 1, cbn_p.subspace * 8 + 8)",
+                    b='cbn_p.subvec')} AS pdot
+  FROM q, cbn_p
+),
+parts_p AS (
+  SELECT pr.query_id, pr.probe_rn, pr.neighbor_id,
+    ANY_VALUE(l.qn2) AS qn2,
+    list_reduce(list(l.pdot ORDER BY l.subspace), (acc, v) -> acc + v) AS adc_dot,
+    list_reduce(list(l.cn2 ORDER BY l.subspace), (acc, v) -> acc + v) AS fold_cn2
+  FROM pairs pr
+  JOIN enc_p e ON e.vec_id = pr.neighbor_id
+  JOIN lut_p l ON l.query_id = pr.query_id
+              AND l.subspace = e.subspace AND l.code = e.code
+  GROUP BY 1, 2, 3
+),
+scored_plain AS (
+  SELECT query_id, probe_rn, neighbor_id,
+    adc_dot / (sqrt(qn2) * sqrt(fold_cn2)) AS adc_score
+  FROM parts_p
+),
+resid AS (
+  SELECT a.vec_id, a.centroid_id,
+    list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE)) AS rvec
+  FROM assign a JOIN cent ct ON a.centroid_id = ct.centroid_id
+),
+cbn_r AS (
+  SELECT s.subspace, r.vec_id AS code,
+    list_slice(r.rvec, s.subspace * 8 + 1, s.subspace * 8 + 8) AS subvec,
+    {_PQ_DOT.format(a="list_slice(r.rvec, s.subspace * 8 + 1, s.subspace * 8 + 8)",
+                    b="list_slice(r.rvec, s.subspace * 8 + 1, s.subspace * 8 + 8)")} AS cn2
+  FROM resid r, subs s WHERE r.vec_id < {n_codes}
+),
+enc_r AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT ex.vec_id, ex.subspace, cbn_r.code,
+      ROW_NUMBER() OVER (
+        PARTITION BY ex.vec_id, ex.subspace
+        ORDER BY {_PQ_L2.format(a='ex.xsub', b='cbn_r.subvec')} ASC, cbn_r.code ASC
+      ) AS rn
+    FROM (
+      SELECT r.vec_id, s.subspace,
+        list_slice(r.rvec, s.subspace * 8 + 1, s.subspace * 8 + 8) AS xsub
+      FROM resid r, subs s
+    ) ex JOIN cbn_r ON ex.subspace = cbn_r.subspace
+  ) t WHERE rn = 1
+),
+lut_r AS (
+  SELECT q.query_id, q.qn2, cbn_r.subspace, cbn_r.code, cbn_r.cn2,
+    {_PQ_DOT.format(a="list_slice(q.qvec, cbn_r.subspace * 8 + 1, cbn_r.subspace * 8 + 8)",
+                    b='cbn_r.subvec')} AS pdot
+  FROM q, cbn_r
+),
+ccdot AS (
+  SELECT ct.centroid_id, cb.subspace, cb.code,
+    {_PQ_DOT.format(a="list_slice(ct.cvec, cb.subspace * 8 + 1, cb.subspace * 8 + 8)",
+                    b='cb.subvec')} AS ccdot
+  FROM cent ct, cbn_r cb
+),
+centn AS (
+  SELECT centroid_id, {_DOT9.format(a='cvec', b='cvec')} AS cell_cn2 FROM cent
+),
+qc AS (
+  SELECT q.query_id, ct.centroid_id,
+    {_DOT9.format(a='q.qvec', b='ct.cvec')} AS base_dot
+  FROM q, cent ct
+),
+parts_r AS (
+  SELECT pr.query_id, pr.probe_rn, pr.neighbor_id,
+    ANY_VALUE(l.qn2) AS qn2,
+    ANY_VALUE(b.base_dot) AS base_dot,
+    ANY_VALUE(cn.cell_cn2) AS cell_cn2,
+    list_reduce(list(l.pdot ORDER BY l.subspace), (acc, v) -> acc + v) AS adc_dot,
+    list_reduce(list(2.0 * cc.ccdot + l.cn2 ORDER BY l.subspace),
+                (acc, v) -> acc + v) AS fold_cn2
+  FROM pairs pr
+  JOIN enc_r e ON e.vec_id = pr.neighbor_id
+  JOIN lut_r l ON l.query_id = pr.query_id
+              AND l.subspace = e.subspace AND l.code = e.code
+  JOIN ccdot cc ON cc.centroid_id = pr.centroid_id
+               AND cc.subspace = e.subspace AND cc.code = e.code
+  JOIN qc b ON b.query_id = pr.query_id AND b.centroid_id = pr.centroid_id
+  JOIN centn cn ON cn.centroid_id = pr.centroid_id
+  GROUP BY 1, 2, 3
+),
+scored_residual AS (
+  SELECT query_id, probe_rn, neighbor_id,
+    (base_dot + adc_dot) / (sqrt(qn2) * sqrt(cell_cn2 + fold_cn2)) AS adc_score
+  FROM parts_r
+)"""
+    tails = []
+    rows = []
+    for enc in ("plain", "residual"):
+        for p in (1, 2, 3, 4):
+            tag = f"{enc}_{p}"
+            tails.append(f""",
+top_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rk
+    FROM scored_{enc} WHERE probe_rn <= {p}
+  ) t WHERE rk <= {k}
+),
+short_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rk
+    FROM scored_{enc} WHERE probe_rn <= {p}
+  ) t WHERE rk <= {shortlist}
+),
+ref_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY s.query_id ORDER BY x.cosine DESC, s.neighbor_id ASC) AS rk
+    FROM short_{tag} s JOIN exact_scored x
+      ON x.query_id = s.query_id AND x.neighbor_id = s.neighbor_id
+  ) t WHERE rk <= {k}
+)""")
+            rows.append(f"""
+  SELECT '{enc}' AS encoding, CAST({p} AS INTEGER) AS n_probe,
+    CAST((SELECT COUNT(*) FROM exact_top t
+          JOIN top_{tag} a ON t.query_id = a.query_id
+                          AND t.neighbor_id = a.neighbor_id) AS BIGINT) AS hits_adc,
+    CAST((SELECT COUNT(*) FROM exact_top t
+          JOIN top_{tag} a ON t.query_id = a.query_id
+                          AND t.neighbor_id = a.neighbor_id) AS DOUBLE) / {denom} AS recall_adc,
+    CAST((SELECT COUNT(*) FROM exact_top t
+          JOIN ref_{tag} r ON t.query_id = r.query_id
+                          AND t.neighbor_id = r.neighbor_id) AS BIGINT) AS hits_refined,
+    CAST((SELECT COUNT(*) FROM exact_top t
+          JOIN ref_{tag} r ON t.query_id = r.query_id
+                          AND t.neighbor_id = r.neighbor_id) AS DOUBLE) / {denom} AS recall_refined""")
+    return (
+        shared
+        + "".join(tails)
+        + "\nSELECT * FROM ("
+        + "\n  UNION ALL".join(rows)
+        + "\n) ORDER BY encoding, n_probe"
+    )
+
+
+LLM_ORACLE_SQL["ann_recall_sweep"] = _ann_recall_sweep_sql()
+
+
 # DSIR importance: hashed unigram+bigram buckets (md5 % 1024, 'dsir'
 # salt), integer bucket masses against the en-target and whole-corpus
 # models, one IEEE-exact multiply/divide for the surrogate score.

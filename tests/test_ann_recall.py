@@ -1,0 +1,148 @@
+"""Residual IVF+PQ + exact-rerank refine (round-7, closes the
+round-5 #6 ask): the recall sweep's operating point and the algebra
+behind the residual ADC score.
+
+The headline contract pinned here: `ann_recall_sweep` reports
+recall@5 ≥ 0.8 at a measured operating point — in fact the refine
+stage reaches ≥ 0.8 at EVERY (encoding, n_probe) point on this
+corpus, including n_probe=1 (≈3% of the corpus scanned). Reference
+has no ANN; this is north-star scope (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_01 = "/root/testdata/sf0.01"
+
+
+def _emb(spark, sf_dir=SF_DIR):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_residualize_reconstructs_exactly(spark):
+    """x == c(cell(x)) + residual, elementwise (double arithmetic is
+    exact for a - b followed by b + (a - b) only up to rounding — but
+    the residual is defined as the double difference, so adding the
+    double centroid back reproduces the double cast of x exactly)."""
+    from etl_reporting_spark.llm.quantize import residualize
+
+    emb = _emb(spark)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    res = residualize(emb, centroids)
+    c = centroids.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    back = (
+        res.join(F.broadcast(c), "centroid_id")
+        .withColumn(
+            "recon",
+            F.expr(
+                "zip_with(embedding, cvec, (r, cv) -> r + CAST(cv AS DOUBLE))"
+            ),
+        )
+        .join(
+            _emb(spark).select("vec_id", F.col("embedding").alias("orig")),
+            "vec_id",
+        )
+        .withColumn(
+            "max_err",
+            F.expr(
+                "aggregate(zip_with(recon, orig,"
+                " (a, b) -> abs(a - CAST(b AS DOUBLE))),"
+                " CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+            ),
+        )
+    )
+    worst = back.agg(F.max("max_err")).collect()[0][0]
+    # c + (x - c) re-rounds once; for float32-ranged inputs widened
+    # to double the round-trip error is below 1e-12 of the values.
+    assert worst < 1e-12
+
+
+def test_ivfpq_candidates_plain_matches_ivfpq_topk(spark):
+    """Ranking ivfpq_candidates(n_probe=1, plain) reproduces the
+    long-standing cosine_topk_ivfpq gate output value-for-value —
+    the generalized path and the original path are the same math."""
+    from etl_reporting_spark.llm.quantize import cosine_topk_ivfpq, ivfpq_candidates
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    legacy = cosine_topk_ivfpq(emb, queries, k=5, m=8, n_codes=16).collect()
+    cands = ivfpq_candidates(emb, queries, n_probe=1, residual=False,
+                             n_centroids=8, n_codes=16)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    new = (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.col("adc_score"))
+        .collect()
+    )
+    legacy_map = {(r.query_id, r.rank): (r.neighbor_id, r.adc_score) for r in legacy}
+    new_map = {(r.query_id, r.rank): (r.neighbor_id, r.adc_score) for r in new}
+    assert legacy_map == new_map
+
+
+def test_multiprobe_candidates_nest(spark):
+    """probe_rn<=1 candidates ⊂ probe_rn<=2 ⊂ ... and scores agree on
+    the shared pairs (the sweep's one-pass-filter-later premise)."""
+    from etl_reporting_spark.llm.quantize import ivfpq_candidates
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cands = ivfpq_candidates(emb, queries, n_probe=3, n_centroids=8, n_codes=16)
+    rows = cands.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_rn, {})[(r.query_id, r.neighbor_id)] = r.adc_score
+    keys1 = set(by_probe.get(1, {}))
+    keys12 = keys1 | set(by_probe.get(2, {}))
+    all_keys = {(r.query_id, r.neighbor_id) for r in rows}
+    assert keys1 and keys1 < all_keys and keys12 <= all_keys
+    # a candidate appears under exactly one probe rank (its own cell)
+    assert len(rows) == len(all_keys)
+
+
+def test_exact_rerank_matches_bruteforce_on_full_candidates(spark):
+    """Reranking ALL pairs exactly reproduces brute-force top-k —
+    the refine stage's scoring is literally the brute-force kernel."""
+    from etl_reporting_spark.llm.quantize import exact_rerank
+    from etl_reporting_spark.llm.similarity import cosine_topk_bruteforce
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    # synthesize a full candidate list with a constant fake score:
+    # shortlist larger than the corpus → rerank sees every pair
+    n = emb.count()
+    pairs = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .crossJoin(F.broadcast(emb.select(F.col("vec_id").alias("neighbor_id"))))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_score", F.lit(0.0))
+    )
+    refined = exact_rerank(pairs, emb, queries, k=5, shortlist=n + 1).collect()
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    assert {(r.query_id, r.rank, r.neighbor_id) for r in refined} == {
+        (r.query_id, r.rank, r.neighbor_id) for r in exact
+    }
+    ref_cos = {(r.query_id, r.rank): r.cosine for r in refined}
+    ex_cos = {(r.query_id, r.rank): r.cosine for r in exact}
+    assert ref_cos == ex_cos  # bit-identical kernel
+
+
+def test_sweep_operating_point_at_sf001(spark):
+    """The verdict's 'done' criterion: a measured recall@5 ≥ 0.8
+    point, and the refine stage dominating raw ADC everywhere."""
+    from etl_reporting_spark.plans.llm_queries import ann_recall_sweep
+
+    rows = ann_recall_sweep(spark, SF_DIR_01).collect()
+    assert len(rows) == 8
+    best = max(r.recall_refined for r in rows)
+    assert best >= 0.8
+    for r in rows:
+        assert r.recall_refined >= 0.8, (r.encoding, r.n_probe, r.recall_refined)
+        assert r.recall_refined >= r.recall_adc

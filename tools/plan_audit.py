@@ -87,6 +87,10 @@ _BNLJ_OK: dict[str, str] = {
     "text_ccnet_buckets": "2-cell percentile-threshold row broadcast into doc scores (as dq_drift_check)",
     "text_dsir_select": "T/P totals + sampled-threshold rows broadcast into doc scores (as text_dsir_importance)",
     "sample_epoch_plan": "single normalizing-total row broadcast (as sample_mixture_weights)",
+    "ann_recall_sweep": (
+        "centroid table broadcast for cell assignment (as ann_cosine_ivf) + "
+        "1-row hits_adc × 1-row hits_refined combines per sweep point"
+    ),
 }
 
 
@@ -139,6 +143,11 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "ivm_join_maintenance": 2,
     "w13_rolling_window": 2,  # key shuffle + presentation sort
     "ivm_agg_retraction": 3,  # base partials + delta partials + merge
+    # round-7: 8 sweep points × (ADC top-k window + rerank window +
+    # two semi-join hit counts) over two persisted candidate sets —
+    # a composed measurement instrument, not a serving query; budget
+    # pins the cold sf0.001 count so a lost broadcast still trips.
+    "ann_recall_sweep": 48,
 }
 
 
