@@ -13,8 +13,19 @@ positional q-grams, so for strings of length ≥ (k+1)·q the candidate
 set {pairs sharing ≥ 1 q-gram} has PERFECT RECALL, and the expensive
 edit-distance verification runs only on candidates. Shorter strings
 fall below the lemma's bound; ``short_len_cross`` routes them through
-a tiny length-bucketed pass so recall stays complete (documented, not
-silent).
+a DELETION-NEIGHBORHOOD pass (the SymSpell blocking scheme, Garbe
+2012): if ``ed(a, b) ≤ k`` then some common string is reachable from
+BOTH by deleting ≤ k characters (delete the substituted/inserted/
+deleted positions of any ≤ k-op alignment from each side), so
+blocking on the ≤ k-deletion variant set has perfect recall. A
+string of length L < (k+1)·q contributes Σ_{i≤k} C(L, i) variants
+(≤ 37 at the L<9, k=2 defaults), and candidate work is Σ_v df(v)²
+over variant blocks — NOT |shorts|²: a round-6 version bucketed
+shorts by length alone, which is an effective cross join within
+±k length classes and quadratic in exactly the corpora fuzzy
+matching serves (first names, SKUs). Hot variants are df-capped by
+the same ``max_df`` guard as hot q-grams (same documented recall
+trade on boilerplate keys).
 
 Spark-first shape (the MinHash/SimHash recipe this repo uses
 everywhere): q-grams are built IN-ROW with a sequence transform (no
@@ -39,6 +50,25 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _deletion_neighborhood_expr(col: str, k: int) -> str:
+    """SQL expression: all DISTINCT strings reachable from string
+    column ``col`` by deleting at most ``k`` characters (the SymSpell
+    blocking key set). Built in-row by k chained delete-one levels —
+    no UDF, stays in whole-stage codegen. Level m holds ≤ L!/(L-m)!
+    strings pre-distinct; for the short strings this pass serves
+    (L < (k+1)·q) that is tens, not thousands."""
+    del1 = (
+        "flatten(transform(filter({vs}, v -> length(v) > 0),"
+        " v -> transform(sequence(1, length(v)),"
+        " i -> concat(substring(v, 1, i - 1),"
+        " substring(v, i + 1, length(v))))))"
+    )
+    levels = [f"array({col})"]
+    for _ in range(k):
+        levels.append(del1.format(vs=levels[-1]))
+    return "array_distinct(concat(" + ", ".join(levels) + "))"
 
 
 def _qgrams(col: Column, q: int) -> Column:
@@ -101,35 +131,41 @@ def fuzzy_dedup_pairs(
     """All pairs within ``max_edit`` Levenshtein edits: q-gram block →
     length pre-filter → exact ``levenshtein`` verify. Complete for
     strings of length ≥ (max_edit+1)·q by the q-gram count lemma;
-    ``short_len_cross`` adds the sub-lemma-length strings back via a
-    small length-bucketed pass (strings within k edits differ ≤ k in
-    length, so each short string joins only its ±k length buckets —
-    bounded work because short strings have bounded variety)."""
+    ``short_len_cross`` adds the sub-lemma-length strings back via
+    deletion-neighborhood blocking (module note): each short string
+    explodes to its ≤ max_edit-deletion variants and pairs only with
+    strings sharing a variant — work is Σ_v df(v)² over variant
+    blocks (df-capped by ``max_df``), never |shorts|². A mixed pair
+    (one side short, one ≥ the lemma floor) is always caught by the
+    q-gram pass: within k edits the longer side's length bounds the
+    lemma, which is positive once max(|a|,|b|) ≥ (k+1)·q."""
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     cand = qgram_candidates(df, id_col, text_col, q=q, max_df=max_df).select(
         "id_a", "id_b"
     )
     if short_len_cross:
         floor = (max_edit + 1) * q
-        short = base.filter(F.length("__t") < floor)
-        sa = short.select(
-            F.col("__id").alias("id_a"), F.length("__t").alias("__k")
+        svar = (
+            base.filter(F.length("__t") < floor)
+            .select(
+                "__id",
+                F.explode(
+                    F.expr(_deletion_neighborhood_expr("__t", max_edit))
+                ).alias("__v"),
+            )
         )
-        # equi-join on a length bucket (strings within k edits differ
-        # ≤ k in length): the b side fans out to its ±k neighbor
-        # buckets so the pair join stays a hash join, never a
-        # nested-loop on an inequality
-        sb = short.select(
-            F.col("__id").alias("id_b"),
-            F.explode(
-                F.sequence(
-                    F.length("__t") - F.lit(max_edit),
-                    F.length("__t") + F.lit(max_edit),
-                )
-            ).alias("__k"),
-        )
+        if max_df is not None:
+            hot = (
+                svar.groupBy("__v")
+                .agg(F.count("*").alias("__df"))
+                .filter(F.col("__df") > max_df)
+                .select("__v")
+            )
+            svar = svar.join(F.broadcast(hot), "__v", "left_anti")
+        sa = svar.select(F.col("__id").alias("id_a"), "__v")
+        sb = svar.select(F.col("__id").alias("id_b"), "__v")
         short_pairs = (
-            sa.join(sb, "__k")
+            sa.join(sb, "__v")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
@@ -161,8 +197,11 @@ def fuzzy_join(
     best_only: bool = True,
 ) -> DataFrame:
     """Approximate-key lookup join: each left row matched to right
-    rows within ``max_edit`` edits of its text key (q-gram blocked,
-    verified). ``best_only`` keeps one match per left row — minimum
+    rows within ``max_edit`` edits of its text key (q-gram blocked
+    for lemma-length keys, deletion-neighborhood blocked for short
+    ones — same completeness split as ``fuzzy_dedup_pairs``; round-6
+    had no short pass here at all, silently missing short×short
+    matches). ``best_only`` keeps one match per left row — minimum
     distance, ties by smallest right id (deterministic reruns) — via
     a rank-1 window (WindowGroupLimit-eligible). The dirty-dimension
     reconciliation shape: left = incoming feed, right = master."""
@@ -195,6 +234,49 @@ def fuzzy_join(
         .select("left_id", "left_text", "right_id", "right_text")
         .distinct()
     )
+    floor = (max_edit + 1) * q
+    sl = (
+        left.select(
+            F.col(left_id).alias("left_id"), F.col(left_text).alias("left_text")
+        )
+        .filter(F.length("left_text") < floor)
+        .select(
+            "left_id",
+            "left_text",
+            F.explode(
+                F.expr(_deletion_neighborhood_expr("left_text", max_edit))
+            ).alias("__v"),
+        )
+    )
+    sr = (
+        right.select(
+            F.col(right_id).alias("right_id"),
+            F.col(right_text).alias("right_text"),
+        )
+        .filter(F.length("right_text") < floor)
+        .select(
+            "right_id",
+            "right_text",
+            F.explode(
+                F.expr(_deletion_neighborhood_expr("right_text", max_edit))
+            ).alias("__v"),
+        )
+    )
+    if max_df is not None:
+        vhot = (
+            sr.groupBy("__v")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__v")
+        )
+        sl = sl.join(F.broadcast(vhot), "__v", "left_anti")
+        sr = sr.join(F.broadcast(vhot), "__v", "left_anti")
+    short_cand = (
+        sl.join(sr, "__v")
+        .select("left_id", "left_text", "right_id", "right_text")
+        .distinct()
+    )
+    cand = cand.union(short_cand).distinct()
     verified = (
         cand.filter(
             F.abs(F.length("left_text") - F.length("right_text")) <= max_edit

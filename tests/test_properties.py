@@ -524,6 +524,72 @@ def test_fuzzy_dedup_matches_bruteforce(spark, names, max_edit):
 
 @SLOW
 @given(
+    names=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=6),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    max_edit=st.integers(1, 2),
+)
+def test_fuzzy_dedup_short_heavy_corpus(spark, names, max_edit):
+    """Round-7: the short pass rewritten from length buckets (an
+    effective cross join — quadratic in the short population) to
+    SymSpell deletion-neighborhood blocking. This corpus is 100%
+    sub-lemma-length over a 2-letter alphabet — every pair rides the
+    short pass, lengths collide constantly, and empty strings are in
+    play — and recall must still be EXACTLY the n² levenshtein set."""
+    from etl_reporting_spark.operators.fuzzy import fuzzy_dedup_pairs
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in fuzzy_dedup_pairs(
+            df, "id", "name", max_edit=max_edit, max_df=None
+        ).collect()
+    }
+    expected = {}
+    for i, a in enumerate(names):
+        for j in range(i + 1, len(names)):
+            d = _lev(a, names[j])
+            if d <= max_edit:
+                expected[(i, j)] = d
+    assert got == expected
+
+
+@SLOW
+@given(
+    left=st.lists(st.text(alphabet="abc", min_size=1, max_size=7),
+                  min_size=1, max_size=8, unique=True),
+    right=st.lists(st.text(alphabet="abc", min_size=1, max_size=7),
+                   min_size=1, max_size=8, unique=True),
+)
+def test_fuzzy_join_short_keys_complete(spark, left, right):
+    """fuzzy_join had NO short pass before round-7 — short×short
+    matches were silently missed. Verified pairs (best_only=False)
+    must now equal the brute-force product filter."""
+    from etl_reporting_spark.operators.fuzzy import fuzzy_join
+
+    ldf = spark.createDataFrame(list(enumerate(left)), "lid long, lname string")
+    rdf = spark.createDataFrame(list(enumerate(right)), "rid long, rname string")
+    got = {
+        (r["left_id"], r["right_id"]): r["edit_distance"]
+        for r in fuzzy_join(
+            ldf, rdf, "lname", "rname", "lid", "rid",
+            max_edit=2, max_df=None, best_only=False,
+        ).collect()
+    }
+    expected = {}
+    for i, a in enumerate(left):
+        for j, b in enumerate(right):
+            d = _lev(a, b)
+            if d <= 2:
+                expected[(i, j)] = d
+    assert got == expected
+
+
+@SLOW
+@given(
     values=st.lists(
         st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
         min_size=1,

@@ -138,7 +138,10 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "mm_frames_real": 1,
     "mm_audio_features": 1,
     # round-6 gates (measured cold at sf0.001)
-    "fuzzy_address_dedup": 5,
+    # round-7: +2 over the r6 count of 5 — the short pass now df-caps
+    # and joins deletion-variant blocks (a groupBy + an anti-join)
+    # instead of the quadratic length-bucket join it replaces
+    "fuzzy_address_dedup": 7,
     "j5b_asof_tolerance": 1,  # tolerance adds ZERO shuffles over j5
     "ivm_join_maintenance": 2,
     "w13_rolling_window": 2,  # key shuffle + presentation sort
