@@ -439,6 +439,7 @@ def merge_upsert_wap(
     commit_extra: dict | None = None,
     partition_by: Sequence[str] | None = None,
     stats_cols: Sequence[str] | None = None,
+    validate_partition_stability: bool = False,
 ) -> WapMergeResult:
     """MERGE with an EXECUTED transactional commit and no Delta
     dependency: the join-rewrite computes the post-merge state, then
@@ -461,6 +462,23 @@ def merge_upsert_wap(
     rows in untouched partitions are inherited byte-for-byte, the
     standard partition-pruned MERGE contract (Delta's
     partition-predicate merge idiom).
+
+    PARTITION-STABILITY CONTRACT (applies to ALL branches, not just
+    deletes): the pruned read means a source row is classified
+    matched/not-matched against the TOUCHED partitions only. If the
+    merge keys do not functionally determine the partition columns —
+    a key that can "move" between partitions — a source row whose
+    existing version lives in an UNTOUCHED partition is classified
+    not-matched and INSERTED into its new partition while the stale
+    row survives untouched: silent duplicate keys. Either include the
+    partition columns in ``keys``, keep partition columns stable per
+    key (the normal fact-table design: partition = event date, key =
+    event id), or pass ``validate_partition_stability=True`` to probe
+    the untouched partitions for key collisions before any write —
+    one semi-join against metadata-pruned untouched partitions, cost
+    ∝ untouched data, which is exactly the cost pruning was avoiding:
+    use it as a deploy-time check or where keys are genuinely
+    untrusted, not on every nightly run.
 
     Branch semantics and conditions are the join backend's (conditions
     see the bare merged schema, not t/s aliases)."""
@@ -503,6 +521,25 @@ def merge_upsert_wap(
             if present
             else spark.createDataFrame([], source.schema)
         )
+        if validate_partition_stability:
+            untouched = sorted(existing - set(touched))
+            if untouched:
+                collisions = (
+                    table.read(version=base, partitions=untouched)
+                    .select(*keys)
+                    .join(source.select(*keys).distinct(), list(keys), "semi")
+                    .limit(5)
+                    .collect()
+                )
+                if collisions:
+                    raise ValueError(
+                        "partition-stability violation: source keys "
+                        f"{[tuple(r) for r in collisions]} already exist in "
+                        "partitions outside the touched set "
+                        "— merging would insert duplicates next to the "
+                        "stale rows. Include the partition columns in the "
+                        "merge keys, or delete/migrate the old rows first."
+                    )
     else:
         target = table.read(version=base)
     res = merge_upsert(

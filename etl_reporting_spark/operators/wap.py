@@ -671,6 +671,14 @@ class PartitionedWapTable(WapTable):
             record = {
                 "version": new_version,
                 "partitions": pmap,
+                # explicit, not inferred: open_wap_table must not have
+                # to guess the layout from dir keys (an empty-frame
+                # create or an all-partitions-dropped commit has no
+                # keys to guess from — guessing returned
+                # partition_by=[], and the NEXT commit then wrote
+                # unpartitioned files that _leaf_partition_dirs never
+                # matched: a published commit referencing no data)
+                "partition_by": self.partition_by,
                 "touched": touched,
                 "row_count": n,
                 "schema": schema_json,
@@ -754,11 +762,21 @@ class PartitionedWapTable(WapTable):
         column are KEPT (conservative: skipping may only discard
         provably-disjoint data). Feed the result to
         ``read(partitions=...)``. Date/datetime bounds are compared in
-        ISO form, matching how stats are recorded."""
+        ISO form, matching how stats are recorded. Bounds whose type
+        is incomparable with the recorded stats (e.g. an int bound
+        against ISO-string date stats) KEEP the partition — the same
+        conservative rule as missing stats; a TypeError or a silent
+        lexical compare could otherwise skip overlapping data."""
         import datetime as _dt
 
         def norm(v):
             return v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
+
+        def comparable(a, b) -> bool:
+            num = (int, float)
+            if isinstance(a, num) and isinstance(b, num):
+                return not (isinstance(a, bool) or isinstance(b, bool))
+            return type(a) is type(b)
 
         lo, hi = norm(lo), norm(hi)
         v = version if version is not None else self.current_version()
@@ -771,6 +789,11 @@ class PartitionedWapTable(WapTable):
                 keep.append(key)  # unknown → cannot skip
                 continue
             smin, smax = s
+            if (hi is not None and not comparable(smin, hi)) or (
+                lo is not None and not comparable(smax, lo)
+            ):
+                keep.append(key)  # incomparable → cannot skip
+                continue
             if (hi is None or smin <= hi) and (lo is None or smax >= lo):
                 keep.append(key)
         return sorted(keep)
@@ -887,7 +910,12 @@ def table_changes(
     to_version = to_version if to_version is not None else table.current_version()
     from pyspark.sql import functions as F
 
-    if isinstance(table, PartitionedWapTable):
+    if from_version == 0:
+        # diff from "before the table existed": every current row is
+        # an insert — the natural CDC bootstrap read
+        new = table.read(version=to_version)
+        old = new.limit(0)
+    elif isinstance(table, PartitionedWapTable):
         m_old = table.partition_map(from_version)
         m_new = table.partition_map(to_version)
         changed_old = sorted(k for k, d in m_old.items() if m_new.get(k) != d)
@@ -898,7 +926,26 @@ def table_changes(
         old = table.read(version=from_version)
         new = table.read(version=to_version)
     keys = list(keys)
+    # schema evolution: each side reads as its own committed schema;
+    # align both to the union (ADD COLUMN between the versions would
+    # otherwise fail resolving old.select(new-only column), and a
+    # DROP COLUMN would lose the old side's values from the diff).
+    # Missing columns read NULL, the same semantics read() applies to
+    # pre-column partitions.
+    old_fields = {f.name: f for f in old.schema.fields}
+    new_fields = {f.name: f for f in new.schema.fields}
+    for name, f in new_fields.items():
+        if name not in old_fields:
+            old = old.withColumn(name, F.lit(None).cast(f.dataType))
+    for name, f in old_fields.items():
+        if name not in new_fields:
+            new = new.withColumn(name, F.lit(None).cast(f.dataType))
+    missing_keys = [k for k in keys if k not in old_fields and k not in new_fields]
+    if missing_keys:
+        raise ValueError(f"change-feed keys absent from both snapshots: {missing_keys}")
     nonkeys = [c for c in new.columns if c not in keys]
+    old = old.select(*keys, *nonkeys)
+    new = new.select(*keys, *nonkeys)
     o = old.select(
         *keys,
         F.struct(*nonkeys).alias("__o"),
@@ -970,11 +1017,22 @@ def open_wap_table(spark: SparkSession, path: str) -> WapTable:
     table = WapTable(spark, path)
     rec = table.latest_record()
     if rec is not None and "partitions" in rec:
-        keys = list(rec["partitions"]) or rec.get("touched", [])
-        if keys:
+        cols = rec.get("partition_by")
+        if cols is None:
+            # pre-round-7 records carry no explicit partition_by:
+            # recover from the dir keys, and REFUSE to guess when
+            # there are none — a guessed [] would make the next
+            # commit_partitions write unpartitioned files that
+            # publish without being referenced (silent row loss)
+            keys = list(rec["partitions"]) or rec.get("touched", [])
+            if not keys:
+                raise ValueError(
+                    f"cannot determine partition_by for {path}: the latest "
+                    "record predates explicit partition_by and references "
+                    "no partitions — open with PartitionedWapTable(spark, "
+                    "path, partition_by=[...]) instead"
+                )
             cols = [part.split("=", 1)[0] for part in keys[0].split("/")]
-        else:
-            cols = []
         return PartitionedWapTable(spark, path, cols)
     return table
 

@@ -712,3 +712,113 @@ def test_rebase_exhaustion_cleans_orphan_root(spark, tmp_path, fact_df):
     # table unharmed under the real store
     t.store = LocalFSCommitStore(os.path.join(t.path, "_wap"))
     assert t.current_version() == 1 and t.read().count() == 12
+
+
+# ------------------------------------------------- round-7 advice fixes
+
+def test_partition_by_recorded_and_recovered_for_empty_table(spark, tmp_path):
+    """An empty-frame create has no dir keys to guess partition_by
+    from; the record now carries it explicitly, so open_wap_table +
+    the next commit still write hive layout (the guessed-[] bug
+    published commits that referenced no data)."""
+    from etl_reporting_spark.operators.wap import open_wap_table
+
+    empty = spark.createDataFrame([], "id long, ds string, amount double")
+    t = create_partitioned_wap_table(spark, str(tmp_path / "e"), empty, ["ds"])
+    reopened = open_wap_table(spark, t.path)
+    assert isinstance(reopened, PartitionedWapTable)
+    assert reopened.partition_by == ["ds"]
+    day = spark.createDataFrame(
+        [(1, "2026-01-01", 1.0)], "id long, ds string, amount double"
+    )
+    v = reopened.commit_partitions(day)
+    assert reopened.partition_map(v) != {}  # commit references its data
+    assert reopened.read(version=v).count() == 1
+
+
+def test_open_legacy_record_without_partition_by_raises_when_empty(
+    spark, tmp_path, fact_df
+):
+    """A pre-round-7 record (no partition_by) with an empty partition
+    map must refuse to guess instead of returning partition_by=[]."""
+    from etl_reporting_spark.operators.wap import open_wap_table
+
+    t = _ptable(spark, tmp_path, fact_df)
+    slot = os.path.join(t.path, "_wap", "commit-00001.json")
+    rec = json.loads(open(slot).read())
+    del rec["partition_by"]
+    rec["partitions"] = {}
+    rec["touched"] = []
+    with open(slot, "w") as f:
+        f.write(json.dumps(rec))
+    with pytest.raises(ValueError, match="partition_by"):
+        open_wap_table(spark, t.path)
+
+
+def test_table_changes_from_version_zero_is_all_inserts(spark, tmp_path, fact_df):
+    from etl_reporting_spark.operators.wap import table_changes
+
+    t = _ptable(spark, tmp_path, fact_df)
+    ch = table_changes(t, keys=["id"], from_version=0).collect()
+    assert len(ch) == 12
+    assert {r["_change_type"] for r in ch} == {"insert"}
+
+
+def test_table_changes_across_added_column(spark, tmp_path, fact_df):
+    """ADD COLUMN between from/to versions: the old side reads NULL
+    for the new column instead of failing resolution, and rows whose
+    only difference is the new column emit updates."""
+    from etl_reporting_spark.operators.wap import table_changes
+
+    t = _ptable(spark, tmp_path, fact_df)
+    evolved = spark.createDataFrame(
+        [(1, "2026-01-02", 10.0, "fixed")],
+        "id long, ds string, amount double, note string",
+    )
+    v2 = t.commit_partitions(evolved)
+    ch = table_changes(t, keys=["id"], from_version=1, to_version=v2)
+    by_type = {
+        (r["_change_type"], r["id"]): r for r in ch.collect()
+    }
+    pre = by_type[("update_preimage", 1)]
+    post = by_type[("update_postimage", 1)]
+    assert pre["note"] is None and post["note"] == "fixed"
+
+
+def test_prune_partitions_incomparable_bound_keeps(spark, tmp_path):
+    """An int bound against ISO-string date stats must KEEP the
+    partition (conservative), not raise or compare lexically."""
+    rows = [(1, "2026-01-01", "2026-01-05"), (2, "2026-01-02", "2026-02-01")]
+    df = spark.createDataFrame(rows, "id long, ds string, order_date string")
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "s"), df, ["ds"], stats_cols=["order_date"]
+    )
+    # comparable bound: prunes to the overlapping day
+    assert t.prune_partitions("order_date", lo="2026-01-31") == ["ds=2026-01-02"]
+    # incomparable bound type: keeps everything
+    assert t.prune_partitions("order_date", lo=20260131) == sorted(t.partition_map())
+
+
+def test_merge_partition_stability_probe(spark, tmp_path, fact_df):
+    """validate_partition_stability: a source row whose key already
+    lives in an UNTOUCHED partition fails fast instead of silently
+    inserting a duplicate next to the stale row."""
+    from etl_reporting_spark.operators.merge import merge_upsert_wap
+
+    t = _ptable(spark, tmp_path, fact_df)
+    # id=1 lives in ds=2026-01-02 (1 % 3 == 1 -> day 2); source moves
+    # it to day 3 without including ds in the keys
+    moved = spark.createDataFrame(
+        [(1, "2026-01-03", 99.0)], "id long, ds string, amount double"
+    )
+    with pytest.raises(ValueError, match="partition-stability"):
+        merge_upsert_wap(
+            spark, t.path, moved, keys=["id"], partition_by=["ds"],
+            validate_partition_stability=True,
+        )
+    # same merge with a stable key set (partition col included) passes
+    res = merge_upsert_wap(
+        spark, t.path, moved, keys=["id", "ds"], partition_by=["ds"],
+        validate_partition_stability=True,
+    )
+    assert res.rows_inserted == 1
