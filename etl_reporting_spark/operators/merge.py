@@ -584,6 +584,94 @@ def merge_upsert_wap(
     return WapMergeResult(df=table.read(version=version), counts=counts, version=version)
 
 
+def merge_partition_files(
+    spark: SparkSession,
+    table_path: str,
+    partition: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    stats_col: str,
+    update_cols: Sequence[str] | None = None,
+    insert_cols: Sequence[str] | None = None,
+    matched_condition: Column | None = None,
+    not_matched_condition: Column | None = None,
+    delete_not_matched_by_source: bool = False,
+    delete_condition: Column | None = None,
+    validate_source_unique: bool = True,
+    commit_extra: dict | None = None,
+) -> WapMergeResult:
+    """FILE-granular MERGE into ONE partition of a
+    :class:`wap.PartitionedWapTable` — the refinement over
+    ``merge_upsert_wap(partition_by=...)`` for the skewed case the
+    round-6 verdict named: a narrow-key upsert into a huge partition
+    rewrites a strict SUBSET of its files, not the partition.
+
+    ``stats_col`` must be one of ``keys`` and must have per-file
+    statistics recorded (commit with ``stats_cols=[stats_col]``).
+    File selection reads the commit record only: files whose recorded
+    [min, max] for ``stats_col`` overlaps the source's key range (a
+    file that contains a matching key necessarily overlaps, so
+    matched-classification completeness holds; files without stats
+    are conservatively selected). The merge join, write, audit and
+    commit all cost ∝ selected files.
+
+    SEMANTIC SCOPE: like the partition-pruned path one level up,
+    ``delete_not_matched_by_source``/``delete_condition`` see only
+    rows in the SELECTED files as delete candidates. Reference
+    semantics: connector/snowpark_connector.py:607-1004.
+    """
+    from etl_reporting_spark.operators.wap import PartitionedWapTable, open_wap_table
+
+    if stats_col not in keys:
+        raise ValueError(
+            f"stats_col {stats_col!r} must be one of the merge keys "
+            f"{list(keys)} — file selection by a non-key range cannot "
+            "guarantee every matching row is in a selected file"
+        )
+    table = open_wap_table(spark, table_path)
+    if not isinstance(table, PartitionedWapTable):
+        raise TypeError(f"{table_path} is not a partitioned WAP table")
+    base = table.current_version()
+    bounds = source.agg(
+        F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi")
+    ).collect()[0]
+    files = table.files_intersecting(
+        partition, stats_col, bounds["lo"], bounds["hi"], version=base
+    )
+    target = table.read_files(files)
+    res = merge_upsert(
+        target,
+        source,
+        keys,
+        update_cols=update_cols,
+        insert_cols=insert_cols,
+        matched_condition=matched_condition,
+        not_matched_condition=not_matched_condition,
+        delete_not_matched_by_source=delete_not_matched_by_source,
+        delete_condition=delete_condition,
+        validate_source_unique=validate_source_unique,
+        backend="join",
+    )
+    counts = dict(res._metrics())
+    expected = counts["U"] + counts["I"] + counts["M"] + counts["K"]
+    try:
+        version = table.commit_partition_files(
+            res.df,
+            partition,
+            replace_files=files,
+            expected_rows=expected,
+            base_version=base,
+            operation="merge",
+            extra=commit_extra,
+            stats_cols=[stats_col],
+        )
+    finally:
+        res.unpersist()
+    return WapMergeResult(
+        df=table.read(version=version), counts=counts, version=version
+    )
+
+
 def source_target_count_difference(source: DataFrame, target: DataFrame) -> int:
     """Custom DMF ``source_target_count_difference`` (F2,
     setup_dmf_data_quality.sql:109-119): ABS(COUNT(source)−COUNT(target))."""

@@ -444,6 +444,12 @@ def hive_partition_key(cols: Sequence[str], values: Sequence) -> str:
     return "/".join(parts)
 
 
+def _pkey_of_file(relfile: str) -> str:
+    """Partition key of a data-file relpath ``d-root/k=v/.../file``:
+    the middle ``k=v`` components."""
+    return "/".join(relfile.split("/")[1:-1])
+
+
 def _leaf_partition_dirs(root: str) -> list[str]:
     """Relative paths of hive-style leaf partition dirs under
     ``root`` (every path component ``k=v``, contains data files)."""
@@ -490,6 +496,10 @@ class PartitionedWapTable(WapTable):
     version-agnostic (``d-<uuid>/...``), only the record changes.
     """
 
+    #: read() warns past this many live commit roots (plan width —
+    #: one scan per root); see live_commit_roots / optimize_partitions
+    max_read_roots: int = 16
+
     def __init__(
         self,
         spark: SparkSession,
@@ -501,11 +511,56 @@ class PartitionedWapTable(WapTable):
         self.partition_by = list(partition_by)
 
     # ------------------------------------------------------------ read
-    def partition_map(self, version: int | None = None) -> dict[str, str]:
+    def partition_map(
+        self, version: int | None = None
+    ) -> dict[str, str | tuple[str, ...]]:
+        """Partition key → physical pointer. Dir-granular partitions
+        point at one immutable leaf dir (str); FILE-granular ones
+        (``commit_partition_files``) at a sorted tuple of data-file
+        relpaths — possibly spanning several commit roots. Pointer
+        equality is what the change feed diffs, so both shapes
+        compare structurally."""
         v = version if version is not None else self.current_version()
         if v == 0:
             return {}
-        return dict(self._commit_record(v)["partitions"])
+        rec = self._commit_record(v)
+        out: dict[str, str | tuple[str, ...]] = dict(rec["partitions"])
+        for k, files in rec.get("files", {}).items():
+            out[k] = tuple(files)
+        return out
+
+    def partition_files(
+        self, key: str, version: int | None = None
+    ) -> list[str]:
+        """Data-file relpaths (table-root-relative) backing one
+        partition: recorded directly for file-granular partitions,
+        listed from the immutable leaf dir for dir-granular ones."""
+        ptr = self.partition_map(version).get(key)
+        if ptr is None:
+            raise KeyError(f"unknown partition: {key}")
+        if isinstance(ptr, tuple):
+            return list(ptr)
+        full = os.path.join(self.path, ptr)
+        return sorted(
+            f"{ptr}/{f}"
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+
+    def live_commit_roots(self, version: int | None = None) -> list[str]:
+        """Distinct physical ``d-*`` roots the snapshot references —
+        exactly the number of scans :meth:`read` plans. Grows with
+        live (uncompacted) commits; ``optimize_partitions`` collapses
+        it back. A maintenance cadence should watch this: a
+        year-of-daily-commits table that never compacts reads through
+        a 365-way union."""
+        roots: set[str] = set()
+        for ptr in self.partition_map(version).values():
+            if isinstance(ptr, tuple):
+                roots.update(p.split("/", 1)[0] for p in ptr)
+            else:
+                roots.add(ptr.split("/", 1)[0])
+        return sorted(roots)
 
     def read(
         self,
@@ -533,12 +588,29 @@ class PartitionedWapTable(WapTable):
         schema = StructType.fromJson(self._commit_record(v)["schema"])
         if not pmap:
             return self.spark.createDataFrame([], schema)
-        # group leaves by physical root: one scan per root, hive
-        # partition columns inferred from the k=v path components
+        # group paths by physical root: one scan per root, hive
+        # partition columns inferred from the k=v path components.
+        # Dir pointers contribute their leaf dir; file-granular
+        # pointers contribute individual data files (same inference —
+        # partition values come from the path RELATIVE to basePath
+        # whether the scan is given a dir or its files).
         by_root: dict[str, list[str]] = {}
-        for rel in pmap.values():
-            root = rel.split("/", 1)[0]
-            by_root.setdefault(root, []).append(os.path.join(self.path, rel))
+        for ptr in pmap.values():
+            rels = ptr if isinstance(ptr, tuple) else (ptr,)
+            for rel in rels:
+                root = rel.split("/", 1)[0]
+                by_root.setdefault(root, []).append(os.path.join(self.path, rel))
+        if len(by_root) > self.max_read_roots:
+            import warnings
+
+            warnings.warn(
+                f"WAP table {self.path} reads through {len(by_root)} live "
+                f"commit roots (> max_read_roots={self.max_read_roots}): "
+                "plan width grows with uncompacted commits — run "
+                "optimize_partitions() on a maintenance cadence",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         frames = [
             self.spark.read.option("basePath", os.path.join(self.path, root))
             .parquet(*sorted(leaves))
@@ -655,6 +727,11 @@ class PartitionedWapTable(WapTable):
         our_stats = (
             self._slice_stats(back, stats_cols) if stats_cols and written else {}
         )
+        our_file_stats = (
+            self._file_slice_stats(back, stats_cols, root)
+            if stats_cols and written
+            else {}
+        )
 
         # 3. PUBLISH — CAS with automatic disjoint-partition rebase
         attempt = 0
@@ -663,11 +740,21 @@ class PartitionedWapTable(WapTable):
             base_rec = self._commit_record(base) if base else {}
             pmap = dict(base_rec.get("partitions", {}))
             stats = dict(base_rec.get("stats", {}))
+            fmap = dict(base_rec.get("files", {}))
+            fstats = dict(base_rec.get("file_stats", {}))
             for t in touched:
                 pmap.pop(t, None)
                 stats.pop(t, None)
+                fmap.pop(t, None)
+            touched_set = set(touched)
+            fstats = {
+                f: s
+                for f, s in fstats.items()
+                if _pkey_of_file(f) not in touched_set
+            }
             pmap.update(ours)
             stats.update(our_stats)
+            fstats.update(our_file_stats)
             record = {
                 "version": new_version,
                 "partitions": pmap,
@@ -687,6 +774,10 @@ class PartitionedWapTable(WapTable):
             }
             if stats:
                 record["stats"] = stats
+            if fmap:
+                record["files"] = fmap
+            if fstats:
+                record["file_stats"] = fstats
             if extra:
                 record.update(extra)
             try:
@@ -748,6 +839,337 @@ class PartitionedWapTable(WapTable):
                 for c in stats_cols
             }
         return out
+
+    def _file_slice_stats(
+        self, back: DataFrame, stats_cols: Sequence[str], root: str
+    ) -> dict[str, dict[str, list]]:
+        """Per-FILE [min, max] of each stats column over the written
+        slice — the Delta/Iceberg per-file statistics idea, keyed by
+        table-root-relative file path. Same single aggregate shape as
+        the partition stats, grouped by ``input_file_name`` instead;
+        output bounded by |written files|. These stats are what lets
+        ``merge_partition_files`` rewrite a strict subset of a
+        partition's files for a narrow-key upsert."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__lo_{c}"))
+            aggs.append(F.max(c).alias(f"__hi_{c}"))
+        rows = (
+            back.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()
+        )
+
+        def safe(v):
+            import datetime as _dt
+            from decimal import Decimal
+
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, Decimal):
+                return str(v)
+            return v
+
+        table_abs = os.path.abspath(self.path)
+        out: dict[str, dict[str, list]] = {}
+        for r in rows:
+            p = unquote(urlparse(r["__file"]).path)
+            rel = os.path.relpath(p, table_abs)
+            out[rel.replace(os.sep, "/")] = {
+                c: [safe(r[f"__lo_{c}"]), safe(r[f"__hi_{c}"])]
+                for c in stats_cols
+            }
+        return out
+
+    def commit_partition_files(
+        self,
+        df: DataFrame,
+        partition: str,
+        replace_files: Sequence[str],
+        expected_rows: int | None = None,
+        audits: Sequence[Callable[[DataFrame], None]] | None = None,
+        base_version: int | None = None,
+        operation: str = "merge",
+        extra: dict | None = None,
+        max_rebase: int = 5,
+        stats_cols: Sequence[str] | None = None,
+    ) -> int:
+        """FILE-granular commit inside one partition (the refinement
+        Delta/Iceberg add over partition-scoped commits): replace only
+        ``replace_files`` (table-root-relative paths, a subset of the
+        partition's current files) with newly written files holding
+        ``df``, inheriting the partition's OTHER files and every other
+        partition untouched. A narrow-key upsert into a huge skewed
+        partition then rewrites kilobytes, not the partition.
+
+        ``df`` must contain only rows belonging to ``partition`` —
+        writing any other leaf is an :class:`AuditError` (a row may
+        not silently migrate partitions through the file path).
+
+        CONFLICT RULE (file granularity): an intervening commit
+        conflicts iff it touched the same partition AND either side
+        replaced the whole partition or their replaced-file sets
+        intersect. Two writers rewriting DISJOINT file sets of the
+        same partition both land — the loser rebases onto the new
+        file list (its own dirs are immutable; only the record
+        changes), exactly the partition-level rebase rule one level
+        down."""
+        base = base_version if base_version is not None else self.current_version()
+        if base == 0:
+            raise FileNotFoundError(
+                f"no committed WAP table at {self.path} — file-granular "
+                "commits refine an existing partition"
+            )
+        current = self.partition_files(partition, version=base)
+        replace_files = sorted(replace_files)
+        unknown = set(replace_files) - set(current)
+        if unknown:
+            raise KeyError(
+                f"replace_files not in partition {partition!r} at "
+                f"v{base}: {sorted(unknown)}"
+            )
+
+        root = f"d-{uuid.uuid4().hex[:12]}"
+        root_path = os.path.join(self.path, root)
+
+        # 1. WRITE — hive layout; must land in exactly `partition`
+        df.write.partitionBy(*self.partition_by).mode("error").parquet(root_path)
+        written_leaves = _leaf_partition_dirs(root_path)
+        if written_leaves not in ([], [partition]):
+            shutil.rmtree(root_path, ignore_errors=True)
+            raise AuditError(
+                f"file-granular commit into {partition!r} wrote other "
+                f"partitions: {sorted(set(written_leaves) - {partition})}"
+            )
+        new_files = sorted(
+            f"{root}/{partition}/{f}"
+            for f in (
+                os.listdir(os.path.join(root_path, partition))
+                if written_leaves
+                else ()
+            )
+            if f.endswith(".parquet")
+        )
+
+        # 2. AUDIT — read back the new files
+        from pyspark.sql import functions as F
+
+        try:
+            if new_files:
+                back = self.spark.read.option("basePath", root_path).parquet(
+                    *(os.path.join(self.path, f) for f in new_files)
+                )
+                back = back.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in df.schema.fields
+                    ]
+                )
+            else:
+                back = df.limit(0)
+            n = back.count()
+            if expected_rows is not None and n != expected_rows:
+                raise AuditError(
+                    f"audit failed: wrote {n} rows, expected {expected_rows}"
+                )
+            for check in audits or ():
+                check(back)
+        except Exception:
+            shutil.rmtree(root_path, ignore_errors=True)
+            raise
+
+        our_file_stats = (
+            self._file_slice_stats(back, stats_cols, root)
+            if stats_cols and new_files
+            else {}
+        )
+        schema_json = df.schema.jsonValue()
+
+        # 3. PUBLISH — CAS with file-granular rebase
+        attempt = 0
+        while True:
+            new_version = base + 1
+            base_rec = self._commit_record(base)
+            pmap = dict(base_rec.get("partitions", {}))
+            stats = dict(base_rec.get("stats", {}))
+            fmap = dict(base_rec.get("files", {}))
+            fstats = dict(base_rec.get("file_stats", {}))
+
+            base_files = self.partition_files(partition, version=base)
+            kept = [f for f in base_files if f not in set(replace_files)]
+            final = sorted(kept + new_files)
+            pmap.pop(partition, None)
+            if final:
+                fmap[partition] = final
+            else:
+                fmap.pop(partition, None)
+            # partition-level stats: recompute from per-file stats if
+            # every surviving file has them, else drop (stale bounds
+            # could wrongly SKIP the partition)
+            for rf in replace_files:
+                fstats.pop(rf, None)
+            fstats.update(our_file_stats)
+            if stats_cols and final and all(f in fstats for f in final):
+                merged: dict[str, list] = {}
+                for c in stats_cols:
+                    los = [fstats[f][c][0] for f in final if c in fstats[f]]
+                    his = [fstats[f][c][1] for f in final if c in fstats[f]]
+                    if los and his and None not in los and None not in his:
+                        merged[c] = [min(los), max(his)]
+                if merged:
+                    stats[partition] = merged
+                else:
+                    stats.pop(partition, None)
+            else:
+                stats.pop(partition, None)
+
+            record = {
+                "version": new_version,
+                "partitions": pmap,
+                "partition_by": self.partition_by,
+                "touched": [partition],
+                "touched_files": {partition: list(replace_files)},
+                "row_count": n,
+                "schema": schema_json,
+                "operation": operation,
+                "committed_at": time.time(),
+            }
+            if stats:
+                record["stats"] = stats
+            if fmap:
+                record["files"] = fmap
+            if fstats:
+                record["file_stats"] = fstats
+            if extra:
+                record.update(extra)
+            try:
+                self._publish(record)
+                return new_version
+            except ConcurrentWriteError:
+                attempt += 1
+                latest = self.current_version()
+                conflict = self._conflicting_files(
+                    base, latest, partition, replace_files
+                )
+                if conflict or attempt > max_rebase:
+                    shutil.rmtree(root_path, ignore_errors=True)
+                    if conflict:
+                        raise ConcurrentWriteError(
+                            f"files {sorted(conflict)} of partition "
+                            f"{partition!r} were committed by another "
+                            "writer; re-read and retry the merge"
+                        ) from None
+                    raise
+                base = latest
+
+    def _conflicting_files(
+        self,
+        base: int,
+        latest: int,
+        partition: str,
+        replace_files: Sequence[str],
+    ) -> set[str]:
+        """File-granular conflict probe: files (or the whole-partition
+        sentinel ``'*'``) that both we and an intervening commit
+        replaced within ``partition``."""
+        ours = set(replace_files)
+        conflict: set[str] = set()
+        for v in range(base + 1, latest + 1):
+            rec = self._commit_record(v)
+            theirs_parts = rec.get("touched")
+            if theirs_parts is None:
+                return ours or {"*"}
+            if partition not in theirs_parts:
+                continue
+            tf = rec.get("touched_files", {}).get(partition)
+            if tf is None:
+                # they replaced the whole partition
+                return ours or {"*"}
+            conflict |= ours & set(tf)
+        return conflict
+
+    def files_intersecting(
+        self,
+        partition: str,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> list[str]:
+        """Data skipping one level down: the partition's files whose
+        recorded per-file [min, max] for ``col`` overlaps [lo, hi].
+        Files without recorded stats are KEPT (conservative), and
+        incomparable bound types keep too — the same rules as
+        ``prune_partitions``. This is the file-selection half of
+        ``merge_partition_files``."""
+        import datetime as _dt
+
+        def norm(v):
+            return v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
+
+        def comparable(a, b) -> bool:
+            num = (int, float)
+            if isinstance(a, num) and isinstance(b, num):
+                return not (isinstance(a, bool) or isinstance(b, bool))
+            return type(a) is type(b)
+
+        lo, hi = norm(lo), norm(hi)
+        v = version if version is not None else self.current_version()
+        rec = self._commit_record(v) if v else {}
+        fstats = rec.get("file_stats", {})
+        keep = []
+        for f in self.partition_files(partition, version=v):
+            s = fstats.get(f, {}).get(col)
+            if s is None or s[0] is None or s[1] is None:
+                keep.append(f)
+                continue
+            smin, smax = s
+            if (hi is not None and not comparable(smin, hi)) or (
+                lo is not None and not comparable(smax, lo)
+            ):
+                keep.append(f)
+                continue
+            if (hi is None or smin <= hi) and (lo is None or smax >= lo):
+                keep.append(f)
+        return sorted(keep)
+
+    def read_files(self, files: Sequence[str]) -> DataFrame:
+        """Read an explicit data-file list (e.g. from
+        ``files_intersecting``) in the committed schema — one scan per
+        physical root, like :meth:`read`."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            self._commit_record(self.current_version())["schema"]
+        )
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        by_root: dict[str, list[str]] = {}
+        for rel in files:
+            root = rel.split("/", 1)[0]
+            by_root.setdefault(root, []).append(os.path.join(self.path, rel))
+        frames = [
+            self.spark.read.option("basePath", os.path.join(self.path, root))
+            .parquet(*sorted(paths))
+            for root, paths in sorted(by_root.items())
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        names = {c.lower() for c in out.columns}
+        return out.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name.lower() in names
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def prune_partitions(
         self,
@@ -845,14 +1267,20 @@ class PartitionedWapTable(WapTable):
 
     # ------------------------------------------------------- housekeep
     def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[str]:
-        """Partition-granular retention: a leaf dir is removable when
-        NO commit in the keep window references it; a ``d-*`` root
-        goes once all its leaves have. The age horizon protects
+        """Partition- and FILE-granular retention: a leaf dir is
+        removable when NO commit in the keep window references it (as
+        a dir or through any of its files); a leaf referenced only
+        file-granularly keeps exactly the referenced files; a ``d-*``
+        root goes once all its leaves have. The age horizon protects
         in-flight writers exactly as in the snapshot case."""
         current = self.current_version()
         keep: set[str] = set()
+        keep_files: set[str] = set()
         for v in range(max(1, current - keep_last + 1), current + 1):
-            keep.update(self._commit_record(v)["partitions"].values())
+            rec = self._commit_record(v)
+            keep.update(rec["partitions"].values())
+            for files in rec.get("files", {}).values():
+                keep_files.update(files)
         removed = []
         now = time.time()
         for entry in os.listdir(self.path):
@@ -864,10 +1292,25 @@ class PartitionedWapTable(WapTable):
                 if rel in keep:
                     continue
                 leaf_full = os.path.join(full, leaf)
+                leaf_live = {
+                    f for f in keep_files if f.rsplit("/", 1)[0] == rel
+                }
                 try:
                     if now - os.path.getmtime(leaf_full) < min_age_seconds:
                         continue
                 except OSError:
+                    continue
+                if leaf_live:
+                    # partially referenced: drop only the dead files
+                    for fname in sorted(os.listdir(leaf_full)):
+                        frel = f"{rel}/{fname}"
+                        if not fname.endswith(".parquet") or frel in keep_files:
+                            continue
+                        try:
+                            os.remove(os.path.join(leaf_full, fname))
+                            removed.append(frel)
+                        except OSError:
+                            pass
                     continue
                 shutil.rmtree(leaf_full, ignore_errors=True)
                 removed.append(rel)

@@ -1,0 +1,233 @@
+"""File-granular commits inside a partition (round-7 verdict #4) and
+the plan-width guard (#8).
+
+What must hold:
+- a narrow-key upsert into a multi-file partition rewrites a strict
+  SUBSET of its files — asserted on disk, not just via read();
+- file selection comes from recorded per-file [min, max] stats
+  (commit-record metadata only; files without stats conservatively
+  selected);
+- concurrent writers replacing DISJOINT file sets of the SAME
+  partition both land (file-level rebase); overlapping sets get one
+  winner and one ConcurrentWriteError;
+- vacuum removes exactly the dead files of a partially-referenced
+  leaf and keeps the live ones;
+- read() plans one scan per live commit root, warns past
+  max_read_roots, and optimize_partitions collapses the width.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.merge import merge_partition_files
+from etl_reporting_spark.operators.wap import (
+    AuditError,
+    ConcurrentWriteError,
+    PartitionedWapTable,
+    create_partitioned_wap_table,
+    optimize_partitions,
+    table_changes,
+)
+
+DAY1, DAY2 = "ds=2026-01-01", "ds=2026-01-02"
+
+
+@pytest.fixture()
+def ftable(spark, tmp_path) -> PartitionedWapTable:
+    """120 rows over two days; day-1 written as 4 range files over id
+    (1..100), so per-file id stats give disjoint ranges."""
+    rows = [
+        (i, "2026-01-01" if i <= 100 else "2026-01-02", float(i))
+        for i in range(1, 121)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ds string, amount double"
+    ).repartitionByRange(4, "id")
+    return create_partitioned_wap_table(
+        spark, str(tmp_path / "fact"), df, ["ds"], stats_cols=["id"]
+    )
+
+
+def test_narrow_upsert_rewrites_strict_file_subset(spark, ftable):
+    before = ftable.partition_files(DAY1)
+    assert len(before) >= 3
+    sel = ftable.files_intersecting(DAY1, "id", 5, 5)
+    assert len(sel) == 1  # per-file range stats pick one file
+
+    src = spark.createDataFrame(
+        [(5, "2026-01-01", 999.0), (1000, "2026-01-01", 1.0)],
+        "id long, ds string, amount double",
+    )
+    res = merge_partition_files(
+        spark, ftable.path, DAY1, src, keys=["id"], stats_col="id"
+    )
+    assert res.rows_updated == 1 and res.rows_inserted == 1
+    after = ftable.partition_files(DAY1)
+    # strict subset rewritten: the untouched files are THE SAME paths
+    kept = set(before) & set(after)
+    assert len(set(before) - set(after)) >= 1
+    assert len(kept) == len(before) - len(
+        ftable.files_intersecting(DAY1, "id", 5, 1000, version=1)
+    )
+    for f in kept:  # still on disk, byte-identical pointer
+        assert os.path.exists(os.path.join(ftable.path, f))
+    # day 2 untouched at the record level
+    assert ftable.partition_map()[DAY2] == ftable.partition_map(1)[DAY2]
+    # content correct
+    out = ftable.read()
+    assert out.count() == 121
+    assert out.filter(F.col("id") == 5).collect()[0]["amount"] == 999.0
+
+
+def test_stats_col_must_be_a_key(spark, ftable):
+    src = spark.createDataFrame(
+        [(5, "2026-01-01", 0.0)], "id long, ds string, amount double"
+    )
+    with pytest.raises(ValueError, match="merge keys"):
+        merge_partition_files(
+            spark, ftable.path, DAY1, src, keys=["id"], stats_col="amount"
+        )
+
+
+def test_write_outside_partition_is_an_audit_error(spark, ftable):
+    stray = spark.createDataFrame(
+        [(5, "2026-01-03", 0.0)], "id long, ds string, amount double"
+    )
+    files = ftable.partition_files(DAY1)[:1]
+    roots_before = sorted(
+        d for d in os.listdir(ftable.path) if d.startswith("d-")
+    )
+    with pytest.raises(AuditError, match="other partitions"):
+        ftable.commit_partition_files(stray, DAY1, replace_files=files)
+    assert (
+        sorted(d for d in os.listdir(ftable.path) if d.startswith("d-"))
+        == roots_before
+    )  # orphan root cleaned
+
+
+def test_disjoint_file_writers_both_land(spark, ftable):
+    files = ftable.partition_files(DAY1)
+    f_lo = ftable.files_intersecting(DAY1, "id", 5, 5)
+    f_hi = ftable.files_intersecting(DAY1, "id", 95, 95)
+    assert set(f_lo).isdisjoint(f_hi) and f_lo and f_hi
+
+    def upsert(key, amount):
+        src = spark.createDataFrame(
+            [(key, "2026-01-01", amount)], "id long, ds string, amount double"
+        )
+        merge_partition_files(
+            spark, ftable.path, DAY1, src, keys=["id"], stats_col="id"
+        )
+
+    errs = []
+    ts = [
+        threading.Thread(target=lambda: upsert(5, 555.0)),
+        threading.Thread(target=lambda: upsert(95, 955.0)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert ftable.current_version() == 3  # both committed (one rebased)
+    out = ftable.read()
+    assert out.filter(F.col("id") == 5).collect()[0]["amount"] == 555.0
+    assert out.filter(F.col("id") == 95).collect()[0]["amount"] == 955.0
+    # only the two touched files changed across both commits
+    assert len(set(files) & set(ftable.partition_files(DAY1))) == len(files) - 2
+
+
+def test_overlapping_file_writers_one_winner(spark, ftable):
+    target = ftable.files_intersecting(DAY1, "id", 5, 5)
+    sub = ftable.read_files(target)
+
+    def commit():
+        ftable.commit_partition_files(
+            sub.withColumn("amount", F.col("amount") + 1),
+            DAY1,
+            replace_files=target,
+            base_version=1,
+        )
+
+    results = []
+
+    def run():
+        try:
+            commit()
+            results.append("ok")
+        except ConcurrentWriteError:
+            results.append("conflict")
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results) == ["conflict", "ok"]
+    assert ftable.current_version() == 2
+
+
+def test_vacuum_partial_leaf_keeps_live_files(spark, ftable):
+    before = ftable.partition_files(DAY1)
+    src = spark.createDataFrame(
+        [(5, "2026-01-01", 999.0)], "id long, ds string, amount double"
+    )
+    merge_partition_files(
+        spark, ftable.path, DAY1, src, keys=["id"], stats_col="id"
+    )
+    dead = sorted(set(before) - set(ftable.partition_files(DAY1)))
+    assert dead
+    removed = ftable.vacuum(keep_last=1, min_age_seconds=0.0)
+    assert set(dead) <= set(removed)
+    for f in ftable.partition_files(DAY1):
+        assert os.path.exists(os.path.join(ftable.path, f))
+    assert ftable.read().count() == 120  # snapshot intact post-vacuum
+
+
+def test_change_feed_tracks_file_granular_churn(spark, ftable):
+    src = spark.createDataFrame(
+        [(5, "2026-01-01", 999.0)], "id long, ds string, amount double"
+    )
+    res = merge_partition_files(
+        spark, ftable.path, DAY1, src, keys=["id"], stats_col="id"
+    )
+    ch = table_changes(ftable, keys=["id"], from_version=1, to_version=res.version)
+    got = sorted((r["_change_type"], r["id"]) for r in ch.collect())
+    assert got == [("update_postimage", 5), ("update_preimage", 5)]
+
+
+def test_plan_width_guard_and_compaction(spark, tmp_path):
+    """Item #8: live_commit_roots grows with uncompacted commits,
+    read() warns past max_read_roots, optimize_partitions collapses
+    both the root count and the plan's scan count."""
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", 1.0)], "id long, ds string, amount double"
+    )
+    t = create_partitioned_wap_table(spark, str(tmp_path / "w"), df, ["ds"])
+    t.max_read_roots = 4
+    for i in range(2, 8):
+        day = spark.createDataFrame(
+            [(i, f"2026-01-{i:02d}", float(i))], "id long, ds string, amount double"
+        )
+        t.commit_partitions(day)
+    assert len(t.live_commit_roots()) == 7
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t.read().count()
+    assert any("live commit roots" in str(x.message) for x in w)
+
+    optimize_partitions(t)
+    assert len(t.live_commit_roots()) == 1
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df2 = t.read()
+        n = df2.count()
+    assert n == 7 and not any("live commit roots" in str(x.message) for x in w)
+    # the executed plan scans through ONE source after compaction
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
