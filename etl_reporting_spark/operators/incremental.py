@@ -131,3 +131,46 @@ def ivm_agg_refresh(
         )
         .filter(F.col("__cnt") != 0)
     )
+
+
+def ivm_agg_refresh_bucketed(
+    old_state: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    weight_col: str = "__w",
+) -> DataFrame:
+    """State merge shaped for BUCKETED standing state (round-7
+    verdict #7): same result as :func:`ivm_agg_refresh`, different
+    plan. The union+groupBy form re-shuffles the ENTIRE standing
+    state every refresh — union discards the state's partitioning
+    even when the table is bucketed on the group keys. This form
+    merges via a full-outer JOIN on the group keys instead: a state
+    read from a table bucketed on ``group_cols``
+    (``operators.skew.write_bucketed(state, ..., group_cols)``)
+    satisfies the join's distribution requirement as-scanned, so the
+    ONLY exchange is the delta's partial aggregate — per-refresh
+    shuffle cost ∝ |Δ|, with zero post-read shuffle on the state side
+    (plan-asserted in tests/test_incremental.py).
+
+    Groups whose merged count reaches zero drop, exactly as in the
+    union form. Write the merged result back bucketed the same way
+    and the NEXT refresh inherits the property — the layout is the
+    loop invariant."""
+    from pyspark.sql import functions as F
+
+    d = ivm_agg_delta(delta, group_cols, sum_cols, weight_col)
+    measures = ["__cnt"] + [f"sum_{c}" for c in sum_cols]
+    dd = d.select(
+        *group_cols, *[F.col(c).alias(f"__d_{c}") for c in measures]
+    )
+    merged = old_state.join(dd, on=list(group_cols), how="full_outer")
+    return merged.select(
+        *group_cols,
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in measures
+        ],
+    ).filter(F.col("__cnt") != 0)

@@ -1649,13 +1649,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j10_merge_upsert": j10_merge_upsert,
     "u1_union_distinct": u1_union_distinct,
     "w45_event_ordering": w45_event_ordering,
-    "p10_like_patterns": p10_like_patterns,
     "fn_json_gallery": fn_json_gallery,
     "report_lifecycle_summary": report_lifecycle_summary,
     "report_claimant_detail": report_claimant_detail,
     "report_monthly_revenue": report_monthly_revenue,
     "dq_report_battery": dq_report_battery,
-    "u3_intersect_except": u3_intersect_except,
     "p2_exclude_projection": p2_exclude_projection,
     # round-6 rotation: the six NEW capabilities move INTO the 50-row
     # driver window — j5b (tolerance as-of), w13 (RANGE rolling),
@@ -1667,14 +1665,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (f1_working_days stays), and the four round-5 LLM picks
     # (driver-green in CORRECTNESS_r05).
     "j5b_asof_tolerance": j5b_asof_tolerance,
-    "a2_distinct_counts": a2_distinct_counts,
     "w13_rolling_window": w13_rolling_window,
     "a14_cube": a14_cube,
     "fuzzy_address_dedup": fuzzy_address_dedup,
     "ivm_join_maintenance": ivm_join_maintenance,
     "text_dsir_select": LLM_QUERIES["text_dsir_select"],
     "mm_decode_throughput": LLM_QUERIES["mm_decode_throughput"],
+    # round-7 rotation (verdict #6 as named + the round's new gate):
+    # j14_skew_aware_join (the executed-ACID two-path skew join),
+    # mm_decode_real (the real-codec value-hash path), and
+    # ann_recall_sweep (residual IVF+PQ + exact-rerank recall sweep)
+    # move INTO the window. Rotated out, each with 4+ rounds of
+    # driver-green history (CORRECTNESS_r02..r06) and local
+    # verification every round: a2_distinct_counts,
+    # p10_like_patterns, u3_intersect_except.
+    "j14_skew_aware_join": j14_skew_aware_join,
+    "mm_decode_real": LLM_QUERIES["mm_decode_real"],
+    "ann_recall_sweep": LLM_QUERIES["ann_recall_sweep"],
     # ---- remaining gates (driver rows 51+; locally verified) ----
+    "a2_distinct_counts": a2_distinct_counts,
+    "p10_like_patterns": p10_like_patterns,
+    "u3_intersect_except": u3_intersect_except,
     "fn_try_to_date": fn_try_to_date,
     "ivm_agg_retraction": ivm_agg_retraction,
     "f1_udf_in_sql": f1_udf_in_sql,
@@ -1695,8 +1706,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u5_period_growth": u5_period_growth,
     "w12_stickiness": w12_stickiness,
     "j13_salted_join": j13_salted_join,
-    "j14_skew_aware_join": j14_skew_aware_join,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
+        "mm_decode_real",
+        "ann_recall_sweep",
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "dedup_cluster_resolution",

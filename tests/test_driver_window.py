@@ -47,22 +47,22 @@ EXPECTED_WINDOW = [
     "j10_merge_upsert",
     "u1_union_distinct",
     "w45_event_ordering",
-    "p10_like_patterns",
     "fn_json_gallery",
     "report_lifecycle_summary",
     "report_claimant_detail",
     "report_monthly_revenue",
     "dq_report_battery",
-    "u3_intersect_except",
     "p2_exclude_projection",
     "j5b_asof_tolerance",
-    "a2_distinct_counts",
     "w13_rolling_window",
     "a14_cube",
     "fuzzy_address_dedup",
     "ivm_join_maintenance",
     "text_dsir_select",
     "mm_decode_throughput",
+    "j14_skew_aware_join",
+    "mm_decode_real",
+    "ann_recall_sweep",
 ]
 
 
@@ -96,6 +96,22 @@ def test_window_split_contains_the_round6_rotation():
         "dedup_cluster_resolution",
         "ann_cosine_ivfpq",
     }
+    names = list(entry.queries())
+    assert rotated_out.isdisjoint(EXPECTED_WINDOW)
+    assert rotated_out <= set(names[50:])  # still present, locally verified
+
+
+def test_window_split_contains_the_round7_rotation():
+    """Round-7 rotation (round-5 ask #7 as named + this round's new
+    gate): j14_skew_aware_join (executed-ACID two-path skew join),
+    mm_decode_real (real-codec value-hash path), and ann_recall_sweep
+    (residual IVF+PQ + exact-rerank recall sweep) get the hard driver
+    signal. Rotated out with 4+ rounds of driver-green history
+    (CORRECTNESS_r02..r06) and per-round local verification:
+    a2_distinct_counts, p10_like_patterns, u3_intersect_except."""
+    new_r7 = {"j14_skew_aware_join", "mm_decode_real", "ann_recall_sweep"}
+    assert new_r7 <= set(EXPECTED_WINDOW)
+    rotated_out = {"a2_distinct_counts", "p10_like_patterns", "u3_intersect_except"}
     names = list(entry.queries())
     assert rotated_out.isdisjoint(EXPECTED_WINDOW)
     assert rotated_out <= set(names[50:])  # still present, locally verified
