@@ -151,6 +151,112 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # a composed measurement instrument, not a serving query; budget
     # pins the cold sf0.001 count so a lost broadcast still trips.
     "ann_recall_sweep": 48,
+    # round-7: the FULL registry is budgeted (verdict #5 asked >=60;
+    # this pins all remaining gates) - measured cold at sf0.001,
+    # SPARK_GRAFT_SHUFFLE=4, one session in registry order (the same
+    # environment tests/test_plan_audit.py runs in). A new Exchange
+    # anywhere in the surface is now a red build.
+    "w3_scd2_intervals": 1,
+    "w9_scd2_apply_changes": 5,
+    "p6_customers_without_orders": 2,
+    "a5_duplicate_detection": 2,
+    "a7_grouped_report": 1,
+    "a8_error_rate_by_type": 2,
+    "o3_top_orders": 0,
+    "j7_scalar_config_join": 3,
+    "a10_conditional_insert": 2,
+    "u4_union_by_name": 1,
+    "f2_count_difference": 2,
+    "s4_multi_statement": 2,
+    "a12_percentiles": 2,
+    "a13_pivot": 3,
+    "fn_date_gallery": 1,
+    "fn_string_gallery": 1,
+    "fn_conditional_gallery": 1,
+    "f1_working_days": 1,
+    "j6_interval_binding": 2,
+    "f3_month_periods": 1,
+    "dq_carrier_scoped": 1,
+    "inc_watermark_load": 1,
+    "u1_union_distinct": 2,
+    "w45_event_ordering": 2,
+    "fn_json_gallery": 1,
+    "report_lifecycle_summary": 3,
+    "report_claimant_detail": 2,
+    "report_monthly_revenue": 3,
+    "dq_report_battery": 13,
+    "p2_exclude_projection": 1,
+    "a14_cube": 3,
+    "a2_distinct_counts": 3,
+    "p10_like_patterns": 1,
+    "u3_intersect_except": 3,
+    "fn_try_to_date": 1,
+    "f1_udf_in_sql": 1,
+    "ann_cosine_topk": 2,
+    "a15_incremental_rollup": 4,
+    "ops_skew_report": 3,
+    "dq_drift_check": 12,
+    "w10_cohort_retention": 7,
+    "w11_funnel_conversion": 3,
+    "h1_hierarchy_flatten": 1,
+    "j12_table_diff": 7,
+    "dq_drift_numeric": 12,
+    "ts_forward_fill": 3,
+    "fn_window_gallery": 2,
+    "u5_period_growth": 2,
+    "w12_stickiness": 6,
+    "dedup_exact_groups": 2,
+    "dedup_ngram_jaccard": 4,
+    "dedup_contamination": 3,
+    "dedup_decontaminate": 3,
+    "dedup_simhash": 2,
+    "dedup_incremental_screen": 3,
+    "ann_cosine_ivf": 6,
+    "ann_cosine_lsh": 2,
+    "emb_near_duplicates": 2,
+    "ann_kmeans_step": 3,
+    "text_quality_scores": 1,
+    "text_language_id": 1,
+    "text_token_stats": 1,
+    "text_tfidf_topterms": 6,
+    "text_vocab_head": 2,
+    "doc_fingerprints": 1,
+    "text_repetition": 3,
+    "text_chunking": 1,
+    "sample_hash_split": 2,
+    "sample_stratified": 1,
+    "sample_pack_documents": 2,
+    "text_pii_redaction": 1,
+    "mm_decode_metadata": 1,
+    "mm_resize_hash": 1,
+    "mm_frame_sample": 1,
+    "corpus_line_dedup": 5,
+    "sample_source_cap": 2,
+    "sketch_kmv_distinct": 3,
+    "sample_training_order": 2,
+    "bpe_pair_step": 2,
+    "text_quality_classifier": 1,
+    "training_set_assembly": 3,
+    "sketch_sampled_quantiles": 2,
+    "sample_mixture_weights": 4,
+    "sample_temperature_mixture": 5,
+    "emb_quantize_int8": 1,
+    "ann_cosine_int8": 2,
+    "url_parse_domains": 1,
+    "url_domain_stats": 4,
+    "dedup_span_stats": 3,
+    "semdedup_flags": 2,
+    "url_blocklist": 4,
+    "sketch_countmin": 4,
+    "sketch_bloom_screen": 5,
+    "mm_phash": 1,
+    "emb_hard_negatives": 2,
+    "corpus_language_mixture": 4,
+    "web_text_extraction": 1,
+    "sample_leakage_safe_split": 5,
+    "text_normalize_dedup": 3,
+    "dq_corpus_battery": 4,
+    "ann_cosine_ivf_probe2": 2,
 }
 
 
