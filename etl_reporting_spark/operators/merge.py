@@ -638,7 +638,7 @@ def merge_partition_files(
     files = table.files_intersecting(
         partition, stats_col, bounds["lo"], bounds["hi"], version=base
     )
-    target = table.read_files(files)
+    target = table.read_files(files, version=base)
     res = merge_upsert(
         target,
         source,
@@ -655,8 +655,12 @@ def merge_partition_files(
     counts = dict(res._metrics())
     expected = counts["U"] + counts["I"] + counts["M"] + counts["K"]
     try:
+        # rewrite N selected files as ~N files: without this the tiny
+        # merged subset fans out to one file per shuffle partition and
+        # every upsert FRAGMENTS the partition (small-files creep that
+        # compaction would then have to keep undoing)
         version = table.commit_partition_files(
-            res.df,
+            res.df.coalesce(max(1, len(files))),
             partition,
             replace_files=files,
             expected_rows=expected,

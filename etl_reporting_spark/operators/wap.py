@@ -1137,16 +1137,18 @@ class PartitionedWapTable(WapTable):
                 keep.append(f)
         return sorted(keep)
 
-    def read_files(self, files: Sequence[str]) -> DataFrame:
+    def read_files(
+        self, files: Sequence[str], version: int | None = None
+    ) -> DataFrame:
         """Read an explicit data-file list (e.g. from
-        ``files_intersecting``) in the committed schema — one scan per
-        physical root, like :meth:`read`."""
+        ``files_intersecting``) in the committed schema of ``version``
+        (default: current) — one scan per physical root, like
+        :meth:`read`."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(
-            self._commit_record(self.current_version())["schema"]
-        )
+        v = version if version is not None else self.current_version()
+        schema = StructType.fromJson(self._commit_record(v)["schema"])
         if not files:
             return self.spark.createDataFrame([], schema)
         by_root: dict[str, list[str]] = {}
@@ -1343,12 +1345,15 @@ def table_changes(
     update (both images emitted).
 
     Scale: for a :class:`PartitionedWapTable` the diff reads ONLY
-    partitions whose directory pointer changed between the two
-    versions' maps — a metadata-level comparison, no data touched for
-    inherited partitions — so CDC cost tracks churn, not table size
-    (a one-day upsert into a years-deep fact diffs one day). A
-    full-snapshot table diffs everything, which is what its commit
-    rewrote anyway. One full-outer shuffle on the keys either way.
+    partitions whose pointer changed between the two versions' maps —
+    and within a changed partition, only the FILES exclusive to one
+    side (files present in both versions are immutable, so their rows
+    cannot differ). All metadata-level comparisons, no data touched
+    for inherited partitions or retained files — CDC cost tracks file
+    churn, not table size (a one-key file-granular upsert into a
+    years-deep fact diffs one file pair). A full-snapshot table diffs
+    everything, which is what its commit rewrote anyway. One
+    full-outer shuffle on the keys either way.
     """
     to_version = to_version if to_version is not None else table.current_version()
     from pyspark.sql import functions as F
@@ -1363,8 +1368,22 @@ def table_changes(
         m_new = table.partition_map(to_version)
         changed_old = sorted(k for k, d in m_old.items() if m_new.get(k) != d)
         changed_new = sorted(k for k, d in m_new.items() if m_old.get(k) != d)
-        old = table.read(version=from_version, partitions=changed_old)
-        new = table.read(version=to_version, partitions=changed_new)
+        # file-granular refinement: within a changed partition, files
+        # present in BOTH versions are immutable and identical — only
+        # the file-set difference can produce change rows, so each
+        # side reads its exclusive files. A dir-granular pointer on
+        # either side falls back to whole-partition file lists (which
+        # partition_files derives from the immutable leaf), and the
+        # set difference then still prunes commonly-inherited files.
+        old_files: list[str] = []
+        new_files: list[str] = []
+        for k in sorted(set(changed_old) | set(changed_new)):
+            fo = set(table.partition_files(k, from_version)) if k in m_old else set()
+            fn = set(table.partition_files(k, to_version)) if k in m_new else set()
+            old_files.extend(sorted(fo - fn))
+            new_files.extend(sorted(fn - fo))
+        old = table.read_files(old_files, version=from_version)
+        new = table.read_files(new_files, version=to_version)
     else:
         old = table.read(version=from_version)
         new = table.read(version=to_version)

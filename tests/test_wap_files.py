@@ -231,3 +231,26 @@ def test_plan_width_guard_and_compaction(spark, tmp_path):
     # the executed plan scans through ONE source after compaction
     plan = df2._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_change_feed_reads_only_churned_files(spark, ftable):
+    """CDF ∝ FILE churn: after a one-file upsert into a 4-file
+    partition, the diff's input files are exactly the replaced file
+    (old side) + its replacements (new side) — retained files and the
+    untouched partition are never planned."""
+    src = spark.createDataFrame(
+        [(5, "2026-01-01", 999.0)], "id long, ds string, amount double"
+    )
+    res = merge_partition_files(
+        spark, ftable.path, DAY1, src, keys=["id"], stats_col="id"
+    )
+    before = set(ftable.partition_files(DAY1, version=1))
+    after = set(ftable.partition_files(DAY1, version=res.version))
+    churn = (before - after) | (after - before)
+    ch = table_changes(ftable, keys=["id"], from_version=1, to_version=res.version)
+    planned = {
+        os.path.relpath(p.replace("file:", ""), ftable.path)
+        for p in ch.inputFiles()
+    }
+    assert planned == churn
+    assert len(planned) < len(before)  # strictly fewer than the partition
