@@ -223,6 +223,87 @@ def pq_codebook(
     )
 
 
+def pq_train_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-train the PQ codebook — ALL m subspaces in one relation
+    per iteration (subspace is just another grouping column, so one
+    assignment join + one mean aggregate trains every subspace's
+    codes simultaneously; never m separate k-means jobs). Seeds from
+    ``pq_codebook``; each iteration materializes (persist + count)
+    exactly like ``train_ivf_centroids``, or N iterations stack into
+    one plan that re-runs assignment N times.
+
+    Means use the plain partial+final AVG (shuffle-order float
+    association — the ``exact=False`` convention of
+    ``kmeans_step_components``): training output feeds recall
+    measurements and serving, not hash gates. Pass the result as
+    ``codebook=`` to ``pq_encode`` / ``ivfpq_candidates``; for
+    residual encoding, train on ``residualize(...)`` output so the
+    codes model residuals. What training guarantees is Lloyd's
+    monotone quantization-error decrease (pinned in
+    tests/test_ann_recall.py); whether that moves end RECALL is
+    corpus-dependent — on the synthetic gate corpus 3 iterations
+    measurably do not flip residual past plain (the raw corpus
+    clusters so tightly that nearest-corpus-vector seed quantization
+    is already strong), which is why the serving-quality lever this
+    repo ships is the exact-rerank refine stage, not codebook
+    training."""
+    sub = dim // m
+    codebook = pq_codebook(embeddings, m, n_codes, dim, id_col, vec_col).select(
+        "subspace", "code", "subvec"
+    )
+    ex = _subspaces(
+        embeddings.select(id_col, vec_col), m, sub, vec_col, "xsub"
+    ).select(id_col, "subspace", "xsub").persist()
+    ex.count()
+    prev = None
+    try:
+        for _ in range(iterations):
+            scored = ex.join(F.broadcast(codebook), "subspace").withColumn(
+                "dist", F.expr(_SUBFOLD_L2.format(a="xsub", b="subvec"))
+            )
+            w = Window.partitionBy(id_col, "subspace").orderBy(
+                F.col("dist").asc(), F.col("code").asc()
+            )
+            assigned = (
+                scored.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("subspace", "code", "xsub")
+            )
+            comp = assigned.select(
+                "subspace", "code", F.posexplode("xsub").alias("pos", "val")
+            )
+            means = comp.groupBy("subspace", "code", "pos").agg(
+                F.avg(F.col("val").cast("double")).alias("mv")
+            )
+            codebook = (
+                means.groupBy("subspace", "code")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, mv))),"
+                        " s -> s.mv)"
+                    ).alias("subvec")
+                )
+                .persist()
+            )
+            codebook.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = codebook
+    finally:
+        ex.unpersist()
+    return codebook.withColumn(
+        "cn2", F.expr(_SUBFOLD_DOT.format(a="subvec", b="subvec"))
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebook: DataFrame,
@@ -508,6 +589,7 @@ def ivfpq_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Scored IVF+PQ candidate set with the probe rank exposed:
     (query_id, probe_rn, neighbor_id, adc_score), one row per
@@ -535,7 +617,11 @@ def ivfpq_candidates(
         if residual
         else embeddings
     )
-    codebook = pq_codebook(enc_src, m, n_codes, dim, id_col, vec_col)
+    if codebook is None:
+        # caller-supplied codebooks (e.g. pq_train_codebook output)
+        # must match the encoding: trained on residualize(...) output
+        # when residual=True, on raw vectors otherwise
+        codebook = pq_codebook(enc_src, m, n_codes, dim, id_col, vec_col)
     codes = pq_encode(enc_src, codebook, m, dim, id_col, vec_col).join(cells, id_col)
 
     probes = ivf_assign(

@@ -842,11 +842,13 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     error 0.34 vs plain 0.29 at 64 codes, because the plain "codebook"
     of actual corpus vectors is already a nearest-neighbor quantizer
     of a clustered corpus, while residual seeds include the zero
-    residuals of the centroid vectors themselves. The residual win
-    the literature reports appears with Lloyd-TRAINED codebooks
-    (train_ivf_centroids is the training loop; its oracle cost is why
-    the gate keeps seeds). Both encodings and the refine stage are
-    value-hash-oracled end-to-end."""
+    residuals of the centroid vectors themselves. Lloyd training
+    (pq_train_codebook) provably lowers quantization error (pinned in
+    tests) but, measured here, 3 iterations do not flip residual past
+    plain on this corpus either — the reliable serving-quality lever
+    is the refine stage, which is exactly what this sweep shows. Both
+    encodings and the refine stage are value-hash-oracled
+    end-to-end."""
     from pyspark.sql import Window
 
     from etl_reporting_spark.caching import track

@@ -146,3 +146,59 @@ def test_sweep_operating_point_at_sf001(spark):
     for r in rows:
         assert r.recall_refined >= 0.8, (r.encoding, r.n_probe, r.recall_refined)
         assert r.recall_refined >= r.recall_adc
+
+
+def _sse(spark, enc_src, codebook):
+    """k-means objective: mean squared subspace distance of each
+    vector to its assigned code (the quantity Lloyd minimizes)."""
+    from etl_reporting_spark.llm.quantize import _SUBFOLD_L2, _subspaces
+
+    ex = _subspaces(
+        enc_src.select("vec_id", "embedding"), 8, 8, "embedding", "xsub"
+    ).select("vec_id", "subspace", "xsub")
+    scored = ex.join(
+        F.broadcast(codebook.select("subspace", "code", "subvec")), "subspace"
+    ).withColumn("dist", F.expr(_SUBFOLD_L2.format(a="xsub", b="subvec")))
+    w = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    best = scored.withColumn("r", F.row_number().over(w)).filter("r = 1")
+    return best.agg(F.avg("dist")).collect()[0][0]
+
+
+def test_trained_codebook_lowers_quantization_error(spark):
+    """pq_train_codebook is a real Lloyd loop: within-cluster SSE
+    strictly drops vs the seed codebook, for BOTH plain and residual
+    encodings (Lloyd's monotone-objective guarantee). Recall impact
+    is corpus-dependent and deliberately NOT asserted — on this
+    corpus the refine stage, not training, is the serving lever
+    (documented in the operator and sweep docstrings)."""
+    from etl_reporting_spark.llm.quantize import (
+        pq_codebook,
+        pq_train_codebook,
+        residualize,
+    )
+
+    emb = _emb(spark, SF_DIR_01)
+    cent = emb.filter(F.col("vec_id") < 32)
+    for enc_src in (emb, residualize(emb, cent).select("vec_id", "embedding")):
+        seed = pq_codebook(enc_src, m=8, n_codes=16, dim=64)
+        trained = pq_train_codebook(enc_src, m=8, n_codes=16, iterations=2)
+        assert _sse(spark, enc_src, trained) < _sse(spark, enc_src, seed)
+
+
+def test_caller_codebook_plumbs_through_ivfpq(spark):
+    """ivfpq_candidates accepts a trained codebook and still produces
+    a full, correctly-shaped candidate set (sanity: every query gets
+    candidates; scores finite)."""
+    from etl_reporting_spark.llm.quantize import ivfpq_candidates, pq_train_codebook
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    cb = pq_train_codebook(emb, m=8, n_codes=8, iterations=1)
+    cands = ivfpq_candidates(
+        emb, queries, n_probe=2, n_centroids=8, n_codes=8, codebook=cb
+    ).collect()
+    qids = {r.query_id for r in cands}
+    assert qids == {0, 1, 2}
+    assert all(r.adc_score == r.adc_score for r in cands)  # no NaN
