@@ -1447,6 +1447,8 @@ def optimize_partitions(
     table: PartitionedWapTable,
     partitions: Sequence[str] | None = None,
     n_files: int = 1,
+    cluster_by: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> int:
     """Compaction commit (Delta OPTIMIZE at partition granularity):
     rewrite the named partitions' many small files — the residue of
@@ -1454,17 +1456,40 @@ def optimize_partitions(
     as a normal partition-scoped commit with IDENTICAL logical
     content. Returns the new version.
 
+    ``cluster_by`` additionally range-clusters the rewrite on the
+    named columns (Delta ``OPTIMIZE ... ZORDER BY``'s single-column
+    case): rows are range-partitioned so each output file holds a
+    tight, near-disjoint value range, which is what makes the
+    per-file [min, max] stats (``stats_cols`` — defaults to
+    ``cluster_by``) actually selective. Compact-then-cluster is the
+    maintenance step that turns an append-churned partition back
+    into one where ``merge_partition_files`` / ``files_intersecting``
+    touch O(1) files per narrow key.
+
     Because compaction rides the same commit protocol, it gets the
     same guarantees free: readers atomically flip to the compacted
     layout, time travel keeps the old one, a concurrent upsert to the
     SAME partition conflicts (one winner — rerun compaction on the
     merged state), and disjoint-partition writers are untouched by
     the rebase rule."""
+    from pyspark.sql import functions as F
+
     pmap = table.partition_map()
     todo = sorted(pmap) if partitions is None else sorted(partitions)
-    df = table.read(partitions=todo).coalesce(n_files)
+    df = table.read(partitions=todo)
+    if cluster_by:
+        # range-cluster WITHIN each hive partition: partition cols
+        # lead the range key so a multi-partition rewrite doesn't
+        # interleave partitions across tasks, then the cluster cols
+        # give each task (→ each output file) a contiguous range
+        keys = [F.col(c) for c in (*table.partition_by, *cluster_by)]
+        df = df.repartitionByRange(max(n_files, 1) * max(len(todo), 1), *keys)
+        if stats_cols is None:
+            stats_cols = list(cluster_by)
+    else:
+        df = df.coalesce(n_files)
     return table.commit_partitions(
-        df, replace=todo, operation="optimize"
+        df, replace=todo, operation="optimize", stats_cols=stats_cols
     )
 
 

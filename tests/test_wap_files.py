@@ -254,3 +254,32 @@ def test_change_feed_reads_only_churned_files(spark, ftable):
     }
     assert planned == churn
     assert len(planned) < len(before)  # strictly fewer than the partition
+
+
+def test_clustered_compaction_restores_file_skipping(spark, tmp_path):
+    """optimize_partitions(cluster_by=...): an append-churned
+    partition whose files all span the full key range (every file
+    selected for any key) is rewritten range-clustered, after which a
+    point lookup selects ONE file again — the maintenance loop that
+    keeps merge_partition_files cheap."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1, 101))
+    rng.shuffle(ids)
+    rows = [(i, "2026-01-01", float(i)) for i in ids]
+    # 4 files, ids interleaved -> every file spans ~the whole range
+    df = spark.createDataFrame(
+        rows, "id long, ds string, amount double"
+    ).repartition(4)
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "c"), df, ["ds"], stats_cols=["id"]
+    )
+    churned = t.files_intersecting(DAY1, "id", 5, 5)
+    assert len(churned) > 1  # interleaved layout: stats select many
+
+    v = optimize_partitions(t, n_files=4, cluster_by=["id"])
+    assert t.current_version() == v
+    assert len(t.partition_files(DAY1)) >= 3  # still multiple files
+    assert len(t.files_intersecting(DAY1, "id", 5, 5)) == 1  # tight ranges
+    assert t.read().count() == 100  # content identical
