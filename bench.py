@@ -118,8 +118,10 @@ HEADLINE = [
     "j5b_asof_tolerance",
     "text_dsir_select",
     # round-7: the IVF+PQ recall sweep (8 operating points, ADC +
-    # exact-rerank refine, from one encode pass per encoding)
+    # exact-rerank refine, from one encode pass per encoding) and the
+    # recommended serving query (prune × ADC shortlist × exact refine)
     "ann_recall_sweep",
+    "ann_cosine_ivfpq_refined",
 ]
 
 # Heavy gates timed at the self-generated sf3 tier (30x sf0.1, all

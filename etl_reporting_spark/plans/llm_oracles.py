@@ -2196,6 +2196,104 @@ ref_{tag} AS (
 LLM_ORACLE_SQL["ann_recall_sweep"] = _ann_recall_sweep_sql()
 
 
+# The recommended serving query: IVF(32 cells, n_probe=2) × PQ/ADC
+# shortlist(64 codes, 32) × exact-rerank top-5 with TRUE cosines.
+# Same CTE patterns as the sweep, one configuration, refined output.
+LLM_ORACLE_SQL["ann_cosine_ivfpq_refined"] = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 32
+),
+scored_assign AS (
+  SELECT e.vec_id, e.embedding, ct.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='ct.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='ct.cvec', b='ct.cvec'))} AS cosine
+  FROM embeddings e, cent ct
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+  FROM scored_assign
+),
+assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2 AND vec_id < 5
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+    {_DOT9.format(a='embedding', b='embedding')} AS qn2
+  FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a
+    ON a.centroid_id = p.centroid_id AND a.vec_id != p.vec_id
+),
+subs AS (SELECT unnest(range(0, 8)) AS subspace),
+cbn AS (
+  SELECT s.subspace, e.vec_id AS code,
+    list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8) AS subvec,
+    {_PQ_DOT.format(a="list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8)",
+                    b="list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8)")} AS cn2
+  FROM embeddings e, subs s WHERE e.vec_id < 64
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT ex.vec_id, ex.subspace, cbn.code,
+      ROW_NUMBER() OVER (
+        PARTITION BY ex.vec_id, ex.subspace
+        ORDER BY {_PQ_L2.format(a='ex.xsub', b='cbn.subvec')} ASC, cbn.code ASC
+      ) AS rn
+    FROM (
+      SELECT e.vec_id, s.subspace,
+        list_slice(e.embedding, s.subspace * 8 + 1, s.subspace * 8 + 8) AS xsub
+      FROM embeddings e, subs s
+    ) ex JOIN cbn ON ex.subspace = cbn.subspace
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT q.query_id, q.qn2, cbn.subspace, cbn.code, cbn.cn2,
+    {_PQ_DOT.format(a="list_slice(q.qvec, cbn.subspace * 8 + 1, cbn.subspace * 8 + 8)",
+                    b='cbn.subvec')} AS pdot
+  FROM q, cbn
+),
+parts AS (
+  SELECT pr.query_id, pr.neighbor_id,
+    ANY_VALUE(l.qn2) AS qn2,
+    list_reduce(list(l.pdot ORDER BY l.subspace), (acc, v) -> acc + v) AS adc_dot,
+    list_reduce(list(l.cn2 ORDER BY l.subspace), (acc, v) -> acc + v) AS fold_cn2
+  FROM pairs pr
+  JOIN enc e ON e.vec_id = pr.neighbor_id
+  JOIN lut l ON l.query_id = pr.query_id
+            AND l.subspace = e.subspace AND l.code = e.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY adc_dot / (sqrt(qn2) * sqrt(fold_cn2)) DESC, neighbor_id ASC
+    ) AS rk FROM parts
+  ) t WHERE rk <= 32
+),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+    {_COS.format(dot=_DOT9.format(a='q.qvec', b='c.embedding'),
+                 na=_DOT9.format(a='q.qvec', b='q.qvec'),
+                 nb=_DOT9.format(a='c.embedding', b='c.embedding'))} AS cosine
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM refined
+) t WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 # DSIR importance: hashed unigram+bigram buckets (md5 % 1024, 'dsir'
 # salt), integer bucket masses against the en-target and whole-corpus
 # models, one IEEE-exact multiply/divide for the surrogate score.

@@ -914,6 +914,26 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("encoding", "n_probe")
 
 
+def ann_cosine_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECOMMENDED serving query (round-7): IVF prune (32 cells,
+    n_probe=2 — ~6% of the corpus) × PQ/ADC shortlist (64 seed codes,
+    shortlist 32) × exact-rerank refine — the configuration the
+    recall sweep measured at recall@5 ≥ 0.85. Returns exact cosines
+    for the refined top-k, so downstream thresholds are on true
+    scores, not ADC approximations. Cost per query: |corpus|/16 ADC
+    probes + 32 exact dots."""
+    from etl_reporting_spark.llm.quantize import exact_rerank, ivfpq_candidates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cands = ivfpq_candidates(
+        emb, queries, n_probe=2, residual=False, n_centroids=32, n_codes=64
+    )
+    return exact_rerank(cands, emb, queries, k=5, shortlist=32).orderBy(
+        "query_id", "rank"
+    )
+
+
 def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec decode gate (round-5, closes verdict gap #1): one
     encoded image per document — PNG via stdlib zlib + filter
@@ -1202,6 +1222,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_throughput": mm_decode_throughput,
     "ann_recall_ivf": ann_recall_ivf,
     "ann_recall_sweep": ann_recall_sweep,
+    "ann_cosine_ivfpq_refined": ann_cosine_ivfpq_refined,
     "text_dsir_importance": text_dsir_importance,
     "text_dsir_select": text_dsir_select,
     "text_ccnet_buckets": text_ccnet_buckets,

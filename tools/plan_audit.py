@@ -91,6 +91,7 @@ _BNLJ_OK: dict[str, str] = {
         "centroid table broadcast for cell assignment (as ann_cosine_ivf) + "
         "1-row hits_adc × 1-row hits_refined combines per sweep point"
     ),
+    "ann_cosine_ivfpq_refined": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
 }
 
 
@@ -151,6 +152,7 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # a composed measurement instrument, not a serving query; budget
     # pins the cold sf0.001 count so a lost broadcast still trips.
     "ann_recall_sweep": 48,
+    "ann_cosine_ivfpq_refined": 6,  # assignment windows + ADC agg + rerank window
     # round-7: the FULL registry is budgeted (verdict #5 asked >=60;
     # this pins all remaining gates) - measured cold at sf0.001,
     # SPARK_GRAFT_SHUFFLE=4, one session in registry order (the same
