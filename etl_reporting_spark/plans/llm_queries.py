@@ -851,67 +851,134 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end."""
     from pyspark.sql import Window
 
-    from etl_reporting_spark.caching import track
-    from etl_reporting_spark.llm.quantize import exact_rerank, ivfpq_candidates
+    from etl_reporting_spark.llm.quantize import ivfpq_candidates
+    from etl_reporting_spark.llm.similarity import _DOT, _NORM2, _cosine_expr
 
     n_q, k, n_cent, n_codes, shortlist = 20, 5, 32, 64, 32
+    probes = (1, 2, 3, 4)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < n_q)
-    exact = track(
+    exact = (
         cosine_topk_bruteforce(emb, queries, k=k)
         .select("query_id", "neighbor_id")
-        .persist()
+        .withColumn("__hit", F.lit(1))
     )
     denom = float(n_q * k)
-    rows = []
+
+    # SINGLE-PASS sweep per encoding (the first version ranked and
+    # reranked each probe level separately — 16 windows + 16 hit
+    # joins ≈ 40 sequential stages of pure scheduling overhead at
+    # bench scale). All four probe-level ADC ranks come from ONE
+    # window: with candidates ordered by (adc_score desc, neighbor),
+    # the running count of rows with probe_rn ≤ p IS row_number
+    # within the p-filtered ordering (subset ranking preserves
+    # relative order). Same trick ranks all four refine levels in
+    # one exact-cosine-ordered window, and one aggregate folds the 8
+    # hit counts. Results are bit-identical to the per-level
+    # formulation — the oracle is unchanged.
+    per_enc = []
     for enc_name, residual in (("plain", False), ("residual", True)):
-        cands = track(
-            ivfpq_candidates(
-                emb,
-                queries,
-                n_probe=4,
-                residual=residual,
-                n_centroids=n_cent,
-                n_codes=n_codes,
-            ).persist()
+        cands = ivfpq_candidates(
+            emb,
+            queries,
+            n_probe=4,
+            residual=residual,
+            n_centroids=n_cent,
+            n_codes=n_codes,
         )
-        for p in (1, 2, 3, 4):
-            sub = cands.filter(F.col("probe_rn") <= p)
-            w = Window.partitionBy("query_id").orderBy(
-                F.col("adc_score").desc(), F.col("neighbor_id").asc()
+        w_adc = (
+            Window.partitionBy("query_id")
+            .orderBy(F.col("adc_score").desc(), F.col("neighbor_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for p in probes:
+            cands = cands.withColumn(
+                f"__r{p}",
+                F.sum(F.when(F.col("probe_rn") <= p, 1).otherwise(0)).over(w_adc),
             )
-            adc_top = (
-                sub.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id")
+        in_any_shortlist = None
+        for p in probes:
+            c = (F.col("probe_rn") <= p) & (F.col(f"__r{p}") <= shortlist)
+            in_any_shortlist = c if in_any_shortlist is None else in_any_shortlist | c
+        short = cands.filter(in_any_shortlist)
+        # exact cosine on the shortlist superset only (the refine
+        # kernel — same fold/tie-break as cosine_topk_bruteforce)
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.expr(_NORM2.format(a="embedding")).alias("qn"),
+        )
+        cv = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cvec"),
+            F.expr(_NORM2.format(a="embedding")).alias("cn"),
+        )
+        short = (
+            short.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+            .withColumn("__cos", _cosine_expr())
+            .drop("qvec", "cvec", "qn", "cn", "dot")
+        )
+        w_cos = (
+            Window.partitionBy("query_id")
+            .orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for p in probes:
+            short = short.withColumn(
+                f"__fr{p}",
+                F.sum(
+                    F.when(
+                        (F.col("probe_rn") <= p) & (F.col(f"__r{p}") <= shortlist), 1
+                    ).otherwise(0)
+                ).over(w_cos),
             )
-            ref_top = exact_rerank(sub, emb, queries, k=k, shortlist=shortlist).select(
-                "query_id", "neighbor_id"
+        flagged = short.join(exact, ["query_id", "neighbor_id"], "left")
+        aggs = []
+        for p in probes:
+            hit = F.col("__hit").isNotNull()
+            sel = F.col("probe_rn") <= p
+            aggs.append(
+                F.sum(
+                    F.when(sel & (F.col(f"__r{p}") <= k) & hit, 1).otherwise(0)
+                ).alias(f"ha{p}")
             )
-            a = exact.join(adc_top, ["query_id", "neighbor_id"], "semi").agg(
-                F.count(F.lit(1)).alias("hits_adc")
+            aggs.append(
+                F.sum(
+                    F.when(
+                        sel
+                        & (F.col(f"__r{p}") <= shortlist)
+                        & (F.col(f"__fr{p}") <= k)
+                        & hit,
+                        1,
+                    ).otherwise(0)
+                ).alias(f"hr{p}")
             )
-            r = exact.join(ref_top, ["query_id", "neighbor_id"], "semi").agg(
-                F.count(F.lit(1)).alias("hits_refined")
-            )
-            rows.append(
-                a.crossJoin(F.broadcast(r)).select(
-                    F.lit(enc_name).alias("encoding"),
+        metrics = flagged.agg(*aggs)
+        point = F.array(
+            *[
+                F.struct(
                     F.lit(p).cast("int").alias("n_probe"),
-                    F.col("hits_adc").cast("bigint").alias("hits_adc"),
-                    (F.col("hits_adc").cast("double") / F.lit(denom)).alias(
-                        "recall_adc"
-                    ),
-                    F.col("hits_refined").cast("bigint").alias("hits_refined"),
-                    (F.col("hits_refined").cast("double") / F.lit(denom)).alias(
-                        "recall_refined"
-                    ),
+                    F.coalesce(F.col(f"ha{p}"), F.lit(0)).cast("bigint").alias("ha"),
+                    F.coalesce(F.col(f"hr{p}"), F.lit(0)).cast("bigint").alias("hr"),
                 )
+                for p in probes
+            ]
+        )
+        per_enc.append(
+            metrics.select(F.explode(point).alias("__pt")).select(
+                F.lit(enc_name).alias("encoding"),
+                F.col("__pt.n_probe").alias("n_probe"),
+                F.col("__pt.ha").alias("hits_adc"),
+                (F.col("__pt.ha").cast("double") / F.lit(denom)).alias("recall_adc"),
+                F.col("__pt.hr").alias("hits_refined"),
+                (F.col("__pt.hr").cast("double") / F.lit(denom)).alias(
+                    "recall_refined"
+                ),
             )
-    out = rows[0]
-    for r_ in rows[1:]:
-        out = out.unionAll(r_)
-    return out.orderBy("encoding", "n_probe")
+        )
+    return per_enc[0].unionAll(per_enc[1]).orderBy("encoding", "n_probe")
 
 
 def ann_cosine_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
