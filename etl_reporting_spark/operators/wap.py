@@ -583,24 +583,43 @@ class PartitionedWapTable(WapTable):
             if missing:
                 raise KeyError(f"unknown partitions: {sorted(missing)}")
             pmap = {k: pmap[k] for k in partitions}
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(self._commit_record(v)["schema"])
-        if not pmap:
-            return self.spark.createDataFrame([], schema)
-        # group paths by physical root: one scan per root, hive
-        # partition columns inferred from the k=v path components.
-        # Dir pointers contribute their leaf dir; file-granular
-        # pointers contribute individual data files (same inference —
-        # partition values come from the path RELATIVE to basePath
-        # whether the scan is given a dir or its files).
-        by_root: dict[str, list[str]] = {}
+        paths: list[str] = []
         for ptr in pmap.values():
-            rels = ptr if isinstance(ptr, tuple) else (ptr,)
-            for rel in rels:
-                root = rel.split("/", 1)[0]
-                by_root.setdefault(root, []).append(os.path.join(self.path, rel))
-        if len(by_root) > self.max_read_roots:
+            paths.extend(ptr if isinstance(ptr, tuple) else (ptr,))
+        return self._read_paths(paths, v, with_lineage=False, warn_width=True)
+
+    def _read_paths(
+        self,
+        rel_paths: Sequence[str],
+        version: int,
+        with_lineage: bool = False,
+        warn_width: bool = False,
+    ) -> DataFrame:
+        """Shared read core: scan the given dir/file relpaths (one
+        scan per physical root — hive partition columns come from the
+        path RELATIVE to basePath whether the scan is given a dir or
+        its files), apply the version's DELETE VECTORS (broadcast
+        anti-join on (file basename, parquet row index) — no shuffle),
+        and restore the committed schema. ``with_lineage`` keeps the
+        ``__file``/``__ridx`` columns (the delete-vector writer's
+        input)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StringType, StructType
+
+        rec = self._commit_record(version)
+        schema = StructType.fromJson(rec["schema"])
+        out_schema = StructType(list(schema.fields))
+        if with_lineage:
+            out_schema = out_schema.add("__file", StringType()).add(
+                "__ridx", LongType()
+            )
+        if not rel_paths:
+            return self.spark.createDataFrame([], out_schema)
+        by_root: dict[str, list[str]] = {}
+        for rel in rel_paths:
+            root = rel.split("/", 1)[0]
+            by_root.setdefault(root, []).append(os.path.join(self.path, rel))
+        if warn_width and len(by_root) > self.max_read_roots:
             import warnings
 
             warnings.warn(
@@ -611,34 +630,67 @@ class PartitionedWapTable(WapTable):
                 RuntimeWarning,
                 stacklevel=2,
             )
-        frames = [
-            self.spark.read.option("basePath", os.path.join(self.path, root))
-            .parquet(*sorted(leaves))
-            for root, leaves in sorted(by_root.items())
-        ]
+        dvs: dict[str, str] = rec.get("delete_vectors", {})
+        need_lineage = with_lineage or bool(dvs)
+        # the stable per-row address: (URI-encoded table-root-relative
+        # file path, parquet row index). Derived identically here and
+        # at delete time, so the anti-join key never depends on URI
+        # decoding subtleties ('+' vs %20 etc.); the canonical on-disk
+        # relpath is recovered driver-side with urllib unquote.
+        prefix = "file:" + os.path.abspath(self.path) + "/"
+        frames = []
+        for root, leaves in sorted(by_root.items()):
+            f = self.spark.read.option(
+                "basePath", os.path.join(self.path, root)
+            ).parquet(*sorted(leaves))
+            if need_lineage:
+                f = f.withColumn(
+                    "__file",
+                    F.replace(
+                        F.col("_metadata.file_path"), F.lit(prefix), F.lit("")
+                    ),
+                ).withColumn("__ridx", F.col("_metadata.row_index"))
+            frames.append(f)
         out = frames[0]
         for f in frames[1:]:
             # allowMissingColumns = schema evolution (Delta ADD
             # COLUMN semantics): a partition written before a column
             # existed reads as NULL for it, no backfill rewrite
             out = out.unionByName(f, allowMissingColumns=True)
+        if dvs:
+            # one tiny scan over the referenced sidecars. A sidecar
+            # may carry rows for files whose ref has since moved or
+            # that were rewritten: moved refs are cumulative supersets
+            # (harmless dupes), rewritten files have NEW paths (no
+            # match) — so the union of referenced sidecars masks
+            # exactly right.
+            dv = (
+                self.spark.read.parquet(
+                    *sorted(os.path.join(self.path, d) for d in set(dvs.values()))
+                )
+                .select(
+                    F.col("file_key").alias("__file"),
+                    F.col("row_index").alias("__ridx"),
+                )
+                .distinct()
+            )
+            out = out.join(F.broadcast(dv), ["__file", "__ridx"], "left_anti")
         # restore the COMMITTED schema: hive partition inference types
         # the path values (e.g. ds=2026-01-01 → DATE) and appends the
         # partition columns last; readers must see exactly what the
         # resolved version's writer committed, in its column order and
         # types. A column the resolved schema dropped is projected
         # away; one it added reads NULL from older roots (above).
-        from pyspark.sql import functions as F
-
         names = {c.lower() for c in out.columns}
-        return out.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name.lower() in names
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name.lower() in names
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        if with_lineage:
+            cols += [F.col("__file"), F.col("__ridx")]
+        return out.select(*cols)
 
     # ----------------------------------------------------------- write
     def commit_partitions(
@@ -742,14 +794,23 @@ class PartitionedWapTable(WapTable):
             stats = dict(base_rec.get("stats", {}))
             fmap = dict(base_rec.get("files", {}))
             fstats = dict(base_rec.get("file_stats", {}))
+            touched_set = set(touched)
             for t in touched:
                 pmap.pop(t, None)
                 stats.pop(t, None)
                 fmap.pop(t, None)
-            touched_set = set(touched)
             fstats = {
                 f: s
                 for f, s in fstats.items()
+                if _pkey_of_file(f) not in touched_set
+            }
+            # delete vectors: entries for replaced partitions' files
+            # drop (their rows were read masked and rewritten clean);
+            # everything else is inherited — forgetting this would
+            # RESURRECT deleted rows in untouched partitions
+            dvs = {
+                f: d
+                for f, d in base_rec.get("delete_vectors", {}).items()
                 if _pkey_of_file(f) not in touched_set
             }
             pmap.update(ours)
@@ -778,6 +839,8 @@ class PartitionedWapTable(WapTable):
                 record["files"] = fmap
             if fstats:
                 record["file_stats"] = fstats
+            if dvs:
+                record["delete_vectors"] = dvs
             if extra:
                 record.update(extra)
             try:
@@ -1013,6 +1076,12 @@ class PartitionedWapTable(WapTable):
             for rf in replace_files:
                 fstats.pop(rf, None)
             fstats.update(our_file_stats)
+            # delete vectors: replaced files were READ MASKED and
+            # rewritten clean, so their entries drop; kept files'
+            # vectors are inherited
+            dvs = dict(base_rec.get("delete_vectors", {}))
+            for rf in replace_files:
+                dvs.pop(rf, None)
             if stats_cols and final and all(f in fstats for f in final):
                 merged: dict[str, list] = {}
                 for c in stats_cols:
@@ -1044,6 +1113,8 @@ class PartitionedWapTable(WapTable):
                 record["files"] = fmap
             if fstats:
                 record["file_stats"] = fstats
+            if dvs:
+                record["delete_vectors"] = dvs
             if extra:
                 record.update(extra)
             try:
@@ -1091,6 +1162,159 @@ class PartitionedWapTable(WapTable):
                 return ours or {"*"}
             conflict |= ours & set(tf)
         return conflict
+
+    def delete_rows(
+        self,
+        condition,
+        partitions: Sequence[str] | None = None,
+        base_version: int | None = None,
+        max_rebase: int = 5,
+        operation: str = "delete",
+    ) -> tuple[int, int]:
+        """Row-level DELETE via DELETION VECTORS — no data file is
+        rewritten (Delta's deletion-vector refinement, one step past
+        file-granular commits): matching rows' (file, parquet row
+        index) pairs are written to a tiny sidecar and the commit
+        record maps each masked file to its CUMULATIVE vector; every
+        read (snapshot, time travel, file-granular, CDF, merge
+        target) applies the vectors as a broadcast anti-join on the
+        scan. At 100 TB a narrow delete costs a metadata-pruned scan
+        + a sidecar ∝ deleted rows — zero bytes of the fact rewritten.
+
+        ``condition`` is a Column or SQL string over the committed
+        schema; ``partitions`` optionally metadata-prunes the scan
+        (rows outside are silently kept, the pruned-DML contract).
+        Returns ``(version, rows_deleted)`` — a no-match delete is a
+        NO-OP returning (base, 0), publishing nothing.
+
+        Conflict rule: masking a file is touching it — a DV commit
+        conflicts with an intervening rewrite of (or another DV on)
+        the same file, and rebases automatically past writers of
+        disjoint files. Partition stats are NOT tightened by deletes
+        (bounds may describe masked rows): pruning stays conservative
+        — never wrong — until compaction (``optimize_partitions``
+        reads masked and rewrites clean, dropping the vectors).
+        """
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
+        base = base_version if base_version is not None else self.current_version()
+        if base == 0:
+            raise FileNotFoundError(f"no committed WAP table at {self.path}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        pkeys = (
+            list(partitions)
+            if partitions is not None
+            else sorted(self.partition_map(base))
+        )
+        paths: list[str] = []
+        for k in pkeys:
+            paths.extend(self.partition_files(k, version=base))
+        known = set(paths)
+        snap = self._read_paths(paths, base, with_lineage=True)
+        new_rows = (
+            snap.filter(cond)
+            .select(
+                F.col("__file").alias("file_key"),
+                F.col("__ridx").alias("row_index"),
+            )
+            .persist()
+        )
+        try:
+            n_deleted = new_rows.count()
+            if n_deleted == 0:
+                return (base, 0)
+            # encoded key → canonical on-disk relpath (urllib unquote
+            # inverts the URI %-encoding and leaves '+' alone, unlike
+            # form decoding)
+            keys = sorted(
+                r["file_key"]
+                for r in new_rows.select("file_key").distinct().collect()
+            )
+            rel_of = {fk: unquote(fk) for fk in keys}
+            stray = sorted(set(rel_of.values()) - known)
+            if stray:
+                raise AuditError(
+                    f"matched rows map to files outside the snapshot: {stray}"
+                )
+            masked = sorted(rel_of.values())
+            base_rec = self._commit_record(base)
+            old_dvs: dict[str, str] = base_rec.get("delete_vectors", {})
+            prior_refs = sorted({old_dvs[f] for f in masked if f in old_dvs})
+            map_df = self.spark.createDataFrame(
+                sorted(rel_of.items()), "file_key string, relfile string"
+            )
+            dv_df = new_rows.join(F.broadcast(map_df), "file_key").select(
+                "file_key", "relfile", "row_index"
+            )
+            if prior_refs:
+                prior = (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, d) for d in prior_refs]
+                    )
+                    .filter(F.col("relfile").isin(masked))
+                    .select("file_key", "relfile", "row_index")
+                )
+                dv_df = dv_df.unionByName(prior)
+            root = f"d-{uuid.uuid4().hex[:12]}"
+            dv_rel = f"{root}/_dv"
+            os.makedirs(self.path, exist_ok=True)
+            dv_df.distinct().coalesce(1).write.parquet(
+                os.path.join(self.path, dv_rel)
+            )
+        finally:
+            new_rows.unpersist()
+
+        touched = sorted({_pkey_of_file(f) for f in masked})
+        touched_files: dict[str, list[str]] = {}
+        for f in masked:
+            touched_files.setdefault(_pkey_of_file(f), []).append(f)
+
+        attempt = 0
+        while True:
+            new_version = base + 1
+            base_rec = self._commit_record(base)
+            dvs = dict(base_rec.get("delete_vectors", {}))
+            for f in masked:
+                dvs[f] = dv_rel
+            record = {
+                "version": new_version,
+                "partitions": dict(base_rec.get("partitions", {})),
+                "partition_by": self.partition_by,
+                "touched": touched,
+                "touched_files": {k: sorted(v) for k, v in touched_files.items()},
+                "row_count": n_deleted,
+                "schema": base_rec["schema"],
+                "operation": operation,
+                "committed_at": time.time(),
+                "delete_vectors": dvs,
+            }
+            for carry in ("stats", "files", "file_stats"):
+                if base_rec.get(carry):
+                    record[carry] = dict(base_rec[carry])
+            try:
+                self._publish(record)
+                return (new_version, n_deleted)
+            except ConcurrentWriteError:
+                attempt += 1
+                latest = self.current_version()
+                conflict: set[str] = set()
+                for k, fl in touched_files.items():
+                    conflict |= self._conflicting_files(base, latest, k, fl)
+                if conflict or attempt > max_rebase:
+                    shutil.rmtree(
+                        os.path.join(self.path, root), ignore_errors=True
+                    )
+                    if conflict:
+                        raise ConcurrentWriteError(
+                            f"files {sorted(conflict)} were rewritten or "
+                            "re-masked by another writer; re-read and retry "
+                            "the delete"
+                        ) from None
+                    raise
+                base = latest
 
     def files_intersecting(
         self,
@@ -1142,36 +1366,10 @@ class PartitionedWapTable(WapTable):
     ) -> DataFrame:
         """Read an explicit data-file list (e.g. from
         ``files_intersecting``) in the committed schema of ``version``
-        (default: current) — one scan per physical root, like
-        :meth:`read`."""
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
-
+        (default: current), with that version's delete vectors
+        applied — one scan per physical root, like :meth:`read`."""
         v = version if version is not None else self.current_version()
-        schema = StructType.fromJson(self._commit_record(v)["schema"])
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        by_root: dict[str, list[str]] = {}
-        for rel in files:
-            root = rel.split("/", 1)[0]
-            by_root.setdefault(root, []).append(os.path.join(self.path, rel))
-        frames = [
-            self.spark.read.option("basePath", os.path.join(self.path, root))
-            .parquet(*sorted(paths))
-            for root, paths in sorted(by_root.items())
-        ]
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f, allowMissingColumns=True)
-        names = {c.lower() for c in out.columns}
-        return out.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name.lower() in names
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        return self._read_paths(list(files), v, with_lineage=False)
 
     def prune_partitions(
         self,
@@ -1278,11 +1476,14 @@ class PartitionedWapTable(WapTable):
         current = self.current_version()
         keep: set[str] = set()
         keep_files: set[str] = set()
+        keep_dv_roots: set[str] = set()
         for v in range(max(1, current - keep_last + 1), current + 1):
             rec = self._commit_record(v)
             keep.update(rec["partitions"].values())
             for files in rec.get("files", {}).values():
                 keep_files.update(files)
+            for dv_rel in rec.get("delete_vectors", {}).values():
+                keep_dv_roots.add(dv_rel.split("/", 1)[0])
         removed = []
         now = time.time()
         for entry in os.listdir(self.path):
@@ -1316,7 +1517,10 @@ class PartitionedWapTable(WapTable):
                     continue
                 shutil.rmtree(leaf_full, ignore_errors=True)
                 removed.append(rel)
-            if not _leaf_partition_dirs(full):
+            if not _leaf_partition_dirs(full) and entry not in keep_dv_roots:
+                # delete-vector sidecar roots carry no hive leaves at
+                # all — removable only once no commit in the keep
+                # window references their vectors
                 try:
                     if now - os.path.getmtime(full) >= min_age_seconds:
                         shutil.rmtree(full, ignore_errors=True)
@@ -1366,22 +1570,36 @@ def table_changes(
     elif isinstance(table, PartitionedWapTable):
         m_old = table.partition_map(from_version)
         m_new = table.partition_map(to_version)
-        changed_old = sorted(k for k, d in m_old.items() if m_new.get(k) != d)
-        changed_new = sorted(k for k, d in m_new.items() if m_old.get(k) != d)
+        dv_old = table._commit_record(from_version).get("delete_vectors", {})
+        dv_new = table._commit_record(to_version).get("delete_vectors", {})
+        changed = {k for k, d in m_old.items() if m_new.get(k) != d}
+        changed |= {k for k, d in m_new.items() if m_old.get(k) != d}
+        # a deletion-vector commit changes NO pointers — detect masked
+        # files whose vector ref moved and mark their partitions
+        changed |= {
+            _pkey_of_file(f)
+            for f in set(dv_old) | set(dv_new)
+            if dv_old.get(f) != dv_new.get(f)
+        }
         # file-granular refinement: within a changed partition, files
-        # present in BOTH versions are immutable and identical — only
-        # the file-set difference can produce change rows, so each
-        # side reads its exclusive files. A dir-granular pointer on
-        # either side falls back to whole-partition file lists (which
-        # partition_files derives from the immutable leaf), and the
-        # set difference then still prunes commonly-inherited files.
+        # present in BOTH versions with the SAME delete vector are
+        # immutable and identically masked — only each side's
+        # exclusive files, plus common files whose vector changed
+        # (read on BOTH sides: the newly-masked rows surface as
+        # deletes through the join), can produce change rows. A
+        # dir-granular pointer falls back to whole-partition file
+        # lists (partition_files derives them from the immutable
+        # leaf), and the set difference still prunes inherited files.
         old_files: list[str] = []
         new_files: list[str] = []
-        for k in sorted(set(changed_old) | set(changed_new)):
+        for k in sorted(changed):
             fo = set(table.partition_files(k, from_version)) if k in m_old else set()
             fn = set(table.partition_files(k, to_version)) if k in m_new else set()
-            old_files.extend(sorted(fo - fn))
-            new_files.extend(sorted(fn - fo))
+            dv_churned = {
+                f for f in fo & fn if dv_old.get(f) != dv_new.get(f)
+            }
+            old_files.extend(sorted((fo - fn) | dv_churned))
+            new_files.extend(sorted((fn - fo) | dv_churned))
         old = table.read_files(old_files, version=from_version)
         new = table.read_files(new_files, version=to_version)
     else:

@@ -1,0 +1,223 @@
+"""Deletion vectors (round-7, beyond the round brief): row-level
+DELETE with ZERO data files rewritten — the Delta refinement one step
+past file-granular commits.
+
+What must hold:
+- delete_rows masks rows via (file, parquet row index) sidecars; the
+  data files on disk are byte-identical before/after (asserted);
+- every read path applies the vectors: snapshot, time travel,
+  read_files, the change feed, and the merge target (no resurrection);
+- vectors are CUMULATIVE across delete commits and DROP when their
+  file is rewritten (file-granular merge) or its partition replaced
+  (compaction applies the mask permanently);
+- conflicts: a DV commit touches the files it masks — concurrent
+  writers to disjoint files both land (rebase), a rewrite of a masked
+  file vs a new DV on it gets one winner;
+- vacuum keeps referenced sidecar roots and removes stale ones.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.merge import merge_partition_files
+from etl_reporting_spark.operators.wap import (
+    ConcurrentWriteError,
+    PartitionedWapTable,
+    create_partitioned_wap_table,
+    optimize_partitions,
+    table_changes,
+)
+
+DAY1, DAY2 = "ds=2026-01-01", "ds=2026-01-02"
+
+
+@pytest.fixture()
+def dtable(spark, tmp_path) -> PartitionedWapTable:
+    rows = [
+        (i, "2026-01-01" if i <= 100 else "2026-01-02", float(i))
+        for i in range(1, 121)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ds string, amount double"
+    ).repartitionByRange(4, "id")
+    return create_partitioned_wap_table(
+        spark, str(tmp_path / "fact"), df, ["ds"], stats_cols=["id"]
+    )
+
+
+def _mtimes(table):
+    out = {}
+    for k in table.partition_map(1):
+        for f in table.partition_files(k, version=1):
+            p = os.path.join(table.path, f)
+            out[f] = (os.path.getmtime(p), os.path.getsize(p))
+    return out
+
+
+def test_delete_masks_without_rewriting_any_file(spark, dtable):
+    before = _mtimes(dtable)
+    v, n = dtable.delete_rows("id % 10 = 3 AND ds = '2026-01-01'")
+    assert (v, n) == (2, 10)
+    assert _mtimes(dtable) == before  # zero bytes of data touched
+    assert dtable.partition_files(DAY1) == dtable.partition_files(DAY1, version=1)
+    out = dtable.read()
+    assert out.count() == 110
+    assert out.filter("id = 3").count() == 0
+    # time travel still sees the full v1
+    assert dtable.read(version=1).count() == 120
+    # pruned reads mask too
+    assert dtable.read(partitions=[DAY1]).count() == 90
+    assert dtable.read_files(dtable.partition_files(DAY1)).count() == 90
+
+
+def test_deletes_accumulate_and_noop_publishes_nothing(spark, dtable):
+    dtable.delete_rows("id = 3")
+    v2, n2 = dtable.delete_rows(F.col("id") == 7)
+    assert (v2, n2) == (3, 1)
+    assert dtable.read().count() == 118
+    v3, n3 = dtable.delete_rows("id = 99999")
+    assert (v3, n3) == (3, 0)  # no-op: no commit published
+    assert dtable.current_version() == 3
+
+
+def test_change_feed_emits_exactly_the_deleted_rows(spark, dtable):
+    v, _ = dtable.delete_rows("id % 10 = 3 AND ds = '2026-01-01'")
+    ch = table_changes(dtable, keys=["id"], from_version=1, to_version=v)
+    got = sorted((r["_change_type"], r["id"]) for r in ch.collect())
+    assert got == [("delete", i) for i in range(3, 101, 10)]
+    # and the diff planned only the masked files, not the partition
+    planned = {
+        os.path.relpath(p.replace("file:", ""), dtable.path)
+        for p in ch.inputFiles()
+        if "_dv" not in p
+    }
+    masked = set(dtable._commit_record(v)["delete_vectors"])
+    assert planned == masked  # CDC plans exactly the masked files
+    # a NARROW delete masks one file, and its diff plans one file
+    v2, _ = dtable.delete_rows("id = 50")
+    ch2 = table_changes(dtable, keys=["id"], from_version=v, to_version=v2)
+    planned2 = {
+        os.path.relpath(p.replace("file:", ""), dtable.path)
+        for p in ch2.inputFiles()
+        if "_dv" not in p
+    }
+    assert len(planned2) == 1
+    assert sorted((r["_change_type"], r["id"]) for r in ch2.collect()) == [
+        ("delete", 50)
+    ]
+
+
+def test_merge_after_delete_does_not_resurrect(spark, dtable):
+    dtable.delete_rows("id = 3")
+    src = spark.createDataFrame(
+        [(5, "2026-01-01", 500.0)], "id long, ds string, amount double"
+    )
+    merge_partition_files(
+        spark, dtable.path, DAY1, src, keys=["id"], stats_col="id"
+    )
+    out = dtable.read()
+    assert out.filter("id = 3").count() == 0
+    assert out.filter("id = 5").collect()[0]["amount"] == 500.0
+    # the rewritten file's vector entry dropped; others kept if any
+    rec = dtable._commit_record(dtable.current_version())
+    for f in rec.get("delete_vectors", {}):
+        assert f in set(dtable.partition_files(DAY1)) | set(
+            dtable.partition_files(DAY2)
+        )
+
+
+def test_compaction_applies_vectors_permanently(spark, dtable):
+    dtable.delete_rows("id % 10 = 3")
+    v = optimize_partitions(dtable)
+    rec = dtable._commit_record(v)
+    assert "delete_vectors" not in rec or not rec["delete_vectors"]
+    assert dtable.read().count() == 108
+    # and the old masked version is still time-travelable
+    assert dtable.read(version=1).count() == 120
+
+
+def test_disjoint_dv_writers_both_land(spark, dtable):
+    """Two deletes masking DIFFERENT files of the same partition
+    rebase past each other."""
+    lo = dtable.files_intersecting(DAY1, "id", 5, 5)
+    hi = dtable.files_intersecting(DAY1, "id", 95, 95)
+    assert set(lo).isdisjoint(hi)
+
+    def run(key):
+        dtable.delete_rows(f"id = {key}")
+
+    ts = [threading.Thread(target=run, args=(k,)) for k in (5, 95)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert dtable.current_version() == 3
+    out = dtable.read()
+    assert out.filter("id in (5, 95)").count() == 0
+    assert out.count() == 118
+
+
+def test_dv_conflicts_with_rewrite_of_masked_file(spark, dtable):
+    """One winner when a DV and a file rewrite race on the same file."""
+    target = dtable.files_intersecting(DAY1, "id", 5, 5)
+    sub = dtable.read_files(target)
+    results = []
+
+    def rewrite():
+        try:
+            dtable.commit_partition_files(
+                sub.withColumn("amount", F.col("amount") + 1),
+                DAY1,
+                replace_files=target,
+                base_version=1,
+            )
+            results.append("rewrite")
+        except ConcurrentWriteError:
+            results.append("conflict")
+
+    def delete():
+        try:
+            dtable.delete_rows("id = 5", base_version=1)
+            results.append("delete")
+        except ConcurrentWriteError:
+            results.append("conflict")
+
+    ts = [threading.Thread(target=rewrite), threading.Thread(target=delete)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results) in (["conflict", "delete"], ["conflict", "rewrite"])
+    assert dtable.current_version() == 2
+
+
+def test_vacuum_keeps_live_sidecars_and_removes_stale(spark, dtable):
+    v, _ = dtable.delete_rows("id = 3")
+    dv_root_1 = next(
+        iter(dtable._commit_record(v)["delete_vectors"].values())
+    ).split("/", 1)[0]
+    # a second delete re-points id=3's file to a NEW cumulative sidecar
+    v2, _ = dtable.delete_rows("id = 13")
+    dv_root_2 = next(
+        iter(dtable._commit_record(v2)["delete_vectors"].values())
+    ).split("/", 1)[0]
+    assert dv_root_1 != dv_root_2
+    removed = dtable.vacuum(keep_last=1, min_age_seconds=0.0)
+    assert dv_root_1 in removed  # stale sidecar root gone
+    assert os.path.isdir(os.path.join(dtable.path, dv_root_2))  # live kept
+    assert dtable.read().count() == 118  # mask intact post-vacuum
+
+
+def test_delete_scoped_to_partitions_prunes_silently(spark, dtable):
+    """The pruned-DML contract: rows outside the named partitions are
+    kept even when they match the predicate."""
+    v, n = dtable.delete_rows("id > 90", partitions=[DAY1])
+    assert n == 10  # ids 91..100 live in day 1; 101..120 untouched
+    out = dtable.read()
+    assert out.filter("id > 100").count() == 20
+    assert out.filter("id BETWEEN 91 AND 100").count() == 0
