@@ -1711,6 +1711,120 @@ def optimize_partitions(
     )
 
 
+def maintenance_plan(
+    table: PartitionedWapTable,
+    max_files_per_partition: int = 16,
+    max_roots: int | None = None,
+    keep_last: int = 2,
+) -> dict:
+    """Metadata-only maintenance diagnosis — the nightly decision
+    input that keeps the table's read/merge costs flat. Reads ONLY
+    the commit record (no filesystem listing, no scan), so it is
+    O(metadata) at any table size. Returns::
+
+        {"summary": {...counts...},
+         "actions": [{"action": "compact"|"vacuum",
+                      "partitions": [...] | None,
+                      "reason": "..."}, ...]}
+
+    Triggers, each mapped to the operator that clears it:
+    - live commit roots > ``max_roots`` (default: the table's
+      ``max_read_roots``) → plan width: compact the multi-root
+      partitions (``optimize_partitions``);
+    - a partition backed by more than ``max_files_per_partition``
+      files → small-files creep from streaming epochs / repeated
+      file-granular merges: compact it;
+    - any partition with masked (deletion-vectored) files → compact
+      to apply the vectors and drop the mask from the read path;
+    - table version beyond the ``keep_last`` retention window →
+      superseded snapshots/sidecars may be reclaimable: ``vacuum``.
+
+    The planner never executes anything — it composes with whatever
+    scheduler runs maintenance; tests assert that APPLYING the plan
+    empties the next diagnosis."""
+    v = table.current_version()
+    rec = table._commit_record(v) if v else {}
+    pmap = table.partition_map(v)
+    dvs: dict[str, str] = rec.get("delete_vectors", {})
+    if max_roots is None:
+        max_roots = table.max_read_roots
+
+    roots_by_part: dict[str, set[str]] = {}
+    files_by_part: dict[str, int] = {}
+    for k, ptr in pmap.items():
+        rels = ptr if isinstance(ptr, tuple) else (ptr,)
+        roots_by_part[k] = {r.split("/", 1)[0] for r in rels}
+        files_by_part[k] = (
+            len(ptr) if isinstance(ptr, tuple) else len(table.partition_files(k, v))
+        )
+    masked_by_part: dict[str, int] = {}
+    for f in dvs:
+        pk = _pkey_of_file(f)
+        masked_by_part[pk] = masked_by_part.get(pk, 0) + 1
+
+    live_roots = table.live_commit_roots(v)
+    actions: list[dict] = []
+    if len(live_roots) > max_roots:
+        multi = sorted(k for k, r in roots_by_part.items() if len(r) > 1)
+        actions.append(
+            {
+                "action": "compact",
+                "partitions": multi or sorted(pmap),
+                "reason": (
+                    f"{len(live_roots)} live commit roots > max_roots="
+                    f"{max_roots}: read plans one scan per root"
+                ),
+            }
+        )
+    wide = sorted(
+        k for k, n in files_by_part.items() if n > max_files_per_partition
+    )
+    if wide:
+        actions.append(
+            {
+                "action": "compact",
+                "partitions": wide,
+                "reason": (
+                    f"partitions exceed {max_files_per_partition} files "
+                    "(small-files creep raises open/footer cost per scan)"
+                ),
+            }
+        )
+    if masked_by_part:
+        actions.append(
+            {
+                "action": "compact",
+                "partitions": sorted(masked_by_part),
+                "reason": (
+                    "deletion vectors mask "
+                    f"{sum(masked_by_part.values())} file(s): compaction "
+                    "applies the mask and removes the per-read anti-join"
+                ),
+            }
+        )
+    if v > keep_last:
+        actions.append(
+            {
+                "action": "vacuum",
+                "partitions": None,
+                "reason": (
+                    f"version {v} > keep_last={keep_last}: superseded "
+                    "snapshot dirs/sidecars may be reclaimable"
+                ),
+            }
+        )
+    return {
+        "summary": {
+            "version": v,
+            "partitions": len(pmap),
+            "live_roots": len(live_roots),
+            "masked_files": sum(masked_by_part.values()),
+            "max_files_in_partition": max(files_by_part.values(), default=0),
+        },
+        "actions": actions,
+    }
+
+
 # ----------------------------------------------------------- utilities
 def open_wap_table(spark: SparkSession, path: str) -> WapTable:
     """Handle to an existing WAP table, detecting its layout from the

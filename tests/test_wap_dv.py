@@ -221,3 +221,38 @@ def test_delete_scoped_to_partitions_prunes_silently(spark, dtable):
     out = dtable.read()
     assert out.filter("id > 100").count() == 20
     assert out.filter("id BETWEEN 91 AND 100").count() == 0
+
+
+def test_maintenance_plan_diagnoses_and_clears(spark, tmp_path):
+    """The planner is metadata-only, fires on width/small-files/DV
+    triggers, and APPLYING it empties the next diagnosis (minus the
+    retention reminder, which is version-driven)."""
+    from etl_reporting_spark.operators.wap import maintenance_plan
+
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", 1.0)], "id long, ds string, amount double"
+    )
+    t = create_partitioned_wap_table(spark, str(tmp_path / "m"), df, ["ds"])
+    t.max_read_roots = 3
+    for i in range(2, 7):  # 5 more single-day commits -> 6 roots
+        day = spark.createDataFrame(
+            [(i, f"2026-01-{i:02d}", float(i))], "id long, ds string, amount double"
+        )
+        t.commit_partitions(day)
+    t.delete_rows("id = 2")
+    plan = maintenance_plan(t, max_files_per_partition=16)
+    kinds = {a["reason"].split(":")[0] for a in plan["actions"]}
+    assert plan["summary"]["live_roots"] > 3
+    assert plan["summary"]["masked_files"] == 1
+    assert any(a["action"] == "compact" and "live commit roots" in a["reason"]
+               for a in plan["actions"])
+    assert any("deletion vectors" in a["reason"] for a in plan["actions"])
+    assert any(a["action"] == "vacuum" for a in plan["actions"])
+
+    optimize_partitions(t)
+    t.vacuum(keep_last=1, min_age_seconds=0.0)
+    after = maintenance_plan(t, max_files_per_partition=16, keep_last=99)
+    assert after["actions"] == []
+    assert after["summary"]["live_roots"] == 1
+    assert after["summary"]["masked_files"] == 0
+    assert t.read().count() == 5  # content preserved (id=2 deleted)
