@@ -1137,6 +1137,239 @@ class PartitionedWapTable(WapTable):
                     raise
                 base = latest
 
+    def upsert_rows_dv(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        base_version: int | None = None,
+        max_rebase: int = 5,
+        stats_cols: Sequence[str] | None = None,
+        operation: str = "merge",
+    ) -> tuple[int, int, int]:
+        """MINIMAL-WRITE upsert (Delta's DV-enabled MERGE): matched
+        old row versions are deletion-vectored in place and every
+        source row is APPENDED as new files — one atomic commit, zero
+        existing files rewritten. Write amplification is ∝ |source|
+        (the appended rows) + a sidecar ∝ matched rows; compare
+        ``merge_partition_files`` (rewrites whole matched files) and
+        partition-scoped MERGE (rewrites whole partitions). The
+        trade: reads accumulate mask + small files until compaction —
+        ``maintenance_plan`` flags both.
+
+        Scope: the target is metadata-pruned to the source's
+        partition values (the same PARTITION-STABILITY contract as
+        ``merge_upsert_wap(partition_by=...)`` — a key living outside
+        those partitions duplicates). Update = retract-old+insert-new
+        (the versioned-append model); there are no delete branches —
+        use :meth:`delete_rows`.
+
+        Returns ``(version, rows_updated, rows_inserted)``.
+        """
+        from pyspark.sql import functions as F
+
+        base = base_version if base_version is not None else self.current_version()
+        if base == 0:
+            raise FileNotFoundError(
+                f"no committed WAP table at {self.path} — bootstrap with "
+                "create_partitioned_wap_table / commit_partitions"
+            )
+        keys = list(keys)
+        vals = (
+            source.select(
+                *[F.col(c).cast("string") for c in self.partition_by]
+            )
+            .distinct()
+            .collect()
+        )
+        touched_pkeys = sorted(
+            hive_partition_key(self.partition_by, tuple(r)) for r in vals
+        )
+        existing = set(self.partition_map(base))
+        present = [k for k in touched_pkeys if k in existing]
+
+        # 1. MATCH — visible rows of the pruned target whose key is in
+        # the source (one semi-shaped join; lineage gives the mask)
+        paths: list[str] = []
+        for k in present:
+            paths.extend(self.partition_files(k, version=base))
+        n_matched = 0
+        masked: list[str] = []
+        dv_rel: str | None = None
+        root = f"d-{uuid.uuid4().hex[:12]}"
+        if paths:
+            from urllib.parse import unquote
+
+            snap = self._read_paths(paths, base, with_lineage=True)
+            matched = (
+                snap.join(F.broadcast(source.select(*keys).distinct()), keys, "semi")
+                .select(
+                    F.col("__file").alias("file_key"),
+                    F.col("__ridx").alias("row_index"),
+                )
+                .persist()
+            )
+            try:
+                n_matched = matched.count()
+                if n_matched:
+                    fkeys = sorted(
+                        r["file_key"]
+                        for r in matched.select("file_key").distinct().collect()
+                    )
+                    rel_of = {fk: unquote(fk) for fk in fkeys}
+                    masked = sorted(rel_of.values())
+                    base_rec0 = self._commit_record(base)
+                    old_dvs = base_rec0.get("delete_vectors", {})
+                    prior_refs = sorted(
+                        {old_dvs[f] for f in masked if f in old_dvs}
+                    )
+                    map_df = self.spark.createDataFrame(
+                        sorted(rel_of.items()), "file_key string, relfile string"
+                    )
+                    dv_df = matched.join(F.broadcast(map_df), "file_key").select(
+                        "file_key", "relfile", "row_index"
+                    )
+                    if prior_refs:
+                        prior = (
+                            self.spark.read.parquet(
+                                *[os.path.join(self.path, d) for d in prior_refs]
+                            )
+                            .filter(F.col("relfile").isin(masked))
+                            .select("file_key", "relfile", "row_index")
+                        )
+                        dv_df = dv_df.unionByName(prior)
+                    dv_rel = f"{root}/_dv"
+                    os.makedirs(self.path, exist_ok=True)
+                    dv_df.distinct().coalesce(1).write.parquet(
+                        os.path.join(self.path, dv_rel)
+                    )
+            finally:
+                matched.unpersist()
+
+        # 2. APPEND — every source row as new files under the same root
+        root_path = os.path.join(self.path, root)
+        os.makedirs(self.path, exist_ok=True)
+        source.write.partitionBy(*self.partition_by).mode("append").parquet(
+            root_path
+        )
+        written = _leaf_partition_dirs(root_path)
+        if not set(written) <= set(touched_pkeys):
+            shutil.rmtree(root_path, ignore_errors=True)
+            raise AuditError(
+                "source wrote partitions outside its declared values: "
+                f"{sorted(set(written) - set(touched_pkeys))}"
+            )
+        new_files: dict[str, list[str]] = {}
+        for leaf in written:
+            new_files[leaf] = sorted(
+                f"{root}/{leaf}/{f}"
+                for f in os.listdir(os.path.join(root_path, leaf))
+                if f.endswith(".parquet")
+            )
+        back = (
+            self._read_paths(
+                [f for fl in new_files.values() for f in fl], base
+            )
+            if written
+            else source.limit(0)
+        )
+        n_source = back.count()
+        our_file_stats = (
+            self._file_slice_stats(back, stats_cols, root)
+            if stats_cols and written
+            else {}
+        )
+        n_inserted = n_source - n_matched
+        if n_source == 0 and n_matched == 0:
+            shutil.rmtree(root_path, ignore_errors=True)
+            return (base, 0, 0)
+
+        masked_by_pkey: dict[str, list[str]] = {}
+        for f in masked:
+            masked_by_pkey.setdefault(_pkey_of_file(f), []).append(f)
+
+        # 3. PUBLISH — one record carrying BOTH the new files and the
+        # updated vectors (atomic: readers see retract+insert together)
+        attempt = 0
+        while True:
+            new_version = base + 1
+            base_rec = self._commit_record(base)
+            pmap = dict(base_rec.get("partitions", {}))
+            stats = dict(base_rec.get("stats", {}))
+            fmap = dict(base_rec.get("files", {}))
+            fstats = dict(base_rec.get("file_stats", {}))
+            dvs = dict(base_rec.get("delete_vectors", {}))
+            if dv_rel is not None:
+                for f in masked:
+                    dvs[f] = dv_rel
+            for pk in touched_pkeys:
+                cur = (
+                    self.partition_files(pk, version=base)
+                    if pk in set(self.partition_map(base))
+                    else []
+                )
+                final = sorted(cur + new_files.get(pk, []))
+                if final:
+                    pmap.pop(pk, None)
+                    fmap[pk] = final
+                # appended values may exceed recorded bounds: stale
+                # stats could wrongly SKIP — recompute from complete
+                # per-file stats or drop (same rule as file commits)
+                fstats.update(our_file_stats)
+                if stats_cols and final and all(f in fstats for f in final):
+                    merged: dict[str, list] = {}
+                    for c in stats_cols:
+                        los = [fstats[f][c][0] for f in final if c in fstats[f]]
+                        his = [fstats[f][c][1] for f in final if c in fstats[f]]
+                        if los and his and None not in los and None not in his:
+                            merged[c] = [min(los), max(his)]
+                    if merged:
+                        stats[pk] = merged
+                    else:
+                        stats.pop(pk, None)
+                else:
+                    stats.pop(pk, None)
+            record = {
+                "version": new_version,
+                "partitions": pmap,
+                "partition_by": self.partition_by,
+                "touched": touched_pkeys,
+                "touched_files": {
+                    k: sorted(masked_by_pkey.get(k, [])) for k in touched_pkeys
+                },
+                "row_count": n_source,
+                "schema": source.schema.jsonValue(),
+                "operation": operation,
+                "committed_at": time.time(),
+            }
+            if stats:
+                record["stats"] = stats
+            if fmap:
+                record["files"] = fmap
+            if fstats:
+                record["file_stats"] = fstats
+            if dvs:
+                record["delete_vectors"] = dvs
+            try:
+                self._publish(record)
+                return (new_version, n_matched, n_inserted)
+            except ConcurrentWriteError:
+                attempt += 1
+                latest = self.current_version()
+                conflict: set[str] = set()
+                for k in touched_pkeys:
+                    conflict |= self._conflicting_files(
+                        base, latest, k, masked_by_pkey.get(k, [])
+                    )
+                if conflict or attempt > max_rebase:
+                    shutil.rmtree(root_path, ignore_errors=True)
+                    if conflict:
+                        raise ConcurrentWriteError(
+                            f"files {sorted(conflict)} were committed by "
+                            "another writer; re-read and retry the merge"
+                        ) from None
+                    raise
+                base = latest
+
     def _conflicting_files(
         self,
         base: int,

@@ -256,3 +256,81 @@ def test_maintenance_plan_diagnoses_and_clears(spark, tmp_path):
     assert after["summary"]["live_roots"] == 1
     assert after["summary"]["masked_files"] == 0
     assert t.read().count() == 5  # content preserved (id=2 deleted)
+
+
+def test_upsert_dv_masks_and_appends_atomically(spark, dtable):
+    """Minimal-write MERGE: matched old rows are vectored, new
+    versions appended — existing files byte-identical, one commit,
+    CDC shows retract+insert together."""
+    before = _mtimes(dtable)
+    src = spark.createDataFrame(
+        [(5, "2026-01-01", 555.0), (777, "2026-01-01", 7.0)],
+        "id long, ds string, amount double",
+    )
+    v, upd, ins = dtable.upsert_rows_dv(src, keys=["id"], stats_cols=["id"])
+    assert (upd, ins) == (1, 1)
+    alive = {
+        f: m for f, m in _mtimes(dtable).items() if f in before
+    }
+    assert alive == before  # zero existing bytes touched
+    out = dtable.read()
+    assert out.count() == 121
+    assert out.filter("id = 5").collect()[0]["amount"] == 555.0
+    assert dtable.read(version=1).filter("id = 5").collect()[0]["amount"] == 5.0
+    ch = table_changes(dtable, keys=["id"], from_version=1, to_version=v)
+    assert sorted((r["_change_type"], r["id"]) for r in ch.collect()) == [
+        ("insert", 777),
+        ("update_postimage", 5),
+        ("update_preimage", 5),
+    ]
+    # per-file stats cover the appended file: point lookup stays O(1)
+    assert len(dtable.files_intersecting(DAY1, "id", 777, 777)) == 1
+
+
+def test_upsert_dv_repeated_updates_keep_one_visible_version(spark, dtable):
+    src = lambda a: spark.createDataFrame(  # noqa: E731
+        [(5, "2026-01-01", a)], "id long, ds string, amount double"
+    )
+    dtable.upsert_rows_dv(src(100.0), keys=["id"])
+    dtable.upsert_rows_dv(src(200.0), keys=["id"])
+    v, upd, ins = dtable.upsert_rows_dv(src(300.0), keys=["id"])
+    assert (upd, ins) == (1, 0)
+    vis = dtable.read().filter("id = 5").collect()
+    assert len(vis) == 1 and vis[0]["amount"] == 300.0
+    assert dtable.read().count() == 120
+
+
+def test_upsert_dv_conflicts_with_rewrite_of_matched_file(spark, dtable):
+    target = dtable.files_intersecting(DAY1, "id", 5, 5)
+    sub = dtable.read_files(target)
+    results = []
+
+    def rewrite():
+        try:
+            dtable.commit_partition_files(
+                sub.withColumn("amount", F.col("amount") + 1),
+                DAY1, replace_files=target, base_version=1,
+            )
+            results.append("rewrite")
+        except ConcurrentWriteError:
+            results.append("conflict")
+
+    def upsert():
+        try:
+            dtable.upsert_rows_dv(
+                spark.createDataFrame(
+                    [(5, "2026-01-01", 9.0)], "id long, ds string, amount double"
+                ),
+                keys=["id"], base_version=1,
+            )
+            results.append("upsert")
+        except ConcurrentWriteError:
+            results.append("conflict")
+
+    ts = [threading.Thread(target=rewrite), threading.Thread(target=upsert)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert "conflict" in results and len(results) == 2
+    assert dtable.current_version() == 2
