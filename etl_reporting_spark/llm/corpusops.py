@@ -505,3 +505,76 @@ def bloom_contains(
         .groupBy(term_col)
         .agg(F.min("__hit").alias("bloom_member"))
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """HyperLogLog distinct-cardinality sketch per group (Flajolet et
+    al. 2007) — the register-array sibling of :func:`kmv_distinct`,
+    deterministic and oracle-checkable unlike approx_count_distinct
+    (whose HLL± merge is partition-order-dependent).
+
+    Register = top ``p`` bits of the 32-bit md5 hash; rho = leading-
+    zero count of the remaining ``32 - p`` bits + 1 (computed as
+    ``(32 - p + 1) - bit_length(w)`` via the base-2 string length —
+    no libm). State is ≤ 2^p rows per group (a per-register MAX —
+    map-side combinable, mergeable across days by the same MAX).
+    The estimate keeps every float op bit-reproducible: 2^{-M} is an
+    EXACT integer shift (``1.0 / (1 << M)``), and the register sum
+    adds ≤ 2^p dyadic rationals of granularity ≥ 2^-(33-p) — exactly
+    representable, so even the "approximate" estimate hash-matches
+    cross-engine. Raw HLL estimator only (alpha_m · m² / Σ2^{-M_j});
+    the low-range linear-counting and high-range corrections need
+    ``ln`` (libm, last-ulp engine-dependent) and are deliberately
+    omitted — production reads ``n_registers_hit`` to decide if the
+    raw estimate is in its accurate band.
+
+    Returns (group, n_registers_hit, sum_inv bigint-exact double,
+    est_distinct).
+    """
+    m = 1 << p
+    # alpha_m for m >= 128 (Flajolet et al. §4): 0.7213 / (1 + 1.079/m)
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    h = _hash32(F.col(value_col), salt)
+    w_bits = 32 - p
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        (h / F.lit(1 << w_bits)).cast("long").alias("__reg"),
+        (h % F.lit(1 << w_bits)).alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.conv(F.col("__w"), 10, 2))
+    )
+    regs = (
+        hashed.withColumn("__rho", rho)
+        .groupBy("grp", "__reg")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    agg = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_registers_hit"),
+        F.sum(
+            F.expr(
+                "1.0D / CAST(shiftleft(CAST(1 AS BIGINT), CAST(__m AS INT))"
+                " AS DOUBLE)"
+            )
+        ).alias("sum_inv"),
+    )
+    est = (
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        / (
+            F.col("sum_inv")
+            + (F.lit(m) - F.col("n_registers_hit")).cast("double")
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_registers_hit").cast("bigint").alias("n_registers_hit"),
+        F.col("sum_inv"),
+        est.alias("est_distinct"),
+    )

@@ -884,6 +884,37 @@ SELECT grp AS o_orderpriority, n_kept, n_kept < 64 AS "exact",
 FROM k ORDER BY o_orderpriority
 """
 
+# HyperLogLog registers, replayed exactly: top-8 hash bits pick the
+# register, rho = 25 - bit_length(remaining 24 bits) (+w=0 case),
+# per-register MAX, and the raw estimate with 2^-M as an exact
+# integer shift — every float op dyadic, so the estimate hashes.
+LLM_ORACLE_SQL["sketch_hll_distinct"] = """
+WITH h AS (
+  SELECT o_orderpriority AS grp,
+    ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS hh
+  FROM orders
+),
+rw AS (
+  SELECT grp, hh // 16777216 AS reg, hh % 16777216 AS w FROM h
+),
+regs AS (
+  SELECT grp, reg,
+    MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS m
+  FROM rw GROUP BY grp, reg
+),
+agg AS (
+  SELECT grp, COUNT(*) AS n_registers_hit,
+    SUM(1.0 / CAST((CAST(1 AS BIGINT) << CAST(m AS INTEGER)) AS DOUBLE)) AS sum_inv
+  FROM regs GROUP BY grp
+)
+SELECT grp AS o_orderpriority,
+  CAST(n_registers_hit AS BIGINT) AS n_registers_hit,
+  sum_inv,
+  CAST(0.7182725932495458 AS DOUBLE) * 65536.0
+    / (sum_inv + CAST(256 - n_registers_hit AS DOUBLE)) AS est_distinct
+FROM agg ORDER BY o_orderpriority
+"""
+
 # Deterministic training order: shard = hash('epoch0'||id) % 16,
 # pos = rank of hash('epoch0|pos'||id) within the shard.
 LLM_ORACLE_SQL["sample_training_order"] = """

@@ -414,6 +414,23 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register sketch (p=8, 256 registers): estimated
+    distinct customers per order priority — the register-array
+    sibling of the KMV gate, bounded to 2^p rows of state per group
+    and mergeable across days by per-register MAX. Every float op is
+    dyadic-exact (2^-M by integer shift), so even the approximate
+    estimate value-hashes; the raw estimator's documented low-range
+    bias is visible against sketch_kmv_distinct over the same data —
+    the honest reason production HLL adds corrections."""
+    from etl_reporting_spark.llm.corpusops import hll_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hll_distinct(orders, "o_orderpriority", "o_custkey", p=8).orderBy(
+        "o_orderpriority"
+    )
+
+
 def sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle: every doc gets a (shard, pos)
     training-order address, a pure function of (salt, doc_id) —
@@ -1306,6 +1323,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_line_dedup": corpus_line_dedup,
     "sample_source_cap": sample_source_cap,
     "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_hll_distinct": sketch_hll_distinct,
     "sample_training_order": sample_training_order,
     "bpe_pair_step": bpe_pair_step,
     "text_quality_classifier": text_quality_classifier,

@@ -291,3 +291,27 @@ class TestGlobalSampledQuantiles:
         ).collect()[0]["t"]
         # uniform scores: sampled median within ~3/sqrt(k) of true median
         assert abs(t / n - 0.5) < 3 / (512 ** 0.5)
+
+
+def test_hll_sketch_is_mergeable_and_in_error_band(spark):
+    """HLL contract: per-register MAX over two disjoint halves equals
+    the whole-corpus sketch (the cross-day merge), and the raw
+    estimate lands within the m=256 ±3σ band (σ = 1.04/√m ≈ 6.5%) of
+    the true cardinality on a uniform corpus."""
+    from etl_reporting_spark.llm.corpusops import hll_distinct
+    from pyspark.sql import functions as F
+
+    n = 3000
+    df = spark.createDataFrame(
+        [("g", i) for i in range(n)], "grp string, v long"
+    )
+    whole = hll_distinct(df, "grp", "v", p=8).collect()[0]
+    est = whole["est_distinct"]
+    assert abs(est - n) / n < 3 * 1.04 / (256 ** 0.5)
+
+    # mergeability: sketch(a ∪ b) == register-max merge of the halves
+    a = df.filter(F.col("v") < 1500)
+    b = df.filter(F.col("v") >= 1500)
+    merged = hll_distinct(a.unionByName(b), "grp", "v", p=8).collect()[0]
+    assert merged["sum_inv"] == whole["sum_inv"]
+    assert merged["est_distinct"] == whole["est_distinct"]

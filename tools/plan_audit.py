@@ -236,6 +236,7 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "corpus_line_dedup": 5,
     "sample_source_cap": 2,
     "sketch_kmv_distinct": 3,
+    "sketch_hll_distinct": 3,  # register groupBy + group agg + sort
     "sample_training_order": 2,
     "bpe_pair_step": 2,
     "text_quality_classifier": 1,
