@@ -904,7 +904,7 @@ regs AS (
 ),
 agg AS (
   SELECT grp, COUNT(*) AS n_registers_hit,
-    SUM(1.0 / CAST((CAST(1 AS BIGINT) << CAST(m AS INTEGER)) AS DOUBLE)) AS sum_inv
+    SUM(1.0 / CAST((CAST(1 AS BIGINT) << CAST(m AS INTEGER)) AS DOUBLE)) AS sum_inv -- lint: sum-ok (double summands, dyadic-exact)
   FROM regs GROUP BY grp
 )
 SELECT grp AS o_orderpriority,
