@@ -1145,6 +1145,7 @@ class PartitionedWapTable(WapTable):
         max_rebase: int = 5,
         stats_cols: Sequence[str] | None = None,
         operation: str = "merge",
+        extra: dict | None = None,
     ) -> tuple[int, int, int]:
         """MINIMAL-WRITE upsert (Delta's DV-enabled MERGE): matched
         old row versions are deletion-vectored in place and every
@@ -1349,6 +1350,8 @@ class PartitionedWapTable(WapTable):
                 record["file_stats"] = fstats
             if dvs:
                 record["delete_vectors"] = dvs
+            if extra:
+                record.update(extra)
             try:
                 self._publish(record)
                 return (new_version, n_matched, n_inserted)

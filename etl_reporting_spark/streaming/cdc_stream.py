@@ -257,6 +257,56 @@ def streaming_wap_upsert(
     return foreach_batch_upsert(stream, checkpoint_dir, upsert)
 
 
+def streaming_upsert_dv(
+    stream: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    checkpoint_dir: str,
+    order_cols: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | None = None,
+) -> StreamingQuery:
+    """MINIMAL-WRITE streaming CDC apply: each micro-batch lands via
+    :meth:`wap.PartitionedWapTable.upsert_rows_dv` — matched old row
+    versions are deletion-vectored, the batch's rows appended as new
+    files, one atomic commit per epoch. Per-epoch write cost is the
+    BATCH (plus a sidecar ∝ matched rows), never the touched
+    partitions — the high-frequency-CDC sink where
+    ``streaming_wap_upsert(partition_by=...)``'s per-epoch partition
+    rewrite would dominate. The read-side debt (masks + small files)
+    accumulates per epoch by design; run ``optimize_partitions`` on
+    the ``maintenance_plan`` cadence, which also re-tightens file
+    statistics.
+
+    Epoch idempotence is the same txnVersion pattern as the other WAP
+    sinks: the epoch id rides the commit record and a replayed epoch
+    is skipped. The table must exist (bootstrap with
+    ``create_partitioned_wap_table`` — the DV path refines an
+    existing snapshot)."""
+    from etl_reporting_spark.operators.cdc import dedup_latest
+    from etl_reporting_spark.operators.wap import PartitionedWapTable
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = PartitionedWapTable(spark, table_path, partition_by)
+        last = (table.latest_record() or {}).get("epoch_id")
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already committed
+        batch = (
+            dedup_latest(batch_df, list(keys), list(order_cols))
+            if order_cols
+            else batch_df.dropDuplicates(list(keys))
+        )
+        table.upsert_rows_dv(
+            batch,
+            keys,
+            stats_cols=stats_cols,
+            extra={"epoch_id": int(epoch_id)},
+        )
+
+    return foreach_batch_upsert(stream, checkpoint_dir, upsert)
+
+
 def streaming_dedup_screen(
     doc_stream: DataFrame,
     corpus_docs: DataFrame,

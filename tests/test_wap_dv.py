@@ -334,3 +334,57 @@ def test_upsert_dv_conflicts_with_rewrite_of_matched_file(spark, dtable):
         t.join()
     assert "conflict" in results and len(results) == 2
     assert dtable.current_version() == 2
+
+
+def test_streaming_upsert_dv_e2e(spark, tmp_path):
+    """Minimal-write streaming CDC: per-epoch atomic DV+append
+    commits, latest-per-key state, zero pre-existing files rewritten
+    across the whole run, epoch ids recorded for replay idempotence."""
+    from etl_reporting_spark.streaming.cdc_stream import (
+        read_event_stream,
+        streaming_upsert_dv,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "2026-01-01", 1, 10.0), (2, "2026-01-02", 1, 20.0)],
+        "id long, ds string, seq long, v double",
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(1, "2026-01-01", 2, 11.0), (3, "2026-01-01", 1, 30.0)],
+        "id long, ds string, seq long, v double",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    path = str(tmp_path / "serving")
+    t = create_partitioned_wap_table(
+        spark, path,
+        spark.createDataFrame(
+            [(0, "2025-12-31", 0, 0.0)], "id long, ds string, seq long, v double"
+        ),
+        ["ds"],
+    )
+    seed_files = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for k in t.partition_map()
+        for f in t.partition_files(k)
+    }
+    stream = read_event_stream(
+        spark, str(src / "*"), "id long, ds string, seq long, v double",
+        max_files_per_trigger=1,
+    )
+    q = streaming_upsert_dv(
+        stream, path, ["id"], ["ds"], str(tmp_path / "ckpt"),
+        order_cols=["seq"],
+    )
+    q.awaitTermination(120)
+
+    state = {r["id"]: (r["seq"], r["v"]) for r in t.read().collect()}
+    assert state == {0: (0, 0.0), 1: (2, 11.0), 2: (1, 20.0), 3: (1, 30.0)}
+    # the seed's files were never rewritten — epochs only appended
+    # files and masked rows
+    for f, m in seed_files.items():
+        assert os.path.getmtime(os.path.join(path, f)) == m
+    for rec in t.history()[1:]:
+        assert rec["epoch_id"] is not None
+        assert rec["operation"] == "merge"
