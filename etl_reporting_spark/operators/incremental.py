@@ -133,6 +133,82 @@ def ivm_agg_refresh(
     )
 
 
+def cdf_signed_delta(changes: DataFrame, weight_col: str = "__w") -> DataFrame:
+    """Convert a ``wap.table_changes`` feed into the signed-delta
+    shape the aggregate IVM consumes: inserts and update POST-images
+    weigh +1, deletes and update PRE-images −1 — an update thus
+    retracts its old contribution and adds its new one, exactly the
+    counting-algorithm encoding. The bridge that makes ANY WAP-backed
+    table a source for incrementally-maintained views."""
+    from pyspark.sql import functions as F
+
+    return changes.withColumn(
+        weight_col,
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1)),
+    ).drop("_change_type")
+
+
+def maintain_aggregate_view(
+    source,
+    view_path: str,
+    keys: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+) -> int | None:
+    """Materialized aggregate maintained OFF THE CHANGE FEED — the
+    end-to-end composition of the transactional layer and the IVM
+    algebra: the view's commit record remembers the last source
+    version it absorbed; each refresh diffs the source from there to
+    its current tip (``table_changes`` — cost ∝ churned FILES, even
+    for deletion-vector commits), converts the feed to signed deltas,
+    merges them into the standing state (:func:`ivm_agg_refresh` —
+    delta-sized work), and commits the new state atomically with the
+    new cursor. Readers of the view always see a state consistent
+    with SOME source version, never a half-applied refresh; a crashed
+    refresh re-runs from the same cursor (the commit is the
+    checkpoint).
+
+    ``source`` is an open :class:`wap.WapTable` (either layout);
+    ``view_path`` a WAP table path for the state (created on first
+    refresh). Returns the view's new version, or None when the source
+    hasn't moved. MIN/MAX stay out, as everywhere in the signed-
+    counting API."""
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.operators.wap import WapTable, table_changes
+
+    view = WapTable(source.spark, view_path)
+    src_version = source.current_version()
+    last_rec = view.latest_record() or {}
+    cursor = last_rec.get("source_version", 0)
+    if cursor >= src_version:
+        return None
+    if cursor == 0:
+        base_rows = source.read(version=src_version).withColumn("__w", F.lit(1))
+        state = ivm_agg_delta(
+            base_rows.select(*group_cols, *sum_cols, "__w"),
+            group_cols,
+            sum_cols,
+        )
+    else:
+        changes = table_changes(
+            source, keys, from_version=cursor, to_version=src_version
+        )
+        delta = cdf_signed_delta(changes).select(*group_cols, *sum_cols, "__w")
+        old_state = view.read()
+        state = ivm_agg_refresh(old_state, delta, group_cols, sum_cols)
+    import os
+
+    os.makedirs(view_path, exist_ok=True)
+    return view.commit(
+        state,
+        operation="refresh",
+        extra={"source_version": src_version},
+    )
+
+
 def ivm_agg_refresh_bucketed(
     old_state: DataFrame,
     delta: DataFrame,

@@ -276,3 +276,75 @@ def test_bucketed_join_state_probe_is_exchange_free_on_state(spark):
     assert expect <= got  # delta covers exactly the gained rows
     spark.sql("DROP TABLE ivm_a_b")
     spark.sql("DROP TABLE ivm_b_b")
+
+
+def test_materialized_view_maintained_off_the_change_feed(spark, tmp_path):
+    """End-to-end composition: a WAP fact absorbs an upsert, a
+    deletion-vector DELETE, and a DV-merge; after each commit,
+    maintain_aggregate_view refreshes a standing per-day SUM from the
+    CHANGE FEED only, and the state must equal a from-scratch
+    recompute of the same source version every time. The cursor rides
+    the view's commit record, so a repeated refresh is a no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.operators.incremental import maintain_aggregate_view
+    from etl_reporting_spark.operators.wap import (
+        WapTable,
+        create_partitioned_wap_table,
+    )
+
+    rows = [(i, f"2026-01-0{1 + i % 2}", float(i)) for i in range(1, 21)]
+    fact = create_partitioned_wap_table(
+        spark,
+        str(tmp_path / "fact"),
+        spark.createDataFrame(rows, "id long, ds string, amount double")
+        .repartitionByRange(2, "id"),
+        ["ds"],
+        stats_cols=["id"],
+    )
+    view_path = str(tmp_path / "view")
+
+    def check():
+        v = maintain_aggregate_view(
+            fact, view_path, keys=["id"], group_cols=["ds"], sum_cols=["amount"]
+        )
+        got = {
+            r["ds"]: (r["__cnt"], r["sum_amount"])
+            for r in WapTable(spark, view_path).read().collect()
+        }
+        truth = {
+            r["ds"]: (r["n"], r["s"])
+            for r in fact.read()
+            .groupBy("ds")
+            .agg(F.count("*").alias("n"), F.sum("amount").alias("s"))
+            .collect()
+        }
+        assert got == truth
+        return v
+
+    assert check() is not None           # bootstrap from the snapshot
+    assert maintain_aggregate_view(      # source unmoved -> no-op
+        fact, view_path, ["id"], ["ds"], ["amount"]
+    ) is None
+
+    fact.upsert_rows_dv(
+        spark.createDataFrame(
+            [(5, "2026-01-02", 500.0), (99, "2026-01-01", 9.0)],
+            "id long, ds string, amount double",
+        ),
+        keys=["id"],
+    )
+    assert check() is not None           # update + insert via the feed
+
+    fact.delete_rows("id % 7 = 0")
+    assert check() is not None           # DV deletes via the feed
+
+    from etl_reporting_spark.operators.merge import merge_partition_files
+    merge_partition_files(
+        spark, fact.path, "ds=2026-01-01",
+        spark.createDataFrame(
+            [(1, "2026-01-01", 1000.0)], "id long, ds string, amount double"
+        ),
+        keys=["id"], stats_col="id",
+    )
+    assert check() is not None           # file-granular rewrite via the feed
