@@ -1137,6 +1137,87 @@ class PartitionedWapTable(WapTable):
                     raise
                 base = latest
 
+    def alter_schema(
+        self,
+        add: dict[str, str] | None = None,
+        drop: Sequence[str] | None = None,
+        base_version: int | None = None,
+    ) -> int:
+        """Metadata-only schema evolution (Delta ALTER TABLE): ADD
+        COLUMN (existing data reads NULL for it — the read path
+        already NULL-fills columns absent from older files) and DROP
+        COLUMN (projected away at read; the bytes stay until files
+        are naturally rewritten) — zero data touched, one commit.
+
+        ``add`` maps column name → Spark DDL type string
+        (``{"note": "string"}``); ``drop`` names existing non-key
+        columns. Partition columns cannot be dropped (the layout IS
+        them) and re-adding an existing name is refused — rename is
+        deliberately absent (it needs column-id tracking to be safe
+        against positional parquet readers; add+backfill+drop is the
+        honest spelling here).
+
+        The commit carries no ``touched`` set, so it CONFLICTS with
+        any concurrent writer (and they with it) — a writer racing a
+        schema change wrote with a stale schema; one side retries."""
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        base = base_version if base_version is not None else self.current_version()
+        if base == 0:
+            raise FileNotFoundError(f"no committed WAP table at {self.path}")
+        base_rec = self._commit_record(base)
+        schema = StructType.fromJson(base_rec["schema"])
+        names = {f.name for f in schema.fields}
+        add = dict(add or {})
+        drop = list(drop or [])
+        for c in add:
+            if c in names:
+                raise ValueError(f"column already exists: {c}")
+        for c in drop:
+            if c not in names:
+                raise ValueError(f"cannot drop unknown column: {c}")
+            if c in self.partition_by:
+                raise ValueError(
+                    f"cannot drop partition column {c!r} — the physical "
+                    "layout is keyed on it; repartition via a full rewrite"
+                )
+        fields = [f for f in schema.fields if f.name not in set(drop)]
+        new_schema = StructType(fields)
+        for c, t in add.items():
+            new_schema = new_schema.add(c, _parse_datatype_string(t))
+
+        record = {
+            k: v
+            for k, v in base_rec.items()
+            if k
+            in (
+                "partitions",
+                "files",
+                "file_stats",
+                "delete_vectors",
+                "partition_by",
+                "row_count",
+            )
+        }
+        # stats survive only for surviving columns
+        stats = {
+            pk: {c: b for c, b in cols.items() if c not in set(drop)}
+            for pk, cols in base_rec.get("stats", {}).items()
+        }
+        stats = {pk: cols for pk, cols in stats.items() if cols}
+        if stats:
+            record["stats"] = stats
+        record.update(
+            {
+                "version": base + 1,
+                "schema": new_schema.jsonValue(),
+                "operation": "alter_schema",
+                "committed_at": time.time(),
+            }
+        )
+        self._publish(record)
+        return base + 1
+
     def upsert_rows_dv(
         self,
         source: DataFrame,

@@ -822,3 +822,55 @@ def test_merge_partition_stability_probe(spark, tmp_path, fact_df):
         validate_partition_stability=True,
     )
     assert res.rows_inserted == 1
+
+
+def test_alter_schema_add_and_drop_metadata_only(spark, tmp_path, fact_df):
+    """ADD/DROP COLUMN commits touch zero data: old rows read NULL
+    for the added column, dropped columns project away, time travel
+    keeps each version's schema, partition columns are protected."""
+    t = _ptable(spark, tmp_path, fact_df)
+    files_before = {
+        f for k in t.partition_map() for f in t.partition_files(k)
+    }
+    v2 = t.alter_schema(add={"note": "string"})
+    assert t.read(version=v2).schema.simpleString().endswith(
+        "amount:double,note:string>"
+    )
+    assert t.read().filter("note IS NULL").count() == 12
+    # writes after the evolution carry the column; old files untouched
+    day = spark.createDataFrame(
+        [(99, "2026-01-01", 9.0, "hi")],
+        "id long, ds string, amount double, note string",
+    )
+    t.commit_partitions(day)  # replaces day 1 under the NEW schema
+    out = {r["id"]: r["note"] for r in t.read().collect()}
+    assert out[99] == "hi"
+    assert all(out[i] is None for i in out if i != 99)  # old files NULL-fill
+    untouched = {
+        f
+        for k in t.partition_map()
+        for f in t.partition_files(k)
+        if "ds=2026-01-01" not in f
+    }
+    assert untouched <= files_before  # other days' files untouched
+    # drop projects away without rewrite; v1 time travel unaffected
+    v4 = t.alter_schema(drop=["note"])
+    assert "note" not in t.read(version=v4).columns
+    assert "note" not in t.read().columns
+    assert t.read(version=1).columns == ["id", "ds", "amount"]
+    with pytest.raises(ValueError, match="partition column"):
+        t.alter_schema(drop=["ds"])
+    with pytest.raises(ValueError, match="already exists"):
+        t.alter_schema(add={"amount": "double"})
+
+
+def test_alter_schema_conflicts_with_concurrent_writer(spark, tmp_path, fact_df):
+    """A schema change carries no touched set: a racing partition
+    writer and the ALTER get one winner (the loser's base is stale)."""
+    t = _ptable(spark, tmp_path, fact_df)
+    day = spark.createDataFrame(
+        [(50, "2026-01-01", 5.0)], "id long, ds string, amount double"
+    )
+    t.alter_schema(add={"note": "string"})  # lands first
+    with pytest.raises(ConcurrentWriteError):
+        t.commit_partitions(day, base_version=1, max_rebase=0)
