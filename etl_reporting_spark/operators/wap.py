@@ -1482,11 +1482,13 @@ class PartitionedWapTable(WapTable):
 
     def delete_rows(
         self,
-        condition,
+        condition=None,
         partitions: Sequence[str] | None = None,
         base_version: int | None = None,
         max_rebase: int = 5,
         operation: str = "delete",
+        keys_df: DataFrame | None = None,
+        keys: Sequence[str] | None = None,
     ) -> tuple[int, int]:
         """Row-level DELETE via DELETION VECTORS — no data file is
         rewritten (Delta's deletion-vector refinement, one step past
@@ -1499,10 +1501,14 @@ class PartitionedWapTable(WapTable):
         + a sidecar ∝ deleted rows — zero bytes of the fact rewritten.
 
         ``condition`` is a Column or SQL string over the committed
-        schema; ``partitions`` optionally metadata-prunes the scan
-        (rows outside are silently kept, the pruned-DML contract).
-        Returns ``(version, rows_deleted)`` — a no-match delete is a
-        NO-OP returning (base, 0), publishing nothing.
+        schema — or pass ``keys_df``+``keys`` instead to erase every
+        row whose key appears in a key SET (the GDPR right-to-be-
+        forgotten shape: millions of subject ids can't be an IN-list;
+        the match is one semi join against the pruned snapshot).
+        ``partitions`` optionally metadata-prunes the scan (rows
+        outside are silently kept, the pruned-DML contract). Returns
+        ``(version, rows_deleted)`` — a no-match delete is a NO-OP
+        returning (base, 0), publishing nothing.
 
         Conflict rule: masking a file is touching it — a DV commit
         conflicts with an intervening rewrite of (or another DV on)
@@ -1519,7 +1525,10 @@ class PartitionedWapTable(WapTable):
         base = base_version if base_version is not None else self.current_version()
         if base == 0:
             raise FileNotFoundError(f"no committed WAP table at {self.path}")
-        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if (condition is None) == (keys_df is None):
+            raise ValueError("pass exactly one of condition / keys_df")
+        if keys_df is not None and not keys:
+            raise ValueError("keys_df requires keys=[...]")
 
         pkeys = (
             list(partitions)
@@ -1531,9 +1540,15 @@ class PartitionedWapTable(WapTable):
             paths.extend(self.partition_files(k, version=base))
         known = set(paths)
         snap = self._read_paths(paths, base, with_lineage=True)
+        if keys_df is not None:
+            matched_rows = snap.join(
+                keys_df.select(*keys).distinct(), list(keys), "semi"
+            )
+        else:
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            matched_rows = snap.filter(cond)
         new_rows = (
-            snap.filter(cond)
-            .select(
+            matched_rows.select(
                 F.col("__file").alias("file_key"),
                 F.col("__ridx").alias("row_index"),
             )

@@ -388,3 +388,20 @@ def test_streaming_upsert_dv_e2e(spark, tmp_path):
     for rec in t.history()[1:]:
         assert rec["epoch_id"] is not None
         assert rec["operation"] == "merge"
+
+
+def test_delete_by_key_set(spark, dtable):
+    """GDPR-shaped erasure: every row whose key is in a key DataFrame
+    is vectored in one commit; the key set joins, never an IN-list."""
+    subjects = spark.createDataFrame(
+        [(3,), (7,), (105,), (99999,)], "id long"
+    )
+    v, n = dtable.delete_rows(keys_df=subjects, keys=["id"])
+    assert n == 3  # 99999 never existed
+    out = dtable.read()
+    assert out.filter("id in (3, 7, 105)").count() == 0
+    assert out.count() == 117
+    with pytest.raises(ValueError, match="exactly one"):
+        dtable.delete_rows("id = 1", keys_df=subjects, keys=["id"])
+    with pytest.raises(ValueError, match="requires keys"):
+        dtable.delete_rows(keys_df=subjects)
