@@ -445,9 +445,22 @@ def hive_partition_key(cols: Sequence[str], values: Sequence) -> str:
 
 
 def _pkey_of_file(relfile: str) -> str:
-    """Partition key of a data-file relpath ``d-root/k=v/.../file``:
-    the middle ``k=v`` components."""
-    return "/".join(relfile.split("/")[1:-1])
+    """Partition key of a data-file path: its ``k=v`` components.
+    Works for table-relative pointers (``d-root/k=v/.../file``) and
+    the absolute pointers a zero-copy clone carries."""
+    return "/".join(p for p in relfile.split("/")[:-1] if "=" in p)
+
+
+def _root_of(rel: str) -> str:
+    """Physical commit root of a pointer: everything before the first
+    ``k=v`` component — ``d-xxx`` for table-relative pointers, the
+    absolute ``/…/src/d-xxx`` for clone pointers. This is exactly the
+    ``basePath`` hive partition inference needs."""
+    parts = rel.split("/")
+    for i, p in enumerate(parts):
+        if "=" in p:
+            return "/".join(parts[:i])
+    return parts[0]
 
 
 def _leaf_partition_dirs(root: str) -> list[str]:
@@ -557,9 +570,9 @@ class PartitionedWapTable(WapTable):
         roots: set[str] = set()
         for ptr in self.partition_map(version).values():
             if isinstance(ptr, tuple):
-                roots.update(p.split("/", 1)[0] for p in ptr)
+                roots.update(_root_of(p) for p in ptr)
             else:
-                roots.add(ptr.split("/", 1)[0])
+                roots.add(_root_of(ptr))
         return sorted(roots)
 
     def read(
@@ -617,7 +630,7 @@ class PartitionedWapTable(WapTable):
             return self.spark.createDataFrame([], out_schema)
         by_root: dict[str, list[str]] = {}
         for rel in rel_paths:
-            root = rel.split("/", 1)[0]
+            root = _root_of(rel)
             by_root.setdefault(root, []).append(os.path.join(self.path, rel))
         if warn_width and len(by_root) > self.max_read_roots:
             import warnings
@@ -632,12 +645,15 @@ class PartitionedWapTable(WapTable):
             )
         dvs: dict[str, str] = rec.get("delete_vectors", {})
         need_lineage = with_lineage or bool(dvs)
-        # the stable per-row address: (URI-encoded table-root-relative
-        # file path, parquet row index). Derived identically here and
-        # at delete time, so the anti-join key never depends on URI
-        # decoding subtleties ('+' vs %20 etc.); the canonical on-disk
-        # relpath is recovered driver-side with urllib unquote.
-        prefix = "file:" + os.path.abspath(self.path) + "/"
+        # the stable per-row address: (URI-encoded file path FROM ITS
+        # d-<12hex> commit root, parquet row index). Anchoring at the
+        # root name — not the table path — makes the key identical no
+        # matter where the table is mounted, so deletion vectors keep
+        # masking through zero-copy clones whose pointers are absolute
+        # paths into the source; URI-decoding subtleties ('+' vs %20)
+        # never enter because both sides derive the ENCODED form with
+        # the same expression, and the canonical on-disk relpath is
+        # recovered driver-side with urllib unquote.
         frames = []
         for root, leaves in sorted(by_root.items()):
             f = self.spark.read.option(
@@ -646,8 +662,10 @@ class PartitionedWapTable(WapTable):
             if need_lineage:
                 f = f.withColumn(
                     "__file",
-                    F.replace(
-                        F.col("_metadata.file_path"), F.lit(prefix), F.lit("")
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"),
+                        r"(d-[0-9a-f]{12}/.*)$",
+                        1,
                     ),
                 ).withColumn("__ridx", F.col("_metadata.row_index"))
             frames.append(f)
@@ -1274,6 +1292,14 @@ class PartitionedWapTable(WapTable):
         paths: list[str] = []
         for k in present:
             paths.extend(self.partition_files(k, version=base))
+        shared = sorted(p for p in paths if os.path.isabs(p))
+        if shared:
+            raise ValueError(
+                "row-granular mutation of files still SHARED with a clone "
+                f"source ({len(shared)} pointer(s)): localize first — "
+                "optimize_partitions(table, partitions=...) copies-on-write "
+                "the touched partitions into this table"
+            )
         n_matched = 0
         masked: list[str] = []
         dv_rel: str | None = None
@@ -1538,6 +1564,14 @@ class PartitionedWapTable(WapTable):
         paths: list[str] = []
         for k in pkeys:
             paths.extend(self.partition_files(k, version=base))
+        shared = sorted(p for p in paths if os.path.isabs(p))
+        if shared:
+            raise ValueError(
+                "row-granular mutation of files still SHARED with a clone "
+                f"source ({len(shared)} pointer(s), e.g. {shared[0]}): "
+                "localize first — optimize_partitions(table, partitions=...) "
+                "copies-on-write the touched partitions into this table"
+            )
         known = set(paths)
         snap = self._read_paths(paths, base, with_lineage=True)
         if keys_df is not None:
@@ -2043,6 +2077,77 @@ def optimize_partitions(
     )
 
 
+def clone_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+) -> PartitionedWapTable:
+    """Zero-copy SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW
+    CLONE): the clone is a new commit log whose v1 pointers reference
+    the source's data files ABSOLUTELY — no byte copied, created in
+    O(metadata) at any table size. The dev/test/backfill-sandbox
+    primitive: experiment on a 100 TB fact for the cost of one JSON
+    record.
+
+    Copy-on-write from there: ``commit_partitions`` (and compaction)
+    write LOCAL roots and drop the shared pointers they replace —
+    the source is never touched by any clone mutation. Deletion
+    vectors keep masking through the clone (the per-row key anchors
+    at the ``d-*`` root, not the table path). Row-granular mutation
+    of still-shared files (``delete_rows`` / ``upsert_rows_dv`` /
+    ``merge_partition_files``) requires localizing the touched
+    partitions first — ``optimize_partitions(clone, partitions=…)``
+    is the one-step localizer — and refuses with that guidance.
+
+    CAVEAT (same as Delta's): the clone references but does not pin
+    the source's files — a source ``vacuum`` that collects them
+    breaks the clone. Clone lifetimes must sit inside the source's
+    retention window, or compact the clone to localize everything.
+    """
+    src = open_wap_table(spark, src_path)
+    if not isinstance(src, PartitionedWapTable):
+        raise TypeError("clone_table supports partitioned WAP tables")
+    v = version if version is not None else src.current_version()
+    rec = src._commit_record(v)
+    src_abs = os.path.abspath(src_path)
+
+    def absf(rel: str) -> str:
+        return rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+
+    dst = PartitionedWapTable(
+        spark, dst_path, rec.get("partition_by", src.partition_by)
+    )
+    if dst.current_version() != 0:
+        raise FileExistsError(f"WAP table already exists at {dst_path}")
+    record = {
+        "version": 1,
+        "partitions": {k: absf(d) for k, d in rec.get("partitions", {}).items()},
+        "partition_by": dst.partition_by,
+        "touched": [],
+        "row_count": rec.get("row_count"),
+        "schema": rec["schema"],
+        "operation": "clone",
+        "committed_at": time.time(),
+        "cloned_from": {"path": src_abs, "version": v},
+    }
+    if rec.get("files"):
+        record["files"] = {
+            k: [absf(f) for f in fl] for k, fl in rec["files"].items()
+        }
+    if rec.get("stats"):
+        record["stats"] = dict(rec["stats"])
+    if rec.get("file_stats"):
+        record["file_stats"] = {absf(f): s for f, s in rec["file_stats"].items()}
+    if rec.get("delete_vectors"):
+        record["delete_vectors"] = {
+            absf(f): absf(d) for f, d in rec["delete_vectors"].items()
+        }
+    os.makedirs(dst_path, exist_ok=True)
+    dst._publish(record)
+    return dst
+
+
 def maintenance_plan(
     table: PartitionedWapTable,
     max_files_per_partition: int = 16,
@@ -2085,7 +2190,7 @@ def maintenance_plan(
     files_by_part: dict[str, int] = {}
     for k, ptr in pmap.items():
         rels = ptr if isinstance(ptr, tuple) else (ptr,)
-        roots_by_part[k] = {r.split("/", 1)[0] for r in rels}
+        roots_by_part[k] = {_root_of(r) for r in rels}
         files_by_part[k] = (
             len(ptr) if isinstance(ptr, tuple) else len(table.partition_files(k, v))
         )

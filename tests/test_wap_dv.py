@@ -405,3 +405,57 @@ def test_delete_by_key_set(spark, dtable):
         dtable.delete_rows("id = 1", keys_df=subjects, keys=["id"])
     with pytest.raises(ValueError, match="requires keys"):
         dtable.delete_rows(keys_df=subjects)
+
+
+def test_shallow_clone_zero_copy_and_cow(spark, tmp_path, dtable):
+    """Zero-copy clone: metadata-only creation, source DVs keep
+    masking (the row key anchors at the d-* root, not the table
+    path), copy-on-write mutations never touch the source, and
+    row-granular ops demand localization first."""
+    from etl_reporting_spark.operators.wap import clone_table
+
+    dtable.delete_rows("id = 7")
+    src_bytes = {
+        f: os.path.getmtime(os.path.join(dtable.path, f))
+        for k in dtable.partition_map()
+        for f in dtable.partition_files(k)
+    }
+    dev = clone_table(spark, dtable.path, str(tmp_path / "dev"))
+    clone_size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(dev.path)
+        for f in fs
+    )
+    assert clone_size < 64 * 1024  # one JSON record, no data
+    assert dev.read().count() == 119
+    assert dev.read().filter("id = 7").count() == 0  # DV carried
+
+    # CoW: replace a partition in the clone; the source is untouched
+    day = spark.createDataFrame(
+        [(999, "2026-01-02", 9.0)], "id long, ds string, amount double"
+    )
+    dev.commit_partitions(day)
+    assert dev.read(partitions=[DAY2]).count() == 1
+    assert dtable.read().count() == 119
+    for f, m in src_bytes.items():
+        assert os.path.getmtime(os.path.join(dtable.path, f)) == m
+
+    # row-granular mutation of shared files refuses with guidance,
+    # and localizing via compaction unlocks it
+    with pytest.raises(ValueError, match="localize first"):
+        dev.delete_rows("id = 5")
+    optimize_partitions(dev, partitions=[DAY1])
+    v, n = dev.delete_rows("id = 5")
+    assert n == 1
+    assert dtable.read().filter("id = 5").count() == 1  # source intact
+
+
+def test_clone_time_travel_pins_the_cloned_version(spark, tmp_path, dtable):
+    from etl_reporting_spark.operators.wap import clone_table
+
+    v1_count = dtable.read(version=1).count()
+    dtable.delete_rows("id % 2 = 0")
+    dev = clone_table(spark, dtable.path, str(tmp_path / "v1"), version=1)
+    assert dev.read().count() == v1_count  # pinned to the OLD version
+    rec = dev._commit_record(1)
+    assert rec["cloned_from"]["version"] == 1
