@@ -607,6 +607,7 @@ class PartitionedWapTable(WapTable):
         version: int,
         with_lineage: bool = False,
         warn_width: bool = False,
+        apply_dvs: bool = True,
     ) -> DataFrame:
         """Shared read core: scan the given dir/file relpaths (one
         scan per physical root — hive partition columns come from the
@@ -643,7 +644,7 @@ class PartitionedWapTable(WapTable):
                 RuntimeWarning,
                 stacklevel=2,
             )
-        dvs: dict[str, str] = rec.get("delete_vectors", {})
+        dvs: dict[str, str] = rec.get("delete_vectors", {}) if apply_dvs else {}
         need_lineage = with_lineage or bool(dvs)
         # the stable per-row address: (URI-encoded file path FROM ITS
         # d-<12hex> commit root, parquet row index). Anchoring at the
@@ -1374,8 +1375,15 @@ class PartitionedWapTable(WapTable):
                 if f.endswith(".parquet")
             )
         back = (
+            # NEW files can't be masked by the base version's vectors,
+            # so the audit/stats read skips DV application — which also
+            # keeps the plan single-source (input_file_name() in the
+            # per-file stats aggregate rejects multi-source plans, and
+            # the DV anti-join would add the sidecar as a second one)
             self._read_paths(
-                [f for fl in new_files.values() for f in fl], base
+                [f for fl in new_files.values() for f in fl],
+                base,
+                apply_dvs=False,
             )
             if written
             else source.limit(0)

@@ -459,3 +459,88 @@ def test_clone_time_travel_pins_the_cloned_version(spark, tmp_path, dtable):
     assert dev.read().count() == v1_count  # pinned to the OLD version
     rec = dev._commit_record(1)
     assert rec["cloned_from"]["version"] == 1
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_model_random_operation_interleavings(spark, tmp_path, seed):
+    """Model-based check of the whole mutation surface: a seeded
+    random sequence of DV upserts, predicate/key-set deletes,
+    file-granular merges, compactions and vacuums is mirrored into a
+    plain python dict model; after EVERY operation the table's
+    visible state must equal the model exactly. Any cross-operator
+    interaction bug (mask lost by a rewrite, stale pointer, stats
+    skip gone wrong, vacuum eating live data) surfaces as a diff."""
+    import random
+
+    rng = random.Random(seed)
+    days = ["2026-01-01", "2026-01-02", "2026-01-03"]
+    ds_of = lambda i: days[i % 3]  # noqa: E731 — partition-stable key
+    model = {i: float(i) for i in range(1, 61)}
+    df = spark.createDataFrame(
+        [(i, ds_of(i), v) for i, v in model.items()],
+        "id long, ds string, amount double",
+    ).repartitionByRange(3, "id")
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / f"m{seed}"), df, ["ds"], stats_cols=["id"]
+    )
+
+    def check(tag):
+        got = {r["id"]: r["amount"] for r in t.read().collect()}
+        assert got == model, f"after {tag}: {sorted(set(got) ^ set(model))[:6]}"
+
+    next_id = 100
+    for step in range(12):
+        op = rng.choice(["upsert", "delete_pred", "delete_keys", "fmerge",
+                         "optimize", "vacuum"])
+        if op == "upsert":
+            n_upd = rng.randint(0, 3)
+            upd = rng.sample(sorted(model), min(n_upd, len(model)))
+            ins = [next_id + j for j in range(rng.randint(0, 2))]
+            next_id += 5
+            rows = [(i, ds_of(i), float(1000 * step + i)) for i in upd + ins]
+            if not rows:
+                continue
+            src = spark.createDataFrame(rows, "id long, ds string, amount double")
+            t.upsert_rows_dv(src, keys=["id"], stats_cols=["id"])
+            for i, _, v in rows:
+                model[i] = v
+        elif op == "delete_pred":
+            m = rng.randint(2, 9)
+            t.delete_rows(f"id % {m} = 1")
+            model = {i: v for i, v in model.items() if i % m != 1}
+        elif op == "delete_keys":
+            victims = rng.sample(sorted(model), min(3, len(model)))
+            kdf = spark.createDataFrame([(i,) for i in victims], "id long")
+            t.delete_rows(keys_df=kdf, keys=["id"])
+            for i in victims:
+                model.pop(i, None)
+        elif op == "fmerge" and model:
+            i = rng.choice(sorted(model))
+            src = spark.createDataFrame(
+                [(i, ds_of(i), float(-i))], "id long, ds string, amount double"
+            )
+            from etl_reporting_spark.operators.merge import (
+                merge_partition_files as mpf,
+            )
+            mpf(spark, t.path, f"ds={ds_of(i)}", src, keys=["id"], stats_col="id")
+            model[i] = float(-i)
+        elif op == "optimize":
+            optimize_partitions(t, n_files=2, cluster_by=["id"])
+        elif op == "vacuum":
+            t.vacuum(keep_last=2, min_age_seconds=0.0)
+        check(f"step {step}: {op}")
+    # final deep check: CDC replay over the RETAINED window (vacuum
+    # keep_last=2 legitimately collects older versions — time travel
+    # past the horizon is supposed to fail, so replay from current-1)
+    from etl_reporting_spark.operators.wap import table_changes
+
+    cur = t.current_version()
+    if cur > 1:
+        base_v = cur - 1
+        replayed = {r["id"]: r["amount"] for r in t.read(version=base_v).collect()}
+        for r in table_changes(t, keys=["id"], from_version=base_v).collect():
+            if r["_change_type"] in ("insert", "update_postimage"):
+                replayed[r["id"]] = r["amount"]
+            elif r["_change_type"] == "delete":
+                replayed.pop(r["id"], None)
+        assert replayed == model
