@@ -683,16 +683,15 @@ class PartitionedWapTable(WapTable):
             # (harmless dupes), rewritten files have NEW paths (no
             # match) — so the union of referenced sidecars masks
             # exactly right.
-            dv = (
-                self.spark.read.parquet(
-                    *sorted(os.path.join(self.path, d) for d in set(dvs.values()))
-                )
-                .select(
-                    F.col("file_key").alias("__file"),
-                    F.col("row_index").alias("__ridx"),
-                )
-                .distinct()
+            dv = self.spark.read.parquet(
+                *sorted(os.path.join(self.path, d) for d in set(dvs.values()))
+            ).select(
+                F.col("file_key").alias("__file"),
+                F.col("row_index").alias("__ridx"),
             )
+            # no distinct: anti-join semantics ignore build-side dupes
+            # (cumulative sidecars can overlap), and dropping it keeps
+            # the masked read COMPLETELY exchange-free (plan-asserted)
             out = out.join(F.broadcast(dv), ["__file", "__ridx"], "left_anti")
         # restore the COMMITTED schema: hive partition inference types
         # the path values (e.g. ds=2026-01-01 → DATE) and appends the

@@ -544,3 +544,15 @@ def test_model_random_operation_interleavings(spark, tmp_path, seed):
             elif r["_change_type"] == "delete":
                 replayed.pop(r["id"], None)
         assert replayed == model
+
+
+def test_dv_read_plans_broadcast_anti_join_no_shuffle(spark, dtable):
+    """The mask must stay on the scan: a DV read plans a broadcast
+    anti hash join against the sidecar and ZERO shuffle exchanges —
+    a lost broadcast here would re-shuffle the whole fact per read."""
+    dtable.delete_rows("id = 5")
+    df = dtable.read()
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
