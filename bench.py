@@ -122,6 +122,7 @@ HEADLINE = [
     # recommended serving query (prune × ADC shortlist × exact refine)
     "ann_recall_sweep",
     "ann_cosine_ivfpq_refined",
+    "sketch_hll_distinct",
 ]
 
 # Heavy gates timed at the self-generated sf3 tier (30x sf0.1, all
