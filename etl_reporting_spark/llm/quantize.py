@@ -283,13 +283,27 @@ def pq_train_codebook(
             means = comp.groupBy("subspace", "code", "pos").agg(
                 F.avg(F.col("val").cast("double")).alias("mv")
             )
+            new_cb = means.groupBy("subspace", "code").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mv))),"
+                    " s -> s.mv)"
+                ).alias("__new")
+            )
+            # a code that lost every assignment this iteration has no
+            # mean row — LEFT-join onto the previous codebook and
+            # carry its old centroid forward, so the effective
+            # n_codes can never silently shrink for later iterations
+            # and serving (dead codes simply stop moving; standard
+            # Lloyd practice short of reseeding)
             codebook = (
-                means.groupBy("subspace", "code")
-                .agg(
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(pos, mv))),"
-                        " s -> s.mv)"
-                    ).alias("subvec")
+                codebook.select(
+                    "subspace", "code", F.col("subvec").alias("__prev")
+                )
+                .join(F.broadcast(new_cb), ["subspace", "code"], "left")
+                .select(
+                    "subspace",
+                    "code",
+                    F.coalesce("__new", "__prev").alias("subvec"),
                 )
                 .persist()
             )

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -359,6 +360,21 @@ class WapTable:
         v = self.current_version()
         return self._commit_record(v) if v else None
 
+    def latest_epoch_id(self) -> int | None:
+        """Most recent committed streaming epoch id, scanning the log
+        BACKWARD past interleaved non-stream commits. Checking only
+        ``latest_record()`` would forget the epoch the moment a
+        maintenance compaction / delete_rows lands between micro-
+        batches, and a replayed epoch would re-apply — content-
+        idempotent for upsert sinks, but it doubles files/sidecars and
+        breaks the documented exactly-once claim. Metadata-only; the
+        newest epoch-bearing record is normally at or near the tail."""
+        for v in range(self.current_version(), 0, -1):
+            rec = self._commit_record(v)
+            if "epoch_id" in rec:
+                return rec["epoch_id"]
+        return None
+
     def _publish(self, record: dict) -> None:
         """The atomic step, isolated so crash tests can stop before it.
 
@@ -444,22 +460,52 @@ def hive_partition_key(cols: Sequence[str], values: Sequence) -> str:
     return "/".join(parts)
 
 
+#: every commit root this module writes is ``d-`` + 12 hex (see the
+#: ``uuid4().hex[:12]`` writers below); the per-row lineage key in
+#: ``_read_paths`` anchors its regexp on the same shape. Partition
+#: components can never collide with it (they always carry ``=``).
+_DROOT_RE = re.compile(r"^d-[0-9a-f]{12}$")
+
+
+def _droot_index(parts: Sequence[str]) -> int | None:
+    """Index of the FIRST ``d-<12hex>`` component — the same leftmost
+    anchor the ``__file`` lineage regexp uses, so driver-side parsing
+    and the executor-side row key always agree."""
+    for i, p in enumerate(parts):
+        if _DROOT_RE.match(p):
+            return i
+    return None
+
+
 def _pkey_of_file(relfile: str) -> str:
-    """Partition key of a data-file path: its ``k=v`` components.
-    Works for table-relative pointers (``d-root/k=v/.../file``) and
-    the absolute pointers a zero-copy clone carries."""
-    return "/".join(p for p in relfile.split("/")[:-1] if "=" in p)
+    """Partition key of a data-file path: the ``k=v`` components AFTER
+    its ``d-<12hex>`` commit root. Anchoring at the root (not "any
+    component containing '='") keeps absolute clone pointers correct
+    even when the SOURCE table's own path contains ``=`` in a
+    directory name (e.g. ``/data/run=5/tbl/d-ab…/ds=1/f.parquet`` →
+    ``ds=1``, never ``run=5/ds=1``)."""
+    parts = relfile.split("/")
+    i = _droot_index(parts)
+    scope = parts[i + 1 : -1] if i is not None else parts[:-1]
+    return "/".join(p for p in scope if "=" in p)
 
 
 def _root_of(rel: str) -> str:
-    """Physical commit root of a pointer: everything before the first
-    ``k=v`` component — ``d-xxx`` for table-relative pointers, the
-    absolute ``/…/src/d-xxx`` for clone pointers. This is exactly the
-    ``basePath`` hive partition inference needs."""
+    """Physical commit root of a pointer: everything up to and
+    including its ``d-<12hex>`` component — ``d-xxx`` for
+    table-relative pointers, the absolute ``/…/src/d-xxx`` for clone
+    pointers. This is exactly the ``basePath`` hive partition
+    inference needs, and it stays correct when the clone source's
+    table path itself contains ``=``-bearing directories."""
     parts = rel.split("/")
-    for i, p in enumerate(parts):
+    i = _droot_index(parts)
+    if i is not None:
+        return "/".join(parts[: i + 1])
+    # pre-d-root layouts (full-snapshot WapTable data dirs): fall back
+    # to the first partition component
+    for j, p in enumerate(parts):
         if "=" in p:
-            return "/".join(parts[:i])
+            return "/".join(parts[:j])
     return parts[0]
 
 
@@ -512,6 +558,13 @@ class PartitionedWapTable(WapTable):
     #: read() warns past this many live commit roots (plan width —
     #: one scan per root); see live_commit_roots / optimize_partitions
     max_read_roots: int = 16
+
+    #: one DV sidecar parquet file comfortably holds this many
+    #: (file, row) pairs; a bigger vector fans out across ceil(n/this)
+    #: files so no single task serializes a frame ∝ matched/deleted
+    #: rows (the sidecar DIR is what the commit record references, so
+    #: readers are file-count-agnostic)
+    dv_sidecar_rows_per_file: int = 4_000_000
 
     def __init__(
         self,
@@ -1175,6 +1228,16 @@ class PartitionedWapTable(WapTable):
         against positional parquet readers; add+backfill+drop is the
         honest spelling here).
 
+        Dropped-name hygiene: because DROP is projection-only (no
+        Delta-style column-id mapping), surviving pre-drop files still
+        PHYSICALLY hold the old values — re-adding the same name would
+        silently resurface them instead of reading NULL. Every drop is
+        therefore recorded in its commit (``dropped``), and ADD
+        refuses a historically-dropped name while ANY file live at
+        drop time is still live now; once compaction/merges have
+        rewritten those files (e.g. ``optimize_partitions``), the
+        name is safe and the ADD goes through.
+
         The commit carries no ``touched`` set, so it CONFLICTS with
         any concurrent writer (and they with it) — a writer racing a
         schema change wrote with a stale schema; one side retries."""
@@ -1191,6 +1254,15 @@ class PartitionedWapTable(WapTable):
         for c in add:
             if c in names:
                 raise ValueError(f"column already exists: {c}")
+            hazard = self._dropped_column_hazard(c, base)
+            if hazard:
+                raise ValueError(
+                    f"column {c!r} was dropped at version {hazard[0]} and "
+                    f"{hazard[1]} file(s) written before the drop are still "
+                    "live — re-adding the name would resurface their old "
+                    "physical values instead of reading NULL. Rewrite them "
+                    "first (optimize_partitions) or pick a fresh name."
+                )
         for c in drop:
             if c not in names:
                 raise ValueError(f"cannot drop unknown column: {c}")
@@ -1233,8 +1305,84 @@ class PartitionedWapTable(WapTable):
                 "committed_at": time.time(),
             }
         )
+        if drop:
+            record["dropped"] = sorted(drop)
         self._publish(record)
         return base + 1
+
+    def _live_files(self, version: int) -> set[str]:
+        """File-level pointer set of a snapshot (dir pointers expanded
+        by listing). A dir already vacuumed lists as empty — its files
+        are physically gone, so they cannot resurface anything."""
+        files: set[str] = set()
+        for pk in self.partition_map(version):
+            try:
+                files.update(self.partition_files(pk, version=version))
+            except OSError:
+                continue
+        return files
+
+    def _dropped_column_hazard(
+        self, name: str, base: int
+    ) -> tuple[int, int] | None:
+        """If ``name`` was historically dropped AND any file live at
+        the drop commit is still live at ``base``, return
+        (drop_version, surviving_file_count) — the resurfacing hazard
+        ``alter_schema`` refuses on. None = safe. Scans the commit log
+        (metadata-only; alter is rare) for ``dropped`` markers; the
+        file-survival check is what lets a name come back once normal
+        compaction has rewritten the pre-drop bytes."""
+        lname = name.lower()
+        drop_versions = [
+            v
+            for v in range(1, base + 1)
+            if lname
+            in {d.lower() for d in self._commit_record(v).get("dropped", [])}
+        ]
+        if not drop_versions:
+            return None
+        v_drop = max(drop_versions)
+        surviving = self._live_files(v_drop) & self._live_files(base)
+        if surviving:
+            return (v_drop, len(surviving))
+        return None
+
+    @staticmethod
+    def _match_visible_rows(
+        snap: DataFrame, source: DataFrame, keys: Sequence[str]
+    ) -> DataFrame:
+        """Visible target rows whose key appears in the merge source —
+        a plain semi join with NO broadcast hint: the source's key set
+        is unbounded (a nightly fact batch can carry tens of millions
+        of distinct keys), so forcing it onto the driver would OOM at
+        exactly the scale the DV MERGE exists for. AQE promotes the
+        build side to a broadcast automatically whenever it really is
+        small, so narrow-churn callers lose nothing."""
+        from pyspark.sql import functions as F
+
+        return snap.join(
+            source.select(*keys).distinct(), list(keys), "semi"
+        ).select(
+            *keys,
+            F.col("__file").alias("file_key"),
+            F.col("__ridx").alias("row_index"),
+        )
+
+    def _write_dv_sidecar(self, dv_df: DataFrame, dv_rel: str, n_rows: int) -> None:
+        """Write a deletion-vector sidecar dir. Small vectors (the
+        narrow-churn / GDPR shape) stay one file; past
+        ``dv_sidecar_rows_per_file`` the write fans out hash-
+        partitioned on (file_key, row_index) so a large-batch MERGE's
+        vector is written by many tasks — readers consume the DIR, so
+        the file count is invisible to them. ``n_rows`` is the
+        pre-distinct upper bound (sizing only)."""
+        out = dv_df.select("file_key", "relfile", "row_index").distinct()
+        n_files = max(1, -(-int(n_rows) // self.dv_sidecar_rows_per_file))
+        if n_files == 1:
+            out = out.coalesce(1)
+        else:
+            out = out.repartition(n_files, "file_key", "row_index")
+        out.write.parquet(os.path.join(self.path, dv_rel))
 
     def upsert_rows_dv(
         self,
@@ -1263,7 +1411,16 @@ class PartitionedWapTable(WapTable):
         (the versioned-append model); there are no delete branches —
         use :meth:`delete_rows`.
 
-        Returns ``(version, rows_updated, rows_inserted)``.
+        Returns ``(version, rows_updated, rows_inserted)`` —
+        rows_updated counts distinct MATCHED KEYS (not masked target
+        rows: a key with several visible target versions masks them
+        all, which must not deflate the insert count).
+
+        Scale posture: the match is a PLAIN semi join (AQE broadcasts
+        genuinely-small sources itself; a forced hint would OOM on a
+        wide-key nightly batch) and the sidecar write fans out past
+        ``dv_sidecar_rows_per_file`` rows — both ends survive a 100×
+        batch, not just narrow churn.
         """
         from pyspark.sql import functions as F
 
@@ -1301,6 +1458,7 @@ class PartitionedWapTable(WapTable):
                 "the touched partitions into this table"
             )
         n_matched = 0
+        n_matched_keys = 0
         masked: list[str] = []
         dv_rel: str | None = None
         root = f"d-{uuid.uuid4().hex[:12]}"
@@ -1308,17 +1466,17 @@ class PartitionedWapTable(WapTable):
             from urllib.parse import unquote
 
             snap = self._read_paths(paths, base, with_lineage=True)
-            matched = (
-                snap.join(F.broadcast(source.select(*keys).distinct()), keys, "semi")
-                .select(
-                    F.col("__file").alias("file_key"),
-                    F.col("__ridx").alias("row_index"),
-                )
-                .persist()
-            )
+            matched = self._match_visible_rows(snap, source, keys).persist()
             try:
                 n_matched = matched.count()
                 if n_matched:
+                    # rows_updated = distinct MATCHED KEYS, not masked
+                    # target rows: a target holding several visible
+                    # versions of one key (concurrent blind appends,
+                    # non-unique history) masks them all, and counting
+                    # those rows would under-count (even negative)
+                    # inserts below
+                    n_matched_keys = matched.select(*keys).distinct().count()
                     fkeys = sorted(
                         r["file_key"]
                         for r in matched.select("file_key").distinct().collect()
@@ -1347,9 +1505,7 @@ class PartitionedWapTable(WapTable):
                         dv_df = dv_df.unionByName(prior)
                     dv_rel = f"{root}/_dv"
                     os.makedirs(self.path, exist_ok=True)
-                    dv_df.distinct().coalesce(1).write.parquet(
-                        os.path.join(self.path, dv_rel)
-                    )
+                    self._write_dv_sidecar(dv_df, dv_rel, n_matched)
             finally:
                 matched.unpersist()
 
@@ -1393,7 +1549,7 @@ class PartitionedWapTable(WapTable):
             if stats_cols and written
             else {}
         )
-        n_inserted = n_source - n_matched
+        n_inserted = n_source - n_matched_keys
         if n_source == 0 and n_matched == 0:
             shutil.rmtree(root_path, ignore_errors=True)
             return (base, 0, 0)
@@ -1468,7 +1624,7 @@ class PartitionedWapTable(WapTable):
                 record.update(extra)
             try:
                 self._publish(record)
-                return (new_version, n_matched, n_inserted)
+                return (new_version, n_matched_keys, n_inserted)
             except ConcurrentWriteError:
                 attempt += 1
                 latest = self.current_version()
@@ -1634,9 +1790,7 @@ class PartitionedWapTable(WapTable):
             root = f"d-{uuid.uuid4().hex[:12]}"
             dv_rel = f"{root}/_dv"
             os.makedirs(self.path, exist_ok=True)
-            dv_df.distinct().coalesce(1).write.parquet(
-                os.path.join(self.path, dv_rel)
-            )
+            self._write_dv_sidecar(dv_df, dv_rel, n_deleted)
         finally:
             new_rows.unpersist()
 
@@ -2267,6 +2421,60 @@ def maintenance_plan(
         },
         "actions": actions,
     }
+
+
+def auto_optimize(
+    table: PartitionedWapTable,
+    max_files_per_partition: int = 16,
+    max_roots: int | None = None,
+    keep_last: int = 2,
+    n_files: int = 1,
+    cluster_by: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | None = None,
+    vacuum_min_age_seconds: float = 3600.0,
+) -> dict:
+    """Opt-in maintenance EXECUTOR: run :func:`maintenance_plan` and
+    apply what it diagnoses — compact every partition any trigger
+    named (one commit covers plan width, small-files creep, and
+    deletion-vector accumulation at once), then vacuum if the
+    retention trigger fired. This is the one-call cadence SCALE.md's
+    DV section promises: on a DV-churned table it rewrites the masked
+    partitions clean, drops their vectors from the commit record, and
+    with them the masked-read broadcast.
+
+    Thresholds mirror the planner's; compaction params mirror
+    :func:`optimize_partitions`. Returns
+    ``{"plan": <before>, "applied": [...], "after": <re-diagnosis>}``
+    — ``after`` has no compact actions when the run succeeded (the
+    planner's own tests assert applying a plan empties it), and the
+    caller's scheduler decides the cadence, exactly as before."""
+    plan = maintenance_plan(table, max_files_per_partition, max_roots, keep_last)
+    compact: set[str] = set()
+    do_vacuum = False
+    for a in plan["actions"]:
+        if a["action"] == "compact" and a["partitions"]:
+            compact.update(a["partitions"])
+        elif a["action"] == "vacuum":
+            do_vacuum = True
+    applied: list[dict] = []
+    if compact:
+        v = optimize_partitions(
+            table,
+            partitions=sorted(compact),
+            n_files=n_files,
+            cluster_by=cluster_by,
+            stats_cols=stats_cols,
+        )
+        applied.append(
+            {"action": "compact", "partitions": sorted(compact), "version": v}
+        )
+    if do_vacuum:
+        removed = table.vacuum(
+            keep_last=keep_last, min_age_seconds=vacuum_min_age_seconds
+        )
+        applied.append({"action": "vacuum", "removed": sorted(removed)})
+    after = maintenance_plan(table, max_files_per_partition, max_roots, keep_last)
+    return {"plan": plan, "applied": applied, "after": after}
 
 
 # ----------------------------------------------------------- utilities

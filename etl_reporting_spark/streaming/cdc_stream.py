@@ -237,7 +237,9 @@ def streaming_wap_upsert(
             if partition_by
             else WapTable(spark, table_path)
         )
-        last = (table.latest_record() or {}).get("epoch_id")
+        # backward log scan, not latest_record(): an interleaved
+        # maintenance commit must not make a replayed epoch re-apply
+        last = table.latest_epoch_id()
         if last is not None and epoch_id <= last:
             return  # replayed epoch: already committed
         batch = (
@@ -289,7 +291,9 @@ def streaming_upsert_dv(
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         table = PartitionedWapTable(spark, table_path, partition_by)
-        last = (table.latest_record() or {}).get("epoch_id")
+        # backward log scan, not latest_record(): an interleaved
+        # maintenance commit must not make a replayed epoch re-apply
+        last = table.latest_epoch_id()
         if last is not None and epoch_id <= last:
             return  # replayed epoch: already committed
         batch = (
@@ -539,7 +543,9 @@ def streaming_ivm_agg(
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         table = WapTable(spark, table_path)
-        last = (table.latest_record() or {}).get("epoch_id")
+        # backward log scan, not latest_record(): an interleaved
+        # maintenance commit must not make a replayed epoch re-apply
+        last = table.latest_epoch_id()
         if last is not None and epoch_id <= last:
             return  # replayed epoch: state already reflects it
         base = table.current_version()

@@ -187,6 +187,30 @@ def test_trained_codebook_lowers_quantization_error(spark):
         assert _sse(spark, enc_src, trained) < _sse(spark, enc_src, seed)
 
 
+def test_training_carries_dead_codes_forward(spark):
+    """A code that loses every assignment must NOT vanish from the
+    codebook (the advisor's silent-shrink finding): duplicate seed
+    vectors tie-break every point to the lower code, starving the
+    higher one — training still returns all m·n_codes rows, with the
+    starved code's centroid carried forward unchanged."""
+    from etl_reporting_spark.llm.quantize import pq_train_codebook
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [2.0, 2.0, 2.0, 2.0]),
+        (3, [2.0, 2.0, 2.0, 2.0]),  # duplicate of seed 2 → code 3 starves
+        (4, [0.1, 0.1, 0.1, 0.1]),
+        (5, [1.1, 0.9, 1.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train_codebook(emb, m=2, n_codes=4, dim=4, iterations=3).collect()
+    assert len(cb) == 2 * 4  # every (subspace, code) survives
+    starved = {(r["subspace"], r["code"]): r["subvec"] for r in cb}
+    for s in (0, 1):
+        assert starved[(s, 3)] == [2.0, 2.0]  # carried forward verbatim
+
+
 def test_caller_codebook_plumbs_through_ivfpq(spark):
     """ivfpq_candidates accepts a trained codebook and still produces
     a full, correctly-shaped candidate set (sanity: every query gets
