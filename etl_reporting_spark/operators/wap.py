@@ -192,6 +192,132 @@ class LocalFSCommitStore(CommitStore):
         return removed
 
 
+class PreconditionFailed(Exception):
+    """An object-store conditional PUT found the key already present
+    (S3 HTTP 412 / GCS precondition failure / ABFS create-exists)."""
+
+
+class ObjectStoreClient:
+    """Minimal blob-store client surface :class:`ObjectStoreCommitStore`
+    needs — three calls, each mapping 1:1 onto every major store. The
+    consistency envelope assumed (and all that is assumed):
+
+    - ``put_if_absent``: atomic create of the COMPLETE object, or
+      :class:`PreconditionFailed` if the key exists. S3 ``PutObject``
+      with ``If-None-Match: *`` (412 on conflict, available since
+      2024 — before that, a DynamoDB conditional write plays this
+      slot, as in delta-rs); GCS upload with ``ifGenerationMatch=0``;
+      ABFS/Azure Blob create-without-overwrite (``If-None-Match: *``).
+      There is never a partial-object state: the stores commit a blob
+      only when the upload completes.
+    - ``get``: read-after-write consistent for NEW keys — true of S3
+      (since 2020-12), GCS, and ABFS. Commit records are immutable,
+      so no update-consistency is ever relied on.
+    - ``list_keys``: MAY lag recent puts (the weakest listing any of
+      the stores ever documented). The commit store never trusts it
+      alone — see ``ObjectStoreCommitStore.max_version``.
+    """
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def get(self, key: str) -> bytes | None:
+        raise NotImplementedError
+
+    def list_keys(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+
+class InMemoryObjectStore(ObjectStoreClient):
+    """Mock object store with exactly the envelope above: strongly
+    consistent conditional PUT and GET under a lock (races come from
+    real threads in the tests), plus an injectable LISTING LAG —
+    ``list_lag=n`` hides the n most recently created blobs from
+    ``list_keys`` to simulate an eventually-consistent listing, while
+    GET still sees them (the split S3 actually had for years)."""
+
+    def __init__(self, list_lag: int = 0) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._blobs: dict[str, bytes] = {}
+        self._order: list[str] = []
+        self.list_lag = list_lag
+
+    def put_if_absent(self, key: str, data: bytes) -> None:
+        with self._lock:
+            if key in self._blobs:
+                raise PreconditionFailed(key)
+            self._blobs[key] = bytes(data)
+            self._order.append(key)
+
+    def get(self, key: str) -> bytes | None:
+        with self._lock:
+            return self._blobs.get(key)
+
+    def list_keys(self, prefix: str) -> list[str]:
+        with self._lock:
+            visible = (
+                self._order[: max(0, len(self._order) - self.list_lag)]
+                if self.list_lag
+                else list(self._order)
+            )
+            return sorted(k for k in visible if k.startswith(prefix))
+
+
+class ObjectStoreCommitStore(CommitStore):
+    """Durable :class:`CommitStore` for S3/GCS/ABFS — the deployment
+    where POSIX rename/link semantics DO NOT EXIST (S3 "rename" is
+    copy+delete, not atomic), which is exactly why the CAS seam is an
+    interface. The mapping is direct: one conditional PUT of the
+    complete record IS the commit — no temp file, no link, no
+    publication debris (``clean_temp`` is a structural no-op, not an
+    unimplemented one).
+
+    ``max_version`` never trusts LIST alone: it takes the listed
+    maximum, then probes FORWARD with strongly-consistent GETs until
+    the first absent slot. An eventually-consistent listing therefore
+    costs a few extra GETs, never a wrong answer — stronger than the
+    base contract requires (staleness there costs only a retry), and
+    what makes reads correct the instant a writer on another node
+    publishes.
+
+    Consistency assumptions are exactly the three documented on
+    :class:`ObjectStoreClient`; nothing else (no locks, no lease, no
+    DynamoDB table) is required where conditional PUT exists.
+
+    Semantics anchor: the reference's MERGE/transactional surface
+    (reference connector/snowpark_connector.py:607-1004) — this store
+    is what carries its atomicity on object storage."""
+
+    def __init__(self, client: ObjectStoreClient, prefix: str = "") -> None:
+        self.client = client
+        self.prefix = (prefix.rstrip("/") + "/") if prefix else ""
+
+    def _key(self, version: int) -> str:
+        return f"{self.prefix}commit-{version:05d}.json"
+
+    def publish(self, version: int, payload: bytes) -> None:
+        try:
+            self.client.put_if_absent(self._key(version), payload)
+        except PreconditionFailed:
+            raise CommitConflict(version) from None
+
+    def read(self, version: int) -> bytes | None:
+        return self.client.get(self._key(version))
+
+    def max_version(self) -> int:
+        best = 0
+        for k in self.client.list_keys(self.prefix):
+            m = re.search(r"commit-(\d+)\.json$", k)
+            if m:
+                best = max(best, int(m.group(1)))
+        # forward-probe past listing staleness with consistent GETs
+        while self.client.get(self._key(best + 1)) is not None:
+            best += 1
+        return best
+
+
 class InMemoryCommitStore(CommitStore):
     """Object-store-shaped implementation: a dict guarded by a lock,
     publish = compare-and-swap on slot absence. Exists to prove the

@@ -31,7 +31,9 @@ from etl_reporting_spark.operators.wap import (
     ConcurrentWriteError,
     FlakyCommitStore,
     InMemoryCommitStore,
+    InMemoryObjectStore,
     LocalFSCommitStore,
+    ObjectStoreCommitStore,
     PartitionedWapTable,
     create_partitioned_wap_table,
     hive_partition_key,
@@ -291,10 +293,13 @@ def _store_factories(tmp_path):
     return {
         "localfs": lambda: LocalFSCommitStore(str(tmp_path / "log")),
         "inmemory": lambda: InMemoryCommitStore(),
+        "objectstore": lambda: ObjectStoreCommitStore(
+            InMemoryObjectStore(), "tables/fact/_log"
+        ),
     }
 
 
-@pytest.mark.parametrize("kind", ["localfs", "inmemory"])
+@pytest.mark.parametrize("kind", ["localfs", "inmemory", "objectstore"])
 def test_store_cas_contract(tmp_path, kind):
     """Publish is create-if-absent; the payload round-trips complete."""
     from etl_reporting_spark.operators.wap import CommitConflict
@@ -309,7 +314,7 @@ def test_store_cas_contract(tmp_path, kind):
     assert json.loads(store.read(1)) == {"version": 1}  # first write wins
 
 
-@pytest.mark.parametrize("kind", ["localfs", "inmemory"])
+@pytest.mark.parametrize("kind", ["localfs", "inmemory", "objectstore"])
 def test_store_threaded_cas_exactly_one_winner(tmp_path, kind):
     from etl_reporting_spark.operators.wap import CommitConflict
 
@@ -336,7 +341,7 @@ def test_store_threaded_cas_exactly_one_winner(tmp_path, kind):
     assert store.read(7).decode() in outcomes
 
 
-@pytest.mark.parametrize("kind", ["localfs", "inmemory"])
+@pytest.mark.parametrize("kind", ["localfs", "inmemory", "objectstore"])
 def test_partitioned_table_over_either_store(spark, tmp_path, fact_df, kind):
     """The protocol depends only on the store contract: the same
     disjoint-rebase + overlap-conflict behavior holds over the POSIX

@@ -24,6 +24,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_reporting_spark.operators.wap import (
+    CommitConflict,
+    ConcurrentWriteError,
+    FlakyCommitStore,
+    InMemoryObjectStore,
+    ObjectStoreCommitStore,
     PartitionedWapTable,
     _pkey_of_file,
     _root_of,
@@ -259,6 +264,128 @@ def test_auto_optimize_applies_the_plan_and_clears_it(spark, dtable):
 def test_auto_optimize_noop_on_healthy_table(spark, dtable):
     out = auto_optimize(dtable, keep_last=10)
     assert out["applied"] == []
+
+
+# ------------------------------------------- object-store CommitStore
+def _obj_table(spark, tmp_path, client=None):
+    store = ObjectStoreCommitStore(
+        client or InMemoryObjectStore(), "tables/fact/_log"
+    )
+    rows = [
+        (i, "2026-01-01" if i <= 100 else "2026-01-02", float(i))
+        for i in range(1, 121)
+    ]
+    df = spark.createDataFrame(rows, "id long, ds string, amount double")
+    return (
+        create_partitioned_wap_table(
+            spark, str(tmp_path / "objfact"), df, ["ds"], store=store
+        ),
+        store,
+    )
+
+
+def test_objectstore_max_version_survives_stale_listing(tmp_path):
+    """LIST hides the newest blobs (the eventual-listing envelope);
+    forward GET probing still resolves the exact max version, so a
+    reader on another node can never base a commit on a stale tip."""
+    client = InMemoryObjectStore(list_lag=2)
+    store = ObjectStoreCommitStore(client, "log")
+    for v in (1, 2, 3):
+        store.publish(v, b'{"v": %d}' % v)
+    assert client.list_keys("log/") == ["log/commit-00001.json"]  # stale
+    assert store.max_version() == 3  # probed past the lag
+    with pytest.raises(CommitConflict):
+        store.publish(3, b"usurper")
+
+
+def test_objectstore_conditional_put_is_the_whole_commit(tmp_path):
+    store = ObjectStoreCommitStore(InMemoryObjectStore(), "log")
+    assert store.max_version() == 0 and store.read(1) is None
+    store.publish(1, b'{"version": 1}')
+    with pytest.raises(CommitConflict):
+        store.publish(1, b'{"version": "usurper"}')
+    assert store.read(1) == b'{"version": 1}'
+    assert store.clean_temp(0.0) == []  # no temp debris exists to clean
+
+
+def test_objectstore_threaded_disjoint_writers_both_land(spark, tmp_path):
+    """The rebase race over the object-store CAS: two writers from the
+    same base touching DISJOINT partitions — the CAS loser rebases and
+    both commits land, exactly as over the POSIX store."""
+    import threading
+
+    t, _ = _obj_table(spark, tmp_path)
+    base = t.current_version()
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def write(ds: str, ident: int) -> None:
+        try:
+            df = spark.createDataFrame(
+                [(ident, ds, -1.0)], "id long, ds string, amount double"
+            )
+            barrier.wait(timeout=60)
+            t.commit_partitions(df, base_version=base)
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errs.append(e)
+
+    ths = [
+        threading.Thread(target=write, args=("2026-01-01", 600)),
+        threading.Thread(target=write, args=("2026-01-02", 700)),
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join(120)
+    assert errs == []
+    assert t.current_version() == base + 2
+    out = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert out == {600: -1.0, 700: -1.0}  # both writers' days landed
+
+
+def test_objectstore_crash_before_and_after_cas(spark, tmp_path):
+    inner = ObjectStoreCommitStore(InMemoryObjectStore(), "log")
+    store = FlakyCommitStore(inner, crash_before=2, crash_after=3)
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", 1.0), (2, "2026-01-02", 2.0)],
+        "id long, ds string, amount double",
+    )
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "t"), df, ["ds"], store=store
+    )
+    day = spark.createDataFrame(
+        [(9, "2026-01-02", 9.0)], "id long, ds string, amount double"
+    )
+    with pytest.raises(RuntimeError, match="before publish"):
+        t.commit_partitions(day)
+    assert t.current_version() == 1  # never installed → invisible
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.commit_partitions(day, replace=["ds=2026-01-02"])
+    # after-CAS death: the record IS durable for a fresh reader
+    t2 = PartitionedWapTable(spark, t.path, ["ds"], store=inner)
+    assert t2.current_version() == 2
+    out = {r["id"]: r["amount"] for r in t2.read().collect()}
+    assert out == {1: 1.0, 9: 9.0}
+
+
+def test_objectstore_carries_the_dv_surface(spark, tmp_path):
+    """Row-granular ops (DV delete + DV merge + compaction) ride the
+    object-store CAS unchanged — the protocol above the store seam is
+    byte-identical."""
+    t, store = _obj_table(spark, tmp_path)
+    v, n = t.delete_rows("id % 10 = 3")
+    assert n == 12
+    v, upd, ins = t.upsert_rows_dv(
+        _src(spark, [5, 6, 500]), keys=["id"], stats_cols=["id"]
+    )
+    assert (upd, ins) == (2, 1)
+    ids = {r["id"] for r in t.read().collect()}
+    assert 3 not in ids and 500 in ids and len(ids) == 109
+    with pytest.raises(ConcurrentWriteError):
+        t.delete_rows("id = 5", base_version=v - 1)  # stale base conflicts
+    out = auto_optimize(t, vacuum_min_age_seconds=0.0)
+    assert out["after"]["summary"]["masked_files"] == 0
+    assert {r["id"] for r in t.read().collect()} == ids
 
 
 # ------------------------------------- epoch replay past maintenance
