@@ -125,6 +125,16 @@ HEADLINE = [
     "sketch_hll_distinct",
 ]
 
+# Index-BUILD gates (round-8): train + serve compositions whose cost
+# is dominated by one-time index construction (Lloyd iterations,
+# codebook training). Timed ONCE each and reported under "build",
+# EXCLUDED from the headline total — build cost is paid per index,
+# not per query, and folding 3 repeats of it into the serving total
+# would drown real serving regressions.
+BUILD_GATES = [
+    "ann_recall_sweep_trained",
+]
+
 # Heavy gates timed at the self-generated sf3 tier (30x sf0.1, all
 # tables) — each >=5 s COLD on local[32], so round-over-round deltas
 # exceed noise.
@@ -183,6 +193,8 @@ def build_stdout_line(out_full: dict, budget: int = STDOUT_BUDGET) -> str:
             tier: {"value": h["value"], "queries": h["queries"]}
             for tier, h in out_full["heavy"].items()
         }
+    if "build" in out_full:
+        line["build"] = out_full["build"]["queries"]
     timings = out_full["queries"]
     # Reserve space for the queries_omitted field before filling.
     line["queries_omitted"] = len(timings)
@@ -239,7 +251,11 @@ def main() -> None:
         # round-6 A/A); min-of-3 there before a single-gate delta can
         # be read as real. Expect a one-time few-% step-DOWN on sf3
         # numbers vs the min-of-2 rounds (min of more samples).
-        tier_repeats = {"sf3": max(repeats_heavy, 3), "sf10": repeats_heavy}
+        # round-8: sf10 joins min-of-3 too — the r7 driver artifact
+        # showed j13_salted_join at 2.3x its same-commit local twin
+        # (a cold-tail outlier min-of-2 can't absorb); same fix that
+        # retired round 6's phantom sf3 +17%.
+        tier_repeats = {"sf3": max(repeats_heavy, 3), "sf10": max(repeats_heavy, 3)}
         heavy = {}
         for tier, names in (("sf3", HEAVY_LLM), ("sf10", HEAVY_REL)):
             tier_dir = ensure_tier(spark, tier)
@@ -274,6 +290,15 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
 
+    build: dict[str, float] = {}
+    for name in BUILD_GATES:
+        if name not in qs:
+            continue
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        build[name] = round(time.time() - t0, 3)
+
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -281,6 +306,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if build:
+        out["build"] = {
+            "estimator": "single cold run (index build + serve)",
+            "value": round(sum(build.values()), 3),
+            "queries": build,
+        }
     if heavy is not None:
         out["heavy"] = heavy
 

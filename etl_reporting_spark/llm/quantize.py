@@ -231,6 +231,7 @@ def pq_train_codebook(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """Lloyd-train the PQ codebook — ALL m subspaces in one relation
     per iteration (subspace is just another grouping column, so one
@@ -240,10 +241,17 @@ def pq_train_codebook(
     exactly like ``train_ivf_centroids``, or N iterations stack into
     one plan that re-runs assignment N times.
 
-    Means use the plain partial+final AVG (shuffle-order float
+    Means default to the plain partial+final AVG (shuffle-order float
     association — the ``exact=False`` convention of
-    ``kmeans_step_components``): training output feeds recall
-    measurements and serving, not hash gates. Pass the result as
+    ``kmeans_step_components``): training output usually feeds recall
+    measurements and serving, not hash gates. ``exact=True`` switches
+    to the ordered double fold (members sorted by ``id_col`` inside
+    ``collect_list``) — bit-identical in any engine, which is what
+    lets the TRAINED serving stack be value-hash-oracled end-to-end
+    (``ann_recall_sweep_trained``); like the kmeans twin, this mode
+    holds one member list per (subspace, code, pos) group in memory,
+    so it is for gate-scale corpora — 100 TB training uses the
+    default. Pass the result as
     ``codebook=`` to ``pq_encode`` / ``ivfpq_candidates``; for
     residual encoding, train on ``residualize(...)`` output so the
     codes model residuals. What training guarantees is Lloyd's
@@ -275,14 +283,38 @@ def pq_train_codebook(
             assigned = (
                 scored.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .select("subspace", "code", "xsub")
+                .select(id_col, "subspace", "code", "xsub")
             )
             comp = assigned.select(
-                "subspace", "code", F.posexplode("xsub").alias("pos", "val")
+                id_col, "subspace", "code", F.posexplode("xsub").alias("pos", "val")
             )
-            means = comp.groupBy("subspace", "code", "pos").agg(
-                F.avg(F.col("val").cast("double")).alias("mv")
-            )
+            if exact:
+                g = comp.groupBy("subspace", "code", "pos").agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(id_col).alias("i"),
+                                F.col("val").cast("double").alias("v"),
+                            )
+                        )
+                    ).alias("__vals"),
+                    F.count(F.lit(1)).alias("__n"),
+                )
+                ordered_sum = F.aggregate(
+                    F.expr("transform(__vals, s -> s.v)"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                means = g.select(
+                    "subspace",
+                    "code",
+                    "pos",
+                    (ordered_sum / F.col("__n").cast("double")).alias("mv"),
+                )
+            else:
+                means = comp.groupBy("subspace", "code", "pos").agg(
+                    F.avg(F.col("val").cast("double")).alias("mv")
+                )
             new_cb = means.groupBy("subspace", "code").agg(
                 F.expr(
                     "transform(array_sort(collect_list(struct(pos, mv))),"
@@ -313,9 +345,29 @@ def pq_train_codebook(
             prev = codebook
     finally:
         ex.unpersist()
-    return codebook.withColumn(
+    from etl_reporting_spark.caching import track
+
+    # tiny (m·n_codes rows) persisted frame; cache_scope releases it
+    return track(codebook).withColumn(
         "cn2", F.expr(_SUBFOLD_DOT.format(a="subvec", b="subvec"))
     )
+
+
+def materialize_index(df: DataFrame) -> DataFrame:
+    """Collect a TINY trained-index artifact (IVF centroids, PQ
+    codebook — n_centroids·dim / m·n_codes·sub doubles) into a fresh
+    local relation, CUTTING its lineage. Persisting alone is not
+    enough for iteratively-trained frames: the cache short-circuits
+    execution, but every downstream reference still inlines the full
+    k-iteration logical plan, and a serving query that mentions the
+    index five times hands Catalyst five copies of the training tree
+    — analysis time, not execution time, becomes the bottleneck (the
+    classic iterative-lineage trap; measured 80+ s of pure planning
+    on the trained sweep before this cut). This is also what a real
+    deployment does: the index is BUILT once, written out, and read
+    back as plain data — doubles round-trip bit-exact, so hash gates
+    are unaffected. Only ever call it on broadcast-sized frames."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
 def pq_encode(

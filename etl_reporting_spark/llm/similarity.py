@@ -298,6 +298,8 @@ def train_ivf_centroids(
     iteration's cache is released as soon as its successor exists.
     ``exact=False`` (plain SUM means) is the training default; the
     last-ulp shuffle nondeterminism only matters to hash checks."""
+    from etl_reporting_spark.caching import track
+
     centroids = embeddings.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
     prev = None
     for _ in range(iterations):
@@ -308,7 +310,10 @@ def train_ivf_centroids(
         if prev is not None:
             prev.unpersist()
         prev = centroids
-    return centroids
+    # the returned (tiny: n_centroids × dim doubles) frame stays
+    # persisted so downstream plans reuse it; an active cache_scope
+    # releases it on exit
+    return track(centroids)
 
 
 def cosine_topk_ivf(

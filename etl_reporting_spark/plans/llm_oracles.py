@@ -2227,6 +2227,305 @@ ref_{tag} AS (
 LLM_ORACLE_SQL["ann_recall_sweep"] = _ann_recall_sweep_sql()
 
 
+def _ann_recall_sweep_trained_sql() -> str:
+    """Oracle for the TRAINED serving stack: 5 unrolled exact-fold
+    Lloyd iterations for the IVF centroids (each step the same
+    construct the ``ann_kmeans_step`` oracle already hash-matches),
+    3 unrolled per-subspace iterations per PQ codebook (ordered-fold
+    means, dead codes carried forward via LEFT JOIN + COALESCE —
+    mirroring pq_train_codebook exact mode), then the same
+    ADC/refine scaffolding as ``_ann_recall_sweep_sql`` pointed at
+    the trained relations, probes {1,2,4,6}, shortlist 24."""
+    n_cent, n_codes, n_q, k, shortlist = 32, 64, 20, 5, 24
+    ivf_iters, pq_iters = 5, 3
+    probes = (1, 2, 4, 6)
+    denom = float(n_q * k)
+
+    # ---- IVF Lloyd chain: cent_t0 (seeds) → cent_t{ivf_iters}
+    parts = [
+        f"""
+WITH cent_t0 AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < {n_cent}
+)"""
+    ]
+    for i in range(1, ivf_iters + 1):
+        parts.append(f""",
+sa_t{i} AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='c.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='c.cvec', b='c.cvec'))} AS cosine
+  FROM embeddings e, cent_t{i - 1} c
+),
+asg_t{i} AS MATERIALIZED (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+    FROM sa_t{i}
+  ) t WHERE rn = 1
+),
+cm_t{i} AS MATERIALIZED (
+  SELECT centroid_id, CAST(i - 1 AS INTEGER) AS pos,
+    list_reduce(list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id),
+                (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE) AS mean_val
+  FROM (
+    SELECT centroid_id, vec_id, embedding,
+      unnest(range(1, len(embedding) + 1)) AS i
+    FROM asg_t{i}
+  )
+  GROUP BY centroid_id, pos
+),
+cent_t{i} AS MATERIALIZED (
+  SELECT centroid_id, list(mean_val ORDER BY pos) AS cvec
+  FROM cm_t{i} GROUP BY centroid_id
+)""")
+    cent = f"cent_t{ivf_iters}"
+
+    # ---- final assignment + probes + ground truth (as in the seed
+    # sweep, but against the trained centroids, probe_rn ≤ max probe)
+    parts.append(f""",
+scored_assign AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, ct.centroid_id,
+    {_COS.format(dot=_DOT9.format(a='e.embedding', b='ct.cvec'),
+                 na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                 nb=_DOT9.format(a='ct.cvec', b='ct.cvec'))} AS cosine
+  FROM embeddings e, {cent} ct
+),
+ranked AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+  FROM scored_assign
+),
+assign AS MATERIALIZED (SELECT vec_id, embedding, centroid_id FROM ranked WHERE rn = 1),
+probes AS MATERIALIZED (
+  SELECT vec_id, embedding, centroid_id, rn AS probe_rn
+  FROM ranked WHERE rn <= {max(probes)} AND vec_id < {n_q}
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qvec,
+    {_DOT9.format(a='embedding', b='embedding')} AS qn2
+  FROM embeddings WHERE vec_id < {n_q}
+),
+exact_scored AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    {_COS.format(dot=_DOT9.format(a='q.qvec', b='c.embedding'),
+                 na=_DOT9.format(a='q.qvec', b='q.qvec'),
+                 nb=_DOT9.format(a='c.embedding', b='c.embedding'))} AS cosine
+  FROM q, embeddings c WHERE c.vec_id != q.query_id
+),
+exact_top AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM exact_scored
+  ) t WHERE rank <= {k}
+),
+pairs AS MATERIALIZED (
+  SELECT p.vec_id AS query_id, p.probe_rn, a.vec_id AS neighbor_id, a.centroid_id
+  FROM probes p JOIN assign a
+    ON a.centroid_id = p.centroid_id AND a.vec_id != p.vec_id
+),
+subs AS MATERIALIZED (SELECT unnest(range(0, 8)) AS subspace),
+resid AS MATERIALIZED (
+  SELECT a.vec_id, a.centroid_id,
+    list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE)) AS rvec
+  FROM assign a JOIN {cent} ct ON a.centroid_id = ct.centroid_id
+)""")
+
+    # ---- PQ training per encoding: src relation exposes (vec_id, v)
+    for enc, src, vcol in (("p", "embeddings", "embedding"), ("r", "resid", "rvec")):
+        parts.append(f""",
+pqsrc_{enc} AS MATERIALIZED (
+  SELECT s.subspace, t.vec_id,
+    list_slice(t.{vcol}, s.subspace * 8 + 1, s.subspace * 8 + 8) AS xsub
+  FROM {src} t, subs s
+),
+cb_{enc}0 AS MATERIALIZED (
+  SELECT subspace, vec_id AS code, xsub AS subvec
+  FROM pqsrc_{enc} WHERE vec_id < {n_codes}
+)""")
+        for j in range(1, pq_iters + 1):
+            parts.append(f""",
+pe_{enc}{j} AS MATERIALIZED (
+  SELECT vec_id, subspace, code, xsub FROM (
+    SELECT x.vec_id, x.subspace, c.code, x.xsub,
+      ROW_NUMBER() OVER (
+        PARTITION BY x.vec_id, x.subspace
+        ORDER BY {_PQ_L2.format(a='x.xsub', b='c.subvec')} ASC, c.code ASC
+      ) AS rn
+    FROM pqsrc_{enc} x JOIN cb_{enc}{j - 1} c ON x.subspace = c.subspace
+  ) t WHERE rn = 1
+),
+pm_{enc}{j} AS MATERIALIZED (
+  SELECT subspace, code, CAST(i - 1 AS INTEGER) AS pos,
+    list_reduce(list(CAST(xsub[i] AS DOUBLE) ORDER BY vec_id),
+                (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE) AS mv
+  FROM (
+    SELECT subspace, code, vec_id, xsub, unnest(range(1, 9)) AS i
+    FROM pe_{enc}{j}
+  )
+  GROUP BY subspace, code, pos
+),
+cbn_{enc}{j} AS MATERIALIZED (
+  SELECT subspace, code, list(mv ORDER BY pos) AS subvec
+  FROM pm_{enc}{j} GROUP BY subspace, code
+),
+cb_{enc}{j} AS MATERIALIZED (
+  SELECT c.subspace, c.code,
+    COALESCE(n.subvec, list_transform(c.subvec, x -> CAST(x AS DOUBLE))) AS subvec
+  FROM cb_{enc}{j - 1} c LEFT JOIN cbn_{enc}{j} n
+    ON n.subspace = c.subspace AND n.code = c.code
+)""")
+        parts.append(f""",
+cb_{enc} AS MATERIALIZED (
+  SELECT subspace, code, subvec,
+    {_PQ_DOT.format(a='subvec', b='subvec')} AS cn2
+  FROM cb_{enc}{pq_iters}
+)""")
+
+    # ---- encode + LUT + ADC scoring (same shapes as the seed sweep,
+    # pointed at the trained relations)
+    parts.append(f""",
+enc_p AS MATERIALIZED (
+  SELECT vec_id, subspace, code FROM (
+    SELECT x.vec_id, x.subspace, c.code,
+      ROW_NUMBER() OVER (
+        PARTITION BY x.vec_id, x.subspace
+        ORDER BY {_PQ_L2.format(a='x.xsub', b='c.subvec')} ASC, c.code ASC
+      ) AS rn
+    FROM pqsrc_p x JOIN cb_p c ON x.subspace = c.subspace
+  ) t WHERE rn = 1
+),
+lut_p AS MATERIALIZED (
+  SELECT q.query_id, q.qn2, cb_p.subspace, cb_p.code, cb_p.cn2,
+    {_PQ_DOT.format(a="list_slice(q.qvec, cb_p.subspace * 8 + 1, cb_p.subspace * 8 + 8)",
+                    b='cb_p.subvec')} AS pdot
+  FROM q, cb_p
+),
+parts_p AS MATERIALIZED (
+  SELECT pr.query_id, pr.probe_rn, pr.neighbor_id,
+    ANY_VALUE(l.qn2) AS qn2,
+    list_reduce(list(l.pdot ORDER BY l.subspace), (acc, v) -> acc + v) AS adc_dot,
+    list_reduce(list(l.cn2 ORDER BY l.subspace), (acc, v) -> acc + v) AS fold_cn2
+  FROM pairs pr
+  JOIN enc_p e ON e.vec_id = pr.neighbor_id
+  JOIN lut_p l ON l.query_id = pr.query_id
+              AND l.subspace = e.subspace AND l.code = e.code
+  GROUP BY 1, 2, 3
+),
+scored_plain AS MATERIALIZED (
+  SELECT query_id, probe_rn, neighbor_id,
+    adc_dot / (sqrt(qn2) * sqrt(fold_cn2)) AS adc_score
+  FROM parts_p
+),
+enc_r AS MATERIALIZED (
+  SELECT vec_id, subspace, code FROM (
+    SELECT x.vec_id, x.subspace, c.code,
+      ROW_NUMBER() OVER (
+        PARTITION BY x.vec_id, x.subspace
+        ORDER BY {_PQ_L2.format(a='x.xsub', b='c.subvec')} ASC, c.code ASC
+      ) AS rn
+    FROM pqsrc_r x JOIN cb_r c ON x.subspace = c.subspace
+  ) t WHERE rn = 1
+),
+lut_r AS MATERIALIZED (
+  SELECT q.query_id, q.qn2, cb_r.subspace, cb_r.code, cb_r.cn2,
+    {_PQ_DOT.format(a="list_slice(q.qvec, cb_r.subspace * 8 + 1, cb_r.subspace * 8 + 8)",
+                    b='cb_r.subvec')} AS pdot
+  FROM q, cb_r
+),
+ccdot AS MATERIALIZED (
+  SELECT ct.centroid_id, cb.subspace, cb.code,
+    {_PQ_DOT.format(a="list_slice(ct.cvec, cb.subspace * 8 + 1, cb.subspace * 8 + 8)",
+                    b='cb.subvec')} AS ccdot
+  FROM {cent} ct, cb_r cb
+),
+centn AS MATERIALIZED (
+  SELECT centroid_id, {_DOT9.format(a='cvec', b='cvec')} AS cell_cn2 FROM {cent}
+),
+qc AS MATERIALIZED (
+  SELECT q.query_id, ct.centroid_id,
+    {_DOT9.format(a='q.qvec', b='ct.cvec')} AS base_dot
+  FROM q, {cent} ct
+),
+parts_r AS MATERIALIZED (
+  SELECT pr.query_id, pr.probe_rn, pr.neighbor_id,
+    ANY_VALUE(l.qn2) AS qn2,
+    ANY_VALUE(b.base_dot) AS base_dot,
+    ANY_VALUE(cn.cell_cn2) AS cell_cn2,
+    list_reduce(list(l.pdot ORDER BY l.subspace), (acc, v) -> acc + v) AS adc_dot,
+    list_reduce(list(2.0 * cc.ccdot + l.cn2 ORDER BY l.subspace),
+                (acc, v) -> acc + v) AS fold_cn2
+  FROM pairs pr
+  JOIN enc_r e ON e.vec_id = pr.neighbor_id
+  JOIN lut_r l ON l.query_id = pr.query_id
+              AND l.subspace = e.subspace AND l.code = e.code
+  JOIN ccdot cc ON cc.centroid_id = pr.centroid_id
+               AND cc.subspace = e.subspace AND cc.code = e.code
+  JOIN qc b ON b.query_id = pr.query_id AND b.centroid_id = pr.centroid_id
+  JOIN centn cn ON cn.centroid_id = pr.centroid_id
+  GROUP BY 1, 2, 3
+),
+scored_residual AS MATERIALIZED (
+  SELECT query_id, probe_rn, neighbor_id,
+    (base_dot + adc_dot) / (sqrt(qn2) * sqrt(cell_cn2 + fold_cn2)) AS adc_score
+  FROM parts_r
+)""")
+
+    rows = []
+    for enc in ("plain", "residual"):
+        for p in probes:
+            tag = f"{enc}_{p}"
+            parts.append(f""",
+top_{tag} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rk
+    FROM scored_{enc} WHERE probe_rn <= {p}
+  ) t WHERE rk <= {k}
+),
+short_{tag} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rk
+    FROM scored_{enc} WHERE probe_rn <= {p}
+  ) t WHERE rk <= {shortlist}
+),
+ref_{tag} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY s.query_id ORDER BY x.cosine DESC, s.neighbor_id ASC) AS rk
+    FROM short_{tag} s JOIN exact_scored x
+      ON x.query_id = s.query_id AND x.neighbor_id = s.neighbor_id
+  ) t WHERE rk <= {k}
+)""")
+            rows.append(f"""
+  SELECT '{enc}' AS encoding, CAST({p} AS INTEGER) AS n_probe,
+    CAST((SELECT COUNT(*) FROM exact_top t
+          JOIN top_{tag} a ON t.query_id = a.query_id
+                          AND t.neighbor_id = a.neighbor_id) AS BIGINT) AS hits_adc,
+    CAST((SELECT COUNT(*) FROM exact_top t
+          JOIN top_{tag} a ON t.query_id = a.query_id
+                          AND t.neighbor_id = a.neighbor_id) AS DOUBLE) / {denom} AS recall_adc,
+    CAST((SELECT COUNT(*) FROM exact_top t
+          JOIN ref_{tag} r ON t.query_id = r.query_id
+                          AND t.neighbor_id = r.neighbor_id) AS BIGINT) AS hits_refined,
+    CAST((SELECT COUNT(*) FROM exact_top t
+          JOIN ref_{tag} r ON t.query_id = r.query_id
+                          AND t.neighbor_id = r.neighbor_id) AS DOUBLE) / {denom} AS recall_refined""")
+    return (
+        "".join(parts)
+        + "\nSELECT * FROM ("
+        + "\n  UNION ALL".join(rows)
+        + "\n) ORDER BY encoding, n_probe"
+    )
+
+
+LLM_ORACLE_SQL["ann_recall_sweep_trained"] = _ann_recall_sweep_trained_sql()
+
+
 # The recommended serving query: IVF(32 cells, n_probe=2) × PQ/ADC
 # shortlist(64 codes, 32) × exact-rerank top-5 with TRUE cosines.
 # Same CTE patterns as the sweep, one configuration, refined output.

@@ -367,6 +367,25 @@ WHERE s.c_custkey IS NOT NULL  -- WHEN NOT MATCHED BY SOURCE THEN DELETE
 ORDER BY 1
 """
 
+ORACLE_SQL["wap_dv_lifecycle"] = """
+-- Final visible state of the WAP create→DV-delete→DV-merge→evolve
+-- chain: keys <= 200 survive unless deleted (pre-merge rows, original
+-- balance); every merge-source row (200, 400] is the appended new
+-- version (+100), INCLUDING previously-deleted keys in that range
+-- (the merge appends unconditionally; its mask only retracts visible
+-- matches). c_name was dropped; note was added after every write, so
+-- it reads NULL everywhere.
+SELECT c_custkey, c_mktsegment, c_acctbal, CAST(NULL AS VARCHAR) AS note
+FROM customer
+WHERE c_custkey <= 200 AND c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal,
+       CAST(NULL AS VARCHAR) AS note
+FROM customer
+WHERE c_custkey > 200 AND c_custkey <= 400
+ORDER BY c_custkey
+"""
+
 ORACLE_SQL["u1_union_distinct"] = """
 SELECT user_id FROM events WHERE event_type = 'purchase'
 UNION

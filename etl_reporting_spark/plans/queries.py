@@ -1079,6 +1079,58 @@ def a10_conditional_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wap_dv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 driver gate for the WAP ACID surface (round-7 verdict
+    #7): one composition covering the transaction family the pytest
+    suite exercises — partitioned CREATE, row-level DELETE via
+    deletion vectors (key-set / GDPR shape), minimal-write DV MERGE
+    (masks matched rows, appends the batch as new files inside live
+    partitions), and metadata-only schema evolution (DROP + ADD) —
+    then reads the final snapshot back through the DV-masked,
+    schema-restored read path. Every step is a separate atomic commit
+    on a fresh table under a temp dir; the oracle reproduces the
+    final state relationally:
+
+      base    = customer c_custkey ≤ 300 (partitioned by segment)
+      delete  = keys divisible by 7
+      merge   = customers 200 < key ≤ 400 at c_acctbal + 100
+      evolve  = DROP c_name, ADD note (reads NULL everywhere)
+
+    Reference: connector/snowpark_connector.py:607-1004 (MERGE whose
+    atomicity the WAP layer carries)."""
+    import tempfile
+
+    from etl_reporting_spark.operators.wap import create_partitioned_wap_table
+
+    customer = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    base = customer.filter(F.col("c_custkey") <= 300).select(*cols)
+    path = tempfile.mkdtemp(prefix="wap_dv_lifecycle_")
+    table = create_partitioned_wap_table(
+        spark, f"{path}/fact", base, ["c_mktsegment"], stats_cols=["c_custkey"]
+    )
+    table.delete_rows(
+        keys_df=customer.filter(F.col("c_custkey") % 7 == 0),
+        keys=["c_custkey"],
+    )
+    source = customer.filter(
+        (F.col("c_custkey") > 200) & (F.col("c_custkey") <= 400)
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    )
+    table.upsert_rows_dv(source, keys=["c_custkey"], stats_cols=["c_custkey"])
+    table.alter_schema(drop=["c_name"])
+    table.alter_schema(add={"note": "string"})
+    return (
+        table.read()
+        .select("c_custkey", "c_mktsegment", "c_acctbal", "note")
+        .orderBy("c_custkey")
+    )
+
+
 def u4_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-of-columns across differing schemas with NULL fill
     (pdf_table_extractor.py:450-509) — one branch carries names, the
@@ -1632,6 +1684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o3_top_orders": o3_top_orders,
     "j7_scalar_config_join": j7_scalar_config_join,
     "a10_conditional_insert": a10_conditional_insert,
+    "wap_dv_lifecycle": wap_dv_lifecycle,
     "u4_union_by_name": u4_union_by_name,
     "f2_count_difference": f2_count_difference,
     "s4_multi_statement": s4_multi_statement,
@@ -1672,17 +1725,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dsir_select": LLM_QUERIES["text_dsir_select"],
     "mm_decode_throughput": LLM_QUERIES["mm_decode_throughput"],
     # round-7 rotation (verdict #6 as named + the round's new gate):
-    # j14_skew_aware_join (the executed-ACID two-path skew join),
-    # mm_decode_real (the real-codec value-hash path), and
-    # ann_recall_sweep (residual IVF+PQ + exact-rerank recall sweep)
-    # move INTO the window. Rotated out, each with 4+ rounds of
-    # driver-green history (CORRECTNESS_r02..r06) and local
-    # verification every round: a2_distinct_counts,
-    # p10_like_patterns, u3_intersect_except.
+    # j14_skew_aware_join (the executed-ACID two-path skew join)
+    # moved INTO the window alongside mm_decode_real and
+    # ann_recall_sweep. Round-8 rotation (verdict #7 + the round's
+    # new serving gate): wap_dv_lifecycle (the WAP ACID composition,
+    # inserted above at slot 17) and ann_recall_sweep_trained (the
+    # trained-index sweep) move INTO the window; rotated to the
+    # locally-verified tail: ann_recall_sweep (superseded in-window
+    # by its trained twin; driver-green r7) and mm_decode_real
+    # (driver-green r7; the codec family keeps mm_decode_throughput
+    # driver-verified).
     "j14_skew_aware_join": j14_skew_aware_join,
+    "ann_recall_sweep_trained": LLM_QUERIES["ann_recall_sweep_trained"],
+    # ---- remaining gates (driver rows 51+; locally verified) ----
     "mm_decode_real": LLM_QUERIES["mm_decode_real"],
     "ann_recall_sweep": LLM_QUERIES["ann_recall_sweep"],
-    # ---- remaining gates (driver rows 51+; locally verified) ----
     "a2_distinct_counts": a2_distinct_counts,
     "p10_like_patterns": p10_like_patterns,
     "u3_intersect_except": u3_intersect_except,
@@ -1709,6 +1766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "mm_decode_real",
         "ann_recall_sweep",
+        "ann_recall_sweep_trained",
         "dedup_minhash_lsh",
         "ann_cosine_topk",
         "dedup_cluster_resolution",

@@ -211,6 +211,29 @@ def test_training_carries_dead_codes_forward(spark):
         assert starved[(s, 3)] == [2.0, 2.0]  # carried forward verbatim
 
 
+def test_trained_sweep_flips_residual_past_plain(spark):
+    """The round-8 serving point (round-7 "What's missing" #3): with
+    TRAINED centroids + codebooks, residual ADC recall beats plain at
+    every probed level ≥ 2 (reversing the seed-codebook finding the
+    r7 sweep documents), and the refine stage reaches recall@5 ≥ 0.85
+    at shortlist 24 < 32. Deterministic end-to-end (exact-fold
+    training), so these are exact measured values, not noisy bounds —
+    the same rows the DuckDB oracle hash-matches."""
+    from etl_reporting_spark.plans.llm_queries import ann_recall_sweep_trained
+
+    rows = ann_recall_sweep_trained(spark, SF_DIR_01).collect()
+    adc = {(r["encoding"], r["n_probe"]): r["recall_adc"] for r in rows}
+    ref = {(r["encoding"], r["n_probe"]): r["recall_refined"] for r in rows}
+    for p in (2, 4, 6):
+        assert adc[("residual", p)] > adc[("plain", p)], (p, adc)
+    # the trained-residual serving recommendation: n_probe=6,
+    # shortlist 24 — smaller shortlist than the seed sweep's 32
+    assert ref[("residual", 6)] >= 0.85
+    # refine never degrades ADC ranking at any measured point
+    for key, r in ref.items():
+        assert r >= adc[key] - 1e-9, key
+
+
 def test_caller_codebook_plumbs_through_ivfpq(spark):
     """ivfpq_candidates accepts a trained codebook and still produces
     a full, correctly-shaped candidate set (sanity: every query gets

@@ -30,6 +30,7 @@ EXPECTED_WINDOW = [
     "o3_top_orders",
     "j7_scalar_config_join",
     "a10_conditional_insert",
+    "wap_dv_lifecycle",
     "u4_union_by_name",
     "f2_count_difference",
     "s4_multi_statement",
@@ -61,8 +62,7 @@ EXPECTED_WINDOW = [
     "text_dsir_select",
     "mm_decode_throughput",
     "j14_skew_aware_join",
-    "mm_decode_real",
-    "ann_recall_sweep",
+    "ann_recall_sweep_trained",
 ]
 
 
@@ -102,16 +102,32 @@ def test_window_split_contains_the_round6_rotation():
 
 
 def test_window_split_contains_the_round7_rotation():
-    """Round-7 rotation (round-5 ask #7 as named + this round's new
-    gate): j14_skew_aware_join (executed-ACID two-path skew join),
-    mm_decode_real (real-codec value-hash path), and ann_recall_sweep
-    (residual IVF+PQ + exact-rerank recall sweep) get the hard driver
-    signal. Rotated out with 4+ rounds of driver-green history
-    (CORRECTNESS_r02..r06) and per-round local verification:
+    """Round-7 rotation (round-5 ask #7 as named + that round's new
+    gate): j14_skew_aware_join stays driver-verified; mm_decode_real
+    and ann_recall_sweep held the window through r7 (driver-green in
+    CORRECTNESS_r07) and rotated to the locally-verified tail in r8.
+    Rotated out in r7 with 4+ rounds of driver-green history:
     a2_distinct_counts, p10_like_patterns, u3_intersect_except."""
-    new_r7 = {"j14_skew_aware_join", "mm_decode_real", "ann_recall_sweep"}
-    assert new_r7 <= set(EXPECTED_WINDOW)
+    assert "j14_skew_aware_join" in set(EXPECTED_WINDOW)
     rotated_out = {"a2_distinct_counts", "p10_like_patterns", "u3_intersect_except"}
+    names = list(entry.queries())
+    assert rotated_out.isdisjoint(EXPECTED_WINDOW)
+    assert rotated_out <= set(names[50:])  # still present, locally verified
+
+
+def test_window_split_contains_the_round8_rotation():
+    """Round-8 rotation (round-7 verdict #7 + the round's new serving
+    gate): wap_dv_lifecycle (partitioned CREATE → DV delete → DV
+    merge → schema evolution, read through the masked path) and
+    ann_recall_sweep_trained (trained IVF+PQ + refine, hash-oracled
+    through five chained Lloyd iterations) get the hard driver
+    signal. Rotated to the locally-verified tail, each driver-green
+    in CORRECTNESS_r07: ann_recall_sweep (superseded in-window by its
+    trained twin) and mm_decode_real (the codec family keeps
+    mm_decode_throughput driver-verified)."""
+    new_r8 = {"wap_dv_lifecycle", "ann_recall_sweep_trained"}
+    assert new_r8 <= set(EXPECTED_WINDOW)
+    rotated_out = {"ann_recall_sweep", "mm_decode_real"}
     names = list(entry.queries())
     assert rotated_out.isdisjoint(EXPECTED_WINDOW)
     assert rotated_out <= set(names[50:])  # still present, locally verified

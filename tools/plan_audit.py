@@ -91,6 +91,10 @@ _BNLJ_OK: dict[str, str] = {
         "centroid table broadcast for cell assignment (as ann_cosine_ivf) + "
         "1-row hits_adc × 1-row hits_refined combines per sweep point"
     ),
+    "ann_recall_sweep_trained": (
+        "trained-centroid table broadcast for cell assignment (as "
+        "ann_recall_sweep; the index is a materialized local relation)"
+    ),
     "ann_cosine_ivfpq_refined": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
 }
 
@@ -154,6 +158,15 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # out of 20).
     "ann_recall_sweep": 20,
     "ann_cosine_ivfpq_refined": 6,  # assignment windows + ADC agg + rerank window
+    # round-8: trained sweep — the SERVING plan only (training runs at
+    # build time and materializes the index to a local relation; its
+    # per-iteration shuffles never appear in the query's lineage).
+    # Measured cold at sf0.001, SPARK_GRAFT_SHUFFLE=4: 17.
+    "ann_recall_sweep_trained": 17,
+    # round-8: WAP ACID lifecycle read — the DV-masked, schema-
+    # restored snapshot read is exchange-FREE (broadcast anti-join);
+    # the single exchange is the presentation order-by.
+    "wap_dv_lifecycle": 1,
     # round-7: the FULL registry is budgeted (verdict #5 asked >=60;
     # this pins all remaining gates) - measured cold at sf0.001,
     # SPARK_GRAFT_SHUFFLE=4, one session in registry order (the same
