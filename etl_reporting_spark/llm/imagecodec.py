@@ -26,6 +26,7 @@ single-channel case still carries the trailing axis (H, W, 1).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -329,10 +330,65 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 _DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm}
 
 
-def decode_image(data: bytes) -> np.ndarray:
-    """Decode by sniffed magic; raises ValueError on unknown formats —
+def pil_available() -> bool:
+    """True when Pillow (PIL) is importable — the production codec
+    backend (libjpeg-turbo/zlib in C). Not installed in this
+    container; the check is the import-try gate the backend switch
+    rides on."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_pure(data: bytes) -> np.ndarray:
+    """Pure-Python decode by sniffed magic (the always-available
+    reference backend); raises ValueError on unknown formats —
     callers that want a fallback sniff first."""
     fmt = sniff_format(bytes(data))
     if fmt is None:
         raise ValueError("unrecognized image format (no PNG/BMP/PPM magic)")
     return _DECODERS[fmt](bytes(data))
+
+
+def decode_image_pil(data: bytes) -> np.ndarray:
+    """Pillow decode normalized to the same (H, W, C) uint8 contract
+    as the pure backend. PNG/BMP/PPM are LOSSLESS, so for any payload
+    both backends return byte-identical arrays — the value-hash
+    contract the backend switch preserves (asserted in
+    tests/test_imagecodec.py whenever PIL is installed). Raises
+    ImportError when Pillow is absent."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(bytes(data)))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def decode_image(data: bytes, backend: str | None = None) -> np.ndarray:
+    """Decode through the selected backend:
+
+    - ``"pure"`` — the stdlib codecs above (always available);
+    - ``"pil"`` — Pillow (errors if not installed);
+    - ``"auto"`` (default, or $SPARK_GRAFT_IMAGE_BACKEND) — Pillow
+      when importable, pure otherwise.
+
+    Same bytes in → same array out on every backend (the formats are
+    lossless), so the Arrow batch contract and every value-hash gate
+    are backend-agnostic: installing Pillow in production is a
+    dependency swap, not a redesign — exactly the claim SCALE.md's
+    multimodal section makes, now executable."""
+    backend = backend or os.environ.get("SPARK_GRAFT_IMAGE_BACKEND", "auto")
+    if backend == "pil" or (backend == "auto" and pil_available()):
+        return decode_image_pil(data)
+    if backend not in ("auto", "pure"):
+        raise ValueError(f"unknown image backend: {backend!r}")
+    return decode_image_pure(data)

@@ -110,6 +110,40 @@ def test_unknown_format_is_strict():
     assert ic.sniff_format(b"garbage") is None
 
 
+# ------------------------------------------------- backend selection
+
+def _sample_payloads():
+    arr = (np.arange(6 * 5 * 3, dtype=np.uint8) * 7 % 256).reshape(5, 6, 3)
+    return [ic.encode_png(arr), ic.encode_bmp(arr), ic.encode_ppm(arr)]
+
+
+def test_backend_auto_falls_back_to_pure_without_pil():
+    """The import-try gate: with Pillow absent, "auto" must resolve
+    to the pure backend and decode identically to calling it
+    directly; asking for "pil" explicitly must fail loudly, and an
+    unknown backend name is an error, not a silent fallback."""
+    for payload in _sample_payloads():
+        via_auto = ic.decode_image(payload, backend="auto")
+        via_pure = ic.decode_image_pure(payload)
+        assert np.array_equal(via_auto, via_pure) or ic.pil_available()
+    if not ic.pil_available():
+        with pytest.raises(ImportError):
+            ic.decode_image(_sample_payloads()[0], backend="pil")
+    with pytest.raises(ValueError, match="unknown image backend"):
+        ic.decode_image(_sample_payloads()[0], backend="turbo")
+
+
+@pytest.mark.skipif(not ic.pil_available(), reason="Pillow not installed")
+def test_pil_backend_is_byte_identical_to_pure():
+    """PNG/BMP/PPM are lossless: the production backend must return
+    the SAME array bit-for-bit, which is what keeps every value-hash
+    gate backend-agnostic (runs wherever Pillow is installed)."""
+    for payload in _sample_payloads():
+        assert np.array_equal(
+            ic.decode_image_pil(payload), ic.decode_image_pure(payload)
+        )
+
+
 # ------------------------------------------------------ Spark operators
 
 def test_decode_media_real_executes(spark, sf_dir):
