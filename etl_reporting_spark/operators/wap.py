@@ -1969,6 +1969,98 @@ class PartitionedWapTable(WapTable):
                     raise
                 base = latest
 
+    def compact_vectors(
+        self,
+        base_version: int | None = None,
+        max_rebase: int = 5,
+    ) -> tuple[int, int]:
+        """Consolidate ALL referenced deletion-vector sidecars into
+        ONE — without touching a byte of data (the cheap middle rung
+        between "let masks accumulate" and a full compaction that
+        rewrites the files). High-frequency DV churn leaves one
+        sidecar dir per commit; every read unions the referenced dirs
+        into its broadcast anti-join, so both the scan count and the
+        broadcast payload grow with commit count AND with stale rows
+        (cumulative sidecars keep rows for files since rewritten).
+        This commit reads the union once, drops rows whose file is no
+        longer masked, dedups, writes one sidecar, and re-points
+        every masked file at it: reads go back to one tiny scan and a
+        minimal broadcast. Nightly-cheap; the weekly full compaction
+        (``optimize_partitions``) still clears masks entirely.
+
+        Conflict rule: consolidating a file's vector is touching that
+        file (same as ``delete_rows``) — a concurrent rewrite of, or
+        new DV on, a masked file wins or loses cleanly; writers of
+        disjoint files rebase past us automatically.
+
+        Returns ``(version, n_mask_rows)``; a table with fewer than
+        two referenced sidecars (nothing to consolidate) is a no-op
+        returning ``(base, 0)`` and publishing nothing."""
+        from pyspark.sql import functions as F
+
+        base = base_version if base_version is not None else self.current_version()
+        if base == 0:
+            raise FileNotFoundError(f"no committed WAP table at {self.path}")
+        base_rec = self._commit_record(base)
+        dvs: dict[str, str] = dict(base_rec.get("delete_vectors", {}))
+        if len(set(dvs.values())) < 2:
+            return (base, 0)
+        masked = sorted(dvs)
+        union = self.spark.read.parquet(
+            *sorted(os.path.join(self.path, d) for d in set(dvs.values()))
+        ).filter(F.col("relfile").isin(masked))
+        n_rows = union.select("file_key", "relfile", "row_index").distinct().count()
+        root = f"d-{uuid.uuid4().hex[:12]}"
+        dv_rel = f"{root}/_dv"
+        self._write_dv_sidecar(union, dv_rel, n_rows)
+
+        touched_files: dict[str, list[str]] = {}
+        for f in masked:
+            touched_files.setdefault(_pkey_of_file(f), []).append(f)
+        attempt = 0
+        while True:
+            new_version = base + 1
+            base_rec = self._commit_record(base)
+            new_dvs = dict(base_rec.get("delete_vectors", {}))
+            for f in masked:
+                new_dvs[f] = dv_rel
+            record = {
+                "version": new_version,
+                "partitions": dict(base_rec.get("partitions", {})),
+                "partition_by": self.partition_by,
+                "touched": sorted(touched_files),
+                "touched_files": {k: sorted(v) for k, v in touched_files.items()},
+                "row_count": n_rows,
+                "schema": base_rec["schema"],
+                "operation": "compact_vectors",
+                "committed_at": time.time(),
+                "delete_vectors": new_dvs,
+            }
+            for carry in ("stats", "files", "file_stats"):
+                if base_rec.get(carry):
+                    record[carry] = dict(base_rec[carry])
+            try:
+                self._publish(record)
+                return (new_version, n_rows)
+            except ConcurrentWriteError:
+                attempt += 1
+                latest = self.current_version()
+                conflict: set[str] = set()
+                for k, fl in touched_files.items():
+                    conflict |= self._conflicting_files(base, latest, k, fl)
+                if conflict or attempt > max_rebase:
+                    shutil.rmtree(
+                        os.path.join(self.path, root), ignore_errors=True
+                    )
+                    if conflict:
+                        raise ConcurrentWriteError(
+                            f"files {sorted(conflict)} were rewritten or "
+                            "re-masked by another writer; re-run vector "
+                            "compaction from the new snapshot"
+                        ) from None
+                    raise
+                base = latest
+
     def files_intersecting(
         self,
         partition: str,
@@ -2440,6 +2532,7 @@ def maintenance_plan(
     max_files_per_partition: int = 16,
     max_roots: int | None = None,
     keep_last: int = 2,
+    max_dv_sidecars: int = 4,
 ) -> dict:
     """Metadata-only maintenance diagnosis — the nightly decision
     input that keeps the table's read/merge costs flat. Reads ONLY
@@ -2458,6 +2551,10 @@ def maintenance_plan(
     - a partition backed by more than ``max_files_per_partition``
       files → small-files creep from streaming epochs / repeated
       file-granular merges: compact it;
+    - more than ``max_dv_sidecars`` referenced sidecar dirs →
+      consolidate to one with ``compact_vectors`` (zero data
+      rewritten — the cheap cadence between deletes and the full
+      compaction below);
     - any partition with masked (deletion-vectored) files → compact
       to apply the vectors and drop the mask from the read path;
     - table version beyond the ``keep_last`` retention window →
@@ -2514,6 +2611,21 @@ def maintenance_plan(
                 ),
             }
         )
+    n_sidecars = len(set(dvs.values()))
+    if n_sidecars > max_dv_sidecars:
+        actions.append(
+            {
+                "action": "compact_vectors",
+                "partitions": None,
+                "reason": (
+                    f"{n_sidecars} referenced DV sidecar dirs > "
+                    f"max_dv_sidecars={max_dv_sidecars}: every read scans "
+                    "and broadcasts their union — consolidate to one "
+                    "(zero data rewritten) when full compaction is "
+                    "deferred to a slower cadence"
+                ),
+            }
+        )
     if masked_by_part:
         actions.append(
             {
@@ -2543,6 +2655,7 @@ def maintenance_plan(
             "partitions": len(pmap),
             "live_roots": len(live_roots),
             "masked_files": sum(masked_by_part.values()),
+            "dv_sidecars": n_sidecars,
             "max_files_in_partition": max(files_by_part.values(), default=0),
         },
         "actions": actions,
@@ -2558,6 +2671,8 @@ def auto_optimize(
     cluster_by: Sequence[str] | None = None,
     stats_cols: Sequence[str] | None = None,
     vacuum_min_age_seconds: float = 3600.0,
+    max_dv_sidecars: int = 4,
+    data_rewrite: bool = True,
 ) -> dict:
     """Opt-in maintenance EXECUTOR: run :func:`maintenance_plan` and
     apply what it diagnoses — compact every partition any trigger
@@ -2569,20 +2684,36 @@ def auto_optimize(
     with them the masked-read broadcast.
 
     Thresholds mirror the planner's; compaction params mirror
-    :func:`optimize_partitions`. Returns
+    :func:`optimize_partitions`. ``data_rewrite=False`` is the CHEAP
+    nightly cadence: only metadata/sidecar work runs (vector
+    consolidation + vacuum) and data files are never rewritten —
+    reserve the full compaction for the slower cadence. Returns
     ``{"plan": <before>, "applied": [...], "after": <re-diagnosis>}``
-    — ``after`` has no compact actions when the run succeeded (the
-    planner's own tests assert applying a plan empties it), and the
-    caller's scheduler decides the cadence, exactly as before."""
-    plan = maintenance_plan(table, max_files_per_partition, max_roots, keep_last)
+    — ``after`` has no applicable actions left when the run
+    succeeded (the planner's own tests assert applying a plan
+    empties it), and the caller's scheduler decides the cadence,
+    exactly as before."""
+    plan = maintenance_plan(
+        table, max_files_per_partition, max_roots, keep_last, max_dv_sidecars
+    )
     compact: set[str] = set()
     do_vacuum = False
+    do_vectors = False
     for a in plan["actions"]:
         if a["action"] == "compact" and a["partitions"]:
             compact.update(a["partitions"])
+        elif a["action"] == "compact_vectors":
+            do_vectors = True
         elif a["action"] == "vacuum":
             do_vacuum = True
     applied: list[dict] = []
+    if not data_rewrite:
+        compact = set()
+    if do_vectors and not (compact and data_rewrite):
+        # full compaction would clear the masks anyway — consolidate
+        # only when data files are NOT being rewritten this run
+        v, n = table.compact_vectors()
+        applied.append({"action": "compact_vectors", "rows": n, "version": v})
     if compact:
         v = optimize_partitions(
             table,
@@ -2599,7 +2730,9 @@ def auto_optimize(
             keep_last=keep_last, min_age_seconds=vacuum_min_age_seconds
         )
         applied.append({"action": "vacuum", "removed": sorted(removed)})
-    after = maintenance_plan(table, max_files_per_partition, max_roots, keep_last)
+    after = maintenance_plan(
+        table, max_files_per_partition, max_roots, keep_last, max_dv_sidecars
+    )
     return {"plan": plan, "applied": applied, "after": after}
 
 

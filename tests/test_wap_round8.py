@@ -388,6 +388,90 @@ def test_objectstore_carries_the_dv_surface(spark, tmp_path):
     assert {r["id"] for r in t.read().collect()} == ids
 
 
+# ------------------------------------------------ vector compaction
+def _mtimes(table):
+    out = {}
+    for k in table.partition_map():
+        for f in table.partition_files(k):
+            p = os.path.join(table.path, f)
+            out[f] = (os.path.getmtime(p), os.path.getsize(p))
+    return out
+
+
+def test_compact_vectors_consolidates_without_touching_data(spark, dtable):
+    # five DV commits over DISJOINT files (the range layout puts each
+    # id band in its own file) → five referenced sidecar dirs.
+    # Overlapping deletes would NOT accumulate dirs: the cumulative
+    # sidecar design re-points a re-masked file at the newest one.
+    for i in (5, 35, 65, 95, 105):
+        dtable.delete_rows(f"id = {i}")
+    rec = dtable._commit_record(dtable.current_version())
+    assert len(set(rec["delete_vectors"].values())) == 5
+    plan = maintenance_plan(dtable, max_dv_sidecars=3)
+    assert any(a["action"] == "compact_vectors" for a in plan["actions"])
+    expect = sorted(r["id"] for r in dtable.read().collect())
+    before = _mtimes(dtable)
+
+    v, n = dtable.compact_vectors()
+    assert n > 0
+    rec = dtable._commit_record(v)
+    assert len(set(rec["delete_vectors"].values())) == 1  # one dir now
+    assert _mtimes(dtable) == before  # zero data bytes rewritten
+    assert sorted(r["id"] for r in dtable.read().collect()) == expect
+    # time travel still sees the pre-consolidation snapshot
+    assert sorted(r["id"] for r in dtable.read(version=v - 1).collect()) == expect
+
+
+def test_compact_vectors_drops_stale_rows(spark, dtable):
+    dtable.delete_rows("id % 10 = 3")  # masks files in BOTH days
+    optimize_partitions(dtable, partitions=[DAY2])  # day-2 rewritten clean
+    dtable.delete_rows("id = 50 AND ds = '2026-01-01'")
+    rec = dtable._commit_record(dtable.current_version())
+    live_masked = set(rec["delete_vectors"])
+    v, n = dtable.compact_vectors()
+    # consolidated rows cover exactly the still-masked files — the
+    # day-2 rows from the first (cumulative) sidecar are pruned
+    dv_dir = next(iter(set(dtable._commit_record(v)["delete_vectors"].values())))
+    side = spark.read.parquet(os.path.join(dtable.path, dv_dir))
+    files_in_sidecar = {r["relfile"] for r in side.select("relfile").distinct().collect()}
+    assert files_in_sidecar <= live_masked
+    assert n == side.count()
+    ids = {r["id"] for r in dtable.read().collect()}
+    # day-1 masks still apply; day-2's compaction applied its mask
+    # permanently (103/113 physically gone) — nothing resurrects
+    assert {3, 13, 50, 103, 113}.isdisjoint(ids)
+    assert 104 in ids and 51 in ids
+
+
+def test_compact_vectors_noop_below_two_sidecars(spark, dtable):
+    v0 = dtable.current_version()
+    assert dtable.compact_vectors() == (v0, 0)  # no masks at all
+    dtable.delete_rows("id = 7")
+    v1 = dtable.current_version()
+    assert dtable.compact_vectors() == (v1, 0)  # one sidecar: nothing to do
+
+
+def test_auto_optimize_data_rewrite_false_is_metadata_only(spark, dtable):
+    for i in (5, 35, 65, 95, 105):  # disjoint files → 5 sidecar dirs
+        dtable.delete_rows(f"id = {i}")
+    expect = sorted(r["id"] for r in dtable.read().collect())
+    before = _mtimes(dtable)
+    out = auto_optimize(
+        dtable,
+        data_rewrite=False,
+        max_dv_sidecars=2,
+        vacuum_min_age_seconds=0.0,
+    )
+    acts = [a["action"] for a in out["applied"]]
+    assert "compact_vectors" in acts and "compact" not in acts
+    assert _mtimes(dtable) == before  # nightly mode: no data rewritten
+    assert not any(
+        a["action"] == "compact_vectors" for a in out["after"]["actions"]
+    )
+    assert out["after"]["summary"]["dv_sidecars"] == 1
+    assert sorted(r["id"] for r in dtable.read().collect()) == expect
+
+
 # ------------------------------------- epoch replay past maintenance
 def test_replayed_epoch_skipped_despite_interleaved_commit(spark, tmp_path):
     """The advisor's exactly-once hole: after a maintenance commit
