@@ -369,21 +369,48 @@ ORDER BY 1
 
 ORACLE_SQL["wap_dv_lifecycle"] = """
 -- Final visible state of the WAP create→DV-delete→DV-merge→evolve
--- chain: keys <= 200 survive unless deleted (pre-merge rows, original
--- balance); every merge-source row (200, 400] is the appended new
+-- chain: keys <= 80 survive unless deleted (pre-merge rows, original
+-- balance); every merge-source row (80, 140] is the appended new
 -- version (+100), INCLUDING previously-deleted keys in that range
 -- (the merge appends unconditionally; its mask only retracts visible
 -- matches). c_name was dropped; note was added after every write, so
 -- it reads NULL everywhere.
 SELECT c_custkey, c_mktsegment, c_acctbal, CAST(NULL AS VARCHAR) AS note
 FROM customer
-WHERE c_custkey <= 200 AND c_custkey % 7 <> 0
+WHERE c_custkey <= 80 AND c_custkey % 7 <> 0
 UNION ALL
 SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal,
        CAST(NULL AS VARCHAR) AS note
 FROM customer
-WHERE c_custkey > 200 AND c_custkey <= 400
+WHERE c_custkey > 80 AND c_custkey <= 140
 ORDER BY c_custkey
+"""
+
+ORACLE_SQL["wap_time_travel"] = """
+-- v1 = full base; v2 = base minus the DV-deleted keys. Time travel
+-- must show the deleted rows at v1 (vectors are per-version state).
+SELECT CAST(1 AS INTEGER) AS snapshot, c_custkey, c_mktsegment, c_acctbal
+FROM customer WHERE c_custkey <= 300
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS snapshot, c_custkey, c_mktsegment, c_acctbal
+FROM customer WHERE c_custkey <= 300 AND c_custkey % 5 <> 0
+ORDER BY snapshot, c_custkey
+"""
+
+ORACLE_SQL["wap_change_feed"] = """
+-- CDF of the DV merge: matched keys (100, 120] emit pre+post images
+-- (+50 on the post side); source-only keys (120, 140] are inserts.
+SELECT 'update_preimage' AS _change_type, c_custkey, c_mktsegment, c_acctbal
+FROM customer WHERE c_custkey > 100 AND c_custkey <= 120
+UNION ALL
+SELECT 'update_postimage' AS _change_type, c_custkey, c_mktsegment,
+       c_acctbal + 50.0 AS c_acctbal
+FROM customer WHERE c_custkey > 100 AND c_custkey <= 120
+UNION ALL
+SELECT 'insert' AS _change_type, c_custkey, c_mktsegment,
+       c_acctbal + 50.0 AS c_acctbal
+FROM customer WHERE c_custkey > 120 AND c_custkey <= 140
+ORDER BY c_custkey, _change_type
 """
 
 ORACLE_SQL["u1_union_distinct"] = """

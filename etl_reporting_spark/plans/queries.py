@@ -1091,9 +1091,12 @@ def wap_dv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a fresh table under a temp dir; the oracle reproduces the
     final state relationally:
 
-      base    = customer c_custkey ≤ 300 (partitioned by segment)
+      base    = customer c_custkey ≤ 120 (partitioned by segment)
       delete  = keys divisible by 7
-      merge   = customers 200 < key ≤ 400 at c_acctbal + 100
+      merge   = customers 80 < key ≤ 140 at c_acctbal + 100
+      (ranges chosen to be live at EVERY sf — sf0.001's customer
+      holds keys 0-149, so the smoke/audit tier exercises the full
+      chain, not a no-op merge)
       evolve  = DROP c_name, ADD note (reads NULL everywhere)
 
     Reference: connector/snowpark_connector.py:607-1004 (MERGE whose
@@ -1104,7 +1107,7 @@ def wap_dv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer = _t(spark, sf_dir, "customer")
     cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
-    base = customer.filter(F.col("c_custkey") <= 300).select(*cols)
+    base = customer.filter(F.col("c_custkey") <= 120).select(*cols)
     path = tempfile.mkdtemp(prefix="wap_dv_lifecycle_")
     table = create_partitioned_wap_table(
         spark, f"{path}/fact", base, ["c_mktsegment"], stats_cols=["c_custkey"]
@@ -1114,7 +1117,7 @@ def wap_dv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["c_custkey"],
     )
     source = customer.filter(
-        (F.col("c_custkey") > 200) & (F.col("c_custkey") <= 400)
+        (F.col("c_custkey") > 80) & (F.col("c_custkey") <= 140)
     ).select(
         "c_custkey",
         "c_name",
@@ -1129,6 +1132,71 @@ def wap_dv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment", "c_acctbal", "note")
         .orderBy("c_custkey")
     )
+
+
+def wap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel across a DV delete (round-8, widens the registry's
+    ACID surface): v1 = partitioned CREATE of customers ≤ 300, v2 =
+    row-level DELETE of keys divisible by 5 via deletion vectors —
+    then BOTH snapshots read side-by-side, tagged. Pins that the old
+    snapshot still shows the deleted rows (vectors are per-version
+    commit state, not destructive) and the new one masks them, all
+    through the same read path. Oracle: the base selection twice,
+    minus the deleted keys on snapshot 2."""
+    import tempfile
+
+    from etl_reporting_spark.operators.wap import create_partitioned_wap_table
+
+    customer = _t(spark, sf_dir, "customer")
+    base = customer.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="wap_time_travel_")
+    table = create_partitioned_wap_table(
+        spark, f"{path}/fact", base, ["c_mktsegment"]
+    )
+    table.delete_rows("c_custkey % 5 = 0")
+    v1 = table.read(version=1).withColumn("snapshot", F.lit(1).cast("int"))
+    v2 = table.read(version=2).withColumn("snapshot", F.lit(2).cast("int"))
+    return v1.unionByName(v2).select(
+        "snapshot", "c_custkey", "c_mktsegment", "c_acctbal"
+    ).orderBy("snapshot", "c_custkey")
+
+
+def wap_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across a DV MERGE (round-8): v1 = customers
+    ≤ 120, v2 = upsert_rows_dv of customers 100 < key ≤ 140 at
+    c_acctbal + 50 — the diff-derived CDF must emit exactly
+    update_preimage + update_postimage for the matched keys and
+    insert for the new ones, reading only churned files (the DV
+    commit changes no partition pointers; the vector-ref change is
+    what marks them). Oracle: the three row families relationally."""
+    import tempfile
+
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        table_changes,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    base = customer.filter(F.col("c_custkey") <= 120).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="wap_change_feed_")
+    table = create_partitioned_wap_table(
+        spark, f"{path}/fact", base, ["c_mktsegment"]
+    )
+    source = customer.filter(
+        (F.col("c_custkey") > 100) & (F.col("c_custkey") <= 140)
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + F.lit(50.0)).alias("c_acctbal"),
+    )
+    table.upsert_rows_dv(source, keys=["c_custkey"])
+    return table_changes(table, ["c_custkey"], 1, 2).select(
+        "_change_type", "c_custkey", "c_mktsegment", "c_acctbal"
+    ).orderBy("c_custkey", "_change_type")
 
 
 def u4_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1763,6 +1831,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u5_period_growth": u5_period_growth,
     "w12_stickiness": w12_stickiness,
     "j13_salted_join": j13_salted_join,
+    "wap_time_travel": wap_time_travel,
+    "wap_change_feed": wap_change_feed,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "mm_decode_real",
         "ann_recall_sweep",

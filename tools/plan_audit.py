@@ -167,6 +167,12 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # restored snapshot read is exchange-FREE (broadcast anti-join);
     # the single exchange is the presentation order-by.
     "wap_dv_lifecycle": 1,
+    # round-8: two-version tagged read — two exchange-free masked
+    # reads + one presentation sort.
+    "wap_time_travel": 1,
+    # round-8: diff-derived CDF — full-outer key join over the
+    # churned-file slices (4 partial/final pairs) + presentation sort.
+    "wap_change_feed": 5,
     # round-7: the FULL registry is budgeted (verdict #5 asked >=60;
     # this pins all remaining gates) - measured cold at sf0.001,
     # SPARK_GRAFT_SHUFFLE=4, one session in registry order (the same
