@@ -355,17 +355,26 @@ def decode_image_pure(data: bytes) -> np.ndarray:
 
 def decode_image_pil(data: bytes) -> np.ndarray:
     """Pillow decode normalized to the same (H, W, C) uint8 contract
-    as the pure backend. PNG/BMP/PPM are LOSSLESS, so for any payload
-    both backends return byte-identical arrays — the value-hash
-    contract the backend switch preserves (asserted in
-    tests/test_imagecodec.py whenever PIL is installed). Raises
-    ImportError when Pillow is absent."""
+    as the pure backend. PNG/BMP/PPM are LOSSLESS and the channel
+    count is part of the contract, so the native mode is PRESERVED —
+    L→(H,W,1), LA→(H,W,2), RGB→(H,W,3), RGBA→(H,W,4), exactly the
+    pure decoder's _PNG_CHANNELS mapping; converting everything to
+    RGB would change shape AND values for 3 of the 4 supported PNG
+    color types and silently break every value-hash gate the moment
+    Pillow is installed. Only modes OUTSIDE the supported set (e.g.
+    palette) are converted. An unrecognized payload raises ValueError
+    like the pure backend (sniffed before Pillow sees it); decode
+    errors on corrupt-but-recognized payloads remain backend-specific
+    exceptions. Raises ImportError when Pillow is absent."""
     import io
 
     import PIL.Image
 
-    img = PIL.Image.open(io.BytesIO(bytes(data)))
-    if img.mode != "RGB":
+    raw = bytes(data)
+    if sniff_format(raw) is None:
+        raise ValueError("unrecognized image format (no PNG/BMP/PPM magic)")
+    img = PIL.Image.open(io.BytesIO(raw))
+    if img.mode not in ("L", "LA", "RGB", "RGBA"):
         img = img.convert("RGB")
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:

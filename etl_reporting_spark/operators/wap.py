@@ -840,11 +840,16 @@ class PartitionedWapTable(WapTable):
                 "basePath", os.path.join(self.path, root)
             ).parquet(*sorted(leaves))
             if need_lineage:
+                # (?:^|/) pins the anchor to a PATH COMPONENT boundary
+                # — without it a component merely ENDING in d-<12hex>
+                # (e.g. a table living under .../xd-0123456789ab/tbl)
+                # would root the row key mid-component and disagree
+                # with the driver-side _droot_index parsing
                 f = f.withColumn(
                     "__file",
                     F.regexp_extract(
                         F.col("_metadata.file_path"),
-                        r"(d-[0-9a-f]{12}/.*)$",
+                        r"(?:^|/)(d-[0-9a-f]{12}/.*)$",
                         1,
                     ),
                 ).withColumn("__ridx", F.col("_metadata.row_index"))
@@ -1494,21 +1499,31 @@ class PartitionedWapTable(WapTable):
             F.col("__ridx").alias("row_index"),
         )
 
-    def _write_dv_sidecar(self, dv_df: DataFrame, dv_rel: str, n_rows: int) -> None:
-        """Write a deletion-vector sidecar dir. Small vectors (the
-        narrow-churn / GDPR shape) stay one file; past
-        ``dv_sidecar_rows_per_file`` the write fans out hash-
-        partitioned on (file_key, row_index) so a large-batch MERGE's
-        vector is written by many tasks — readers consume the DIR, so
-        the file count is invisible to them. ``n_rows`` is the
-        pre-distinct upper bound (sizing only)."""
-        out = dv_df.select("file_key", "relfile", "row_index").distinct()
-        n_files = max(1, -(-int(n_rows) // self.dv_sidecar_rows_per_file))
-        if n_files == 1:
-            out = out.coalesce(1)
-        else:
-            out = out.repartition(n_files, "file_key", "row_index")
-        out.write.parquet(os.path.join(self.path, dv_rel))
+    def _write_dv_sidecar(self, dv_df: DataFrame, dv_rel: str) -> int:
+        """Write a deletion-vector sidecar dir; returns the exact row
+        count written. Small vectors (the narrow-churn / GDPR shape)
+        stay one file; past ``dv_sidecar_rows_per_file`` the write
+        fans out hash-partitioned on (file_key, row_index) so a
+        large vector is written by many tasks — readers consume the
+        DIR, so the file count is invisible to them. Sizing comes
+        from counting the DEDUPED frame itself (persisted, so the
+        write reuses the materialization): the input often unions
+        the new rows with ALL prior cumulative mask rows for the
+        touched files, so a caller-supplied "new rows" count would
+        under-size exactly when the vector is biggest."""
+        out = dv_df.select("file_key", "relfile", "row_index").distinct().persist()
+        try:
+            n_rows = out.count()
+            n_files = max(1, -(-n_rows // self.dv_sidecar_rows_per_file))
+            sized = (
+                out.coalesce(1)
+                if n_files == 1
+                else out.repartition(n_files, "file_key", "row_index")
+            )
+            sized.write.parquet(os.path.join(self.path, dv_rel))
+        finally:
+            out.unpersist()
+        return n_rows
 
     def upsert_rows_dv(
         self,
@@ -1631,7 +1646,7 @@ class PartitionedWapTable(WapTable):
                         dv_df = dv_df.unionByName(prior)
                     dv_rel = f"{root}/_dv"
                     os.makedirs(self.path, exist_ok=True)
-                    self._write_dv_sidecar(dv_df, dv_rel, n_matched)
+                    self._write_dv_sidecar(dv_df, dv_rel)
             finally:
                 matched.unpersist()
 
@@ -1916,7 +1931,7 @@ class PartitionedWapTable(WapTable):
             root = f"d-{uuid.uuid4().hex[:12]}"
             dv_rel = f"{root}/_dv"
             os.makedirs(self.path, exist_ok=True)
-            self._write_dv_sidecar(dv_df, dv_rel, n_deleted)
+            self._write_dv_sidecar(dv_df, dv_rel)
         finally:
             new_rows.unpersist()
 
@@ -2009,10 +2024,11 @@ class PartitionedWapTable(WapTable):
         union = self.spark.read.parquet(
             *sorted(os.path.join(self.path, d) for d in set(dvs.values()))
         ).filter(F.col("relfile").isin(masked))
-        n_rows = union.select("file_key", "relfile", "row_index").distinct().count()
         root = f"d-{uuid.uuid4().hex[:12]}"
         dv_rel = f"{root}/_dv"
-        self._write_dv_sidecar(union, dv_rel, n_rows)
+        # the helper dedups/persists/counts once and writes from the
+        # same materialization — no second scan of the union
+        n_rows = self._write_dv_sidecar(union, dv_rel)
 
         touched_files: dict[str, list[str]] = {}
         for f in masked:
@@ -2688,11 +2704,16 @@ def auto_optimize(
     nightly cadence: only metadata/sidecar work runs (vector
     consolidation + vacuum) and data files are never rewritten —
     reserve the full compaction for the slower cadence. Returns
-    ``{"plan": <before>, "applied": [...], "after": <re-diagnosis>}``
-    — ``after`` has no applicable actions left when the run
-    succeeded (the planner's own tests assert applying a plan
-    empties it), and the caller's scheduler decides the cadence,
-    exactly as before."""
+    ``{"plan": <before>, "applied": [...], "after": <re-diagnosis>}``.
+    Postcondition, precisely: after a ``data_rewrite=True`` run,
+    ``after`` has no ``compact`` or ``compact_vectors`` actions; a
+    ``data_rewrite=False`` run clears only ``compact_vectors`` (the
+    masked-partition ``compact`` advice deliberately remains until
+    the rewrite cadence runs). The ``vacuum`` action is NOT a
+    convergence signal — its trigger (version beyond the retention
+    window) is monotone in the version counter, so it reappears in
+    every diagnosis of an active table; do NOT loop "until the plan
+    is empty", schedule by cadence."""
     plan = maintenance_plan(
         table, max_files_per_partition, max_roots, keep_last, max_dv_sidecars
     )

@@ -840,6 +840,122 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def _sweep_encoding_points(
+    emb: DataFrame,
+    queries: DataFrame,
+    exact: DataFrame,
+    denom: float,
+    enc_name: str,
+    cands: DataFrame,
+    probes: tuple,
+    shortlist: int,
+    k: int,
+) -> DataFrame:
+    """Shared single-pass sweep core for ONE encoding's candidate set
+    (used by ``ann_recall_sweep`` and ``ann_recall_sweep_trained`` —
+    one copy so the ranking semantics can never drift between the
+    seed and trained gates). All probe-level ADC ranks come from ONE
+    window: with candidates ordered by (adc_score desc, neighbor),
+    the running count of rows with probe_rn ≤ p IS row_number within
+    the p-filtered ordering (subset ranking preserves relative
+    order); the same trick ranks every refine level in one
+    exact-cosine-ordered window, and one aggregate folds all the hit
+    counts. Returns (encoding, n_probe, hits_adc, recall_adc,
+    hits_refined, recall_refined) — one row per probe level."""
+    from pyspark.sql import Window
+
+    from etl_reporting_spark.llm.similarity import _DOT, _NORM2, _cosine_expr
+
+    w_adc = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("adc_score").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for p in probes:
+        cands = cands.withColumn(
+            f"__r{p}",
+            F.sum(F.when(F.col("probe_rn") <= p, 1).otherwise(0)).over(w_adc),
+        )
+    in_any_shortlist = None
+    for p in probes:
+        c = (F.col("probe_rn") <= p) & (F.col(f"__r{p}") <= shortlist)
+        in_any_shortlist = c if in_any_shortlist is None else in_any_shortlist | c
+    short = cands.filter(in_any_shortlist)
+    # exact cosine on the shortlist superset only (the refine kernel —
+    # same fold/tie-break as cosine_topk_bruteforce)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.expr(_NORM2.format(a="embedding")).alias("qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.expr(_NORM2.format(a="embedding")).alias("cn"),
+    )
+    short = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn("__cos", _cosine_expr())
+        .drop("qvec", "cvec", "qn", "cn", "dot")
+    )
+    w_cos = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for p in probes:
+        short = short.withColumn(
+            f"__fr{p}",
+            F.sum(
+                F.when(
+                    (F.col("probe_rn") <= p) & (F.col(f"__r{p}") <= shortlist), 1
+                ).otherwise(0)
+            ).over(w_cos),
+        )
+    flagged = short.join(exact, ["query_id", "neighbor_id"], "left")
+    aggs = []
+    for p in probes:
+        hit = F.col("__hit").isNotNull()
+        sel = F.col("probe_rn") <= p
+        aggs.append(
+            F.sum(
+                F.when(sel & (F.col(f"__r{p}") <= k) & hit, 1).otherwise(0)
+            ).alias(f"ha{p}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    sel
+                    & (F.col(f"__r{p}") <= shortlist)
+                    & (F.col(f"__fr{p}") <= k)
+                    & hit,
+                    1,
+                ).otherwise(0)
+            ).alias(f"hr{p}")
+        )
+    metrics = flagged.agg(*aggs)
+    point = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.coalesce(F.col(f"ha{p}"), F.lit(0)).cast("bigint").alias("ha"),
+                F.coalesce(F.col(f"hr{p}"), F.lit(0)).cast("bigint").alias("hr"),
+            )
+            for p in probes
+        ]
+    )
+    return metrics.select(F.explode(point).alias("__pt")).select(
+        F.lit(enc_name).alias("encoding"),
+        F.col("__pt.n_probe").alias("n_probe"),
+        F.col("__pt.ha").alias("hits_adc"),
+        (F.col("__pt.ha").cast("double") / F.lit(denom)).alias("recall_adc"),
+        F.col("__pt.hr").alias("hits_refined"),
+        (F.col("__pt.hr").cast("double") / F.lit(denom)).alias("recall_refined"),
+    )
+
+
 def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall operating-point sweep for the IVF+PQ serving stack
     (round-7, closes the round-5 #6 ask): n_probe 1..4 × encoding
@@ -866,10 +982,7 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the refine stage, which is exactly what this sweep shows. Both
     encodings and the refine stage are value-hash-oracled
     end-to-end."""
-    from pyspark.sql import Window
-
     from etl_reporting_spark.llm.quantize import ivfpq_candidates
-    from etl_reporting_spark.llm.similarity import _DOT, _NORM2, _cosine_expr
 
     n_q, k, n_cent, n_codes, shortlist = 20, 5, 32, 64, 32
     probes = (1, 2, 3, 4)
@@ -885,14 +998,10 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SINGLE-PASS sweep per encoding (the first version ranked and
     # reranked each probe level separately — 16 windows + 16 hit
     # joins ≈ 40 sequential stages of pure scheduling overhead at
-    # bench scale). All four probe-level ADC ranks come from ONE
-    # window: with candidates ordered by (adc_score desc, neighbor),
-    # the running count of rows with probe_rn ≤ p IS row_number
-    # within the p-filtered ordering (subset ranking preserves
-    # relative order). Same trick ranks all four refine levels in
-    # one exact-cosine-ordered window, and one aggregate folds the 8
-    # hit counts. Results are bit-identical to the per-level
-    # formulation — the oracle is unchanged.
+    # bench scale). The running-count subset-ranking core lives in
+    # _sweep_encoding_points (shared with the trained sweep).
+    # Results are bit-identical to the per-level formulation — the
+    # oracle is unchanged.
     per_enc = []
     for enc_name, residual in (("plain", False), ("residual", True)):
         cands = ivfpq_candidates(
@@ -903,96 +1012,9 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_centroids=n_cent,
             n_codes=n_codes,
         )
-        w_adc = (
-            Window.partitionBy("query_id")
-            .orderBy(F.col("adc_score").desc(), F.col("neighbor_id").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        for p in probes:
-            cands = cands.withColumn(
-                f"__r{p}",
-                F.sum(F.when(F.col("probe_rn") <= p, 1).otherwise(0)).over(w_adc),
-            )
-        in_any_shortlist = None
-        for p in probes:
-            c = (F.col("probe_rn") <= p) & (F.col(f"__r{p}") <= shortlist)
-            in_any_shortlist = c if in_any_shortlist is None else in_any_shortlist | c
-        short = cands.filter(in_any_shortlist)
-        # exact cosine on the shortlist superset only (the refine
-        # kernel — same fold/tie-break as cosine_topk_bruteforce)
-        qv = queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            F.expr(_NORM2.format(a="embedding")).alias("qn"),
-        )
-        cv = emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cvec"),
-            F.expr(_NORM2.format(a="embedding")).alias("cn"),
-        )
-        short = (
-            short.join(F.broadcast(qv), "query_id")
-            .join(cv, "neighbor_id")
-            .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
-            .withColumn("__cos", _cosine_expr())
-            .drop("qvec", "cvec", "qn", "cn", "dot")
-        )
-        w_cos = (
-            Window.partitionBy("query_id")
-            .orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        for p in probes:
-            short = short.withColumn(
-                f"__fr{p}",
-                F.sum(
-                    F.when(
-                        (F.col("probe_rn") <= p) & (F.col(f"__r{p}") <= shortlist), 1
-                    ).otherwise(0)
-                ).over(w_cos),
-            )
-        flagged = short.join(exact, ["query_id", "neighbor_id"], "left")
-        aggs = []
-        for p in probes:
-            hit = F.col("__hit").isNotNull()
-            sel = F.col("probe_rn") <= p
-            aggs.append(
-                F.sum(
-                    F.when(sel & (F.col(f"__r{p}") <= k) & hit, 1).otherwise(0)
-                ).alias(f"ha{p}")
-            )
-            aggs.append(
-                F.sum(
-                    F.when(
-                        sel
-                        & (F.col(f"__r{p}") <= shortlist)
-                        & (F.col(f"__fr{p}") <= k)
-                        & hit,
-                        1,
-                    ).otherwise(0)
-                ).alias(f"hr{p}")
-            )
-        metrics = flagged.agg(*aggs)
-        point = F.array(
-            *[
-                F.struct(
-                    F.lit(p).cast("int").alias("n_probe"),
-                    F.coalesce(F.col(f"ha{p}"), F.lit(0)).cast("bigint").alias("ha"),
-                    F.coalesce(F.col(f"hr{p}"), F.lit(0)).cast("bigint").alias("hr"),
-                )
-                for p in probes
-            ]
-        )
         per_enc.append(
-            metrics.select(F.explode(point).alias("__pt")).select(
-                F.lit(enc_name).alias("encoding"),
-                F.col("__pt.n_probe").alias("n_probe"),
-                F.col("__pt.ha").alias("hits_adc"),
-                (F.col("__pt.ha").cast("double") / F.lit(denom)).alias("recall_adc"),
-                F.col("__pt.hr").alias("hits_refined"),
-                (F.col("__pt.hr").cast("double") / F.lit(denom)).alias(
-                    "recall_refined"
-                ),
+            _sweep_encoding_points(
+                emb, queries, exact, denom, enc_name, cands, probes, shortlist, k
             )
         )
     return per_enc[0].unionAll(per_enc[1]).orderBy("encoding", "n_probe")
@@ -1019,20 +1041,13 @@ def ann_recall_sweep_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (residual, n_probe=6). Training cost is index-build cost — paid
     once per index, not per query; the sweep pays it inline because
     the gate IS the build+serve composition."""
-    from pyspark.sql import Window
-
     from etl_reporting_spark.llm.quantize import (
         ivfpq_candidates,
         materialize_index,
         pq_train_codebook,
         residualize,
     )
-    from etl_reporting_spark.llm.similarity import (
-        _DOT,
-        _NORM2,
-        _cosine_expr,
-        train_ivf_centroids,
-    )
+    from etl_reporting_spark.llm.similarity import train_ivf_centroids
 
     n_q, k, n_cent, n_codes, shortlist = 20, 5, 32, 64, 24
     probes = (1, 2, 4, 6)
@@ -1083,94 +1098,9 @@ def ann_recall_sweep_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             centroids=cents,
             codebook=cb,
         )
-        w_adc = (
-            Window.partitionBy("query_id")
-            .orderBy(F.col("adc_score").desc(), F.col("neighbor_id").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        for p in probes:
-            cands = cands.withColumn(
-                f"__r{p}",
-                F.sum(F.when(F.col("probe_rn") <= p, 1).otherwise(0)).over(w_adc),
-            )
-        in_any_shortlist = None
-        for p in probes:
-            c = (F.col("probe_rn") <= p) & (F.col(f"__r{p}") <= shortlist)
-            in_any_shortlist = c if in_any_shortlist is None else in_any_shortlist | c
-        short = cands.filter(in_any_shortlist)
-        qv = queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            F.expr(_NORM2.format(a="embedding")).alias("qn"),
-        )
-        cv = emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cvec"),
-            F.expr(_NORM2.format(a="embedding")).alias("cn"),
-        )
-        short = (
-            short.join(F.broadcast(qv), "query_id")
-            .join(cv, "neighbor_id")
-            .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
-            .withColumn("__cos", _cosine_expr())
-            .drop("qvec", "cvec", "qn", "cn", "dot")
-        )
-        w_cos = (
-            Window.partitionBy("query_id")
-            .orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        for p in probes:
-            short = short.withColumn(
-                f"__fr{p}",
-                F.sum(
-                    F.when(
-                        (F.col("probe_rn") <= p) & (F.col(f"__r{p}") <= shortlist), 1
-                    ).otherwise(0)
-                ).over(w_cos),
-            )
-        flagged = short.join(exact, ["query_id", "neighbor_id"], "left")
-        aggs = []
-        for p in probes:
-            hit = F.col("__hit").isNotNull()
-            sel = F.col("probe_rn") <= p
-            aggs.append(
-                F.sum(
-                    F.when(sel & (F.col(f"__r{p}") <= k) & hit, 1).otherwise(0)
-                ).alias(f"ha{p}")
-            )
-            aggs.append(
-                F.sum(
-                    F.when(
-                        sel
-                        & (F.col(f"__r{p}") <= shortlist)
-                        & (F.col(f"__fr{p}") <= k)
-                        & hit,
-                        1,
-                    ).otherwise(0)
-                ).alias(f"hr{p}")
-            )
-        metrics = flagged.agg(*aggs)
-        point = F.array(
-            *[
-                F.struct(
-                    F.lit(p).cast("int").alias("n_probe"),
-                    F.coalesce(F.col(f"ha{p}"), F.lit(0)).cast("bigint").alias("ha"),
-                    F.coalesce(F.col(f"hr{p}"), F.lit(0)).cast("bigint").alias("hr"),
-                )
-                for p in probes
-            ]
-        )
         per_enc.append(
-            metrics.select(F.explode(point).alias("__pt")).select(
-                F.lit(enc_name).alias("encoding"),
-                F.col("__pt.n_probe").alias("n_probe"),
-                F.col("__pt.ha").alias("hits_adc"),
-                (F.col("__pt.ha").cast("double") / F.lit(denom)).alias("recall_adc"),
-                F.col("__pt.hr").alias("hits_refined"),
-                (F.col("__pt.hr").cast("double") / F.lit(denom)).alias(
-                    "recall_refined"
-                ),
+            _sweep_encoding_points(
+                emb, queries, exact, denom, enc_name, cands, probes, shortlist, k
             )
         )
     return per_enc[0].unionAll(per_enc[1]).orderBy("encoding", "n_probe")

@@ -136,12 +136,33 @@ def test_backend_auto_falls_back_to_pure_without_pil():
 @pytest.mark.skipif(not ic.pil_available(), reason="Pillow not installed")
 def test_pil_backend_is_byte_identical_to_pure():
     """PNG/BMP/PPM are lossless: the production backend must return
-    the SAME array bit-for-bit, which is what keeps every value-hash
-    gate backend-agnostic (runs wherever Pillow is installed)."""
-    for payload in _sample_payloads():
-        assert np.array_equal(
-            ic.decode_image_pil(payload), ic.decode_image_pure(payload)
-        )
+    the SAME array bit-for-bit — INCLUDING shape: every PNG color
+    type (gray 1ch, gray+alpha 2ch, RGB 3ch, RGBA 4ch) must keep its
+    native channel count, not get flattened to RGB. This is what
+    keeps every value-hash gate backend-agnostic (runs wherever
+    Pillow is installed)."""
+    payloads = list(_sample_payloads())
+    for ch in (1, 2, 3, 4):  # all four supported PNG color types
+        arr = (np.arange(5 * 6 * ch, dtype=np.uint8) * 11 % 256).reshape(5, 6, ch)
+        payloads.append(ic.encode_png(arr))
+    for payload in payloads:
+        pure = ic.decode_image_pure(payload)
+        via_pil = ic.decode_image_pil(payload)
+        assert via_pil.shape == pure.shape
+        assert np.array_equal(via_pil, pure)
+
+
+def test_pil_path_rejects_unrecognized_bytes_like_pure():
+    """The unrecognized-format error contract is backend-agnostic:
+    both paths sniff first and raise ValueError, so an `except
+    ValueError` handler behaves the same whether Pillow is installed
+    (pure path always testable; PIL path exercises the shared sniff
+    when present)."""
+    if ic.pil_available():
+        with pytest.raises(ValueError, match="unrecognized"):
+            ic.decode_image_pil(b"definitely not an image")
+    with pytest.raises(ValueError, match="unrecognized"):
+        ic.decode_image(b"definitely not an image", backend="pure")
 
 
 # ------------------------------------------------------ Spark operators

@@ -182,6 +182,30 @@ def test_pointer_parsing_anchors_at_droot():
     assert _root_of(absd) == "/data/run=5/tbl/d-00ff00ff00ff"
 
 
+def test_table_under_dhex_suffixed_dir_row_keys_agree(spark, tmp_path):
+    """A path component merely ENDING in d-<12hex> (xd-0123456789ab)
+    must not anchor the executor-side __file key mid-component: both
+    the row key regexp and the driver-side parsing pin to a path
+    component boundary, or delete_rows trips its stray-file audit on
+    a perfectly valid table."""
+    base = tmp_path / "xd-0123456789ab" / "tbl"
+    os.makedirs(base.parent, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, "2026-01-01", float(i)) for i in range(1, 11)],
+        "id long, ds string, amount double",
+    )
+    t = create_partitioned_wap_table(spark, str(base), df, ["ds"])
+    v, n = t.delete_rows("id <= 3")  # stray-file audit ran inside
+    assert n == 3
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(4, 11))
+    v, upd, ins = t.upsert_rows_dv(
+        spark.createDataFrame([(5, "2026-01-01", 50.0)], df.schema), keys=["id"]
+    )
+    assert (upd, ins) == (1, 0)
+    got = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert got[5] == 50.0 and len(got) == 7
+
+
 def test_clone_of_table_under_equals_path_reads_right(spark, tmp_path):
     # The advisor's exact scenario: the clone's absolute pointers pass
     # through a source path containing '=' — parsing must not treat
