@@ -603,6 +603,17 @@ def _droot_index(parts: Sequence[str]) -> int | None:
     return None
 
 
+def _dv_key_of(pointer: str) -> str:
+    """The d-root-anchored MASK key of a (possibly absolute) file
+    pointer — the form sidecar ``relfile``/``file_key`` columns carry
+    (``d-xxx/k=v/file``). Record-level ``delete_vectors`` keys can be
+    ABSOLUTE for clone-inherited entries; any comparison against
+    sidecar rows must normalize through this first."""
+    parts = pointer.split("/")
+    i = _droot_index(parts)
+    return "/".join(parts[i:]) if i is not None else pointer
+
+
 def _pkey_of_file(relfile: str) -> str:
     """Partition key of a data-file path: the ``k=v`` components AFTER
     its ``d-<12hex>`` commit root. Anchoring at the root (not "any
@@ -2021,9 +2032,14 @@ class PartitionedWapTable(WapTable):
         if len(set(dvs.values())) < 2:
             return (base, 0)
         masked = sorted(dvs)
+        # sidecar rows carry d-root-anchored keys; record keys can be
+        # ABSOLUTE for clone-inherited vectors — normalize before the
+        # membership filter or those rows would be dropped and their
+        # deleted rows silently resurrected in the clone
+        mask_keys = sorted({_dv_key_of(f) for f in masked})
         union = self.spark.read.parquet(
             *sorted(os.path.join(self.path, d) for d in set(dvs.values()))
-        ).filter(F.col("relfile").isin(masked))
+        ).filter(F.col("relfile").isin(mask_keys))
         root = f"d-{uuid.uuid4().hex[:12]}"
         dv_rel = f"{root}/_dv"
         # the helper dedups/persists/counts once and writes from the

@@ -467,6 +467,27 @@ def test_compact_vectors_drops_stale_rows(spark, dtable):
     assert 104 in ids and 51 in ids
 
 
+def test_compact_vectors_preserves_clone_inherited_masks(spark, tmp_path, dtable):
+    """Clone-inherited delete_vectors carry ABSOLUTE record keys while
+    sidecar rows carry d-root-anchored ones — consolidation must
+    normalize before filtering, or the inherited mask rows are
+    dropped and the source's deleted rows resurrect in the clone."""
+    dtable.delete_rows("id = 5")  # sidecar 1 (day-1 file)
+    dtable.delete_rows("id = 105")  # sidecar 2 (day-2 file)
+    clone = clone_table(spark, dtable.path, str(tmp_path / "cl"))
+    expect = sorted(r["id"] for r in clone.read().collect())
+    assert 5 not in expect and 105 not in expect
+
+    v, n = clone.compact_vectors()
+    assert n == 2  # both inherited mask rows survived normalization
+    rec = clone._commit_record(v)
+    dirs = set(rec["delete_vectors"].values())
+    assert len(dirs) == 1 and not os.path.isabs(next(iter(dirs)))  # localized
+    assert sorted(r["id"] for r in clone.read().collect()) == expect
+    # the source is untouched by the clone's consolidation
+    assert sorted(r["id"] for r in dtable.read().collect()) == expect
+
+
 def test_compact_vectors_noop_below_two_sidecars(spark, dtable):
     v0 = dtable.current_version()
     assert dtable.compact_vectors() == (v0, 0)  # no masks at all
