@@ -2227,19 +2227,21 @@ ref_{tag} AS (
 LLM_ORACLE_SQL["ann_recall_sweep"] = _ann_recall_sweep_sql()
 
 
-def _ann_recall_sweep_trained_sql() -> str:
-    """Oracle for the TRAINED serving stack: 5 unrolled exact-fold
-    Lloyd iterations for the IVF centroids (each step the same
-    construct the ``ann_kmeans_step`` oracle already hash-matches),
-    3 unrolled per-subspace iterations per PQ codebook (ordered-fold
-    means, dead codes carried forward via LEFT JOIN + COALESCE —
-    mirroring pq_train_codebook exact mode), then the same
-    ADC/refine scaffolding as ``_ann_recall_sweep_sql`` pointed at
-    the trained relations, probes {1,2,4,6}, shortlist 24."""
-    n_cent, n_codes, n_q, k, shortlist = 32, 64, 20, 5, 24
+def _trained_chain_parts(n_q: int, max_probe: int, encodings=("p", "r"), k: int = 5) -> list[str]:
+    """Shared CTE chain for the TRAINED index gates: 5 unrolled
+    exact-fold Lloyd iterations for the IVF centroids (each step the
+    same construct the ``ann_kmeans_step`` oracle already
+    hash-matches), 3 unrolled per-subspace iterations per PQ codebook
+    (ordered-fold means, dead codes carried forward via LEFT JOIN +
+    COALESCE — mirroring pq_train_codebook exact mode), final
+    assignment/probes/ground truth for ``n_q`` queries at
+    ``max_probe`` cells, and ADC scoring per requested encoding
+    (``scored_plain`` / ``scored_residual``). Every CTE is
+    MATERIALIZED — DuckDB inlines by default and the 5-deep centroid
+    chain re-expands at every reference otherwise (>400 s vs ~3 s).
+    Consumers append their own ranking tails."""
+    n_cent, n_codes = 32, 64
     ivf_iters, pq_iters = 5, 3
-    probes = (1, 2, 4, 6)
-    denom = float(n_q * k)
 
     # ---- IVF Lloyd chain: cent_t0 (seeds) → cent_t{ivf_iters}
     parts = [
@@ -2300,7 +2302,7 @@ ranked AS MATERIALIZED (
 assign AS MATERIALIZED (SELECT vec_id, embedding, centroid_id FROM ranked WHERE rn = 1),
 probes AS MATERIALIZED (
   SELECT vec_id, embedding, centroid_id, rn AS probe_rn
-  FROM ranked WHERE rn <= {max(probes)} AND vec_id < {n_q}
+  FROM ranked WHERE rn <= {max_probe} AND vec_id < {n_q}
 ),
 q AS MATERIALIZED (
   SELECT vec_id AS query_id, embedding AS qvec,
@@ -2335,7 +2337,9 @@ resid AS MATERIALIZED (
 )""")
 
     # ---- PQ training per encoding: src relation exposes (vec_id, v)
-    for enc, src, vcol in (("p", "embeddings", "embedding"), ("r", "resid", "rvec")):
+    enc_sources = {"p": ("embeddings", "embedding"), "r": ("resid", "rvec")}
+    for enc in encodings:
+        src, vcol = enc_sources[enc]
         parts.append(f""",
 pqsrc_{enc} AS MATERIALIZED (
   SELECT s.subspace, t.vec_id,
@@ -2387,7 +2391,8 @@ cb_{enc} AS MATERIALIZED (
 
     # ---- encode + LUT + ADC scoring (same shapes as the seed sweep,
     # pointed at the trained relations)
-    parts.append(f""",
+    if "p" in encodings:
+        parts.append(f""",
 enc_p AS MATERIALIZED (
   SELECT vec_id, subspace, code FROM (
     SELECT x.vec_id, x.subspace, c.code,
@@ -2419,7 +2424,9 @@ scored_plain AS MATERIALIZED (
   SELECT query_id, probe_rn, neighbor_id,
     adc_dot / (sqrt(qn2) * sqrt(fold_cn2)) AS adc_score
   FROM parts_p
-),
+)""")
+    if "r" in encodings:
+        parts.append(f""",
 enc_r AS MATERIALIZED (
   SELECT vec_id, subspace, code FROM (
     SELECT x.vec_id, x.subspace, c.code,
@@ -2473,7 +2480,17 @@ scored_residual AS MATERIALIZED (
     (base_dot + adc_dot) / (sqrt(qn2) * sqrt(cell_cn2 + fold_cn2)) AS adc_score
   FROM parts_r
 )""")
+    return parts
 
+
+def _ann_recall_sweep_trained_sql() -> str:
+    """Oracle for the TRAINED recall sweep: the shared trained chain
+    (``_trained_chain_parts``) + the same ranking tails as
+    ``_ann_recall_sweep_sql``, probes {1,2,4,6}, shortlist 24."""
+    n_q, k, shortlist = 20, 5, 24
+    probes = (1, 2, 4, 6)
+    denom = float(n_q * k)
+    parts = _trained_chain_parts(n_q, max(probes))
     rows = []
     for enc in ("plain", "residual"):
         for p in probes:
@@ -2524,6 +2541,33 @@ ref_{tag} AS MATERIALIZED (
 
 
 LLM_ORACLE_SQL["ann_recall_sweep_trained"] = _ann_recall_sweep_trained_sql()
+
+
+def _ann_ivfpq_trained_serving_sql() -> str:
+    """Oracle for the trained SERVING query: the shared trained chain
+    (residual encoding only) + one shortlist-24 ADC rank at
+    n_probe=6 + exact-cosine rerank to top-5 with TRUE cosines —
+    exactly exact_rerank's tail over scored_residual."""
+    n_q, k, shortlist, n_probe = 5, 5, 24, 6
+    parts = _trained_chain_parts(n_q, n_probe, encodings=("r",))
+    return "".join(parts) + f""",
+short_serve AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rk
+    FROM scored_residual WHERE probe_rn <= {n_probe}
+  ) t WHERE rk <= {shortlist}
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, cosine FROM (
+  SELECT s.query_id, s.neighbor_id, x.cosine, ROW_NUMBER() OVER (
+    PARTITION BY s.query_id ORDER BY x.cosine DESC, s.neighbor_id ASC) AS rk
+  FROM short_serve s JOIN exact_scored x
+    ON x.query_id = s.query_id AND x.neighbor_id = s.neighbor_id
+) t WHERE rk <= {k} ORDER BY query_id, rank
+"""
+
+
+LLM_ORACLE_SQL["ann_cosine_ivfpq_trained"] = _ann_ivfpq_trained_serving_sql()
 
 
 # The recommended serving query: IVF(32 cells, n_probe=2) × PQ/ADC

@@ -1106,14 +1106,71 @@ def ann_recall_sweep_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_enc[0].unionAll(per_enc[1]).orderBy("encoding", "n_probe")
 
 
+def ann_cosine_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED serving recommendation as one executable query
+    (completes round-8's trained story): trained IVF (5 exact-fold
+    Lloyd iterations, 32 cells) + trained residual PQ (64 codes, 3
+    iterations) + n_probe=6 × shortlist-24 ADC prune + exact-rerank —
+    the configuration the trained sweep measured at refined recall@5
+    = 0.88 with a SMALLER shortlist than the seed stack needs (24 vs
+    32). Returns TRUE cosines for the refined top-k. Training runs
+    inline because the gate is the build+serve composition; a
+    deployment trains once, materializes the index (the same
+    ``materialize_index`` cut used here), and pays only the serving
+    side per query: |corpus|·6/32 ADC probes + 24 exact dots.
+    Deliberately NOT in the bench headline or build tier — its
+    training half would double-count ``ann_recall_sweep_trained``'s
+    measured build."""
+    from etl_reporting_spark.caching import cache_scope
+    from etl_reporting_spark.llm.quantize import (
+        exact_rerank,
+        ivfpq_candidates,
+        materialize_index,
+        pq_train_codebook,
+        residualize,
+    )
+    from etl_reporting_spark.llm.similarity import train_ivf_centroids
+
+    n_cent, n_codes = 32, 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    with cache_scope():
+        cents = materialize_index(
+            train_ivf_centroids(emb, n_centroids=n_cent, iterations=5, exact=True)
+        )
+    enc_src = residualize(emb, cents).select("vec_id", "embedding")
+    with cache_scope():
+        cb = materialize_index(
+            pq_train_codebook(
+                enc_src, m=8, n_codes=n_codes, dim=64, iterations=3, exact=True
+            )
+        )
+    cands = ivfpq_candidates(
+        emb,
+        queries,
+        n_probe=6,
+        residual=True,
+        n_centroids=n_cent,
+        n_codes=n_codes,
+        centroids=cents,
+        codebook=cb,
+    )
+    return exact_rerank(cands, emb, queries, k=5, shortlist=24).orderBy(
+        "query_id", "rank"
+    )
+
+
 def ann_cosine_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The RECOMMENDED serving query (round-7): IVF prune (32 cells,
-    n_probe=2 — ~6% of the corpus) × PQ/ADC shortlist (64 seed codes,
-    shortlist 32) × exact-rerank refine — the configuration the
-    recall sweep measured at recall@5 ≥ 0.85. Returns exact cosines
-    for the refined top-k, so downstream thresholds are on true
-    scores, not ADC approximations. Cost per query: |corpus|/16 ADC
-    probes + 32 exact dots."""
+    """The zero-training serving query (round-7): IVF prune (32
+    cells, n_probe=2 — ~6% of the corpus) × PQ/ADC shortlist (64 seed
+    codes, shortlist 32) × exact-rerank refine — the configuration
+    the recall sweep measured at recall@5 ≥ 0.85. Returns exact
+    cosines for the refined top-k, so downstream thresholds are on
+    true scores, not ADC approximations. Cost per query: |corpus|/16
+    ADC probes + 32 exact dots. When an index-build step is
+    affordable, ``ann_cosine_ivfpq_trained`` (round-8) reaches 0.88
+    with a smaller shortlist — this seed variant remains the
+    no-build-path recommendation."""
     from etl_reporting_spark.llm.quantize import exact_rerank, ivfpq_candidates
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1415,6 +1472,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_ivf": ann_recall_ivf,
     "ann_recall_sweep": ann_recall_sweep,
     "ann_recall_sweep_trained": ann_recall_sweep_trained,
+    "ann_cosine_ivfpq_trained": ann_cosine_ivfpq_trained,
     "ann_cosine_ivfpq_refined": ann_cosine_ivfpq_refined,
     "text_dsir_importance": text_dsir_importance,
     "text_dsir_select": text_dsir_select,

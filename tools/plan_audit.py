@@ -95,6 +95,10 @@ _BNLJ_OK: dict[str, str] = {
         "trained-centroid table broadcast for cell assignment (as "
         "ann_recall_sweep; the index is a materialized local relation)"
     ),
+    "ann_cosine_ivfpq_trained": (
+        "trained-centroid table broadcast for cell assignment (as "
+        "ann_recall_sweep_trained)"
+    ),
     "ann_cosine_ivfpq_refined": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
 }
 
@@ -163,6 +167,9 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # per-iteration shuffles never appear in the query's lineage).
     # Measured cold at sf0.001, SPARK_GRAFT_SHUFFLE=4: 17.
     "ann_recall_sweep_trained": 17,
+    # round-8: trained serving query — assignment windows + ADC agg +
+    # rerank window over the materialized trained index.
+    "ann_cosine_ivfpq_trained": 5,
     # round-8: WAP ACID lifecycle read — the DV-masked, schema-
     # restored snapshot read is exchange-FREE (broadcast anti-join);
     # the single exchange is the presentation order-by.
