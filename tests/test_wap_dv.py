@@ -491,7 +491,7 @@ def test_model_random_operation_interleavings(spark, tmp_path, seed):
     next_id = 100
     for step in range(12):
         op = rng.choice(["upsert", "delete_pred", "delete_keys", "fmerge",
-                         "optimize", "vacuum"])
+                         "optimize", "vacuum", "compact_vectors"])
         if op == "upsert":
             n_upd = rng.randint(0, 3)
             upd = rng.sample(sorted(model), min(n_upd, len(model)))
@@ -528,6 +528,12 @@ def test_model_random_operation_interleavings(spark, tmp_path, seed):
             optimize_partitions(t, n_files=2, cluster_by=["id"])
         elif op == "vacuum":
             t.vacuum(keep_last=2, min_age_seconds=0.0)
+        elif op == "compact_vectors":
+            # round-8: sidecar consolidation is metadata/sidecar-only
+            # — the model is untouched by construction, so any drift
+            # it ever causes (e.g. a mask row lost to a key-form
+            # mismatch) is exactly what check() catches
+            t.compact_vectors()
         check(f"step {step}: {op}")
     # final deep check: CDC replay over the RETAINED window (vacuum
     # keep_last=2 legitimately collects older versions — time travel
