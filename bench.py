@@ -163,6 +163,73 @@ HEAVY_REL = [
 ]
 
 
+# AMBIENT PROBES (round-9): the committed local bench has relied on
+# "four runs, keep the quietest" with an eyeball justification (uniform
+# drift across untouched gates) — a biased estimator whose acceptance
+# decision lived in BENCH_NOTES narrative, not in the artifact (round-8
+# verdict, What's wrong #2). These two fixed probes make ambience a
+# MEASUREMENT: one pure-scan-bound gate and one shuffle-bound gate with
+# pinned plans, timed median-of-5 BEFORE the heavy tiers and again
+# AFTER the sweep, each divided by its committed reference
+# (BENCH_PROBE_REF.json, recorded once on a quiet segment). A loaded
+# container shows up as probe ratios >> 1 in the artifact itself;
+# "ambient_flag": "degraded" is the auto-flag (threshold below). The
+# probes reuse two headline gates, so they add ~10 quick runs, not new
+# query surface.
+PROBE_SCAN = "q1_pricing_summary"  # one scan + map-side agg, no join
+PROBE_SHUFFLE = "w1_dedup_latest"  # partitionBy window: shuffle-bound
+PROBE_REPEATS = 5
+AMBIENT_DEGRADED_RATIO = 1.25  # either probe >25% over its reference
+
+
+def _run_probes(qs, spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for label, name in (("scan", PROBE_SCAN), ("shuffle", PROBE_SHUFFLE)):
+        runs = []
+        for _ in range(PROBE_REPEATS):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        out[label] = round(statistics.median(runs), 4)
+    return out
+
+
+def _ambient_block(pre: dict, post: dict, ref_path: str) -> dict:
+    """Assemble the artifact's ambience record. Bootstraps the
+    committed reference on first run (flagged, so a bootstrap run is
+    never silently its own yardstick)."""
+    block: dict = {
+        "probe_pre": pre,
+        "probe_post": post,
+        "scan_gate": PROBE_SCAN,
+        "shuffle_gate": PROBE_SHUFFLE,
+    }
+    if not os.path.exists(ref_path):
+        ref = {
+            "scan": pre["scan"],
+            "shuffle": pre["shuffle"],
+            "recorded_note": "bootstrapped by bench.py; re-record on a "
+            "verified-quiet segment if this run was loaded",
+        }
+        with open(ref_path, "w") as f:
+            json.dump(ref, f, indent=2, sort_keys=True)
+            f.write("\n")
+        block["bootstrapped_reference"] = True
+    with open(ref_path) as f:
+        ref = json.load(f)
+    ratios = {
+        f"{label}_{phase}": round(probes[label] / ref[label], 3)
+        for phase, probes in (("pre", pre), ("post", post))
+        for label in ("scan", "shuffle")
+    }
+    block["reference"] = {"scan": ref["scan"], "shuffle": ref["shuffle"]}
+    block["ratios"] = ratios
+    worst = max(ratios.values())
+    block["worst_ratio"] = worst
+    block["flag"] = "degraded" if worst > AMBIENT_DEGRADED_RATIO else "ok"
+    return block
+
+
 # The driver captures only the LAST ~2000 chars of stdout; round 6's
 # line outgrew that (48 gates + two heavy tiers) and the official
 # artifact recorded "parsed": null. The final line is therefore built
@@ -188,6 +255,12 @@ def build_stdout_line(out_full: dict, budget: int = STDOUT_BUDGET) -> str:
         "sf": out_full["sf"],
         "detail_file": "BENCH_DETAIL.json",
     }
+    if "ambient" in out_full:
+        amb = out_full["ambient"]
+        line["ambient"] = {
+            "worst_ratio": amb["worst_ratio"],
+            "flag": amb["flag"],
+        }
     if "heavy" in out_full:
         line["heavy"] = {
             tier: {"value": h["value"], "queries": h["queries"]}
@@ -237,6 +310,10 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).count()
     qs["w1_dedup_latest"](spark, sf_dir).count()
     qs["text_quality_scores"](spark, sf_dir).count()
+
+    # Ambient probe, phase 1: right after warm-up, before any heavy
+    # work — the cleanest read of what the machine is doing to us.
+    probe_pre = _run_probes(qs, spark, sf_dir)
 
     # Heavy tiers run FIRST (right after warm-up): the A/B data in
     # BENCH_NOTES.md measured a ~10% JVM-aging tax with rising
@@ -299,12 +376,20 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         build[name] = round(time.time() - t0, 3)
 
+    # Ambient probe, phase 2: after the sweep — a segment that got
+    # loaded mid-run shows as post-ratios drifting off the pre-ratios.
+    probe_post = _run_probes(qs, spark, sf_dir)
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PROBE_REF.json"
+    )
+
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "ambient": _ambient_block(probe_pre, probe_post, ref_path),
     }
     if build:
         out["build"] = {

@@ -123,7 +123,9 @@ def funnel(
     for p_ in per_stage[1:]:
         out = out.unionByName(p_)
     # k one-row aggregates; the conversion window runs over k rows —
-    # everything stays lazy, no driver-side counts.
+    # everything stays lazy, no driver-side counts.  The unpartitioned
+    # Window.orderBy below is stage-count-sized by construction (one row per
+    # funnel stage), so the single-partition WindowExec warning is benign.
     w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
     n = F.col("n_users").cast("double")
     prev = F.lag("n_users").over(Window.orderBy("stage_idx")).cast("double")

@@ -156,6 +156,7 @@ def maintain_aggregate_view(
     keys: Sequence[str],
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
+    to_version: int | None = None,
 ) -> int | None:
     """Materialized aggregate maintained OFF THE CHANGE FEED — the
     end-to-end composition of the transactional layer and the IVM
@@ -174,13 +175,20 @@ def maintain_aggregate_view(
     ``view_path`` a WAP table path for the state (created on first
     refresh). Returns the view's new version, or None when the source
     hasn't moved. MIN/MAX stay out, as everywhere in the signed-
-    counting API."""
+    counting API.
+
+    ``to_version`` bounds one refresh to an explicit source version
+    (default: the current tip) — the micro-batch primitive
+    :func:`streaming.cdc_stream.stream_maintain_aggregate_view`
+    drives to consume the change feed incrementally."""
     from pyspark.sql import functions as F
 
     from etl_reporting_spark.operators.wap import WapTable, table_changes
 
     view = WapTable(source.spark, view_path)
-    src_version = source.current_version()
+    src_version = (
+        to_version if to_version is not None else source.current_version()
+    )
     last_rec = view.latest_record() or {}
     cursor = last_rec.get("source_version", 0)
     if cursor >= src_version:
@@ -199,9 +207,7 @@ def maintain_aggregate_view(
         delta = cdf_signed_delta(changes).select(*group_cols, *sum_cols, "__w")
         old_state = view.read()
         state = ivm_agg_refresh(old_state, delta, group_cols, sum_cols)
-    import os
-
-    os.makedirs(view_path, exist_ok=True)
+    view.fs.prepare_root()
     return view.commit(
         state,
         operation="refresh",

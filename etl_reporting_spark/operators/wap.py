@@ -39,6 +39,17 @@ still see the previous snapshot (tests simulate the crash at every
 step). ``vacuum()`` removes unreferenced snapshot dirs older than the
 retention horizon.
 
+Storage: BOTH planes are seamed away from POSIX. The commit log needs
+one CAS primitive (:class:`CommitStore` — ``os.link`` locally, one
+conditional PUT on S3/GCS/ABFS); the DATA PLANE (listing snapshot
+files, deleting dead dirs, aging orphans) goes through
+:class:`~etl_reporting_spark.operators.table_storage.TableStorage`,
+whose verbs are exactly the object-store API (prefix LIST, per-object
+DELETE/LastModified — no rename, no mkdir, no directory mtime), and
+vacuum ages superseded snapshots by the commit records' own
+``committed_at``, not filesystem mtime. The full test suite runs
+parameterized over the POSIX and blob-semantics backends.
+
 Scale notes: the protocol is metadata-only — publish cost is one
 CAS-class operation regardless of table size, which is why
 Delta/Iceberg scale it to petabytes. :class:`WapTable` rewrites the
@@ -56,12 +67,24 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import time
 import uuid
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+from etl_reporting_spark.operators.table_storage import (
+    BlobStorage,
+    LocalDirObjectStore,
+    LocalFSStorage,
+    TableStorage,
+    is_external as _is_external,
+)
+
+#: factory the table handles use when no explicit ``storage=`` is
+#: given — tests parameterize the whole WAP suite over backends by
+#: swapping this for :class:`BlobStorage`
+_default_storage_factory = LocalFSStorage
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -390,11 +413,19 @@ class WapTable:
     :class:`PartitionedWapTable`)."""
 
     def __init__(
-        self, spark: SparkSession, path: str, store: CommitStore | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        store: CommitStore | None = None,
+        storage: TableStorage | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
-        self.store = store or LocalFSCommitStore(os.path.join(path, "_wap"))
+        # the DATA-PLANE seam: every list/delete/age the table does
+        # goes through self.fs (never os.*/shutil directly), so the
+        # table works identically on POSIX and object-store semantics
+        self.fs = storage if storage is not None else _default_storage_factory(path)
+        self.store = store or self.fs.default_commit_store()
 
     # ------------------------------------------------------------ read
     def current_version(self) -> int:
@@ -415,7 +446,7 @@ class WapTable:
         if v == 0:
             raise FileNotFoundError(f"no committed WAP table at {self.path}")
         rec = self._commit_record(v)
-        return self.spark.read.parquet(os.path.join(self.path, rec["data_dir"]))
+        return self.spark.read.parquet(self.fs.resolve(rec["data_dir"]))
 
     def history(self) -> list[dict]:
         return [self._commit_record(v) for v in range(1, self.current_version() + 1)]
@@ -446,10 +477,10 @@ class WapTable:
 
         # 1. WRITE — to a fresh dir no reader can resolve yet
         out = df.coalesce(n_files) if n_files else df
-        out.write.mode("error").parquet(os.path.join(self.path, data_dir))
+        out.write.mode("error").parquet(self.fs.url(data_dir))
 
         # 2. AUDIT — against the files actually on disk
-        written = self.spark.read.parquet(os.path.join(self.path, data_dir))
+        written = self.spark.read.parquet(self.fs.url(data_dir))
         n = written.count()
         try:
             if expected_rows is not None and n != expected_rows:
@@ -459,7 +490,7 @@ class WapTable:
             for check in audits or ():
                 check(written)
         except Exception:
-            shutil.rmtree(os.path.join(self.path, data_dir), ignore_errors=True)
+            self.fs.delete_prefix(data_dir)
             raise
 
         # 3. PUBLISH — atomic create-if-absent of the commit record
@@ -477,7 +508,7 @@ class WapTable:
             self._publish(record)
         except ConcurrentWriteError:
             # loser cleans its orphan snapshot
-            shutil.rmtree(os.path.join(self.path, data_dir), ignore_errors=True)
+            self.fs.delete_prefix(data_dir)
             raise
         return new_version
 
@@ -523,40 +554,88 @@ class WapTable:
             for v in range(max(1, current - keep_last + 1), current + 1)
         }
 
+    @staticmethod
+    def _record_pointers(rec: dict) -> list[str]:
+        """Every storage pointer a commit record references — the
+        input to vacuum's reference/aging computation."""
+        return [rec["data_dir"]] if "data_dir" in rec else []
+
+    def _entry_age(
+        self, rel: str, records: Sequence[dict], now: float
+    ) -> float | None:
+        """Vacuum-safety age of an UNREFERENCED storage entry.
+
+        Entries that appear in commit history age from the commit
+        that SUPERSEDED them — the ``committed_at`` of the first
+        record after their last reference. Commit timestamps travel
+        with the log, so this is meaningful on object stores, where
+        directory mtime (the pre-round-9 aging signal) does not
+        exist. Entries never referenced by ANY record — a crashed or
+        in-flight writer's step-1 debris — fall back to the newest
+        per-object LastModified under them (every object store stamps
+        objects; only directories lack mtimes), and return None
+        (= keep: it may be a writer mid-commit) when storage has no
+        age signal at all."""
+        last_ref = 0
+        for v, rec in enumerate(records, start=1):
+            for p in self._record_pointers(rec):
+                if p == rel or p.startswith(rel + "/") or rel.startswith(p + "/"):
+                    last_ref = v
+                    break
+        if last_ref:
+            if last_ref >= len(records):
+                return 0.0  # referenced by the tip: alive, age zero
+            return now - float(
+                records[last_ref].get("committed_at") or now
+            )
+        mts = [
+            m
+            for m in (
+                self.fs.last_modified(k)
+                for k in (*self.fs.list_prefix(rel), rel)
+            )
+            if m is not None
+        ]
+        return (now - max(mts)) if mts else None
+
     def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove snapshot dirs not referenced by the last
         ``keep_last`` commits (and crash orphans). Returns removed
         dir names. Like Delta VACUUM, this bounds time travel.
 
         ``min_age_seconds`` is the safety horizon (Delta's retention
-        check): an unreferenced dir younger than it is SKIPPED,
+        check): an unreferenced entry younger than it is SKIPPED,
         because it may be a concurrent writer's in-flight snapshot —
         written in step 1, not yet published in step 3. Deleting it
         would fail that writer's audit, or worse, orphan a commit
         record published a moment later. Set 0 only when no other
         writer can be active (tests, single-writer maintenance
-        windows)."""
+        windows). Age comes from COMMIT TIMESTAMPS (see
+        :meth:`_entry_age`), not filesystem mtime — the horizon works
+        unchanged on object stores. Metadata cost: one pass over the
+        commit log (vacuum is a maintenance cadence, not a hot path).
+        """
         keep = self._referenced_dirs(keep_last)
+        records = [
+            self._commit_record(v)
+            for v in range(1, self.current_version() + 1)
+        ]
         removed = []
         now = time.time()
-        for entry in os.listdir(self.path):
+        for entry in self.fs.top_roots():
             if not (entry.startswith("v") and "-" in entry) or entry in keep:
                 continue
-            full = os.path.join(self.path, entry)
-            try:
-                age = now - os.path.getmtime(full)
-            except OSError:
-                continue
-            if age < min_age_seconds:
+            age = self._entry_age(entry, records, now)
+            if age is None or age < min_age_seconds:
                 continue  # possibly a concurrent writer mid-commit
-            shutil.rmtree(full, ignore_errors=True)
+            self.fs.delete_prefix(entry)
             removed.append(entry)
         # Stale temp commit records: a writer hard-killed between
         # writing its temp record and the CAS never reaches the
         # finally-unlink, so debris would accumulate forever. Same
         # age horizon — a young temp may belong to a live writer.
         removed.extend(
-            os.path.join("_wap", e) for e in self.store.clean_temp(min_age_seconds)
+            "_wap/" + e for e in self.store.clean_temp(min_age_seconds)
         )
         return removed
 
@@ -646,23 +725,6 @@ def _root_of(rel: str) -> str:
     return parts[0]
 
 
-def _leaf_partition_dirs(root: str) -> list[str]:
-    """Relative paths of hive-style leaf partition dirs under
-    ``root`` (every path component ``k=v``, contains data files)."""
-    leaves = []
-    for dirpath, dirnames, filenames in os.walk(root):
-        rel = os.path.relpath(dirpath, root)
-        if rel == ".":
-            continue
-        parts = rel.split(os.sep)
-        if not all("=" in p for p in parts):
-            dirnames[:] = []  # don't descend into non-partition dirs
-            continue
-        if any(f.endswith(".parquet") for f in filenames):
-            leaves.append(rel)
-    return sorted(leaves)
-
-
 class PartitionedWapTable(WapTable):
     """WAP table with PARTITION-SCOPED commits — the fact-scale MERGE
     layout (round-5 verdict "What's missing" #1).
@@ -709,8 +771,9 @@ class PartitionedWapTable(WapTable):
         path: str,
         partition_by: Sequence[str],
         store: CommitStore | None = None,
+        storage: TableStorage | None = None,
     ) -> None:
-        super().__init__(spark, path, store=store)
+        super().__init__(spark, path, store=store, storage=storage)
         self.partition_by = list(partition_by)
 
     # ------------------------------------------------------------ read
@@ -743,11 +806,11 @@ class PartitionedWapTable(WapTable):
             raise KeyError(f"unknown partition: {key}")
         if isinstance(ptr, tuple):
             return list(ptr)
-        full = os.path.join(self.path, ptr)
+        # dir-granular pointer: list the immutable leaf. resolve()
+        # passes clone-inherited EXTERNAL pointers through, so the
+        # LIST runs against the clone source's location.
         return sorted(
-            f"{ptr}/{f}"
-            for f in os.listdir(full)
-            if f.endswith(".parquet")
+            f"{ptr}/{f}" for f in self.fs.list_files_at(self.fs.resolve(ptr))
         )
 
     def live_commit_roots(self, version: int | None = None) -> list[str]:
@@ -822,7 +885,7 @@ class PartitionedWapTable(WapTable):
         by_root: dict[str, list[str]] = {}
         for rel in rel_paths:
             root = _root_of(rel)
-            by_root.setdefault(root, []).append(os.path.join(self.path, rel))
+            by_root.setdefault(root, []).append(self.fs.resolve(rel))
         if warn_width and len(by_root) > self.max_read_roots:
             import warnings
 
@@ -848,7 +911,7 @@ class PartitionedWapTable(WapTable):
         frames = []
         for root, leaves in sorted(by_root.items()):
             f = self.spark.read.option(
-                "basePath", os.path.join(self.path, root)
+                "basePath", self.fs.resolve(root)
             ).parquet(*sorted(leaves))
             if need_lineage:
                 # (?:^|/) pins the anchor to a PATH COMPONENT boundary
@@ -879,7 +942,7 @@ class PartitionedWapTable(WapTable):
             # match) — so the union of referenced sidecars masks
             # exactly right.
             dv = self.spark.read.parquet(
-                *sorted(os.path.join(self.path, d) for d in set(dvs.values()))
+                *sorted(self.fs.resolve(d) for d in set(dvs.values()))
             ).select(
                 F.col("file_key").alias("__file"),
                 F.col("row_index").alias("__ridx"),
@@ -940,16 +1003,16 @@ class PartitionedWapTable(WapTable):
         bounds without listing a file."""
         base = base_version if base_version is not None else self.current_version()
         root = f"d-{uuid.uuid4().hex[:12]}"
-        root_path = os.path.join(self.path, root)
+        root_path = self.fs.url(root)
 
         # 1. WRITE — hive layout under a fresh uuid root (no version
         # in the name: rebase re-points these dirs without rewrite)
-        os.makedirs(self.path, exist_ok=True)
+        self.fs.prepare_root()
         df.write.partitionBy(*self.partition_by).mode("error").parquet(root_path)
-        written = _leaf_partition_dirs(root_path)
+        written = self.fs.leaf_partition_dirs(root)
         touched = sorted(set(replace) | set(written)) if replace is not None else written
         if replace is not None and not set(written) <= set(replace):
-            shutil.rmtree(root_path, ignore_errors=True)
+            self.fs.delete_prefix(root)
             raise AuditError(
                 f"wrote partitions outside the declared replace set: "
                 f"{sorted(set(written) - set(replace))} — an UPDATE must not "
@@ -966,7 +1029,7 @@ class PartitionedWapTable(WapTable):
         try:
             if written:
                 back = self.spark.read.option("basePath", root_path).parquet(
-                    *(os.path.join(root_path, w) for w in written)
+                    *(self.fs.url(f"{root}/{w}") for w in written)
                 )
                 back = back.select(
                     *[
@@ -984,7 +1047,7 @@ class PartitionedWapTable(WapTable):
             for check in audits or ():
                 check(back)
         except Exception:
-            shutil.rmtree(root_path, ignore_errors=True)
+            self.fs.delete_prefix(root)
             raise
 
         ours = {w: f"{root}/{w}" for w in written}
@@ -1064,7 +1127,7 @@ class PartitionedWapTable(WapTable):
                 latest = self.current_version()
                 conflict = self._conflicting_partitions(base, latest, touched)
                 if conflict or attempt > max_rebase:
-                    shutil.rmtree(root_path, ignore_errors=True)
+                    self.fs.delete_prefix(root)
                     if conflict:
                         raise ConcurrentWriteError(
                             f"partitions {sorted(conflict)} were committed by "
@@ -1126,8 +1189,6 @@ class PartitionedWapTable(WapTable):
         output bounded by |written files|. These stats are what lets
         ``merge_partition_files`` rewrite a strict subset of a
         partition's files for a narrow-key upsert."""
-        from urllib.parse import unquote, urlparse
-
         from pyspark.sql import functions as F
 
         aggs = []
@@ -1150,12 +1211,9 @@ class PartitionedWapTable(WapTable):
                 return str(v)
             return v
 
-        table_abs = os.path.abspath(self.path)
         out: dict[str, dict[str, list]] = {}
         for r in rows:
-            p = unquote(urlparse(r["__file"]).path)
-            rel = os.path.relpath(p, table_abs)
-            out[rel.replace(os.sep, "/")] = {
+            out[self.fs.relativize(r["__file"])] = {
                 c: [safe(r[f"__lo_{c}"]), safe(r[f"__hi_{c}"])]
                 for c in stats_cols
             }
@@ -1210,13 +1268,13 @@ class PartitionedWapTable(WapTable):
             )
 
         root = f"d-{uuid.uuid4().hex[:12]}"
-        root_path = os.path.join(self.path, root)
+        root_path = self.fs.url(root)
 
         # 1. WRITE — hive layout; must land in exactly `partition`
         df.write.partitionBy(*self.partition_by).mode("error").parquet(root_path)
-        written_leaves = _leaf_partition_dirs(root_path)
+        written_leaves = self.fs.leaf_partition_dirs(root)
         if written_leaves not in ([], [partition]):
-            shutil.rmtree(root_path, ignore_errors=True)
+            self.fs.delete_prefix(root)
             raise AuditError(
                 f"file-granular commit into {partition!r} wrote other "
                 f"partitions: {sorted(set(written_leaves) - {partition})}"
@@ -1224,11 +1282,10 @@ class PartitionedWapTable(WapTable):
         new_files = sorted(
             f"{root}/{partition}/{f}"
             for f in (
-                os.listdir(os.path.join(root_path, partition))
+                self.fs.list_files(f"{root}/{partition}")
                 if written_leaves
                 else ()
             )
-            if f.endswith(".parquet")
         )
 
         # 2. AUDIT — read back the new files
@@ -1237,7 +1294,7 @@ class PartitionedWapTable(WapTable):
         try:
             if new_files:
                 back = self.spark.read.option("basePath", root_path).parquet(
-                    *(os.path.join(self.path, f) for f in new_files)
+                    *(self.fs.url(f) for f in new_files)
                 )
                 back = back.select(
                     *[
@@ -1255,7 +1312,7 @@ class PartitionedWapTable(WapTable):
             for check in audits or ():
                 check(back)
         except Exception:
-            shutil.rmtree(root_path, ignore_errors=True)
+            self.fs.delete_prefix(root)
             raise
 
         our_file_stats = (
@@ -1340,7 +1397,7 @@ class PartitionedWapTable(WapTable):
                     base, latest, partition, replace_files
                 )
                 if conflict or attempt > max_rebase:
-                    shutil.rmtree(root_path, ignore_errors=True)
+                    self.fs.delete_prefix(root)
                     if conflict:
                         raise ConcurrentWriteError(
                             f"files {sorted(conflict)} of partition "
@@ -1531,7 +1588,7 @@ class PartitionedWapTable(WapTable):
                 if n_files == 1
                 else out.repartition(n_files, "file_key", "row_index")
             )
-            sized.write.parquet(os.path.join(self.path, dv_rel))
+            sized.write.parquet(self.fs.url(dv_rel))
         finally:
             out.unpersist()
         return n_rows
@@ -1601,7 +1658,7 @@ class PartitionedWapTable(WapTable):
         paths: list[str] = []
         for k in present:
             paths.extend(self.partition_files(k, version=base))
-        shared = sorted(p for p in paths if os.path.isabs(p))
+        shared = sorted(p for p in paths if _is_external(p))
         if shared:
             raise ValueError(
                 "row-granular mutation of files still SHARED with a clone "
@@ -1649,27 +1706,27 @@ class PartitionedWapTable(WapTable):
                     if prior_refs:
                         prior = (
                             self.spark.read.parquet(
-                                *[os.path.join(self.path, d) for d in prior_refs]
+                                *[self.fs.resolve(d) for d in prior_refs]
                             )
                             .filter(F.col("relfile").isin(masked))
                             .select("file_key", "relfile", "row_index")
                         )
                         dv_df = dv_df.unionByName(prior)
                     dv_rel = f"{root}/_dv"
-                    os.makedirs(self.path, exist_ok=True)
+                    self.fs.prepare_root()
                     self._write_dv_sidecar(dv_df, dv_rel)
             finally:
                 matched.unpersist()
 
         # 2. APPEND — every source row as new files under the same root
-        root_path = os.path.join(self.path, root)
-        os.makedirs(self.path, exist_ok=True)
+        root_path = self.fs.url(root)
+        self.fs.prepare_root()
         source.write.partitionBy(*self.partition_by).mode("append").parquet(
             root_path
         )
-        written = _leaf_partition_dirs(root_path)
+        written = self.fs.leaf_partition_dirs(root)
         if not set(written) <= set(touched_pkeys):
-            shutil.rmtree(root_path, ignore_errors=True)
+            self.fs.delete_prefix(root)
             raise AuditError(
                 "source wrote partitions outside its declared values: "
                 f"{sorted(set(written) - set(touched_pkeys))}"
@@ -1678,8 +1735,7 @@ class PartitionedWapTable(WapTable):
         for leaf in written:
             new_files[leaf] = sorted(
                 f"{root}/{leaf}/{f}"
-                for f in os.listdir(os.path.join(root_path, leaf))
-                if f.endswith(".parquet")
+                for f in self.fs.list_files(f"{root}/{leaf}")
             )
         back = (
             # NEW files can't be masked by the base version's vectors,
@@ -1703,7 +1759,7 @@ class PartitionedWapTable(WapTable):
         )
         n_inserted = n_source - n_matched_keys
         if n_source == 0 and n_matched == 0:
-            shutil.rmtree(root_path, ignore_errors=True)
+            self.fs.delete_prefix(root)
             return (base, 0, 0)
 
         masked_by_pkey: dict[str, list[str]] = {}
@@ -1786,7 +1842,7 @@ class PartitionedWapTable(WapTable):
                         base, latest, k, masked_by_pkey.get(k, [])
                     )
                 if conflict or attempt > max_rebase:
-                    shutil.rmtree(root_path, ignore_errors=True)
+                    self.fs.delete_prefix(root)
                     if conflict:
                         raise ConcurrentWriteError(
                             f"files {sorted(conflict)} were committed by "
@@ -1879,7 +1935,7 @@ class PartitionedWapTable(WapTable):
         paths: list[str] = []
         for k in pkeys:
             paths.extend(self.partition_files(k, version=base))
-        shared = sorted(p for p in paths if os.path.isabs(p))
+        shared = sorted(p for p in paths if _is_external(p))
         if shared:
             raise ValueError(
                 "row-granular mutation of files still SHARED with a clone "
@@ -1933,7 +1989,7 @@ class PartitionedWapTable(WapTable):
             if prior_refs:
                 prior = (
                     self.spark.read.parquet(
-                        *[os.path.join(self.path, d) for d in prior_refs]
+                        *[self.fs.resolve(d) for d in prior_refs]
                     )
                     .filter(F.col("relfile").isin(masked))
                     .select("file_key", "relfile", "row_index")
@@ -1941,7 +1997,7 @@ class PartitionedWapTable(WapTable):
                 dv_df = dv_df.unionByName(prior)
             root = f"d-{uuid.uuid4().hex[:12]}"
             dv_rel = f"{root}/_dv"
-            os.makedirs(self.path, exist_ok=True)
+            self.fs.prepare_root()
             self._write_dv_sidecar(dv_df, dv_rel)
         finally:
             new_rows.unpersist()
@@ -1983,9 +2039,7 @@ class PartitionedWapTable(WapTable):
                 for k, fl in touched_files.items():
                     conflict |= self._conflicting_files(base, latest, k, fl)
                 if conflict or attempt > max_rebase:
-                    shutil.rmtree(
-                        os.path.join(self.path, root), ignore_errors=True
-                    )
+                    self.fs.delete_prefix(root)
                     if conflict:
                         raise ConcurrentWriteError(
                             f"files {sorted(conflict)} were rewritten or "
@@ -2038,7 +2092,7 @@ class PartitionedWapTable(WapTable):
         # deleted rows silently resurrected in the clone
         mask_keys = sorted({_dv_key_of(f) for f in masked})
         union = self.spark.read.parquet(
-            *sorted(os.path.join(self.path, d) for d in set(dvs.values()))
+            *sorted(self.fs.resolve(d) for d in set(dvs.values()))
         ).filter(F.col("relfile").isin(mask_keys))
         root = f"d-{uuid.uuid4().hex[:12]}"
         dv_rel = f"{root}/_dv"
@@ -2081,9 +2135,7 @@ class PartitionedWapTable(WapTable):
                 for k, fl in touched_files.items():
                     conflict |= self._conflicting_files(base, latest, k, fl)
                 if conflict or attempt > max_rebase:
-                    shutil.rmtree(
-                        os.path.join(self.path, root), ignore_errors=True
-                    )
+                    self.fs.delete_prefix(root)
                     if conflict:
                         raise ConcurrentWriteError(
                             f"files {sorted(conflict)} were rewritten or "
@@ -2243,13 +2295,31 @@ class PartitionedWapTable(WapTable):
         return conflict
 
     # ------------------------------------------------------- housekeep
+    @staticmethod
+    def _record_pointers(rec: dict) -> list[str]:
+        """Every storage pointer a partitioned commit record
+        references: dir-granular partition pointers, file-granular
+        lists, and delete-vector sidecar dirs. Clone-inherited
+        EXTERNAL pointers are included but can never match a local
+        table-relative vacuum candidate, which is correct — they live
+        in the source table, outside this table's storage."""
+        out: list[str] = list(rec.get("partitions", {}).values())
+        for fl in rec.get("files", {}).values():
+            out.extend(fl)
+        out.extend(rec.get("delete_vectors", {}).values())
+        return out
+
     def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[str]:
         """Partition- and FILE-granular retention: a leaf dir is
         removable when NO commit in the keep window references it (as
         a dir or through any of its files); a leaf referenced only
         file-granularly keeps exactly the referenced files; a ``d-*``
         root goes once all its leaves have. The age horizon protects
-        in-flight writers exactly as in the snapshot case."""
+        in-flight writers exactly as in the snapshot case — measured
+        from COMMIT TIMESTAMPS (:meth:`WapTable._entry_age`), with
+        per-object LastModified only as the never-referenced-orphan
+        fallback, so the horizon is meaningful on object stores where
+        directory mtime does not exist."""
         current = self.current_version()
         keep: set[str] = set()
         keep_files: set[str] = set()
@@ -2261,51 +2331,49 @@ class PartitionedWapTable(WapTable):
                 keep_files.update(files)
             for dv_rel in rec.get("delete_vectors", {}).values():
                 keep_dv_roots.add(dv_rel.split("/", 1)[0])
+        records = [self._commit_record(v) for v in range(1, current + 1)]
         removed = []
         now = time.time()
-        for entry in os.listdir(self.path):
-            full = os.path.join(self.path, entry)
-            if not entry.startswith("d-") or not os.path.isdir(full):
+        for entry in self.fs.top_roots():
+            if not entry.startswith("d-"):
                 continue
-            for leaf in _leaf_partition_dirs(full):
+            for leaf in self.fs.leaf_partition_dirs(entry):
                 rel = f"{entry}/{leaf}"
                 if rel in keep:
                     continue
-                leaf_full = os.path.join(full, leaf)
                 leaf_live = {
                     f for f in keep_files if f.rsplit("/", 1)[0] == rel
                 }
-                try:
-                    if now - os.path.getmtime(leaf_full) < min_age_seconds:
-                        continue
-                except OSError:
-                    continue
                 if leaf_live:
-                    # partially referenced: drop only the dead files
-                    for fname in sorted(os.listdir(leaf_full)):
+                    # partially referenced: drop only the dead files,
+                    # each aged individually (a file referenced by the
+                    # tip — dir- or file-granularly — ages 0 and stays)
+                    for fname in self.fs.list_files(rel):
                         frel = f"{rel}/{fname}"
-                        if not fname.endswith(".parquet") or frel in keep_files:
+                        if frel in keep_files:
                             continue
-                        try:
-                            os.remove(os.path.join(leaf_full, fname))
+                        fage = self._entry_age(frel, records, now)
+                        if fage is None or fage < min_age_seconds:
+                            continue
+                        if self.fs.delete_key(frel):
                             removed.append(frel)
-                        except OSError:
-                            pass
                     continue
-                shutil.rmtree(leaf_full, ignore_errors=True)
+                age = self._entry_age(rel, records, now)
+                if age is None or age < min_age_seconds:
+                    continue
+                self.fs.delete_prefix(rel)
                 removed.append(rel)
-            if not _leaf_partition_dirs(full) and entry not in keep_dv_roots:
-                # delete-vector sidecar roots carry no hive leaves at
-                # all — removable only once no commit in the keep
-                # window references their vectors
-                try:
-                    if now - os.path.getmtime(full) >= min_age_seconds:
-                        shutil.rmtree(full, ignore_errors=True)
-                        removed.append(entry)
-                except OSError:
-                    pass
+            if entry in keep_dv_roots or self.fs.leaf_partition_dirs(entry):
+                continue
+            # delete-vector sidecar roots carry no hive leaves at
+            # all — removable only once no commit in the keep
+            # window references their vectors
+            age = self._entry_age(entry, records, now)
+            if age is not None and age >= min_age_seconds:
+                self.fs.delete_prefix(entry)
+                removed.append(entry)
         removed.extend(
-            os.path.join("_wap", e) for e in self.store.clean_temp(min_age_seconds)
+            "_wap/" + e for e in self.store.clean_temp(min_age_seconds)
         )
         return removed
 
@@ -2521,10 +2589,12 @@ def clone_table(
         raise TypeError("clone_table supports partitioned WAP tables")
     v = version if version is not None else src.current_version()
     rec = src._commit_record(v)
-    src_abs = os.path.abspath(src_path)
+    src_abs = src.fs.absolute_url()
 
     def absf(rel: str) -> str:
-        return rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+        # already-external pointers (a clone of a clone) pass through;
+        # source-relative ones become fully-qualified source locations
+        return rel if _is_external(rel) else src.fs.absolute_url(rel)
 
     dst = PartitionedWapTable(
         spark, dst_path, rec.get("partition_by", src.partition_by)
@@ -2554,7 +2624,7 @@ def clone_table(
         record["delete_vectors"] = {
             absf(f): absf(d) for f, d in rec["delete_vectors"].items()
         }
-    os.makedirs(dst_path, exist_ok=True)
+    dst.fs.prepare_root()
     dst._publish(record)
     return dst
 
@@ -2774,14 +2844,16 @@ def auto_optimize(
 
 
 # ----------------------------------------------------------- utilities
-def open_wap_table(spark: SparkSession, path: str) -> WapTable:
+def open_wap_table(
+    spark: SparkSession, path: str, storage: TableStorage | None = None
+) -> WapTable:
     """Handle to an existing WAP table, detecting its layout from the
     latest commit record: a ``partitions`` map means
     :class:`PartitionedWapTable` (partition_by recovered from the map
     keys), otherwise the full-snapshot :class:`WapTable` — so callers
     that only hold a path (SQL view registration, maintenance jobs)
     need not know which writer created the table."""
-    table = WapTable(spark, path)
+    table = WapTable(spark, path, storage=storage)
     rec = table.latest_record()
     if rec is not None and "partitions" in rec:
         cols = rec.get("partition_by")
@@ -2800,7 +2872,9 @@ def open_wap_table(spark: SparkSession, path: str) -> WapTable:
                     "path, partition_by=[...]) instead"
                 )
             cols = [part.split("=", 1)[0] for part in keys[0].split("/")]
-        return PartitionedWapTable(spark, path, cols)
+        return PartitionedWapTable(
+            spark, path, cols, store=table.store, storage=table.fs
+        )
     return table
 
 
@@ -2818,10 +2892,15 @@ def register_wap_view(
     return table
 
 
-def create_wap_table(spark: SparkSession, path: str, df: DataFrame) -> WapTable:
+def create_wap_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    storage: TableStorage | None = None,
+) -> WapTable:
     """Initialize a WAP table with version 1 = ``df``."""
-    os.makedirs(path, exist_ok=True)
-    table = WapTable(spark, path)
+    table = WapTable(spark, path, storage=storage)
+    table.fs.prepare_root()
     if table.current_version() != 0:
         raise FileExistsError(f"WAP table already exists at {path}")
     table.commit(df, operation="create")
@@ -2835,10 +2914,13 @@ def create_partitioned_wap_table(
     partition_by: Sequence[str],
     store: CommitStore | None = None,
     stats_cols: Sequence[str] | None = None,
+    storage: TableStorage | None = None,
 ) -> PartitionedWapTable:
     """Initialize a partitioned WAP table with version 1 = ``df``."""
-    os.makedirs(path, exist_ok=True)
-    table = PartitionedWapTable(spark, path, partition_by, store=store)
+    table = PartitionedWapTable(
+        spark, path, partition_by, store=store, storage=storage
+    )
+    table.fs.prepare_root()
     if table.current_version() != 0:
         raise FileExistsError(f"WAP table already exists at {path}")
     table.commit_partitions(df, operation="create", stats_cols=stats_cols)

@@ -413,6 +413,47 @@ FROM customer WHERE c_custkey > 120 AND c_custkey <= 140
 ORDER BY c_custkey, _change_type
 """
 
+ORACLE_SQL["wap_cdf_stream_ivm"] = """
+-- Rebuild twin of the STREAMED aggregate view: final visible rows of
+-- the create -> DV-delete(%4) -> DV-merge((100,160], +25) ->
+-- DV-delete(%9) chain, aggregated directly. Keys <= 100 survive both
+-- deletes at original balance; every merge-source key (100, 160]
+-- (including %4-deleted keys it re-inserts) carries +25 and then
+-- faces the %9 delete.
+WITH final AS (
+  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+  WHERE c_custkey <= 100 AND c_custkey % 4 <> 0 AND c_custkey % 9 <> 0
+  UNION ALL
+  SELECT c_mktsegment, CAST(c_acctbal + 25.0 AS DECIMAL(18,2)) AS bal
+  FROM customer
+  WHERE c_custkey > 100 AND c_custkey <= 160 AND c_custkey % 9 <> 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(bal) AS DOUBLE) AS sum_acctbal
+FROM final
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["wap_sql_surface"] = """
+-- spark.sql over version-pinned WAP views: v1 = base (keys <= 200),
+-- v2 = base minus the DV-deleted keys (divisible by 3); decimal-exact
+-- segment sums at both snapshots.
+SELECT snapshot, c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM (
+  SELECT CAST(1 AS INTEGER) AS snapshot, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey <= 200
+  UNION ALL
+  SELECT CAST(2 AS INTEGER) AS snapshot, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey <= 200 AND c_custkey % 3 <> 0
+)
+GROUP BY snapshot, c_mktsegment
+ORDER BY snapshot, c_mktsegment
+"""
+
 ORACLE_SQL["u1_union_distinct"] = """
 SELECT user_id FROM events WHERE event_type = 'purchase'
 UNION

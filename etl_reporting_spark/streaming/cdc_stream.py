@@ -311,6 +311,69 @@ def streaming_upsert_dv(
     return foreach_batch_upsert(stream, checkpoint_dir, upsert)
 
 
+def stream_maintain_aggregate_view(
+    source,
+    view_path: str,
+    keys: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    max_versions_per_batch: int = 1,
+) -> list[int]:
+    """The WAP change feed as an INCREMENTAL STREAMING SOURCE
+    (round-9 brief #5): drain the source table's commit log from the
+    consumer's bookmark to the current tip in per-version-range
+    micro-batches — ``Trigger.AvailableNow`` semantics over
+    ``table_changes`` — maintaining the downstream aggregate view
+    with each batch.
+
+    Exactly-once version bookmarking is the same pattern as
+    :func:`streaming_wap_upsert`'s epoch replay, one level up: the
+    cursor is not a separate checkpoint file but rides INSIDE the
+    view's own commit record (``source_version``), written atomically
+    with the state it describes. A crash after a batch's commit but
+    before the next loop iteration replays nothing — the next run
+    reads the committed cursor and resumes exactly past it; a crash
+    mid-batch re-runs that batch from the same cursor against the
+    same immutable source versions (deterministic CDF → identical
+    state). At-least-once driving composes to exactly-once view
+    state, with no state outside the two commit logs.
+
+    Each micro-batch costs ∝ the files churned in its version range
+    (``table_changes`` diffs pointers, never inherited data) plus a
+    state-sized merge — at 100 TB the stream tails a years-deep fact
+    for the price of its churn. ``max_versions_per_batch`` caps how
+    many source commits one batch folds together (more = fewer state
+    merges, less = finer failure granularity).
+
+    Deliberately NOT a ``pyspark.sql.datasource`` streaming source:
+    that API yields Python rows per partition, which would funnel the
+    CDF's distributed diff join through the driver — the
+    foreachBatch-style driver loop keeps every batch a full Catalyst
+    plan. Returns the view versions committed (empty when the source
+    hadn't moved)."""
+    from etl_reporting_spark.operators.incremental import (
+        maintain_aggregate_view,
+    )
+    from etl_reporting_spark.operators.wap import WapTable
+
+    if max_versions_per_batch < 1:
+        raise ValueError("max_versions_per_batch must be >= 1")
+    applied: list[int] = []
+    while True:
+        view = WapTable(source.spark, view_path, storage=None)
+        cursor = (view.latest_record() or {}).get("source_version", 0)
+        tip = source.current_version()
+        if cursor >= tip:
+            return applied
+        to_v = min(cursor + max_versions_per_batch, tip)
+        v = maintain_aggregate_view(
+            source, view_path, keys, group_cols, sum_cols, to_version=to_v
+        )
+        if v is None:  # defensive: cursor raced past to_v
+            return applied
+        applied.append(v)
+
+
 def streaming_dedup_screen(
     doc_stream: DataFrame,
     corpus_docs: DataFrame,

@@ -19,3 +19,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(params=["localfs", "blob"])
+def wap_storage_backend(request, monkeypatch):
+    """Parameterize WAP tests over the two data-plane storage
+    backends: POSIX (``LocalFSStorage`` — the historical layout) and
+    object-store semantics (``BlobStorage`` — flat-key LIST,
+    per-object DELETE/LastModified, mkdir-is-a-no-op, commit log on a
+    conditional-PUT ObjectStoreCommitStore). WAP test modules opt in
+    with ``pytestmark = pytest.mark.usefixtures("wap_storage_backend")``
+    — passing under BOTH params is the executable proof the table
+    code never relies on POSIX filesystem semantics."""
+    if request.param == "blob":
+        from etl_reporting_spark.operators import table_storage, wap
+
+        monkeypatch.setattr(
+            wap, "_default_storage_factory", table_storage.BlobStorage
+        )
+    return request.param

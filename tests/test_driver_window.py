@@ -27,9 +27,9 @@ EXPECTED_WINDOW = [
     "a8_error_rate_by_type",
     "a9_outlier_events",
     "u2_period_rollup",
-    "o3_top_orders",
+    "wap_sql_surface",
     "j7_scalar_config_join",
-    "a10_conditional_insert",
+    "wap_cdf_stream_ivm",
     "wap_dv_lifecycle",
     "u4_union_by_name",
     "f2_count_difference",
@@ -140,3 +140,20 @@ def test_every_query_has_oracle_or_is_documented():
     oracles = set(entry.oracle_sql())
     assert oracles <= names, f"orphan oracles: {sorted(oracles - names)}"
     assert names == oracles, f"gates without oracle: {sorted(names - oracles)}"
+
+
+def test_window_split_contains_the_round9_rotation():
+    """Round-9 rotation: the two new WAP capabilities are
+    driver-verified — wap_sql_surface (spark.sql over version-pinned
+    WAP views) and wap_cdf_stream_ivm (the change feed as an
+    exactly-once incremental stream maintaining an IVM aggregate).
+    Rotated out with 4+ rounds of driver-green history
+    (CORRECTNESS_r05-r08): o3_top_orders (O1 ordering runs inside
+    every gate) and a10_conditional_insert (the aggregate family
+    keeps seven driver-green representatives)."""
+    new_r9 = {"wap_sql_surface", "wap_cdf_stream_ivm"}
+    assert new_r9 <= set(EXPECTED_WINDOW)
+    rotated_out = {"o3_top_orders", "a10_conditional_insert"}
+    names = list(entry.queries())
+    assert rotated_out.isdisjoint(EXPECTED_WINDOW)
+    assert rotated_out <= set(names[50:])  # still present, locally verified

@@ -348,3 +348,101 @@ def test_materialized_view_maintained_off_the_change_feed(spark, tmp_path):
         keys=["id"], stats_col="id",
     )
     assert check() is not None           # file-granular rewrite via the feed
+
+
+def test_stream_maintain_aggregate_view_micro_batches(spark, tmp_path):
+    """Round-9: the change feed as an AvailableNow-style incremental
+    stream. Four source commits drained at max_versions_per_batch=1
+    must produce one view commit per micro-batch (bootstrap + three
+    CDF ranges), the final streamed state must equal BOTH a
+    from-scratch recompute and a one-shot maintain_aggregate_view of
+    the same source (rebuild equivalence), and re-driving the stream
+    replays nothing (the cursor rides the view's own commit —
+    exactly-once without external checkpoints)."""
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.operators.incremental import (
+        maintain_aggregate_view,
+    )
+    from etl_reporting_spark.operators.wap import (
+        WapTable,
+        create_partitioned_wap_table,
+    )
+    from etl_reporting_spark.streaming.cdc_stream import (
+        stream_maintain_aggregate_view,
+    )
+
+    rows = [(i, f"2026-02-0{1 + i % 3}", float(i)) for i in range(1, 31)]
+    fact = create_partitioned_wap_table(
+        spark,
+        str(tmp_path / "fact"),
+        spark.createDataFrame(rows, "id long, ds string, amount double"),
+        ["ds"],
+    )
+    fact.delete_rows("id % 4 = 0")                       # v2: DV delete
+    fact.upsert_rows_dv(                                 # v3: DV merge
+        spark.createDataFrame(
+            [(3, "2026-02-01", 300.0), (77, "2026-02-02", 7.0)],
+            "id long, ds string, amount double",
+        ),
+        keys=["id"],
+    )
+    fact.delete_rows("id % 9 = 0")                       # v4: DV delete
+
+    applied = stream_maintain_aggregate_view(
+        fact, str(tmp_path / "view"), ["id"], ["ds"], ["amount"],
+        max_versions_per_batch=1,
+    )
+    assert applied == [1, 2, 3, 4]  # one view commit per source version
+
+    view = WapTable(spark, str(tmp_path / "view"))
+    streamed = {
+        r["ds"]: (r["__cnt"], r["sum_amount"])
+        for r in view.read().collect()
+    }
+    truth = {
+        r["ds"]: (r["n"], r["s"])
+        for r in fact.read()
+        .groupBy("ds")
+        .agg(F.count("*").alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+    assert streamed == truth
+
+    # rebuild equivalence: a one-shot refresh over the whole range
+    # lands on the identical state
+    maintain_aggregate_view(
+        fact, str(tmp_path / "view_oneshot"), ["id"], ["ds"], ["amount"]
+    )
+    oneshot = {
+        r["ds"]: (r["__cnt"], r["sum_amount"])
+        for r in WapTable(spark, str(tmp_path / "view_oneshot"))
+        .read()
+        .collect()
+    }
+    assert streamed == oneshot
+
+    # exactly-once: re-driving an already-drained stream is a no-op
+    assert stream_maintain_aggregate_view(
+        fact, str(tmp_path / "view"), ["id"], ["ds"], ["amount"]
+    ) == []
+    assert view.current_version() == 4
+
+    # crash-resume: wind a FRESH view halfway (2 versions per batch,
+    # stop after one batch by bounding with to_version), then the
+    # stream driver picks up from the committed cursor — never
+    # re-folding versions 1-2
+    half_path = str(tmp_path / "view_half")
+    maintain_aggregate_view(
+        fact, half_path, ["id"], ["ds"], ["amount"], to_version=2
+    )
+    resumed = stream_maintain_aggregate_view(
+        fact, half_path, ["id"], ["ds"], ["amount"],
+        max_versions_per_batch=1,
+    )
+    assert resumed == [2, 3]  # two remaining ranges -> two commits
+    half = {
+        r["ds"]: (r["__cnt"], r["sum_amount"])
+        for r in WapTable(spark, half_path).read().collect()
+    }
+    assert half == truth

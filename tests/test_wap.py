@@ -19,6 +19,11 @@ import os
 
 import pytest
 
+# every test in this module runs twice: once on the POSIX data
+# plane (LocalFSStorage) and once on object-store semantics
+# (BlobStorage + conditional-PUT commit log) — see conftest
+pytestmark = pytest.mark.usefixtures("wap_storage_backend")
+
 from etl_reporting_spark.operators.merge import merge_upsert
 from etl_reporting_spark.operators.wap import (
     AuditError,
@@ -324,6 +329,11 @@ def test_vacuum_clears_stale_tmp_records(spark, tmp_path, target_df):
     retention horizon, but protects young ones (a live writer may be
     about to link)."""
     t = _table(spark, tmp_path, target_df)
+    # the temp-debris lifecycle is specific to the POSIX commit store;
+    # pin it so the blob-backend param still exercises this path
+    from etl_reporting_spark.operators.wap import LocalFSCommitStore
+
+    t.store = LocalFSCommitStore(os.path.join(t.path, "_wap"))
     wap = os.path.join(t.path, "_wap")
     stale = os.path.join(wap, ".tmp-deadbeef.json")
     with open(stale, "w") as fh:

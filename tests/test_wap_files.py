@@ -23,6 +23,11 @@ import threading
 import warnings
 
 import pytest
+
+# every test in this module runs twice: once on the POSIX data
+# plane (LocalFSStorage) and once on object-store semantics
+# (BlobStorage + conditional-PUT commit log) — see conftest
+pytestmark = pytest.mark.usefixtures("wap_storage_backend")
 from pyspark.sql import functions as F
 
 from etl_reporting_spark.operators.merge import merge_partition_files

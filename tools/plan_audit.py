@@ -180,6 +180,14 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # round-8: diff-derived CDF — full-outer key join over the
     # churned-file slices (4 partial/final pairs) + presentation sort.
     "wap_change_feed": 5,
+    # round-9: spark.sql over two version-pinned WAP views — the two
+    # masked reads are exchange-free; one agg shuffle on
+    # (snapshot, segment) + the presentation sort.
+    "wap_sql_surface": 2,
+    # round-9: streamed-IVM view read — the maintenance commits run
+    # at build time; the returned frame is one masked snapshot read
+    # of the view + presentation sort.
+    "wap_cdf_stream_ivm": 1,
     # round-7: the FULL registry is budgeted (verdict #5 asked >=60;
     # this pins all remaining gates) - measured cold at sf0.001,
     # SPARK_GRAFT_SHUFFLE=4, one session in registry order (the same
