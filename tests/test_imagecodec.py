@@ -329,3 +329,119 @@ def test_png_stream_truncation_fails_loudly():
     corrupt[8:12] = (1 << 24).to_bytes(4, "big")
     with pytest.raises(ValueError, match="truncated"):
         list(ic.iter_png_streams(bytes(corrupt)))
+
+
+# ------------------------------------------------- PIL contract (r9)
+# Round-9 brief #7: Pillow has no installable wheel in this container,
+# so decode_image_pil's MAPPING logic (mode preservation, 2D→(H,W,1)
+# expansion, palette conversion, sniff-before-open) previously shipped
+# exercisable only where Pillow exists. These tests pin it against a
+# STUB PIL module + golden pixel vectors, so the mapping can't rot
+# while the real dependency is absent — they RUN here, never skip.
+
+_GOLDEN_L = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+_GOLDEN_RGB = np.array(
+    [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 8, 7]]], dtype=np.uint8
+)
+_GOLDEN_RGBA = np.concatenate(
+    [_GOLDEN_RGB, np.array([[[10], [20]], [[30], [40]]], dtype=np.uint8)],
+    axis=2,
+)
+_GOLDEN_LA = np.stack([_GOLDEN_L, 255 - _GOLDEN_L], axis=2)
+
+
+class _FakeImage:
+    """What PIL.Image.open returns, reduced to the surface
+    decode_image_pil touches: .mode, .convert, np.asarray (PIL's L
+    mode yields a 2-D array — the stub reproduces that so the
+    ndim==2 expansion branch is really exercised)."""
+
+    def __init__(self, arr: np.ndarray, mode: str) -> None:
+        self._arr = arr
+        self.mode = mode
+
+    def convert(self, mode: str) -> "_FakeImage":
+        assert mode == "RGB", "decode_image_pil only ever converts to RGB"
+        assert self.mode == "P", "supported modes must NOT be converted"
+        return _FakeImage(self._arr, "RGB")
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._arr
+        if a.ndim == 3 and a.shape[2] == 1:
+            a = a[:, :, 0]  # PIL L-mode images materialize as 2-D
+        return a.astype(dtype or a.dtype)
+
+
+class _StubPILImage:
+    """Stand-in for the PIL.Image module: decodes the three lossless
+    formats with the pure backend (the content source), then reports
+    the PIL mode the channel count implies — plus a hook to force
+    palette mode for the convert-path test."""
+
+    force_mode: str | None = None
+
+    @staticmethod
+    def open(fh):
+        arr = ic.decode_image_pure(fh.read())
+        mode = _StubPILImage.force_mode or {
+            1: "L", 2: "LA", 3: "RGB", 4: "RGBA"
+        }[arr.shape[2]]
+        return _FakeImage(arr, mode)
+
+
+@pytest.fixture()
+def stub_pil(monkeypatch):
+    import sys
+    import types
+
+    pil_pkg = types.ModuleType("PIL")
+    pil_img = types.ModuleType("PIL.Image")
+    pil_img.open = _StubPILImage.open
+    pil_pkg.Image = pil_img
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_img)
+    monkeypatch.setattr(_StubPILImage, "force_mode", None)
+    return pil_img
+
+
+def test_pil_mapping_preserves_native_channels(stub_pil):
+    """Golden vectors through the PIL path: every supported mode
+    keeps its channel count and exact pixel values — the contract
+    that protects the value-hash gates when Pillow appears."""
+    assert ic.pil_available()  # the import gate sees the stub
+    cases = [
+        (ic.encode_png(_GOLDEN_L[:, :, None]), _GOLDEN_L[:, :, None]),
+        (ic.encode_png(_GOLDEN_LA), _GOLDEN_LA),
+        (ic.encode_png(_GOLDEN_RGB), _GOLDEN_RGB),
+        (ic.encode_png(_GOLDEN_RGBA), _GOLDEN_RGBA),
+        (ic.encode_bmp(_GOLDEN_RGB), _GOLDEN_RGB),
+        (ic.encode_ppm(_GOLDEN_RGB), _GOLDEN_RGB),
+    ]
+    for payload, want in cases:
+        got = ic.decode_image_pil(payload)
+        assert got.dtype == np.uint8
+        assert got.shape == want.shape  # incl. L → (H, W, 1) expansion
+        assert np.array_equal(got, want)
+        # and the backend switch routes auto → pil under the stub
+        assert np.array_equal(ic.decode_image(payload, backend="auto"), want)
+
+
+def test_pil_mapping_converts_unsupported_modes(stub_pil):
+    """A palette-mode image (outside the L/LA/RGB/RGBA contract) must
+    go through convert('RGB'); _FakeImage.convert asserts supported
+    modes are never converted."""
+    _StubPILImage.force_mode = "P"
+    got = ic.decode_image_pil(ic.encode_png(_GOLDEN_RGB))
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got, _GOLDEN_RGB)
+
+
+def test_pil_path_sniffs_before_pil_opens(stub_pil, monkeypatch):
+    """Unrecognized bytes raise ValueError BEFORE PIL is asked to
+    open anything (backend-agnostic error contract)."""
+    def boom(fh):  # pragma: no cover - must never run
+        raise AssertionError("PIL.Image.open reached for garbage bytes")
+
+    monkeypatch.setattr(stub_pil, "open", boom)
+    with pytest.raises(ValueError, match="unrecognized image format"):
+        ic.decode_image_pil(b"not an image at all")
