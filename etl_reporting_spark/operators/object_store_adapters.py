@@ -36,6 +36,7 @@ are how its atomicity lands on real cloud storage.
 
 from __future__ import annotations
 
+from etl_reporting_spark.operators.table_storage import TableStorage
 from etl_reporting_spark.operators.wap import (
     ObjectStoreClient,
     PreconditionFailed,
@@ -67,6 +68,114 @@ def azure_blob_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+class InMemoryS3Client:
+    """In-memory stand-in for ``boto3.client('s3')`` covering exactly
+    the surface the S3 adapters use, with S3's documented semantics:
+    ``put_object(IfNoneMatch='*')`` → HTTP 412 ClientError when the
+    key exists (real ``botocore`` error shape), ``get_object`` →
+    ``NoSuchKey``, ``head_object`` → 404 ClientError with a
+    LastModified datetime on hits, ``delete_object(s)`` idempotent,
+    ``list_objects_v2`` paginated at a tiny page size so adapter
+    pagination loops really iterate. Exists so the REAL adapter code
+    executes in CI where no bucket can (same role as the stub-PIL
+    golden tests for the codec backend); also usable as a local dev
+    double. Requires botocore (ships with boto3)."""
+
+    PAGE_SIZE = 2
+
+    def __init__(self) -> None:
+        import threading
+
+        self._objects: dict[tuple[str, str], tuple[bytes, float]] = {}
+        self._lock = threading.Lock()
+
+        class _NoSuchKey(Exception):
+            pass
+
+        import botocore.exceptions
+
+        class _Exceptions:
+            ClientError = botocore.exceptions.ClientError
+            NoSuchKey = _NoSuchKey
+
+        self.exceptions = _Exceptions
+
+    def _client_error(self, code: str, status: int, op: str):
+        import botocore.exceptions
+
+        return botocore.exceptions.ClientError(
+            {
+                "Error": {"Code": code},
+                "ResponseMetadata": {"HTTPStatusCode": status},
+            },
+            op,
+        )
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        import time as _time
+
+        with self._lock:
+            if IfNoneMatch == "*" and (Bucket, Key) in self._objects:
+                raise self._client_error("PreconditionFailed", 412, "PutObject")
+            self._objects[(Bucket, Key)] = (bytes(Body), _time.time())
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        with self._lock:
+            if (Bucket, Key) not in self._objects:
+                raise self.exceptions.NoSuchKey()
+            return {"Body": io.BytesIO(self._objects[(Bucket, Key)][0])}
+
+    def head_object(self, Bucket, Key):
+        import datetime
+
+        with self._lock:
+            if (Bucket, Key) not in self._objects:
+                raise self._client_error("404", 404, "HeadObject")
+            _, mtime = self._objects[(Bucket, Key)]
+            return {
+                "LastModified": datetime.datetime.fromtimestamp(
+                    mtime, tz=datetime.timezone.utc
+                ),
+                "ContentLength": len(self._objects[(Bucket, Key)][0]),
+            }
+
+    def delete_object(self, Bucket, Key):
+        with self._lock:
+            self._objects.pop((Bucket, Key), None)  # S3 DELETE is idempotent
+
+    def delete_objects(self, Bucket, Delete):
+        with self._lock:
+            for obj in Delete["Objects"]:
+                self._objects.pop((Bucket, obj["Key"]), None)
+        return {"Deleted": Delete["Objects"]}
+
+    def get_paginator(self, name):
+        assert name == "list_objects_v2"
+        outer = self
+
+        class _Paginator:
+            def paginate(self, Bucket, Prefix):
+                with outer._lock:
+                    keys = sorted(
+                        k
+                        for (b, k) in outer._objects
+                        if b == Bucket and k.startswith(Prefix)
+                    )
+                for i in range(0, len(keys), outer.PAGE_SIZE):
+                    yield {
+                        "Contents": [
+                            {"Key": k}
+                            for k in keys[i : i + outer.PAGE_SIZE]
+                        ]
+                    }
+                if not keys:
+                    yield {}
+
+        return _Paginator()
 
 
 class S3ObjectStoreClient(ObjectStoreClient):
@@ -193,3 +302,155 @@ class AzureBlobObjectStoreClient(ObjectStoreClient):
                 name_starts_with=self.prefix + prefix
             )
         )
+
+
+class S3TableStorage(TableStorage):
+    """Real-S3 ``TableStorage`` (operators/table_storage.py) — the
+    adapter the round-9 seam was built for: Spark's executors do the
+    parquet I/O through ``s3a://`` URLs (hadoop-aws, never this
+    class), while the Python control plane maps the seam's verbs onto
+    the S3 API:
+
+    - ``list_prefix``  → paginated ``ListObjectsV2`` (server-side
+      prefix filtering — the thing the local backends emulate by
+      scoping their walks)
+    - ``delete_key``   → ``HeadObject`` + ``DeleteObject`` (HEAD first
+      because the contract reports whether anything existed; S3's
+      DELETE alone is blind-idempotent)
+    - ``delete_prefix``→ LIST + batched ``DeleteObjects`` (1000/call,
+      the API maximum)
+    - ``last_modified``→ ``HeadObject``'s LastModified — per-OBJECT,
+      which is exactly why vacuum's orphan fallback is defined on
+      objects and its primary aging on commit timestamps
+    - ``prepare_root`` → structural no-op (no mkdir exists)
+    - commit log       → :class:`ObjectStoreCommitStore` over
+      :class:`S3ObjectStoreClient` under ``<prefix>/_wap/``
+
+    TableStorage's derived helpers (leaf_partition_dirs, list_files,
+    resolve, top_roots) are inherited — only the verbs are S3-shaped.
+    Construction takes a ``client`` for tests/dev
+    (:class:`InMemoryS3Client`) or builds ``boto3.client('s3')``.
+    In-container, the contract tests drive every verb against the
+    in-memory client; against a real bucket the same tests run via
+    ``WAP_CONFORMANCE_S3_BUCKET``."""
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str,
+        client=None,
+        scheme: str = "s3a",
+    ) -> None:
+        if client is None:  # pragma: no cover - needs credentials
+            import boto3
+
+            client = boto3.client("s3")
+        self.client = client
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.scheme = scheme
+
+    # --------------------------------------------------- seam verbs
+    def _key(self, rel: str) -> str:
+        rel = rel.strip("/")
+        return f"{self.prefix}/{rel}" if rel else self.prefix
+
+    def url(self, rel: str = "") -> str:
+        return f"{self.scheme}://{self.bucket}/{self._key(rel)}"
+
+    def absolute_url(self, rel: str = "") -> str:
+        return self.url(rel)  # bucket URLs are absolute by nature
+
+    def list_prefix(self, rel: str = "") -> list[str]:
+        base = self._key(rel)
+        # exact-object hit first (the seam's list_prefix contract
+        # returns the key itself when rel names an object)
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=base)
+            return [rel.strip("/")]
+        except self.client.exceptions.ClientError:
+            pass
+        out: list[str] = []
+        strip = len(self.prefix) + 1
+        paginator = self.client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(
+            Bucket=self.bucket, Prefix=base + "/"
+        ):
+            for obj in page.get("Contents", ()):
+                out.append(obj["Key"][strip:])
+        return sorted(out)
+
+    def delete_key(self, rel: str) -> bool:
+        key = self._key(rel)
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=key)
+        except self.client.exceptions.ClientError:
+            return False
+        self.client.delete_object(Bucket=self.bucket, Key=key)
+        return True
+
+    def delete_prefix(self, rel: str) -> int:
+        keys = self.list_prefix(rel)
+        for i in range(0, len(keys), 1000):  # DeleteObjects API cap
+            self.client.delete_objects(
+                Bucket=self.bucket,
+                Delete={
+                    "Objects": [
+                        {"Key": self._key(k)} for k in keys[i : i + 1000]
+                    ]
+                },
+            )
+        return len(keys)
+
+    def last_modified(self, rel: str) -> float | None:
+        try:
+            resp = self.client.head_object(
+                Bucket=self.bucket, Key=self._key(rel)
+            )
+        except self.client.exceptions.ClientError:
+            return None
+        return resp["LastModified"].timestamp()
+
+    def prepare_root(self) -> None:
+        pass  # keys imply their "path"; no mkdir exists
+
+    def default_commit_store(self):
+        from etl_reporting_spark.operators.wap import ObjectStoreCommitStore
+
+        return ObjectStoreCommitStore(
+            S3ObjectStoreClient(
+                self.bucket, prefix=self.prefix, client=self.client
+            ),
+            prefix="_wap/",
+        )
+
+    def list_files_at(self, location: str, suffix: str = ".parquet") -> list[str]:
+        # external (clone-source) listing: location is a full
+        # scheme://bucket/key URL — same LIST verb against it
+        from urllib.parse import urlparse
+
+        u = urlparse(location)
+        base = u.path.strip("/")
+        out = []
+        paginator = self.client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=u.netloc, Prefix=base + "/"):
+            for obj in page.get("Contents", ()):
+                sub = obj["Key"][len(base) + 1 :]
+                if "/" not in sub and sub.endswith(suffix):
+                    out.append(sub)
+        return sorted(out)
+
+    def relativize(self, file_uri: str) -> str:
+        from urllib.parse import unquote, urlparse
+
+        u = urlparse(file_uri)
+        path = unquote(u.path).lstrip("/")
+        pref = self.prefix + "/"
+        if not path.startswith(pref):
+            raise ValueError(
+                f"{file_uri} is not under {self.url()} — cannot relativize"
+            )
+        return path[len(pref):]
+
+    def _local_root(self) -> str:  # pragma: no cover - never local
+        raise NotImplementedError("S3TableStorage has no local root")

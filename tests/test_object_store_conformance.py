@@ -47,85 +47,16 @@ def _boto3_available() -> bool:
 def _client_params():
     params = ["inmemory", "localdir"]
     if _boto3_available():
-        # the REAL boto3-shaped adapter, driven against an in-memory
-        # fake of the S3 client API (real botocore ClientError shapes,
-        # real paginator protocol) — the adapter's mapping logic runs
-        # in CI even though no bucket exists here
+        # the REAL boto3-shaped adapter, driven against the in-memory
+        # fake of the S3 client API (object_store_adapters.
+        # InMemoryS3Client: real botocore ClientError shapes, real
+        # paginator protocol) — the adapter's mapping logic runs in
+        # CI even though no bucket exists here
         params.append("s3-fake")
     bucket = os.environ.get("WAP_CONFORMANCE_S3_BUCKET")
     if bucket and _boto3_available():
         params.append("s3")
     return params
-
-
-class _FakeS3Client:
-    """In-memory stand-in for ``boto3.client('s3')`` covering exactly
-    the surface ``S3ObjectStoreClient`` uses, with S3's documented
-    semantics: ``IfNoneMatch='*'`` → HTTP 412 ClientError when the key
-    exists, ``get_object`` → NoSuchKey, ``list_objects_v2`` paginated
-    at a small page size so the adapter's pagination loop really
-    iterates."""
-
-    def __init__(self) -> None:
-        import botocore.exceptions
-
-        self._objects: dict[tuple[str, str], bytes] = {}
-        self._lock = threading.Lock()
-
-        class _NoSuchKey(Exception):
-            pass
-
-        class _Exceptions:
-            ClientError = botocore.exceptions.ClientError
-            NoSuchKey = _NoSuchKey
-
-        self.exceptions = _Exceptions
-
-    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
-        import botocore.exceptions
-
-        with self._lock:
-            if IfNoneMatch == "*" and (Bucket, Key) in self._objects:
-                raise botocore.exceptions.ClientError(
-                    {
-                        "Error": {"Code": "PreconditionFailed"},
-                        "ResponseMetadata": {"HTTPStatusCode": 412},
-                    },
-                    "PutObject",
-                )
-            self._objects[(Bucket, Key)] = bytes(Body)
-
-    def get_object(self, Bucket, Key):
-        import io
-
-        with self._lock:
-            if (Bucket, Key) not in self._objects:
-                raise self.exceptions.NoSuchKey()
-            return {"Body": io.BytesIO(self._objects[(Bucket, Key)])}
-
-    def get_paginator(self, name):
-        assert name == "list_objects_v2"
-        outer = self
-
-        class _Paginator:
-            def paginate(self, Bucket, Prefix):
-                with outer._lock:
-                    keys = sorted(
-                        k
-                        for (b, k) in outer._objects
-                        if b == Bucket and k.startswith(Prefix)
-                    )
-                page_size = 2  # force multi-page iteration
-                for i in range(0, len(keys), page_size):
-                    yield {
-                        "Contents": [
-                            {"Key": k} for k in keys[i : i + page_size]
-                        ]
-                    }
-                if not keys:
-                    yield {}
-
-        return _Paginator()
 
 
 @pytest.fixture(params=_client_params())
@@ -136,11 +67,12 @@ def client(request, tmp_path):
         return LocalDirObjectStore(str(tmp_path / "blobs"))
     if request.param == "s3-fake":
         from etl_reporting_spark.operators.object_store_adapters import (
+            InMemoryS3Client,
             S3ObjectStoreClient,
         )
 
         return S3ObjectStoreClient(
-            "conformance-bucket", prefix="tables/t1", client=_FakeS3Client()
+            "conformance-bucket", prefix="tables/t1", client=InMemoryS3Client()
         )
     if request.param == "s3":
         import uuid
