@@ -560,8 +560,28 @@ class WapTable:
         input to vacuum's reference/aging computation."""
         return [rec["data_dir"]] if "data_dir" in rec else []
 
+    def _pointer_index(
+        self, records: Sequence[dict]
+    ) -> dict[str, list[tuple[int, str]]]:
+        """First-path-component → [(version, pointer)] over every
+        record's pointers, built ONCE per vacuum: a candidate can only
+        ever be referenced by pointers sharing its root component
+        (externals never match table-relative candidates), so aging a
+        candidate scans its own root's history, not the whole log —
+        vacuum stays near-linear in (commits + candidates) instead of
+        their product."""
+        idx: dict[str, list[tuple[int, str]]] = {}
+        for v, rec in enumerate(records, start=1):
+            for ptr in self._record_pointers(rec):
+                idx.setdefault(ptr.split("/", 1)[0], []).append((v, ptr))
+        return idx
+
     def _entry_age(
-        self, rel: str, records: Sequence[dict], now: float
+        self,
+        rel: str,
+        records: Sequence[dict],
+        now: float,
+        index: dict[str, list[tuple[int, str]]] | None = None,
     ) -> float | None:
         """Vacuum-safety age of an UNREFERENCED storage entry.
 
@@ -576,12 +596,14 @@ class WapTable:
         objects; only directories lack mtimes), and return None
         (= keep: it may be a writer mid-commit) when storage has no
         age signal at all."""
+        if index is None:
+            index = self._pointer_index(records)
         last_ref = 0
-        for v, rec in enumerate(records, start=1):
-            for p in self._record_pointers(rec):
-                if p == rel or p.startswith(rel + "/") or rel.startswith(p + "/"):
-                    last_ref = v
-                    break
+        for v, p in index.get(rel.split("/", 1)[0], ()):
+            if v > last_ref and (
+                p == rel or p.startswith(rel + "/") or rel.startswith(p + "/")
+            ):
+                last_ref = v
         if last_ref:
             if last_ref >= len(records):
                 return 0.0  # referenced by the tip: alive, age zero
@@ -622,10 +644,11 @@ class WapTable:
         ]
         removed = []
         now = time.time()
+        index = self._pointer_index(records)
         for entry in self.fs.top_roots():
             if not (entry.startswith("v") and "-" in entry) or entry in keep:
                 continue
-            age = self._entry_age(entry, records, now)
+            age = self._entry_age(entry, records, now, index)
             if age is None or age < min_age_seconds:
                 continue  # possibly a concurrent writer mid-commit
             self.fs.delete_prefix(entry)
@@ -2334,6 +2357,7 @@ class PartitionedWapTable(WapTable):
         records = [self._commit_record(v) for v in range(1, current + 1)]
         removed = []
         now = time.time()
+        index = self._pointer_index(records)
         for entry in self.fs.top_roots():
             if not entry.startswith("d-"):
                 continue
@@ -2352,13 +2376,13 @@ class PartitionedWapTable(WapTable):
                         frel = f"{rel}/{fname}"
                         if frel in keep_files:
                             continue
-                        fage = self._entry_age(frel, records, now)
+                        fage = self._entry_age(frel, records, now, index)
                         if fage is None or fage < min_age_seconds:
                             continue
                         if self.fs.delete_key(frel):
                             removed.append(frel)
                     continue
-                age = self._entry_age(rel, records, now)
+                age = self._entry_age(rel, records, now, index)
                 if age is None or age < min_age_seconds:
                     continue
                 self.fs.delete_prefix(rel)
@@ -2368,7 +2392,7 @@ class PartitionedWapTable(WapTable):
             # delete-vector sidecar roots carry no hive leaves at
             # all — removable only once no commit in the keep
             # window references their vectors
-            age = self._entry_age(entry, records, now)
+            age = self._entry_age(entry, records, now, index)
             if age is not None and age >= min_age_seconds:
                 self.fs.delete_prefix(entry)
                 removed.append(entry)

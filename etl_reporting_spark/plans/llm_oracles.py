@@ -2928,3 +2928,32 @@ SELECT f.doc_id, 16000 AS sample_rate, CAST(f.n AS INTEGER) AS n_frames,
 FROM feat f JOIN zc z USING (doc_id)
 ORDER BY f.doc_id
 """
+
+LLM_ORACLE_SQL["text_chunk_windows"] = """
+-- Sliding-window chunking twin: 64-token chunks, stride 48. Chunk
+-- count = 1 if n <= 64 else 1 + ceil((n-64)/48), computed with the
+-- same integer arithmetic as the Spark plan ((n-64+47) // 48);
+-- list_slice is 1-based inclusive like Spark's slice.
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, n, t,
+         unnest(generate_series(0,
+           CASE WHEN n <= 64 THEN 0
+                ELSE (n - 64 + 48 - 1) // 48 END)) AS chunk_idx
+  FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(LEAST(64, n - chunk_idx * 48) AS INTEGER) AS n_tokens,
+       md5(array_to_string(
+             list_slice(t, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+             ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""

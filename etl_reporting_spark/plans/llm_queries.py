@@ -371,6 +371,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking (round-9): every document
+    becomes overlapping 64-token chunks at stride 48 (16-token
+    overlap) — the preprocessing pass that feeds long documents into
+    a fixed context window without losing boundary spans. Chunk text
+    is md5'd in the output so the gate verifies CONTENT byte-for-byte
+    while staying narrow. Zero shuffles beyond the presentation sort:
+    split → filter → sequence/explode → slice/array_join, all fused
+    into the scan (plan-audited)."""
+    from etl_reporting_spark.llm.corpusops import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs.select("doc_id", "text"),
+        id_col="doc_id",
+        text_col="text",
+        chunk_tokens=64,
+        overlap_tokens=16,
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style frequent-line removal exercised at word granularity
     (the synthetic corpus has no newlines, so the delimiter is a
@@ -1441,6 +1468,7 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_chunk_windows": text_chunk_windows,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
