@@ -195,34 +195,55 @@ def _run_probes(qs, spark, sf_dir: str) -> dict[str, float]:
 
 
 def _ambient_block(pre: dict, post: dict, ref_path: str) -> dict:
-    """Assemble the artifact's ambience record. Bootstraps the
-    committed reference on first run (flagged, so a bootstrap run is
-    never silently its own yardstick)."""
+    """Assemble the artifact's ambience record.
+
+    References are PHASE-MATCHED: the pre-probe (right after the
+    3-query warm-up) compares against a pre-phase floor and the
+    post-probe (end of the run) against a post-phase floor. The
+    round-9 calibration runs showed why: on a byte-identical, quiet
+    machine the same probe gate reads ~2x slower at run start than at
+    run end — Hotspot keeps compiling Spark's codegen paths across
+    the whole bench — so a single shared reference would conflate JVM
+    warm-up with machine load and flag every healthy run. Each floor
+    is the MINIMUM ever observed for its phase; the file self-updates
+    downward (a new quiet floor is evidence, never noise), so ratios
+    are always multiples-of-quiet and a loaded segment reads as
+    ratios >> 1 in BOTH phases. Bootstraps (and is flagged as such)
+    on first run."""
     block: dict = {
         "probe_pre": pre,
         "probe_post": post,
         "scan_gate": PROBE_SCAN,
         "shuffle_gate": PROBE_SHUFFLE,
     }
-    if not os.path.exists(ref_path):
-        ref = {
-            "scan": pre["scan"],
-            "shuffle": pre["shuffle"],
-            "recorded_note": "bootstrapped by bench.py; re-record on a "
-            "verified-quiet segment if this run was loaded",
-        }
-        with open(ref_path, "w") as f:
-            json.dump(ref, f, indent=2, sort_keys=True)
-            f.write("\n")
-        block["bootstrapped_reference"] = True
-    with open(ref_path) as f:
-        ref = json.load(f)
-    ratios = {
-        f"{label}_{phase}": round(probes[label] / ref[label], 3)
-        for phase, probes in (("pre", pre), ("post", post))
-        for label in ("scan", "shuffle")
+    observed = {
+        "scan_pre": pre["scan"],
+        "shuffle_pre": pre["shuffle"],
+        "scan_post": post["scan"],
+        "shuffle_post": post["shuffle"],
     }
-    block["reference"] = {"scan": ref["scan"], "shuffle": ref["shuffle"]}
+    ref: dict = {}
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+    if not all(k in ref for k in observed):
+        block["bootstrapped_reference"] = True
+    lowered = {
+        k: round(min(v, ref.get(k, v)), 4) for k, v in observed.items()
+    }
+    if any(lowered.get(k) != ref.get(k) for k in lowered):
+        out_ref = dict(lowered)
+        out_ref["recorded_note"] = (
+            "phase-matched quiet floors (min ever observed per phase); "
+            "self-updates downward — see _ambient_block"
+        )
+        with open(ref_path, "w") as f:
+            json.dump(out_ref, f, indent=2, sort_keys=True)
+            f.write("\n")
+    ratios = {
+        k: round(observed[k] / lowered[k], 3) for k in observed
+    }
+    block["reference"] = lowered
     block["ratios"] = ratios
     worst = max(ratios.values())
     block["worst_ratio"] = worst
