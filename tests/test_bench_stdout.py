@@ -93,3 +93,47 @@ def test_tiny_budget_degrades_heavy_to_totals():
     # even at an absurd budget the line parses and keeps the headline value
     assert parsed["value"] == out["value"]
     assert parsed["heavy"]["sf3"] == {"value": 50.0}
+
+
+def test_ambient_block_bootstrap_flag_and_floor_updates(tmp_path):
+    """Round-9 ambient gate: first call bootstraps the phase-matched
+    floors (and says so), a loaded run flags degraded, and a new
+    quiet floor self-updates the reference downward."""
+    import json
+
+    from bench import _ambient_block
+
+    ref = str(tmp_path / "ref.json")
+    pre = {"scan": 0.50, "shuffle": 0.40}
+    post = {"scan": 0.25, "shuffle": 0.20}
+    b1 = _ambient_block(pre, post, ref)
+    assert b1["bootstrapped_reference"] is True
+    assert b1["flag"] == "ok" and b1["worst_ratio"] == 1.0
+
+    # loaded run: pre-probes 1.5x the floors -> degraded, floors keep
+    loaded_pre = {"scan": 0.75, "shuffle": 0.60}
+    b2 = _ambient_block(loaded_pre, post, ref)
+    assert "bootstrapped_reference" not in b2
+    assert b2["flag"] == "degraded"
+    assert b2["ratios"]["scan_pre"] == 1.5
+    assert json.load(open(ref))["scan_pre"] == 0.50  # not raised
+
+    # quieter run: floors self-update downward, ratios vs NEW floor
+    quiet_pre = {"scan": 0.40, "shuffle": 0.32}
+    b3 = _ambient_block(quiet_pre, post, ref)
+    assert b3["flag"] == "ok" and b3["ratios"]["scan_pre"] == 1.0
+    assert json.load(open(ref))["scan_pre"] == 0.40
+
+
+def test_stdout_line_carries_ambient_summary():
+    from bench import build_stdout_line
+    import json
+
+    out = {
+        "metric": "m", "value": 1.0, "unit": "sec", "sf": 0.1,
+        "queries": {"q": 1.0},
+        "ambient": {"worst_ratio": 1.31, "flag": "degraded",
+                    "ratios": {}, "probe_pre": {}, "probe_post": {}},
+    }
+    line = json.loads(build_stdout_line(out))
+    assert line["ambient"] == {"worst_ratio": 1.31, "flag": "degraded"}
