@@ -234,12 +234,14 @@ class GCSObjectStoreClient(ObjectStoreClient):
     """google-cloud-storage adapter: ``if_generation_match=0`` is the
     conditional create (generation 0 = "key must not exist")."""
 
-    def __init__(self, bucket: str, prefix: str = "", client=None) -> None:
-        if client is None:
-            from google.cloud import storage
+    def __init__(self, bucket, prefix: str = "", client=None) -> None:
+        if isinstance(bucket, str):
+            if client is None:  # pragma: no cover - needs credentials
+                from google.cloud import storage
 
-            client = storage.Client()
-        self.bucket = client.bucket(bucket) if isinstance(bucket, str) else bucket
+                client = storage.Client()
+            bucket = client.bucket(bucket)
+        self.bucket = bucket
         self.prefix = (prefix.rstrip("/") + "/") if prefix else ""
 
     def put_if_absent(self, key: str, data: bytes) -> None:

@@ -2957,3 +2957,53 @@ SELECT doc_id,
 FROM chunks
 ORDER BY doc_id, chunk_idx
 """
+
+LLM_ORACLE_SQL["text_pii_scrub"] = r"""
+-- PII scrub twin: identical deterministic salt, then the SAME
+-- ordered count/replace chain (counts on the text state each class
+-- sees; 'g' flag because DuckDB's regexp_replace is first-match by
+-- default while Spark's replaces globally).
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-5309' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END
+           AS t0
+  FROM documents
+), s1 AS (
+  SELECT *, len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS nn_email,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM salted
+), s2 AS (
+  SELECT *, len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS nn_ssn,
+         regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, len(regexp_extract_all(t2, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS nn_cc,
+         regexp_replace(t2, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CC>', 'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT *, len(regexp_extract_all(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS nn_phone,
+         regexp_replace(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t4
+  FROM s3
+), s5 AS (
+  SELECT *, len(regexp_extract_all(t4, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS nn_ipv4,
+         regexp_replace(t4, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t5
+  FROM s4
+)
+SELECT doc_id,
+       CAST(nn_email AS INTEGER) AS n_email,
+       CAST(nn_ssn AS INTEGER) AS n_ssn,
+       CAST(nn_cc AS INTEGER) AS n_cc,
+       CAST(nn_phone AS INTEGER) AS n_phone,
+       CAST(nn_ipv4 AS INTEGER) AS n_ipv4,
+       md5(t5) AS scrub_md5
+FROM s5
+ORDER BY doc_id
+"""

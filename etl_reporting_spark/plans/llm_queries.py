@@ -371,6 +371,61 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (round-9): the synthetic corpus carries no
+    identifiers, so deterministic PII is INJECTED per doc_id (an
+    email for every doc, an SSN every 3rd, a phone every 4th, an IPv4
+    every 5th, a credit card every 7th — all pure doc_id functions
+    the oracle replicates), then ``scrub_pii`` redacts in its fixed
+    pattern order and the gate verifies per-class counts AND the
+    scrubbed text (md5) byte-for-byte. Row-local regex work fused
+    into the scan; the only exchange is the presentation sort."""
+    from etl_reporting_spark.llm.pii import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0, F.lit(" card 4111-1111-1111-1111")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(salted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_cc",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window context chunking (round-9): every document
     becomes overlapping 64-token chunks at stride 48 (16-token
@@ -1469,6 +1524,7 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunk_windows": text_chunk_windows,
+    "text_pii_scrub": text_pii_scrub,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

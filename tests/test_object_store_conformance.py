@@ -175,3 +175,188 @@ def test_max_version_survives_listing_lag():
         store.publish(v, f'{{"version": {v}}}'.encode())
     # LIST hides commit-4 and commit-3; GET probing must find them
     assert store.max_version() == 4
+
+
+# ----------------------------------------------- GCS/Azure adapters
+# The GCS and Azure SDKs are uninstallable here (like Pillow), so the
+# adapters' mapping logic would otherwise ship unexecuted. Same move
+# as the stub-PIL golden tests: inject faithful stub SDK modules into
+# sys.modules — real exception TYPES the adapter catches, real call
+# signatures — and drive the REAL adapter code through the shared
+# contract shapes (conditional create, get-absent, list prefix).
+
+
+class _FakeGCSBlob:
+    def __init__(self, store, name):
+        self._store, self.name = store, name
+
+    def upload_from_string(self, data, if_generation_match=None):
+        import sys
+
+        exc = sys.modules["google.api_core.exceptions"]
+        if if_generation_match == 0 and self.name in self._store:
+            raise exc.PreconditionFailed("exists")
+        self._store[self.name] = (
+            data.encode() if isinstance(data, str) else bytes(data)
+        )
+
+    def download_as_bytes(self):
+        import sys
+
+        exc = sys.modules["google.api_core.exceptions"]
+        if self.name not in self._store:
+            raise exc.NotFound("absent")
+        return self._store[self.name]
+
+
+class _FakeGCSBucket:
+    def __init__(self):
+        self._store: dict[str, bytes] = {}
+
+    def blob(self, name):
+        return _FakeGCSBlob(self._store, name)
+
+    def list_blobs(self, prefix=""):
+        class _B:
+            def __init__(self, name):
+                self.name = name
+
+        return [_B(n) for n in sorted(self._store) if n.startswith(prefix)]
+
+
+@pytest.fixture()
+def gcs_client(monkeypatch):
+    import sys
+    import types
+
+    exc_mod = types.ModuleType("google.api_core.exceptions")
+
+    class PreconditionFailed(Exception):
+        pass
+
+    class NotFound(Exception):
+        pass
+
+    exc_mod.PreconditionFailed = PreconditionFailed
+    exc_mod.NotFound = NotFound
+    api_core = types.ModuleType("google.api_core")
+    api_core.exceptions = exc_mod
+    google = types.ModuleType("google")
+    google.api_core = api_core
+    monkeypatch.setitem(sys.modules, "google", google)
+    monkeypatch.setitem(sys.modules, "google.api_core", api_core)
+    monkeypatch.setitem(sys.modules, "google.api_core.exceptions", exc_mod)
+
+    from etl_reporting_spark.operators.object_store_adapters import (
+        GCSObjectStoreClient,
+    )
+
+    return GCSObjectStoreClient(_FakeGCSBucket(), prefix="tbl/_wap")
+
+
+def test_gcs_adapter_contract(gcs_client):
+    assert gcs_client.get("commit-00001.json") is None
+    gcs_client.put_if_absent("commit-00001.json", b'{"v":1}')
+    assert gcs_client.get("commit-00001.json") == b'{"v":1}'
+    with pytest.raises(PreconditionFailed):
+        gcs_client.put_if_absent("commit-00001.json", b"dup")
+    assert gcs_client.get("commit-00001.json") == b'{"v":1}'
+    gcs_client.put_if_absent("commit-00002.json", b"2")
+    assert gcs_client.list_keys("commit-") == [
+        "commit-00001.json",
+        "commit-00002.json",
+    ]
+
+
+class _FakeAzureDownload:
+    def __init__(self, data):
+        self._data = data
+
+    def readall(self):
+        return self._data
+
+
+class _FakeAzureContainer:
+    def __init__(self):
+        self._store: dict[str, bytes] = {}
+
+    def upload_blob(self, name, data, overwrite=False):
+        import sys
+
+        exc = sys.modules["azure.core.exceptions"]
+        if not overwrite and name in self._store:
+            raise exc.ResourceExistsError("exists")
+        self._store[name] = bytes(data)
+
+    def download_blob(self, name):
+        import sys
+
+        exc = sys.modules["azure.core.exceptions"]
+        if name not in self._store:
+            raise exc.ResourceNotFoundError("absent")
+        return _FakeAzureDownload(self._store[name])
+
+    def list_blobs(self, name_starts_with=""):
+        class _B:
+            def __init__(self, name):
+                self.name = name
+
+        return [
+            _B(n)
+            for n in sorted(self._store)
+            if n.startswith(name_starts_with)
+        ]
+
+
+@pytest.fixture()
+def azure_client(monkeypatch):
+    import sys
+    import types
+
+    exc_mod = types.ModuleType("azure.core.exceptions")
+
+    class ResourceExistsError(Exception):
+        pass
+
+    class ResourceNotFoundError(Exception):
+        pass
+
+    exc_mod.ResourceExistsError = ResourceExistsError
+    exc_mod.ResourceNotFoundError = ResourceNotFoundError
+    core = types.ModuleType("azure.core")
+    core.exceptions = exc_mod
+    azure = types.ModuleType("azure")
+    azure.core = core
+    monkeypatch.setitem(sys.modules, "azure", azure)
+    monkeypatch.setitem(sys.modules, "azure.core", core)
+    monkeypatch.setitem(sys.modules, "azure.core.exceptions", exc_mod)
+
+    from etl_reporting_spark.operators.object_store_adapters import (
+        AzureBlobObjectStoreClient,
+    )
+
+    return AzureBlobObjectStoreClient(_FakeAzureContainer(), prefix="tbl/_wap")
+
+
+def test_azure_adapter_contract(azure_client):
+    assert azure_client.get("commit-00001.json") is None
+    azure_client.put_if_absent("commit-00001.json", b'{"v":1}')
+    assert azure_client.get("commit-00001.json") == b'{"v":1}'
+    with pytest.raises(PreconditionFailed):
+        azure_client.put_if_absent("commit-00001.json", b"dup")
+    assert azure_client.get("commit-00001.json") == b'{"v":1}'
+    azure_client.put_if_absent("commit-00002.json", b"2")
+    assert azure_client.list_keys("commit-") == [
+        "commit-00001.json",
+        "commit-00002.json",
+    ]
+
+
+def test_gcs_and_azure_compose_with_commit_store(gcs_client, azure_client):
+    """End-to-end: the CommitStore CAS protocol over BOTH adapters."""
+    for cl in (gcs_client, azure_client):
+        store = ObjectStoreCommitStore(cl)
+        store.publish(1, b"one")
+        with pytest.raises(CommitConflict):
+            store.publish(1, b"dup")
+        assert store.read(1) == b"one" and store.max_version() == 1
