@@ -579,63 +579,3 @@ def hll_distinct(
         est.alias("est_distinct"),
     )
 
-
-def chunk_documents(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "content",
-    chunk_tokens: int = 128,
-    overlap_tokens: int = 32,
-) -> DataFrame:
-    """Sliding-window document chunking — the context-window
-    preprocessing pass between cleaning and packing: every document
-    becomes overlapping chunks of at most ``chunk_tokens`` whitespace
-    tokens, successive chunks advancing by ``chunk_tokens −
-    overlap_tokens`` (the stride), so no token span longer than the
-    stride is ever lost at a boundary. The last chunk may be short;
-    zero-token documents produce no chunks.
-
-    Chunk count for an n-token document: 1 if n ≤ chunk_tokens, else
-    1 + ⌈(n − chunk_tokens) / stride⌉ — computed with INTEGER
-    arithmetic ((n − c + s − 1) DIV s) so the Spark plan and the
-    DuckDB oracle can never disagree on a float rounding.
-
-    Everything is JVM-side array algebra fused into the scan:
-    ``split`` → ``filter`` (drop empty tokens, so leading/trailing
-    whitespace is dialect-neutral) → ``sequence``+``explode`` (one
-    row per chunk) → ``slice``+``array_join`` (the chunk text).
-    ZERO shuffles, no UDFs; at 100 TB the op is embarrassingly
-    parallel and row-local, and output size is input size ×
-    (1 + overlap/stride) — the caller controls the amplification
-    explicitly. Output: id, ``chunk_idx``, ``n_tokens`` (in the
-    chunk), ``chunk_text``.
-    """
-    if not 0 <= overlap_tokens < chunk_tokens:
-        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
-    stride = chunk_tokens - overlap_tokens
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
-    )
-    n = F.size(F.col("__toks"))
-    k = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
-        F.lit(1)
-        + F.expr(
-            f"(size(__toks) - {chunk_tokens} + {stride} - 1) DIV {stride}"
-        )
-    )
-    start = F.col("chunk_idx") * stride + 1  # slice() is 1-based
-    return (
-        docs.withColumn("__toks", toks)
-        .filter(F.size("__toks") > 0)
-        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), k - 1)))
-        .select(
-            F.col(id_col),
-            F.col("chunk_idx"),
-            F.least(
-                F.lit(chunk_tokens), F.size("__toks") - F.col("chunk_idx") * stride
-            ).alias("n_tokens"),
-            F.array_join(
-                F.slice(F.col("__toks"), start, chunk_tokens), " "
-            ).alias("chunk_text"),
-        )
-    )

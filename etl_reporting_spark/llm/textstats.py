@@ -292,3 +292,4 @@ def normalize_text(
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return docs.withColumn(out_col, F.trim(c))
+

@@ -2928,82 +2928,3 @@ SELECT f.doc_id, 16000 AS sample_rate, CAST(f.n AS INTEGER) AS n_frames,
 FROM feat f JOIN zc z USING (doc_id)
 ORDER BY f.doc_id
 """
-
-LLM_ORACLE_SQL["text_chunk_windows"] = """
--- Sliding-window chunking twin: 64-token chunks, stride 48. Chunk
--- count = 1 if n <= 64 else 1 + ceil((n-64)/48), computed with the
--- same integer arithmetic as the Spark plan ((n-64+47) // 48);
--- list_slice is 1-based inclusive like Spark's slice.
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'),
-                     x -> x <> '') AS t
-  FROM documents
-), sized AS (
-  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
-), chunks AS (
-  SELECT doc_id, n, t,
-         unnest(generate_series(0,
-           CASE WHEN n <= 64 THEN 0
-                ELSE (n - 64 + 48 - 1) // 48 END)) AS chunk_idx
-  FROM sized
-)
-SELECT doc_id,
-       CAST(chunk_idx AS INTEGER) AS chunk_idx,
-       CAST(LEAST(64, n - chunk_idx * 48) AS INTEGER) AS n_tokens,
-       md5(array_to_string(
-             list_slice(t, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
-             ' ')) AS chunk_md5
-FROM chunks
-ORDER BY doc_id, chunk_idx
-"""
-
-LLM_ORACLE_SQL["text_pii_scrub"] = r"""
--- PII scrub twin: identical deterministic salt, then the SAME
--- ordered count/replace chain (counts on the text state each class
--- sees; 'g' flag because DuckDB's regexp_replace is first-match by
--- default while Spark's replaces globally).
-WITH salted AS (
-  SELECT doc_id,
-         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-         || CASE WHEN doc_id % 3 = 0
-                 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                 ELSE '' END
-         || CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-5309' ELSE '' END
-         || CASE WHEN doc_id % 5 = 0
-                 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
-                 ELSE '' END
-         || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END
-           AS t0
-  FROM documents
-), s1 AS (
-  SELECT *, len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS nn_email,
-         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-  FROM salted
-), s2 AS (
-  SELECT *, len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS nn_ssn,
-         regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
-  FROM s1
-), s3 AS (
-  SELECT *, len(regexp_extract_all(t2, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS nn_cc,
-         regexp_replace(t2, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CC>', 'g') AS t3
-  FROM s2
-), s4 AS (
-  SELECT *, len(regexp_extract_all(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS nn_phone,
-         regexp_replace(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t4
-  FROM s3
-), s5 AS (
-  SELECT *, len(regexp_extract_all(t4, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS nn_ipv4,
-         regexp_replace(t4, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t5
-  FROM s4
-)
-SELECT doc_id,
-       CAST(nn_email AS INTEGER) AS n_email,
-       CAST(nn_ssn AS INTEGER) AS n_ssn,
-       CAST(nn_cc AS INTEGER) AS n_cc,
-       CAST(nn_phone AS INTEGER) AS n_phone,
-       CAST(nn_ipv4 AS INTEGER) AS n_ipv4,
-       md5(t5) AS scrub_md5
-FROM s5
-ORDER BY doc_id
-"""

@@ -371,88 +371,6 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing pass (round-9): the synthetic corpus carries no
-    identifiers, so deterministic PII is INJECTED per doc_id (an
-    email for every doc, an SSN every 3rd, a phone every 4th, an IPv4
-    every 5th, a credit card every 7th — all pure doc_id functions
-    the oracle replicates), then ``scrub_pii`` redacts in its fixed
-    pattern order and the gate verifies per-class counts AND the
-    scrubbed text (md5) byte-for-byte. Row-local regex work fused
-    into the scan; the only exchange is the presentation sort."""
-    from etl_reporting_spark.llm.pii import scrub_pii
-
-    docs = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    salted = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            did.cast("string"),
-            F.lit("@example.com"),
-            F.when(
-                did % 3 == 0,
-                F.concat(
-                    F.lit(" ssn 123-45-"),
-                    F.lpad((did % 10000).cast("string"), 4, "0"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(did % 4 == 0, F.lit(" call 555-867-5309")).otherwise(
-                F.lit("")
-            ),
-            F.when(
-                did % 5 == 0,
-                F.concat(
-                    F.lit(" ip 10.0."),
-                    (did % 256).cast("string"),
-                    F.lit(".1"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 7 == 0, F.lit(" card 4111-1111-1111-1111")
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    out = scrub_pii(salted)
-    return out.select(
-        "doc_id",
-        "n_email",
-        "n_ssn",
-        "n_cc",
-        "n_phone",
-        "n_ipv4",
-        F.md5("text_scrubbed").alias("scrub_md5"),
-    ).orderBy("doc_id")
-
-
-def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window context chunking (round-9): every document
-    becomes overlapping 64-token chunks at stride 48 (16-token
-    overlap) — the preprocessing pass that feeds long documents into
-    a fixed context window without losing boundary spans. Chunk text
-    is md5'd in the output so the gate verifies CONTENT byte-for-byte
-    while staying narrow. Zero shuffles beyond the presentation sort:
-    split → filter → sequence/explode → slice/array_join, all fused
-    into the scan (plan-audited)."""
-    from etl_reporting_spark.llm.corpusops import chunk_documents
-
-    docs = load_table(spark, sf_dir, "documents")
-    chunks = chunk_documents(
-        docs.select("doc_id", "text"),
-        id_col="doc_id",
-        text_col="text",
-        chunk_tokens=64,
-        overlap_tokens=16,
-    )
-    return chunks.select(
-        "doc_id",
-        "chunk_idx",
-        "n_tokens",
-        F.md5("chunk_text").alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_idx")
-
-
 def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style frequent-line removal exercised at word granularity
     (the synthetic corpus has no newlines, so the delimiter is a
@@ -1523,8 +1441,6 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "text_chunk_windows": text_chunk_windows,
-    "text_pii_scrub": text_pii_scrub,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

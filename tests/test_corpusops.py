@@ -316,55 +316,3 @@ def test_hll_sketch_is_mergeable_and_in_error_band(spark):
     assert merged["sum_inv"] == whole["sum_inv"]
     assert merged["est_distinct"] == whole["est_distinct"]
 
-
-def test_chunk_documents_windows_and_edges(spark):
-    """Round-9 chunking: overlap continuity (each chunk repeats the
-    previous chunk's last `overlap` tokens), exact boundary counts at
-    n == chunk and n == chunk+1, short docs, and zero-token docs
-    producing no chunks."""
-    from etl_reporting_spark.llm.corpusops import chunk_documents
-
-    import pytest as _pytest
-
-    docs = spark.createDataFrame(
-        [
-            (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 3 chunks
-            (2, "a b c"),                                 # short: 1 chunk
-            (3, " ".join(f"x{i}" for i in range(4))),     # n == chunk: 1
-            (4, " ".join(f"y{i}" for i in range(5))),     # n == chunk+1: 2
-            (5, "   "),                                   # zero tokens: none
-        ],
-        "doc_id long, text string",
-    )
-    out = chunk_documents(
-        docs, id_col="doc_id", text_col="text",
-        chunk_tokens=4, overlap_tokens=1,
-    )
-    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
-
-    # doc 1: stride 3 over 10 tokens -> starts 0,3,6 and k=1+ceil(6/3)=3
-    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
-    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
-    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"   # overlap carried
-    assert rows[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
-    assert [rows[(1, i)]["n_tokens"] for i in range(3)] == [4, 4, 4]
-
-    assert rows[(2, 0)]["chunk_text"] == "a b c"
-    assert rows[(2, 0)]["n_tokens"] == 3
-    assert sorted(k for k in rows if k[0] == 3) == [(3, 0)]  # n==chunk: one
-    # n == chunk+1: second chunk holds the overlap + the one new token
-    assert sorted(k for k in rows if k[0] == 4) == [(4, 0), (4, 1)]
-    assert rows[(4, 1)]["chunk_text"] == "y3 y4"
-    assert rows[(4, 1)]["n_tokens"] == 2
-    assert not [k for k in rows if k[0] == 5]  # whitespace-only: no chunks
-
-    # every token of every doc appears in at least one chunk (no loss)
-    for doc_id, n in ((1, 10), (3, 4), (4, 5)):
-        toks = set()
-        for (d, _i), r in rows.items():
-            if d == doc_id:
-                toks.update(r["chunk_text"].split(" "))
-        assert len(toks) == n
-
-    with _pytest.raises(ValueError):
-        chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)

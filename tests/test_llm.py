@@ -806,36 +806,3 @@ def test_ivf_multiprobe_recall_superset(spark):
     assert r1 <= r3 <= r6          # more probes never lose recall
     assert r6 == 5                 # probing every cell == exact top-5
 
-
-def test_scrub_pii_classes_and_order(spark):
-    """Round-9 PII scrubber: every class redacts, counts are
-    per-class on the text state that class sees, non-PII digit
-    strings survive (precision-over-recall contract), and clean text
-    passes through byte-identical with zero counts."""
-    from etl_reporting_spark.llm.pii import scrub_pii
-
-    rows = [
-        (1, "mail a.b+c@ex-ample.co.uk and x@y.io now"),
-        (2, "ssn 123-45-6789 phone 555.867.5309 ip 8.8.8.8"),
-        (3, "card 4111 1111 1111 1111 and 4111-1111-1111-1111"),
-        (4, "plain 1234567890123456 and version 1.2.3 stay put"),
-        (5, "nothing sensitive here"),
-    ]
-    out = {
-        r["doc_id"]: r.asDict()
-        for r in scrub_pii(
-            spark.createDataFrame(rows, "doc_id long, text string")
-        ).collect()
-    }
-    assert out[1]["n_email"] == 2
-    assert out[1]["text_scrubbed"] == "mail <EMAIL> and <EMAIL> now"
-    assert (out[2]["n_ssn"], out[2]["n_phone"], out[2]["n_ipv4"]) == (1, 1, 1)
-    assert out[2]["text_scrubbed"] == "ssn <SSN> phone <PHONE> ip <IPV4>"
-    assert out[3]["n_cc"] == 2
-    assert out[3]["text_scrubbed"] == "card <CC> and <CC>"
-    # precision contract: unseparated digit runs / versions untouched
-    assert out[4]["text_scrubbed"] == rows[3][1]
-    assert sum(
-        out[4][f"n_{k}"] for k in ("email", "ssn", "cc", "phone", "ipv4")
-    ) == 0
-    assert out[5]["text_scrubbed"] == rows[4][1]

@@ -188,12 +188,6 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # at build time; the returned frame is one masked snapshot read
     # of the view + presentation sort.
     "wap_cdf_stream_ivm": 1,
-    # round-9: sliding-window chunking — row-local array algebra
-    # fused into the scan; the only exchange is the presentation sort.
-    "text_chunk_windows": 1,
-    # round-9: PII scrub — chained row-local regex passes; the only
-    # exchange is the presentation sort.
-    "text_pii_scrub": 1,
     # round-7: the FULL registry is budgeted (verdict #5 asked >=60;
     # this pins all remaining gates) - measured cold at sf0.001,
     # SPARK_GRAFT_SHUFFLE=4, one session in registry order (the same
