@@ -360,7 +360,7 @@ def stream_maintain_aggregate_view(
         raise ValueError("max_versions_per_batch must be >= 1")
     applied: list[int] = []
     while True:
-        view = WapTable(source.spark, view_path, storage=None)
+        view = WapTable(source.spark, view_path)
         cursor = (view.latest_record() or {}).get("source_version", 0)
         tip = source.current_version()
         if cursor >= tip:
