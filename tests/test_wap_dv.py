@@ -495,8 +495,12 @@ def test_model_random_operation_interleavings(spark, tmp_path, seed):
 
     next_id = 100
     for step in range(12):
-        op = rng.choice(["upsert", "delete_pred", "delete_keys", "fmerge",
-                         "optimize", "vacuum", "compact_vectors"])
+        # step 5 always clones, so EVERY (seed, backend) param
+        # exercises the external-pointer/CoW path at least once;
+        # random draws can add more
+        op = "clone_check" if step == 5 else rng.choice(
+            ["upsert", "delete_pred", "delete_keys", "fmerge",
+             "optimize", "vacuum", "compact_vectors", "clone_check"])
         if op == "upsert":
             n_upd = rng.randint(0, 3)
             upd = rng.sample(sorted(model), min(n_upd, len(model)))
@@ -539,6 +543,31 @@ def test_model_random_operation_interleavings(spark, tmp_path, seed):
             # it ever causes (e.g. a mask row lost to a key-form
             # mismatch) is exactly what check() catches
             t.compact_vectors()
+        elif op == "clone_check":
+            # round-9: shallow clone at a random mid-history point —
+            # the storage seam's hardest paths in one op: the clone's
+            # EXTERNAL pointers (reads + dir listings resolve into
+            # the source's storage), DV inheritance through absolute
+            # keys, copy-on-write localization via optimize, and
+            # mutation isolation (the clone's delete must not touch
+            # the source). Runs under BOTH storage backends via the
+            # module's wap_storage_backend parameterization.
+            from etl_reporting_spark.operators.wap import clone_table
+
+            c = clone_table(spark, t.path, str(tmp_path / f"c{step}"))
+            got_c = {r["id"]: r["amount"] for r in c.read().collect()}
+            assert got_c == model, f"clone@{step} shared-pointer read"
+            optimize_partitions(c, n_files=1)  # localize (CoW)
+            got_c = {r["id"]: r["amount"] for r in c.read().collect()}
+            assert got_c == model, f"clone@{step} post-localize read"
+            if model:
+                victim = rng.choice(sorted(model))
+                c.delete_rows(keys_df=spark.createDataFrame(
+                    [(victim,)], "id long"), keys=["id"])
+                got_c = {r["id"]: r["amount"] for r in c.read().collect()}
+                assert victim not in got_c and len(got_c) == len(model) - 1
+            # the SOURCE must be byte-identically unaffected — that is
+            # what check() below asserts for this step
         check(f"step {step}: {op}")
     # final deep check: CDC replay over the RETAINED window (vacuum
     # keep_last=2 legitimately collects older versions — time travel
