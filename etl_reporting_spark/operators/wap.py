@@ -2530,12 +2530,70 @@ def table_changes(
     )
 
 
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
+    """Z-order (Morton) clustering key: each column is min-max
+    normalized to ``2^bits`` integer levels and the levels'
+    bits are interleaved, so range-clustering on the ONE key gives
+    every participating column spatial locality — the multi-column
+    refinement over lexicographic ``repartitionByRange(a, b)``, whose
+    files are selective only on the leading column.
+
+    Everything is EXACT integer arithmetic (no libm, no percentiles):
+    bounds come from one tiny aggregate broadcast back onto the frame
+    (the repo's agg-then-broadcast pattern — no window, no second
+    shuffle), levels are ``(v - min) * (2^bits - 1) DIV (max - min)``,
+    and the interleave is an unrolled shift/mask sum, all inside
+    whole-stage codegen. NULLs and constant columns map to level 0.
+    ``len(cols) * bits`` must fit a signed 64-bit key (≤ 62).
+
+    Returns ``(df_with_bounds, key_column)`` — the caller range-
+    partitions on the key and drops nothing (the key is an unnamed
+    expression over the broadcast bounds columns ``__zb_*``, which
+    the caller projects away after repartitioning)."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder_key needs at least one column")
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a 63-bit key")
+    bounds = df.agg(
+        *[
+            m(c).cast("long").alias(f"__zb_{f}_{i}")
+            for i, c in enumerate(cols)
+            for f, m in (("lo", F.min), ("hi", F.max))
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))  # 1-row bounds relation
+    levels = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        # integer DIV, not Column `/` (double division would round
+        # at >2^53 and the key must be exact at any span)
+        levels.append(
+            F.expr(
+                f"coalesce(((CAST(`{c}` AS BIGINT) - __zb_lo_{i}) * "
+                f"CAST({top} AS BIGINT)) DIV "
+                f"greatest(__zb_hi_{i} - __zb_lo_{i}, CAST(1 AS BIGINT)), "
+                f"CAST(0 AS BIGINT))"
+            )
+        )
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, lvl in enumerate(levels):
+            key = key + F.shiftleft(
+                F.shiftright(lvl, b).bitwiseAND(F.lit(1)), b * k + i
+            )
+    return out, key
+
+
 def optimize_partitions(
     table: PartitionedWapTable,
     partitions: Sequence[str] | None = None,
     n_files: int = 1,
     cluster_by: Sequence[str] | None = None,
     stats_cols: Sequence[str] | None = None,
+    zorder: bool = False,
 ) -> int:
     """Compaction commit (Delta OPTIMIZE at partition granularity):
     rewrite the named partitions' many small files — the residue of
@@ -2544,14 +2602,21 @@ def optimize_partitions(
     content. Returns the new version.
 
     ``cluster_by`` additionally range-clusters the rewrite on the
-    named columns (Delta ``OPTIMIZE ... ZORDER BY``'s single-column
-    case): rows are range-partitioned so each output file holds a
-    tight, near-disjoint value range, which is what makes the
+    named columns: rows are range-partitioned so each output file
+    holds a tight, near-disjoint value range, which is what makes the
     per-file [min, max] stats (``stats_cols`` — defaults to
     ``cluster_by``) actually selective. Compact-then-cluster is the
     maintenance step that turns an append-churned partition back
     into one where ``merge_partition_files`` / ``files_intersecting``
     touch O(1) files per narrow key.
+
+    Plain ``cluster_by`` over several columns is LEXICOGRAPHIC —
+    files are selective on the leading column only. ``zorder=True``
+    (Delta ``OPTIMIZE ... ZORDER BY``'s multi-column case) instead
+    range-clusters on the bit-interleaved :func:`zorder_key`, so a
+    range predicate on ANY of the clustered columns skips most files
+    (the test pins exactly this contrast). Z-ordering needs numeric
+    columns; stats still record the raw columns.
 
     Because compaction rides the same commit protocol, it gets the
     same guarantees free: readers atomically flip to the compacted
@@ -2565,12 +2630,21 @@ def optimize_partitions(
     todo = sorted(pmap) if partitions is None else sorted(partitions)
     df = table.read(partitions=todo)
     if cluster_by:
-        # range-cluster WITHIN each hive partition: partition cols
-        # lead the range key so a multi-partition rewrite doesn't
-        # interleave partitions across tasks, then the cluster cols
-        # give each task (→ each output file) a contiguous range
-        keys = [F.col(c) for c in (*table.partition_by, *cluster_by)]
-        df = df.repartitionByRange(max(n_files, 1) * max(len(todo), 1), *keys)
+        n_ranges = max(n_files, 1) * max(len(todo), 1)
+        if zorder:
+            df, zkey = zorder_key(df, cluster_by)
+            keys = [*(F.col(c) for c in table.partition_by), zkey]
+            df = df.repartitionByRange(n_ranges, *keys).select(
+                *[c for c in df.columns if not c.startswith("__zb_")]
+            )
+        else:
+            # range-cluster WITHIN each hive partition: partition cols
+            # lead the range key so a multi-partition rewrite doesn't
+            # interleave partitions across tasks, then the cluster
+            # cols give each task (→ each output file) a contiguous
+            # range
+            keys = [F.col(c) for c in (*table.partition_by, *cluster_by)]
+            df = df.repartitionByRange(n_ranges, *keys)
         if stats_cols is None:
             stats_cols = list(cluster_by)
     else:

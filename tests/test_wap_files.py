@@ -288,3 +288,79 @@ def test_clustered_compaction_restores_file_skipping(spark, tmp_path):
     assert len(t.partition_files(DAY1)) >= 3  # still multiple files
     assert len(t.files_intersecting(DAY1, "id", 5, 5)) == 1  # tight ranges
     assert t.read().count() == 100  # content identical
+
+
+def test_zorder_compaction_selective_on_every_clustered_column(spark, tmp_path):
+    """Round-9 multi-column Z-ORDER: compact a 32x32 (x, y) grid into
+    8 files twice — lexicographic cluster_by (the old path) and
+    zorder=True — and compare file skipping via the recorded per-file
+    stats. Lexicographic files are selective on the leading column
+    only (a y-range hits EVERY file); Morton files are selective on
+    BOTH axes. Content must be identical either way."""
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        optimize_partitions,
+    )
+
+    rows = [(32 * yy + xx, "d1", xx, yy) for xx in range(32) for yy in range(32)]
+    df = spark.createDataFrame(rows, "id long, ds string, x long, y long")
+
+    def build(path, **kw):
+        t = create_partitioned_wap_table(spark, path, df, ["ds"])
+        optimize_partitions(
+            t, n_files=8, cluster_by=["x", "y"], stats_cols=["x", "y"], **kw
+        )
+        return t
+
+    lex = build(str(tmp_path / "lex"))
+    zed = build(str(tmp_path / "zed"), zorder=True)
+    for t in (lex, zed):
+        assert t.read().count() == 1024
+        assert sorted(
+            (r["x"], r["y"]) for r in t.read().select("x", "y").collect()
+        ) == sorted((xx, yy) for xx in range(32) for yy in range(32))
+
+    def n_files_hit(t, col, lo, hi):
+        return len(t.files_intersecting("ds=d1", col, lo=lo, hi=hi))
+
+    total = len(lex.partition_files("ds=d1"))
+    assert total == 8 and len(zed.partition_files("ds=d1")) == 8
+
+    # leading column: both layouts skip
+    assert n_files_hit(lex, "x", 0, 7) < total
+    assert n_files_hit(zed, "x", 0, 7) < total
+    # trailing column: lexicographic hits EVERY file; z-order skips —
+    # the property that makes multi-dim point lookups O(few files)
+    assert n_files_hit(lex, "y", 0, 7) == total
+    assert n_files_hit(zed, "y", 0, 7) < total
+    # and z-order still prunes hard on a narrow 2-D box
+    both = set(
+        zed.files_intersecting("ds=d1", "x", 0, 7)
+    ) & set(zed.files_intersecting("ds=d1", "y", 0, 7))
+    assert len(both) <= total // 2
+
+
+def test_zorder_key_is_exact_and_bounded(spark):
+    """zorder_key unit vectors: interleave of 2-bit levels matches the
+    hand-computed Morton order, NULLs map to level 0, and the
+    bit-budget guard trips."""
+    import pytest as _pytest
+
+    from etl_reporting_spark.operators.wap import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (None, 3)], "x int, y int"
+    )
+    out, key = zorder_key(df, ["x", "y"], bits=2)
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in out.select("x", "y", key.alias("z")).collect()
+    }
+    # bits of x land at even positions, y at odd: z = interleave(x, y)
+    assert got[(0, 0)] == 0
+    assert got[(3, 0)] == 0b0101          # x bits at 0 and 2
+    assert got[(0, 3)] == 0b1010          # y bits at 1 and 3
+    assert got[(3, 3)] == 0b1111
+    assert got[(None, 3)] == 0b1010       # NULL -> level 0
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["x"] * 4, bits=16)  # 64 bits > 62
