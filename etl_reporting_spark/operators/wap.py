@@ -2873,6 +2873,7 @@ def auto_optimize(
     vacuum_min_age_seconds: float = 3600.0,
     max_dv_sidecars: int = 4,
     data_rewrite: bool = True,
+    zorder: bool = False,
 ) -> dict:
     """Opt-in maintenance EXECUTOR: run :func:`maintenance_plan` and
     apply what it diagnoses — compact every partition any trigger
@@ -2926,6 +2927,7 @@ def auto_optimize(
             n_files=n_files,
             cluster_by=cluster_by,
             stats_cols=stats_cols,
+            zorder=zorder,
         )
         applied.append(
             {"action": "compact", "partitions": sorted(compact), "version": v}
