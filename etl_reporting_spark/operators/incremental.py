@@ -157,6 +157,7 @@ def maintain_aggregate_view(
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
     to_version: int | None = None,
+    view_storage=None,
 ) -> int | None:
     """Materialized aggregate maintained OFF THE CHANGE FEED — the
     end-to-end composition of the transactional layer and the IVM
@@ -180,12 +181,18 @@ def maintain_aggregate_view(
     ``to_version`` bounds one refresh to an explicit source version
     (default: the current tip) — the micro-batch primitive
     :func:`streaming.cdc_stream.stream_maintain_aggregate_view`
-    drives to consume the change feed incrementally."""
+    drives to consume the change feed incrementally.
+
+    ``view_storage`` is the view table's :class:`TableStorage`
+    backend (default: the module-global factory over ``view_path``) —
+    the same ``storage=`` seam ``create_wap_table`` takes, so an IVM
+    view can live on an object store without monkeypatching the
+    global factory."""
     from pyspark.sql import functions as F
 
     from etl_reporting_spark.operators.wap import WapTable, table_changes
 
-    view = WapTable(source.spark, view_path)
+    view = WapTable(source.spark, view_path, storage=view_storage)
     src_version = (
         to_version if to_version is not None else source.current_version()
     )

@@ -306,6 +306,20 @@ class AzureBlobObjectStoreClient(ObjectStoreClient):
         )
 
 
+def _is_not_found(exc) -> bool:
+    """True only for a genuine absence (HTTP 404 / NoSuchKey /
+    NotFound). Everything else — 503 SlowDown throttling, 403
+    AccessDenied, 500 — must propagate: swallowing it would convert a
+    transient or permission error into a wrong answer (delete_key
+    reporting "absent", vacuum silently under-deleting). Mirrors how
+    ``S3ObjectStoreClient.put_if_absent`` inspects the status code
+    rather than catching ``ClientError`` wholesale."""
+    resp = getattr(exc, "response", None) or {}
+    status = resp.get("ResponseMetadata", {}).get("HTTPStatusCode")
+    code = resp.get("Error", {}).get("Code")
+    return status == 404 or code in ("404", "NoSuchKey", "NotFound")
+
+
 class S3TableStorage(TableStorage):
     """Real-S3 ``TableStorage`` (operators/table_storage.py) — the
     adapter the round-9 seam was built for: Spark's executors do the
@@ -370,8 +384,9 @@ class S3TableStorage(TableStorage):
         try:
             self.client.head_object(Bucket=self.bucket, Key=base)
             return [rel.strip("/")]
-        except self.client.exceptions.ClientError:
-            pass
+        except self.client.exceptions.ClientError as e:
+            if not _is_not_found(e):  # throttling/denied ≠ absent
+                raise
         out: list[str] = []
         strip = len(self.prefix) + 1
         paginator = self.client.get_paginator("list_objects_v2")
@@ -386,7 +401,9 @@ class S3TableStorage(TableStorage):
         key = self._key(rel)
         try:
             self.client.head_object(Bucket=self.bucket, Key=key)
-        except self.client.exceptions.ClientError:
+        except self.client.exceptions.ClientError as e:
+            if not _is_not_found(e):  # 503/403 must not read as "absent"
+                raise
             return False
         self.client.delete_object(Bucket=self.bucket, Key=key)
         return True
@@ -409,7 +426,9 @@ class S3TableStorage(TableStorage):
             resp = self.client.head_object(
                 Bucket=self.bucket, Key=self._key(rel)
             )
-        except self.client.exceptions.ClientError:
+        except self.client.exceptions.ClientError as e:
+            if not _is_not_found(e):
+                raise
             return None
         return resp["LastModified"].timestamp()
 

@@ -318,6 +318,7 @@ def stream_maintain_aggregate_view(
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
     max_versions_per_batch: int = 1,
+    view_storage=None,
 ) -> list[int]:
     """The WAP change feed as an INCREMENTAL STREAMING SOURCE
     (round-9 brief #5): drain the source table's commit log from the
@@ -359,15 +360,25 @@ def stream_maintain_aggregate_view(
     if max_versions_per_batch < 1:
         raise ValueError("max_versions_per_batch must be >= 1")
     applied: list[int] = []
+    # AvailableNow semantics: snapshot the end offset ONCE at
+    # invocation and drain to it. Re-reading the tip per iteration
+    # would never terminate against a source committing faster than
+    # batches drain — new commits belong to the NEXT invocation.
+    tip = source.current_version()
     while True:
-        view = WapTable(source.spark, view_path)
+        view = WapTable(source.spark, view_path, storage=view_storage)
         cursor = (view.latest_record() or {}).get("source_version", 0)
-        tip = source.current_version()
         if cursor >= tip:
             return applied
         to_v = min(cursor + max_versions_per_batch, tip)
         v = maintain_aggregate_view(
-            source, view_path, keys, group_cols, sum_cols, to_version=to_v
+            source,
+            view_path,
+            keys,
+            group_cols,
+            sum_cols,
+            to_version=to_v,
+            view_storage=view_storage,
         )
         if v is None:  # defensive: cursor raced past to_v
             return applied

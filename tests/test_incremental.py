@@ -446,3 +446,110 @@ def test_stream_maintain_aggregate_view_micro_batches(spark, tmp_path):
         for r in WapTable(spark, half_path).read().collect()
     }
     assert half == truth
+
+
+def test_stream_drain_snapshots_tip_once(spark, tmp_path):
+    """AvailableNow contract (round-10 ADVICE fix): the end offset is
+    snapshotted ONCE at invocation. A source that keeps committing
+    while the stream drains must not extend THIS invocation — the
+    drain terminates at the tip observed at start, and the late
+    commits belong to the next invocation. (The old per-iteration
+    re-read of current_version never terminated against a source
+    outpacing the drain.)"""
+    from etl_reporting_spark.operators import incremental
+    from etl_reporting_spark.operators.wap import (
+        WapTable,
+        create_partitioned_wap_table,
+    )
+    from etl_reporting_spark.streaming.cdc_stream import (
+        stream_maintain_aggregate_view,
+    )
+
+    rows = [(i, f"2026-03-0{1 + i % 2}", float(i)) for i in range(1, 11)]
+    fact = create_partitioned_wap_table(
+        spark,
+        str(tmp_path / "fact"),
+        spark.createDataFrame(rows, "id long, ds string, amount double"),
+        ["ds"],
+    )
+    fact.delete_rows("id % 3 = 0")  # v2 — tip is 2 at invocation
+
+    real = incremental.maintain_aggregate_view
+    extra = {"done": False}
+
+    def racing(*args, **kwargs):
+        v = real(*args, **kwargs)
+        if not extra["done"]:  # source outpaces the drain: commit v3
+            extra["done"] = True
+            fact.upsert_rows_dv(
+                spark.createDataFrame(
+                    [(99, "2026-03-01", 99.0)],
+                    "id long, ds string, amount double",
+                ),
+                keys=["id"],
+            )
+        return v
+
+    import unittest.mock as mock
+
+    with mock.patch.object(incremental, "maintain_aggregate_view", racing):
+        applied = stream_maintain_aggregate_view(
+            fact, str(tmp_path / "view"), ["id"], ["ds"], ["amount"],
+            max_versions_per_batch=1,
+        )
+    assert applied == [1, 2]  # drained to the SNAPSHOTTED tip, then stopped
+    assert fact.current_version() == 3
+    view = WapTable(spark, str(tmp_path / "view"))
+    assert (view.latest_record() or {}).get("source_version") == 2
+
+    # the racing commit is the NEXT invocation's batch
+    assert stream_maintain_aggregate_view(
+        fact, str(tmp_path / "view"), ["id"], ["ds"], ["amount"]
+    ) == [3]
+    assert (view.latest_record() or {}).get("source_version") == 3
+
+
+def test_view_storage_threads_to_ivm_view(spark, tmp_path):
+    """round-10 ADVICE fix: maintain_aggregate_view /
+    stream_maintain_aggregate_view accept ``view_storage=`` and pass
+    it to the view's WapTable — an object-store-backed IVM view no
+    longer requires monkeypatching the module-global storage
+    factory."""
+    from etl_reporting_spark.operators.incremental import (
+        maintain_aggregate_view,
+    )
+    from etl_reporting_spark.operators.table_storage import BlobStorage
+    from etl_reporting_spark.operators.wap import (
+        ObjectStoreCommitStore,
+        WapTable,
+        create_partitioned_wap_table,
+    )
+    from etl_reporting_spark.streaming.cdc_stream import (
+        stream_maintain_aggregate_view,
+    )
+
+    rows = [(i, f"2026-04-0{1 + i % 2}", float(i)) for i in range(1, 11)]
+    fact = create_partitioned_wap_table(
+        spark,
+        str(tmp_path / "fact"),
+        spark.createDataFrame(rows, "id long, ds string, amount double"),
+        ["ds"],
+    )
+    vs = BlobStorage(str(tmp_path / "view"))
+    v = maintain_aggregate_view(
+        fact, str(tmp_path / "view"), ["id"], ["ds"], ["amount"],
+        view_storage=vs,
+    )
+    assert v == 1
+    view = WapTable(spark, str(tmp_path / "view"), storage=vs)
+    # the commit log went through the blob backend's conditional-PUT
+    # store — proof the storage seam, not the global factory, was used
+    assert isinstance(view.store, ObjectStoreCommitStore)
+    assert view.current_version() == 1
+
+    fact.delete_rows("id % 2 = 0")
+    assert stream_maintain_aggregate_view(
+        fact, str(tmp_path / "view"), ["id"], ["ds"], ["amount"],
+        view_storage=vs,
+    ) == [2]
+    assert (view.latest_record() or {}).get("source_version") == 2

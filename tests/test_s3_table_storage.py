@@ -127,3 +127,40 @@ def test_list_files_at_external_clone_source(fs):
     assert fs.list_files_at(
         "s3a://srcbucket/src/tbl/d-cccccccccccc/ds=1"
     ) == ["part-0.parquet"]
+
+
+def test_transient_errors_propagate_not_absent(fs):
+    """503 SlowDown / 403 AccessDenied on HEAD must RAISE, never read
+    as "object absent" — a throttled delete_key reporting False would
+    make vacuum under-delete silently, and a throttled list_prefix
+    would fall through to a (possibly also throttled) LIST. Only a
+    genuine 404 means absent (round-10 ADVICE fix)."""
+    import botocore.exceptions
+
+    def throttled(Bucket, Key):
+        raise botocore.exceptions.ClientError(
+            {
+                "Error": {"Code": "SlowDown"},
+                "ResponseMetadata": {"HTTPStatusCode": 503},
+            },
+            "HeadObject",
+        )
+
+    real_head = fs.client.head_object
+    fs.client.head_object = throttled
+    try:
+        with pytest.raises(botocore.exceptions.ClientError):
+            fs.delete_key("d-aaaaaaaaaaaa/ds=2026-01-01/part-0.parquet")
+        with pytest.raises(botocore.exceptions.ClientError):
+            fs.list_prefix("d-aaaaaaaaaaaa/ds=2026-01-01/part-0.parquet")
+        with pytest.raises(botocore.exceptions.ClientError):
+            fs.last_modified("d-aaaaaaaaaaaa/ds=2026-01-01/part-0.parquet")
+    finally:
+        fs.client.head_object = real_head
+    # the object was NOT deleted behind the throttle
+    assert fs.last_modified(
+        "d-aaaaaaaaaaaa/ds=2026-01-01/part-0.parquet"
+    ) is not None
+    # and a real 404 still reads as absent, not an error
+    assert fs.delete_key("nope/missing.parquet") is False
+    assert fs.last_modified("nope/missing.parquet") is None
