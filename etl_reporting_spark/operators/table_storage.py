@@ -32,18 +32,19 @@ Two concrete backends ship in-container:
   in a real S3/GCS client is then an adapter, not a refactor
   (see ``S3TableStorage`` for the boto3-shaped adapter).
 
-Consistency assumption, stated once: ``list_prefix`` is
-READ-AFTER-WRITE consistent for keys the SAME writer just created —
-true of S3 (LIST strongly consistent since 2020-12), GCS, and ABFS.
-The WAP writer relies on it in exactly one place: discovering the
-leaves/files Spark just wrote under a fresh commit root before
-publishing the record that references them (an under-listing there
-would publish a record missing just-written data). On a store with
-lagging LIST, the mitigation is to derive the written-file set from
-the write manifest instead of a listing; no CURRENT major store needs
-it. Cross-writer LIST lag is already tolerated everywhere else — the
-commit store forward-probes with GETs, and vacuum candidates that
-LIST late are simply collected by a later vacuum.
+Consistency: no verb here needs read-after-write LIST. Through
+round 9 the WAP writer relied on it in exactly one place —
+discovering the leaves/files Spark just wrote under a fresh commit
+root before publishing the record (an under-listing there would have
+published a record missing just-written data). Round 10 removed it:
+commit-time discovery now unions the WRITE MANIFEST (Spark's own
+``inputFiles()`` enumeration through the FileSystem client that
+performed the write — ``wap._spark_write_manifest``) with this
+seam's LIST as a cross-check, so an under-reporting on either side
+is covered by the other, and ``expected_rows``/audits guard row
+completeness on top. Cross-writer LIST lag is tolerated everywhere
+else — the commit store forward-probes with GETs, and vacuum
+candidates that LIST late are simply collected by a later vacuum.
 
 Semantics anchor: the reference's transactional MERGE surface
 (reference connector/snowpark_connector.py:607-1004) assumes a

@@ -748,6 +748,64 @@ def _root_of(rel: str) -> str:
     return parts[0]
 
 
+def _spark_write_manifest(spark, fs, root: str, schema) -> list[str]:
+    """The WRITE MANIFEST: table-root-relative parquet keys Spark
+    just wrote under the fresh commit root ``root`` — discovered by
+    asking the WRITE PATH itself (a schema-pinned ``spark.read`` of
+    the root; ``inputFiles()`` is driver-side FileIndex enumeration
+    through the same Hadoop FileSystem connector that performed the
+    write — no job runs, no rows are read), NOT the control-plane
+    seam's ``list_prefix``.
+
+    Round-10 brief #1: commit-time written-file discovery used to be
+    the single place the commit path trusted the seam's
+    read-after-write LIST — an under-listing there would have
+    published a commit record silently missing just-written data.
+    Discovery now takes the UNION of this manifest and the seam LIST
+    (each covers an under-reporting on the other side), and row-level
+    completeness is additionally guarded by the ``expected_rows`` /
+    audit count over the discovered set. Schema pinning matters: it
+    makes a zero-row write (a root holding only ``_SUCCESS``) return
+    an empty manifest instead of failing schema inference.
+
+    The ``_dv`` sidecar (written under the same root by
+    ``upsert_rows_dv`` before its append) is invisible here by
+    construction — Hadoop's hidden-file filter skips ``_``-prefixed
+    paths, the same property that hides it from table reads."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        uris = reader.parquet(fs.url(root)).inputFiles()
+    except Exception:
+        # no schema pin and nothing written -> inference fails; the
+        # seam LIST side of the union still covers the root
+        return []
+    out = []
+    for uri in uris:
+        rel = fs.relativize(uri)
+        base = rel.rsplit("/", 1)[-1]
+        if base.endswith(".parquet") and not base.startswith((".", "_")):
+            out.append(rel)
+    return sorted(out)
+
+
+def _leaves_from_keys(keys: Sequence[str], root: str) -> list[str]:
+    """Hive leaf-partition dirs (relative to ``root``) implied by a
+    set of parquet file keys — the same pure string logic as
+    ``TableStorage.leaf_partition_dirs``, applied to an
+    already-discovered key list instead of a fresh LIST."""
+    pref = root.rstrip("/") + "/"
+    leaves: set[str] = set()
+    for k in keys:
+        if not k.startswith(pref):
+            continue
+        parts = k[len(pref):].split("/")
+        if len(parts) >= 2 and all("=" in p for p in parts[:-1]):
+            leaves.add("/".join(parts[:-1]))
+    return sorted(leaves)
+
+
 class PartitionedWapTable(WapTable):
     """WAP table with PARTITION-SCOPED commits — the fact-scale MERGE
     layout (round-5 verdict "What's missing" #1).
@@ -991,6 +1049,25 @@ class PartitionedWapTable(WapTable):
             cols += [F.col("__file"), F.col("__ridx")]
         return out.select(*cols)
 
+    def _written_parquet_keys(self, root: str, schema) -> list[str]:
+        """Parquet keys under a FRESH commit root, for building the
+        record about to be published: union of the Spark write
+        manifest (``_spark_write_manifest`` — the write path's own
+        FileSystem client) and the seam's ``list_prefix``
+        (cross-check). Excludes the ``_dv`` sidecar and hidden files
+        on the LIST side to match what the manifest can see."""
+        keys = set(_spark_write_manifest(self.spark, self.fs, root, schema))
+        pref = root.rstrip("/") + "/"
+        for k in self.fs.list_prefix(pref):
+            base = k.rsplit("/", 1)[-1]
+            if (
+                base.endswith(".parquet")
+                and not base.startswith((".", "_"))
+                and not k[len(pref):].startswith("_dv/")
+            ):
+                keys.add(k)
+        return sorted(keys)
+
     # ----------------------------------------------------------- write
     def commit_partitions(
         self,
@@ -1032,7 +1109,9 @@ class PartitionedWapTable(WapTable):
         # in the name: rebase re-points these dirs without rewrite)
         self.fs.prepare_root()
         df.write.partitionBy(*self.partition_by).mode("error").parquet(root_path)
-        written = self.fs.leaf_partition_dirs(root)
+        written = _leaves_from_keys(
+            self._written_parquet_keys(root, df.schema), root
+        )
         touched = sorted(set(replace) | set(written)) if replace is not None else written
         if replace is not None and not set(written) <= set(replace):
             self.fs.delete_prefix(root)
@@ -1295,7 +1374,8 @@ class PartitionedWapTable(WapTable):
 
         # 1. WRITE — hive layout; must land in exactly `partition`
         df.write.partitionBy(*self.partition_by).mode("error").parquet(root_path)
-        written_leaves = self.fs.leaf_partition_dirs(root)
+        written_keys = self._written_parquet_keys(root, df.schema)
+        written_leaves = _leaves_from_keys(written_keys, root)
         if written_leaves not in ([], [partition]):
             self.fs.delete_prefix(root)
             raise AuditError(
@@ -1303,12 +1383,8 @@ class PartitionedWapTable(WapTable):
                 f"partitions: {sorted(set(written_leaves) - {partition})}"
             )
         new_files = sorted(
-            f"{root}/{partition}/{f}"
-            for f in (
-                self.fs.list_files(f"{root}/{partition}")
-                if written_leaves
-                else ()
-            )
+            k for k in written_keys
+            if k.startswith(f"{root}/{partition}/")
         )
 
         # 2. AUDIT — read back the new files
@@ -1747,7 +1823,8 @@ class PartitionedWapTable(WapTable):
         source.write.partitionBy(*self.partition_by).mode("append").parquet(
             root_path
         )
-        written = self.fs.leaf_partition_dirs(root)
+        written_keys = self._written_parquet_keys(root, source.schema)
+        written = _leaves_from_keys(written_keys, root)
         if not set(written) <= set(touched_pkeys):
             self.fs.delete_prefix(root)
             raise AuditError(
@@ -1757,8 +1834,9 @@ class PartitionedWapTable(WapTable):
         new_files: dict[str, list[str]] = {}
         for leaf in written:
             new_files[leaf] = sorted(
-                f"{root}/{leaf}/{f}"
-                for f in self.fs.list_files(f"{root}/{leaf}")
+                k for k in written_keys
+                if k.startswith(f"{root}/{leaf}/")
+                and "/" not in k[len(f"{root}/{leaf}/"):]
             )
         back = (
             # NEW files can't be masked by the base version's vectors,
