@@ -3057,16 +3057,32 @@ def open_wap_table(
 
 
 def register_wap_view(
-    spark: SparkSession, path: str, name: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    dml: bool = False,
 ) -> WapTable:
     """Expose a WAP table's committed snapshot to SQL as a temp view —
     the bridge between the transactional layer and the templated-SQL
     report pipeline (reports query ``name`` like any table; the view
     pins the snapshot resolved NOW, so a mid-report commit cannot
     shear the report across versions — re-register to pick up a newer
-    version). Works for both layouts via :func:`open_wap_table`."""
+    version). Works for both layouts via :func:`open_wap_table`.
+
+    ``dml=True`` additionally registers ``name`` as a target for SQL
+    DML text (``MERGE INTO name …`` / ``DELETE FROM name …`` /
+    ``UPDATE name …`` via :func:`operators.sql_dml.execute_dml`) —
+    the mutation side of the SQL surface, routed onto the merge
+    ladder. The reference's upsert surface is built as MERGE SQL text
+    (reference connector/snowpark_connector.py:919-1004), so this is
+    what a SQL-first pipeline ports onto."""
     table = open_wap_table(spark, path)
     table.read(version=version).createOrReplaceTempView(name)
+    if dml:
+        from etl_reporting_spark.operators.sql_dml import register_dml_target
+
+        register_dml_target(name, table)
     return table
 
 

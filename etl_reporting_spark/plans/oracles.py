@@ -454,6 +454,60 @@ GROUP BY snapshot, c_mktsegment
 ORDER BY snapshot, c_mktsegment
 """
 
+ORACLE_SQL["wap_merge_sql"] = """
+-- MERGE statement text routed onto the WAP merge ladder: matched &
+-- (source.bal > 0) -> update; source-only & (bal <= 9000) -> insert;
+-- target-only & (bal < 0) -> delete. The source covers every bucket
+-- partition, so the delete scope is the whole table.
+WITH tgt AS (
+  SELECT c_custkey, c_custkey % 4 AS bucket, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_custkey <= 200
+),
+src AS (
+  SELECT c_custkey, c_custkey % 4 AS bucket, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_custkey > 150 AND c_custkey <= 250
+),
+final AS (
+  SELECT t.c_custkey, t.bucket, t.c_mktsegment,
+         CASE WHEN s.bal > 0 THEN s.bal ELSE t.bal END AS bal
+  FROM tgt t JOIN src s ON t.c_custkey = s.c_custkey AND t.bucket = s.bucket
+  UNION ALL
+  SELECT t.c_custkey, t.bucket, t.c_mktsegment, t.bal
+  FROM tgt t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM src s
+    WHERE s.c_custkey = t.c_custkey AND s.bucket = t.bucket
+  ) AND NOT (t.bal < 0)
+  UNION ALL
+  SELECT s.c_custkey, s.bucket, s.c_mktsegment, s.bal
+  FROM src s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tgt t
+    WHERE t.c_custkey = s.c_custkey AND t.bucket = s.bucket
+  ) AND s.bal <= 9000
+)
+SELECT c_custkey, bucket, c_mktsegment, CAST(bal AS DOUBLE) AS bal
+FROM final
+ORDER BY c_custkey
+"""
+
+ORACLE_SQL["wap_update_delete_sql"] = """
+-- UPDATE (partition-granular rewrite; pre-update values; type kept)
+-- then DELETE (deletion vectors) as statement text, in order.
+SELECT c_custkey, c_custkey % 3 AS bucket, c_mktsegment,
+       CAST(
+         CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0
+              THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 10
+                        AS DECIMAL(18,2))
+              ELSE CAST(c_acctbal AS DECIMAL(18,2)) END
+         AS DOUBLE) AS bal
+FROM customer
+WHERE c_custkey <= 300 AND c_custkey % 7 <> 0
+ORDER BY c_custkey
+"""
+
 ORACLE_SQL["u1_union_distinct"] = """
 SELECT user_id FROM events WHERE event_type = 'purchase'
 UNION

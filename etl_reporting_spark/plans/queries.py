@@ -1255,6 +1255,121 @@ def wap_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wap_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE as STATEMENT TEXT against a WAP table (round-10 brief
+    #2): the reference's upsert surface is built as MERGE SQL
+    (reference connector/snowpark_connector.py:919-1004), so this
+    gate runs the full reference grammar — templated text, target/
+    source aliases, equi-ON, conditioned UPDATE/INSERT branches, NOT
+    MATCHED BY SOURCE … DELETE — through
+    ``operators.sql_dml.execute_dml``, which parses it and routes
+    onto the same partition-scoped WAP merge the DataFrame API uses
+    (identical classifier, identical metrics). The table is
+    partitioned on ``bucket = c_custkey % 4`` and the source covers
+    every bucket, so the delete branch's touched-partition scope is
+    the whole table and the oracle is plain ANSI SQL.
+
+    Scale: parsing is driver-side string work; execution is
+    merge_upsert_wap's cost-∝-touched-partitions contract. Balances
+    are DECIMAL(18,2) per the queries.py float convention."""
+    import tempfile
+
+    from etl_reporting_spark.operators.sql_dml import execute_dml
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        register_wap_view,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    tgt = customer.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        (F.col("c_custkey") % 4).alias("bucket"),
+        "c_mktsegment",
+        dec.alias("bal"),
+    )
+    src = customer.filter(
+        (F.col("c_custkey") > 150) & (F.col("c_custkey") <= 250)
+    ).select(
+        "c_custkey",
+        (F.col("c_custkey") % 4).alias("bucket"),
+        "c_mktsegment",
+        (dec + 100).cast("decimal(18,2)").alias("bal"),
+    )
+    path = tempfile.mkdtemp(prefix="wap_merge_sql_")
+    table = create_partitioned_wap_table(spark, f"{path}/fact", tgt, ["bucket"])
+    register_wap_view(spark, table.path, "wap_dml_fact", dml=True)
+    src.createOrReplaceTempView("wap_dml_src")
+    execute_dml(
+        spark,
+        """
+        MERGE INTO wap_dml_fact AS target
+        USING wap_dml_src AS source
+        ON target.c_custkey = source.c_custkey
+           AND target.bucket = source.bucket
+        WHEN MATCHED AND source.bal > 0 THEN UPDATE SET bal = source.bal
+        WHEN NOT MATCHED AND source.bal <= {{MAX_BAL}} THEN
+          INSERT (c_custkey, bucket, c_mktsegment, bal)
+          VALUES (source.c_custkey, source.bucket,
+                  source.c_mktsegment, source.bal)
+        WHEN NOT MATCHED BY SOURCE AND (target.bal < 0) THEN DELETE
+        """,
+        substitutions={"MAX_BAL": "9000"},
+    )
+    return (
+        table.read()
+        .select(
+            "c_custkey",
+            "bucket",
+            "c_mktsegment",
+            F.col("bal").cast("double").alias("bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def wap_update_delete_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE and DELETE as statement text against a WAP table
+    (round-10 brief #2, the single-table DML forms): ``UPDATE … SET …
+    WHERE`` routes to a partition-granular rewrite (only partitions
+    holding matching rows are replaced; assignments see pre-update
+    values and keep column types), ``DELETE FROM … WHERE`` routes to
+    deletion vectors (zero data files rewritten). Both through
+    ``execute_dml`` text, sequenced as a pipeline script would run
+    them."""
+    import tempfile
+
+    from etl_reporting_spark.operators.sql_dml import execute_dml
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        register_wap_view,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    tgt = customer.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey",
+        (F.col("c_custkey") % 3).alias("bucket"),
+        "c_mktsegment",
+        dec.alias("bal"),
+    )
+    path = tempfile.mkdtemp(prefix="wap_ud_sql_")
+    table = create_partitioned_wap_table(spark, f"{path}/fact", tgt, ["bucket"])
+    register_wap_view(spark, table.path, "wap_ud_fact", dml=True)
+    execute_dml(spark, "UPDATE wap_ud_fact SET bal = bal + 10 WHERE bal < 0")
+    execute_dml(spark, "DELETE FROM wap_ud_fact WHERE c_custkey % 7 = 0")
+    return (
+        table.read()
+        .select(
+            "c_custkey",
+            "bucket",
+            "c_mktsegment",
+            F.col("bal").cast("double").alias("bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def wap_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed IVM off a DV-churned WAP table (round-9 brief #5): a
     partitioned fact takes four commits — CREATE (keys ≤ 150, balances
@@ -1883,6 +1998,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and a10_conditional_insert (the A-family keeps seven
     # driver-green representatives).
     "wap_sql_surface": wap_sql_surface,
+    # round-10 rotation: the two NEW SQL-DML gates (MERGE statement
+    # text routed onto the merge ladder; UPDATE/DELETE text) move
+    # INTO the driver window. Rotated out with 7+ rounds of
+    # driver-green history (CORRECTNESS_r02-r09), still locally
+    # verified below: u1_union_distinct (the set-op family keeps
+    # u2_period_rollup and u4_union_by_name driver-verified) and
+    # w45_event_ordering (the window family keeps w1/w3/w8/w9/w13
+    # driver-verified).
+    "wap_merge_sql": wap_merge_sql,
+    "wap_update_delete_sql": wap_update_delete_sql,
     "j7_scalar_config_join": j7_scalar_config_join,
     "wap_cdf_stream_ivm": wap_cdf_stream_ivm,
     "wap_dv_lifecycle": wap_dv_lifecycle,
@@ -1901,8 +2026,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_carrier_scoped": dq_carrier_scoped,
     "inc_watermark_load": inc_watermark_load,
     "j10_merge_upsert": j10_merge_upsert,
-    "u1_union_distinct": u1_union_distinct,
-    "w45_event_ordering": w45_event_ordering,
     "fn_json_gallery": fn_json_gallery,
     "report_lifecycle_summary": report_lifecycle_summary,
     "report_claimant_detail": report_claimant_detail,
@@ -1968,6 +2091,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wap_change_feed": wap_change_feed,
     "o3_top_orders": o3_top_orders,
     "a10_conditional_insert": a10_conditional_insert,
+    "u1_union_distinct": u1_union_distinct,
+    "w45_event_ordering": w45_event_ordering,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "mm_decode_real",
         "ann_recall_sweep",

@@ -28,6 +28,8 @@ EXPECTED_WINDOW = [
     "a9_outlier_events",
     "u2_period_rollup",
     "wap_sql_surface",
+    "wap_merge_sql",
+    "wap_update_delete_sql",
     "j7_scalar_config_join",
     "wap_cdf_stream_ivm",
     "wap_dv_lifecycle",
@@ -46,8 +48,6 @@ EXPECTED_WINDOW = [
     "dq_carrier_scoped",
     "inc_watermark_load",
     "j10_merge_upsert",
-    "u1_union_distinct",
-    "w45_event_ordering",
     "fn_json_gallery",
     "report_lifecycle_summary",
     "report_claimant_detail",
@@ -154,6 +154,25 @@ def test_window_split_contains_the_round9_rotation():
     new_r9 = {"wap_sql_surface", "wap_cdf_stream_ivm"}
     assert new_r9 <= set(EXPECTED_WINDOW)
     rotated_out = {"o3_top_orders", "a10_conditional_insert"}
+    names = list(entry.queries())
+    assert rotated_out.isdisjoint(EXPECTED_WINDOW)
+    assert rotated_out <= set(names[50:])  # still present, locally verified
+
+
+def test_window_split_contains_the_round10_rotation():
+    """Round-10 rotation: the two new SQL-DML gates are
+    driver-verified — wap_merge_sql (the reference-shaped MERGE
+    statement text routed onto the merge ladder, all three branches
+    conditioned) and wap_update_delete_sql (UPDATE as
+    partition-granular rewrite + DELETE as deletion vectors, both as
+    text). Rotated out with 7+ rounds of driver-green history
+    (CORRECTNESS_r02-r09): u1_union_distinct (the set-op family keeps
+    u2_period_rollup and u4_union_by_name driver-verified) and
+    w45_event_ordering (the window family keeps w1/w3/w8/w9/w13
+    driver-verified)."""
+    new_r10 = {"wap_merge_sql", "wap_update_delete_sql"}
+    assert new_r10 <= set(EXPECTED_WINDOW)
+    rotated_out = {"u1_union_distinct", "w45_event_ordering"}
     names = list(entry.queries())
     assert rotated_out.isdisjoint(EXPECTED_WINDOW)
     assert rotated_out <= set(names[50:])  # still present, locally verified

@@ -1,0 +1,332 @@
+"""SQL DML routed onto the WAP merge ladder (round-10 brief #2).
+
+What must hold:
+- the reference-shaped MERGE text (connector/snowpark_connector.py:
+  919-1004: target/source aliases, equi-ON, UPDATE SET from source,
+  INSERT(cols) VALUES(source.cols), NOT MATCHED BY SOURCE + cond →
+  DELETE) executes with the SAME result and metrics as the
+  DataFrame-API merge on identical inputs;
+- branch conditions, templating, expression RHS, CASE inside
+  expressions, absent branches, and INSERT * all behave per SQL;
+- DELETE FROM routes to deletion vectors; UPDATE rewrites only the
+  touched partitions; both return accurate rows_affected;
+- unsupported constructs fail loudly with named errors, never
+  silently alter data.
+
+Runs over both storage backends (see conftest).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("wap_storage_backend")
+
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.merge import merge_upsert
+from etl_reporting_spark.operators.sql_dml import (
+    DmlResult,
+    SqlDmlError,
+    execute_dml,
+    execute_dml_script,
+)
+from etl_reporting_spark.operators.wap import (
+    create_partitioned_wap_table,
+    register_wap_view,
+)
+
+
+@pytest.fixture()
+def fact(spark, tmp_path):
+    rows = [
+        (i, f"2026-01-{1 + i % 3:02d}", float(i * 10), "open")
+        for i in range(1, 13)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ds string, amount double, status string"
+    )
+    t = create_partitioned_wap_table(spark, str(tmp_path / "fact"), df, ["ds"])
+    register_wap_view(spark, t.path, "fact_sql", dml=True)
+    return t
+
+
+def _delta(spark):
+    return spark.createDataFrame(
+        [
+            (4, "2026-01-02", 999.0, "upd"),     # matched -> update
+            (100, "2026-01-02", 1.0, "new"),     # not matched -> insert
+        ],
+        "id long, ds string, amount double, status string",
+    )
+
+
+REF_SHAPED_MERGE = """
+MERGE INTO fact_sql AS target
+USING delta_src AS source
+ON target.id = source.id AND target.ds = source.ds
+WHEN MATCHED THEN UPDATE SET amount = source.amount, status = source.status
+WHEN NOT MATCHED THEN INSERT (id, ds, amount, status)
+  VALUES (source.id, source.ds, source.amount, source.status)
+"""
+
+
+def test_reference_shaped_merge_matches_dataframe_api(spark, tmp_path, fact):
+    """The exact statement shape _build_merge_sql emits must produce
+    the same rows AND the same mutation metrics as merge_upsert on
+    the same inputs — the counts come from the same classifier, so
+    this is an identity, not a coincidence."""
+    delta = _delta(spark)
+    delta.createOrReplaceTempView("delta_src")
+
+    # DataFrame-API twin on a second table
+    t2 = create_partitioned_wap_table(
+        spark, str(tmp_path / "fact2"), fact.read(version=1), ["ds"]
+    )
+    api = merge_upsert(
+        None, delta, ["id", "ds"], backend="wap",
+        spark=spark, target_table=t2.path, partition_by=["ds"],
+    )
+
+    res = execute_dml(spark, REF_SHAPED_MERGE)
+    assert (res.rows_updated, res.rows_inserted) == (
+        api.rows_updated, api.rows_inserted,
+    ) == (1, 1)
+    assert sorted(map(tuple, fact.read().collect())) == sorted(
+        map(tuple, t2.read().collect())
+    )
+    got = {r["id"]: (r["amount"], r["status"]) for r in fact.read().collect()}
+    assert got[4] == (999.0, "upd") and got[100] == (1.0, "new")
+    assert len(got) == 13
+
+
+def test_merge_all_three_branches_and_conditions(spark, fact):
+    """MATCHED AND <cond>, NOT MATCHED AND <cond>, NOT MATCHED BY
+    SOURCE AND (<cond>) THEN DELETE — the full reference grammar in
+    one statement, with a CASE expression inside an assignment (the
+    clause scanner must not split on its WHEN/THEN)."""
+    spark.createDataFrame(
+        [
+            (1, "2026-01-02", 5.0, "upd"),    # matched, cond true
+            (4, "2026-01-02", -1.0, "upd"),   # matched, cond FALSE -> keep
+            (100, "2026-01-02", 50.0, "new"), # not matched, cond true
+            (101, "2026-01-02", 0.5, "new"),  # not matched, cond FALSE -> drop
+        ],
+        "id long, ds string, amount double, status string",
+    ).createOrReplaceTempView("delta_src")
+
+    res = execute_dml(
+        spark,
+        """
+        MERGE INTO fact_sql AS t USING delta_src AS s
+        ON t.id = s.id AND t.ds = s.ds
+        WHEN MATCHED AND s.amount > 0 THEN UPDATE SET
+          amount = s.amount * 2,
+          status = CASE WHEN s.amount > 4 THEN 'big' ELSE 'small' END
+        WHEN NOT MATCHED AND s.amount >= 1 THEN
+          INSERT (id, ds, amount, status) VALUES (s.id, s.ds, s.amount * 2,
+            CASE WHEN s.amount > 4 THEN 'big' ELSE 'small' END)
+        WHEN NOT MATCHED BY SOURCE AND (t.id = 10) THEN DELETE
+        """,
+    )
+    assert (res.rows_updated, res.rows_inserted, res.rows_deleted) == (1, 1, 1)
+    got = {r["id"]: (r["amount"], r["status"]) for r in fact.read().collect()}
+    assert got[1] == (10.0, "big")       # updated via expression RHS
+    assert got[4] == (40.0, "open")      # matched but condition false
+    assert got[100] == (100.0, "big")    # inserted via the same expressions
+    assert 101 not in got                # insert condition false
+    assert 10 not in got                 # NMBS delete (in touched partition)
+    # NMBS delete scope: only TOUCHED partitions are candidates
+    assert 7 in got and got[7] == (70.0, "open")
+
+
+def test_merge_condition_on_rewritten_source_col_sees_pre_value(spark, fact):
+    """`WHEN MATCHED AND source.amount > 40` with `SET amount =
+    source.amount * 2` — the condition must see the PRE-assignment
+    source value (SQL semantics), exercised via the __pre_ shadow."""
+    spark.createDataFrame(
+        [(4, "2026-01-02", 50.0, "x"), (7, "2026-01-01", 30.0, "x")],
+        "id long, ds string, amount double, status string",
+    ).createOrReplaceTempView("delta_src")
+    res = execute_dml(
+        spark,
+        """
+        MERGE INTO fact_sql AS t USING delta_src AS s
+        ON t.id = s.id AND t.ds = s.ds
+        WHEN MATCHED AND s.amount > 40 THEN UPDATE SET amount = s.amount * 2
+        """,
+    )
+    assert res.rows_updated == 1  # only id=4 (50 > 40); NOT doubled-then-tested
+    got = {r["id"]: r["amount"] for r in fact.read().collect()}
+    assert got[4] == 100.0 and got[7] == 70.0
+
+
+def test_merge_absent_branches_do_nothing(spark, fact):
+    """No NOT MATCHED clause -> source-only rows are NOT inserted; no
+    MATCHED clause -> matched rows are NOT updated."""
+    spark.createDataFrame(
+        [(1, "2026-01-02", 1.0, "x"), (500, "2026-01-01", 1.0, "x")],
+        "id long, ds string, amount double, status string",
+    ).createOrReplaceTempView("delta_src")
+    res = execute_dml(
+        spark,
+        """
+        MERGE INTO fact_sql t USING delta_src s ON t.id = s.id AND t.ds = s.ds
+        WHEN MATCHED THEN UPDATE SET amount = s.amount
+        """,
+    )
+    assert (res.rows_updated, res.rows_inserted) == (1, 0)
+    assert fact.read().count() == 12  # 500 not inserted
+
+    res2 = execute_dml(
+        spark,
+        """
+        MERGE INTO fact_sql t USING delta_src s ON t.id = s.id AND t.ds = s.ds
+        WHEN NOT MATCHED THEN INSERT (id, ds, amount, status)
+          VALUES (s.id, s.ds, s.amount, s.status)
+        """,
+    )
+    assert (res2.rows_updated, res2.rows_inserted) == (0, 1)
+    got = {r["id"]: r["amount"] for r in fact.read().collect()}
+    assert got[1] == 1.0 and got[500] == 1.0  # first merge's update held
+
+
+def test_merge_insert_star_and_subquery_source(spark, fact):
+    """INSERT * + a parenthesized USING subquery + templating."""
+    spark.createDataFrame(
+        [(300, "2026-01-03", 3.0, "new"), (301, "2026-01-03", -3.0, "new")],
+        "id long, ds string, amount double, status string",
+    ).createOrReplaceTempView("stage_rows")
+    res = execute_dml(
+        spark,
+        """
+        MERGE INTO fact_sql AS t
+        USING (SELECT * FROM stage_rows WHERE amount > {{MIN_AMOUNT}}) AS s
+        ON t.id = s.id AND t.ds = s.ds
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        substitutions={"MIN_AMOUNT": "0"},
+    )
+    assert res.rows_inserted == 1
+    got = {r["id"] for r in fact.read().collect()}
+    assert 300 in got and 301 not in got
+
+
+def test_delete_from_routes_to_deletion_vectors(spark, fact):
+    v_before = fact.current_version()
+    res = execute_dml(spark, "DELETE FROM fact_sql WHERE id % 5 = 0")
+    assert isinstance(res, DmlResult)
+    assert res.operation == "delete" and res.rows_affected == 2  # ids 5, 10
+    assert res.version == v_before + 1
+    assert sorted(r["id"] for r in fact.read().collect()) == [
+        1, 2, 3, 4, 6, 7, 8, 9, 11, 12,
+    ]
+    # deletion vectors, not rewrites: the delete commit records DVs
+    assert fact.latest_record().get("delete_vectors")
+
+
+def test_update_rewrites_only_touched_partitions(spark, fact):
+    roots_before = set(fact.live_commit_roots())
+    res = execute_dml(
+        spark,
+        "UPDATE fact_sql SET amount = amount + 0.5, status = 'audited' "
+        "WHERE ds = '2026-01-02' AND id <= 4",
+    )
+    assert res.operation == "update" and res.rows_affected == 2  # ids 1, 4
+    got = {r["id"]: (r["amount"], r["status"]) for r in fact.read().collect()}
+    assert got[1] == (10.5, "audited") and got[4] == (40.5, "audited")
+    assert got[7] == (70.0, "open")           # same partition, cond false
+    assert got[2] == (20.0, "open")           # untouched partition
+    # only ds=2026-01-02 was rewritten; other partitions kept their roots
+    rec = fact.latest_record()
+    assert rec["touched"] == ["ds=2026-01-02"]
+    assert len(set(fact.live_commit_roots()) - roots_before) == 1
+
+    # no-match UPDATE is a no-op commit-wise
+    v = fact.current_version()
+    res2 = execute_dml(
+        spark, "UPDATE fact_sql SET amount = 0 WHERE id = 99999"
+    )
+    assert res2.rows_affected == 0 and fact.current_version() == v
+
+
+def test_update_assignments_see_pre_update_values(spark, fact):
+    """SET a = b, b = a must SWAP (both RHS evaluated over pre-update
+    row), and the assignment keeps each column's type."""
+    execute_dml(
+        spark,
+        "UPDATE fact_sql SET amount = id, id = amount WHERE id = 3",
+    )
+    rows = {
+        (r["id"], r["amount"]) for r in fact.read().collect()
+    }
+    assert (30, 3.0) in rows and (3, 30.0) not in rows
+    assert dict(fact.read().dtypes)["id"] == "bigint"  # cast held
+
+
+def test_dml_script_multi_statement(spark, fact):
+    spark.createDataFrame(
+        [(700, "2026-01-01", 7.0, "new")],
+        "id long, ds string, amount double, status string",
+    ).createOrReplaceTempView("delta_src")
+    results = execute_dml_script(
+        spark,
+        """
+        -- nightly maintenance script
+        MERGE INTO fact_sql t USING delta_src s ON t.id = s.id AND t.ds = s.ds
+        WHEN NOT MATCHED THEN INSERT (id, ds, amount, status)
+          VALUES (s.id, s.ds, s.amount, s.status);
+        DELETE FROM fact_sql WHERE status = 'open' AND id > 11;
+        """,
+    )
+    assert len(results) == 2
+    assert results[0].rows_inserted == 1
+    assert results[1].rows_affected == 1  # id 12
+    ids = {r["id"] for r in fact.read().collect()}
+    assert 700 in ids and 12 not in ids
+
+
+def test_unsupported_constructs_fail_loudly(spark, fact):
+    v = fact.current_version()
+    cases = [
+        # non-equi ON
+        ("MERGE INTO fact_sql t USING fact_sql s ON t.id > s.id "
+         "WHEN MATCHED THEN UPDATE SET amount = s.amount", "ON conjunct"),
+        # matched-delete branch
+        ("MERGE INTO fact_sql t USING fact_sql s ON t.id = s.id "
+         "WHEN MATCHED THEN DELETE", "matched-delete"),
+        # diverging UPDATE/INSERT expressions
+        ("MERGE INTO fact_sql t USING fact_sql s ON t.id = s.id "
+         "WHEN MATCHED THEN UPDATE SET amount = s.amount * 2 "
+         "WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, s.amount)",
+         "different expressions"),
+        # key rewrite in UPDATE SET
+        ("MERGE INTO fact_sql t USING fact_sql s ON t.id = s.id "
+         "WHEN MATCHED THEN UPDATE SET id = s.id + 1", "merge key"),
+        # target ref in RHS
+        ("MERGE INTO fact_sql t USING fact_sql s ON t.id = s.id "
+         "WHEN MATCHED THEN UPDATE SET amount = t.amount + s.amount",
+         "target alias"),
+        # unregistered target
+        ("DELETE FROM nope WHERE 1=1", "unknown DML target"),
+        # unconditional UPDATE / DELETE
+        ("UPDATE fact_sql SET amount = 0", "WHERE"),
+        ("DELETE FROM fact_sql", "WHERE"),
+    ]
+    for sql, needle in cases:
+        with pytest.raises(SqlDmlError, match=needle):
+            execute_dml(spark, sql)
+    assert fact.current_version() == v  # nothing mutated
+
+
+def test_comment_and_quote_handling(spark, fact):
+    """'--' inside a string literal is NOT a comment; WHERE inside a
+    literal doesn't confuse the scanner."""
+    res = execute_dml(
+        spark,
+        "UPDATE fact_sql SET status = 'x--y WHERE z' "
+        "WHERE id = 2  -- trailing comment",
+    )
+    assert res.rows_affected == 1
+    got = {r["id"]: r["status"] for r in fact.read().collect()}
+    assert got[2] == "x--y WHERE z"
