@@ -244,39 +244,152 @@ def compact_parquet(
     return len(files), n_out
 
 
-def zorder_key(
-    cols: Sequence[str],
-    mins: Sequence[float],
-    maxes: Sequence[float],
-    bits: int = 12,
-) -> F.Column:
-    """Z-order (Morton) key: each column linearly normalized to a
-    ``bits``-bit integer against the supplied [min, max] range, then
-    bit-interleaved — round-robin so bit j of column c lands at
-    position j·n_cols + c. Rows close in the key are close in EVERY
-    participating column, which is what makes the sort useful.
+def _zorder_long_sql(col: str, dtype: str) -> str | None:
+    """SQL mapping a column to an EXACT long domain for z-ordering,
+    or None for fractional types (which take the float-normalized
+    path). Temporal types map monotonically to days/micros since
+    epoch — the reference's hottest predicates are date cutoffs
+    (reference reports …detail.sql:31,46;
+    docs/KIMBALL_CDC_DATA_DESIGN.md:328-342), so DATE/TIMESTAMP
+    columns are first-class clustering keys, not a numeric-only
+    special case. timestamp_ntz avoids ``unix_micros`` (which
+    rejects NTZ) via ``timestampdiff``."""
+    d = dtype.lower()
+    if d == "date":
+        return f"unix_date(`{col}`)"
+    if d == "timestamp":
+        return f"unix_micros(`{col}`)"
+    if d == "timestamp_ntz":
+        return (
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+        )
+    if d in ("tinyint", "smallint", "int", "bigint", "boolean"):
+        return f"CAST(`{col}` AS BIGINT)"
+    return None  # float/double/decimal/string -> float-normalized path
 
-    Pure narrow expression; the caller supplies the ranges (one tiny
-    agg — see ``write_zordered``) so the key itself never shuffles.
-    """
-    n = len(cols)
-    assert n >= 2 and n == len(mins) == len(maxes)
-    cap = (1 << bits) - 1
-    normed = []
-    for c, mn, mx in zip(cols, mins, maxes):
-        span = float(mx) - float(mn) or 1.0
-        # nulls clamp to the range floor (a null key would silently
-        # null the whole z-key and collapse ordering)
-        v = (F.coalesce(F.col(c).cast("double"), F.lit(float(mn))) - F.lit(float(mn))) / F.lit(span)
-        v = F.least(F.greatest(v, F.lit(0.0)), F.lit(1.0))
-        normed.append(F.floor(v * F.lit(float(cap))).cast("long"))
-    z = F.lit(0).cast("long")
-    for j in range(bits):
-        for i, nv in enumerate(normed):
-            z = z + F.shiftleft(
-                F.shiftright(nv, j).bitwiseAND(F.lit(1)), j * n + i
-            ).cast("long")
-    return z
+
+def zorder_bounds(df: DataFrame, cols: Sequence[str]) -> dict:
+    """Per-column [min, max] over the z-order domain — ONE tiny
+    column-pruned aggregate, collected to the driver (bounds are 2k
+    scalars; Delta's OPTIMIZE does the same). Long bounds for
+    exact-domain columns, float bounds for fractional ones. A column
+    with no non-null values gets ``(None, None)``."""
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for i, c in enumerate(cols):
+        le = _zorder_long_sql(c, dtypes[c])
+        e = F.expr(le) if le is not None else F.col(c).cast("double")
+        aggs.append(F.min(e).alias(f"lo_{i}"))
+        aggs.append(F.max(e).alias(f"hi_{i}"))
+    row = df.agg(*aggs).first()
+    return {
+        c: (row[f"lo_{i}"], row[f"hi_{i}"]) for i, c in enumerate(cols)
+    }
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    bounds: dict | None = None,
+):
+    """Z-order (Morton) clustering key — the ONE implementation
+    (round-10 consolidation of the former skew.py float variant and
+    wap.py integer variant): each column maps to ``2^bits`` levels
+    and the levels' bits are interleaved round-robin (bit j of column
+    i lands at position j·k + i), so range-clustering on the single
+    key gives EVERY participating column spatial locality — the
+    multi-column refinement over lexicographic clustering, whose
+    files are selective only on the leading column.
+
+    Per-column mapping, by dtype:
+
+    - integral / DATE / TIMESTAMP / TIMESTAMP_NTZ — EXACT integer
+      arithmetic end to end (no libm): levels are
+      ``(v − lo) · (2^bits − 1) DIV span`` while that product fits a
+      signed 64-bit value, switching to the overflow-safe
+      divide-first form ``(v − lo) DIV ceil(span / 2^bits)`` for
+      spans past ``2^62 / (2^bits − 1)`` (≈2^46 at 16 bits — e.g.
+      micros-since-epoch timestamps), so the key never silently
+      wraps. The branch is chosen PER COLUMN in Python over the
+      collected bounds (arbitrary-precision span math), not in SQL.
+      Spans at or beyond 2^62 (pathological sentinel domains) use a
+      shift-then-rebase form that stays monotonic and clamps to the
+      level range.
+    - fractional (float/double/decimal) — min-max normalized to
+      ``[0, 2^bits − 1]`` with floor; NULLs clamp to the range floor
+      either way (a NULL would otherwise null the whole key and
+      collapse ordering).
+
+    ``bounds`` (col → (lo, hi) in the column's z-order domain) skips
+    the internal :func:`zorder_bounds` aggregate — pass it when the
+    caller already computed bounds (``write_zordered`` shares one
+    scan). Levels are literal-constant expressions inside whole-stage
+    codegen; no join, no window, no UDF. ``len(cols) · bits`` must
+    fit a signed 64-bit key (≤ 62).
+
+    Returns ``(df, key_column)`` — the frame is returned unchanged
+    (tuple kept for caller compatibility); range-partition on the key
+    and drop nothing."""
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder_key needs at least one column")
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a 63-bit key")
+    top = (1 << bits) - 1
+    mult_limit = (1 << 62) // top
+    dtypes = dict(df.dtypes)
+    if bounds is None:
+        bounds = zorder_bounds(df, cols)
+
+    levels = []
+    for c in cols:
+        lo, hi = bounds[c]
+        le = _zorder_long_sql(c, dtypes[c])
+        if lo is None or hi is None or lo == hi:
+            # all-NULL or constant column: every row at level 0
+            levels.append(F.expr("CAST(0 AS BIGINT)"))
+            continue
+        if le is None:
+            # fractional: float-normalize (exactness is a non-goal —
+            # doubles already round; monotonic and bounded is enough)
+            span = float(hi) - float(lo) or 1.0
+            v = (
+                F.coalesce(F.col(c).cast("double"), F.lit(float(lo)))
+                - F.lit(float(lo))
+            ) / F.lit(span)
+            v = F.least(F.greatest(v, F.lit(0.0)), F.lit(1.0))
+            levels.append(F.floor(v * F.lit(float(top))).cast("long"))
+            continue
+        span = int(hi) - int(lo)  # Python ints: never overflows
+        if span <= mult_limit:
+            lvl = (
+                f"(({le} - CAST({lo} AS BIGINT)) * CAST({top} AS BIGINT))"
+                f" DIV CAST({span} AS BIGINT)"
+            )
+        elif span < (1 << 62):
+            step = span // (top + 1) + 1  # divide-first: no product
+            lvl = f"(({le} - CAST({lo} AS BIGINT)) DIV CAST({step} AS BIGINT))"
+        else:
+            # span at/past 2^62: (v - lo) itself can wrap — shift
+            # both sides down first (floor-div is monotonic), then
+            # rebase and clamp
+            step = span // (top + 1) + 1
+            lvl = (
+                f"least(greatest(({le} DIV CAST({step} AS BIGINT)) - "
+                f"CAST({lo // step} AS BIGINT), CAST(0 AS BIGINT)), "
+                f"CAST({top} AS BIGINT))"
+            )
+        levels.append(F.expr(f"coalesce({lvl}, CAST(0 AS BIGINT))"))
+
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, lvl in enumerate(levels):
+            key = key + F.shiftleft(
+                F.shiftright(lvl, b).bitwiseAND(F.lit(1)), b * k + i
+            )
+    return df, key
 
 
 def write_zordered(
@@ -293,30 +406,26 @@ def write_zordered(
     filtered on ANY of the z-ordered columns, where a plain sort
     prunes only its leading column.
 
-    Cost: one tiny min/max aggregate (broadcast scalar), one range
-    exchange, one in-partition sort — the same shuffle count as any
-    clustered write. Use for the 2-4 highest-selectivity predicate
-    columns of a 100 TB fact table; date partitioning stays the
-    outer layout (partition pruning first, z-clustering within).
+    Cost: one tiny min/max aggregate (collected scalars, shared with
+    the key via ``bounds=``), one range exchange, one in-partition
+    sort — the same shuffle count as any clustered write. Use for the
+    2-4 highest-selectivity predicate columns of a 100 TB fact table;
+    date partitioning stays the outer layout (partition pruning
+    first, z-clustering within).
     """
-    ranges = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
-    ).first()
-    mins = [ranges[f"mn_{i}"] for i in range(len(cols))]
-    maxes = [ranges[f"mx_{i}"] for i in range(len(cols))]
-    if any(v is None for v in mins + maxes):
-        if all(v is None for v in mins + maxes):
+    b = zorder_bounds(df, cols)
+    missing = [c for c in cols if b[c][0] is None]
+    if missing:
+        if len(missing) == len(cols):
             # empty input (a no-new-rows refresh): write the empty
             # frame with its schema; nothing to cluster
             df.write.mode("overwrite").parquet(path)
             return
-        bad = [c for i, c in enumerate(cols) if mins[i] is None or maxes[i] is None]
         raise ValueError(
-            f"z-order columns with no non-null values: {bad} — drop them "
-            "from the clustering key or filter the nulls first"
+            f"z-order columns with no non-null values: {missing} — drop "
+            "them from the clustering key or filter the nulls first"
         )
-    z = zorder_key(cols, mins, maxes, bits=bits)
+    _, z = zorder_key(df, cols, bits=bits, bounds=b)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

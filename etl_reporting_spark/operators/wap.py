@@ -65,6 +65,7 @@ conflicting (the Delta/Iceberg logical-conflict-resolution rule).
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import time
@@ -2608,61 +2609,14 @@ def table_changes(
     )
 
 
-def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
-    """Z-order (Morton) clustering key: each column is min-max
-    normalized to ``2^bits`` integer levels and the levels'
-    bits are interleaved, so range-clustering on the ONE key gives
-    every participating column spatial locality — the multi-column
-    refinement over lexicographic ``repartitionByRange(a, b)``, whose
-    files are selective only on the leading column.
-
-    Everything is EXACT integer arithmetic (no libm, no percentiles):
-    bounds come from one tiny aggregate broadcast back onto the frame
-    (the repo's agg-then-broadcast pattern — no window, no second
-    shuffle), levels are ``(v - min) * (2^bits - 1) DIV (max - min)``,
-    and the interleave is an unrolled shift/mask sum, all inside
-    whole-stage codegen. NULLs and constant columns map to level 0.
-    ``len(cols) * bits`` must fit a signed 64-bit key (≤ 62).
-
-    Returns ``(df_with_bounds, key_column)`` — the caller range-
-    partitions on the key and drops nothing (the key is an unnamed
-    expression over the broadcast bounds columns ``__zb_*``, which
-    the caller projects away after repartitioning)."""
-    from pyspark.sql import functions as F
-
-    k = len(cols)
-    if k < 1:
-        raise ValueError("zorder_key needs at least one column")
-    if k * bits > 62:
-        raise ValueError(f"{k} cols x {bits} bits exceeds a 63-bit key")
-    bounds = df.agg(
-        *[
-            m(c).cast("long").alias(f"__zb_{f}_{i}")
-            for i, c in enumerate(cols)
-            for f, m in (("lo", F.min), ("hi", F.max))
-        ]
-    )
-    out = df.crossJoin(F.broadcast(bounds))  # 1-row bounds relation
-    levels = []
-    top = (1 << bits) - 1
-    for i, c in enumerate(cols):
-        # integer DIV, not Column `/` (double division would round
-        # at >2^53 and the key must be exact at any span)
-        levels.append(
-            F.expr(
-                f"coalesce(((CAST(`{c}` AS BIGINT) - __zb_lo_{i}) * "
-                f"CAST({top} AS BIGINT)) DIV "
-                f"greatest(__zb_hi_{i} - __zb_lo_{i}, CAST(1 AS BIGINT)), "
-                f"CAST(0 AS BIGINT))"
-            )
-        )
-    key = F.lit(0).cast("long")
-    for b in range(bits):
-        for i, lvl in enumerate(levels):
-            key = key + F.shiftleft(
-                F.shiftright(lvl, b).bitwiseAND(F.lit(1)), b * k + i
-            )
-    return out, key
+# Z-ORDER key: ONE implementation, shared with the layout module
+# (round-10 consolidation — the former duplicate here and skew.py's
+# float-normalized variant merged into skew.zorder_key: exact integer
+# arithmetic for integral/DATE/TIMESTAMP columns with an
+# overflow-safe divide-first form past ~2^46 spans, float
+# normalization for fractional columns). Re-exported so existing
+# `from operators.wap import zorder_key` callers keep working.
+from etl_reporting_spark.operators.skew import zorder_key  # noqa: E402,F401
 
 
 def optimize_partitions(
@@ -2710,11 +2664,11 @@ def optimize_partitions(
     if cluster_by:
         n_ranges = max(n_files, 1) * max(len(todo), 1)
         if zorder:
+            # bounds collected over the touched slice only; the key
+            # is literal-constant codegen — no join, no extra shuffle
             df, zkey = zorder_key(df, cluster_by)
             keys = [*(F.col(c) for c in table.partition_by), zkey]
-            df = df.repartitionByRange(n_ranges, *keys).select(
-                *[c for c in df.columns if not c.startswith("__zb_")]
-            )
+            df = df.repartitionByRange(n_ranges, *keys)
         else:
             # range-cluster WITHIN each hive partition: partition cols
             # lead the range key so a multi-partition rewrite doesn't
@@ -2805,12 +2759,40 @@ def clone_table(
     return dst
 
 
+def _stat_ord(v) -> float | None:
+    """Best-effort monotonic numeric view of a per-file stat value
+    (stats are JSON: numbers pass through, DECIMAL strings parse,
+    ISO date/timestamp strings map to epoch seconds). None for
+    non-orderable values — the z-order overlap heuristic then skips
+    that column rather than guessing."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            pass
+        try:
+            d = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=d.tzinfo)
+        return (d - epoch).total_seconds()
+    return None
+
+
 def maintenance_plan(
     table: PartitionedWapTable,
     max_files_per_partition: int = 16,
     max_roots: int | None = None,
     keep_last: int = 2,
     max_dv_sidecars: int = 4,
+    zorder_overlap_ratio: float = 1.5,
+    zorder_min_files: int = 4,
 ) -> dict:
     """Metadata-only maintenance diagnosis — the nightly decision
     input that keeps the table's read/merge costs flat. Reads ONLY
@@ -2836,7 +2818,23 @@ def maintenance_plan(
     - any partition with masked (deletion-vectored) files → compact
       to apply the vectors and drop the mask from the read path;
     - table version beyond the ``keep_last`` retention window →
-      superseded snapshots/sidecars may be reclaimable: ``vacuum``.
+      superseded snapshots/sidecars may be reclaimable: ``vacuum``;
+    - per-file [min, max] stats OVERLAP on 2+ stat'd columns of a
+      multi-file partition (round-10 brief #4) → the layout is
+      selective on at most the leading column: recommend a Z-ORDER
+      rewrite on exactly those columns. The overlap measure per
+      column is ``sum(file range widths) / global span`` — 1.0 for
+      perfectly tiled files, ≈n_files when every file covers the
+      whole span; a column past ``zorder_overlap_ratio`` is
+      unclustered. The trigger scales with file count — a perfectly
+      z-ordered 2-D layout measures ≈``sqrt(n_files)`` per column
+      (each file a √-box of the space) while a random layout
+      measures ≈``n_files`` — so the threshold is
+      ``zorder_overlap_ratio × sqrt(n_files)``. Date/timestamp stats
+      participate via their ISO strings (the reference's hottest
+      predicates are date cutoffs), so a ``(event_date, user_key)``
+      recommendation is the expected shape on an append-churned
+      fact.
 
     The planner never executes anything — it composes with whatever
     scheduler runs maintenance; tests assert that APPLYING the plan
@@ -2916,6 +2914,51 @@ def maintenance_plan(
                 ),
             }
         )
+    # z-order advisor: per-partition, per-column overlap of the
+    # recorded per-file [min, max] ranges — pure metadata arithmetic
+    fstats: dict[str, dict] = rec.get("file_stats", {})
+    by_part_stats: dict[str, list[dict]] = {}
+    for f, cols_ in fstats.items():
+        by_part_stats.setdefault(_pkey_of_file(f), []).append(cols_)
+    zorder_votes: dict[tuple, list[str]] = {}
+    for pk, stat_rows in sorted(by_part_stats.items()):
+        if len(stat_rows) < zorder_min_files:
+            continue
+        threshold = zorder_overlap_ratio * math.sqrt(len(stat_rows))
+        overlapping: list[tuple[str, float]] = []
+        cols_present = set.intersection(*(set(s) for s in stat_rows))
+        for c in sorted(cols_present):
+            spans = [
+                (_stat_ord(s[c][0]), _stat_ord(s[c][1])) for s in stat_rows
+            ]
+            if any(lo is None or hi is None for lo, hi in spans):
+                continue
+            glo = min(lo for lo, _ in spans)
+            ghi = max(hi for _, hi in spans)
+            if ghi <= glo:
+                continue
+            ratio = sum(hi - lo for lo, hi in spans) / (ghi - glo)
+            if ratio > threshold:
+                overlapping.append((c, ratio))
+        if len(overlapping) >= 2:
+            key = tuple(c for c, _ in overlapping)
+            zorder_votes.setdefault(key, []).append(pk)
+    for cols_key, parts in sorted(zorder_votes.items()):
+        actions.append(
+            {
+                "action": "compact",
+                "partitions": parts,
+                "zorder": list(cols_key),
+                "reason": (
+                    f"per-file [min,max] ranges overlap on columns "
+                    f"{list(cols_key)} across {len(parts)} partition(s): "
+                    "the current layout skips files on at most the "
+                    "leading column — rewrite with optimize_partitions("
+                    "zorder=True, cluster_by="
+                    f"{list(cols_key)}) to make every column selective"
+                ),
+            }
+        )
     if v > keep_last:
         actions.append(
             {
@@ -2983,13 +3026,24 @@ def auto_optimize(
     compact: set[str] = set()
     do_vacuum = False
     do_vectors = False
+    advised_zorder: list[str] = []
     for a in plan["actions"]:
         if a["action"] == "compact" and a["partitions"]:
             compact.update(a["partitions"])
+            if a.get("zorder") and not advised_zorder:
+                advised_zorder = list(a["zorder"])
         elif a["action"] == "compact_vectors":
             do_vectors = True
         elif a["action"] == "vacuum":
             do_vacuum = True
+    if cluster_by is None and advised_zorder:
+        # adopt the planner's z-order advice when the caller didn't
+        # pin a layout — the rewrite is happening anyway, clustering
+        # it costs only the range exchange it already pays
+        cluster_by = advised_zorder
+        zorder = True
+        if stats_cols is None:
+            stats_cols = advised_zorder
     applied: list[dict] = []
     if not data_rewrite:
         compact = set()

@@ -134,9 +134,10 @@ def test_zorder_key_matches_python_interleave(spark):
 
     rows = [(i, float(i % 7), float(i % 5)) for i in range(35)]
     df = spark.createDataFrame(rows, "id long, x double, y double")
-    got = {r["id"]: r["z"] for r in
-           df.select("id", zorder_key(["x", "y"], [0.0, 0.0], [6.0, 4.0], bits=4)
-                     .alias("z")).collect()}
+    _, z = zorder_key(
+        df, ["x", "y"], bits=4, bounds={"x": (0.0, 6.0), "y": (0.0, 4.0)}
+    )
+    got = {r["id"]: r["z"] for r in df.select("id", z.alias("z")).collect()}
 
     def interleave(a, b, bits=4):
         z = 0

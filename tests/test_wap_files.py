@@ -364,3 +364,149 @@ def test_zorder_key_is_exact_and_bounded(spark):
     assert got[(None, 3)] == 0b1010       # NULL -> level 0
     with _pytest.raises(ValueError):
         zorder_key(df, ["x"] * 4, bits=16)  # 64 bits > 62
+
+
+def test_zorder_temporal_columns_skip_files(spark, tmp_path):
+    """Round-10 brief #4: DATE (and TIMESTAMP) columns are first-class
+    z-order keys — the reference's hottest predicates are date
+    cutoffs. A (event_date, user_key) fact z-ordered into 8 files
+    must skip files on a date range AND on a user range, where the
+    lexicographic layout skips only its leading column; content
+    identical either way."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        optimize_partitions,
+    )
+
+    rows = [
+        (32 * d + u, "d1", dt.date(2026, 1, 1) + dt.timedelta(days=d), u)
+        for d in range(32)
+        for u in range(32)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ds string, event_date date, user_key long"
+    )
+
+    def build(path, **kw):
+        t = create_partitioned_wap_table(spark, path, df, ["ds"])
+        optimize_partitions(
+            t, n_files=8, cluster_by=["event_date", "user_key"],
+            stats_cols=["event_date", "user_key"], **kw
+        )
+        return t
+
+    lex = build(str(tmp_path / "lex"))
+    zed = build(str(tmp_path / "zed"), zorder=True)
+    for t in (lex, zed):
+        assert t.read().count() == 1024
+    total = len(zed.partition_files("ds=d1"))
+    assert total == 8
+
+    def hit(t, col, lo, hi):
+        return len(t.files_intersecting("ds=d1", col, lo=lo, hi=hi))
+
+    d0, d1 = "2026-01-01", "2026-01-08"
+    # leading (date) range: both layouts skip
+    assert hit(lex, "event_date", d0, d1) < total
+    assert hit(zed, "event_date", d0, d1) < total
+    # trailing (user_key) range: lex hits EVERY file; z-order skips
+    assert hit(lex, "user_key", 0, 7) == total
+    assert hit(zed, "user_key", 0, 7) < total
+    # narrow (date, user) box prunes hard
+    both = set(zed.files_intersecting("ds=d1", "event_date", d0, d1)) & set(
+        zed.files_intersecting("ds=d1", "user_key", 0, 7)
+    )
+    assert len(both) <= total // 2
+    # and rows survive the round trip in date form
+    assert (
+        zed.read().filter(F.col("event_date") == dt.date(2026, 1, 3)).count()
+        == 32
+    )
+
+
+def test_zorder_wide_span_is_overflow_safe(spark):
+    """Round-10 ADVICE fix: the old `(v-lo)*65535 DIV span` wrapped
+    signed-64 when span exceeded ~2^47, silently scrambling the key.
+    Micros-since-epoch timestamps (span ~1.7e15 for modern data) and
+    an explicit 2^55-span bigint column must now produce levels that
+    are bounded and MONOTONIC in the input."""
+    import datetime as dt
+
+    from etl_reporting_spark.operators.skew import zorder_key
+
+    # timestamp column spanning ~56 years of micros (≈1.7e15 > 2^47)
+    ts = [
+        dt.datetime(1970, 1, 5), dt.datetime(1999, 12, 31),
+        dt.datetime(2010, 6, 15), dt.datetime(2026, 2, 1),
+    ]
+    big = [0, 1 << 40, 1 << 50, 1 << 55]  # span 2^55 >> 2^47
+    rows = list(zip(range(4), ts, big))
+    df = spark.createDataFrame(rows, "i long, t timestamp, b long")
+    _, key = zorder_key(df, ["t", "b"], bits=16)
+    got = [
+        r["z"] for r in
+        df.select("i", key.alias("z")).orderBy("i").collect()
+    ]
+    assert all(0 <= z < (1 << 32) for z in got)  # 2 cols x 16 bits
+    # rows are ordered in BOTH columns simultaneously, so the Morton
+    # key must be strictly increasing — the wrapped key scrambles it
+    assert got == sorted(got) and len(set(got)) == 4
+
+    # single wide column: levels spread across the full bit range,
+    # not collapsed (top value maps near 2^16-1 after interleave)
+    _, key1 = zorder_key(df, ["b"], bits=16)
+    lv = [r["z"] for r in df.select("i", key1.alias("z")).orderBy("i").collect()]
+    assert lv == sorted(lv) and lv[0] == 0 and lv[-1] >= (1 << 15)
+
+
+def test_maintenance_plan_recommends_and_auto_optimize_applies_zorder(
+    spark, tmp_path
+):
+    """Round-10 brief #4: per-file stats showing overlapping ranges
+    on BOTH stat'd columns of a multi-file partition make
+    maintenance_plan propose a z-order rewrite naming those columns;
+    auto_optimize adopts the advice when the caller didn't pin a
+    layout, and the re-diagnosis no longer proposes it."""
+    import datetime as dt
+
+    from etl_reporting_spark.operators.wap import (
+        auto_optimize,
+        create_partitioned_wap_table,
+        maintenance_plan,
+    )
+
+    # hash-partitioned write: every one of the 8 files covers nearly
+    # the full (event_date, user_key) range -> maximally overlapping
+    rows = [
+        (32 * d + u, "d1", dt.date(2026, 1, 1) + dt.timedelta(days=d), u)
+        for d in range(32)
+        for u in range(32)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ds string, event_date date, user_key long"
+    ).repartition(8)
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "fact"), df, ["ds"],
+        stats_cols=["event_date", "user_key"],
+    )
+
+    plan = maintenance_plan(t, max_files_per_partition=16)
+    zrecs = [a for a in plan["actions"] if a.get("zorder")]
+    assert zrecs, plan["actions"]
+    assert zrecs[0]["zorder"] == ["event_date", "user_key"]
+    assert zrecs[0]["partitions"] == ["ds=d1"]
+
+    out = auto_optimize(t, max_files_per_partition=16, n_files=8)
+    assert any(a["action"] == "compact" for a in out["applied"])
+    # advice consumed: the z-ordered rewrite's own stats no longer
+    # trip the overlap heuristic
+    assert not [a for a in out["after"]["actions"] if a.get("zorder")]
+    assert t.read().count() == 1024
+    # and the adopted layout actually skips on the trailing column
+    assert len(
+        t.files_intersecting("ds=d1", "user_key", lo=0, hi=7)
+    ) < len(t.partition_files("ds=d1"))
