@@ -110,13 +110,61 @@ class Engine:
 
     def execute_multiple_statements(
         self, statements: Iterable[str], lazy: bool = True
-    ) -> DataFrame | list[Row] | None:
-        """Run statements sequentially, return the last result."""
-        result: DataFrame | list[Row] | None = None
+    ) -> "DataFrame | list[Row] | object | None":
+        """Run statements sequentially, return the last result.
+
+        The reference's script surface mixes SET/DDL/DML/SELECT in one
+        file (connector/snowpark_connector.py:1238-1272), so DML-shaped
+        statements (``MERGE INTO`` / ``DELETE FROM`` / ``UPDATE``)
+        whose target is registered for SQL DML
+        (``register_wap_view(..., dml=True)``) dispatch to
+        :func:`operators.sql_dml.execute_dml` — executed EAGERLY (they
+        mutate), their result object (``WapMergeResult``/``DmlResult``)
+        becoming the statement's result. A MERGE against an
+        unregistered target raises a named error (plain ``spark.sql``
+        cannot run MERGE over parquet paths); DELETE/UPDATE on
+        unregistered names fall through to ``spark.sql`` so catalog
+        v2-table statements keep working. Session variables render
+        before dispatch, exactly as for queries."""
+        from etl_reporting_spark.operators.sql_dml import (
+            SqlDmlError,
+            dml_target_registered,
+            execute_dml,
+            statement_dml_target,
+        )
+
+        result: DataFrame | list[Row] | object | None = None
         for stmt in statements:
             stmt = stmt.strip().rstrip(";")
-            if stmt:
-                result = self.execute_query(stmt, lazy=lazy)
+            if not stmt:
+                continue
+            # SET $VAR = value → session variable (the reference's
+            # script-level SET, connector:195-238); non-$ SET text
+            # falls through to spark.sql (Spark conf) untouched
+            set_m = re.match(
+                r"(?is)^SET\s+\$(\w+)\s*=\s*(.+)$", stmt
+            )
+            if set_m:
+                raw = set_m.group(2).strip()
+                if len(raw) >= 2 and raw[0] == raw[-1] == "'":
+                    raw = raw[1:-1].replace("''", "'")
+                self.set_session_variables(**{set_m.group(1): raw})
+                continue
+            rendered = self._render_session_vars(stmt)
+            dml = statement_dml_target(rendered)
+            if dml is not None:
+                op, target = dml
+                if dml_target_registered(target):
+                    result = execute_dml(self.spark, rendered)
+                    continue
+                if op == "MERGE":
+                    raise SqlDmlError(
+                        f"MERGE INTO {target}: target is not registered for "
+                        "SQL DML — register_wap_view(spark, path, "
+                        f"{target!r}, dml=True) first (Spark SQL has no "
+                        "MERGE over plain parquet)"
+                    )
+            result = self.execute_query(stmt, lazy=lazy)
         return result
 
     def execute_query_from_file(

@@ -115,6 +115,7 @@ def merge_upsert(
     spark: SparkSession | None = None,
     target_table: str | None = None,
     partition_by: Sequence[str] | None = None,
+    table_handle=None,
 ) -> "MergeResult | DeltaMergeResult":
     """Join-based MERGE. Column lists default to every non-key source
     column, the same auto-derivation the reference performs
@@ -187,6 +188,7 @@ def merge_upsert(
             delete_condition=delete_condition,
             validate_source_unique=validate_source_unique,
             partition_by=partition_by,
+            table_handle=table_handle,
         )
     if backend != "join":
         raise ValueError(
@@ -440,6 +442,7 @@ def merge_upsert_wap(
     partition_by: Sequence[str] | None = None,
     stats_cols: Sequence[str] | None = None,
     validate_partition_stability: bool = False,
+    table_handle=None,
 ) -> WapMergeResult:
     """MERGE with an EXECUTED transactional commit and no Delta
     dependency: the join-rewrite computes the post-merge state, then
@@ -481,17 +484,38 @@ def merge_upsert_wap(
     untrusted, not on every nightly run.
 
     Branch semantics and conditions are the join backend's (conditions
-    see the bare merged schema, not t/s aliases)."""
-    import os
+    see the bare merged schema, not t/s aliases).
 
+    ``table_handle`` bypasses the handle construction entirely: pass
+    an already-open :class:`wap.WapTable`/:class:`wap.PartitionedWapTable`
+    (e.g. one registered for SQL DML with an explicit non-default
+    ``storage=``) so the MERGE commits through the same storage seam
+    as every other operation on that handle. ``table_path`` is then
+    ignored in favor of the handle's own path, and ``partition_by``
+    must match the handle's layout."""
     from etl_reporting_spark.operators.wap import (
         PartitionedWapTable,
         WapTable,
         hive_partition_key,
     )
 
-    if partition_by:
-        table: WapTable = PartitionedWapTable(spark, table_path, partition_by)
+    if table_handle is not None:
+        # an already-open handle (e.g. one registered for SQL DML with
+        # an explicit non-default TableStorage) is authoritative —
+        # re-opening via the factory would put the MERGE on a
+        # different storage backend than DELETE/UPDATE use
+        table: WapTable = table_handle
+        handle_parts = list(getattr(table, "partition_by", []) or [])
+        if list(partition_by or []) != handle_parts:
+            raise ValueError(
+                f"table_handle at {table.path} is partitioned by "
+                f"{handle_parts or None}, but partition_by="
+                f"{list(partition_by) if partition_by else None} was "
+                "requested — pass the handle's own layout (or omit "
+                "partition_by and open the path instead)"
+            )
+    elif partition_by:
+        table = PartitionedWapTable(spark, table_path, partition_by)
     else:
         table = WapTable(spark, table_path)
     base = table.current_version()
@@ -510,8 +534,9 @@ def merge_upsert_wap(
         # well-defined MERGE (empty target → every source row takes the
         # not-matched INSERT branch); the first commit creates the
         # table, so streaming_wap_upsert works on a fresh path with no
-        # separate create step
-        os.makedirs(table_path, exist_ok=True)
+        # separate create step. Root creation goes through the storage
+        # seam (a no-op on object stores).
+        table.fs.prepare_root()
         target = spark.createDataFrame([], source.schema)
     elif touched is not None:
         existing = set(table.partition_map(version=base))

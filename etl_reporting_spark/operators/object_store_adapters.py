@@ -432,6 +432,27 @@ class S3TableStorage(TableStorage):
             return None
         return resp["LastModified"].timestamp()
 
+    def put_key(self, rel: str, data: bytes) -> None:
+        # unconditional PutObject — side metadata (clone registry),
+        # never commit records (those go through the conditional-PUT
+        # commit store)
+        self.client.put_object(
+            Bucket=self.bucket, Key=self._key(rel), Body=data
+        )
+
+    def read_key(self, rel: str) -> bytes | None:
+        try:
+            resp = self.client.get_object(
+                Bucket=self.bucket, Key=self._key(rel)
+            )
+        except self.client.exceptions.NoSuchKey:
+            return None
+        except self.client.exceptions.ClientError as e:
+            if not _is_not_found(e):
+                raise
+            return None
+        return resp["Body"].read()
+
     def prepare_root(self) -> None:
         pass  # keys imply their "path"; no mkdir exists
 

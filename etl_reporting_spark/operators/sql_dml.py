@@ -57,6 +57,16 @@ merge classifier applies ONE source value per column); ``WHEN
 MATCHED THEN DELETE`` is rejected with guidance to use ``DELETE
 FROM`` (the ladder has no matched-delete branch).
 
+One documented SEMANTIC SCOPE (warned, not raised, because it is the
+partition-pruned merge contract the ladder exists for): ``WHEN NOT
+MATCHED BY SOURCE THEN DELETE`` against a PARTITIONED target only
+deletes target rows inside source-touched partitions — target-only
+rows in partitions the source never mentions survive, where standard
+SQL MERGE would delete them. Executing such a statement emits
+:class:`SqlDmlScopeWarning` naming the target and its partition
+columns; sources that cover every partition (the reference's
+full-snapshot staging pattern) are unaffected.
+
 Targets resolve through the registry ``register_wap_view(...,
 dml=True)`` fills (name → open table handle), or an explicit
 ``tables=`` mapping.
@@ -65,6 +75,7 @@ dml=True)`` fills (name → open table handle), or an explicit
 from __future__ import annotations
 
 import re
+import warnings
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, Mapping, Sequence
 
@@ -75,6 +86,14 @@ if TYPE_CHECKING:  # pragma: no cover
 class SqlDmlError(ValueError):
     """Statement text outside the supported DML grammar, with the
     unsupported construct named."""
+
+
+class SqlDmlScopeWarning(UserWarning):
+    """A routed statement executes with a DOCUMENTED semantic scope
+    narrower than standard SQL — currently one case: ``WHEN NOT
+    MATCHED BY SOURCE THEN DELETE`` against a partitioned WAP target
+    is partition-scoped (only target rows in source-touched
+    partitions are delete candidates; see the module docstring)."""
 
 
 # --------------------------------------------------------------- registry
@@ -591,6 +610,26 @@ def _merge_statement(
         classify_cond(not_matched_cond) if has_insert else F.lit(False)
     )
     partition_by = list(getattr(table, "partition_by", []) or []) or None
+    if delete_nmbs and partition_by:
+        # The WAP merge prunes to source-touched partitions, so NOT
+        # MATCHED BY SOURCE ... DELETE only sees target rows INSIDE
+        # those partitions — standard SQL MERGE would also delete
+        # target-only rows in partitions the source never mentions.
+        # The divergence is deliberate (it is what makes merge cost
+        # ∝ touched data) but it must not be silent on the SQL-text
+        # surface, where a ported statement carries standard-SQL
+        # expectations.
+        warnings.warn(
+            f"MERGE INTO {target_name}: WHEN NOT MATCHED BY SOURCE THEN "
+            f"DELETE is PARTITION-SCOPED on this target (partitioned by "
+            f"{partition_by}): only target rows in source-touched "
+            "partitions are delete candidates; rows in partitions the "
+            "source does not mention survive. Standard SQL deletes them. "
+            "Ensure the source covers every partition holding deletable "
+            "rows, or route deletes through DELETE FROM.",
+            SqlDmlScopeWarning,
+            stacklevel=3,
+        )
     return merge_upsert(
         None,
         src2,
@@ -605,6 +644,7 @@ def _merge_statement(
         spark=spark,
         target_table=table.path,
         partition_by=partition_by,
+        table_handle=table,
     )
 
 
@@ -642,8 +682,12 @@ def _delete_statement(
                 version=table.current_version(),
                 rows_affected=0,
             )
+        # SQL three-valued logic: only rows where the predicate is
+        # TRUE delete; NULL keeps the row (``~NULL`` is NULL, which
+        # filter() would drop — hence the coalesce, not plain ``~``)
         version = table.commit(
-            current.filter(~F.expr(cond)), operation="delete"
+            current.filter(~F.coalesce(F.expr(cond), F.lit(False))),
+            operation="delete",
         )
     return DmlResult(operation="delete", version=version, rows_affected=n)
 
@@ -745,6 +789,35 @@ def _update_statement(
 
 
 # ------------------------------------------------------------- dispatch
+_DML_HEAD = re.compile(
+    r"(?is)^\s*(?:(MERGE)\s+INTO|(DELETE)\s+FROM|(UPDATE))\s+(?P<target>[\w./-]+)"
+)
+
+
+def statement_dml_target(sql: str) -> tuple[str, str] | None:
+    """``(operation, target_name)`` when the statement text is
+    DML-shaped (MERGE INTO / DELETE FROM / UPDATE), else None — the
+    sniff a mixed SET/DDL/DML/SELECT script runner uses to decide
+    whether a statement routes here or to ``spark.sql``. Text-only;
+    never touches the registry or the engine."""
+    m = _DML_HEAD.match(_strip_comments(sql))
+    if not m:
+        return None
+    op = next(g for g in m.groups()[:3] if g)
+    return op.upper(), m.group("target")
+
+
+def dml_target_registered(
+    name: str, tables: Mapping[str, object] | None = None
+) -> bool:
+    """Whether ``name`` resolves as a DML target (the registry
+    ``register_wap_view(..., dml=True)`` fills, or ``tables=``)."""
+    key = name.lower()
+    if tables and key in {k.lower() for k in tables}:
+        return True
+    return key in _DML_TARGETS
+
+
 def execute_dml(
     spark: "SparkSession",
     sql: str,
@@ -769,10 +842,37 @@ def execute_dml(
         )
     op = kw.group(1).upper()
     if op == "MERGE":
-        return _merge_statement(spark, text, tables)
-    if op == "DELETE":
-        return _delete_statement(spark, text, tables)
-    return _update_statement(spark, text, tables)
+        result = _merge_statement(spark, text, tables)
+    elif op == "DELETE":
+        result = _delete_statement(spark, text, tables)
+    else:
+        result = _update_statement(spark, text, tables)
+    _refresh_registered_view(spark, text)
+    return result
+
+
+def _refresh_registered_view(spark: "SparkSession", text: str) -> None:
+    """Re-pin the target's temp view to the fresh snapshot after a
+    successful mutation, so a script's subsequent SELECT sees the
+    post-DML state — the live-view semantics the reference's catalog
+    views have (connector/snowpark_connector.py:511-566). Applies
+    only to registry targets whose name is currently a TEMP view
+    (what ``register_wap_view(dml=True)`` created); explicit
+    ``tables=`` mappings and registered-but-unviewed handles are left
+    alone. Metadata-only — one commit-record read, no data scan."""
+    sniff = statement_dml_target(text)
+    if sniff is None:
+        return
+    name = sniff[1]
+    table = _DML_TARGETS.get(name.lower())
+    if table is None:
+        return
+    is_temp_view = any(
+        t.name.lower() == name.lower() and t.isTemporary
+        for t in spark.catalog.listTables()
+    )
+    if is_temp_view:
+        table.read().createOrReplaceTempView(name)
 
 
 def execute_dml_script(

@@ -112,6 +112,20 @@ class TableStorage:
     def last_modified(self, rel: str) -> float | None:
         raise NotImplementedError
 
+    def put_key(self, rel: str, data: bytes) -> None:
+        """Write one small metadata object at ``rel``, overwriting any
+        existing object — a plain unconditional PUT (S3 ``PutObject``,
+        GCS upload, ABFS create-or-replace). Used for table-level
+        side metadata (the clone registry), never for data files or
+        commit records (those go through Spark writes and the
+        :class:`CommitStore` CAS respectively)."""
+        raise NotImplementedError
+
+    def read_key(self, rel: str) -> bytes | None:
+        """Read one object's bytes, ``None`` when absent (S3
+        ``GetObject`` → 404)."""
+        raise NotImplementedError
+
     def prepare_root(self) -> None:
         raise NotImplementedError
 
@@ -228,6 +242,21 @@ class LocalFSStorage(TableStorage):
         except OSError:
             return None
 
+    def put_key(self, rel: str, data: bytes) -> None:
+        full = self.url(rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def read_key(self, rel: str) -> bytes | None:
+        try:
+            with open(self.url(rel), "rb") as fh:
+                return fh.read()
+        except OSError:
+            return None
+
     def prepare_root(self) -> None:
         os.makedirs(self.root, exist_ok=True)
 
@@ -318,6 +347,26 @@ class BlobStorage(TableStorage):
             return None
         try:
             return os.path.getmtime(full)
+        except OSError:
+            return None
+
+    def put_key(self, rel: str, data: bytes) -> None:
+        # plain unconditional PUT; the backing-dir makedirs is an
+        # emulation detail (keys imply their "path" on a real store)
+        full = self.url(rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def read_key(self, rel: str) -> bytes | None:
+        full = self.url(rel)
+        if not os.path.isfile(full):
+            return None
+        try:
+            with open(full, "rb") as fh:
+                return fh.read()
         except OSError:
             return None
 

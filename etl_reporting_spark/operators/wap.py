@@ -70,6 +70,7 @@ import os
 import re
 import time
 import uuid
+import warnings
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,6 +96,16 @@ class ConcurrentWriteError(RuntimeError):
 
 class AuditError(RuntimeError):
     """The written snapshot failed validation; nothing was published."""
+
+
+class CloneRetentionWarning(UserWarning):
+    """A vacuum retained entries beyond its ``keep_last`` window
+    because a registered live clone still references them (see
+    :func:`clone_table` / :meth:`WapTable.registered_clones`). Not an
+    error — the files are protected, which is the point — but loud,
+    because an operator sizing retention should know clones are what
+    is holding space. Release the clone (or pass
+    ``ignore_clones=True`` to accept breaking it) to reclaim."""
 
 
 class CommitConflict(Exception):
@@ -621,7 +632,98 @@ class WapTable:
         ]
         return (now - max(mts)) if mts else None
 
-    def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[str]:
+    # ------------------------------------------------ clone registry
+    def registered_clones(self) -> list[dict]:
+        """Registrations :func:`clone_table` wrote under ``_clones/``
+        — each ``{"token", "dst_path", "src_version", "created_at"}``
+        plus the registry key as ``"_key"``. Purely metadata (one
+        LIST + one small GET per clone)."""
+        out: list[dict] = []
+        for k in self.fs.list_prefix("_clones"):
+            if not k.endswith(".json"):
+                continue
+            payload = self.fs.read_key(k)
+            if payload is None:
+                continue
+            try:
+                reg = json.loads(payload)
+            except ValueError:
+                continue
+            reg["_key"] = k
+            out.append(reg)
+        return sorted(out, key=lambda r: r.get("token", ""))
+
+    def release_clone(self, token: str) -> bool:
+        """Drop one clone registration: the caller asserts the clone
+        at that token no longer needs the source's files (deleted, or
+        fully localized via ``optimize_partitions``). The next vacuum
+        may then collect what only that clone was pinning. Returns
+        whether a registration was removed."""
+        return self.fs.delete_key(f"_clones/{token}.json")
+
+    @staticmethod
+    def _clone_is_gone(reg: dict) -> bool:
+        """Best-effort liveness probe for a registration's clone.
+        Only a LOCAL dst path can be probed (its commit log is a
+        directory we can list); a remote URL is always treated as
+        alive — releasing those is the owner's explicit call. "Gone"
+        = the destination has no commit log at all (the table was
+        deleted wholesale)."""
+        dst = reg.get("dst_path", "")
+        if not dst or "://" in dst:
+            return False
+        log_dir = os.path.join(dst, "_wap")
+        try:
+            return not any(
+                e.startswith("commit-") and e.endswith(".json")
+                for e in os.listdir(log_dir)
+            )
+        except OSError:
+            return True  # destination root is gone entirely
+
+    def _live_clone_pins(self, min_age_seconds: float) -> list[dict]:
+        """Registrations whose clone still exists; registrations for
+        VERIFIABLY-deleted clones are garbage-collected here (their
+        key removed) so dead pins don't hold retention forever. A
+        registration younger than the vacuum horizon keeps its pin
+        even if the clone is not visible yet — clone_table registers
+        BEFORE the clone's first publish, so a racing vacuum must not
+        un-pin a clone mid-creation."""
+        live: list[dict] = []
+        now = time.time()
+        for reg in self.registered_clones():
+            young = now - float(reg.get("created_at") or now) < min_age_seconds
+            if not young and self._clone_is_gone(reg):
+                self.fs.delete_key(reg["_key"])
+                continue
+            live.append(reg)
+        return live
+
+    def _warn_clone_pins(self, pins: Sequence[dict], keep_last: int) -> None:
+        window_start = max(1, self.current_version() - keep_last + 1)
+        held = [
+            f"{r.get('token')}→{r.get('dst_path')} (pins v{r.get('src_version')})"
+            for r in pins
+            if int(r.get("src_version") or 0) < window_start
+        ]
+        if held:
+            warnings.warn(
+                f"vacuum at {self.path}: retaining snapshot(s) OUTSIDE the "
+                f"keep_last={keep_last} window because registered clone(s) "
+                f"still reference them: {', '.join(held)}. Release the "
+                "clone(s) with release_clone(token) once localized/deleted, "
+                "or pass ignore_clones=True to collect anyway (BREAKS the "
+                "clones).",
+                CloneRetentionWarning,
+                stacklevel=3,
+            )
+
+    def vacuum(
+        self,
+        keep_last: int = 2,
+        min_age_seconds: float = 3600.0,
+        ignore_clones: bool = False,
+    ) -> list[str]:
         """Remove snapshot dirs not referenced by the last
         ``keep_last`` commits (and crash orphans). Returns removed
         dir names. Like Delta VACUUM, this bounds time travel.
@@ -637,12 +739,28 @@ class WapTable:
         :meth:`_entry_age`), not filesystem mtime — the horizon works
         unchanged on object stores. Metadata cost: one pass over the
         commit log (vacuum is a maintenance cadence, not a hot path).
-        """
+
+        CLONE SAFETY: snapshots a registered live clone pins (see
+        :func:`clone_table`) are KEPT even outside the retention
+        window, with a :class:`CloneRetentionWarning` naming the
+        holder — a source vacuum can therefore never silently break a
+        registered clone. ``ignore_clones=True`` restores the
+        collect-anyway behavior (accepting broken clones), the
+        explicit force the caveat used to leave implicit."""
         keep = self._referenced_dirs(keep_last)
         records = [
             self._commit_record(v)
             for v in range(1, self.current_version() + 1)
         ]
+        if not ignore_clones:
+            pins = self._live_clone_pins(min_age_seconds)
+            self._warn_clone_pins(pins, keep_last)
+            for reg in pins:
+                pv = int(reg.get("src_version") or 0)
+                if 1 <= pv <= len(records):
+                    for p in self._record_pointers(records[pv - 1]):
+                        if not _is_external(p):
+                            keep.add(p)
         removed = []
         now = time.time()
         index = self._pointer_index(records)
@@ -2411,7 +2529,12 @@ class PartitionedWapTable(WapTable):
         out.extend(rec.get("delete_vectors", {}).values())
         return out
 
-    def vacuum(self, keep_last: int = 2, min_age_seconds: float = 3600.0) -> list[str]:
+    def vacuum(
+        self,
+        keep_last: int = 2,
+        min_age_seconds: float = 3600.0,
+        ignore_clones: bool = False,
+    ) -> list[str]:
         """Partition- and FILE-granular retention: a leaf dir is
         removable when NO commit in the keep window references it (as
         a dir or through any of its files); a leaf referenced only
@@ -2421,18 +2544,34 @@ class PartitionedWapTable(WapTable):
         from COMMIT TIMESTAMPS (:meth:`WapTable._entry_age`), with
         per-object LastModified only as the never-referenced-orphan
         fallback, so the horizon is meaningful on object stores where
-        directory mtime does not exist."""
+        directory mtime does not exist.
+
+        CLONE SAFETY (same contract as :meth:`WapTable.vacuum`): the
+        partition dirs, file-granular lists, and DV sidecars of any
+        snapshot a registered live clone pins are added to the keep
+        sets, with a :class:`CloneRetentionWarning` naming the
+        holder; ``ignore_clones=True`` collects anyway."""
         current = self.current_version()
         keep: set[str] = set()
         keep_files: set[str] = set()
         keep_dv_roots: set[str] = set()
-        for v in range(max(1, current - keep_last + 1), current + 1):
-            rec = self._commit_record(v)
+
+        def _keep_record(rec: dict) -> None:
             keep.update(rec["partitions"].values())
             for files in rec.get("files", {}).values():
                 keep_files.update(files)
             for dv_rel in rec.get("delete_vectors", {}).values():
                 keep_dv_roots.add(dv_rel.split("/", 1)[0])
+
+        for v in range(max(1, current - keep_last + 1), current + 1):
+            _keep_record(self._commit_record(v))
+        if not ignore_clones:
+            pins = self._live_clone_pins(min_age_seconds)
+            self._warn_clone_pins(pins, keep_last)
+            for reg in pins:
+                pv = int(reg.get("src_version") or 0)
+                if 1 <= pv <= current:
+                    _keep_record(self._commit_record(pv))
         records = [self._commit_record(v) for v in range(1, current + 1)]
         removed = []
         now = time.time()
@@ -2709,10 +2848,22 @@ def clone_table(
     partitions first — ``optimize_partitions(clone, partitions=…)``
     is the one-step localizer — and refuses with that guidance.
 
-    CAVEAT (same as Delta's): the clone references but does not pin
-    the source's files — a source ``vacuum`` that collects them
-    breaks the clone. Clone lifetimes must sit inside the source's
-    retention window, or compact the clone to localize everything.
+    CLONE REGISTRATION (round-11; historically this carried Delta's
+    unprotected-clone caveat — a source vacuum could silently collect
+    files a clone still referenced): cloning now writes a small
+    registration object under the SOURCE's ``_clones/`` prefix, BEFORE
+    the clone's first publish, pinning the source version it
+    references. Source ``vacuum`` keeps every pinned snapshot alive —
+    warning loudly via :class:`CloneRetentionWarning` when a pin holds
+    space beyond the retention window — until the registration is
+    dropped: explicitly via ``src.release_clone(token)`` (the token is
+    in the clone's v1 record under ``clone_token`` and in
+    ``src.registered_clones()``), or automatically once the clone's
+    commit log is verifiably gone. ``vacuum(ignore_clones=True)`` is
+    the explicit opt-back-in to the old collect-anyway behavior.
+    Registration is one unconditional PUT (S3 ``PutObject``); no
+    source COMMIT happens — cloning still never perturbs the source's
+    version history.
     """
     src = open_wap_table(spark, src_path)
     if not isinstance(src, PartitionedWapTable):
@@ -2754,6 +2905,24 @@ def clone_table(
         record["delete_vectors"] = {
             absf(f): absf(d) for f, d in rec["delete_vectors"].items()
         }
+    # register on the SOURCE before the clone becomes readable: a
+    # crash after this point leaves a dangling registration (auto-
+    # collected once the missing clone log is verifiably absent and
+    # past the age horizon), never an unprotected clone
+    token = f"clone-{uuid.uuid4().hex[:12]}"
+    record["clone_token"] = token
+    src.fs.put_key(
+        f"_clones/{token}.json",
+        json.dumps(
+            {
+                "token": token,
+                "dst_path": dst.fs.absolute_url(),
+                "src_version": v,
+                "created_at": time.time(),
+            },
+            sort_keys=True,
+        ).encode(),
+    )
     dst.fs.prepare_root()
     dst._publish(record)
     return dst
@@ -3012,14 +3181,21 @@ def auto_optimize(
     reserve the full compaction for the slower cadence. Returns
     ``{"plan": <before>, "applied": [...], "after": <re-diagnosis>}``.
     Postcondition, precisely: after a ``data_rewrite=True`` run,
-    ``after`` has no ``compact`` or ``compact_vectors`` actions; a
-    ``data_rewrite=False`` run clears only ``compact_vectors`` (the
-    masked-partition ``compact`` advice deliberately remains until
-    the rewrite cadence runs). The ``vacuum`` action is NOT a
-    convergence signal — its trigger (version beyond the retention
-    window) is monotone in the version counter, so it reappears in
-    every diagnosis of an active table; do NOT loop "until the plan
-    is empty", schedule by cadence."""
+    ``after`` has no ``compact`` or ``compact_vectors`` actions —
+    UNLESS the caller pinned ``cluster_by`` while the planner advised
+    a different Z-ORDER layout. Advice is adopted only when
+    ``cluster_by`` is None (see below); a pinned lexicographic layout
+    does not clear multi-column [min,max] overlap, so the z-order
+    trigger legitimately re-fires in ``after``. That unadopted advice
+    is surfaced as the top-level ``"unadopted_zorder"`` key (the
+    advised column list) so a scheduler can alert on it instead of
+    re-diffing plans. A ``data_rewrite=False`` run clears only
+    ``compact_vectors`` (the masked-partition ``compact`` advice
+    deliberately remains until the rewrite cadence runs). The
+    ``vacuum`` action is NOT a convergence signal — its trigger
+    (version beyond the retention window) is monotone in the version
+    counter, so it reappears in every diagnosis of an active table;
+    do NOT loop "until the plan is empty", schedule by cadence."""
     plan = maintenance_plan(
         table, max_files_per_partition, max_roots, keep_last, max_dv_sidecars
     )
@@ -3036,6 +3212,7 @@ def auto_optimize(
             do_vectors = True
         elif a["action"] == "vacuum":
             do_vacuum = True
+    unadopted_zorder: list[str] = []
     if cluster_by is None and advised_zorder:
         # adopt the planner's z-order advice when the caller didn't
         # pin a layout — the rewrite is happening anyway, clustering
@@ -3044,6 +3221,12 @@ def auto_optimize(
         zorder = True
         if stats_cols is None:
             stats_cols = advised_zorder
+    elif advised_zorder and not (zorder and list(cluster_by) == advised_zorder):
+        # caller pinned a different layout: honor it, but the overlap
+        # trigger will re-fire in the re-diagnosis — surface the
+        # advice explicitly rather than leaving a silently-violated
+        # empty-after postcondition
+        unadopted_zorder = advised_zorder
     applied: list[dict] = []
     if not data_rewrite:
         compact = set()
@@ -3072,7 +3255,10 @@ def auto_optimize(
     after = maintenance_plan(
         table, max_files_per_partition, max_roots, keep_last, max_dv_sidecars
     )
-    return {"plan": plan, "applied": applied, "after": after}
+    out = {"plan": plan, "applied": applied, "after": after}
+    if unadopted_zorder:
+        out["unadopted_zorder"] = unadopted_zorder
+    return out
 
 
 # ----------------------------------------------------------- utilities

@@ -508,6 +508,47 @@ WHERE c_custkey <= 300 AND c_custkey % 7 <> 0
 ORDER BY c_custkey
 """
 
+ORACLE_SQL["sql_script_mixed"] = """
+-- SET $SEG = MACHINERY; MERGE (matched & seg<>$SEG -> update bal,
+-- source-only & seg<>$SEG -> insert); SELECT aggregate over the
+-- refreshed view. tgt = custkey<=180, src = 120<custkey<=240 at
+-- bal+50; both derive from customer so a matched row's segment is
+-- identical on both sides.
+WITH tgt AS (
+  SELECT c_custkey, c_custkey % 3 AS bucket, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_custkey <= 180
+),
+src AS (
+  SELECT c_custkey, c_custkey % 3 AS bucket, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 50 AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_custkey > 120 AND c_custkey <= 240
+),
+merged AS (
+  SELECT t.c_custkey, t.bucket, t.c_mktsegment,
+         CASE WHEN s.c_custkey IS NOT NULL
+                   AND s.c_mktsegment <> 'MACHINERY'
+              THEN s.bal ELSE t.bal END AS bal
+  FROM tgt t
+  LEFT JOIN src s
+    ON t.c_custkey = s.c_custkey AND t.bucket = s.bucket
+  UNION ALL
+  SELECT s.c_custkey, s.bucket, s.c_mktsegment, s.bal
+  FROM src s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tgt t
+    WHERE t.c_custkey = s.c_custkey AND t.bucket = s.bucket
+  ) AND s.c_mktsegment <> 'MACHINERY'
+)
+SELECT bucket,
+       COUNT(*) AS n_rows,
+       CAST(SUM(bal) AS DOUBLE) AS total_bal
+FROM merged
+WHERE c_mktsegment <> 'MACHINERY'
+GROUP BY bucket
+ORDER BY bucket
+"""
+
 ORACLE_SQL["u1_union_distinct"] = """
 SELECT user_id FROM events WHERE event_type = 'purchase'
 UNION

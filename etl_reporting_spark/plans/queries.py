@@ -1370,6 +1370,73 @@ def wap_update_delete_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_script_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed SET + MERGE + SELECT script through ONE call to
+    ``Engine.execute_multiple_statements`` (round-11 brief #5): the
+    reference's script surface mixes SET/DDL/DML/SELECT in a single
+    file (reference connector/snowpark_connector.py:1238-1272), so
+    the engine's script runner must dispatch each statement by shape
+    — ``SET $VAR`` to session variables, ``MERGE INTO`` to the SQL-DML
+    router (same WAP merge ladder as the DataFrame API), and the
+    final SELECT to ``spark.sql`` — with the MERGE's target view
+    re-pinned to the fresh snapshot so the SELECT sees post-merge
+    state (the reference's views are live catalog objects).
+
+    Scale: SET/parse is driver-side string work; the MERGE is
+    merge_upsert_wap's cost-∝-touched-partitions contract; the SELECT
+    aggregates the committed snapshot. Balances are DECIMAL(18,2) per
+    the float convention."""
+    import tempfile
+
+    from etl_reporting_spark.io import Engine
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        register_wap_view,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    tgt = customer.filter(F.col("c_custkey") <= 180).select(
+        "c_custkey",
+        (F.col("c_custkey") % 3).alias("bucket"),
+        "c_mktsegment",
+        dec.alias("bal"),
+    )
+    src = customer.filter(
+        (F.col("c_custkey") > 120) & (F.col("c_custkey") <= 240)
+    ).select(
+        "c_custkey",
+        (F.col("c_custkey") % 3).alias("bucket"),
+        "c_mktsegment",
+        (dec + 50).cast("decimal(18,2)").alias("bal"),
+    )
+    path = tempfile.mkdtemp(prefix="sql_script_mixed_")
+    table = create_partitioned_wap_table(spark, f"{path}/fact", tgt, ["bucket"])
+    register_wap_view(spark, table.path, "script_fact", dml=True)
+    src.createOrReplaceTempView("script_src")
+    eng = Engine(spark)
+    return eng.execute_multiple_statements(
+        [
+            "SET $SEG = MACHINERY",
+            """MERGE INTO script_fact AS t
+               USING script_src AS s
+               ON t.c_custkey = s.c_custkey AND t.bucket = s.bucket
+               WHEN MATCHED AND s.c_mktsegment <> $SEG
+                 THEN UPDATE SET bal = s.bal
+               WHEN NOT MATCHED AND s.c_mktsegment <> $SEG THEN
+                 INSERT (c_custkey, bucket, c_mktsegment, bal)
+                 VALUES (s.c_custkey, s.bucket, s.c_mktsegment, s.bal);""",
+            """SELECT bucket,
+                      COUNT(*) AS n_rows,
+                      CAST(SUM(bal) AS DOUBLE) AS total_bal
+               FROM script_fact
+               WHERE c_mktsegment <> $SEG
+               GROUP BY bucket
+               ORDER BY bucket""",
+        ]
+    )
+
+
 def wap_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed IVM off a DV-churned WAP table (round-9 brief #5): a
     partitioned fact takes four commits — CREATE (keys ≤ 150, balances
@@ -2104,4 +2171,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_dsir_select",
         "mm_decode_throughput",
     )},
+    # round-11: mixed SET+MERGE+SELECT script through the engine's
+    # statement dispatcher (brief #5) — appended past the driver
+    # window; locally verified like the rest of the tail
+    "sql_script_mixed": sql_script_mixed,
 }

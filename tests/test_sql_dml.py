@@ -319,6 +319,149 @@ def test_unsupported_constructs_fail_loudly(spark, fact):
     assert fact.current_version() == v  # nothing mutated
 
 
+def test_delete_null_predicate_keeps_null_rows_nonpartitioned(spark, tmp_path):
+    """SQL three-valued logic on the plain-WapTable DELETE fallback:
+    only rows where the WHERE predicate is TRUE delete — a NULL
+    predicate (NULL bal < 0 → NULL) KEEPS the row. The naive
+    ``filter(~cond)`` would drop it (NOT NULL = NULL), silently losing
+    data relative to standard SQL DELETE."""
+    from etl_reporting_spark.operators.sql_dml import register_dml_target
+    from etl_reporting_spark.operators.wap import create_wap_table
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, 3.0), (3, None), (4, -1.0), (5, None)],
+        "id long, bal double",
+    )
+    t = create_wap_table(spark, str(tmp_path / "accts"), df)
+    register_dml_target("accts_sql", t)
+
+    res = execute_dml(spark, "DELETE FROM accts_sql WHERE bal < 0")
+    assert res.rows_affected == 2  # only the TRUE rows (ids 1, 4)
+    got = {r["id"]: r["bal"] for r in t.read().collect()}
+    # NULL-predicate rows SURVIVE, exactly as standard SQL keeps them
+    assert set(got) == {2, 3, 5}
+    assert got[3] is None and got[5] is None
+
+
+def test_nmbs_delete_on_partitioned_target_warns_scope(spark, fact):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE against a partitioned
+    WAP target is partition-scoped (pruned-merge contract): the
+    statement must say so out loud — SqlDmlScopeWarning naming the
+    target — and the surviving rows must demonstrate the scope: a
+    target-only row in a partition the source never touched is KEPT,
+    while one inside a touched partition deletes."""
+    import warnings as _w
+
+    from etl_reporting_spark.operators.sql_dml import SqlDmlScopeWarning
+
+    # source touches only ds=2026-01-01 (ids 3,6,9,12 live there)
+    spark.createDataFrame(
+        [(3, "2026-01-01", 33.0, "upd")],
+        "id long, ds string, amount double, status string",
+    ).createOrReplaceTempView("delta_src")
+    stmt = (
+        "MERGE INTO fact_sql t USING delta_src s "
+        "ON t.id = s.id AND t.ds = s.ds "
+        "WHEN MATCHED THEN UPDATE SET amount = s.amount "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        res = execute_dml(spark, stmt)
+    scope = [w for w in caught if issubclass(w.category, SqlDmlScopeWarning)]
+    assert scope and "fact_sql" in str(scope[0].message)
+    assert "ds" in str(scope[0].message)
+    got = {r["id"] for r in fact.read().collect()}
+    # inside the touched partition: target-only rows 6, 9, 12 deleted
+    assert {6, 9, 12}.isdisjoint(got) and 3 in got
+    # untouched partitions: every row survives (the documented scope)
+    assert {1, 2, 4, 5, 7, 8, 10, 11} <= got
+    assert res.rows_deleted == 3
+
+
+def test_merge_commits_through_registered_handle_storage(spark, tmp_path):
+    """A handle registered with an EXPLICIT storage whose root differs
+    from the logical path must get its MERGE through that same
+    storage (ADVICE r10 #3): before the handle was threaded,
+    merge_upsert_wap re-opened the logical path via the default
+    factory — an empty location — and 'bootstrapped' a second table
+    there, silently splitting MERGE from DELETE/UPDATE."""
+    from etl_reporting_spark.operators.sql_dml import register_dml_target
+    from etl_reporting_spark.operators.table_storage import LocalFSStorage
+    from etl_reporting_spark.operators.wap import PartitionedWapTable
+
+    real_root = str(tmp_path / "real_root")
+    logical = str(tmp_path / "logical")
+    st = LocalFSStorage(real_root)
+    t = PartitionedWapTable(spark, logical, ["ds"], storage=st)
+    t.fs.prepare_root()
+    t.commit_partitions(
+        spark.createDataFrame(
+            [(1, "d1", 10.0)], "id long, ds string, amount double"
+        ),
+        operation="create",
+    )
+    register_dml_target("offroot_fact", t)
+
+    spark.createDataFrame(
+        [(1, "d1", 99.0), (2, "d1", 20.0)],
+        "id long, ds string, amount double",
+    ).createOrReplaceTempView("offroot_src")
+    res = execute_dml(
+        spark,
+        "MERGE INTO offroot_fact t USING offroot_src s "
+        "ON t.id = s.id AND t.ds = s.ds "
+        "WHEN MATCHED THEN UPDATE SET amount = s.amount "
+        "WHEN NOT MATCHED THEN INSERT (id, ds, amount) "
+        "VALUES (s.id, s.ds, s.amount)",
+    )
+    assert (res.rows_updated, res.rows_inserted) == (1, 1)
+    # the commit landed on the HANDLE's storage, not the logical path
+    assert t.current_version() == 2
+    got = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert got == {1: 99.0, 2: 20.0}
+    import os
+
+    assert not os.path.exists(os.path.join(logical, "_wap"))
+
+
+def test_engine_script_dispatches_set_dml_select(spark, fact):
+    """Round-11 brief #5: Engine.execute_multiple_statements runs a
+    mixed SET + MERGE + SELECT script — SET $VAR becomes a session
+    variable, MERGE routes to the SQL-DML router, the SELECT sees the
+    POST-merge state through the refreshed view, and a MERGE against
+    an unregistered target raises a named error instead of an obscure
+    spark.sql failure."""
+    from etl_reporting_spark.io import Engine
+
+    spark.createDataFrame(
+        [(900, "2026-01-01", 9.0, "scripted")],
+        "id long, ds string, amount double, status string",
+    ).createOrReplaceTempView("delta_src")
+    eng = Engine(spark)
+    out = eng.execute_multiple_statements(
+        [
+            "SET $NEW_STATUS = scripted",
+            """MERGE INTO fact_sql t USING delta_src s
+               ON t.id = s.id AND t.ds = s.ds
+               WHEN NOT MATCHED AND s.status = $NEW_STATUS THEN
+                 INSERT (id, ds, amount, status)
+                 VALUES (s.id, s.ds, s.amount, s.status)""",
+            "SELECT COUNT(*) AS n FROM fact_sql WHERE status = $NEW_STATUS",
+        ]
+    )
+    # the final SELECT ran over the refreshed view: the merged row is
+    # visible without any manual re-registration
+    assert out.collect()[0]["n"] == 1
+    assert 900 in {r["id"] for r in fact.read().collect()}
+
+    with pytest.raises(SqlDmlError, match="not registered"):
+        eng.execute_multiple_statements(
+            ["MERGE INTO unregistered t USING delta_src s ON t.id = s.id "
+             "WHEN MATCHED THEN UPDATE SET amount = s.amount"]
+        )
+
+
 def test_comment_and_quote_handling(spark, fact):
     """'--' inside a string literal is NOT a comment; WHERE inside a
     literal doesn't confuse the scanner."""

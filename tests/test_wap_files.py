@@ -505,8 +505,57 @@ def test_maintenance_plan_recommends_and_auto_optimize_applies_zorder(
     # advice consumed: the z-ordered rewrite's own stats no longer
     # trip the overlap heuristic
     assert not [a for a in out["after"]["actions"] if a.get("zorder")]
+    assert "unadopted_zorder" not in out
     assert t.read().count() == 1024
     # and the adopted layout actually skips on the trailing column
     assert len(
         t.files_intersecting("ds=d1", "user_key", lo=0, hi=7)
     ) < len(t.partition_files("ds=d1"))
+
+
+def test_auto_optimize_surfaces_unadopted_zorder_advice(spark, tmp_path):
+    """When the caller PINS cluster_by, the planner's z-order advice
+    is not adopted — a lexicographic rewrite doesn't clear the
+    multi-column overlap, so the trigger re-fires in ``after``. The
+    scoped postcondition: the run reports the advice it could not
+    take via the top-level ``unadopted_zorder`` key instead of
+    pretending the plan converged."""
+    import datetime as dt
+
+    from etl_reporting_spark.operators.wap import (
+        auto_optimize,
+        create_partitioned_wap_table,
+    )
+
+    # salt is uncorrelated with both stat'd columns, so a rewrite
+    # clustered on it leaves (event_date, user_key) fully overlapping
+    rows = [
+        (
+            32 * d + u,
+            "d1",
+            dt.date(2026, 1, 1) + dt.timedelta(days=d),
+            u,
+            ((32 * d + u) * 2654435761) % (1 << 32),
+        )
+        for d in range(32)
+        for u in range(32)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ds string, event_date date, user_key long, salt long"
+    ).repartition(8)
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "fact"), df, ["ds"],
+        stats_cols=["event_date", "user_key"],
+    )
+    out = auto_optimize(
+        t, max_files_per_partition=16, n_files=8,
+        cluster_by=["salt"],  # pinned: advice must NOT override
+        stats_cols=["event_date", "user_key"],
+    )
+    assert out["unadopted_zorder"] == ["event_date", "user_key"]
+    # the pinned layout ran...
+    assert any(a["action"] == "compact" for a in out["applied"])
+    assert t.read().count() == 1024
+    # ...and the overlap trigger legitimately re-fires — the scoped
+    # postcondition names this the one after-is-not-empty case
+    assert [a for a in out["after"]["actions"] if a.get("zorder")]
