@@ -99,16 +99,79 @@ class SqlDmlScopeWarning(UserWarning):
 # --------------------------------------------------------------- registry
 _DML_TARGETS: dict[str, object] = {}
 
+#: override for the durable registry file location; default is a JSON
+#: sidecar next to the Spark warehouse dir (one file per deployment,
+#: like the reference's catalog holding its view definitions)
+DML_REGISTRY_ENV = "SPARK_GRAFT_DML_REGISTRY"
 
-def register_dml_target(name: str, table) -> None:
+
+def dml_registry_path() -> str:
+    import os
+
+    return os.environ.get(
+        DML_REGISTRY_ENV,
+        os.path.join("spark-warehouse", "_wap_dml_registry.json"),
+    )
+
+
+def _registry_load(path: str | None = None) -> dict:
+    import json
+    import os
+
+    p = path or dml_registry_path()
+    if not os.path.isfile(p):
+        return {}
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def register_dml_target(
+    name: str, table, durable: bool = False, registry_path: str | None = None
+) -> None:
     """Expose an open WAP table handle to DML statements as
     ``name``. ``register_wap_view(..., dml=True)`` calls this so one
     registration covers both SELECT (temp view) and DML (this
-    registry)."""
+    registry).
+
+    ``durable=True`` additionally persists the (name → table path)
+    mapping to the JSON registry file (``registry_path``, default
+    :func:`dml_registry_path`), so the target survives process
+    restart the way the reference's catalog objects do
+    (connector/snowpark_connector.py:511-566): a fresh process's
+    first ``execute_dml`` against the name re-opens the table from
+    the file lazily. The durable record holds only the PATH — a
+    handle constructed with an explicit non-default ``storage=``
+    restores onto the default factory, so custom-backend tables must
+    be re-registered by the code that owns the storage object."""
     _DML_TARGETS[name.lower()] = table
+    if durable:
+        import json
+        import os
+        import time
+
+        p = registry_path or dml_registry_path()
+        data = _registry_load(p)
+        data[name.lower()] = {
+            "path": table.path,
+            "registered_at": time.time(),
+        }
+        d = os.path.dirname(p)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = f"{p}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh, indent=1, sort_keys=True)
+        os.replace(tmp, p)  # atomic swap: readers never see a partial file
 
 
-def _resolve_target(name: str, tables: Mapping[str, object] | None):
+def _resolve_target(
+    name: str,
+    tables: Mapping[str, object] | None,
+    spark: "SparkSession | None" = None,
+):
     key = name.lower()
     if tables and key in {k.lower() for k in tables}:
         for k, v in tables.items():
@@ -116,6 +179,14 @@ def _resolve_target(name: str, tables: Mapping[str, object] | None):
                 return v
     if key in _DML_TARGETS:
         return _DML_TARGETS[key]
+    # durable fallback: a registration from a previous process
+    entry = _registry_load().get(key)
+    if entry is not None and spark is not None:
+        from etl_reporting_spark.operators.wap import open_wap_table
+
+        table = open_wap_table(spark, entry["path"])
+        _DML_TARGETS[key] = table  # cache for this process
+        return table
     raise SqlDmlError(
         f"unknown DML target {name!r}: register it first with "
         "register_wap_view(spark, path, name, dml=True) or pass tables={...}"
@@ -423,7 +494,7 @@ def _merge_statement(
     (
         target_name, talias, src_operand, src_is_query, salias, on_text, clauses,
     ) = _parse_merge(sql)
-    table = _resolve_target(target_name, tables)
+    table = _resolve_target(target_name, tables, spark)
     keys = _parse_on_keys(on_text, talias, salias)
     src_df = spark.sql(src_operand) if src_is_query else spark.table(src_operand)
     src_cols = {c.lower(): c for c in src_df.columns}
@@ -665,7 +736,7 @@ def _delete_statement(
             f"cannot parse DELETE (a WHERE clause is required — a full "
             f"truncate is a table op, not row DML): {sql.strip()[:60]!r}"
         )
-    table = _resolve_target(m.group("target"), tables)
+    table = _resolve_target(m.group("target"), tables, spark)
     alias = (m.group("alias") or m.group("target")).lower()
     cond = _rewrite_refs(m.group("cond").strip(), {alias: "{col}"})
     if hasattr(table, "delete_rows"):
@@ -710,7 +781,7 @@ def _update_statement(
     m = _UPDATE_RE.match(sql)
     if not m:
         raise SqlDmlError(f"cannot parse UPDATE: {sql.strip()[:60]!r}")
-    table = _resolve_target(m.group("target"), tables)
+    table = _resolve_target(m.group("target"), tables, spark)
     alias = (m.group("alias") or m.group("target")).lower()
     body = m.group("body")
     wheres = _scan_top_level(body, {"WHERE"})

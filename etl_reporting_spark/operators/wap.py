@@ -3296,12 +3296,83 @@ def open_wap_table(
     return table
 
 
+def _permanent_view_sql(table: WapTable, version: int | None) -> str:
+    """The snapshot's defining SQL for a CATALOG view, when it is
+    SQL-expressible: a plain-parquet scan of one location plus CASTs
+    restoring the committed schema (hive partition-type inference
+    must not drift the view's types from ``table.read()``'s).
+
+    Expressible = a full-snapshot table's single data dir, or a
+    partitioned snapshot whose pointers are all dir-granular, carry
+    no deletion vectors, live under ONE commit root, and cover that
+    root's every leaf (the post-``optimize_partitions`` state —
+    otherwise a root scan would resurrect superseded leaves).
+    Anything else raises with the localize-first guidance the clone
+    layer already uses."""
+    from pyspark.sql.types import StructType
+
+    v = version if version is not None else table.current_version()
+    rec = table._commit_record(v)
+    schema = StructType.fromJson(rec["schema"])
+    if "data_dir" in rec:
+        location = table.fs.resolve(rec["data_dir"])
+    else:
+        if rec.get("delete_vectors"):
+            raise ValueError(
+                f"cannot pin {table.path} v{v} as a permanent view: the "
+                "snapshot carries deletion vectors (not expressible as a "
+                "plain parquet scan) — compact first "
+                "(optimize_partitions applies the vectors)"
+            )
+        ptrs = list(rec["partitions"].values())
+        if any(not isinstance(p, str) for p in ptrs):
+            raise ValueError(
+                f"cannot pin {table.path} v{v} as a permanent view: the "
+                "snapshot references file-granular partition subsets — "
+                "compact first (optimize_partitions)"
+            )
+        if any(_is_external(p) for p in ptrs):
+            raise ValueError(
+                f"cannot pin {table.path} v{v} as a permanent view: the "
+                "snapshot holds clone-external pointers — localize first "
+                "(optimize_partitions)"
+            )
+        roots = {_root_of(p) for p in ptrs}
+        if len(roots) != 1:
+            raise ValueError(
+                f"cannot pin {table.path} v{v} as a permanent view: the "
+                f"snapshot spans {len(roots)} commit roots — compact to "
+                "one (optimize_partitions) so a single-location scan is "
+                "exact"
+            )
+        root = next(iter(roots))
+        referenced = {p.split("/", 1)[1] for p in ptrs if "/" in p}
+        on_disk = set(table.fs.leaf_partition_dirs(root))
+        if referenced != on_disk:
+            raise ValueError(
+                f"cannot pin {table.path} v{v} as a permanent view: commit "
+                f"root {root} holds leaves outside this snapshot "
+                f"({sorted(on_disk - referenced)[:3]}…) — a root scan "
+                "would resurrect them; compact this version to a fresh "
+                "root first"
+            )
+        location = table.fs.resolve(root)
+    cols = ", ".join(
+        f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for f in schema.fields
+    )
+    return f"SELECT {cols} FROM parquet.`{location}`"
+
+
 def register_wap_view(
     spark: SparkSession,
     path: str,
     name: str,
     version: int | None = None,
     dml: bool = False,
+    permanent: bool = False,
+    durable: bool = False,
+    registry_path: str | None = None,
 ) -> WapTable:
     """Expose a WAP table's committed snapshot to SQL as a temp view —
     the bridge between the transactional layer and the templated-SQL
@@ -3316,13 +3387,40 @@ def register_wap_view(
     the mutation side of the SQL surface, routed onto the merge
     ladder. The reference's upsert surface is built as MERGE SQL text
     (reference connector/snowpark_connector.py:919-1004), so this is
-    what a SQL-first pipeline ports onto."""
+    what a SQL-first pipeline ports onto.
+
+    Round-11 persistence (the reference's views are permanent CATALOG
+    objects, connector/snowpark_connector.py:511-566):
+
+    - ``permanent=True`` stores the pinned snapshot as a catalog view
+      (``CREATE OR REPLACE VIEW``) instead of a temp view, surviving
+      session restart. Requires the snapshot to be expressible as one
+      plain-parquet scan — see :func:`_permanent_view_sql`; compact
+      first when it is not. The view pins the VERSION resolved now
+      (its SQL names this snapshot's physical location), the same
+      shear-protection contract as the temp-view form — and that
+      location must stay alive: vacuum retention (or a clone-style
+      manual pin) has to cover any permanently-pinned version.
+    - ``durable=True`` (with ``dml=True``) persists the DML-target
+      registration to the JSON registry, so a fresh process can run
+      ``execute_dml`` against ``name`` without re-registering (see
+      :func:`operators.sql_dml.register_dml_target`)."""
     table = open_wap_table(spark, path)
-    table.read(version=version).createOrReplaceTempView(name)
+    if permanent:
+        if not re.fullmatch(r"[A-Za-z_]\w*", name):
+            raise ValueError(f"invalid permanent view name: {name!r}")
+        spark.sql(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            + _permanent_view_sql(table, version)
+        )
+    else:
+        table.read(version=version).createOrReplaceTempView(name)
     if dml:
         from etl_reporting_spark.operators.sql_dml import register_dml_target
 
-        register_dml_target(name, table)
+        register_dml_target(
+            name, table, durable=durable, registry_path=registry_path
+        )
     return table
 
 
