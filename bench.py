@@ -194,7 +194,9 @@ def _run_probes(qs, spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _ambient_block(pre: dict, post: dict, ref_path: str) -> dict:
+def _ambient_block(
+    pre: dict, post: dict, ref_path: str, mid: dict | None = None
+) -> dict:
     """Assemble the artifact's ambience record.
 
     References are PHASE-MATCHED: the pre-probe (right after the
@@ -209,7 +211,17 @@ def _ambient_block(pre: dict, post: dict, ref_path: str) -> dict:
     downward (a new quiet floor is evidence, never noise), so ratios
     are always multiples-of-quiet and a loaded segment reads as
     ratios >> 1 in BOTH phases. Bootstraps (and is flagged as such)
-    on first run."""
+    on first run.
+
+    ``mid`` is the round-11 BETWEEN-TIER probe (after the sf3 LLM
+    tier, before the sf10 relational tier): round 10's driver run
+    flagged itself degraded at worst_ratio 2.334 with only the
+    bracketing pre/post pair, leaving no way to localize WHICH heavy
+    segment absorbed the load. With the mid probe every heavy segment
+    is bracketed — pre↔mid localizes a spike to the sf3 tier,
+    mid↔post to sf10 + the headline sweep. Mid gets its own
+    phase-matched floor (the JIT is warm by then, so its quiet floor
+    sits near post's, not pre's)."""
     block: dict = {
         "probe_pre": pre,
         "probe_post": post,
@@ -222,6 +234,10 @@ def _ambient_block(pre: dict, post: dict, ref_path: str) -> dict:
         "scan_post": post["scan"],
         "shuffle_post": post["shuffle"],
     }
+    if mid is not None:
+        block["probe_mid"] = mid
+        observed["scan_mid"] = mid["scan"]
+        observed["shuffle_mid"] = mid["shuffle"]
     ref: dict = {}
     if os.path.exists(ref_path):
         with open(ref_path) as f:
@@ -341,6 +357,7 @@ def main() -> None:
     # variance on queries timed after the full 45-gate sweep — the
     # regression instrument gets the young, quiet heap.
     heavy: dict[str, dict] | None = None
+    probe_mid: dict | None = None
     if os.environ.get("SPARK_GRAFT_HEAVY", "1") != "0":
         from tools.gen_sf import ensure_tier
 
@@ -375,6 +392,10 @@ def main() -> None:
                 "value": round(sum(tq.values()), 3),
                 "queries": tq,
             }
+            if tier == "sf3":
+                # Ambient probe, BETWEEN the heavy tiers: brackets
+                # each heavy segment individually (see _ambient_block)
+                probe_mid = _run_probes(qs, spark, sf_dir)
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
@@ -410,7 +431,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "ambient": _ambient_block(probe_pre, probe_post, ref_path),
+        "ambient": _ambient_block(probe_pre, probe_post, ref_path, mid=probe_mid),
     }
     if build:
         out["build"] = {

@@ -308,6 +308,14 @@ class BlobStorage(TableStorage):
 
     # --- the three object-store verbs -----------------------------
     def list_prefix(self, rel: str = "") -> list[str]:
+        """Emulation divergence, deliberate: a real S3 LIST matches any
+        key with the given CHARACTER prefix (``v0001-ab`` matches
+        ``v0001-abcd/file``), while this emulation returns ``[]`` for a
+        partial-basename prefix — it only resolves whole path
+        components. Stricter than the thing it emulates; no WAP caller
+        passes partial basenames (pointers are always whole dir/file
+        keys), so the strictness can never hide a key the production
+        adapter would return."""
         # scope the walk to the prefix's directory portion — the local
         # stand-in for a server-side prefix LIST, so a per-candidate
         # vacuum LIST doesn't scan the whole table

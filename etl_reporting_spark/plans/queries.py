@@ -2096,7 +2096,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_json_gallery": fn_json_gallery,
     "report_lifecycle_summary": report_lifecycle_summary,
     "report_claimant_detail": report_claimant_detail,
-    "report_monthly_revenue": report_monthly_revenue,
+    # round-11 rotation: the NEW mixed SET+MERGE+SELECT script gate
+    # takes this window slot; report_monthly_revenue rotates to the
+    # locally-verified tail with 8 rounds of driver-green history
+    # (the reports family keeps three driver-green representatives:
+    # report_lifecycle_summary, report_claimant_detail,
+    # dq_report_battery)
+    "sql_script_mixed": sql_script_mixed,
     "dq_report_battery": dq_report_battery,
     "p2_exclude_projection": p2_exclude_projection,
     # round-6 rotation: the six NEW capabilities move INTO the 50-row
@@ -2129,6 +2135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j14_skew_aware_join": j14_skew_aware_join,
     "ann_recall_sweep_trained": LLM_QUERIES["ann_recall_sweep_trained"],
     # ---- remaining gates (driver rows 51+; locally verified) ----
+    "report_monthly_revenue": report_monthly_revenue,
     "mm_decode_real": LLM_QUERIES["mm_decode_real"],
     "ann_recall_sweep": LLM_QUERIES["ann_recall_sweep"],
     "a2_distinct_counts": a2_distinct_counts,
@@ -2171,8 +2178,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_dsir_select",
         "mm_decode_throughput",
     )},
-    # round-11: mixed SET+MERGE+SELECT script through the engine's
-    # statement dispatcher (brief #5) — appended past the driver
-    # window; locally verified like the rest of the tail
-    "sql_script_mixed": sql_script_mixed,
 }

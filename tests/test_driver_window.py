@@ -51,7 +51,10 @@ EXPECTED_WINDOW = [
     "fn_json_gallery",
     "report_lifecycle_summary",
     "report_claimant_detail",
-    "report_monthly_revenue",
+    # round-11 rotation: report_monthly_revenue -> locally-verified
+    # tail (8 rounds driver-green; reports family keeps 3 driver
+    # reps) to admit the new mixed-script DML gate
+    "sql_script_mixed",
     "dq_report_battery",
     "p2_exclude_projection",
     "j5b_asof_tolerance",
