@@ -98,6 +98,15 @@ class AuditError(RuntimeError):
     """The written snapshot failed validation; nothing was published."""
 
 
+class ConstraintViolation(AuditError):
+    """A batch being committed violates a table CHECK constraint
+    (:meth:`WapTable.add_check_constraint`); nothing was published.
+    Carries the violated constraint name(s) and one exemplar row.
+    Subclasses :class:`AuditError` because enforcement IS the audit
+    step of write-audit-publish — callers that already handle audit
+    failure handle this."""
+
+
 class CloneRetentionWarning(UserWarning):
     """A vacuum retained entries beyond its ``keep_last`` window
     because a registered live clone still references them (see
@@ -112,6 +121,11 @@ class CommitConflict(Exception):
     """Raised by a :class:`CommitStore` when the version slot is
     already taken. Table-level code translates this into
     :class:`ConcurrentWriteError` or a partition-scoped rebase."""
+
+
+#: commit-record keys that survive every commit unless a path sets
+#: them explicitly — inherited centrally in :meth:`WapTable._publish`
+_STICKY_RECORD_KEYS: tuple[str, ...] = ("constraints", "partition_spec")
 
 
 # --------------------------------------------------------------- stores
@@ -501,6 +515,10 @@ class WapTable:
                 )
             for check in audits or ():
                 check(written)
+            self._enforce_constraints(
+                written,
+                self._commit_record(base_version) if base_version else None,
+            )
         except Exception:
             self.fs.delete_prefix(data_dir)
             raise
@@ -544,12 +562,203 @@ class WapTable:
                 return rec["epoch_id"]
         return None
 
+    # ----------------------------------------------------- constraints
+    #: record keys a metadata-only commit (constraint add/drop) carries
+    #: forward unchanged; PartitionedWapTable overrides with its map
+    #: shape. Deliberately NO ``touched`` set — a constraint change
+    #: conflicts with every concurrent writer (they validated against
+    #: the old constraint set), the same rule as ``alter_schema``.
+    _metadata_carry: tuple[str, ...] = ("data_dir", "row_count", "schema")
+
+    def check_constraints(self, version: int | None = None) -> dict[str, str]:
+        """The snapshot's CHECK constraints, name → SQL boolean
+        expression. Every data-writing path enforces them on the
+        incoming batch before publish (Delta's ``ALTER TABLE ADD
+        CONSTRAINT`` semantics): a row for which the expression is not
+        TRUE (FALSE **or NULL** — SQL three-valued logic, so
+        ``bal >= 0`` also rejects NULL bal; spell ``bal IS NULL OR
+        bal >= 0`` to admit NULLs) fails the commit with
+        :class:`ConstraintViolation` and nothing publishes."""
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            return {}
+        return dict(self._commit_record(v).get("constraints", {}))
+
+    def add_check_constraint(
+        self,
+        name: str,
+        expr: str,
+        validate: bool = True,
+        base_version: int | None = None,
+    ) -> int:
+        """Register a CHECK constraint in a metadata-only commit.
+
+        ``validate=True`` (default, Delta parity) first scans the
+        CURRENT snapshot for violations — one filter-limit(1) job,
+        early-out on the first bad row — because a constraint the
+        existing data already breaks would make every future commit
+        of an untouched partition fail confusingly later. The scan is
+        the one full-table cost here; pass ``validate=False`` only
+        when the data is known-clean (e.g. re-registering after a
+        restore).
+
+        Reference parity: the reference's DMF/expectation layer checks
+        AFTER load (connector/snowpark_connector.py's DQ hooks run on
+        landed tables); commit-gating is the stronger Spark-first
+        spelling — bad rows never become visible at all."""
+        if not name or not name.replace("_", "").isalnum():
+            raise ValueError(f"constraint name must be an identifier: {name!r}")
+        base = base_version if base_version is not None else self.current_version()
+        if base == 0:
+            raise FileNotFoundError(f"no committed WAP table at {self.path}")
+        base_rec = self._commit_record(base)
+        cons = dict(base_rec.get("constraints", {}))
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists ({cons[name]!r}); "
+                "drop_check_constraint first to replace it"
+            )
+        from pyspark.sql import functions as F
+
+        snapshot = self.read(version=base)
+        # resolve the expression against the schema NOW (plan-only, no
+        # job) so a typo fails at ADD time, not at the next commit
+        try:
+            probe = snapshot.filter(F.expr(expr))
+            probe.schema  # force analysis
+        except Exception as exc:
+            raise ValueError(
+                f"constraint expression does not resolve against the "
+                f"table schema: {expr!r} — {exc}"
+            ) from None
+        if validate:
+            bad = (
+                snapshot.filter(
+                    ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+                )
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"existing data violates {name!r} ({expr!r}); exemplar "
+                    f"row: {bad[0].asDict()} — clean the data first or add "
+                    "with validate=False to accept the debt knowingly"
+                )
+        cons[name] = expr
+        return self._metadata_only_commit(
+            base, {"constraints": cons}, operation="add_constraint"
+        )
+
+    def drop_check_constraint(
+        self, name: str, base_version: int | None = None
+    ) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        base = base_version if base_version is not None else self.current_version()
+        if base == 0:
+            raise FileNotFoundError(f"no committed WAP table at {self.path}")
+        cons = dict(self._commit_record(base).get("constraints", {}))
+        if name not in cons:
+            raise KeyError(f"no such constraint: {name!r}")
+        del cons[name]
+        return self._metadata_only_commit(
+            base, {"constraints": cons}, operation="drop_constraint"
+        )
+
+    def _metadata_only_commit(
+        self, base: int, updates: dict, operation: str
+    ) -> int:
+        """Publish ``base + 1`` carrying the base snapshot's pointers
+        unchanged plus ``updates`` — zero data touched. No ``touched``
+        set, so it conflicts with any concurrent writer (correct: they
+        validated against the old metadata; one side retries)."""
+        base_rec = self._commit_record(base)
+        record = {
+            k: base_rec[k] for k in self._metadata_carry if k in base_rec
+        }
+        record.update(updates)
+        record.update(
+            {
+                "version": base + 1,
+                "operation": operation,
+                "committed_at": time.time(),
+            }
+        )
+        self._publish(record)
+        return base + 1
+
+    def _enforce_constraints(
+        self, batch: DataFrame, base_rec: dict | None
+    ) -> None:
+        """The commit-time gate: raise :class:`ConstraintViolation` if
+        any batch row fails any registered CHECK constraint. ONE
+        filter-limit(1) pass over the batch (early-out scan over
+        touched data only — never the table), all constraints fused
+        into a single predicate; the exemplar row reports every
+        constraint it violates. A constraint referencing a column the
+        batch lacks (a full-overwrite schema change) fails loudly with
+        drop-the-constraint-first guidance rather than a bare
+        AnalysisException."""
+        cons = (base_rec or {}).get("constraints") or {}
+        if not cons:
+            return
+        from pyspark.sql import functions as F
+
+        names = sorted(cons)
+        flags = [
+            (~F.coalesce(F.expr(cons[n]).cast("boolean"), F.lit(False))).alias(
+                f"__viol_{i}"
+            )
+            for i, n in enumerate(names)
+        ]
+        try:
+            probe = batch.select(*batch.columns, *flags)
+            probe.schema  # force analysis before launching the job
+        except Exception as exc:
+            raise ConstraintViolation(
+                f"cannot evaluate table constraints {names} against the "
+                f"incoming batch (columns {batch.columns}): {exc} — if the "
+                "write intentionally changes the schema, "
+                "drop_check_constraint first"
+            ) from None
+        any_bad = F.lit(False)
+        for i in range(len(names)):
+            any_bad = any_bad | F.col(f"__viol_{i}")
+        bad = probe.filter(any_bad).limit(1).collect()
+        if not bad:
+            return
+        row = bad[0].asDict()
+        violated = [n for i, n in enumerate(names) if row.get(f"__viol_{i}")]
+        exemplar = {k: v for k, v in row.items() if not k.startswith("__viol_")}
+        raise ConstraintViolation(
+            f"batch violates constraint(s) {violated} "
+            f"({ {n: cons[n] for n in violated} }); exemplar row: {exemplar}"
+        )
+
     def _publish(self, record: dict) -> None:
         """The atomic step, isolated so crash tests can stop before it.
 
         Delegates the CAS to the :class:`CommitStore`; a taken slot
         becomes :class:`ConcurrentWriteError`. Readers can never
-        observe a partial record — that is the store's contract."""
+        observe a partial record — that is the store's contract.
+
+        Sticky-metadata inheritance is centralized HERE rather than at
+        every record-building site: a record that does not set a
+        sticky key (``constraints``, ``partition_spec``) explicitly
+        inherits the previous version's value (one metadata read), so
+        no current or future commit path can silently shed the
+        table's constraints or its hidden-partitioning spec. Paths
+        that CHANGE a value set the key explicitly — including to an
+        empty dict, which is why the test is key-presence, not
+        truthiness."""
+        missing = [k for k in _STICKY_RECORD_KEYS if k not in record]
+        if missing and record["version"] > 1:
+            prev = self.store.read(record["version"] - 1)
+            if prev is not None:
+                prev_rec = json.loads(prev)
+                for k in missing:
+                    if prev_rec.get(k):
+                        record[k] = prev_rec[k]
         try:
             self.store.publish(record["version"], json.dumps(record).encode())
         except CommitConflict:
@@ -965,6 +1174,19 @@ class PartitionedWapTable(WapTable):
     #: readers are file-count-agnostic)
     dv_sidecar_rows_per_file: int = 4_000_000
 
+    #: metadata-only commits (constraint add/drop) carry the full
+    #: partitioned pointer shape forward unchanged
+    _metadata_carry: tuple[str, ...] = (
+        "partitions",
+        "files",
+        "file_stats",
+        "stats",
+        "delete_vectors",
+        "partition_by",
+        "row_count",
+        "schema",
+    )
+
     def __init__(
         self,
         spark: SparkSession,
@@ -1267,6 +1489,9 @@ class PartitionedWapTable(WapTable):
                 )
             for check in audits or ():
                 check(back)
+            self._enforce_constraints(
+                back, self._commit_record(base) if base else None
+            )
         except Exception:
             self.fs.delete_prefix(root)
             raise
@@ -1529,6 +1754,7 @@ class PartitionedWapTable(WapTable):
                 )
             for check in audits or ():
                 check(back)
+            self._enforce_constraints(back, self._commit_record(base))
         except Exception:
             self.fs.delete_prefix(root)
             raise
@@ -1692,6 +1918,23 @@ class PartitionedWapTable(WapTable):
         new_schema = StructType(fields)
         for c, t in add.items():
             new_schema = new_schema.add(c, _parse_datatype_string(t))
+        # a CHECK constraint referencing a dropped column would make
+        # every future commit fail at enforcement; resolve each
+        # expression against the POST-drop schema (plan-only, no job)
+        # and refuse the drop naming the blocking constraint
+        if drop:
+            from pyspark.sql import functions as F
+
+            post = self.spark.createDataFrame([], new_schema)
+            for cname, cexpr in base_rec.get("constraints", {}).items():
+                try:
+                    post.filter(F.expr(cexpr)).schema
+                except Exception:
+                    raise ValueError(
+                        f"cannot drop {sorted(drop)}: constraint {cname!r} "
+                        f"({cexpr!r}) references a dropped column — "
+                        "drop_check_constraint first"
+                    ) from None
 
         record = {
             k: v
@@ -1857,6 +2100,9 @@ class PartitionedWapTable(WapTable):
                 f"no committed WAP table at {self.path} — bootstrap with "
                 "create_partitioned_wap_table / commit_partitions"
             )
+        # constraints gate BEFORE any write: every source row is
+        # appended verbatim, so the source IS the new-rows batch
+        self._enforce_constraints(source, self._commit_record(base))
         keys = list(keys)
         vals = (
             source.select(
@@ -2899,6 +3145,12 @@ def clone_table(
         }
     if rec.get("stats"):
         record["stats"] = dict(rec["stats"])
+    for sticky in _STICKY_RECORD_KEYS:
+        # a clone inherits the source's sticky metadata (constraints,
+        # hidden-partitioning spec) — its v1 has no predecessor for
+        # _publish's centralized carry to read
+        if rec.get(sticky):
+            record[sticky] = rec[sticky]
     if rec.get("file_stats"):
         record["file_stats"] = {absf(f): s for f, s in rec["file_stats"].items()}
     if rec.get("delete_vectors"):
@@ -3273,6 +3525,22 @@ def open_wap_table(
     need not know which writer created the table."""
     table = WapTable(spark, path, storage=storage)
     rec = table.latest_record()
+    if rec is not None and rec.get("partition_spec"):
+        # hidden-partitioned layout: re-hydrate the transform spec so
+        # writes keep deriving and reads keep hiding (late import —
+        # transforms.py imports this module)
+        from etl_reporting_spark.operators.transforms import (
+            HiddenPartitionedWapTable,
+            Transform,
+        )
+
+        return HiddenPartitionedWapTable(
+            spark,
+            path,
+            [Transform.from_json(d) for d in rec["partition_spec"]],
+            store=table.store,
+            storage=table.fs,
+        )
     if rec is not None and "partitions" in rec:
         cols = rec.get("partition_by")
         if cols is None:

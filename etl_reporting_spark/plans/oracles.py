@@ -1400,3 +1400,27 @@ FROM final
 GROUP BY 1
 ORDER BY 1
 """
+
+ORACLE_SQL["wap_hidden_partitioning"] = """
+-- Twin of the two pruned-read families: pruning is metadata-only and
+-- must return exactly what a full scan + the raw predicate returns.
+WITH base AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey <= 20000
+)
+SELECT 'range' AS part, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DECIMAL(18,2)) AS sum_price
+FROM base
+WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'
+GROUP BY 2
+UNION ALL
+SELECT 'cust370' AS part, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DECIMAL(18,2)) AS sum_price
+FROM base
+WHERE o_custkey = 370
+GROUP BY 2
+ORDER BY part, month
+"""

@@ -1437,6 +1437,73 @@ def sql_script_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wap_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning — Iceberg partition transforms on a WAP
+    table (round-11): the table is created with
+    ``years(o_orderdate) + bucket(4, o_custkey)`` and the SPEC, not
+    the query, owns the derivation — writes compute the partition
+    values, reads never see them, and predicates on the RAW columns
+    prune at the metadata layer. The reference pre-computes period
+    columns by hand in its loaders and every query must filter on
+    them to prune (reference connector/datamart_utils.py period
+    helpers); here the analyst's natural predicate is the prune.
+
+    Two pruned read families, both against their full-scan twins by
+    hash: a RANGE on the raw date (keeps 2 of the year partitions)
+    and an EQUALITY on the raw custkey (keeps 1 bucket in 4 — the
+    CRC-32 bucket is computed driver-side at prune time, no job).
+    Monthly rollup; sums DECIMAL(18,2) per the float convention.
+
+    Scale: pruning is pure metadata (no LIST, no scan); at 100 TB a
+    seven-year fact answers a two-year question by never planning
+    five years of files, and a single-customer lookup plans 1/4 of
+    each year instead of a full scan."""
+    import datetime as _dtm
+    import tempfile
+
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 20000).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    path = tempfile.mkdtemp(prefix="wap_hidden_")
+    table = create_hidden_partitioned_wap_table(
+        spark,
+        f"{path}/fact",
+        base,
+        ["years(o_orderdate)", "bucket(4, o_custkey)"],
+    )
+
+    def monthly(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("price").cast("decimal(18,2)").alias("sum_price"),
+            )
+            .withColumn("part", F.lit(tag))
+        )
+
+    rng = table.read_pruned(
+        "o_orderdate", lo=_dtm.date(1994, 1, 1), hi=_dtm.date(1995, 12, 31)
+    )
+    cust = table.read_pruned("o_custkey", eq=370)
+    return (
+        monthly(rng, "range")
+        .unionByName(monthly(cust, "cust370"))
+        .select("part", "month", "n_orders", "sum_price")
+        .orderBy("part", "month")
+    )
+
+
 def wap_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed IVM off a DV-churned WAP table (round-9 brief #5): a
     partitioned fact takes four commits — CREATE (keys ≤ 150, balances
@@ -2167,6 +2234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_conditional_insert": a10_conditional_insert,
     "u1_union_distinct": u1_union_distinct,
     "w45_event_ordering": w45_event_ordering,
+    "wap_hidden_partitioning": wap_hidden_partitioning,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "mm_decode_real",
         "ann_recall_sweep",

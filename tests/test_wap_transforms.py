@@ -1,0 +1,258 @@
+"""Hidden partitioning (Iceberg partition transforms) on WAP tables.
+
+The table's spec — not the query — owns the partition derivation:
+writes derive ``months(ts)`` / ``bucket(n, key)`` / ``truncate(w, c)``
+columns automatically, reads hide them, and predicates on the RAW
+column prune partitions at the metadata layer. Contrast the reference,
+whose loaders pre-compute period columns by hand and whose queries
+must filter on them to prune (connector/datamart_utils.py period
+helpers).
+
+Runs under both storage backends.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.transforms import (
+    HiddenPartitionedWapTable,
+    Transform,
+    create_hidden_partitioned_wap_table,
+    open_hidden_partitioned_wap_table,
+    parse_transform,
+)
+from etl_reporting_spark.operators.wap import open_wap_table
+
+pytestmark = pytest.mark.usefixtures("wap_storage_backend")
+
+
+def _events(spark):
+    rows = [
+        (i, dt.date(2026, 1 + (i % 6), 1 + (i % 27)), f"u{i % 7}", float(i))
+        for i in range(1, 61)
+    ]
+    return spark.createDataFrame(rows, "id int, ds date, user string, amt double")
+
+
+# ------------------------------------------------------------ parsing
+def test_parse_transform_grammar():
+    assert parse_transform("months(ds)").kind == "months"
+    assert parse_transform("bucket(16, k)").param == 16
+    assert parse_transform("truncate(4, name)").param == 4
+    t = parse_transform("region")
+    assert t.kind == "identity" and t.target == "region"
+    for bad in ("months(4, ds)", "bucket(ds)", "mystery(ds)", "bucket(0, k)", ""):
+        with pytest.raises(ValueError):
+            parse_transform(bad)
+
+
+def test_bucket_literal_matches_spark_exactly(spark):
+    """The prune-time Python bucket must equal the write-time JVM
+    bucket for every key type it admits — this mirror IS the design
+    (CRC-32 over the string cast, computable on both sides)."""
+    t = Transform(kind="bucket", source="k", param=16, value_type="int")
+    vals = [0, 1, 42, -7, 123456789012345, "alpha", "", "naïve-utf8"]
+    df = spark.createDataFrame([(str(v),) for v in vals], "k string")
+    got = [
+        r[0]
+        for r in df.select(
+            F.pmod(F.crc32(F.col("k")), F.lit(16)).cast("int")
+        ).collect()
+    ]
+    expected = [zlib.crc32(str(v).encode()).__mod__(16) for v in vals]
+    assert got == expected
+    for v in vals:
+        assert t.apply_literal(v) == zlib.crc32(str(v).encode()) % 16
+
+
+# ------------------------------------------------------- write + read
+def test_write_derives_and_read_hides(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _events(spark), ["months(ds)"]
+    )
+    assert t.partition_by == ["_p_ds_months"]
+    keys = sorted(t.partition_map())
+    assert all(k.startswith("_p_ds_months=2026-0") for k in keys)
+    df = t.read()
+    assert "_p_ds_months" not in df.columns
+    assert df.count() == 60
+    exposed = t.read(expose_partition_cols=True)
+    assert "_p_ds_months" in exposed.columns
+
+
+def test_batch_supplying_derived_column_is_refused(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _events(spark), ["months(ds)"]
+    )
+    forged = _events(spark).withColumn("_p_ds_months", F.lit("1999-01"))
+    with pytest.raises(ValueError, match="derived partition columns"):
+        t.commit_partitions(forged)
+
+
+# ------------------------------------------------------------- prune
+def test_range_prune_on_raw_date_column(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _events(spark), ["months(ds)"]
+    )
+    keys = t.prune("ds", lo=dt.date(2026, 2, 10), hi=dt.date(2026, 3, 5))
+    assert keys == ["_p_ds_months=2026-02", "_p_ds_months=2026-03"]
+    got = t.read_pruned("ds", lo=dt.date(2026, 2, 10), hi=dt.date(2026, 3, 5))
+    expect = (
+        _events(spark)
+        .filter(
+            (F.col("ds") >= F.lit(dt.date(2026, 2, 10)))
+            & (F.col("ds") <= F.lit(dt.date(2026, 3, 5)))
+        )
+        .count()
+    )
+    assert got.count() == expect
+    # the residual filter matters: the pruned read alone would keep
+    # whole months
+    assert t.read(partitions=keys).count() > expect
+
+
+def test_bucket_prune_equality_and_refusal_of_ranges(spark, tmp_path):
+    df = _events(spark)
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), df, ["bucket(8, user)"]
+    )
+    keys = t.prune("user", eq="u3")
+    assert len(keys) == 1
+    got = t.read_pruned("user", eq="u3")
+    assert got.count() == df.filter(F.col("user") == "u3").count()
+    assert set(r["user"] for r in got.select("user").distinct().collect()) == {
+        "u3"
+    }
+    with pytest.raises(ValueError, match="destroys order"):
+        t.prune("user", lo="u1", hi="u5")
+    multi = t.prune("user", isin=["u1", "u5"])
+    assert 1 <= len(multi) <= 2
+
+
+def test_truncate_int_prune(spark, tmp_path):
+    df = _events(spark)
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), df, ["truncate(10, id)"]
+    )
+    keys = t.prune("id", lo=25, hi=34)
+    assert keys == ["_p_id_truncate=20", "_p_id_truncate=30"]
+    got = t.read_pruned("id", lo=25, hi=34)
+    assert got.count() == 10
+
+
+def test_prune_unknown_column_raises(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _events(spark), ["months(ds)"]
+    )
+    with pytest.raises(KeyError):
+        t.prune("amt", lo=1.0)
+
+
+# ------------------------------------------------ lifecycle integration
+def test_upsert_and_delete_keep_hidden_layout(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _events(spark), ["months(ds)"]
+    )
+    src = spark.createDataFrame(
+        [(5, dt.date(2026, 6, 5), "u0", 999.0),
+         (999, dt.date(2026, 4, 2), "unew", 1.0)],
+        "id int, ds date, user string, amt double",
+    )
+    t.upsert_rows_dv(src, keys=["id"])
+    df = t.read()
+    assert df.filter("id = 5").select("amt").first()[0] == 999.0
+    assert df.filter("id = 999").count() == 1
+    assert "_p_ds_months" not in df.columns
+    t.delete_rows("user = 'u1'")
+    assert t.read().filter("user = 'u1'").count() == 0
+
+
+def test_spec_survives_commits_and_reopen(spark, tmp_path):
+    """The sticky-key carry: a DV delete (which never mentions the
+    spec) must not shed it, and open_wap_table re-hydrates the hidden
+    table from the path alone."""
+    path = str(tmp_path / "t")
+    t = create_hidden_partitioned_wap_table(
+        spark, path, _events(spark), ["months(ds)"]
+    )
+    t.delete_rows("id = 1")
+    reopened = open_wap_table(spark, path)
+    assert isinstance(reopened, HiddenPartitionedWapTable)
+    assert [tr.kind for tr in reopened.transforms] == ["months"]
+    assert "_p_ds_months" not in reopened.read().columns
+    # writes through the reopened handle still derive
+    more = spark.createDataFrame(
+        [(2000, dt.date(2026, 5, 20), "ux", 7.0)],
+        "id int, ds date, user string, amt double",
+    )
+    reopened.upsert_rows_dv(more, keys=["id"])
+    assert reopened.prune("ds", eq=dt.date(2026, 5, 20)) == [
+        "_p_ds_months=2026-05"
+    ]
+    also = open_hidden_partitioned_wap_table(spark, path)
+    assert also.read().filter("id = 2000").count() == 1
+
+
+def test_multi_level_spec(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _events(spark), ["months(ds)", "bucket(4, user)"]
+    )
+    keys = t.prune("ds", lo=dt.date(2026, 3, 1), hi=dt.date(2026, 3, 31))
+    # only the months level is constrained; all buckets of that month
+    assert all("_p_ds_months=2026-03" in k for k in keys)
+    assert len(keys) >= 2
+    ukeys = t.prune("user", eq="u2")
+    # only the bucket level is constrained; every month kept
+    assert len(ukeys) >= 4
+    both = sorted(set(keys) & set(ukeys))
+    got = t.read(partitions=both).filter(
+        (F.col("user") == "u2")
+        & (F.col("ds") >= F.lit(dt.date(2026, 3, 1)))
+        & (F.col("ds") <= F.lit(dt.date(2026, 3, 31)))
+    )
+    expect = (
+        _events(spark)
+        .filter(
+            (F.col("user") == "u2")
+            & (F.col("ds") >= F.lit(dt.date(2026, 3, 1)))
+            & (F.col("ds") <= F.lit(dt.date(2026, 3, 31)))
+        )
+        .count()
+    )
+    assert got.count() == expect
+
+
+def test_constraints_compose_with_hidden_partitioning(spark, tmp_path):
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _events(spark), ["months(ds)"]
+    )
+    t.add_check_constraint("amt_nonneg", "amt >= 0")
+    bad = spark.createDataFrame(
+        [(777, dt.date(2026, 2, 2), "ux", -1.0)],
+        "id int, ds date, user string, amt double",
+    )
+    with pytest.raises(ConstraintViolation):
+        t.upsert_rows_dv(bad, keys=["id"])
+
+
+def test_value_type_validation(spark, tmp_path):
+    df = _events(spark)
+    with pytest.raises(ValueError, match="date/timestamp"):
+        create_hidden_partitioned_wap_table(
+            spark, str(tmp_path / "a"), df, ["months(user)"]
+        )
+    with pytest.raises(ValueError, match="int/long/string"):
+        create_hidden_partitioned_wap_table(
+            spark, str(tmp_path / "b"), df, ["bucket(4, amt)"]
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        create_hidden_partitioned_wap_table(
+            spark, str(tmp_path / "c"), df, ["months(nope)"]
+        )

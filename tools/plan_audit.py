@@ -188,6 +188,10 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # at build time; the returned frame is one masked snapshot read
     # of the view + presentation sort.
     "wap_cdf_stream_ivm": 1,
+    # round-11: two pruned-read monthly rollups unioned — one
+    # aggregate exchange per family + the presentation sort. The
+    # prunes themselves are metadata-only (zero jobs).
+    "wap_hidden_partitioning": 3,
     # round-7: the FULL registry is budgeted (verdict #5 asked >=60;
     # this pins all remaining gates) - measured cold at sf0.001,
     # SPARK_GRAFT_SHUFFLE=4, one session in registry order (the same
