@@ -125,7 +125,11 @@ class CommitConflict(Exception):
 
 #: commit-record keys that survive every commit unless a path sets
 #: them explicitly — inherited centrally in :meth:`WapTable._publish`
-_STICKY_RECORD_KEYS: tuple[str, ...] = ("constraints", "partition_spec")
+_STICKY_RECORD_KEYS: tuple[str, ...] = (
+    "constraints",
+    "partition_spec",
+    "table_stats",
+)
 
 
 # --------------------------------------------------------------- stores

@@ -1424,3 +1424,30 @@ WHERE o_custkey = 370
 GROUP BY 2
 ORDER BY part, month
 """
+
+ORACLE_SQL["wap_table_stats"] = """
+-- Twin of the metadata-reconstructed statistics: ANALYZE's commit-log
+-- stats must equal what the data actually says.
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer WHERE c_custkey <= 600
+)
+SELECT 'c_custkey' AS col_name, COUNT(*) AS row_count,
+       COUNT(*) - COUNT(c_custkey) AS null_count,
+       CAST(MIN(c_custkey) AS DOUBLE) AS min_num,
+       CAST(MAX(c_custkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM base
+UNION ALL
+SELECT 'bal', COUNT(*), COUNT(*) - COUNT(bal),
+       CAST(MIN(bal) AS DOUBLE), CAST(MAX(bal) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(c_mktsegment), MAX(c_mktsegment)
+FROM base
+ORDER BY col_name
+"""

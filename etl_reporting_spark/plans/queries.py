@@ -1504,6 +1504,70 @@ def wap_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wap_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics gate (round-11): one fused scan
+    publishes per-column stats into the WAP commit log
+    (``collect_table_stats`` — exact row/null counts and min/max,
+    plus HLL NDV sketches the gate deliberately excludes as
+    approximate); the gate then reconstructs the stats FROM METADATA
+    ONLY and the oracle recomputes them from the data — hash equality
+    proves the commit-log statistics are the data's truth, which is
+    what makes ``join_advice``'s no-scan planning decisions safe.
+
+    The reference relies on its warehouse's implicit optimizer stats
+    (its MERGE loaders never plan joins themselves,
+    reference connector/snowpark_connector.py:607-688); a path-based
+    Spark table gets none, so the engine carries its own.
+
+    Scale: ANALYZE is one column-pruned pass on the maintenance
+    cadence; everything the planner later asks (sizes, NDV, skew) is
+    a metadata read."""
+    import tempfile
+
+    from etl_reporting_spark.operators.stats import (
+        collect_table_stats,
+        table_stats,
+    )
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    base = customer.filter(F.col("c_custkey") <= 600).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    path = tempfile.mkdtemp(prefix="wap_table_stats_")
+    table = create_partitioned_wap_table(
+        spark, f"{path}/fact", base, ["c_mktsegment"]
+    )
+    collect_table_stats(table, ["c_custkey", "bal", "c_mktsegment"])
+    s = table_stats(table)
+    rows = []
+    for col in ("c_custkey", "bal", "c_mktsegment"):
+        e = s["columns"][col]
+        numeric = e["type"] in ("integer", "long", "double", "float")
+        rows.append(
+            (
+                col,
+                s["row_count"],
+                e["null_count"],
+                float(e["min"]) if numeric and e["min"] is not None else None,
+                float(e["max"]) if numeric and e["max"] is not None else None,
+                None if numeric else str(e["min"]),
+                None if numeric else str(e["max"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, row_count long, null_count long, "
+        "min_num double, max_num double, min_str string, max_str string",
+    ).orderBy("col_name")
+
+
 def wap_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed IVM off a DV-churned WAP table (round-9 brief #5): a
     partitioned fact takes four commits — CREATE (keys ≤ 150, balances
@@ -2235,6 +2299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u1_union_distinct": u1_union_distinct,
     "w45_event_ordering": w45_event_ordering,
     "wap_hidden_partitioning": wap_hidden_partitioning,
+    "wap_table_stats": wap_table_stats,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "mm_decode_real",
         "ann_recall_sweep",
