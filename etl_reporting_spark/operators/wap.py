@@ -1855,17 +1855,32 @@ class PartitionedWapTable(WapTable):
                     raise
                 base = latest
 
+    #: permitted lossless type widenings (Iceberg's evolution rules):
+    #: each key may become any type in its value set
+    _WIDENINGS: dict[str, tuple[str, ...]] = {
+        "byte": ("short", "integer", "long"),
+        "short": ("integer", "long"),
+        "integer": ("long",),
+        "float": ("double",),
+    }
+
     def alter_schema(
         self,
         add: dict[str, str] | None = None,
         drop: Sequence[str] | None = None,
+        widen: dict[str, str] | None = None,
         base_version: int | None = None,
     ) -> int:
         """Metadata-only schema evolution (Delta ALTER TABLE): ADD
         COLUMN (existing data reads NULL for it — the read path
-        already NULL-fills columns absent from older files) and DROP
+        already NULL-fills columns absent from older files), DROP
         COLUMN (projected away at read; the bytes stay until files
-        are naturally rewritten) — zero data touched, one commit.
+        are naturally rewritten), and WIDEN (Iceberg's lossless type
+        promotions — byte/short/int → long, float → double, and
+        decimal precision growth at fixed scale; the per-root scans
+        coerce to the union type and the final committed-schema cast
+        does the rest, so no file is touched) — zero data moved, one
+        commit.
 
         ``add`` maps column name → Spark DDL type string
         (``{"note": "string"}``); ``drop`` names existing non-key
@@ -1888,7 +1903,11 @@ class PartitionedWapTable(WapTable):
         The commit carries no ``touched`` set, so it CONFLICTS with
         any concurrent writer (and they with it) — a writer racing a
         schema change wrote with a stale schema; one side retries."""
-        from pyspark.sql.types import StructType, _parse_datatype_string
+        from pyspark.sql.types import (
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
 
         base = base_version if base_version is not None else self.current_version()
         if base == 0:
@@ -1898,6 +1917,36 @@ class PartitionedWapTable(WapTable):
         names = {f.name for f in schema.fields}
         add = dict(add or {})
         drop = list(drop or [])
+        widen = dict(widen or {})
+        widened: dict[str, object] = {}
+        for c, tstr in widen.items():
+            if c not in names:
+                raise ValueError(f"cannot widen unknown column: {c}")
+            if c in self.partition_by:
+                raise ValueError(
+                    f"cannot widen partition column {c!r} — existing hive "
+                    "path values were formatted under the old type"
+                )
+            cur = next(f.dataType for f in schema.fields if f.name == c)
+            new_t = _parse_datatype_string(tstr)
+            cur_name, new_name = cur.typeName(), new_t.typeName()
+            ok = new_name in self._WIDENINGS.get(cur_name, ())
+            if cur_name == "decimal" and new_name == "decimal":
+                # precision may grow; scale is pinned (changing scale
+                # rescales stored values — not a metadata operation)
+                ok = (
+                    new_t.scale == cur.scale
+                    and new_t.precision >= cur.precision
+                )
+            if not ok:
+                raise ValueError(
+                    f"cannot widen {c!r} from {cur.simpleString()} to "
+                    f"{new_t.simpleString()} — permitted promotions are "
+                    "byte/short/int→long, float→double, and decimal "
+                    "precision growth at fixed scale (lossless only; a "
+                    "lossy change is a rewrite, not an ALTER)"
+                )
+            widened[c] = new_t
         for c in add:
             if c in names:
                 raise ValueError(f"column already exists: {c}")
@@ -1918,7 +1967,11 @@ class PartitionedWapTable(WapTable):
                     f"cannot drop partition column {c!r} — the physical "
                     "layout is keyed on it; repartition via a full rewrite"
                 )
-        fields = [f for f in schema.fields if f.name not in set(drop)]
+        fields = [
+            StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
+            for f in schema.fields
+            if f.name not in set(drop)
+        ]
         new_schema = StructType(fields)
         for c, t in add.items():
             new_schema = new_schema.add(c, _parse_datatype_string(t))

@@ -874,6 +874,70 @@ def test_alter_schema_add_and_drop_metadata_only(spark, tmp_path, fact_df):
         t.alter_schema(add={"amount": "double"})
 
 
+def test_alter_schema_widen_types_metadata_only(spark, tmp_path):
+    """WIDEN (Iceberg's lossless promotions): int→long and
+    float→double in one metadata commit — zero files touched; old
+    narrow files coerce in the per-root union and the committed-
+    schema cast, new writes land wide, values byte-identical."""
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", 1.5), (2, "2026-01-02", 2.5)],
+        "id int, ds string, amount float",
+    )
+    t = create_partitioned_wap_table(spark, str(tmp_path / "w"), df, ["ds"])
+    files_before = {
+        f for k in t.partition_map() for f in t.partition_files(k)
+    }
+    v2 = t.alter_schema(widen={"id": "long", "amount": "double"})
+    assert t.read(version=v2).schema.simpleString() == (
+        "struct<id:bigint,ds:string,amount:double>"
+    )
+    files_after = {
+        f for k in t.partition_map() for f in t.partition_files(k)
+    }
+    assert files_after == files_before  # nothing rewritten
+    # a wide write joins narrow files in one read, values intact
+    wide = spark.createDataFrame(
+        [(2**40, "2026-01-03", 3.25)], "id long, ds string, amount double"
+    )
+    t.commit_partitions(wide)
+    got = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert got == {1: 1.5, 2: 2.5, 2**40: 3.25}
+    # time travel keeps the narrow schema
+    assert t.read(version=1).schema["id"].dataType.typeName() == "integer"
+
+
+def test_alter_schema_widen_refuses_lossy_and_protected(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", 1.5)], "id long, ds string, amount double"
+    )
+    t = create_partitioned_wap_table(spark, str(tmp_path / "w"), df, ["ds"])
+    with pytest.raises(ValueError, match="permitted promotions"):
+        t.alter_schema(widen={"id": "int"})  # narrowing
+    with pytest.raises(ValueError, match="permitted promotions"):
+        t.alter_schema(widen={"amount": "float"})  # narrowing
+    with pytest.raises(ValueError, match="permitted promotions"):
+        t.alter_schema(widen={"id": "string"})  # lossy re-type
+    with pytest.raises(ValueError, match="partition column"):
+        t.alter_schema(widen={"ds": "string"})
+    with pytest.raises(ValueError, match="unknown column"):
+        t.alter_schema(widen={"nope": "long"})
+
+
+def test_alter_schema_widen_decimal_precision(spark, tmp_path):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", Decimal("12.34"))],
+        "id long, ds string, bal decimal(10,2)",
+    )
+    t = create_partitioned_wap_table(spark, str(tmp_path / "w"), df, ["ds"])
+    t.alter_schema(widen={"bal": "decimal(18,2)"})
+    assert t.read().schema["bal"].dataType.simpleString() == "decimal(18,2)"
+    assert t.read().first()["bal"] == Decimal("12.34")
+    with pytest.raises(ValueError, match="permitted promotions"):
+        t.alter_schema(widen={"bal": "decimal(18,4)"})  # scale change
+
+
 def test_alter_schema_conflicts_with_concurrent_writer(spark, tmp_path, fact_df):
     """A schema change carries no touched set: a racing partition
     writer and the ALTER get one winner (the loser's base is stale)."""
