@@ -129,7 +129,9 @@ class Engine:
         from etl_reporting_spark.operators.sql_dml import (
             SqlDmlError,
             dml_target_registered,
+            execute_ddl,
             execute_dml,
+            statement_ddl_target,
             statement_dml_target,
         )
 
@@ -151,6 +153,14 @@ class Engine:
                 self.set_session_variables(**{set_m.group(1): raw})
                 continue
             rendered = self._render_session_vars(stmt)
+            ddl = statement_ddl_target(rendered)
+            if ddl is not None and dml_target_registered(ddl[1]):
+                # ALTER TABLE / ANALYZE TABLE against a registered WAP
+                # target — constraint DDL, schema evolution, ANALYZE
+                # route onto the table API; unregistered names fall
+                # through to spark.sql (catalog v2 behavior intact)
+                result = execute_ddl(self.spark, rendered)
+                continue
             dml = statement_dml_target(rendered)
             if dml is not None:
                 op, target = dml

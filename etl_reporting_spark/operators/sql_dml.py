@@ -934,7 +934,12 @@ def _refresh_registered_view(spark: "SparkSession", text: str) -> None:
     sniff = statement_dml_target(text)
     if sniff is None:
         return
-    name = sniff[1]
+    _repin_view(spark, sniff[1])
+
+
+def _repin_view(spark: "SparkSession", name: str) -> None:
+    """Re-pin a registry target's TEMP view to the fresh snapshot (the
+    shared tail of every mutating statement — DML and DDL alike)."""
     table = _DML_TARGETS.get(name.lower())
     if table is None:
         return
@@ -986,6 +991,179 @@ def execute_dml_script(
         i += 1
     stmts.append(rendered[start:])
     for s in stmts:
-        if s.strip():
+        if not s.strip():
+            continue
+        if statement_ddl_target(s) is not None:
+            results.append(execute_ddl(spark, s, tables=tables))
+        else:
             results.append(execute_dml(spark, s, tables=tables))
     return results
+
+
+# ------------------------------------------------------------------- DDL
+# The reference's scripts also carry DDL text between the DML — ALTER
+# TABLE and ANALYZE statements (reference
+# connector/snowpark_connector.py:1238-1272 mixes all four shapes).
+# Registered WAP targets route here onto the table API; unregistered
+# names fall through to spark.sql so catalog (v2) tables keep their
+# native behavior. Grammar, each unsupported form failing loudly:
+#
+#     ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)
+#     ALTER TABLE <t> DROP CONSTRAINT <name>
+#     ALTER TABLE <t> ADD COLUMN[S] <name> <type> [, <name> <type> ...]
+#     ALTER TABLE <t> DROP COLUMN[S] <name> [, <name> ...]
+#     ALTER TABLE <t> ALTER COLUMN <name> TYPE <type>     -- widen only
+#     ANALYZE TABLE <t> COMPUTE STATISTICS
+#         [FOR COLUMNS <a>, <b> | FOR ALL COLUMNS]
+#         [FOR KEYS <a>, <b>]                              -- skew triad
+
+_DDL_HEAD = re.compile(
+    r"(?is)^\s*(?:(ALTER)|(ANALYZE))\s+TABLE\s+(?P<target>[\w./-]+)"
+)
+
+_ADD_CONSTRAINT = re.compile(
+    r"(?is)^\s*ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$"
+)
+_DROP_CONSTRAINT = re.compile(r"(?is)^\s*DROP\s+CONSTRAINT\s+(?P<name>\w+)\s*$")
+_ADD_COLUMNS = re.compile(r"(?is)^\s*ADD\s+COLUMNS?\s+(?P<body>.+)$")
+_DROP_COLUMNS = re.compile(r"(?is)^\s*DROP\s+COLUMNS?\s+(?P<body>[\w\s,]+)$")
+_ALTER_COLUMN = re.compile(
+    r"(?is)^\s*ALTER\s+COLUMN\s+(?P<name>\w+)\s+TYPE\s+(?P<type>.+?)\s*$"
+)
+_ANALYZE_TAIL = re.compile(
+    r"(?is)^\s*COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+(?P<cols>[\w\s,]+?)))?"
+    r"(?:\s+FOR\s+KEYS\s+(?P<keys>[\w\s,]+?))?\s*$"
+)
+
+
+def statement_ddl_target(sql: str) -> tuple[str, str] | None:
+    """``(operation, target_name)`` when the statement text is
+    DDL-shaped (ALTER TABLE / ANALYZE TABLE), else None — the script
+    runner's routing sniff, mirror of :func:`statement_dml_target`."""
+    m = _DDL_HEAD.match(_strip_comments(sql))
+    if not m:
+        return None
+    op = next(g for g in m.groups()[:2] if g)
+    return op.upper(), m.group("target")
+
+
+def _names_list(body: str) -> list[str]:
+    return [s.strip() for s in body.split(",") if s.strip()]
+
+
+def execute_ddl(
+    spark: "SparkSession",
+    sql: str,
+    substitutions: Mapping[str, str] | None = None,
+    tables: Mapping[str, object] | None = None,
+) -> dict:
+    """Execute one templated DDL statement against a registered WAP
+    table; returns ``{"operation", "target", "version", ...}``. The
+    target's registered temp view is re-pinned afterward (an ALTER
+    changes the schema a script's next SELECT must see)."""
+    from etl_reporting_spark.io import render_template
+
+    text = _strip_comments(
+        render_template(sql, dict(substitutions or {}))
+    ).strip().rstrip(";")
+    head = _DDL_HEAD.match(text)
+    if not head:
+        raise SqlDmlError(
+            f"not a DDL statement (ALTER TABLE / ANALYZE TABLE): "
+            f"{text[:60]!r}"
+        )
+    op = "ALTER" if head.group(1) else "ANALYZE"
+    name = head.group("target")
+    table = _resolve_target(name, tables, spark)
+    rest = text[head.end():]
+
+    if op == "ANALYZE":
+        m = _ANALYZE_TAIL.match(rest)
+        if not m:
+            raise SqlDmlError(
+                f"unsupported ANALYZE form: {rest.strip()[:60]!r} — "
+                "supported: COMPUTE STATISTICS [FOR COLUMNS a, b | FOR "
+                "ALL COLUMNS] [FOR KEYS a, b]"
+            )
+        from etl_reporting_spark.operators.stats import (
+            collect_key_stats,
+            collect_table_stats,
+        )
+
+        cols = _names_list(m.group("cols")) if m.group("cols") else None
+        version = collect_table_stats(table, cols)
+        out = {"operation": "analyze", "target": name, "version": version}
+        if m.group("keys"):
+            version = collect_key_stats(table, _names_list(m.group("keys")))
+            out.update(version=version, keys=_names_list(m.group("keys")))
+        _repin_view(spark, name)
+        return out
+
+    for pat, run in (
+        (
+            _ADD_CONSTRAINT,
+            lambda m: (
+                "add_constraint",
+                table.add_check_constraint(m.group("name"), m.group("expr").strip()),
+            ),
+        ),
+        (
+            _DROP_CONSTRAINT,
+            lambda m: (
+                "drop_constraint",
+                table.drop_check_constraint(m.group("name")),
+            ),
+        ),
+        (
+            _ALTER_COLUMN,
+            lambda m: (
+                "widen",
+                table.alter_schema(
+                    widen={m.group("name"): m.group("type").strip()}
+                ),
+            ),
+        ),
+        (
+            _DROP_COLUMNS,
+            lambda m: (
+                "drop_columns",
+                table.alter_schema(drop=_names_list(m.group("body"))),
+            ),
+        ),
+        (
+            _ADD_COLUMNS,
+            lambda m: (
+                "add_columns",
+                table.alter_schema(add=_parse_add_columns(m.group("body"))),
+            ),
+        ),
+    ):
+        m = pat.match(rest)
+        if m:
+            operation, version = run(m)
+            _repin_view(spark, name)
+            return {"operation": operation, "target": name, "version": version}
+    raise SqlDmlError(
+        f"unsupported ALTER TABLE form: {rest.strip()[:60]!r} — supported: "
+        "ADD/DROP CONSTRAINT, ADD/DROP COLUMN[S], ALTER COLUMN <c> TYPE "
+        "<t> (lossless widen)"
+    )
+
+
+def _parse_add_columns(body: str) -> dict[str, str]:
+    """``a int, b decimal(18,2)`` → {"a": "int", ...}; parens-aware
+    comma split so decimal(18,2) stays whole."""
+    out: dict[str, str] = {}
+    body = body.strip()
+    if body.startswith("(") and body.endswith(")"):
+        body = body[1:-1]
+    for part in _split_top_commas(body):
+        bits = part.strip().split(None, 1)
+        if len(bits) != 2:
+            raise SqlDmlError(
+                f"cannot parse ADD COLUMN entry: {part.strip()!r} — "
+                "expected '<name> <type>'"
+            )
+        out[bits[0]] = bits[1].strip()
+    return out

@@ -473,3 +473,115 @@ def test_comment_and_quote_handling(spark, fact):
     assert res.rows_affected == 1
     got = {r["id"]: r["status"] for r in fact.read().collect()}
     assert got[2] == "x--y WHERE z"
+
+
+# ------------------------------------------------------------------ DDL
+def test_alter_table_constraint_ddl_text(spark, fact):
+    """ADD CONSTRAINT text gates the next DML; DROP reopens it."""
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    out = execute_ddl(
+        spark, "ALTER TABLE fact_sql ADD CONSTRAINT amt_pos CHECK (amount >= 0)"
+    )
+    assert out["operation"] == "add_constraint"
+    assert fact.check_constraints() == {"amt_pos": "amount >= 0"}
+    with pytest.raises(ConstraintViolation):
+        execute_dml(
+            spark,
+            "UPDATE fact_sql SET amount = -5 WHERE id = 4",
+        )
+    execute_ddl(spark, "ALTER TABLE fact_sql DROP CONSTRAINT amt_pos")
+    res = execute_dml(spark, "UPDATE fact_sql SET amount = -5 WHERE id = 4")
+    assert res.rows_affected == 1
+
+
+def test_alter_table_columns_and_widen_ddl_text(spark, fact):
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+
+    execute_ddl(
+        spark, "ALTER TABLE fact_sql ADD COLUMNS (note string, score int)"
+    )
+    cols = fact.read().columns
+    assert "note" in cols and "score" in cols
+    execute_ddl(spark, "ALTER TABLE fact_sql ALTER COLUMN score TYPE long")
+    assert fact.read().schema["score"].dataType.typeName() == "long"
+    execute_ddl(spark, "ALTER TABLE fact_sql DROP COLUMNS note, score")
+    assert "note" not in fact.read().columns
+
+
+def test_alter_column_widen_refuses_non_promotion(spark, fact):
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+
+    with pytest.raises(ValueError, match="permitted promotions"):
+        execute_ddl(spark, "ALTER TABLE fact_sql ALTER COLUMN amount TYPE float")
+
+
+def test_analyze_table_ddl_text(spark, fact):
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+    from etl_reporting_spark.operators.stats import table_stats
+
+    out = execute_ddl(
+        spark,
+        "ANALYZE TABLE fact_sql COMPUTE STATISTICS FOR COLUMNS id, amount "
+        "FOR KEYS id",
+    )
+    assert out["operation"] == "analyze"
+    s = table_stats(fact)
+    assert s["row_count"] == 12
+    assert s["columns"]["id"]["min"] == 1 and s["columns"]["id"]["max"] == 12
+    assert s["keys"]["id"]["max_key_rows"] == 1
+
+
+def test_ddl_script_mix_and_view_repin(spark, fact):
+    """A script mixing constraint DDL, ANALYZE, and DML runs in order
+    through execute_dml_script; the registered view re-pins after the
+    ALTER so a later SELECT sees the new column."""
+    from etl_reporting_spark.operators.sql_dml import execute_dml_script
+
+    results = execute_dml_script(
+        spark,
+        """
+        ALTER TABLE fact_sql ADD CONSTRAINT st CHECK (status IS NOT NULL);
+        ANALYZE TABLE fact_sql COMPUTE STATISTICS FOR COLUMNS amount;
+        ALTER TABLE fact_sql ADD COLUMN note string;
+        UPDATE fact_sql SET status = 'closed' WHERE id <= 3
+        """,
+    )
+    assert [r["operation"] for r in results[:3]] == [
+        "add_constraint",
+        "analyze",
+        "add_columns",
+    ]
+    assert results[3].rows_affected == 3
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM fact_sql WHERE status = 'closed'"
+    ).first()["n"]
+    assert got == 3
+    assert "note" in spark.table("fact_sql").columns  # re-pinned
+
+
+def test_unsupported_ddl_fails_loudly(spark, fact):
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+
+    with pytest.raises(SqlDmlError, match="unsupported ALTER"):
+        execute_ddl(spark, "ALTER TABLE fact_sql RENAME COLUMN a TO b")
+    with pytest.raises(SqlDmlError, match="unsupported ANALYZE"):
+        execute_ddl(spark, "ANALYZE TABLE fact_sql ESTIMATE EVERYTHING")
+
+
+def test_engine_script_dispatches_ddl(spark, fact):
+    """Engine.execute_multiple_statements routes registered-target DDL
+    to execute_ddl and leaves unregistered names to spark.sql."""
+    from etl_reporting_spark.io import Engine
+
+    eng = Engine(spark)
+    out = eng.execute_multiple_statements(
+        [
+            "ALTER TABLE fact_sql ADD CONSTRAINT pos CHECK (amount >= 0)",
+            "SELECT COUNT(*) AS n FROM fact_sql",
+        ],
+        lazy=False,
+    )
+    assert out[0]["n"] == 12
+    assert "pos" in fact.check_constraints()
