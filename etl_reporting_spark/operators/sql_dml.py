@@ -193,6 +193,27 @@ def _resolve_target(
     )
 
 
+def _physical_handle(spark: "SparkSession", table):
+    """DML against a HIDDEN-partitioned target executes on the
+    PHYSICAL layout: a plain :class:`PartitionedWapTable` over the
+    same path/storage, whose reads expose the derived partition
+    columns and whose commits do not re-derive them — the statement
+    layer derives SOURCES up front instead (``table.derive``), so the
+    frame shapes agree end to end. A non-hidden handle passes
+    through unchanged."""
+    if hasattr(table, "transforms") and hasattr(table, "derive"):
+        from etl_reporting_spark.operators.wap import PartitionedWapTable
+
+        return PartitionedWapTable(
+            spark,
+            table.path,
+            table.partition_by,
+            store=table.store,
+            storage=table.fs,
+        )
+    return table
+
+
 # ---------------------------------------------------------------- scanner
 def _strip_comments(sql: str) -> str:
     out = []
@@ -641,6 +662,19 @@ def _merge_statement(
     for c in ordered_new:
         exprs.append(F.expr(value_exprs[c.lower()]).alias(c))
     src2 = src_df.select(*exprs)
+    derived_targets: list[str] = []
+    if hasattr(table, "derive"):
+        # hidden-partitioned target: derive the source's partition
+        # columns from the table's transform spec, then run the merge
+        # against the physical layout (see _physical_handle). The
+        # derived names ride the INSERT column list below — the user's
+        # statement cannot know them, and an inserted row missing its
+        # partition value would land in the NULL partition.
+        src2 = table.derive(src2)
+        derived_targets = [
+            t.target for t in table.transforms if t.kind != "identity"
+        ]
+        table = _physical_handle(spark, table)
 
     # --- branch conditions over the classifier's joined frame
     def classify_cond(cond: str | None):
@@ -670,6 +704,8 @@ def _merge_statement(
 
     update_cols = [c for c in update_assign if c.lower() not in key_set]
     insert_cols = [c for c in insert_assign if c.lower() not in key_set]
+    if derived_targets and insert_cols:
+        insert_cols += derived_targets
     # an ABSENT branch means that action never fires (SQL semantics) —
     # merge_upsert's branches are always-on unless conditioned off
     has_update = "matched" in seen
@@ -798,10 +834,15 @@ def _update_statement(
         c: _rewrite_refs(e, {alias: "{col}"})
         for c, e in _parse_assignments(set_text, alias).items()
     }
+    # the unknown-column check runs against the LOGICAL surface (a
+    # hidden table's derived partition columns are not assignable);
+    # execution then switches to the physical handle so partition
+    # discovery can group on the derived columns
     cols_l = {c.lower() for c in table.read().columns}
     for c in assigns:
         if c.lower() not in cols_l:
             raise SqlDmlError(f"UPDATE SET references unknown column {c!r}")
+    table = _physical_handle(spark, table)
 
     partition_by = list(getattr(table, "partition_by", []) or [])
     cond_col = F.expr(cond)

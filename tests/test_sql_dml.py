@@ -585,3 +585,96 @@ def test_engine_script_dispatches_ddl(spark, fact):
     )
     assert out[0]["n"] == 12
     assert "pos" in fact.check_constraints()
+
+
+# ---------------------------------------------- hidden-partitioned targets
+@pytest.fixture()
+def hidden_fact(spark, tmp_path):
+    import datetime as dt
+
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+
+    rows = [
+        (i, dt.date(2026, 1 + (i % 6), 1 + (i % 27)), f"u{i % 7}", float(i))
+        for i in range(1, 61)
+    ]
+    df = spark.createDataFrame(rows, "id int, ds date, user string, amt double")
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "hid"), df, ["months(ds)"]
+    )
+    register_wap_view(spark, t.path, "hid_fact", dml=True)
+    return t
+
+
+def test_update_text_on_hidden_partitioned_target(spark, hidden_fact):
+    """UPDATE discovers touched partitions through the PHYSICAL handle
+    (the derived column the logical read hides) and rewrites only
+    those; the derived column is not assignable."""
+    res = execute_dml(spark, "UPDATE hid_fact SET amt = 0 WHERE user = 'u3'")
+    assert res.rows_affected == 9
+    assert (
+        hidden_fact.read().filter("user = 'u3'").agg(F.sum("amt")).first()[0]
+        == 0.0
+    )
+    with pytest.raises(SqlDmlError, match="unknown column"):
+        execute_dml(
+            spark, "UPDATE hid_fact SET _p_ds_months = 'x' WHERE id = 1"
+        )
+
+
+def test_merge_text_on_hidden_partitioned_target(spark, hidden_fact):
+    """MERGE derives the source's partition columns from the table's
+    transform spec — an inserted row must land in its derived
+    partition, never the NULL partition."""
+    import datetime as dt
+
+    src = spark.createDataFrame(
+        [
+            (5, dt.date(2026, 6, 5), "ux", 500.0),
+            (999, dt.date(2026, 2, 2), "nw", 1.0),
+        ],
+        "id int, ds date, user string, amt double",
+    )
+    src.createOrReplaceTempView("hid_src")
+    res = execute_dml(
+        spark,
+        """MERGE INTO hid_fact AS t USING hid_src AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET amt = s.amt
+           WHEN NOT MATCHED THEN
+             INSERT (id, ds, user, amt) VALUES (s.id, s.ds, s.user, s.amt)""",
+    )
+    assert res.rows_updated == 1 and res.rows_inserted == 1
+    out = hidden_fact.read()
+    assert out.filter("id = 5").first()["amt"] == 500.0
+    inserted = out.filter("id = 999").first()
+    assert inserted["ds"] == dt.date(2026, 2, 2)
+    # the inserted row is PRUNABLE — it landed in its derived
+    # partition, not the NULL partition
+    assert hidden_fact.prune("ds", eq=dt.date(2026, 2, 2)) == [
+        "_p_ds_months=2026-02"
+    ]
+    feb = hidden_fact.read_pruned("ds", lo=dt.date(2026, 2, 1),
+                                  hi=dt.date(2026, 2, 28))
+    assert feb.filter("id = 999").count() == 1
+
+
+def test_delete_text_and_ddl_on_hidden_partitioned_target(spark, hidden_fact):
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+    from etl_reporting_spark.operators.stats import table_stats
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    res = execute_dml(spark, "DELETE FROM hid_fact WHERE user = 'u1'")
+    assert res.rows_affected == 9
+    assert hidden_fact.read().filter("user = 'u1'").count() == 0
+    execute_ddl(
+        spark, "ALTER TABLE hid_fact ADD CONSTRAINT pos CHECK (amt >= 0)"
+    )
+    with pytest.raises(ConstraintViolation):
+        execute_dml(spark, "UPDATE hid_fact SET amt = -1 WHERE id = 2")
+    execute_ddl(spark, "ANALYZE TABLE hid_fact COMPUTE STATISTICS")
+    s = table_stats(hidden_fact)
+    assert s["row_count"] == hidden_fact.read().count()
+    # ANALYZE ran on the logical surface: no derived column in stats
+    assert "_p_ds_months" not in s["columns"]
