@@ -2211,8 +2211,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wap_dv_lifecycle": wap_dv_lifecycle,
     "u4_union_by_name": u4_union_by_name,
     "f2_count_difference": f2_count_difference,
-    "s4_multi_statement": s4_multi_statement,
-    "a12_percentiles": a12_percentiles,
+    # round-11 rotation: the two new table-format gates take the hard
+    # driver signal (hidden-partitioning pruned reads vs full-scan
+    # twins; ANALYZE stats vs the data's truth). Rotated to the
+    # locally-verified tail with 8+ rounds of driver-green history:
+    # s4_multi_statement (the script family keeps sql_script_mixed
+    # driver-verified) and a12_percentiles (the aggregate family keeps
+    # a5/a7/a8/a9/u2/a14 driver-verified).
+    "wap_hidden_partitioning": wap_hidden_partitioning,
+    "wap_table_stats": wap_table_stats,
     "a13_pivot": a13_pivot,
     "fn_date_gallery": fn_date_gallery,
     "fn_string_gallery": fn_string_gallery,
@@ -2298,8 +2305,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_conditional_insert": a10_conditional_insert,
     "u1_union_distinct": u1_union_distinct,
     "w45_event_ordering": w45_event_ordering,
-    "wap_hidden_partitioning": wap_hidden_partitioning,
-    "wap_table_stats": wap_table_stats,
+    "s4_multi_statement": s4_multi_statement,
+    "a12_percentiles": a12_percentiles,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "mm_decode_real",
         "ann_recall_sweep",

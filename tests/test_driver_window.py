@@ -35,8 +35,13 @@ EXPECTED_WINDOW = [
     "wap_dv_lifecycle",
     "u4_union_by_name",
     "f2_count_difference",
-    "s4_multi_statement",
-    "a12_percentiles",
+    # round-11 rotation: the two new table-format gates take the hard
+    # driver signal; s4_multi_statement (script family keeps
+    # sql_script_mixed) and a12_percentiles (agg family keeps six
+    # reps) rotate to the locally-verified tail, each with 8+ rounds
+    # of driver-green history
+    "wap_hidden_partitioning",
+    "wap_table_stats",
     "a13_pivot",
     "fn_date_gallery",
     "fn_string_gallery",
@@ -176,6 +181,24 @@ def test_window_split_contains_the_round10_rotation():
     new_r10 = {"wap_merge_sql", "wap_update_delete_sql"}
     assert new_r10 <= set(EXPECTED_WINDOW)
     rotated_out = {"u1_union_distinct", "w45_event_ordering"}
+    names = list(entry.queries())
+    assert rotated_out.isdisjoint(EXPECTED_WINDOW)
+    assert rotated_out <= set(names[50:])  # still present, locally verified
+
+
+def test_window_split_contains_the_round11_rotation():
+    """Round-11 rotation: the two new table-format gates are
+    driver-verified — wap_hidden_partitioning (Iceberg transforms:
+    pruned reads hash-matched against full-scan twins) and
+    wap_table_stats (ANALYZE statistics reconstructed from metadata
+    vs the data's truth). Rotated out with 8+ rounds of driver-green
+    history (CORRECTNESS_r02-r10): s4_multi_statement (the script
+    family keeps sql_script_mixed driver-verified) and
+    a12_percentiles (the aggregate family keeps a5/a7/a8/a9/u2/a14
+    driver-verified)."""
+    new_r11 = {"wap_hidden_partitioning", "wap_table_stats"}
+    assert new_r11 <= set(EXPECTED_WINDOW)
+    rotated_out = {"s4_multi_statement", "a12_percentiles"}
     names = list(entry.queries())
     assert rotated_out.isdisjoint(EXPECTED_WINDOW)
     assert rotated_out <= set(names[50:])  # still present, locally verified
