@@ -3271,6 +3271,7 @@ def maintenance_plan(
     max_dv_sidecars: int = 4,
     zorder_overlap_ratio: float = 1.5,
     zorder_min_files: int = 4,
+    max_stats_staleness: int = 5,
 ) -> dict:
     """Metadata-only maintenance diagnosis — the nightly decision
     input that keeps the table's read/merge costs flat. Reads ONLY
@@ -3313,6 +3314,10 @@ def maintenance_plan(
       predicates are date cutoffs), so a ``(event_date, user_key)``
       recommendation is the expected shape on an append-churned
       fact.
+    - optimizer statistics (``collect_table_stats``) more than
+      ``max_stats_staleness`` data commits behind the tip →
+      ``analyze``: join_advice is planning from old sizes/NDV.
+      Tables that never opted into statistics are not nagged.
 
     The planner never executes anything — it composes with whatever
     scheduler runs maintenance; tests assert that APPLYING the plan
@@ -3448,17 +3453,45 @@ def maintenance_plan(
                 ),
             }
         )
-    return {
-        "summary": {
-            "version": v,
-            "partitions": len(pmap),
-            "live_roots": len(live_roots),
-            "masked_files": sum(masked_by_part.values()),
-            "dv_sidecars": n_sidecars,
-            "max_files_in_partition": max(files_by_part.values(), default=0),
-        },
-        "actions": actions,
+    # stats-staleness advisor (round-11): a table that OPTED INTO
+    # optimizer statistics (collect_table_stats ran at least once)
+    # whose stats have fallen max_stats_staleness data commits behind
+    # gets an "analyze" action — join_advice from stale stats says so
+    # per call, but the maintenance cadence is where the refresh
+    # belongs. Tables that never analyzed are not nagged.
+    tstats = rec.get("table_stats")
+    stats_staleness = None
+    if tstats and "analyzed_version" in tstats:
+        stats_staleness = 0
+        for between in range(tstats["analyzed_version"] + 1, v + 1):
+            op = table._commit_record(between).get("operation", "")
+            if op not in ("analyze", "analyze_keys", "add_constraint",
+                          "drop_constraint", "alter_schema"):
+                stats_staleness += 1
+        if stats_staleness > max_stats_staleness:
+            actions.append(
+                {
+                    "action": "analyze",
+                    "partitions": None,
+                    "reason": (
+                        f"optimizer statistics are {stats_staleness} data "
+                        f"commits stale (> max_stats_staleness="
+                        f"{max_stats_staleness}): join_advice is planning "
+                        "from old sizes/NDV — rerun collect_table_stats"
+                    ),
+                }
+            )
+    summary = {
+        "version": v,
+        "partitions": len(pmap),
+        "live_roots": len(live_roots),
+        "masked_files": sum(masked_by_part.values()),
+        "dv_sidecars": n_sidecars,
+        "max_files_in_partition": max(files_by_part.values(), default=0),
     }
+    if stats_staleness is not None:
+        summary["stats_staleness"] = stats_staleness
+    return {"summary": summary, "actions": actions}
 
 
 def auto_optimize(
@@ -3504,7 +3537,10 @@ def auto_optimize(
     ``vacuum`` action is NOT a convergence signal — its trigger
     (version beyond the retention window) is monotone in the version
     counter, so it reappears in every diagnosis of an active table;
-    do NOT loop "until the plan is empty", schedule by cadence."""
+    do NOT loop "until the plan is empty", schedule by cadence.
+    ``analyze`` advice (stale optimizer statistics) is likewise
+    surfaced, not auto-applied — the statistics cadence belongs to
+    whoever owns ``collect_table_stats``'s column choices."""
     plan = maintenance_plan(
         table, max_files_per_partition, max_roots, keep_last, max_dv_sidecars
     )

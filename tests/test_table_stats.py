@@ -217,3 +217,34 @@ def test_advice_reports_staleness(spark, tmp_path):
     a.delete_rows("k < 100")
     adv = join_advice(a, b, on=["k"])
     assert any("stale" in r for r in adv["reasons"])
+
+
+def test_maintenance_plan_flags_stale_stats(spark, tmp_path):
+    """The staleness advisor: an analyzed table whose stats fall
+    behind gets an 'analyze' action; fresh stats and never-analyzed
+    tables do not."""
+    from etl_reporting_spark.operators.wap import maintenance_plan
+
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _facts(spark), ["grp"]
+    )
+    # never analyzed: no action, no summary key
+    plan = maintenance_plan(t)
+    assert not any(a["action"] == "analyze" for a in plan["actions"])
+    assert "stats_staleness" not in plan["summary"]
+
+    collect_table_stats(t)
+    plan = maintenance_plan(t, max_stats_staleness=2)
+    assert plan["summary"]["stats_staleness"] == 0
+    assert not any(a["action"] == "analyze" for a in plan["actions"])
+
+    for i in range(3):
+        t.delete_rows(f"k = {i}")
+    plan = maintenance_plan(t, max_stats_staleness=2)
+    assert plan["summary"]["stats_staleness"] == 3
+    acts = [a for a in plan["actions"] if a["action"] == "analyze"]
+    assert acts and "stale" in acts[0]["reason"]
+    # applying the advice clears it
+    collect_table_stats(t)
+    plan = maintenance_plan(t, max_stats_staleness=2)
+    assert not any(a["action"] == "analyze" for a in plan["actions"])
