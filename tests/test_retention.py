@@ -152,3 +152,42 @@ def test_manifest_unpartitioned_table(spark, tmp_path):
     key, files = export_snapshot_manifest(t)
     back = spark.read.parquet(*files)
     assert back.count() == 300
+
+
+def test_manifest_is_consumable_by_duckdb(
+    spark, tmp_path, wap_storage_backend
+):
+    """The interop claim, proven against a REAL external engine:
+    DuckDB reads the manifest's file list directly (no commit
+    protocol) and reproduces the snapshot's aggregate exactly.
+    localfs only — the blob backend's objects are reachable through
+    the storage seam, not as plain files an external engine opens."""
+    if wap_storage_backend != "localfs":
+        pytest.skip("external engines read plain files, not the blob seam")
+    import duckdb
+
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _users(spark), ["region"]
+    )
+    _, files = export_snapshot_manifest(t)
+    con = duckdb.connect()
+    n, total = con.execute(
+        "SELECT COUNT(*), SUM(spend) FROM read_parquet(?)", [files]
+    ).fetchone()
+    sp = t.read().agg(
+        F.count("*").alias("n"), F.sum("spend").alias("s")
+    ).first()
+    assert n == sp["n"] == 300
+    assert abs(total - sp["s"]) < 1e-6
+    # hive partition values survive too (region comes from the path)
+    by_region = dict(
+        con.execute(
+            "SELECT region, COUNT(*) FROM read_parquet(?, "
+            "hive_partitioning = true) GROUP BY region", [files]
+        ).fetchall()
+    )
+    sp_by = {
+        int(r["region"]): r["n"]
+        for r in t.read().groupBy("region").agg(F.count("*").alias("n")).collect()
+    }
+    assert {int(k): v for k, v in by_region.items()} == sp_by
