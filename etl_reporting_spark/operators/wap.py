@@ -3718,9 +3718,23 @@ def _permanent_view_sql(table: WapTable, version: int | None) -> str:
                 "root first"
             )
         location = table.fs.resolve(root)
+    # hidden-partitioned tables: the view presents the LOGICAL surface
+    # (derived partition columns projected away), matching read().
+    # Late import — transforms.py imports this module; Transform owns
+    # the derived-name convention, so it is computed in one place.
+    hidden: set[str] = set()
+    if rec.get("partition_spec"):
+        from etl_reporting_spark.operators.transforms import Transform
+
+        hidden = {
+            Transform.from_json(d).target
+            for d in rec["partition_spec"]
+            if d.get("kind") != "identity"
+        }
     cols = ", ".join(
         f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
         for f in schema.fields
+        if f.name not in hidden
     )
     return f"SELECT {cols} FROM parquet.`{location}`"
 

@@ -256,3 +256,51 @@ def test_value_type_validation(spark, tmp_path):
         create_hidden_partitioned_wap_table(
             spark, str(tmp_path / "c"), df, ["months(nope)"]
         )
+
+
+def test_optimize_partitions_preserves_hidden_layout(spark, tmp_path):
+    """Compaction reads the logical surface and the commit re-derives:
+    content, spec, and prunability all survive a full rewrite."""
+    from etl_reporting_spark.operators.wap import optimize_partitions
+
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _events(spark), ["months(ds)"]
+    )
+    t.delete_rows("id % 4 = 0")  # leave masks for the rewrite to clear
+    before = sorted(map(tuple, t.read().collect()))
+    v = optimize_partitions(t)
+    assert sorted(map(tuple, t.read(version=v).collect())) == before
+    assert not t._commit_record(v).get("delete_vectors")
+    assert t._commit_record(v).get("partition_spec")  # sticky carry held
+    keys = t.prune("ds", eq=dt.date(2026, 3, 1))
+    assert keys == ["_p_ds_months=2026-03"]
+
+
+def test_permanent_view_over_hidden_table_presents_logical_surface(
+    spark, tmp_path, wap_storage_backend
+):
+    """A catalog-persistent view of a hidden table must match read():
+    derived partition columns projected away."""
+    if wap_storage_backend != "blob":
+        from etl_reporting_spark.operators.wap import (
+            optimize_partitions,
+            register_wap_view,
+        )
+
+        t = create_hidden_partitioned_wap_table(
+            spark, str(tmp_path / "t"), _events(spark), ["months(ds)"]
+        )
+        optimize_partitions(t)  # single-root state the view requires
+        try:
+            register_wap_view(
+                spark, t.path, "hidden_perm_view", permanent=True
+            )
+            cols = spark.table("hidden_perm_view").columns
+            assert "_p_ds_months" not in cols
+            assert set(cols) == {"id", "ds", "user", "amt"}
+            n = spark.sql(
+                "SELECT COUNT(*) AS n FROM hidden_perm_view"
+            ).first()["n"]
+            assert n == t.read().count()
+        finally:
+            spark.sql("DROP VIEW IF EXISTS hidden_perm_view")
