@@ -1059,7 +1059,8 @@ def execute_dml_script(
 #         [FOR KEYS <a>, <b>]                              -- skew triad
 
 _DDL_HEAD = re.compile(
-    r"(?is)^\s*(?:(ALTER)|(ANALYZE))\s+TABLE\s+(?P<target>[\w./-]+)"
+    r"(?is)^\s*(?:(ALTER)|(ANALYZE)|(DESCRIBE))\s+TABLE\s+"
+    r"(?P<target>[\w./-]+)"
 )
 
 _ADD_CONSTRAINT = re.compile(
@@ -1085,7 +1086,7 @@ def statement_ddl_target(sql: str) -> tuple[str, str] | None:
     m = _DDL_HEAD.match(_strip_comments(sql))
     if not m:
         return None
-    op = next(g for g in m.groups()[:2] if g)
+    op = next(g for g in m.groups()[:3] if g)
     return op.upper(), m.group("target")
 
 
@@ -1114,10 +1115,26 @@ def execute_ddl(
             f"not a DDL statement (ALTER TABLE / ANALYZE TABLE): "
             f"{text[:60]!r}"
         )
-    op = "ALTER" if head.group(1) else "ANALYZE"
+    op = "ALTER" if head.group(1) else ("ANALYZE" if head.group(2) else "DESCRIBE")
     name = head.group("target")
     table = _resolve_target(name, tables, spark)
     rest = text[head.end():]
+
+    if op == "DESCRIBE":
+        if rest.strip():
+            raise SqlDmlError(
+                f"unsupported DESCRIBE form: {rest.strip()[:40]!r} — "
+                "supported: DESCRIBE TABLE <name>"
+            )
+        from etl_reporting_spark.operators.wap import describe_table
+
+        detail = describe_table(table)
+        return {
+            "operation": "describe",
+            "target": name,
+            "version": detail["version"],
+            "detail": detail,
+        }
 
     if op == "ANALYZE":
         m = _ANALYZE_TAIL.match(rest)

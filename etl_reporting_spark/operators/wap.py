@@ -3739,6 +3739,73 @@ def _permanent_view_sql(table: WapTable, version: int | None) -> str:
     return f"SELECT {cols} FROM parquet.`{location}`"
 
 
+def describe_table(table: WapTable, version: int | None = None) -> dict:
+    """One-stop table metadata — the DESCRIBE EXTENDED analogue for a
+    WAP table, assembled from the commit record alone (no filesystem
+    walk beyond what the record already names, no scan):
+
+    schema (name → type), partitioning (raw ``partition_by`` or the
+    hidden-partitioning transform spec when present), CHECK
+    constraints, snapshot shape (version / operation / row_count /
+    partition count / live commit roots / DV-masked file count),
+    optimizer-statistics presence + staleness, and registered clones.
+    The reference exposes the same surface as catalog DESCRIBE/SHOW
+    statements (connector/snowpark_connector.py:511-566 view and
+    table introspection); here it is one metadata read."""
+    from pyspark.sql.types import StructType
+
+    v = version if version is not None else table.current_version()
+    if v == 0:
+        raise FileNotFoundError(f"no committed WAP table at {table.path}")
+    rec = table._commit_record(v)
+    schema = StructType.fromJson(rec["schema"])
+    out: dict = {
+        "path": table.path,
+        "version": v,
+        "operation": rec.get("operation"),
+        "row_count": rec.get("row_count"),
+        "schema": {f.name: f.dataType.simpleString() for f in schema.fields},
+        "constraints": dict(rec.get("constraints", {})),
+    }
+    if rec.get("partition_spec"):
+        out["partitioning"] = {
+            "kind": "hidden",
+            "spec": list(rec["partition_spec"]),
+        }
+    elif "partitions" in rec:
+        out["partitioning"] = {
+            "kind": "explicit",
+            "partition_by": list(rec.get("partition_by", [])),
+        }
+    else:
+        out["partitioning"] = {"kind": "none"}
+    if isinstance(table, PartitionedWapTable):
+        out["partitions"] = len(table.partition_map(v))
+        out["live_commit_roots"] = len(table.live_commit_roots(v))
+    out["dv_masked_files"] = len(rec.get("delete_vectors", {}))
+    tstats = rec.get("table_stats")
+    if tstats and "analyzed_version" in tstats:
+        staleness = 0
+        for between in range(tstats["analyzed_version"] + 1, v + 1):
+            op = table._commit_record(between).get("operation", "")
+            if op not in ("analyze", "analyze_keys", "add_constraint",
+                          "drop_constraint", "alter_schema"):
+                staleness += 1
+        out["statistics"] = {
+            "analyzed_version": tstats["analyzed_version"],
+            "columns": sorted(tstats.get("columns", {})),
+            "keys": sorted(tstats.get("keys", {})),
+            "staleness": staleness,
+        }
+    clones = table.registered_clones()
+    if clones:
+        out["clones"] = [
+            {"path": c.get("dst_path"), "pins_version": c.get("src_version")}
+            for c in clones
+        ]
+    return out
+
+
 def register_wap_view(
     spark: SparkSession,
     path: str,

@@ -678,3 +678,47 @@ def test_delete_text_and_ddl_on_hidden_partitioned_target(spark, hidden_fact):
     assert s["row_count"] == hidden_fact.read().count()
     # ANALYZE ran on the logical surface: no derived column in stats
     assert "_p_ds_months" not in s["columns"]
+
+
+def test_describe_table_text_and_api(spark, fact, tmp_path):
+    """DESCRIBE TABLE via text returns the one-stop metadata dict;
+    the API form covers constraints, stats presence, and clones."""
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+    from etl_reporting_spark.operators.stats import collect_table_stats
+    from etl_reporting_spark.operators.wap import clone_table, describe_table
+
+    execute_ddl(
+        spark, "ALTER TABLE fact_sql ADD CONSTRAINT pos CHECK (amount >= 0)"
+    )
+    collect_table_stats(fact, ["amount"])
+    clone_table(spark, fact.path, str(tmp_path / "cl"))
+    out = execute_ddl(spark, "DESCRIBE TABLE fact_sql")
+    assert out["operation"] == "describe"
+    d = out["detail"]
+    assert d["schema"]["amount"] == "double"
+    assert d["constraints"] == {"pos": "amount >= 0"}
+    assert d["partitioning"] == {"kind": "explicit", "partition_by": ["ds"]}
+    assert d["statistics"]["columns"] == ["amount"]
+    assert d["statistics"]["staleness"] == 0
+    assert d["clones"][0]["pins_version"] == fact.current_version()
+    assert d["row_count"] == 12 or d["row_count"] is not None
+    # direct API on a hidden table reports the spec
+    import datetime as dt
+
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+
+    h = create_hidden_partitioned_wap_table(
+        spark,
+        str(tmp_path / "h"),
+        spark.createDataFrame(
+            [(1, dt.date(2026, 1, 1))], "id int, ds date"
+        ),
+        ["months(ds)"],
+    )
+    hd = describe_table(h)
+    assert hd["partitioning"]["kind"] == "hidden"
+    assert hd["partitioning"]["spec"][0]["kind"] == "months"
+    with pytest.raises(SqlDmlError, match="unsupported DESCRIBE"):
+        execute_ddl(spark, "DESCRIBE TABLE fact_sql EXTENDED PLUS")
