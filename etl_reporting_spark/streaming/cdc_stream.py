@@ -232,9 +232,38 @@ def streaming_wap_upsert(
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        table = (
-            PartitionedWapTable(spark, table_path, partition_by)
-            if partition_by
+        # an EXISTING table is opened by its committed layout — a
+        # hidden-partitioned target (transforms.py) derives each
+        # batch's partition columns from its own spec and merges
+        # against the physical layout, the same route the SQL-DML
+        # surface takes; constraint enforcement rides the commit path
+        # either way (a violating batch fails the epoch loudly, and
+        # the checkpoint does not advance past it)
+        pb = list(partition_by) if partition_by else None
+        handle = None
+        probe = WapTable(spark, table_path)
+        if probe.current_version():
+            from etl_reporting_spark.operators.wap import open_wap_table
+
+            opened = open_wap_table(spark, table_path)
+            if hasattr(opened, "derive"):
+                batch_df = opened.derive(batch_df)
+                pb = list(opened.partition_by)
+                handle = PartitionedWapTable(
+                    spark,
+                    table_path,
+                    pb,
+                    store=opened.store,
+                    storage=opened.fs,
+                )
+            else:
+                handle = opened
+                opened_pb = list(getattr(opened, "partition_by", []) or [])
+                if opened_pb:
+                    pb = opened_pb
+        table = handle or (
+            PartitionedWapTable(spark, table_path, pb)
+            if pb
             else WapTable(spark, table_path)
         )
         # backward log scan, not latest_record(): an interleaved
@@ -253,7 +282,8 @@ def streaming_wap_upsert(
             batch,
             keys,
             commit_extra={"epoch_id": int(epoch_id)},
-            partition_by=partition_by,
+            partition_by=pb,
+            table_handle=table,
         )
 
     return foreach_batch_upsert(stream, checkpoint_dir, upsert)

@@ -248,3 +248,39 @@ def test_maintenance_plan_flags_stale_stats(spark, tmp_path):
     collect_table_stats(t)
     plan = maintenance_plan(t, max_stats_staleness=2)
     assert not any(a["action"] == "analyze" for a in plan["actions"])
+
+
+def test_overlap_ndv_from_sketches_alone(spark, tmp_path):
+    """Key-domain overlap via inclusion-exclusion over stored HLL
+    sketches: two tables with keys 0..1999 and 1500..2999 overlap on
+    500 keys — estimated within the compounded sketch error, with
+    containment fractions on both sides."""
+    from etl_reporting_spark.operators.stats import overlap_ndv
+
+    a = create_partitioned_wap_table(
+        spark, str(tmp_path / "a"), _facts(spark), ["grp"]
+    )
+    bdf = spark.range(1500, 3000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+        F.lit(1.0).alias("val"),
+        F.lit("x").alias("name"),
+    )
+    b = create_partitioned_wap_table(spark, str(tmp_path / "b"), bdf, ["grp"])
+    collect_table_stats(a)
+    collect_table_stats(b)
+    ov = overlap_ndv(table_stats(a), table_stats(b), "k", spark)
+    assert abs(ov["intersection"] - 500) / 500 < 0.25  # three-way error
+    assert 0.15 < ov["containment_a"] < 0.35   # 500/2000
+    assert 0.25 < ov["containment_b"] < 0.45   # 500/1500
+    # disjoint domains read ≈ zero intersection
+    ddf = spark.range(50000, 52000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+        F.lit(1.0).alias("val"),
+        F.lit("x").alias("name"),
+    )
+    d = create_partitioned_wap_table(spark, str(tmp_path / "d"), ddf, ["grp"])
+    collect_table_stats(d)
+    ov2 = overlap_ndv(table_stats(a), table_stats(d), "k", spark)
+    assert ov2["intersection"] < 0.05 * 2000

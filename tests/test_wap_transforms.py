@@ -304,3 +304,67 @@ def test_permanent_view_over_hidden_table_presents_logical_surface(
             assert n == t.read().count()
         finally:
             spark.sql("DROP VIEW IF EXISTS hidden_perm_view")
+
+
+def test_streaming_wap_upsert_into_hidden_table(spark, tmp_path):
+    """Streaming CDC into a hidden-partitioned, constraint-gated fact:
+    each epoch's batch gets its partition columns derived from the
+    table's own spec (the caller never mentions them), lands as a
+    partition-scoped merge, and stays prunable. The canonical 100 TB
+    streaming sink shape — a day's epoch touches its derived month,
+    not the table."""
+    from etl_reporting_spark.streaming.cdc_stream import (
+        read_event_stream,
+        streaming_wap_upsert,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, dt.date(2026, 1, 5), 10.0, 1), (2, dt.date(2026, 2, 5), 20.0, 1)],
+        "id long, ds date, amt double, seq long",
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(1, dt.date(2026, 1, 5), 11.0, 2), (3, dt.date(2026, 3, 5), 30.0, 1)],
+        "id long, ds date, amt double, seq long",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    table_path = str(tmp_path / "serving")
+    t = create_hidden_partitioned_wap_table(
+        spark,
+        table_path,
+        spark.createDataFrame(
+            [(0, dt.date(2026, 1, 1), 0.0, 0)],
+            "id long, ds date, amt double, seq long",
+        ),
+        ["months(ds)"],
+    )
+    t.add_check_constraint("amt_nonneg", "amt >= 0")
+
+    stream = read_event_stream(
+        spark, str(src / "*"), "id long, ds date, amt double, seq long",
+        max_files_per_trigger=1,
+    )
+    q = streaming_wap_upsert(
+        stream, table_path, ["id"], str(tmp_path / "ckpt"), order_cols=["seq"]
+    )
+    q.awaitTermination(120)
+
+    state = {r["id"]: r["amt"] for r in t.read().collect()}
+    assert state == {0: 0.0, 1: 11.0, 2: 20.0, 3: 30.0}
+    assert "_p_ds_months" not in t.read().columns
+    # the streamed rows are PRUNABLE by their derived month
+    assert t.read_pruned(
+        "ds", eq=dt.date(2026, 3, 5)
+    ).select("id").first()["id"] == 3
+    # the spec survived every epoch commit
+    assert t._commit_record(t.current_version()).get("partition_spec")
+    # and the constraint still gates the table after streaming
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    bad = spark.createDataFrame(
+        [(9, dt.date(2026, 1, 9), -1.0, 9)],
+        "id long, ds date, amt double, seq long",
+    )
+    with pytest.raises(ConstraintViolation):
+        t.commit_partitions(bad, operation="merge")
