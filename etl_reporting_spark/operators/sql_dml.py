@@ -49,6 +49,10 @@ expressions is handled by a depth-aware scanner, not naive split):
 
     UPDATE <target> [AS alias] SET c = <expr>, ... WHERE <cond>
 
+    INSERT INTO <target> [(cols)] SELECT ... | VALUES (...), (...)
+        -- pure append (append_rows: new files only, nothing
+        -- rewritten or masked); unlisted columns take NULL
+
 Deliberate limits, each raising a clear error: the ON clause must be
 an equi-conjunction on same-named columns (what the reference
 generates and what a hash-partitioned merge can use); a column
@@ -799,6 +803,93 @@ def _delete_statement(
     return DmlResult(operation="delete", version=version, rows_affected=n)
 
 
+# --------------------------------------------------------------- INSERT
+_INSERT_RE = re.compile(
+    r"(?is)^\s*INSERT\s+INTO\s+(?P<target>[\w./-]+)"
+    r"(?:\s*\((?P<cols>[^)]*)\))?\s*(?P<body>(?:SELECT|VALUES)\b.+)$"
+)
+
+
+def _insert_statement(
+    spark: "SparkSession", sql: str, tables: Mapping[str, object] | None
+) -> DmlResult:
+    """``INSERT INTO <t> [(cols)] SELECT ...`` / ``VALUES (...)``
+    routed onto :meth:`wap.PartitionedWapTable.append_rows` — a PURE
+    append (new files only, nothing rewritten or masked, write
+    amplification exactly the batch). Unlisted columns take NULL
+    (standard SQL); the batch is aligned and cast to the target's
+    LOGICAL schema, so a hidden-partitioned target derives its
+    partition columns itself. Unpartitioned full-snapshot tables
+    append as read+union+commit — a full rewrite, documented, because
+    their record is one immutable data dir."""
+    from pyspark.sql import functions as F
+
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise SqlDmlError(
+            f"cannot parse INSERT (expected INSERT INTO <t> [(cols)] "
+            f"SELECT ...|VALUES ...): {sql.strip()[:60]!r}"
+        )
+    table = _resolve_target(m.group("target"), tables, spark)
+    logical = table.read().limit(0)
+    target_fields = list(logical.schema.fields)
+    target_names = [f.name for f in target_fields]
+    if m.group("cols"):
+        listed = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+        unknown = [
+            c for c in listed
+            if c.lower() not in {n.lower() for n in target_names}
+        ]
+        if unknown:
+            raise SqlDmlError(
+                f"INSERT column(s) {unknown} not in target schema "
+                f"{target_names}"
+            )
+    else:
+        listed = list(target_names)
+    body = m.group("body").strip()
+    if body[:6].upper() == "VALUES":
+        batch = spark.sql(
+            f"SELECT * FROM ({body}) AS __v({', '.join(listed)})"
+        )
+    else:
+        batch = spark.sql(body)
+        if len(batch.columns) != len(listed):
+            raise SqlDmlError(
+                f"INSERT lists {len(listed)} column(s) but the SELECT "
+                f"produces {len(batch.columns)}"
+            )
+        batch = batch.toDF(*listed)
+    by_lower = {c.lower(): c for c in batch.columns}
+    aligned = batch.select(
+        *[
+            F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name)
+            if f.name.lower() in by_lower
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target_fields
+        ]
+    )
+    n = aligned.count()
+    if n == 0:
+        return DmlResult(
+            operation="insert",
+            version=table.current_version(),
+            rows_affected=0,
+        )
+    phys = _physical_handle(spark, table)
+    if hasattr(table, "derive"):
+        aligned = table.derive(aligned)
+    if hasattr(phys, "append_rows"):
+        version = phys.append_rows(aligned, operation="insert")
+    else:
+        # full-snapshot table: one immutable data dir per version —
+        # append is read + union + commit (a rewrite, by layout)
+        version = phys.commit(
+            phys.read().unionByName(aligned), operation="insert"
+        )
+    return DmlResult(operation="insert", version=version, rows_affected=n)
+
+
 # --------------------------------------------------------------- UPDATE
 _UPDATE_RE = re.compile(
     r"(?is)^\s*UPDATE\s+(?P<target>[\w./-]+)"
@@ -902,7 +993,8 @@ def _update_statement(
 
 # ------------------------------------------------------------- dispatch
 _DML_HEAD = re.compile(
-    r"(?is)^\s*(?:(MERGE)\s+INTO|(DELETE)\s+FROM|(UPDATE))\s+(?P<target>[\w./-]+)"
+    r"(?is)^\s*(?:(MERGE)\s+INTO|(DELETE)\s+FROM|(INSERT)\s+INTO|(UPDATE))"
+    r"\s+(?P<target>[\w./-]+)"
 )
 
 
@@ -915,7 +1007,7 @@ def statement_dml_target(sql: str) -> tuple[str, str] | None:
     m = _DML_HEAD.match(_strip_comments(sql))
     if not m:
         return None
-    op = next(g for g in m.groups()[:3] if g)
+    op = next(g for g in m.groups()[:4] if g)
     return op.upper(), m.group("target")
 
 
@@ -947,16 +1039,18 @@ def execute_dml(
     text = _strip_comments(
         render_template(sql, dict(substitutions or {}))
     ).strip().rstrip(";")
-    kw = re.match(r"(?is)^\s*(MERGE|DELETE|UPDATE)\b", text)
+    kw = re.match(r"(?is)^\s*(MERGE|DELETE|INSERT|UPDATE)\b", text)
     if not kw:
         raise SqlDmlError(
-            f"not a DML statement (MERGE/DELETE/UPDATE): {text[:60]!r}"
+            f"not a DML statement (MERGE/DELETE/INSERT/UPDATE): {text[:60]!r}"
         )
     op = kw.group(1).upper()
     if op == "MERGE":
         result = _merge_statement(spark, text, tables)
     elif op == "DELETE":
         result = _delete_statement(spark, text, tables)
+    elif op == "INSERT":
+        result = _insert_statement(spark, text, tables)
     else:
         result = _update_statement(spark, text, tables)
     _refresh_registered_view(spark, text)

@@ -326,6 +326,9 @@ class HiddenPartitionedWapTable(PartitionedWapTable):
     def upsert_rows_dv(self, source: DataFrame, *args, **kwargs):
         return super().upsert_rows_dv(self.derive(source), *args, **kwargs)
 
+    def append_rows(self, df: DataFrame, **kwargs) -> int:
+        return super().append_rows(self.derive(df), **kwargs)
+
     # ---------------------------------------------------------- reads
     def read(
         self,

@@ -1855,6 +1855,179 @@ class PartitionedWapTable(WapTable):
                     raise
                 base = latest
 
+    def append_rows(
+        self,
+        df: DataFrame,
+        expected_rows: int | None = None,
+        audits: Sequence[Callable[[DataFrame], None]] | None = None,
+        base_version: int | None = None,
+        operation: str = "append",
+        extra: dict | None = None,
+        max_rebase: int = 5,
+        stats_cols: Sequence[str] | None = None,
+    ) -> int:
+        """PURE APPEND (SQL ``INSERT INTO`` semantics): the batch's
+        rows are added as NEW files inside their partitions — no
+        existing file is rewritten, replaced, or masked, so write
+        amplification is exactly the batch. The touched partitions'
+        pointers become file-granular lists (old files + the new
+        ones); everything else is inherited.
+
+        Concurrency: an append COMMUTES with any other append (their
+        file sets are disjoint by construction — both rebase past each
+        other), while a concurrent whole-partition REPLACE of an
+        appended partition is a genuine conflict (the replace was
+        computed without these rows; silently rebasing either side
+        would lose them) and raises :class:`ConcurrentWriteError`.
+        Compare ``commit_partitions`` (replaces whole partitions) and
+        ``upsert_rows_dv`` (append + mask matched rows): this is the
+        no-keys, no-mask bottom rung of the write ladder.
+
+        The small-files debt is the same as the DV path's —
+        ``maintenance_plan`` counts files per partition and schedules
+        the compaction."""
+        from pyspark.sql import functions as F
+
+        base = base_version if base_version is not None else self.current_version()
+        if base == 0:
+            raise FileNotFoundError(
+                f"no committed WAP table at {self.path} — bootstrap with "
+                "create_partitioned_wap_table"
+            )
+        root = f"d-{uuid.uuid4().hex[:12]}"
+        root_path = self.fs.url(root)
+
+        # 1. WRITE — hive layout under a fresh root
+        self.fs.prepare_root()
+        df.write.partitionBy(*self.partition_by).mode("error").parquet(root_path)
+        written_keys = self._written_parquet_keys(root, df.schema)
+        new_by_part: dict[str, list[str]] = {}
+        for k in written_keys:
+            leaf = _pkey_of_file(k)
+            new_by_part.setdefault(leaf, []).append(k)
+        new_by_part = {k: sorted(v) for k, v in new_by_part.items()}
+
+        # 2. AUDIT — the new files only (cost ∝ batch), constraints
+        # included
+        try:
+            if written_keys:
+                back = self.spark.read.option("basePath", root_path).parquet(
+                    *(self.fs.url(k) for k in sorted(written_keys))
+                )
+                back = back.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in df.schema.fields
+                    ]
+                )
+            else:
+                back = df.limit(0)
+            n = back.count()
+            if expected_rows is not None and n != expected_rows:
+                raise AuditError(
+                    f"audit failed: wrote {n} rows, expected {expected_rows}"
+                )
+            for check in audits or ():
+                check(back)
+            self._enforce_constraints(back, self._commit_record(base))
+        except Exception:
+            self.fs.delete_prefix(root)
+            raise
+
+        our_file_stats = (
+            self._file_slice_stats(back, stats_cols, root)
+            if stats_cols and written_keys
+            else {}
+        )
+        our_slice_stats = (
+            self._slice_stats(back, stats_cols)
+            if stats_cols and written_keys
+            else {}
+        )
+        schema_json = df.schema.jsonValue()
+        touched = sorted(new_by_part)
+
+        # 3. PUBLISH — CAS; appends rebase past each other, conflict
+        # with whole-partition replaces of the same partitions
+        attempt = 0
+        while True:
+            new_version = base + 1
+            base_rec = self._commit_record(base)
+            pmap = dict(base_rec.get("partitions", {}))
+            fmap = dict(base_rec.get("files", {}))
+            stats = dict(base_rec.get("stats", {}))
+            fstats = dict(base_rec.get("file_stats", {}))
+            base_pmap = self.partition_map(base)
+            for pk, newf in new_by_part.items():
+                existing = (
+                    self.partition_files(pk, version=base)
+                    if pk in base_pmap
+                    else []
+                )
+                fmap[pk] = sorted(list(existing) + newf)
+                pmap.pop(pk, None)
+                # partition [min,max] stats: widen with the appended
+                # slice when both sides are known, else drop the
+                # column entry (conservative: prune keeps the key)
+                if pk in stats:
+                    merged: dict[str, list] = {}
+                    ours_slice = our_slice_stats.get(pk, {})
+                    for c, bounds in stats[pk].items():
+                        o = ours_slice.get(c)
+                        if o and None not in o and None not in bounds:
+                            merged[c] = [
+                                min(bounds[0], o[0]),
+                                max(bounds[1], o[1]),
+                            ]
+                    if merged:
+                        stats[pk] = merged
+                    else:
+                        stats.pop(pk, None)
+            fstats.update(our_file_stats)
+            record = {
+                "version": new_version,
+                "partitions": pmap,
+                "partition_by": self.partition_by,
+                "touched": touched,
+                # empty replace sets: file-granular probes see we
+                # replaced nothing, so disjoint writers rebase past us
+                "touched_files": {pk: [] for pk in touched},
+                "row_count": n,
+                "schema": schema_json,
+                "operation": operation,
+                "committed_at": time.time(),
+            }
+            if fmap:
+                record["files"] = fmap
+            if stats:
+                record["stats"] = stats
+            if fstats:
+                record["file_stats"] = fstats
+            if base_rec.get("delete_vectors"):
+                record["delete_vectors"] = dict(base_rec["delete_vectors"])
+            if extra:
+                record.update(extra)
+            try:
+                self._publish(record)
+                return new_version
+            except ConcurrentWriteError:
+                attempt += 1
+                latest = self.current_version()
+                conflict: set[str] = set()
+                for pk in touched:
+                    conflict |= self._conflicting_files(base, latest, pk, [])
+                if conflict or attempt > max_rebase:
+                    self.fs.delete_prefix(root)
+                    if conflict:
+                        raise ConcurrentWriteError(
+                            f"partitions {sorted(touched)} were replaced by "
+                            "another writer while appending; re-read and "
+                            "retry (the replace was computed without these "
+                            "rows)"
+                        ) from None
+                    raise
+                base = latest
+
     #: permitted lossless type widenings (Iceberg's evolution rules):
     #: each key may become any type in its value set
     _WIDENINGS: dict[str, tuple[str, ...]] = {

@@ -722,3 +722,78 @@ def test_describe_table_text_and_api(spark, fact, tmp_path):
     assert hd["partitioning"]["spec"][0]["kind"] == "months"
     with pytest.raises(SqlDmlError, match="unsupported DESCRIBE"):
         execute_ddl(spark, "DESCRIBE TABLE fact_sql EXTENDED PLUS")
+
+
+# ------------------------------------------------------------------ INSERT
+def test_insert_values_text_appends_without_rewrites(spark, fact):
+    files_before = {
+        k: set(fact.partition_files(k)) for k in fact.partition_map()
+    }
+    res = execute_dml(
+        spark,
+        "INSERT INTO fact_sql (id, ds, amount, status) VALUES "
+        "(500, '2026-01-01', 5.0, 'new'), (501, '2026-01-02', 6.0, 'new')",
+    )
+    assert res.operation == "insert" and res.rows_affected == 2
+    got = {r["id"] for r in fact.read().collect()}
+    assert {500, 501} <= got and len(got) == 14
+    for k, old in files_before.items():
+        assert old <= set(fact.partition_files(k))  # pure append
+    # the registered view re-pinned: SQL sees the inserted rows
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM fact_sql WHERE id >= 500")
+        .first()["n"] == 2
+    )
+
+
+def test_insert_select_and_partial_columns_null_fill(spark, fact):
+    spark.createDataFrame(
+        [(600, "2026-01-03"), (601, "2026-01-03")], "id long, ds string"
+    ).createOrReplaceTempView("ins_src")
+    res = execute_dml(
+        spark,
+        "INSERT INTO fact_sql (id, ds) SELECT id, ds FROM ins_src",
+    )
+    assert res.rows_affected == 2
+    row = fact.read().filter("id = 600").first()
+    assert row["amount"] is None and row["status"] is None  # SQL NULL fill
+    with pytest.raises(SqlDmlError, match="not in target schema"):
+        execute_dml(
+            spark, "INSERT INTO fact_sql (nope) VALUES (1)"
+        )
+    with pytest.raises(SqlDmlError, match="produces"):
+        execute_dml(
+            spark,
+            "INSERT INTO fact_sql (id, ds) SELECT id, ds, id FROM ins_src",
+        )
+
+
+def test_insert_into_hidden_target_lands_prunable(spark, hidden_fact):
+    import datetime as dt
+
+    res = execute_dml(
+        spark,
+        "INSERT INTO hid_fact (id, ds, user, amt) VALUES "
+        "(777, DATE '2026-04-15', 'uins', 7.0)",
+    )
+    assert res.rows_affected == 1
+    assert hidden_fact.read_pruned(
+        "ds", eq=dt.date(2026, 4, 15)
+    ).filter("id = 777").count() == 1
+
+
+def test_insert_respects_constraints(spark, fact):
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    execute_ddl(
+        spark, "ALTER TABLE fact_sql ADD CONSTRAINT pos CHECK (amount >= 0)"
+    )
+    v = fact.current_version()
+    with pytest.raises(ConstraintViolation):
+        execute_dml(
+            spark,
+            "INSERT INTO fact_sql (id, ds, amount, status) VALUES "
+            "(700, '2026-01-01', -1.0, 'bad')",
+        )
+    assert fact.current_version() == v

@@ -1020,3 +1020,80 @@ def test_under_reporting_list_cannot_corrupt_a_commit(spark, tmp_path):
 
     t2 = open_wap_table(spark, str(tmp_path / "fact"), storage=honest)
     assert t2.read().count() == 39
+
+
+def test_append_rows_adds_files_without_rewrites(spark, tmp_path, fact_df):
+    """Pure append: old pointers survive byte-identical, the touched
+    partitions become file-granular lists, nothing is masked."""
+    t = _ptable(spark, tmp_path, fact_df)
+    files_before = {
+        k: set(t.partition_files(k)) for k in t.partition_map()
+    }
+    add = spark.createDataFrame(
+        [(100, "2026-01-01", 1.0), (101, "2026-01-04", 2.0)],
+        "id long, ds string, amount double",
+    )
+    v = t.append_rows(add)
+    assert t.read(version=v).count() == 14
+    got = {r["id"] for r in t.read().collect()}
+    assert {100, 101} <= got
+    # every pre-append file is still referenced, untouched
+    for k, old in files_before.items():
+        assert old <= set(t.partition_files(k))
+    # the brand-new partition (2026-01-04) arrived as files too
+    assert "ds=2026-01-04" in t.partition_map()
+    rec = t._commit_record(v)
+    assert rec["operation"] == "append"
+    assert all(fl == [] for fl in rec["touched_files"].values())
+
+
+def test_concurrent_appends_rebase_past_each_other(spark, tmp_path, fact_df):
+    """Two appends to the SAME partition commute: the CAS loser
+    rebases and both row sets land."""
+    t = _ptable(spark, tmp_path, fact_df)
+    base = t.current_version()
+    a = spark.createDataFrame(
+        [(200, "2026-01-01", 1.0)], "id long, ds string, amount double"
+    )
+    b = spark.createDataFrame(
+        [(201, "2026-01-01", 2.0)], "id long, ds string, amount double"
+    )
+    t.append_rows(a, base_version=base)
+    # second append from the SAME stale base: must rebase, not fail
+    v = t.append_rows(b, base_version=base)
+    got = {r["id"] for r in t.read(version=v).collect()}
+    assert {200, 201} <= got and len(got) == 14
+
+
+def test_append_conflicts_with_whole_partition_replace(
+    spark, tmp_path, fact_df
+):
+    """A replace computed without the appended rows must not silently
+    win: the stale-base append raises instead of rebasing."""
+    from etl_reporting_spark.operators.wap import ConcurrentWriteError
+
+    t = _ptable(spark, tmp_path, fact_df)
+    base = t.current_version()
+    replacement = spark.createDataFrame(
+        [(1, "2026-01-01", 0.0)], "id long, ds string, amount double"
+    )
+    t.commit_partitions(replacement, base_version=base)  # replaces day 1
+    late = spark.createDataFrame(
+        [(300, "2026-01-01", 3.0)], "id long, ds string, amount double"
+    )
+    with pytest.raises(ConcurrentWriteError, match="replaced"):
+        t.append_rows(late, base_version=base)
+
+
+def test_append_enforces_constraints(spark, tmp_path, fact_df):
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    t = _ptable(spark, tmp_path, fact_df)
+    t.add_check_constraint("amt_pos", "amount >= 0")
+    bad = spark.createDataFrame(
+        [(400, "2026-01-01", -1.0)], "id long, ds string, amount double"
+    )
+    v = t.current_version()
+    with pytest.raises(ConstraintViolation):
+        t.append_rows(bad)
+    assert t.current_version() == v
