@@ -1451,3 +1451,22 @@ SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
 FROM base
 ORDER BY col_name
 """
+
+ORACLE_SQL["wap_insert_sql"] = """
+-- Twin of the INSERT-text gate: base family, the INSERT..SELECT
+-- family (status NULL-fills - not listed), and the two VALUES rows.
+SELECT c_custkey, c_mktsegment,
+       CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+       'base' AS status
+FROM customer WHERE c_custkey <= 150
+UNION ALL
+SELECT c_custkey, c_mktsegment,
+       CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+       CAST(NULL AS VARCHAR) AS status
+FROM customer WHERE c_custkey > 150 AND c_custkey <= 200
+UNION ALL
+SELECT 900001, 'MACHINERY', CAST(11.50 AS DECIMAL(18,2)), 'manual'
+UNION ALL
+SELECT 900002, 'BUILDING', CAST(-2.25 AS DECIMAL(18,2)), 'manual'
+ORDER BY c_custkey
+"""

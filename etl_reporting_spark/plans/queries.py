@@ -1568,6 +1568,60 @@ def wap_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def wap_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO statement text onto the pure-append rung
+    (round-11): a partitioned WAP fact takes an ``INSERT … SELECT``
+    (keys 150–200 from a view) and an ``INSERT … VALUES`` with a
+    PARTIAL column list (status NULL-fills per standard SQL) — both
+    land as new files only (append_rows: nothing rewritten or
+    masked), and the gate reads the final snapshot back through the
+    registered view via ``spark.sql``. Oracle: the three row families
+    relationally, NULLs included.
+
+    Scale: write amplification of an INSERT is exactly the batch —
+    the nightly landing pattern the reference drives with INSERT INTO
+    staging SELECT … (reference connector/snowpark_connector.py:
+    607-688 staging step), without rewriting a byte of the fact."""
+    import tempfile
+
+    from etl_reporting_spark.operators.sql_dml import execute_dml
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        register_wap_view,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    base = customer.filter(F.col("c_custkey") <= 150).select(
+        "c_custkey", "c_mktsegment", dec.alias("bal"), F.lit("base").alias("status")
+    )
+    path = tempfile.mkdtemp(prefix="wap_insert_sql_")
+    table = create_partitioned_wap_table(
+        spark, f"{path}/fact", base, ["c_mktsegment"]
+    )
+    register_wap_view(spark, table.path, "insert_gate_fact", dml=True)
+    customer.filter(
+        (F.col("c_custkey") > 150) & (F.col("c_custkey") <= 200)
+    ).select(
+        "c_custkey", "c_mktsegment", dec.alias("bal")
+    ).createOrReplaceTempView("insert_gate_src")
+    execute_dml(
+        spark,
+        "INSERT INTO insert_gate_fact (c_custkey, c_mktsegment, bal) "
+        "SELECT c_custkey, c_mktsegment, bal FROM insert_gate_src",
+    )
+    execute_dml(
+        spark,
+        "INSERT INTO insert_gate_fact (c_custkey, c_mktsegment, bal, status) "
+        "VALUES (900001, 'MACHINERY', CAST(11.50 AS DECIMAL(18,2)), 'manual'), "
+        "(900002, 'BUILDING', CAST(-2.25 AS DECIMAL(18,2)), 'manual')",
+    )
+    return spark.sql(
+        "SELECT c_custkey, c_mktsegment, bal, status "
+        "FROM insert_gate_fact ORDER BY c_custkey"
+    )
+
+
 def wap_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed IVM off a DV-churned WAP table (round-9 brief #5): a
     partitioned fact takes four commits — CREATE (keys ≤ 150, balances
@@ -2307,6 +2361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w45_event_ordering": w45_event_ordering,
     "s4_multi_statement": s4_multi_statement,
     "a12_percentiles": a12_percentiles,
+    "wap_insert_sql": wap_insert_sql,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "mm_decode_real",
         "ann_recall_sweep",
