@@ -1,0 +1,346 @@
+"""Named branches over the WAP commit log — the Write-Audit-Publish
+pattern at PIPELINE granularity.
+
+Per-commit WAP (wap.py) audits each snapshot before its atomic
+publish. The pattern the reference actually runs is one level up: its
+loaders stage a whole batch of mutations in a staging schema, validate
+THERE, and only then swap into the serving schema
+(reference connector/snowpark_connector.py:607-688 staging-then-MERGE).
+Iceberg spells the same idea as branch refs + fast-forward. This
+module gives WAP tables that spelling:
+
+- :func:`create_branch` — fork the table at a version. The branch has
+  its OWN commit-log namespace (``TableStorage.branch_commit_store``)
+  layered over the main log: reads at or below the fork resolve main,
+  branch commits go to branch slots. Data files land under the same
+  table root (immutable ``d-*`` dirs — branching writes no data).
+- :func:`open_branch` — a normal table handle (same class as the main
+  table, hidden-partitioning included) whose every operator — merge,
+  DV delete, append, constraints — works unchanged on the branch.
+  Main readers never see branch commits.
+- :func:`publish_branch` — atomically replay the branch's commits
+  onto the main log, REBASED onto main's current tip: each branch
+  commit's touched partitions overwrite main's map entries; untouched
+  entries keep whatever main did meanwhile. Disjoint main progress
+  fast-forwards under the replay; overlapping progress (or any
+  branch/main commit without a ``touched`` set — full overwrites,
+  schema/constraint changes) refuses with the partitions named,
+  because silently choosing a side would lose one of them.
+- :func:`drop_branch` — delete the registration; the branch's data
+  roots become unreferenced and age out through the normal vacuum.
+
+Vacuum safety: live branches are registered under ``_branches/`` and
+both vacuum implementations add every live branch commit's pointers
+to their keep sets (wap.py) — a branch can never have its data
+collected out from under it, the same contract clones get.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from typing import Sequence
+
+from pyspark.sql import SparkSession
+
+from etl_reporting_spark.operators.table_storage import TableStorage
+from etl_reporting_spark.operators.wap import (
+    CommitConflict,
+    CommitStore,
+    ConcurrentWriteError,
+    PartitionedWapTable,
+    WapTable,
+    _pkey_of_file,
+    open_wap_table,
+)
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_-]{0,63}$")
+
+
+class BranchCommitStore(CommitStore):
+    """The layered log: versions ≤ ``fork`` resolve from the MAIN
+    store (shared history), versions past it live in the branch's own
+    namespace. Publishing below the fork is impossible by
+    construction (``max_version`` ≥ fork, and the table always
+    publishes ``max + 1``)."""
+
+    def __init__(self, main: CommitStore, branch: CommitStore, fork: int):
+        self.main = main
+        self.branch = branch
+        self.fork = fork
+
+    def publish(self, version: int, payload: bytes) -> None:
+        if version <= self.fork:
+            raise CommitConflict(
+                f"branch forked at v{self.fork}; cannot publish v{version}"
+            )
+        self.branch.publish(version, payload)
+
+    def read(self, version: int) -> bytes | None:
+        if version <= self.fork:
+            return self.main.read(version)
+        return self.branch.read(version)
+
+    def max_version(self) -> int:
+        return max(self.fork, self.branch.max_version())
+
+    def clean_temp(self, min_age_seconds: float) -> list[str]:
+        return self.branch.clean_temp(min_age_seconds)
+
+
+def _branch_reg_key(name: str) -> str:
+    return f"_branches/{name}.json"
+
+
+def registered_branches(table: WapTable) -> list[dict]:
+    """Live branch registrations — ``{"name", "fork_version",
+    "created_at"}`` each. Purely metadata (one LIST + small GETs)."""
+    out: list[dict] = []
+    for k in table.fs.list_prefix("_branches"):
+        if not k.endswith(".json"):
+            continue
+        payload = table.fs.read_key(k)
+        if payload is None:
+            continue
+        try:
+            out.append(json.loads(payload))
+        except ValueError:
+            continue
+    return sorted(out, key=lambda r: r.get("name", ""))
+
+
+def create_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    at_version: int | None = None,
+    storage: TableStorage | None = None,
+) -> WapTable:
+    """Fork ``path`` at ``at_version`` (default: current) under
+    ``name`` and return the branch handle. Zero data is written — the
+    branch shares every file with main until its first commit."""
+    if not _NAME_RE.match(name):
+        raise ValueError(f"branch name must be an identifier: {name!r}")
+    main = open_wap_table(spark, path, storage=storage)
+    fork = at_version if at_version is not None else main.current_version()
+    if fork < 1 or fork > main.current_version():
+        raise ValueError(
+            f"cannot fork at v{fork}: table is at v{main.current_version()}"
+        )
+    key = _branch_reg_key(name)
+    if main.fs.read_key(key) is not None:
+        raise FileExistsError(f"branch already exists: {name!r}")
+    main.fs.put_key(
+        key,
+        json.dumps(
+            {"name": name, "fork_version": fork, "created_at": time.time()}
+        ).encode(),
+    )
+    return open_branch(spark, path, name, storage=storage)
+
+
+def open_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    storage: TableStorage | None = None,
+) -> WapTable:
+    """Handle onto an existing branch: same table class as main
+    (plain, partitioned, or hidden-partitioned — layout detected from
+    the branch's own tip so a branch that evolved reads its own
+    shape), with the layered commit store."""
+    main = open_wap_table(spark, path, storage=storage)
+    payload = main.fs.read_key(_branch_reg_key(name))
+    if payload is None:
+        raise FileNotFoundError(f"no branch {name!r} at {path}")
+    fork = json.loads(payload)["fork_version"]
+    store = BranchCommitStore(
+        main.fs.default_commit_store(),
+        main.fs.branch_commit_store(name),
+        fork,
+    )
+    if hasattr(main, "transforms"):
+        from etl_reporting_spark.operators.transforms import (
+            HiddenPartitionedWapTable,
+        )
+
+        return HiddenPartitionedWapTable(
+            spark, path, main.transforms, store=store, storage=main.fs
+        )
+    if isinstance(main, PartitionedWapTable):
+        return PartitionedWapTable(
+            spark, path, main.partition_by, store=store, storage=main.fs
+        )
+    return WapTable(spark, path, store=store, storage=main.fs)
+
+
+def drop_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    storage: TableStorage | None = None,
+) -> bool:
+    """Delete the registration (branch commits become invisible and
+    their data roots age out through the normal vacuum). Returns
+    whether a registration existed."""
+    main = open_wap_table(spark, path, storage=storage)
+    return main.fs.delete_key(_branch_reg_key(name))
+
+
+def publish_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    storage: TableStorage | None = None,
+    drop: bool = True,
+) -> int:
+    """Fast-forward main to include the branch's commits, rebased onto
+    main's current tip — the PUBLISH step of pipeline-level WAP.
+    Returns main's new tip version.
+
+    Replay semantics, per branch commit in order: its TOUCHED
+    partitions' pointers/stats/file-stats/delete-vectors overwrite
+    main's entries; everything else inherits from main's tip — so
+    main progress in DISJOINT partitions since the fork is preserved
+    verbatim. Refused with names when a side cannot be rebased:
+
+    - any branch or intervening main commit WITHOUT a ``touched`` set
+      (full overwrite, schema or constraint change) — replaying those
+      onto a diverged twin is ambiguous; run them on main directly;
+    - overlapping touched partitions between the branch and
+      intervening main commits — one side's data would be lost.
+
+    Each replayed record publishes through the main CAS, so a racing
+    main writer surfaces as :class:`ConcurrentWriteError`, never a
+    half-published branch prefix... except in the crash window between
+    two replays, which leaves a PREFIX of the branch on main — every
+    replayed record carries ``branch_published_from`` so the operator
+    can see exactly how far it got and re-run (the remaining replays
+    are idempotent in content)."""
+    main = open_wap_table(spark, path, storage=storage)
+    if not isinstance(main, PartitionedWapTable):
+        raise TypeError(
+            "publish_branch supports partitioned WAP tables (a "
+            "full-snapshot table's branch IS one commit — republish it "
+            "with commit())"
+        )
+    payload = main.fs.read_key(_branch_reg_key(name))
+    if payload is None:
+        raise FileNotFoundError(f"no branch {name!r} at {path}")
+    fork = json.loads(payload)["fork_version"]
+    bstore = main.fs.branch_commit_store(name)
+    bmax = bstore.max_version()
+    branch_recs = []
+    for v in range(fork + 1, bmax + 1):
+        raw = bstore.read(v)
+        if raw is None:
+            raise ValueError(
+                f"branch {name!r} log has a gap at v{v} — refusing to "
+                "publish a partial history"
+            )
+        branch_recs.append(json.loads(raw))
+    if not branch_recs:
+        if drop:
+            drop_branch(spark, path, name, storage=storage)
+        return main.current_version()
+
+    missing = [r["version"] for r in branch_recs if "touched" not in r]
+    if missing:
+        raise ConcurrentWriteError(
+            f"branch {name!r} holds commit(s) without a touched set "
+            f"(branch versions {missing}: full overwrites / schema or "
+            "constraint changes) — those cannot be rebased onto a "
+            "diverged main; run them on main directly"
+        )
+    branch_touched: set[str] = set()
+    for r in branch_recs:
+        branch_touched |= set(r["touched"])
+
+    tip = main.current_version()
+    for v in range(fork + 1, tip + 1):
+        rec = main._commit_record(v)
+        theirs = rec.get("touched")
+        if theirs is None:
+            raise ConcurrentWriteError(
+                f"main advanced past the fork with commit v{v} "
+                f"({rec.get('operation')!r}) that has no touched set — "
+                "the branch cannot be rebased over it; re-fork and replay"
+            )
+        overlap = branch_touched & set(theirs)
+        if overlap:
+            raise ConcurrentWriteError(
+                f"branch {name!r} and main commit v{v} both touched "
+                f"partitions {sorted(overlap)[:5]} — publishing would "
+                "lose one side; re-fork from the current tip and re-apply"
+            )
+
+    new_tip = tip
+    for rec in branch_recs:
+        base_rec = main._commit_record(new_tip)
+        pmap = dict(base_rec.get("partitions", {}))
+        fmap = dict(base_rec.get("files", {}))
+        stats = dict(base_rec.get("stats", {}))
+        fstats = dict(base_rec.get("file_stats", {}))
+        dvs = dict(base_rec.get("delete_vectors", {}))
+        touched = set(rec["touched"])
+        for pk in touched:
+            pmap.pop(pk, None)
+            fmap.pop(pk, None)
+            stats.pop(pk, None)
+            if pk in rec.get("partitions", {}):
+                pmap[pk] = rec["partitions"][pk]
+            if pk in rec.get("files", {}):
+                fmap[pk] = rec["files"][pk]
+            if pk in rec.get("stats", {}):
+                stats[pk] = rec["stats"][pk]
+        fstats = {
+            f: s for f, s in fstats.items()
+            if _pkey_of_file(f) not in touched
+        }
+        fstats.update(
+            {
+                f: s
+                for f, s in rec.get("file_stats", {}).items()
+                if _pkey_of_file(f) in touched
+            }
+        )
+        dvs = {f: d for f, d in dvs.items() if _pkey_of_file(f) not in touched}
+        dvs.update(
+            {
+                f: d
+                for f, d in rec.get("delete_vectors", {}).items()
+                if _pkey_of_file(f) in touched
+            }
+        )
+        out = {
+            "version": new_tip + 1,
+            "partitions": pmap,
+            "partition_by": rec.get(
+                "partition_by", base_rec.get("partition_by")
+            ),
+            "touched": sorted(touched),
+            "row_count": rec.get("row_count"),
+            "schema": rec["schema"],
+            "operation": rec.get("operation", "merge"),
+            "committed_at": time.time(),
+            "branch_published_from": name,
+        }
+        if "touched_files" in rec:
+            out["touched_files"] = rec["touched_files"]
+        if fmap:
+            out["files"] = fmap
+        if stats:
+            out["stats"] = stats
+        if fstats:
+            out["file_stats"] = fstats
+        if dvs:
+            out["delete_vectors"] = dvs
+        for sticky in ("constraints", "partition_spec", "table_stats"):
+            if rec.get(sticky):
+                out[sticky] = rec[sticky]
+        main._publish(out)
+        new_tip += 1
+    if drop:
+        drop_branch(spark, path, name, storage=storage)
+    return new_tip

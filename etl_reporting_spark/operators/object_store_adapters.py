@@ -466,6 +466,16 @@ class S3TableStorage(TableStorage):
             prefix="_wap/",
         )
 
+    def branch_commit_store(self, name: str):
+        from etl_reporting_spark.operators.wap import ObjectStoreCommitStore
+
+        return ObjectStoreCommitStore(
+            S3ObjectStoreClient(
+                self.bucket, prefix=self.prefix, client=self.client
+            ),
+            prefix=f"_wap_branch_{name}/",
+        )
+
     def list_files_at(self, location: str, suffix: str = ".parquet") -> list[str]:
         # external (clone-source) listing: location is a full
         # scheme://bucket/key URL — same LIST verb against it

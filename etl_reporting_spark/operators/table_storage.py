@@ -132,6 +132,12 @@ class TableStorage:
     def default_commit_store(self):
         raise NotImplementedError
 
+    def branch_commit_store(self, name: str):
+        """A SEPARATE commit-log namespace for a named branch — same
+        CAS primitive, different slot prefix, so branch commits can
+        never collide with (or be read as) main-log versions."""
+        raise NotImplementedError
+
     def list_files_at(self, location: str, suffix: str = ".parquet") -> list[str]:
         raise NotImplementedError
 
@@ -272,6 +278,13 @@ class LocalFSStorage(TableStorage):
 
         return LocalFSCommitStore(os.path.join(self.root, "_wap"))
 
+    def branch_commit_store(self, name: str):
+        from etl_reporting_spark.operators.wap import LocalFSCommitStore
+
+        return LocalFSCommitStore(
+            os.path.join(self.root, f"_wap_branch_{name}")
+        )
+
     def list_files_at(self, location: str, suffix: str = ".parquet") -> list[str]:
         return sorted(f for f in os.listdir(location) if f.endswith(suffix))
 
@@ -387,6 +400,13 @@ class BlobStorage(TableStorage):
 
         return ObjectStoreCommitStore(
             LocalDirObjectStore(self.root), prefix="_wap/"
+        )
+
+    def branch_commit_store(self, name: str):
+        from etl_reporting_spark.operators.wap import ObjectStoreCommitStore
+
+        return ObjectStoreCommitStore(
+            LocalDirObjectStore(self.root), prefix=f"_wap_branch_{name}/"
         )
 
     def list_files_at(self, location: str, suffix: str = ".parquet") -> list[str]:

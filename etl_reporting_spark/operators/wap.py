@@ -772,6 +772,48 @@ class WapTable:
             ) from None
 
     # ------------------------------------------------------- housekeep
+    def _live_branch_records(self) -> list[dict]:
+        """Commit records of every LIVE branch (``_branches/``
+        registrations, see operators/branches.py), past their forks —
+        vacuum adds their pointers to its keep sets so a branch can
+        never have its data collected out from under it, the same
+        contract clones get. Metadata-only: one LIST plus each branch
+        log's records past its fork (shared-history pointers at or
+        below the fork are already the main log's to keep)."""
+        out: list[dict] = []
+        for key in self.fs.list_prefix("_branches"):
+            if not key.endswith(".json"):
+                continue
+            payload = self.fs.read_key(key)
+            if payload is None:
+                continue
+            try:
+                reg = json.loads(payload)
+            except ValueError:
+                continue
+            name = reg.get("name")
+            fork = int(reg.get("fork_version") or 0)
+            if not name:
+                continue
+            bstore = self.fs.branch_commit_store(name)
+            for v in range(fork + 1, bstore.max_version() + 1):
+                raw = bstore.read(v)
+                if raw is None:
+                    continue
+                try:
+                    out.append(json.loads(raw))
+                except ValueError:
+                    continue
+        return out
+
+    def _branch_keep_pointers(self) -> set[str]:
+        return {
+            p
+            for rec in self._live_branch_records()
+            for p in self._record_pointers(rec)
+            if not _is_external(p)
+        }
+
     def _referenced_dirs(self, keep_last: int) -> set[str]:
         current = self.current_version()
         return {
@@ -961,6 +1003,7 @@ class WapTable:
         collect-anyway behavior (accepting broken clones), the
         explicit force the caveat used to leave implicit."""
         keep = self._referenced_dirs(keep_last)
+        keep |= self._branch_keep_pointers()
         records = [
             self._commit_record(v)
             for v in range(1, self.current_version() + 1)
@@ -3041,6 +3084,10 @@ class PartitionedWapTable(WapTable):
 
         for v in range(max(1, current - keep_last + 1), current + 1):
             _keep_record(self._commit_record(v))
+        # live branches' commits pin their pointers — same contract
+        # as clones (operators/branches.py)
+        for rec in self._live_branch_records():
+            _keep_record(rec)
         if not ignore_clones:
             pins = self._live_clone_pins(min_age_seconds)
             self._warn_clone_pins(pins, keep_last)

@@ -1470,3 +1470,26 @@ UNION ALL
 SELECT 900002, 'BUILDING', CAST(-2.25 AS DECIMAL(18,2)), 'manual'
 ORDER BY c_custkey
 """
+
+ORACLE_SQL["wap_branch_publish"] = """
+-- Twin of the published state: branch mutations (bucket 0: +50 on
+-- (100,140], minus the %14 deletes) AND main's disjoint progress
+-- (bucket 1: -10 on (200,220]) must BOTH land - the rebase's
+-- correctness IS this hash.
+WITH base AS (
+  SELECT c_custkey, c_custkey % 2 AS bucket,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_custkey <= 220
+)
+SELECT c_custkey, bucket,
+       CASE
+         WHEN bucket = 1 AND c_custkey > 200 AND c_custkey <= 220
+           THEN CAST(bal - 10 AS DECIMAL(18,2))
+         WHEN bucket = 0 AND c_custkey > 100 AND c_custkey <= 140
+           THEN CAST(bal + 50 AS DECIMAL(18,2))
+         ELSE bal
+       END AS bal
+FROM base
+WHERE NOT (bucket = 0 AND c_custkey % 7 = 0)
+ORDER BY c_custkey
+"""

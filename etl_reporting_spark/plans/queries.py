@@ -1622,6 +1622,88 @@ def wap_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-level Write-Audit-Publish via a named branch
+    (round-11): the serving table forks; the branch takes a DV merge
+    (keys 100–140 at +50) and a DV delete (keys %7) while MAIN
+    independently lands a disjoint-partition merge (keys 200–220 at
+    −10, a different mktsegment bucket); publish replays the branch
+    REBASED onto main's progress — both sides land, atomically, in
+    order. The reference's staging-schema-then-swap loaders are this
+    exact pattern (reference connector/snowpark_connector.py:607-688);
+    Iceberg spells it as branch refs + fast-forward.
+
+    Oracle: the final state relationally — branch mutations on their
+    keys, main's merge on its keys, everything else base. The
+    rebase's correctness IS the hash match: dropping main's disjoint
+    progress or a branch commit would diverge immediately.
+
+    Scale: branching writes zero data (the fork shares every file);
+    the publish is metadata replay — commit records re-pointed, no
+    bytes moved."""
+    import tempfile
+
+    from etl_reporting_spark.operators.branches import (
+        create_branch,
+        publish_branch,
+    )
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    base = customer.filter(F.col("c_custkey") <= 220).select(
+        "c_custkey",
+        (F.col("c_custkey") % 2).alias("bucket"),
+        dec.alias("bal"),
+    )
+    path = tempfile.mkdtemp(prefix="wap_branch_")
+    table = create_partitioned_wap_table(
+        spark, f"{path}/fact", base, ["bucket"]
+    )
+    br = create_branch(spark, table.path, "etl_wap")
+    # branch work: a DV merge + a DV delete, both in bucket 0 only
+    src = customer.filter(
+        (F.col("c_custkey") > 100)
+        & (F.col("c_custkey") <= 140)
+        & (F.col("c_custkey") % 2 == 0)
+    ).select(
+        "c_custkey",
+        (F.col("c_custkey") % 2).alias("bucket"),
+        (dec + 50).cast("decimal(18,2)").alias("bal"),
+    )
+    br.upsert_rows_dv(src, keys=["c_custkey"])
+    br.delete_rows("c_custkey % 7 = 0 AND bucket = 0")
+    # disjoint MAIN progress meanwhile: bucket 1 rewrite of keys 200-220
+    main_delta = customer.filter(
+        (F.col("c_custkey") > 200)
+        & (F.col("c_custkey") <= 220)
+        & (F.col("c_custkey") % 2 == 1)
+    ).select(
+        "c_custkey",
+        (F.col("c_custkey") % 2).alias("bucket"),
+        (dec - 10).cast("decimal(18,2)").alias("bal"),
+    )
+    from etl_reporting_spark.operators.merge import merge_upsert
+
+    merge_upsert(
+        None,
+        main_delta,
+        ["c_custkey"],
+        backend="wap",
+        spark=spark,
+        target_table=table.path,
+        partition_by=["bucket"],
+    )
+    publish_branch(spark, table.path, "etl_wap")
+    return (
+        table.read()
+        .select("c_custkey", "bucket", "bal")
+        .orderBy("c_custkey")
+    )
+
+
 def wap_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed IVM off a DV-churned WAP table (round-9 brief #5): a
     partitioned fact takes four commits — CREATE (keys ≤ 150, balances
@@ -2362,6 +2444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_multi_statement": s4_multi_statement,
     "a12_percentiles": a12_percentiles,
     "wap_insert_sql": wap_insert_sql,
+    "wap_branch_publish": wap_branch_publish,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "mm_decode_real",
         "ann_recall_sweep",

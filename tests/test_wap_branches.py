@@ -1,0 +1,221 @@
+"""Named branches over the WAP commit log — pipeline-level
+Write-Audit-Publish (stage a batch of mutations on a branch, validate
+there, publish atomically), the pattern the reference runs as
+staging-schema-then-swap (connector/snowpark_connector.py:607-688)
+and Iceberg spells as branch refs + fast-forward.
+
+What must hold, on both storage backends:
+- a branch handle is a full table (merge, DV delete, append,
+  constraints all work) whose commits main readers NEVER see;
+- publish replays the branch onto main REBASED: disjoint main
+  progress since the fork is preserved verbatim; overlapping progress
+  refuses with the partitions named;
+- vacuum on main keeps every file a live branch references;
+- drop releases the pins and the branch's roots age out normally.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.branches import (
+    create_branch,
+    drop_branch,
+    open_branch,
+    publish_branch,
+    registered_branches,
+)
+from etl_reporting_spark.operators.wap import (
+    ConcurrentWriteError,
+    create_partitioned_wap_table,
+)
+
+pytestmark = pytest.mark.usefixtures("wap_storage_backend")
+
+
+def _fact(spark):
+    rows = [(i, f"d{i % 3}", float(i * 10)) for i in range(1, 13)]
+    return spark.createDataFrame(rows, "id long, ds string, amount double")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return create_partitioned_wap_table(
+        spark, str(tmp_path / "fact"), _fact(spark), ["ds"]
+    )
+
+
+def test_branch_commits_are_invisible_to_main(spark, table):
+    br = create_branch(spark, table.path, "audit")
+    assert registered_branches(table)[0]["name"] == "audit"
+    delta = spark.createDataFrame(
+        [(4, "d1", 999.0), (100, "d1", 1.0)], "id long, ds string, amount double"
+    )
+    br.upsert_rows_dv(delta, keys=["id"])
+    br.delete_rows("id = 7")
+    # the branch sees its own world...
+    got = {r["id"]: r["amount"] for r in br.read().collect()}
+    assert got[4] == 999.0 and got[100] == 1.0 and 7 not in got
+    # ...main sees nothing
+    main = {r["id"]: r["amount"] for r in table.read().collect()}
+    assert main[4] == 40.0 and 100 not in main and 7 in main
+    assert table.current_version() == 1
+    # shared history below the fork resolves through the branch handle
+    assert br.read(version=1).count() == 12
+
+
+def test_publish_fast_forwards_disjoint_main_progress(spark, table):
+    """Main advances in d0 while the branch mutates d1/d2: publish
+    preserves BOTH (the rebase keeps main's d0 pointer verbatim)."""
+    br = create_branch(spark, table.path, "wap")
+    br.upsert_rows_dv(
+        spark.createDataFrame(
+            [(4, "d1", 999.0)], "id long, ds string, amount double"
+        ),
+        keys=["id"],
+    )
+    br.delete_rows("id = 5")  # d2
+    # disjoint main progress AFTER the fork
+    table.commit_partitions(
+        spark.createDataFrame(
+            [(300, "d0", 7.0)], "id long, ds string, amount double"
+        ),
+        operation="merge",
+    )
+    tip = publish_branch(spark, table.path, "wap")
+    assert tip == table.current_version()
+    got = {r["id"]: r["amount"] for r in table.read().collect()}
+    assert got[4] == 999.0        # branch update landed
+    assert 5 not in got           # branch DV delete landed
+    assert got[300] == 7.0        # main's disjoint progress preserved
+    # registration dropped; the replayed records carry provenance
+    assert registered_branches(table) == []
+    assert table.latest_record()["branch_published_from"] == "wap"
+
+
+def test_publish_refuses_overlapping_main_progress(spark, table):
+    br = create_branch(spark, table.path, "conflicted")
+    br.upsert_rows_dv(
+        spark.createDataFrame(
+            [(4, "d1", 999.0)], "id long, ds string, amount double"
+        ),
+        keys=["id"],
+    )
+    # main touches the SAME partition after the fork
+    table.commit_partitions(
+        spark.createDataFrame(
+            [(400, "d1", 8.0)], "id long, ds string, amount double"
+        ),
+        operation="merge",
+    )
+    with pytest.raises(ConcurrentWriteError, match="d1"):
+        publish_branch(spark, table.path, "conflicted")
+    # nothing half-published; the branch is still live for re-fork
+    assert registered_branches(table)[0]["name"] == "conflicted"
+    assert "branch_published_from" not in table.latest_record()
+
+
+def test_publish_refuses_untouchable_commits(spark, table):
+    br = create_branch(spark, table.path, "meta")
+    br.add_check_constraint("amt_pos", "amount >= 0")  # no touched set
+    with pytest.raises(ConcurrentWriteError, match="touched"):
+        publish_branch(spark, table.path, "meta")
+
+
+def test_vacuum_keeps_live_branch_files(spark, table):
+    """Aggressive main vacuum must not collect the files a live
+    branch's commits reference; after drop_branch they age out."""
+    br = create_branch(spark, table.path, "pinned")
+    br.commit_partitions(
+        spark.createDataFrame(
+            [(500, "d1", 5.0)], "id long, ds string, amount double"
+        ),
+        operation="merge",
+    )
+    # advance main so the vacuum window moves past the fork era
+    for i in range(3):
+        table.commit_partitions(
+            spark.createDataFrame(
+                [(600 + i, "d0", 6.0)], "id long, ds string, amount double"
+            ),
+            operation="merge",
+        )
+    table.vacuum(keep_last=1, min_age_seconds=0.0)
+    # the branch still reads completely (its d1 rewrite + inherited d2)
+    got = {r["id"] for r in br.read().collect()}
+    assert 500 in got
+    # after dropping, a fresh vacuum may reclaim the branch's root
+    drop_branch(spark, table.path, "pinned")
+    removed = table.vacuum(keep_last=1, min_age_seconds=0.0)
+    assert removed  # something branch-only (or superseded) went
+
+
+def test_branch_constraints_and_append_compose(spark, table):
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    table.add_check_constraint("amt_pos", "amount >= 0")
+    br = create_branch(spark, table.path, "gated")
+    # the branch inherits the fork-era constraint set
+    bad = spark.createDataFrame(
+        [(700, "d0", -1.0)], "id long, ds string, amount double"
+    )
+    with pytest.raises(ConstraintViolation):
+        br.append_rows(bad)
+    ok = spark.createDataFrame(
+        [(700, "d0", 1.0)], "id long, ds string, amount double"
+    )
+    br.append_rows(ok)
+    tip = publish_branch(spark, table.path, "gated")
+    assert table.read(version=tip).filter("id = 700").count() == 1
+    # main's constraint survived the publish (sticky carry on replay)
+    assert table.check_constraints() == {"amt_pos": "amount >= 0"}
+
+
+def test_branch_hygiene(spark, table):
+    with pytest.raises(ValueError, match="identifier"):
+        create_branch(spark, table.path, "no spaces!")
+    create_branch(spark, table.path, "dup")
+    with pytest.raises(FileExistsError):
+        create_branch(spark, table.path, "dup")
+    with pytest.raises(FileNotFoundError):
+        open_branch(spark, table.path, "never")
+    with pytest.raises(ValueError, match="fork"):
+        create_branch(spark, table.path, "deep", at_version=99)
+    # publishing an empty branch is a no-op fast-forward
+    v = table.current_version()
+    assert publish_branch(spark, table.path, "dup") == v
+
+
+def test_branch_on_hidden_partitioned_table(spark, tmp_path):
+    import datetime as dt
+
+    from etl_reporting_spark.operators.transforms import (
+        HiddenPartitionedWapTable,
+        create_hidden_partitioned_wap_table,
+    )
+
+    rows = [
+        (i, dt.date(2026, 1 + (i % 3), 5), float(i)) for i in range(1, 10)
+    ]
+    t = create_hidden_partitioned_wap_table(
+        spark,
+        str(tmp_path / "hid"),
+        spark.createDataFrame(rows, "id int, ds date, amt double"),
+        ["months(ds)"],
+    )
+    br = create_branch(spark, t.path, "hb")
+    assert isinstance(br, HiddenPartitionedWapTable)
+    br.upsert_rows_dv(
+        spark.createDataFrame(
+            [(99, dt.date(2026, 2, 10), 9.0)], "id int, ds date, amt double"
+        ),
+        keys=["id"],
+    )
+    assert t.read().filter("id = 99").count() == 0  # invisible on main
+    publish_branch(spark, t.path, "hb")
+    assert t.read().filter("id = 99").count() == 1
+    # published rows stay prunable through the spec
+    assert t.read_pruned("ds", eq=dt.date(2026, 2, 10)).filter(
+        "id = 99"
+    ).count() == 1
