@@ -96,18 +96,9 @@ def _branch_reg_key(name: str) -> str:
 def registered_branches(table: WapTable) -> list[dict]:
     """Live branch registrations — ``{"name", "fork_version",
     "created_at"}`` each. Purely metadata (one LIST + small GETs)."""
-    out: list[dict] = []
-    for k in table.fs.list_prefix("_branches"):
-        if not k.endswith(".json"):
-            continue
-        payload = table.fs.read_key(k)
-        if payload is None:
-            continue
-        try:
-            out.append(json.loads(payload))
-        except ValueError:
-            continue
-    return sorted(out, key=lambda r: r.get("name", ""))
+    from etl_reporting_spark.operators.wap import _read_branch_registrations
+
+    return _read_branch_registrations(table)
 
 
 def create_branch(

@@ -781,16 +781,7 @@ class WapTable:
         log's records past its fork (shared-history pointers at or
         below the fork are already the main log's to keep)."""
         out: list[dict] = []
-        for key in self.fs.list_prefix("_branches"):
-            if not key.endswith(".json"):
-                continue
-            payload = self.fs.read_key(key)
-            if payload is None:
-                continue
-            try:
-                reg = json.loads(payload)
-            except ValueError:
-                continue
+        for reg in _read_branch_registrations(self):
             name = reg.get("name")
             fork = int(reg.get("fork_version") or 0)
             if not name:
@@ -4023,7 +4014,30 @@ def describe_table(table: WapTable, version: int | None = None) -> dict:
             {"path": c.get("dst_path"), "pins_version": c.get("src_version")}
             for c in clones
         ]
+    branches = [
+        {"name": b.get("name"), "fork_version": b.get("fork_version")}
+        for b in _read_branch_registrations(table)
+    ]
+    if branches:
+        out["branches"] = branches
     return out
+
+
+def _read_branch_registrations(table: WapTable) -> list[dict]:
+    """Raw ``_branches/`` registrations (operators/branches.py owns
+    the lifecycle; this is the read-only view describe needs)."""
+    out: list[dict] = []
+    for k in table.fs.list_prefix("_branches"):
+        if not k.endswith(".json"):
+            continue
+        payload = table.fs.read_key(k)
+        if payload is None:
+            continue
+        try:
+            out.append(json.loads(payload))
+        except ValueError:
+            continue
+    return sorted(out, key=lambda r: r.get("name", ""))
 
 
 def register_wap_view(
