@@ -1968,15 +1968,18 @@ class PartitionedWapTable(WapTable):
             self.fs.delete_prefix(root)
             raise
 
+        if not written_keys:
+            # empty batch: appending nothing is a no-op, not a commit
+            self.fs.delete_prefix(root)
+            return base
+
         our_file_stats = (
             self._file_slice_stats(back, stats_cols, root)
-            if stats_cols and written_keys
+            if stats_cols
             else {}
         )
         our_slice_stats = (
-            self._slice_stats(back, stats_cols)
-            if stats_cols and written_keys
-            else {}
+            self._slice_stats(back, stats_cols) if stats_cols else {}
         )
         schema_json = df.schema.jsonValue()
         touched = sorted(new_by_part)

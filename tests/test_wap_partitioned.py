@@ -1097,3 +1097,12 @@ def test_append_enforces_constraints(spark, tmp_path, fact_df):
     with pytest.raises(ConstraintViolation):
         t.append_rows(bad)
     assert t.current_version() == v
+
+
+def test_append_empty_batch_is_a_noop(spark, tmp_path, fact_df):
+    t = _ptable(spark, tmp_path, fact_df)
+    v = t.current_version()
+    empty = spark.createDataFrame([], "id long, ds string, amount double")
+    assert t.append_rows(empty) == v
+    assert t.current_version() == v
+    assert len(_data_roots(t.path)) == 1  # the probe root was cleaned
