@@ -45,6 +45,15 @@ inherited by every subsequent commit through the centralized sticky-
 key carry in ``WapTable._publish`` — a maintenance compaction or a
 DV delete cannot shed it. ``open_wap_table`` re-hydrates a
 :class:`HiddenPartitionedWapTable` whenever the record carries a spec.
+
+The spec is FIXED at table creation — deliberately. Iceberg-style
+spec EVOLUTION (changing ``months`` to ``days`` mid-life) leaves old
+partitions under the old layout, which makes pruning era-aware and —
+the dangerous half — makes every upsert's partition pruning blind to
+matching rows living in old-era partitions (silent duplicates).
+Supporting it honestly needs residual-filter reads and full-scan
+merges across eras; until then, re-spec = rewrite into a new table,
+and this docstring is the named refusal rather than a latent bug.
 """
 
 from __future__ import annotations
