@@ -249,6 +249,13 @@ def estimated_bytes(stats: dict, cols: Sequence[str] | None = None) -> int:
     Width = fixed type widths + avg_len for strings + 8 bytes row
     overhead. An estimate for planning, not accounting."""
     columns = stats["columns"]
+    if not columns:
+        raise ValueError(
+            "no column statistics (key-shape stats only) — run "
+            "collect_table_stats before asking for a size estimate; a "
+            "silent rows×overhead guess would make join_advice call "
+            "everything broadcastable"
+        )
     names = list(cols) if cols is not None else list(columns)
     width = 8.0
     for c in names:

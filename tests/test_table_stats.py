@@ -284,3 +284,14 @@ def test_overlap_ndv_from_sketches_alone(spark, tmp_path):
     collect_table_stats(d)
     ov2 = overlap_ndv(table_stats(a), table_stats(d), "k", spark)
     assert ov2["intersection"] < 0.05 * 2000
+
+
+def test_estimated_bytes_refuses_key_stats_only_tables(spark, tmp_path):
+    from etl_reporting_spark.operators.stats import estimated_bytes
+
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _facts(spark), ["grp"]
+    )
+    collect_key_stats(t, ["k"])
+    with pytest.raises(ValueError, match="no column statistics"):
+        estimated_bytes(table_stats(t))
