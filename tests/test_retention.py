@@ -191,3 +191,26 @@ def test_manifest_is_consumable_by_duckdb(
         for r in t.read().groupBy("region").agg(F.count("*").alias("n")).collect()
     }
     assert {int(k): v for k, v in by_region.items()} == sp_by
+
+
+def test_purge_on_hidden_partitioned_table(spark, tmp_path):
+    import datetime as dt
+
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+
+    rows = [
+        (i, dt.date(2026, 1 + (i % 3), 2), f"user_{i}") for i in range(1, 31)
+    ]
+    t = create_hidden_partitioned_wap_table(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(rows, "uid int, ds date, email string"),
+        ["months(ds)"],
+    )
+    report = purge_rows(t, "uid % 5 = 0", erase_history=True)
+    assert report.rows_purged == 6 and report.verified
+    assert t.read().filter("uid % 5 = 0").count() == 0
+    # layout intact: spec survived, pruning still works
+    assert t.prune("ds", eq=dt.date(2026, 2, 2)) == ["_p_ds_months=2026-02"]
