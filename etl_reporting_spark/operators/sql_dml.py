@@ -1160,6 +1160,9 @@ _DDL_HEAD = re.compile(
 _ADD_CONSTRAINT = re.compile(
     r"(?is)^\s*ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$"
 )
+_BRANCH_VERB = re.compile(
+    r"(?is)^\s*(?P<verb>CREATE|DROP|PUBLISH)\s+BRANCH\s+(?P<name>[\w-]+)\s*$"
+)
 _DROP_CONSTRAINT = re.compile(r"(?is)^\s*DROP\s+CONSTRAINT\s+(?P<name>\w+)\s*$")
 _ADD_COLUMNS = re.compile(r"(?is)^\s*ADD\s+COLUMNS?\s+(?P<body>.+)$")
 _DROP_COLUMNS = re.compile(r"(?is)^\s*DROP\s+COLUMNS?\s+(?P<body>[\w\s,]+)$")
@@ -1252,6 +1255,43 @@ def execute_ddl(
         _repin_view(spark, name)
         return out
 
+    bm = _BRANCH_VERB.match(rest)
+    if bm:
+        # Iceberg's branch DDL verbs (ALTER TABLE t CREATE/DROP BRANCH
+        # b; PUBLISH is this engine's fast-forward spelling) — the
+        # staging-then-swap pattern as statement text
+        from etl_reporting_spark.operators.branches import (
+            create_branch,
+            drop_branch,
+            publish_branch,
+        )
+
+        verb, bname = bm.group("verb").upper(), bm.group("name")
+        if verb == "CREATE":
+            create_branch(spark, table.path, bname, storage=table.fs)
+            return {
+                "operation": "create_branch",
+                "target": name,
+                "branch": bname,
+            }
+        if verb == "DROP":
+            existed = drop_branch(spark, table.path, bname, storage=table.fs)
+            if not existed:
+                raise SqlDmlError(f"no branch {bname!r} on {name}")
+            return {
+                "operation": "drop_branch",
+                "target": name,
+                "branch": bname,
+            }
+        version = publish_branch(spark, table.path, bname, storage=table.fs)
+        _repin_view(spark, name)
+        return {
+            "operation": "publish_branch",
+            "target": name,
+            "branch": bname,
+            "version": version,
+        }
+
     for pat, run in (
         (
             _ADD_CONSTRAINT,
@@ -1299,7 +1339,7 @@ def execute_ddl(
     raise SqlDmlError(
         f"unsupported ALTER TABLE form: {rest.strip()[:60]!r} — supported: "
         "ADD/DROP CONSTRAINT, ADD/DROP COLUMN[S], ALTER COLUMN <c> TYPE "
-        "<t> (lossless widen)"
+        "<t> (lossless widen), CREATE/DROP/PUBLISH BRANCH <name>"
     )
 
 

@@ -797,3 +797,38 @@ def test_insert_respects_constraints(spark, fact):
             "(700, '2026-01-01', -1.0, 'bad')",
         )
     assert fact.current_version() == v
+
+
+def test_branch_lifecycle_via_ddl_text(spark, fact):
+    """ALTER TABLE ... CREATE/PUBLISH/DROP BRANCH as statement text:
+    stage a MERGE on the branch (handle passed via tables=), publish,
+    and the registered main view re-pins to the merged state."""
+    from etl_reporting_spark.operators.branches import open_branch
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+
+    out = execute_ddl(spark, "ALTER TABLE fact_sql CREATE BRANCH stage")
+    assert out["operation"] == "create_branch"
+    br = open_branch(spark, fact.path, "stage")
+    spark.createDataFrame(
+        [(4, "2026-01-02", 777.0, "staged")],
+        "id long, ds string, amount double, status string",
+    ).createOrReplaceTempView("stage_src")
+    execute_dml(
+        spark,
+        """MERGE INTO staged_fact AS t USING stage_src AS s
+           ON t.id = s.id AND t.ds = s.ds
+           WHEN MATCHED THEN UPDATE SET amount = s.amount, status = s.status""",
+        tables={"staged_fact": br},
+    )
+    # invisible on main until publish
+    assert fact.read().filter("amount = 777.0").count() == 0
+    out = execute_ddl(spark, "ALTER TABLE fact_sql PUBLISH BRANCH stage")
+    assert out["operation"] == "publish_branch"
+    assert fact.read().filter("amount = 777.0").count() == 1
+    # the re-pinned registered view sees the published state
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM fact_sql WHERE status = 'staged'")
+        .first()["n"] == 1
+    )
+    with pytest.raises(SqlDmlError, match="no branch"):
+        execute_ddl(spark, "ALTER TABLE fact_sql DROP BRANCH never_made")
