@@ -1493,3 +1493,29 @@ FROM base
 WHERE NOT (bucket = 0 AND c_custkey % 7 = 0)
 ORDER BY c_custkey
 """
+
+ORACLE_SQL["wap_schema_widen"] = """
+-- Twin of the widened table: narrow-era rows coerced to the wide
+-- committed schema plus the one row only the wide types can hold.
+SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS bal
+FROM customer WHERE c_custkey <= 300
+UNION ALL
+SELECT CAST(1099511627776 AS BIGINT), 'MACHINERY',
+       CAST(123456789.12 AS DECIMAL(18,2))
+ORDER BY custkey
+"""
+
+ORACLE_SQL["wap_manifest_roundtrip"] = """
+-- Twin of the manifest-consumed snapshot: the post-delete selection.
+-- A manifest missing a live file or leaking a superseded one
+-- diverges here immediately.
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         AS sum_price
+FROM part
+WHERE p_partkey <= 1000 AND p_partkey % 3 <> 0
+GROUP BY p_brand
+ORDER BY p_brand
+"""

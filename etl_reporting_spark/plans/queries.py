@@ -1704,6 +1704,97 @@ def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wap_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless type widening as a metadata-only commit (round-11):
+    the table is created NARROW (int key, DECIMAL(12,2) balance),
+    ``alter_schema(widen=...)`` promotes to long / DECIMAL(18,2)
+    touching zero files, and an appended row that only fits the WIDE
+    types (key 2^40) lands beside the narrow files — one read returns
+    both eras coerced to the committed schema. Oracle: the base
+    selection cast to the wide types plus the appended row.
+
+    Scale: widening a 100 TB fact is one commit-record write; the
+    per-root scans coerce and the final cast restores — the
+    alternative (rewrite to change int→long) moves 100 TB to change
+    a schema byte."""
+    import tempfile
+
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    base = customer.filter(F.col("c_custkey") <= 300).select(
+        F.col("c_custkey").cast("int").alias("custkey"),
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    path = tempfile.mkdtemp(prefix="wap_widen_")
+    table = create_partitioned_wap_table(
+        spark, f"{path}/fact", base, ["c_mktsegment"]
+    )
+    table.alter_schema(widen={"custkey": "long", "bal": "decimal(18,2)"})
+    wide = spark.createDataFrame(
+        [(2**40, "MACHINERY", "123456789.12")],
+        "custkey long, c_mktsegment string, bal string",
+    ).select(
+        "custkey", "c_mktsegment", F.col("bal").cast("decimal(18,2)").alias("bal")
+    )
+    table.append_rows(wide)
+    return table.read().select("custkey", "c_mktsegment", "bal").orderBy(
+        "custkey"
+    )
+
+
+def wap_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot manifest export proven by consumption (round-11): the
+    table takes a DV delete, compacts (masks cleared — the state a
+    manifest REQUIRES; a masked snapshot refuses to export because a
+    raw-parquet reader would resurrect deleted rows), exports the
+    file list, and the gate aggregates BY READING EXACTLY THOSE FILES
+    — not the table API. Oracle: the post-delete selection
+    relationally; a manifest missing a file or leaking a superseded
+    one diverges immediately.
+
+    Scale: the manifest is one partition-map iteration + one LIST per
+    partition; external engines (Trino/DuckDB — see the DuckDB-driven
+    pytest) then read a consistent pinned 100 TB snapshot without
+    speaking the commit protocol."""
+    import tempfile
+
+    from etl_reporting_spark.operators.retention import (
+        export_snapshot_manifest,
+    )
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        optimize_partitions,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    base = part.filter(F.col("p_partkey") <= 1000).select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+    )
+    path = tempfile.mkdtemp(prefix="wap_manifest_")
+    table = create_partitioned_wap_table(
+        spark, f"{path}/fact", base, ["p_brand"]
+    )
+    table.delete_rows("p_partkey % 3 = 0")
+    v = optimize_partitions(table)
+    _, files = export_snapshot_manifest(table, version=v)
+    return (
+        spark.read.option("basePath", table.fs.absolute_url())
+        .parquet(*files)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("price").cast("decimal(18,2)").alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def wap_cdf_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed IVM off a DV-churned WAP table (round-9 brief #5): a
     partitioned fact takes four commits — CREATE (keys ≤ 150, balances
@@ -2445,6 +2536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a12_percentiles": a12_percentiles,
     "wap_insert_sql": wap_insert_sql,
     "wap_branch_publish": wap_branch_publish,
+    "wap_schema_widen": wap_schema_widen,
+    "wap_manifest_roundtrip": wap_manifest_roundtrip,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "mm_decode_real",
         "ann_recall_sweep",

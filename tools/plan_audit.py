@@ -201,6 +201,10 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # round-11: publish is metadata replay; the returned frame is one
     # snapshot read + the presentation sort
     "wap_branch_publish": 1,
+    # round-11: coerced-era read + presentation sort
+    "wap_schema_widen": 1,
+    # round-11: manifest-file scan -> one aggregate exchange + sort
+    "wap_manifest_roundtrip": 2,
     # round-7: the FULL registry is budgeted (verdict #5 asked >=60;
     # this pins all remaining gates) - measured cold at sf0.001,
     # SPARK_GRAFT_SHUFFLE=4, one session in registry order (the same
