@@ -1153,9 +1153,13 @@ def execute_dml_script(
 #         [FOR KEYS <a>, <b>]                              -- skew triad
 
 _DDL_HEAD = re.compile(
-    r"(?is)^\s*(?:(ALTER)|(ANALYZE)|(DESCRIBE))\s+TABLE\s+"
-    r"(?P<target>[\w./-]+)"
+    r"(?is)^\s*(?:(?:(ALTER)|(ANALYZE)|(DESCRIBE))\s+TABLE"
+    r"|(OPTIMIZE)|(VACUUM))\s+(?P<target>[\w./-]+)"
 )
+_OPTIMIZE_TAIL = re.compile(
+    r"(?is)^\s*(?:ZORDER\s+BY\s*\((?P<zcols>[\w\s,]+)\))?\s*$"
+)
+_VACUUM_TAIL = re.compile(r"(?is)^\s*(?:RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*$")
 
 _ADD_CONSTRAINT = re.compile(
     r"(?is)^\s*ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$"
@@ -1178,12 +1182,13 @@ _ANALYZE_TAIL = re.compile(
 
 def statement_ddl_target(sql: str) -> tuple[str, str] | None:
     """``(operation, target_name)`` when the statement text is
-    DDL-shaped (ALTER TABLE / ANALYZE TABLE), else None — the script
-    runner's routing sniff, mirror of :func:`statement_dml_target`."""
+    DDL-shaped (ALTER/ANALYZE/DESCRIBE TABLE, OPTIMIZE, VACUUM), else
+    None — the script runner's routing sniff, mirror of
+    :func:`statement_dml_target`."""
     m = _DDL_HEAD.match(_strip_comments(sql))
     if not m:
         return None
-    op = next(g for g in m.groups()[:3] if g)
+    op = next(g for g in m.groups()[:5] if g)
     return op.upper(), m.group("target")
 
 
@@ -1212,10 +1217,49 @@ def execute_ddl(
             f"not a DDL statement (ALTER TABLE / ANALYZE TABLE): "
             f"{text[:60]!r}"
         )
-    op = "ALTER" if head.group(1) else ("ANALYZE" if head.group(2) else "DESCRIBE")
+    op = next(g for g in head.groups()[:5] if g).upper()
     name = head.group("target")
     table = _resolve_target(name, tables, spark)
     rest = text[head.end():]
+
+    if op == "OPTIMIZE":
+        # Delta's maintenance verb: compact every partition (optionally
+        # Z-ORDER clustered); cost ∝ rewritten partitions, same commit
+        # protocol as every write (readers flip atomically)
+        m = _OPTIMIZE_TAIL.match(rest)
+        if not m:
+            raise SqlDmlError(
+                f"unsupported OPTIMIZE form: {rest.strip()[:40]!r} — "
+                "supported: OPTIMIZE <t> [ZORDER BY (a, b)]"
+            )
+        from etl_reporting_spark.operators.wap import optimize_partitions
+
+        zcols = _names_list(m.group("zcols")) if m.group("zcols") else None
+        version = optimize_partitions(
+            table,
+            cluster_by=zcols,
+            zorder=bool(zcols and len(zcols) > 1),
+        )
+        _repin_view(spark, name)
+        out = {"operation": "optimize", "target": name, "version": version}
+        if zcols:
+            out["zorder"] = zcols
+        return out
+
+    if op == "VACUUM":
+        m = _VACUUM_TAIL.match(rest)
+        if not m:
+            raise SqlDmlError(
+                f"unsupported VACUUM form: {rest.strip()[:40]!r} — "
+                "supported: VACUUM <t> [RETAIN <n> VERSIONS]"
+            )
+        keep = int(m.group("keep")) if m.group("keep") else 2
+        removed = table.vacuum(keep_last=keep)
+        return {
+            "operation": "vacuum",
+            "target": name,
+            "removed": len(removed),
+        }
 
     if op == "DESCRIBE":
         if rest.strip():

@@ -832,3 +832,31 @@ def test_branch_lifecycle_via_ddl_text(spark, fact):
     )
     with pytest.raises(SqlDmlError, match="no branch"):
         execute_ddl(spark, "ALTER TABLE fact_sql DROP BRANCH never_made")
+
+
+def test_optimize_and_vacuum_ddl_text(spark, fact):
+    """Delta's maintenance verbs as text: OPTIMIZE compacts (clearing
+    DV masks) and VACUUM RETAIN bounds history — both through the
+    registry dispatch, with the view re-pinned after OPTIMIZE."""
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+
+    execute_dml(spark, "DELETE FROM fact_sql WHERE id = 3")
+    assert fact._commit_record(fact.current_version()).get("delete_vectors")
+    out = execute_ddl(spark, "OPTIMIZE fact_sql")
+    assert out["operation"] == "optimize"
+    assert not fact._commit_record(out["version"]).get("delete_vectors")
+    assert spark.sql("SELECT COUNT(*) AS n FROM fact_sql").first()["n"] == 11
+    out = execute_ddl(spark, "VACUUM fact_sql RETAIN 1 VERSIONS")
+    assert out["operation"] == "vacuum"
+    # superseded roots younger than the safety horizon are kept — the
+    # count is environment-dependent; the verb routing is what's pinned
+    with pytest.raises(SqlDmlError, match="unsupported OPTIMIZE"):
+        execute_ddl(spark, "OPTIMIZE fact_sql WHERE ds = 'x'")
+
+
+def test_optimize_zorder_ddl_text(spark, fact):
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+
+    out = execute_ddl(spark, "OPTIMIZE fact_sql ZORDER BY (id, amount)")
+    assert out["operation"] == "optimize" and out["zorder"] == ["id", "amount"]
+    assert fact.read().count() == 12
