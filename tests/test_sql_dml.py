@@ -860,3 +860,44 @@ def test_optimize_zorder_ddl_text(spark, fact):
     out = execute_ddl(spark, "OPTIMIZE fact_sql ZORDER BY (id, amount)")
     assert out["operation"] == "optimize" and out["zorder"] == ["id", "amount"]
     assert fact.read().count() == 12
+
+
+def test_full_width_script_through_one_engine_call(spark, fact):
+    """The widest reference-script shape in ONE
+    execute_multiple_statements call: SET, INSERT, constraint DDL,
+    MERGE, OPTIMIZE, ANALYZE, and the final SELECT — every statement
+    dispatched by shape, the registered view re-pinned after each
+    mutation, the last result returned."""
+    from etl_reporting_spark.io import Engine
+    from etl_reporting_spark.operators.stats import table_stats
+
+    spark.createDataFrame(
+        [(2, "2026-01-03", 555.0, "merged")],
+        "id long, ds string, amount double, status string",
+    ).createOrReplaceTempView("script_delta")
+    eng = Engine(spark)
+    rows = eng.execute_multiple_statements(
+        [
+            "SET $FLOOR = 0",
+            "INSERT INTO fact_sql (id, ds, amount, status) VALUES "
+            "(800, '2026-01-01', 8.0, 'inserted')",
+            "ALTER TABLE fact_sql ADD CONSTRAINT floor_ok "
+            "CHECK (amount >= $FLOOR)",
+            """MERGE INTO fact_sql AS t USING script_delta AS s
+               ON t.id = s.id AND t.ds = s.ds
+               WHEN MATCHED THEN UPDATE SET amount = s.amount,
+                                            status = s.status""",
+            "OPTIMIZE fact_sql",
+            "ANALYZE TABLE fact_sql COMPUTE STATISTICS FOR COLUMNS amount",
+            "SELECT status, COUNT(*) AS n FROM fact_sql "
+            "GROUP BY status ORDER BY status",
+        ],
+        lazy=False,
+    )
+    got = {r["status"]: r["n"] for r in rows}
+    assert got == {"inserted": 1, "merged": 1, "open": 11}
+    assert "floor_ok" in fact.check_constraints()
+    assert table_stats(fact)["row_count"] == 13
+    # OPTIMIZE consolidated the post-INSERT file-granular pointers
+    rec = fact._commit_record(fact.current_version())
+    assert rec.get("table_stats")
