@@ -53,10 +53,23 @@ def _client_params():
         # paginator protocol) — the adapter's mapping logic runs in
         # CI even though no bucket exists here
         params.append("s3-fake")
+        # …and against a REAL SOCKET (round-12): the full botocore
+        # HTTP stack — SigV4, 100-continue, paginator round-trips,
+        # XML error parsing — hits tools/localhost_s3.py's endpoint,
+        # so the CAS-contention race runs through genuine TCP
+        params.append("s3-localhost")
     bucket = os.environ.get("WAP_CONFORMANCE_S3_BUCKET")
     if bucket and _boto3_available():
         params.append("s3")
     return params
+
+
+@pytest.fixture(scope="module")
+def s3_localhost_server():
+    from tools.localhost_s3 import LocalhostS3Server
+
+    with LocalhostS3Server() as srv:
+        yield srv
 
 
 @pytest.fixture(params=_client_params())
@@ -73,6 +86,21 @@ def client(request, tmp_path):
 
         return S3ObjectStoreClient(
             "conformance-bucket", prefix="tables/t1", client=InMemoryS3Client()
+        )
+    if request.param == "s3-localhost":
+        import uuid
+
+        from etl_reporting_spark.operators.object_store_adapters import (
+            S3ObjectStoreClient,
+        )
+
+        srv = request.getfixturevalue("s3_localhost_server")
+        # unique prefix per test: the module-scoped server's key space
+        # persists, exactly like a real bucket between suite runs
+        return S3ObjectStoreClient(
+            "conformance-bucket",
+            prefix=f"tables/{uuid.uuid4().hex}",
+            client=srv.client(),
         )
     if request.param == "s3":
         import uuid
