@@ -1,0 +1,427 @@
+"""Incremental DQ battery — watermark-sliced checks over a growing
+fact, with mergeable running state (round-12; VERDICT round-11 "Next"
+#6).
+
+The batch battery (`plans/queries.dq_battery`) re-scans the full table
+every run; the reference's DMF cadence is 3×/day over a growing fact
+(reference sql/new_rfb_and_total_claimants_active/
+setup_dmf_data_quality.sql:46-47), which at 100 TB means the check
+cost must be ∝ the new slice, never the history. Every check here has
+an EXACT mergeable form — the verdict over state equals the batch
+verdict over the union of all slices, bit-for-bit (the gate
+hash-proves it against a full-table oracle):
+
+===========  ===========================  ============================
+kind         per-slice partial            running state / verdict
+===========  ===========================  ============================
+row          COUNT of rows failing the    one counter per check —
+             predicate (one fused scan    merge = sum; failed_rows =
+             of the slice)                the counter
+duplicate    COUNT per (trimmed, null-    one row per KEY seen (the
+             sentineled) key              IVM of groupBy-count);
+                                          merge = sum per key;
+                                          failed_rows = keys with
+                                          n > 1 — catches duplicates
+                                          whose copies arrived in
+                                          DIFFERENT slices, the case
+                                          a per-slice battery
+                                          structurally misses
+orphan       COUNT of slice rows with no  one counter — merge = sum.
+             match in the DIM (one semi-  Contract: the dimension is
+             shaped anti join vs the      the full current dim (dims
+             full dim)                    are lookup-sized); a fact
+                                          row is judged at ingest
+metric       partial_aggregate of the     merged partials → exact
+             value column (count /        count, DECIMAL-exact sum
+             DECIMAL sum / sumsq / min /  and sumsq, min, max →
+             max — associative, order-    finalize_stats mean/stddev;
+             independent)                 failed_rows = # of bound
+                                          violations (DMF-style fixed
+                                          expectations, the
+                                          reference's DMF shape)
+===========  ===========================  ============================
+
+Deliberately NOT offered: data-derived outlier counts (batch
+DQ-007's 3σ rule) — a new slice moves σ, which retroactively changes
+old rows' outlier status; exact maintenance would re-scan history.
+The DMF-style fixed-bound metric check is the incremental-honest
+spelling (and the reference's own).
+
+State is a partitioned WAP table (one partition per check), so each
+increment is one ATOMIC commit carrying the updated state and the
+caller's watermarks — a crashed run leaves the previous state +
+watermark intact, and re-processing the same slice is a clean retry,
+not double-counting. Update cost ∝ |state| (keys × checks, narrow
+rows) + |slice|; verdicts read ONLY the state — no fact table appears
+in the verdict plan (plan-audited by the gate's budget).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.table_storage import TableStorage
+from etl_reporting_spark.operators.wap import PartitionedWapTable
+
+#: generic state row: every check's partials normalize to this shape
+_STATE_SCHEMA = (
+    "check_id string, kind string, k string, p_cnt long, "
+    "p_sum decimal(38,4), p_min decimal(38,4), p_max decimal(38,4), "
+    "p_sumsq decimal(38,4), lo double, hi double, "
+    "min_lo double, max_hi double"
+)
+
+_NULL_KEY = "__NULL__"
+
+
+def _pad(df: DataFrame) -> DataFrame:
+    """Normalize a partial frame to the full state schema (absent
+    measures NULL-fill; decimal casts pin the union types)."""
+    cols = {
+        "p_cnt": "long",
+        "p_sum": "decimal(38,4)",
+        "p_min": "decimal(38,4)",
+        "p_max": "decimal(38,4)",
+        "p_sumsq": "decimal(38,4)",
+        "lo": "double",
+        "hi": "double",
+        "min_lo": "double",
+        "max_hi": "double",
+    }
+    out = []
+    for name in ("check_id", "kind", "k"):
+        out.append(F.col(name).cast("string").alias(name))
+    for name, t in cols.items():
+        out.append(
+            (F.col(name) if name in df.columns else F.lit(None))
+            .cast(t)
+            .alias(name)
+        )
+    return df.select(*out)
+
+
+class IncrementalDQBattery:
+    """Registered checks + a WAP-backed running state. Register the
+    same checks in every process (the registration is code, the state
+    is data); feed each watermark slice once via
+    :meth:`process_increment`; read :meth:`verdicts` any time —
+    state-only, no fact scan."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        storage: TableStorage | None = None,
+    ) -> None:
+        self.spark = spark
+        self.state = PartitionedWapTable(
+            spark, state_path, ["check_id"], storage=storage
+        )
+        self._checks: list[dict] = []
+
+    # ------------------------------------------------- registration
+    def add_row_check(
+        self, check_id: str, table: str, condition: Column | str
+    ) -> "IncrementalDQBattery":
+        """failed_rows = running count of slice rows where
+        ``condition`` is TRUE (three-valued: NULL is not a failure —
+        register an explicit isNull() check when it should be)."""
+        self._checks.append(
+            {"id": check_id, "kind": "row", "table": table, "cond": condition}
+        )
+        return self
+
+    def add_duplicate_check(
+        self, check_id: str, table: str, keys: Sequence[str]
+    ) -> "IncrementalDQBattery":
+        """failed_rows = running count of key values seen more than
+        once ACROSS ALL slices (TRIM-normalized like the batch
+        unique_check; NULL keys sentineled so they group)."""
+        self._checks.append(
+            {
+                "id": check_id,
+                "kind": "duplicate",
+                "table": table,
+                "keys": list(keys),
+            }
+        )
+        return self
+
+    def add_orphan_check(
+        self, check_id: str, table: str, fk: str, dim: str, pk: str
+    ) -> "IncrementalDQBattery":
+        """failed_rows = running count of slice rows whose ``fk`` has
+        no match in dimension ``dim``.``pk`` (the dim passed full to
+        each :meth:`process_increment` — judged at ingest)."""
+        self._checks.append(
+            {
+                "id": check_id,
+                "kind": "orphan",
+                "table": table,
+                "fk": fk,
+                "dim": dim,
+                "pk": pk,
+            }
+        )
+        return self
+
+    def add_metric_check(
+        self,
+        check_id: str,
+        table: str,
+        column: str,
+        *,
+        mean_between: tuple[float, float] | None = None,
+        min_at_least: float | None = None,
+        max_at_most: float | None = None,
+    ) -> "IncrementalDQBattery":
+        """DMF-style fixed-bound expectations over EXACT merged
+        stats; failed_rows = number of violated bounds (0 = PASS)."""
+        self._checks.append(
+            {
+                "id": check_id,
+                "kind": "metric",
+                "table": table,
+                "column": column,
+                "mean_between": mean_between,
+                "min_at_least": min_at_least,
+                "max_at_most": max_at_most,
+            }
+        )
+        return self
+
+    # ---------------------------------------------------- increment
+    def _slice_partials(
+        self, slices: dict[str, DataFrame], dims: dict[str, DataFrame]
+    ) -> DataFrame | None:
+        frames: list[DataFrame] = []
+        for c in self._checks:
+            sl = slices.get(c["table"])
+            if sl is None:
+                continue
+            cid, kind = F.lit(c["id"]), F.lit(c["kind"])
+            if c["kind"] == "row":
+                cond = c["cond"]
+                cond = F.expr(cond) if isinstance(cond, str) else cond
+                frames.append(
+                    _pad(
+                        sl.agg(
+                            F.count(F.when(cond, F.lit(1))).alias("p_cnt")
+                        ).select(
+                            cid.alias("check_id"),
+                            kind.alias("kind"),
+                            F.lit("_").alias("k"),
+                            "p_cnt",
+                        )
+                    )
+                )
+            elif c["kind"] == "duplicate":
+                key = F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(
+                            F.trim(F.col(k).cast("string")),
+                            F.lit(_NULL_KEY),
+                        )
+                        for k in c["keys"]
+                    ],
+                )
+                frames.append(
+                    _pad(
+                        sl.select(key.alias("k"))
+                        .groupBy("k")
+                        .agg(F.count(F.lit(1)).alias("p_cnt"))
+                        .select(
+                            cid.alias("check_id"),
+                            kind.alias("kind"),
+                            "k",
+                            "p_cnt",
+                        )
+                    )
+                )
+            elif c["kind"] == "orphan":
+                dim = dims.get(c["dim"])
+                if dim is None:
+                    raise ValueError(
+                        f"orphan check {c['id']!r} needs dims[{c['dim']!r}] "
+                        "passed to process_increment"
+                    )
+                orphans = sl.join(
+                    dim.select(F.col(c["pk"]).alias(c["fk"])).distinct(),
+                    [c["fk"]],
+                    "left_anti",
+                )
+                frames.append(
+                    _pad(
+                        orphans.agg(
+                            F.count(F.lit(1)).alias("p_cnt")
+                        ).select(
+                            cid.alias("check_id"),
+                            kind.alias("kind"),
+                            F.lit("_").alias("k"),
+                            "p_cnt",
+                        )
+                    )
+                )
+            elif c["kind"] == "metric":
+                v = F.col(c["column"]).cast("decimal(38,4)")
+                mb = c["mean_between"] or (None, None)
+                frames.append(
+                    _pad(
+                        sl.agg(
+                            F.count(v).alias("p_cnt"),
+                            F.sum(v).alias("p_sum"),
+                            F.min(v).alias("p_min"),
+                            F.max(v).alias("p_max"),
+                            F.sum(v * v).alias("p_sumsq"),
+                        ).select(
+                            cid.alias("check_id"),
+                            kind.alias("kind"),
+                            F.lit("_").alias("k"),
+                            "p_cnt",
+                            "p_sum",
+                            "p_min",
+                            "p_max",
+                            "p_sumsq",
+                            F.lit(mb[0]).cast("double").alias("lo"),
+                            F.lit(mb[1]).cast("double").alias("hi"),
+                            F.lit(c["min_at_least"])
+                            .cast("double")
+                            .alias("min_lo"),
+                            F.lit(c["max_at_most"])
+                            .cast("double")
+                            .alias("max_hi"),
+                        )
+                    )
+                )
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def process_increment(
+        self,
+        slices: dict[str, DataFrame],
+        dims: dict[str, DataFrame] | None = None,
+        watermarks: dict[str, str] | None = None,
+    ) -> int | None:
+        """Fold one watermark slice per table into the running state:
+        one atomic state commit (replaced partitions = the checks
+        whose tables appear in ``slices``), carrying ``watermarks``
+        in the commit record. Cost ∝ |slice| + |state of touched
+        checks| — the fact's history is never read. Returns the new
+        state version (None when no registered check matched)."""
+        partials = self._slice_partials(slices, dims or {})
+        if partials is None:
+            return None
+        touched = sorted(
+            {
+                f"check_id={c['id']}"
+                for c in self._checks
+                if c["table"] in slices
+            }
+        )
+        if self.state.current_version() == 0:
+            merged = partials
+            self.state.fs.prepare_root()
+        else:
+            existing = self.state.read(
+                partitions=[
+                    k
+                    for k in touched
+                    if k in self.state.partition_map()
+                ]
+            )
+            merged = (
+                existing.unionByName(partials)
+                .groupBy("check_id", "kind", "k")
+                .agg(
+                    F.sum("p_cnt").alias("p_cnt"),
+                    F.sum("p_sum").cast("decimal(38,4)").alias("p_sum"),
+                    F.min("p_min").alias("p_min"),
+                    F.max("p_max").alias("p_max"),
+                    F.sum("p_sumsq").cast("decimal(38,4)").alias("p_sumsq"),
+                    F.max("lo").alias("lo"),
+                    F.max("hi").alias("hi"),
+                    F.max("min_lo").alias("min_lo"),
+                    F.max("max_hi").alias("max_hi"),
+                )
+            )
+        extra = {"dq_watermarks": dict(watermarks or {})}
+        if self.state.current_version() > 0:
+            prev = self.watermarks()
+            prev.update(extra["dq_watermarks"])
+            extra["dq_watermarks"] = prev
+        return self.state.commit_partitions(
+            merged,
+            replace=touched,
+            operation="dq-increment",
+            extra=extra,
+        )
+
+    # ------------------------------------------------------ verdict
+    def watermarks(self) -> dict[str, str]:
+        v = self.state.current_version()
+        if v == 0:
+            return {}
+        return dict(self.state._commit_record(v).get("dq_watermarks") or {})
+
+    def verdicts(self) -> DataFrame:
+        """One (test_id, status, failed_rows) row per registered
+        check — computed from the STATE ONLY (the battery's whole
+        point: no fact table in this plan). failed_rows: row/orphan =
+        the running counter; duplicate = keys with total count > 1;
+        metric = violated bound count over the exact merged stats."""
+        st = self.state.read()
+        scalar = st.filter(F.col("kind").isin("row", "orphan")).select(
+            F.col("check_id").alias("test_id"),
+            F.col("p_cnt").alias("failed_rows"),
+        )
+        dups = (
+            st.filter(F.col("kind") == "duplicate")
+            .groupBy("check_id")
+            .agg(
+                F.count(F.when(F.col("p_cnt") > 1, F.lit(1))).alias(
+                    "failed_rows"
+                )
+            )
+            .select(F.col("check_id").alias("test_id"), "failed_rows")
+        )
+        n = F.col("p_cnt").cast("double")
+        mean = F.col("p_sum").cast("double") / n
+        metric = st.filter(F.col("kind") == "metric").select(
+            F.col("check_id").alias("test_id"),
+            (
+                F.when(
+                    F.col("lo").isNotNull() & (mean < F.col("lo")), 1
+                ).otherwise(0)
+                + F.when(
+                    F.col("hi").isNotNull() & (mean > F.col("hi")), 1
+                ).otherwise(0)
+                + F.when(
+                    F.col("min_lo").isNotNull()
+                    & (F.col("p_min").cast("double") < F.col("min_lo")),
+                    1,
+                ).otherwise(0)
+                + F.when(
+                    F.col("max_hi").isNotNull()
+                    & (F.col("p_max").cast("double") > F.col("max_hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("failed_rows"),
+        )
+        out = scalar.unionByName(dups).unionByName(metric)
+        return out.select(
+            "test_id",
+            F.when(F.col("failed_rows") == 0, "PASS")
+            .otherwise("FAIL")
+            .alias("status"),
+            "failed_rows",
+        ).orderBy("test_id")
