@@ -327,7 +327,14 @@ def publish_branch(
             out["file_stats"] = fstats
         if dvs:
             out["delete_vectors"] = dvs
-        for sticky in ("constraints", "partition_spec", "table_stats"):
+        from etl_reporting_spark.operators.wap import _STICKY_RECORD_KEYS
+
+        # carry every sticky key the protocol knows (the no-touched
+        # refusal above means a branch cannot CHANGE these, but the
+        # canonical tuple keeps this list from drifting as new sticky
+        # keys land — round-12 added partition_spec_history and
+        # prior_names)
+        for sticky in _STICKY_RECORD_KEYS:
             if rec.get(sticky):
                 out[sticky] = rec[sticky]
         main._publish(out)
