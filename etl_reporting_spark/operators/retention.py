@@ -193,6 +193,38 @@ def export_snapshot_manifest(
             "rows. Rewrite the masked partitions (optimize_partitions) "
             "and export that version instead."
         )
+    # same external-reader hazard class for RENAMED columns: a raw
+    # consumer resolves by physical name only, so every chained column
+    # must exist physically in EVERY live root (one footer read per
+    # root, bounded by live_commit_roots ≤ the read-width policy)
+    chained = sorted(
+        set(rec.get("prior_names") or {})
+        - set(rec.get("partition_by") or [])
+    )
+    if chained:
+        from pyspark.sql.types import StructType
+
+        cur = {
+            f.name for f in StructType.fromJson(rec["schema"]).fields
+        }
+        chained = [c for c in chained if c in cur]
+    if chained and isinstance(table, PartitionedWapTable):
+        for root in table.live_commit_roots(v):
+            physical = set(
+                table.spark.read.parquet(
+                    table.fs.resolve(root)
+                ).schema.names
+            )
+            stale = [c for c in chained if c not in physical]
+            if stale:
+                raise ValueError(
+                    f"snapshot v{v} cannot export a manifest: column(s) "
+                    f"{stale} were renamed and commit root {root} still "
+                    "holds files under the OLD physical names — an "
+                    "external raw-parquet reader resolves by name only. "
+                    "Rewrite first (optimize_partitions) and export that "
+                    "version."
+                )
     files: list[str] = []
     if isinstance(table, PartitionedWapTable):
         for pk in sorted(table.partition_map(v)):

@@ -1148,6 +1148,7 @@ def execute_dml_script(
 #     ALTER TABLE <t> ADD COLUMN[S] <name> <type> [, <name> <type> ...]
 #     ALTER TABLE <t> DROP COLUMN[S] <name> [, <name> ...]
 #     ALTER TABLE <t> ALTER COLUMN <name> TYPE <type>     -- widen only
+#     ALTER TABLE <t> RENAME COLUMN <old> TO <new>         -- round-12
 #     ANALYZE TABLE <t> COMPUTE STATISTICS
 #         [FOR COLUMNS <a>, <b> | FOR ALL COLUMNS]
 #         [FOR KEYS <a>, <b>]                              -- skew triad
@@ -1172,6 +1173,9 @@ _ADD_COLUMNS = re.compile(r"(?is)^\s*ADD\s+COLUMNS?\s+(?P<body>.+)$")
 _DROP_COLUMNS = re.compile(r"(?is)^\s*DROP\s+COLUMNS?\s+(?P<body>[\w\s,]+)$")
 _ALTER_COLUMN = re.compile(
     r"(?is)^\s*ALTER\s+COLUMN\s+(?P<name>\w+)\s+TYPE\s+(?P<type>.+?)\s*$"
+)
+_RENAME_COLUMN = re.compile(
+    r"(?is)^\s*RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$"
 )
 _ANALYZE_TAIL = re.compile(
     r"(?is)^\s*COMPUTE\s+STATISTICS"
@@ -1361,6 +1365,17 @@ def execute_ddl(
             ),
         ),
         (
+            # round-12: the round-11 "RENAME needs column-id tracking"
+            # refusal, closed — name-chain identity in alter_schema
+            _RENAME_COLUMN,
+            lambda m: (
+                "rename_column",
+                table.alter_schema(
+                    rename={m.group("old"): m.group("new")}
+                ),
+            ),
+        ),
+        (
             _DROP_COLUMNS,
             lambda m: (
                 "drop_columns",
@@ -1383,7 +1398,8 @@ def execute_ddl(
     raise SqlDmlError(
         f"unsupported ALTER TABLE form: {rest.strip()[:60]!r} — supported: "
         "ADD/DROP CONSTRAINT, ADD/DROP COLUMN[S], ALTER COLUMN <c> TYPE "
-        "<t> (lossless widen), CREATE/DROP/PUBLISH BRANCH <name>"
+        "<t> (lossless widen), RENAME COLUMN <a> TO <b>, "
+        "CREATE/DROP/PUBLISH BRANCH <name>"
     )
 
 

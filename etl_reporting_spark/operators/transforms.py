@@ -46,14 +46,41 @@ key carry in ``WapTable._publish`` — a maintenance compaction or a
 DV delete cannot shed it. ``open_wap_table`` re-hydrates a
 :class:`HiddenPartitionedWapTable` whenever the record carries a spec.
 
-The spec is FIXED at table creation — deliberately. Iceberg-style
-spec EVOLUTION (changing ``months`` to ``days`` mid-life) leaves old
-partitions under the old layout, which makes pruning era-aware and —
-the dangerous half — makes every upsert's partition pruning blind to
-matching rows living in old-era partitions (silent duplicates).
-Supporting it honestly needs residual-filter reads and full-scan
-merges across eras; until then, re-spec = rewrite into a new table,
-and this docstring is the named refusal rather than a latent bug.
+Partition-spec EVOLUTION (round-12; the round-11 named refusal,
+closed): ``evolve_partition_spec`` commits a NEW spec as a
+metadata-only commit — zero files rewritten. Old partitions stay
+under the layout they were written with (their ERA); new writes land
+under the current spec. Era handling, per operation:
+
+- **prune / read_pruned**: union of per-era prunes. Each partition
+  key is attributed to its era by its hive column sequence (eras are
+  required to be layout-distinguishable at evolve time), pruned under
+  that era's own transform, and the residual filter — always applied
+  by ``read_pruned`` — covers whatever an era's weaker transform
+  keeps extra. An era with no transform over the pruned column keeps
+  all its keys (conservative, never wrong).
+- **upsert_rows_dv**: the match scope unions per-era candidate keys —
+  the source's raw columns are re-derived under EACH era's transforms
+  (pure column expressions, one tiny distinct per old era), so a key
+  living in an old-era partition is still found and retracted. This
+  closes the silent-duplicates hazard the round-11 refusal named. If
+  an old era partitioned on a column the source lacks, ALL that era's
+  keys become candidates (conservative residual scan).
+- **delete_rows**: already era-agnostic (scans the visible snapshot,
+  predicate on raw columns).
+- **commit_partitions / commit_partition_files** (partition
+  OVERWRITE): REFUSED on a multi-era table — "replace partition
+  1994-01" is ambiguous when era-0 partition ``1994`` also holds
+  January rows. Use append/upsert/delete, or rewrite the era.
+
+Iceberg precedent throughout: specs are versioned (spec-id per data
+file there, era-per-partition-key here, recoverable from the key
+itself because evolve enforces distinguishable layouts and Iceberg-
+style field-name disambiguation — a re-parameterized ``bucket``
+target gets the param suffixed, as Iceberg suffixes conflicting
+partition-field names with the field id). Evolving BACK to a prior
+era's exact layout is refused (attribution would be ambiguous);
+rewrite into a new table for that.
 """
 
 from __future__ import annotations
@@ -69,8 +96,10 @@ from pyspark.sql import functions as F
 
 from etl_reporting_spark.operators.table_storage import TableStorage
 from etl_reporting_spark.operators.wap import (
+    AuditError,
     CommitStore,
     PartitionedWapTable,
+    hive_partition_key,
 )
 
 _TIME_FORMATS = {
@@ -108,10 +137,17 @@ class Transform:
     source: str
     param: int | None = None
     value_type: str = "string"
+    #: explicit target-column override — set by spec evolution when
+    #: the default name would collide with a DIFFERENT transform from
+    #: a prior era (Iceberg disambiguates conflicting partition-field
+    #: names the same way, suffixing the field id)
+    name: str | None = None
 
     @property
     def target(self) -> str:
         """Name of the derived partition column (hidden on read)."""
+        if self.name is not None:
+            return self.name
         if self.kind == "identity":
             return self.source
         return f"_p_{self.source}_{self.kind}"
@@ -180,12 +216,15 @@ class Transform:
 
     # ------------------------------------------------------- metadata
     def as_json(self) -> dict:
-        return {
+        out = {
             "kind": self.kind,
             "source": self.source,
             "param": self.param,
             "value_type": self.value_type,
         }
+        if self.name is not None:
+            out["name"] = self.name
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "Transform":
@@ -194,6 +233,16 @@ class Transform:
             source=d["source"],
             param=d.get("param"),
             value_type=d.get("value_type", "string"),
+            name=d.get("name"),
+        )
+
+    def same_derivation(self, other: "Transform") -> bool:
+        """True when the two transforms compute the same partition
+        value from the same column (target naming aside)."""
+        return (self.kind, self.source, self.param) == (
+            other.kind,
+            other.source,
+            other.param,
         )
 
 
@@ -227,7 +276,17 @@ def _resolve_value_types(
     """Pin each transform's ``value_type`` (and sanity-check the
     source column exists / has a usable type) against the DataFrame
     the table is created from."""
-    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    return _resolve_value_types_mapping(
+        transforms, {f.name: f.dataType.typeName() for f in df.schema.fields}
+    )
+
+
+def _resolve_value_types_mapping(
+    transforms: Sequence[Transform], types: dict[str, str]
+) -> list[Transform]:
+    """:func:`_resolve_value_types` against a column→Spark-typeName
+    mapping (spec evolution resolves against the COMMITTED schema —
+    there is no DataFrame in hand, only the commit record)."""
     out: list[Transform] = []
     for t in transforms:
         if t.source not in types:
@@ -270,7 +329,13 @@ def _resolve_value_types(
         elif t.kind == "identity" and st in ("integer", "long", "short", "byte"):
             vt = "int"
         out.append(
-            Transform(kind=t.kind, source=t.source, param=t.param, value_type=vt)
+            Transform(
+                kind=t.kind,
+                source=t.source,
+                param=t.param,
+                value_type=vt,
+                name=t.name,
+            )
         )
     return out
 
@@ -309,6 +374,63 @@ class HiddenPartitionedWapTable(PartitionedWapTable):
     def _derived(self) -> list[Transform]:
         return [t for t in self.transforms if t.kind != "identity"]
 
+    # ----------------------------------------------------------- eras
+    def _era_specs(self, version: int | None = None) -> list[list[Transform]]:
+        """Every spec the table has lived under, oldest first; the
+        last entry is the spec current AT ``version``. A never-evolved
+        table has exactly one era. Metadata-only: one commit-record
+        read."""
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            return [list(self.transforms)]
+        rec = self._commit_record(v)
+        hist = rec.get("partition_spec_history")
+        if hist:
+            return [[Transform.from_json(d) for d in era] for era in hist]
+        spec = rec.get("partition_spec")
+        if spec:
+            return [[Transform.from_json(d) for d in spec]]
+        return [list(self.transforms)]
+
+    @staticmethod
+    def _key_columns(key: str) -> list[str]:
+        """Ordered hive column names of a partition key
+        (``a=1/b=2`` → ``["a", "b"]``)."""
+        return [seg.partition("=")[0] for seg in key.split("/")]
+
+    def _era_of_key(self, key: str, eras: Sequence[Sequence[Transform]]) -> int:
+        """Attribute a partition key to the era that wrote it, by its
+        hive column sequence — well-defined because evolve refuses a
+        spec whose layout duplicates any prior era's. Latest era wins
+        a (theoretically impossible) tie."""
+        cols = self._key_columns(key)
+        for i in range(len(eras) - 1, -1, -1):
+            if [t.target for t in eras[i]] == cols:
+                return i
+        raise AuditError(
+            f"partition key {key!r} matches no era of the committed spec "
+            f"history — corrupt record or foreign layout"
+        )
+
+    def _keys_by_era(
+        self, version: int | None, eras: Sequence[Sequence[Transform]]
+    ) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for key in self.partition_map(version):
+            out.setdefault(self._era_of_key(key, eras), []).append(key)
+        return out
+
+    def _live_old_era_keys(self, version: int | None = None) -> list[str]:
+        """Live partition keys written under a NON-current era."""
+        eras = self._era_specs(version)
+        if len(eras) <= 1:
+            return []
+        by_era = self._keys_by_era(version, eras)
+        cur = len(eras) - 1
+        return sorted(
+            k for e, ks in by_era.items() if e != cur for k in ks
+        )
+
     def derive(self, df: DataFrame) -> DataFrame:
         """Append the derived partition columns to a batch. Refuses a
         batch that already carries a column with a derived name — the
@@ -326,10 +448,29 @@ class HiddenPartitionedWapTable(PartitionedWapTable):
         return df
 
     # --------------------------------------------------------- writes
+    def _refuse_overwrite_across_eras(self, op: str) -> None:
+        """Partition OVERWRITE is era-ambiguous while old-era keys are
+        live: "replace 1994-01" cannot also evict the January rows
+        still held by era-0 partition "1994". Appends, DV upserts and
+        deletes all stay era-correct; overwrite callers must first
+        ``rewrite_era_partitions()`` (or scope to a fresh table)."""
+        stale = self._live_old_era_keys()
+        if stale:
+            raise ValueError(
+                f"{op} would overwrite partitions on a spec-evolved table "
+                f"that still holds {len(stale)} old-era partition(s) (e.g. "
+                f"{stale[0]!r}) — era-ambiguous. Use append_rows / "
+                "upsert_rows_dv / delete_rows, or migrate the old eras "
+                "first with rewrite_era_partitions()"
+            )
+
     def commit_partitions(self, df: DataFrame, **kwargs) -> int:
+        if kwargs.get("operation") != "create":
+            self._refuse_overwrite_across_eras("commit_partitions")
         return super().commit_partitions(self.derive(df), **kwargs)
 
     def commit_partition_files(self, df: DataFrame, *args, **kwargs) -> int:
+        self._refuse_overwrite_across_eras("commit_partition_files")
         return super().commit_partition_files(self.derive(df), *args, **kwargs)
 
     def upsert_rows_dv(self, source: DataFrame, *args, **kwargs):
@@ -348,7 +489,18 @@ class HiddenPartitionedWapTable(PartitionedWapTable):
         df = super().read(version=version, partitions=partitions)
         if expose_partition_cols:
             return df
-        return df.drop(*[t.target for t in self._derived])
+        # drop EVERY era's derived targets, not just the current
+        # spec's: right after an evolve (before any new-spec write)
+        # the committed schema still carries the old era's derived
+        # columns, and they must stay hidden too
+        hidden = {
+            t.target
+            for era in self._era_specs(version)
+            for t in era
+            if t.kind != "identity"
+        }
+        hidden.update(t.target for t in self._derived)
+        return df.drop(*sorted(hidden & set(df.columns)))
 
     # ---------------------------------------------------------- prune
     def _transform_for(self, col: str) -> Transform:
@@ -374,36 +526,55 @@ class HiddenPartitionedWapTable(PartitionedWapTable):
         partition may still need the residual filter; a dropped one
         provably cannot match). Range bounds (``lo``/``hi``,
         inclusive) require a monotonic transform; ``eq``/``isin``
-        work on every transform including ``bucket``. Feed the result
-        to ``read(partitions=...)`` and keep the original predicate
-        as the residual filter."""
-        t = self._transform_for(col)
+        work on every transform including ``bucket``.
+
+        On a spec-EVOLVED table this is the union of per-era prunes:
+        each partition key is pruned under the transform of the era
+        that wrote it. An era with no transform over ``col`` — or a
+        bucket era asked a range question — keeps all its keys
+        (conservative; the residual filter covers them). Feed the
+        result to ``read(partitions=...)`` and keep the original
+        predicate as the residual filter."""
+        eras = self._era_specs(version)
+        if not any(t.source == col for era in eras for t in era):
+            # preserve the single-era programming-error signal
+            self._transform_for(col)
         if eq is not None:
             isin = [eq]
-        if isin is not None:
-            targets = {t.apply_literal(v) for v in isin}
-            return self._keys_matching(t, lambda pv: pv in targets, version)
-        if not t.monotonic:
-            raise ValueError(
-                f"bucket({col}) destroys order — range pruning is "
-                "impossible; use eq=/isin= or scan all partitions"
-            )
-        plo = t.apply_literal(lo) if lo is not None else None
-        phi = t.apply_literal(hi) if hi is not None else None
+        keep: list[str] = []
+        by_era = self._keys_by_era(version, eras)
+        for ei, era_keys in by_era.items():
+            t = next((t for t in eras[ei] if t.source == col), None)
+            if t is None:
+                keep.extend(era_keys)  # era can't prune on col
+                continue
+            if isin is not None:
+                targets = {t.apply_literal(v) for v in isin}
+                pred = lambda pv, targets=targets: pv in targets  # noqa: E731
+            else:
+                if not t.monotonic:
+                    if len(eras) == 1:
+                        raise ValueError(
+                            f"bucket({col}) destroys order — range pruning "
+                            "is impossible; use eq=/isin= or scan all "
+                            "partitions"
+                        )
+                    keep.extend(era_keys)  # this era can't range-prune
+                    continue
+                plo = t.apply_literal(lo) if lo is not None else None
+                phi = t.apply_literal(hi) if hi is not None else None
 
-        def overlap(pv) -> bool:
-            if pv is None:
-                return True  # null partition: cannot prove disjoint
-            return (plo is None or pv >= plo) and (phi is None or pv <= phi)
+                def pred(pv, plo=plo, phi=phi) -> bool:
+                    if pv is None:
+                        return True  # null partition: can't prove disjoint
+                    return (plo is None or pv >= plo) and (
+                        phi is None or pv <= phi
+                    )
 
-        return self._keys_matching(t, overlap, version)
-
-    def _keys_matching(self, t: Transform, pred, version) -> list[str]:
-        keep = []
-        for key in self.partition_map(version):
-            raw = self.partition_key_values(key).get(t.target)
-            if pred(t.parse_path_value(raw)):
-                keep.append(key)
+            for key in era_keys:
+                raw = self.partition_key_values(key).get(t.target)
+                if pred(t.parse_path_value(raw)):
+                    keep.append(key)
         return sorted(keep)
 
     def read_pruned(
@@ -431,6 +602,189 @@ class HiddenPartitionedWapTable(PartitionedWapTable):
         if hi is not None:
             df = df.filter(c <= F.lit(hi))
         return df
+
+    # ------------------------------------------------------ evolution
+    def evolve_partition_spec(self, new_spec: Sequence[str]) -> int:
+        """Commit a NEW partition spec as a metadata-only commit —
+        zero files rewritten (Iceberg ALTER TABLE ... REPLACE
+        PARTITION FIELD). Old partitions stay under their era's
+        layout; new writes derive under the new spec; prune and
+        upsert become era-aware (module docstring). Returns the new
+        version.
+
+        Target-name disambiguation (Iceberg's conflicting-field-name
+        rule): a new transform whose default target collides with a
+        DIFFERENT derivation from any prior era gets the param (then
+        the era index) suffixed, so every era's layout is
+        distinguishable and key→era attribution stays a pure string
+        match. Evolving back to a layout identical to a prior era is
+        refused — attribution would be ambiguous; use a rewrite."""
+        from pyspark.sql.types import StructType
+
+        base = self.current_version()
+        if base == 0:
+            raise FileNotFoundError(
+                f"no committed WAP table at {self.path} — the spec is set "
+                "at creation; evolve applies to live tables"
+            )
+        rec = self._commit_record(base)
+        eras = self._era_specs(version=base)
+        schema = StructType.fromJson(rec["schema"])
+        old_targets = {
+            t.target for era in eras for t in era if t.kind != "identity"
+        }
+        types = {
+            f.name: f.dataType.typeName()
+            for f in schema.fields
+            if f.name not in old_targets
+        }
+        parsed = [parse_transform(s) for s in new_spec]
+        for t in parsed:
+            if t.source in old_targets or t.source.startswith("_p_"):
+                raise ValueError(
+                    f"transform source {t.source!r} is a derived partition "
+                    "column — specs derive from RAW columns only"
+                )
+        new_ts = _resolve_value_types_mapping(parsed, types)
+        prior: dict[str, Transform] = {
+            t.target: t for era in eras for t in era
+        }
+        final: list[Transform] = []
+        for t in new_ts:
+            if t.kind != "identity":
+                clash = prior.get(t.target)
+                if clash is not None and not clash.same_derivation(t):
+                    for cand in (
+                        f"_p_{t.source}_{t.kind}_{t.param}",
+                        f"_p_{t.source}_{t.kind}_{t.param}_e{len(eras)}",
+                        f"_p_{t.source}_{t.kind}_e{len(eras)}",
+                    ):
+                        if cand not in prior:
+                            t = Transform(
+                                kind=t.kind,
+                                source=t.source,
+                                param=t.param,
+                                value_type=t.value_type,
+                                name=cand,
+                            )
+                            break
+                    else:
+                        raise ValueError(
+                            f"cannot disambiguate target name for {t} "
+                            f"against prior eras {sorted(prior)}"
+                        )
+            final.append(t)
+        new_targets = [t.target for t in final]
+        for i, era in enumerate(eras):
+            if [t.target for t in era] == new_targets:
+                raise ValueError(
+                    f"new spec's layout {new_targets} is identical to era "
+                    f"{i}'s — evolving BACK to a prior layout is refused "
+                    "(key→era attribution would be ambiguous); rewrite "
+                    "into a new table instead"
+                )
+        history = rec.get("partition_spec_history") or [
+            rec["partition_spec"]
+        ]
+        new_json = [t.as_json() for t in final]
+        v = self._metadata_only_commit(
+            base,
+            {
+                "partition_spec": new_json,
+                "partition_spec_history": list(history) + [new_json],
+            },
+            operation="evolve-spec",
+        )
+        self.transforms = final
+        self.partition_by = [t.target for t in final]
+        return v
+
+    def _match_scope_pkeys(
+        self,
+        source: DataFrame,
+        base: int,
+        touched_pkeys: Sequence[str],
+    ) -> list[str]:
+        """Era-aware upsert match scope: the write scope (current-era
+        keys) plus, for every OLD era, the keys the source's raw
+        columns derive to under THAT era's transforms — closing the
+        old-era-duplicate hazard the fixed-spec refusal named. Cost:
+        one tiny ``distinct().collect()`` per old era, bounded by the
+        source's distinct partition values (same shape as the write
+        scope's own collect). An old era whose source column the
+        batch lacks contributes ALL its keys (conservative)."""
+        eras = self._era_specs(version=base)
+        if len(eras) <= 1:
+            return list(touched_pkeys)
+        by_era = self._keys_by_era(base, eras)
+        out = set(touched_pkeys)
+        src_cols = set(source.columns)
+        for ei in range(len(eras) - 1):
+            era = eras[ei]
+            era_keys = by_era.get(ei, [])
+            if not era_keys:
+                continue
+            if not all(t.source in src_cols for t in era):
+                out.update(era_keys)
+                continue
+            targets = [t.target for t in era]
+            vals = (
+                source.select(
+                    *[t.column().cast("string").alias(t.target) for t in era]
+                )
+                .distinct()
+                .collect()
+            )
+            era_pkeys = {
+                hive_partition_key(targets, tuple(r)) for r in vals
+            }
+            out.update(k for k in era_keys if k in era_pkeys)
+        return sorted(out)
+
+    def rewrite_era_partitions(
+        self,
+        partitions: Sequence[str] | None = None,
+        stats_cols: Sequence[str] | None = None,
+    ) -> int | None:
+        """Migrate old-era partitions into the CURRENT spec's layout —
+        the maintenance rewrite that makes spec evolution eventually
+        free: reads the old-era partitions (DVs applied) plus any
+        current-era partitions their rows re-derive into (those must
+        merge, not be clobbered), re-derives, and commits one
+        partition-scoped replace. Cost ∝ migrated partitions, never
+        the table. Returns the new version, or None when nothing to
+        migrate."""
+        old_keys = (
+            sorted(partitions)
+            if partitions is not None
+            else self._live_old_era_keys()
+        )
+        if not old_keys:
+            return None
+        rows = self.read(partitions=old_keys)
+        derived = self.derive(rows)
+        vals = (
+            derived.select(
+                *[F.col(c).cast("string") for c in self.partition_by]
+            )
+            .distinct()
+            .collect()
+        )
+        new_keys = {
+            hive_partition_key(self.partition_by, tuple(r)) for r in vals
+        }
+        existing = set(self.partition_map())
+        overlap = sorted(new_keys & existing - set(old_keys))
+        read_set = sorted(set(old_keys) | set(overlap))
+        if overlap:
+            rows = self.read(partitions=read_set)
+            derived = self.derive(rows)
+        return super().commit_partitions(
+            derived,
+            replace=sorted(set(read_set) | new_keys),
+            operation="rewrite-era",
+            stats_cols=stats_cols,
+        )
 
 
 def create_hidden_partitioned_wap_table(

@@ -128,6 +128,8 @@ class CommitConflict(Exception):
 _STICKY_RECORD_KEYS: tuple[str, ...] = (
     "constraints",
     "partition_spec",
+    "partition_spec_history",
+    "prior_names",
     "table_stats",
 )
 
@@ -1416,14 +1418,32 @@ class PartitionedWapTable(WapTable):
         # partition columns last; readers must see exactly what the
         # resolved version's writer committed, in its column order and
         # types. A column the resolved schema dropped is projected
-        # away; one it added reads NULL from older roots (above).
+        # away; one it added reads NULL from older roots (above). A
+        # RENAMED column resolves as COALESCE over its name chain
+        # (prior_names — the name-history column identity): a file
+        # written before the rename carries the old physical name, a
+        # file written after carries the new one, and exactly one of
+        # the pair is non-missing per source root, so the coalesce is
+        # the per-root id→name resolution with zero bookkeeping on
+        # the scan itself.
+        prior: dict[str, list[str]] = rec.get("prior_names", {})
         names = {c.lower() for c in out.columns}
-        cols = [
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name.lower() in names
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
+        cols = []
+        for f in schema.fields:
+            chain = [f.name] + list(reversed(prior.get(f.name, [])))
+            present = [n for n in chain if n.lower() in names]
+            if not present:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif len(present) == 1:
+                cols.append(
+                    F.col(present[0]).cast(f.dataType).alias(f.name)
+                )
+            else:
+                cols.append(
+                    F.coalesce(*[F.col(n) for n in present])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
         if with_lineage:
             cols += [F.col("__file"), F.col("__ridx")]
         return out.select(*cols)
@@ -2079,26 +2099,46 @@ class PartitionedWapTable(WapTable):
         add: dict[str, str] | None = None,
         drop: Sequence[str] | None = None,
         widen: dict[str, str] | None = None,
+        rename: dict[str, str] | None = None,
         base_version: int | None = None,
     ) -> int:
         """Metadata-only schema evolution (Delta ALTER TABLE): ADD
         COLUMN (existing data reads NULL for it — the read path
         already NULL-fills columns absent from older files), DROP
         COLUMN (projected away at read; the bytes stay until files
-        are naturally rewritten), and WIDEN (Iceberg's lossless type
+        are naturally rewritten), WIDEN (Iceberg's lossless type
         promotions — byte/short/int → long, float → double, and
         decimal precision growth at fixed scale; the per-root scans
         coerce to the union type and the final committed-schema cast
-        does the rest, so no file is touched) — zero data moved, one
+        does the rest, so no file is touched), and RENAME (round-12;
+        closes the round-11 named refusal) — zero data moved, one
         commit.
 
         ``add`` maps column name → Spark DDL type string
         (``{"note": "string"}``); ``drop`` names existing non-key
-        columns. Partition columns cannot be dropped (the layout IS
-        them) and re-adding an existing name is refused — rename is
-        deliberately absent (it needs column-id tracking to be safe
-        against positional parquet readers; add+backfill+drop is the
-        honest spelling here).
+        columns; ``rename`` maps old → new name. Partition columns
+        cannot be dropped or renamed (the layout IS them — hive dirs
+        and the hidden-partitioning spec embed the names).
+
+        RENAME mechanics — name-chain column identity (the capability
+        Iceberg gets from integer column ids, carried here as each
+        logical column's NAME HISTORY, which is an id in all but
+        integer form): the commit records ``prior_names[new] = [...
+        old names ...]`` (sticky), and the read path resolves a
+        column as COALESCE over its current name and its prior names
+        — a file written before the rename serves the old physical
+        name into the new logical column, NULL-free, with zero
+        rewrite. Refused, each loudly: renaming onto an existing or
+        historically-retired name (a retired name re-added as a NEW
+        column would make old physical bytes ambiguous between the
+        two ids — EXCEPT renaming a column back along its own chain,
+        which is safe and un-retires it), renaming a partition /
+        transform-source column, and renaming a column a CHECK
+        constraint references (drop the constraint first; silent
+        expression rewriting is how constraints stop meaning what
+        their author wrote). Partition/file [min,max] stats are
+        re-keyed to the new name (values unchanged — pruning keeps
+        working across the rename).
 
         Dropped-name hygiene: because DROP is projection-only (no
         Delta-style column-id mapping), surviving pre-drop files still
@@ -2128,6 +2168,70 @@ class PartitionedWapTable(WapTable):
         add = dict(add or {})
         drop = list(drop or [])
         widen = dict(widen or {})
+        rename = dict(rename or {})
+        overlap = set(rename) & (set(drop) | set(widen) | set(add))
+        if overlap:
+            raise ValueError(
+                f"columns {sorted(overlap)} appear in rename AND another "
+                "alteration in one call — split into separate commits so "
+                "each step's semantics are unambiguous"
+            )
+        prior_names: dict[str, list[str]] = {
+            k: list(v) for k, v in base_rec.get("prior_names", {}).items()
+        }
+        retired = {n for chain in prior_names.values() for n in chain}
+        for old, new in rename.items():
+            if old not in names:
+                raise ValueError(f"cannot rename unknown column: {old}")
+            if new in names:
+                raise ValueError(
+                    f"cannot rename {old!r} to {new!r}: the name exists"
+                )
+            if old in self.partition_by or new in self.partition_by:
+                raise ValueError(
+                    f"cannot rename partition column {old!r} — hive paths "
+                    "and the partition spec embed the name; repartition "
+                    "via a full rewrite"
+                )
+            if any(
+                t.get("source") == old
+                for era in (
+                    base_rec.get("partition_spec_history")
+                    or [base_rec.get("partition_spec") or []]
+                )
+                for t in era
+            ):
+                raise ValueError(
+                    f"cannot rename {old!r}: it is a partition-transform "
+                    "source column (derived partition names and era "
+                    "attribution embed it)"
+                )
+            if new in retired and new not in prior_names.get(old, []):
+                raise ValueError(
+                    f"cannot rename to {new!r}: the name was retired by an "
+                    "earlier rename of a DIFFERENT column — live files "
+                    "still hold physical bytes under it; pick a fresh name"
+                )
+            for cname, cexpr in (base_rec.get("constraints") or {}).items():
+                if re.search(rf"\b{re.escape(old)}\b", cexpr):
+                    raise ValueError(
+                        f"cannot rename {old!r}: constraint {cname!r} "
+                        f"({cexpr!r}) references it — drop_check_constraint "
+                        "first (silently rewriting the expression is how a "
+                        "constraint stops meaning what its author wrote)"
+                    )
+        for c in add:
+            if c in retired:
+                chain_owner = next(
+                    cur for cur, chain in prior_names.items() if c in chain
+                )
+                raise ValueError(
+                    f"cannot add column {c!r}: the name was retired by the "
+                    f"rename chain of {chain_owner!r} — live files still "
+                    "hold its physical bytes, and a new column under the "
+                    "same name would read them as its own; pick a fresh "
+                    "name"
+                )
         widened: dict[str, object] = {}
         for c, tstr in widen.items():
             if c not in names:
@@ -2177,8 +2281,17 @@ class PartitionedWapTable(WapTable):
                     f"cannot drop partition column {c!r} — the physical "
                     "layout is keyed on it; repartition via a full rewrite"
                 )
+        for old, new in rename.items():
+            # the new current name leaves its own chain (an undo-rename
+            # walks back along it); the old name joins it
+            chain = [n for n in prior_names.pop(old, []) if n != new]
+            prior_names[new] = chain + [old]
         fields = [
-            StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
+            StructField(
+                rename.get(f.name, f.name),
+                widened.get(f.name, f.dataType),
+                f.nullable,
+            )
             for f in schema.fields
             if f.name not in set(drop)
         ]
@@ -2216,14 +2329,25 @@ class PartitionedWapTable(WapTable):
                 "row_count",
             )
         }
-        # stats survive only for surviving columns
+        # stats survive only for surviving columns, re-keyed through the
+        # rename (the recorded [min,max] describe the same physical
+        # values — pruning keeps working across a rename)
         stats = {
-            pk: {c: b for c, b in cols.items() if c not in set(drop)}
+            pk: {
+                rename.get(c, c): b
+                for c, b in cols.items()
+                if c not in set(drop)
+            }
             for pk, cols in base_rec.get("stats", {}).items()
         }
         stats = {pk: cols for pk, cols in stats.items() if cols}
         if stats:
             record["stats"] = stats
+        if rename and record.get("file_stats"):
+            record["file_stats"] = {
+                f: {rename.get(c, c): b for c, b in cols.items()}
+                for f, cols in record["file_stats"].items()
+            }
         record.update(
             {
                 "version": base + 1,
@@ -2234,6 +2358,23 @@ class PartitionedWapTable(WapTable):
         )
         if drop:
             record["dropped"] = sorted(drop)
+        if prior_names:
+            record["prior_names"] = {
+                k: v for k, v in sorted(prior_names.items())
+            }
+        if rename and base_rec.get("table_stats"):
+            # ANALYZE statistics re-key like the pruning stats — the
+            # values describe the same bytes under the new name
+            ts = dict(base_rec["table_stats"])
+            if isinstance(ts.get("columns"), dict):
+                ts["columns"] = {
+                    rename.get(c, c): v for c, v in ts["columns"].items()
+                }
+            if isinstance(ts.get("keys"), dict):
+                ts["keys"] = {
+                    rename.get(c, c): v for c, v in ts["keys"].items()
+                }
+            record["table_stats"] = ts
         self._publish(record)
         return base + 1
 
@@ -2381,8 +2522,15 @@ class PartitionedWapTable(WapTable):
         touched_pkeys = sorted(
             hive_partition_key(self.partition_by, tuple(r)) for r in vals
         )
+        # match scope may be WIDER than the write scope: a table whose
+        # partition spec evolved holds old-era partitions under a
+        # different layout, and a key matching there must still be
+        # retracted (HiddenPartitionedWapTable overrides the hook to
+        # union per-era candidate keys; default: write scope == match
+        # scope, the single-layout contract documented above)
+        match_pkeys = self._match_scope_pkeys(source, base, touched_pkeys)
         existing = set(self.partition_map(base))
-        present = [k for k in touched_pkeys if k in existing]
+        present = [k for k in match_pkeys if k in existing]
 
         # 1. MATCH — visible rows of the pruned target whose key is in
         # the source (one semi-shaped join; lineage gives the mask)
@@ -2498,6 +2646,11 @@ class PartitionedWapTable(WapTable):
         masked_by_pkey: dict[str, list[str]] = {}
         for f in masked:
             masked_by_pkey.setdefault(_pkey_of_file(f), []).append(f)
+        # conflict scope = write scope ∪ every partition that gained a
+        # mask (old-era partitions under an evolved spec show up only
+        # in masked_by_pkey — an intervening rewrite of those files
+        # must still conflict)
+        all_touched = sorted(set(touched_pkeys) | set(masked_by_pkey))
 
         # 3. PUBLISH — one record carrying BOTH the new files and the
         # updated vectors (atomic: readers see retract+insert together)
@@ -2544,9 +2697,9 @@ class PartitionedWapTable(WapTable):
                 "version": new_version,
                 "partitions": pmap,
                 "partition_by": self.partition_by,
-                "touched": touched_pkeys,
+                "touched": all_touched,
                 "touched_files": {
-                    k: sorted(masked_by_pkey.get(k, [])) for k in touched_pkeys
+                    k: sorted(masked_by_pkey.get(k, [])) for k in all_touched
                 },
                 "row_count": n_source,
                 "schema": source.schema.jsonValue(),
@@ -2570,7 +2723,7 @@ class PartitionedWapTable(WapTable):
                 attempt += 1
                 latest = self.current_version()
                 conflict: set[str] = set()
-                for k in touched_pkeys:
+                for k in all_touched:
                     conflict |= self._conflicting_files(
                         base, latest, k, masked_by_pkey.get(k, [])
                     )
@@ -2583,6 +2736,21 @@ class PartitionedWapTable(WapTable):
                         ) from None
                     raise
                 base = latest
+
+    def _match_scope_pkeys(
+        self,
+        source: DataFrame,
+        base: int,
+        touched_pkeys: Sequence[str],
+    ) -> list[str]:
+        """Partition keys :meth:`upsert_rows_dv` scans for MATCHED
+        rows. Default: exactly the keys the source writes to — the
+        single-layout partition-stability contract.
+        :class:`HiddenPartitionedWapTable` overrides this to add
+        old-era candidate keys after a partition-spec evolution (a
+        matching key may live in a partition laid out under a prior
+        spec)."""
+        return list(touched_pkeys)
 
     def _conflicting_files(
         self,
@@ -3932,6 +4100,29 @@ def _permanent_view_sql(table: WapTable, version: int | None) -> str:
                 "root first"
             )
         location = table.fs.resolve(root)
+    # renamed columns: the view is a PLAIN scan with no coalesce-over-
+    # prior-names resolution, so every chained column must exist
+    # PHYSICALLY under its current name at this location (true once
+    # the rename-era files were rewritten — optimize_partitions). One
+    # footer read; partition columns come from paths, not footers.
+    chained = set(rec.get("prior_names") or {})
+    part_cols = set(rec.get("partition_by") or [])
+    need = sorted(
+        f.name
+        for f in schema.fields
+        if f.name in chained and f.name not in part_cols
+    )
+    if need:
+        physical = set(table.spark.read.parquet(location).schema.names)
+        stale = [c for c in need if c not in physical]
+        if stale:
+            raise ValueError(
+                f"cannot pin {table.path} v{v} as a permanent view: "
+                f"column(s) {stale} were renamed and the files at this "
+                "snapshot still carry the OLD physical names — a plain "
+                "scan would read them as NULL. Rewrite first "
+                "(optimize_partitions) and pin that version."
+            )
     # hidden-partitioned tables: the view presents the LOGICAL surface
     # (derived partition columns projected away), matching read().
     # Late import — transforms.py imports this module; Transform owns
@@ -3986,6 +4177,15 @@ def describe_table(table: WapTable, version: int | None = None) -> dict:
             "kind": "hidden",
             "spec": list(rec["partition_spec"]),
         }
+        hist = rec.get("partition_spec_history")
+        if hist and len(hist) > 1:
+            # round-12 spec evolution: surface the era count and each
+            # era's layout so DESCRIBE explains why old-layout
+            # partition keys appear in the map
+            out["partitioning"]["eras"] = len(hist)
+            out["partitioning"]["spec_history"] = [
+                [dict(t) for t in era] for era in hist
+            ]
     elif "partitions" in rec:
         out["partitioning"] = {
             "kind": "explicit",
@@ -3997,6 +4197,12 @@ def describe_table(table: WapTable, version: int | None = None) -> dict:
         out["partitions"] = len(table.partition_map(v))
         out["live_commit_roots"] = len(table.live_commit_roots(v))
     out["dv_masked_files"] = len(rec.get("delete_vectors", {}))
+    if rec.get("prior_names"):
+        # round-12 RENAME: each current name's chain of prior physical
+        # names (files written pre-rename resolve through it)
+        out["renamed_columns"] = {
+            k: list(v) for k, v in sorted(rec["prior_names"].items())
+        }
     tstats = rec.get("table_stats")
     if tstats and "analyzed_version" in tstats:
         staleness = 0

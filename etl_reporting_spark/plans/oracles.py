@@ -1411,18 +1411,132 @@ WITH base AS (
 )
 SELECT 'range' AS part, strftime(o_orderdate, '%Y-%m') AS month,
        COUNT(*) AS n_orders,
-       CAST(SUM(price) AS DECIMAL(18,2)) AS sum_price
+       CAST(SUM(price) AS DOUBLE) AS sum_price
 FROM base
 WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'
 GROUP BY 2
 UNION ALL
 SELECT 'cust370' AS part, strftime(o_orderdate, '%Y-%m') AS month,
        COUNT(*) AS n_orders,
-       CAST(SUM(price) AS DECIMAL(18,2)) AS sum_price
+       CAST(SUM(price) AS DOUBLE) AS sum_price
 FROM base
 WHERE o_custkey = 370
 GROUP BY 2
 ORDER BY part, month
+"""
+
+ORACLE_SQL["wap_spec_evolution"] = """
+-- Twin of the spec-evolution lifecycle: the final logical content is
+-- the 1994-1996 selection with +10 on the merge window (every merge
+-- key pre-exists, so the upsert is pure update). 'range' must equal
+-- the raw-predicate selection (era-union pruning is metadata-only);
+-- 'rewritten' must equal 'all' (migration moves bytes, not content).
+WITH base AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+  WHERE o_orderkey <= 20000
+    AND o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'
+),
+final AS (
+  SELECT o_orderdate,
+         CASE WHEN o_orderdate BETWEEN DATE '1995-01-10'
+                                   AND DATE '1995-02-20'
+              THEN CAST(price + 10 AS DECIMAL(18,2))
+              ELSE price END AS price
+  FROM base
+)
+SELECT 'all' AS part, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM final GROUP BY 2
+UNION ALL
+SELECT 'range' AS part, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM final
+WHERE o_orderdate BETWEEN DATE '1995-01-15' AND DATE '1995-03-31'
+GROUP BY 2
+UNION ALL
+SELECT 'rewritten' AS part, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM final GROUP BY 2
+ORDER BY part, month
+"""
+
+ORACLE_SQL["incremental_dq_battery"] = """
+-- Twin of the incremental battery: every check recomputed over the
+-- FULL arrived data (orders keys <= 1000 arrived twice — the late
+-- duplicate delivery the state-merged duplicate check must catch).
+WITH arrived_orders AS (
+  SELECT * FROM orders
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey <= 1000
+),
+checks AS (
+  SELECT 'IDQ-001' AS test_id,
+         (SELECT COUNT(*) FROM customer
+          WHERE c_name IS NULL OR CAST(c_name AS VARCHAR) = '') AS failed_rows
+  UNION ALL
+  SELECT 'IDQ-002',
+         (SELECT COUNT(*) FROM (
+            SELECT TRIM(CAST(o_orderkey AS VARCHAR)) AS k
+            FROM arrived_orders GROUP BY 1 HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'IDQ-003',
+         (SELECT COUNT(*) FROM (
+            SELECT TRIM(CAST(l_orderkey AS VARCHAR)) AS k1,
+                   TRIM(CAST(l_linenumber AS VARCHAR)) AS k2
+            FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'IDQ-004',
+         (SELECT COUNT(*) FROM arrived_orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'IDQ-005',
+         (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0)
+  UNION ALL
+  SELECT 'IDQ-006',
+         (SELECT COUNT(*) FROM lineitem WHERE l_discount = 0)
+  UNION ALL
+  SELECT 'IDQ-007',
+         (SELECT CAST(
+            CASE WHEN AVG(CAST(o_totalprice AS DOUBLE)) < 1.0
+                   OR AVG(CAST(o_totalprice AS DOUBLE)) > 1e9
+                 THEN 1 ELSE 0 END
+          + CASE WHEN MIN(CAST(o_totalprice AS DOUBLE)) < 0.0
+                 THEN 1 ELSE 0 END AS BIGINT)
+          FROM arrived_orders)
+)
+SELECT test_id,
+       CASE WHEN failed_rows = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+       CAST(failed_rows AS BIGINT) AS failed_rows
+FROM checks
+ORDER BY test_id
+"""
+
+ORACLE_SQL["wap_rename_column"] = """
+-- Twin of the rename lifecycle: base (≤200, pre-rename files) plus
+-- the appended family (200-260, new physical name), with +25 applied
+-- to the merge window (100-230, spanning the rename seam). A NULLed
+-- pre-rename column or a missed cross-seam match diverges here.
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+  FROM customer WHERE c_custkey <= 260
+),
+final AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_custkey > 100 AND c_custkey <= 230
+              THEN CAST(balance + 25 AS DECIMAL(18,2))
+              ELSE balance END AS balance
+  FROM base
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(balance) AS DOUBLE) AS sum_balance
+FROM final
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """
 
 ORACLE_SQL["wap_table_stats"] = """
@@ -1456,18 +1570,18 @@ ORACLE_SQL["wap_insert_sql"] = """
 -- Twin of the INSERT-text gate: base family, the INSERT..SELECT
 -- family (status NULL-fills - not listed), and the two VALUES rows.
 SELECT c_custkey, c_mktsegment,
-       CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
        'base' AS status
 FROM customer WHERE c_custkey <= 150
 UNION ALL
 SELECT c_custkey, c_mktsegment,
-       CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
        CAST(NULL AS VARCHAR) AS status
 FROM customer WHERE c_custkey > 150 AND c_custkey <= 200
 UNION ALL
-SELECT 900001, 'MACHINERY', CAST(11.50 AS DECIMAL(18,2)), 'manual'
+SELECT 900001, 'MACHINERY', CAST(11.50 AS DOUBLE), 'manual'
 UNION ALL
-SELECT 900002, 'BUILDING', CAST(-2.25 AS DECIMAL(18,2)), 'manual'
+SELECT 900002, 'BUILDING', CAST(-2.25 AS DOUBLE), 'manual'
 ORDER BY c_custkey
 """
 
@@ -1482,13 +1596,13 @@ WITH base AS (
   FROM customer WHERE c_custkey <= 220
 )
 SELECT c_custkey, bucket,
-       CASE
+       CAST(CASE
          WHEN bucket = 1 AND c_custkey > 200 AND c_custkey <= 220
            THEN CAST(bal - 10 AS DECIMAL(18,2))
          WHEN bucket = 0 AND c_custkey > 100 AND c_custkey <= 140
            THEN CAST(bal + 50 AS DECIMAL(18,2))
          ELSE bal
-       END AS bal
+       END AS DOUBLE) AS bal
 FROM base
 WHERE NOT (bucket = 0 AND c_custkey % 7 = 0)
 ORDER BY c_custkey
@@ -1498,11 +1612,11 @@ ORACLE_SQL["wap_schema_widen"] = """
 -- Twin of the widened table: narrow-era rows coerced to the wide
 -- committed schema plus the one row only the wide types can hold.
 SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment,
-       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS bal
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
 FROM customer WHERE c_custkey <= 300
 UNION ALL
 SELECT CAST(1099511627776 AS BIGINT), 'MACHINERY',
-       CAST(123456789.12 AS DECIMAL(18,2))
+       CAST(123456789.12 AS DOUBLE)
 ORDER BY custkey
 """
 
@@ -1512,7 +1626,7 @@ ORACLE_SQL["wap_manifest_roundtrip"] = """
 -- diverges here immediately.
 SELECT p_brand,
        COUNT(*) AS n_parts,
-       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
          AS sum_price
 FROM part
 WHERE p_partkey <= 1000 AND p_partkey % 3 <> 0

@@ -1452,7 +1452,10 @@ def wap_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash: a RANGE on the raw date (keeps 2 of the year partitions)
     and an EQUALITY on the raw custkey (keeps 1 bucket in 4 — the
     CRC-32 bucket is computed driver-side at prune time, no job).
-    Monthly rollup; sums DECIMAL(18,2) per the float convention.
+    Monthly rollup; exact DECIMAL(18,2) arithmetic internally, final
+    sum cast to DOUBLE per the float convention (every driver-window
+    gate emits only DOUBLE/BIGINT/VARCHAR/DATE finals — DECIMAL
+    finals hash differently across engines; round-11 red cell).
 
     Scale: pruning is pure metadata (no LIST, no scan); at 100 TB a
     seven-year fact answers a two-year question by never planning
@@ -1487,7 +1490,7 @@ def wap_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count("*").alias("n_orders"),
-                F.sum("price").cast("decimal(18,2)").alias("sum_price"),
+                F.sum("price").cast("double").alias("sum_price"),
             )
             .withColumn("part", F.lit(tag))
         )
@@ -1502,6 +1505,248 @@ def wap_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part", "month", "n_orders", "sum_price")
         .orderBy("part", "month")
     )
+
+
+def wap_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION gate (round-12; closes the round-11
+    named refusal in operators/transforms.py). The exact maintenance
+    the reference's period tables imply — a time grain that must
+    coarsen as history grows (reference sql/new_rfb_and_total_
+    claimants_active/report_period_config.sql:149-188 drives period
+    frequency from config) — as one metadata-only commit:
+
+      v1  CREATE days(o_orderdate) over January-1995 orders (the
+          'history was small' era)
+      v2  evolve_partition_spec(months(o_orderdate)) — zero files
+          rewritten; old day-partitions stay under their era
+      v3  append 1994-1996 (minus the era-0 slice) under months()
+      v4  cross-era DV MERGE (+10 on orders dated 1995-01-10 ..
+          1995-02-20): matched keys living in era-0 DAY partitions
+          are found by the era-aware match scope and retracted
+          there — the silent-duplicate hazard the refusal named
+      v5  rewrite_era_partitions(): migrates the day-era into
+          months(), merging into the 1995-01 month partition the
+          merge already created (the overlap path)
+
+    Three hash-oracled families: 'range' = era-UNION pruned read
+    spanning the era boundary (residual filter on), 'all' = the full
+    post-merge snapshot, 'rewritten' = the full snapshot after the
+    era rewrite (must equal 'all' values — migration moves bytes,
+    never changes content). Exact DECIMAL arithmetic internally,
+    final sums DOUBLE per the float convention.
+
+    Scale: evolve is one commit-record write on a 100 TB fact; prune
+    stays driver-side dict math per era; the cross-era merge adds one
+    tiny distinct per old era (bounded by the source's partition
+    values); rewrite cost ∝ migrated partitions only."""
+    import datetime as _dtm
+    import tempfile
+
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 20000).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    era0_lo, era0_hi = _dtm.date(1995, 1, 1), _dtm.date(1995, 1, 31)
+    win_lo, win_hi = _dtm.date(1994, 1, 1), _dtm.date(1996, 12, 31)
+    path = tempfile.mkdtemp(prefix="wap_spec_evo_")
+    table = create_hidden_partitioned_wap_table(
+        spark,
+        f"{path}/fact",
+        base.filter(F.col("o_orderdate").between(era0_lo, era0_hi)),
+        ["days(o_orderdate)"],
+    )
+    table.evolve_partition_spec(["months(o_orderdate)"])
+    table.append_rows(
+        base.filter(
+            F.col("o_orderdate").between(win_lo, win_hi)
+            & ~F.col("o_orderdate").between(era0_lo, era0_hi)
+        )
+    )
+    m_lo, m_hi = _dtm.date(1995, 1, 10), _dtm.date(1995, 2, 20)
+    table.upsert_rows_dv(
+        base.filter(F.col("o_orderdate").between(m_lo, m_hi)).withColumn(
+            "price", (F.col("price") + 10).cast("decimal(18,2)")
+        ),
+        keys=["o_orderkey"],
+    )
+
+    def monthly(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("price").cast("double").alias("sum_price"),
+            )
+            .withColumn("part", F.lit(tag))
+        )
+
+    rng = monthly(
+        table.read_pruned(
+            "o_orderdate", lo=_dtm.date(1995, 1, 15), hi=_dtm.date(1995, 3, 31)
+        ),
+        "range",
+    )
+    allm = monthly(table.read(), "all")
+    table.rewrite_era_partitions()
+    rew = monthly(table.read(), "rewritten")
+    return (
+        rng.unionByName(allm)
+        .unionByName(rew)
+        .select("part", "month", "n_orders", "sum_price")
+        .orderBy("part", "month")
+    )
+
+
+def wap_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN gate (round-12; closes the round-11 named
+    refusal). One metadata-only commit renames ``bal`` → ``balance``
+    (name-chain column identity — the read path COALESCEs over the
+    chain, so pre-rename files serve their old physical name into the
+    new logical column); then an append lands files under the NEW
+    physical name and a DV merge (+25 on keys 100–230) retracts
+    matched rows on BOTH sides of the rename seam. The reference's
+    configs remap identifiers freely (reference
+    models/custom_models.py:72-99) — a ported script's rename must
+    work, zero-rewrite. Oracle: the final state relationally; a
+    NULLed pre-rename column or a missed cross-seam match diverges
+    immediately. Exact DECIMAL internally, final sum DOUBLE per the
+    float convention.
+
+    Scale: the rename is one commit-record write on a 100 TB fact;
+    the chain resolution is a per-scan COALESCE — no per-file
+    bookkeeping, no rewrite until natural compaction retires the old
+    physical names."""
+    import tempfile
+
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    base = customer.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey", "c_mktsegment", dec.alias("bal")
+    )
+    path = tempfile.mkdtemp(prefix="wap_rename_")
+    table = create_partitioned_wap_table(
+        spark, f"{path}/fact", base, ["c_mktsegment"]
+    )
+    table.alter_schema(rename={"bal": "balance"})
+    table.append_rows(
+        customer.filter(
+            (F.col("c_custkey") > 200) & (F.col("c_custkey") <= 260)
+        ).select("c_custkey", "c_mktsegment", dec.alias("balance"))
+    )
+    table.upsert_rows_dv(
+        customer.filter(
+            (F.col("c_custkey") > 100) & (F.col("c_custkey") <= 230)
+        ).select(
+            "c_custkey",
+            "c_mktsegment",
+            (dec + 25).cast("decimal(18,2)").alias("balance"),
+        ),
+        keys=["c_custkey"],
+    )
+    return (
+        table.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("balance").cast("double").alias("sum_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def incremental_dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DQ battery gate (round-12; VERDICT round-11 #6 —
+    dq_battery is the most expensive driver gate and re-scans the full
+    table every run; the reference's DMF cadence is 3×/day over a
+    growing fact, reference sql/new_rfb_and_total_claimants_active/
+    setup_dmf_data_quality.sql:46-47). The fact tables arrive in THREE
+    watermark increments; each increment folds one slice into a
+    WAP-backed mergeable state (dq/incremental.py) and the verdicts
+    are computed from STATE ONLY — the returned plan never scans a
+    fact table.
+
+    The third orders increment deliberately RE-DELIVERS keys ≤ 1000
+    (late duplicate arrivals): the duplicate check must flag keys
+    whose copies landed in DIFFERENT increments — the case a
+    run-per-slice batch battery structurally misses. Oracle: every
+    check recomputed relationally over the full union (including the
+    duplicated arrivals).
+
+    Scale: per-increment cost ∝ slice + per-check state (keys ×
+    checks, narrow rows); history is never re-read. The batch
+    battery's data-derived 3σ outlier check is deliberately absent —
+    it has no exact incremental form (module docstring) — replaced by
+    the reference's own DMF shape: fixed-bound metric expectations
+    over exactly-merged stats."""
+    import tempfile
+
+    from etl_reporting_spark.dq.incremental import IncrementalDQBattery
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    b = IncrementalDQBattery(
+        spark, tempfile.mkdtemp(prefix="dq_inc_") + "/state"
+    )
+    b.add_row_check(
+        "IDQ-001",
+        "customer",
+        F.col("c_name").isNull() | (F.col("c_name").cast("string") == ""),
+    )
+    b.add_duplicate_check("IDQ-002", "orders", ["o_orderkey"])
+    b.add_duplicate_check(
+        "IDQ-003", "lineitem", ["l_orderkey", "l_linenumber"]
+    )
+    b.add_orphan_check(
+        "IDQ-004", "orders", "o_custkey", "customer", "c_custkey"
+    )
+    b.add_row_check("IDQ-005", "customer", F.col("c_acctbal") < 0)
+    b.add_row_check("IDQ-006", "lineitem", F.col("l_discount") == 0)
+    b.add_metric_check(
+        "IDQ-007",
+        "orders",
+        "o_totalprice",
+        mean_between=(1.0, 1e9),
+        min_at_least=0.0,
+    )
+
+    ok, lk, ck = F.col("o_orderkey"), F.col("l_orderkey"), F.col("c_custkey")
+    increments = [
+        {
+            "orders": orders.filter(ok <= 20000),
+            "lineitem": lineitem.filter(lk <= 20000),
+            "customer": customer.filter(ck <= 500),
+        },
+        {
+            "orders": orders.filter((ok > 20000) & (ok <= 40000)),
+            "lineitem": lineitem.filter((lk > 20000) & (lk <= 40000)),
+            "customer": customer.filter((ck > 500) & (ck <= 1000)),
+        },
+        {
+            # late duplicate arrivals: keys <= 1000 delivered AGAIN
+            "orders": orders.filter(ok > 40000).unionByName(
+                orders.filter(ok <= 1000)
+            ),
+            "lineitem": lineitem.filter(lk > 40000),
+            "customer": customer.filter(ck > 1000),
+        },
+    ]
+    dims = {"customer": customer}
+    for i, slices in enumerate(increments, start=1):
+        b.process_increment(slices, dims=dims, watermarks={"step": str(i)})
+    return b.verdicts()
 
 
 def wap_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,7 +1862,7 @@ def wap_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(900002, 'BUILDING', CAST(-2.25 AS DECIMAL(18,2)), 'manual')",
     )
     return spark.sql(
-        "SELECT c_custkey, c_mktsegment, bal, status "
+        "SELECT c_custkey, c_mktsegment, CAST(bal AS DOUBLE) AS bal, status "
         "FROM insert_gate_fact ORDER BY c_custkey"
     )
 
@@ -1699,7 +1944,9 @@ def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish_branch(spark, table.path, "etl_wap")
     return (
         table.read()
-        .select("c_custkey", "bucket", "bal")
+        .select(
+            "c_custkey", "bucket", F.col("bal").cast("double").alias("bal")
+        )
         .orderBy("c_custkey")
     )
 
@@ -1741,8 +1988,12 @@ def wap_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "c_mktsegment", F.col("bal").cast("decimal(18,2)").alias("bal")
     )
     table.append_rows(wide)
-    return table.read().select("custkey", "c_mktsegment", "bal").orderBy(
-        "custkey"
+    return (
+        table.read()
+        .select(
+            "custkey", "c_mktsegment", F.col("bal").cast("double").alias("bal")
+        )
+        .orderBy("custkey")
     )
 
 
@@ -1789,7 +2040,7 @@ def wap_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            F.sum("price").cast("decimal(18,2)").alias("sum_price"),
+            F.sum("price").cast("double").alias("sum_price"),
         )
         .orderBy("p_brand")
     )
@@ -2447,7 +2698,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a5/a7/a8/a9/u2/a14 driver-verified).
     "wap_hidden_partitioning": wap_hidden_partitioning,
     "wap_table_stats": wap_table_stats,
-    "a13_pivot": a13_pivot,
+    # round-12 rotation: spec evolution — the round-11 named refusal
+    # closed (era-union prune, cross-era DV merge, era rewrite) —
+    # takes the hard driver signal. Rotated to the locally-verified
+    # tail with 10 rounds of driver-green history (CORRECTNESS_r02-
+    # r11): a13_pivot (the aggregate family keeps a5/a7/a8/a9/u2/a14
+    # driver-verified).
+    "wap_spec_evolution": wap_spec_evolution,
     "fn_date_gallery": fn_date_gallery,
     "fn_string_gallery": fn_string_gallery,
     "fn_conditional_gallery": fn_conditional_gallery,
@@ -2534,6 +2791,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w45_event_ordering": w45_event_ordering,
     "s4_multi_statement": s4_multi_statement,
     "a12_percentiles": a12_percentiles,
+    # round-12 rotation (see window note above): 10 rounds driver-green
+    "a13_pivot": a13_pivot,
+    # round-12: RENAME COLUMN via name-chain identity — the other
+    # round-11 named refusal closed (locally-verified tail; the
+    # spec-evolution gate carries this round's table-format driver
+    # signal)
+    "wap_rename_column": wap_rename_column,
+    # round-12: watermark-sliced DQ with mergeable state — verdicts
+    # from state only, cross-increment duplicates caught (VERDICT #6)
+    "incremental_dq_battery": incremental_dq_battery,
     "wap_insert_sql": wap_insert_sql,
     "wap_branch_publish": wap_branch_publish,
     "wap_schema_widen": wap_schema_widen,

@@ -42,7 +42,13 @@ EXPECTED_WINDOW = [
     # of driver-green history
     "wap_hidden_partitioning",
     "wap_table_stats",
-    "a13_pivot",
+    # round-12 rotation: the spec-evolution gate (era-union prune,
+    # cross-era DV merge, era rewrite vs one relational twin) takes
+    # the hard driver signal; a13_pivot rotates to the locally-
+    # verified tail with 10 rounds of driver-green history
+    # (CORRECTNESS_r02-r11; the aggregate family keeps
+    # a5/a7/a8/a9/u2/a14 driver-verified)
+    "wap_spec_evolution",
     "fn_date_gallery",
     "fn_string_gallery",
     "fn_conditional_gallery",

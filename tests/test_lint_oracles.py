@@ -4,7 +4,7 @@ timestamp literals (pandas ns overflow). See DETERMINISM.md and
 tools/lint_oracles.py.
 """
 
-from tools.lint_oracles import lint_oracle
+from tools.lint_oracles import lint_final_types, lint_oracle
 
 
 def test_all_oracles_pass_lint():
@@ -29,6 +29,42 @@ def test_lint_catches_far_future_literal():
     assert not lint_oracle("x", ok_str)
     ok_marked = bad + "  -- lint: sentinel-ok (predicate only)"
     assert not lint_oracle("x", ok_marked)
+
+
+def test_all_oracles_follow_float_convention():
+    """No oracle may emit DECIMAL (or any non-allowlisted exotic) in
+    its FINAL SELECT — round-11's only hash-red driver cell
+    (wap_hidden_partitioning) was the window's only DECIMAL-emitting
+    gate, with byte-identical values. DuckDB DESCRIBE over the real
+    oracles: metadata-only, no execution."""
+    from etl_reporting_spark.plans.oracles import ORACLE_SQL
+
+    assert lint_final_types(ORACLE_SQL) == []
+
+
+def test_final_type_lint_rejects_planted_decimal():
+    """The lint must catch the exact round-11 failure class: a final
+    column typed DECIMAL (and DuckDB's bare-integer-SUM HUGEINT)."""
+    planted = {
+        "planted_decimal": (
+            "SELECT c_mktsegment, CAST(SUM(CAST(c_acctbal AS "
+            "DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal "
+            "FROM customer GROUP BY 1"
+        ),
+        "planted_hugeint": (
+            "SELECT SUM(c_custkey) AS s FROM customer  -- lint: sum-ok"
+        ),
+        "clean_double": (
+            "SELECT c_mktsegment, CAST(SUM(CAST(c_acctbal AS "
+            "DECIMAL(18,2))) AS DOUBLE) AS bal "
+            "FROM customer GROUP BY 1"
+        ),
+    }
+    problems = lint_final_types(planted)
+    flagged = {p.split(":", 1)[0] for p in problems}
+    assert "planted_decimal" in flagged
+    assert "planted_hugeint" in flagged
+    assert "clean_double" not in flagged
 
 
 def test_driver_contract_keys_align():

@@ -564,8 +564,14 @@ def test_ddl_script_mix_and_view_repin(spark, fact):
 def test_unsupported_ddl_fails_loudly(spark, fact):
     from etl_reporting_spark.operators.sql_dml import execute_ddl
 
+    # RENAME COLUMN is supported since round-12 (test_wap_rename.py);
+    # whole-TABLE rename remains the unsupported ALTER exemplar
     with pytest.raises(SqlDmlError, match="unsupported ALTER"):
-        execute_ddl(spark, "ALTER TABLE fact_sql RENAME COLUMN a TO b")
+        execute_ddl(spark, "ALTER TABLE fact_sql RENAME TO other_table")
+    # a supported form over a bad column still fails loudly, with the
+    # table API's own message
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_ddl(spark, "ALTER TABLE fact_sql RENAME COLUMN nope TO b")
     with pytest.raises(SqlDmlError, match="unsupported ANALYZE"):
         execute_ddl(spark, "ANALYZE TABLE fact_sql ESTIMATE EVERYTHING")
 

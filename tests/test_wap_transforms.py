@@ -368,3 +368,187 @@ def test_streaming_wap_upsert_into_hidden_table(spark, tmp_path):
     )
     with pytest.raises(ConstraintViolation):
         t.commit_partitions(bad, operation="merge")
+
+
+# --------------------------------------------- spec evolution (round-12)
+def _era0(spark):
+    """January rows — the 'history was small, days() made sense' era."""
+    rows = [
+        (i, dt.date(2026, 1, 1 + (i % 27)), f"u{i % 7}", float(i))
+        for i in range(1, 31)
+    ]
+    return spark.createDataFrame(rows, "id int, ds date, user string, amt double")
+
+
+def _era1(spark):
+    """Feb–Jun rows — appended after the evolve to months()."""
+    rows = [
+        (100 + i, dt.date(2026, 2 + (i % 5), 1 + (i % 27)), f"u{i % 7}", float(i))
+        for i in range(1, 61)
+    ]
+    return spark.createDataFrame(rows, "id int, ds date, user string, amt double")
+
+
+def _evolved_table(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _era0(spark), ["days(ds)"]
+    )
+    t.evolve_partition_spec(["months(ds)"])
+    t.append_rows(_era1(spark))
+    return t
+
+
+def test_evolve_is_metadata_only_and_persists(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _era0(spark), ["days(ds)"]
+    )
+    roots_before = set(t.live_commit_roots())
+    v = t.evolve_partition_spec(["months(ds)"])
+    assert v == 2
+    # zero data moved: same physical roots, same partition pointers
+    assert set(t.live_commit_roots()) == roots_before
+    assert t.partition_by == ["_p_ds_months"]
+    # history committed and sticky through a subsequent DML commit
+    t.append_rows(_era1(spark))
+    rec = t._commit_record(t.current_version())
+    assert len(rec["partition_spec_history"]) == 2
+    # reopen hydrates the CURRENT spec
+    reopened = open_hidden_partitioned_wap_table(spark, t.path)
+    assert reopened.partition_by == ["_p_ds_months"]
+    assert [tr.kind for tr in reopened.transforms] == ["months"]
+
+
+def test_evolved_reads_hide_both_eras_columns(spark, tmp_path):
+    t = _evolved_table(spark, tmp_path)
+    df = t.read()
+    assert "_p_ds_days" not in df.columns
+    assert "_p_ds_months" not in df.columns
+    assert df.count() == 90
+    # keys of BOTH layouts live in the map
+    keys = sorted(t.partition_map())
+    assert any(k.startswith("_p_ds_days=") for k in keys)
+    assert any(k.startswith("_p_ds_months=") for k in keys)
+
+
+def test_era_union_prune_matches_full_scan(spark, tmp_path):
+    t = _evolved_table(spark, tmp_path)
+    lo, hi = dt.date(2026, 1, 10), dt.date(2026, 3, 15)
+    pruned = t.read_pruned("ds", lo=lo, hi=hi)
+    full = t.read().filter((F.col("ds") >= lo) & (F.col("ds") <= hi))
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    # and it actually pruned: era-0 days outside the range dropped,
+    # era-1 months outside the range dropped
+    keys = t.prune("ds", lo=lo, hi=hi)
+    assert "_p_ds_days=2026-01-05" not in keys
+    assert "_p_ds_months=2026-05" not in keys
+    assert any(k.startswith("_p_ds_days=2026-01-1") for k in keys)
+
+
+def test_cross_era_upsert_finds_old_era_matches(spark, tmp_path):
+    """THE hazard the round-11 refusal named: a merge touching keys
+    that live in old-era partitions must retract them there — not
+    silently duplicate."""
+    t = _evolved_table(spark, tmp_path)
+    # partition-stability contract (upsert_rows_dv docstring): source
+    # rows carry their keys' TRUE partition values — id 5 was written
+    # on 2026-01-06 (era-0 day), id 110 on 2026-02-11 (era-1 month)
+    src = spark.createDataFrame(
+        [
+            (5, dt.date(2026, 1, 6), "u5", 999.0),     # era-0 resident
+            (110, dt.date(2026, 2, 11), "u5", 888.0),  # era-1 resident
+            (9999, dt.date(2026, 6, 30), "u0", 1.0),   # brand new
+        ],
+        "id int, ds date, user string, amt double",
+    )
+    v, updated, inserted = t.upsert_rows_dv(src, keys=["id"])
+    assert (updated, inserted) == (2, 1)
+    df = t.read()
+    assert df.count() == 91  # 90 + 1 insert, zero duplicates
+    assert df.filter("id = 5").count() == 1
+    assert df.filter("id = 5").first()["amt"] == 999.0
+    assert df.filter("id = 110").first()["amt"] == 888.0
+    # the masked old version lived in an era-0 day partition: the DV
+    # commit recorded that partition as touched
+    rec = t._commit_record(v)
+    assert any(k.startswith("_p_ds_days=") for k in rec["touched"])
+
+
+def test_bucket_param_evolution_disambiguates_target(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _era0(spark), ["bucket(4, id)"]
+    )
+    t.evolve_partition_spec(["bucket(8, id)"])
+    assert t.partition_by == ["_p_id_bucket_8"]
+    t.append_rows(_era1(spark))
+    # equality prune unions the two eras' bucket assignments
+    keys = t.prune("id", eq=5)
+    assert any(k.startswith("_p_id_bucket=") for k in keys)
+    got = t.read_pruned("id", eq=5)
+    assert got.count() == 1 and got.first()["id"] == 5
+    keys110 = t.prune("id", eq=110)
+    assert any(k.startswith("_p_id_bucket_8=") for k in keys110)
+    assert t.read_pruned("id", eq=110).count() == 1
+
+
+def test_evolve_back_to_prior_layout_is_refused(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _era0(spark), ["days(ds)"]
+    )
+    t.evolve_partition_spec(["months(ds)"])
+    with pytest.raises(ValueError, match="identical to era"):
+        t.evolve_partition_spec(["days(ds)"])
+    with pytest.raises(ValueError, match="identical to era"):
+        t.evolve_partition_spec(["months(ds)"])
+
+
+def test_overwrite_refused_while_old_era_keys_live(spark, tmp_path):
+    from etl_reporting_spark.operators.wap import optimize_partitions
+
+    t = _evolved_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="era-ambiguous"):
+        t.commit_partitions(_era1(spark), operation="merge")
+    with pytest.raises(ValueError, match="era-ambiguous"):
+        optimize_partitions(t)
+
+
+def test_rewrite_era_partitions_migrates_and_unblocks(spark, tmp_path):
+    from etl_reporting_spark.operators.wap import optimize_partitions
+
+    t = _evolved_table(spark, tmp_path)
+    # seed an OVERLAPPING current-era partition: month 2026-01 already
+    # exists (an appended late row) so the rewrite must merge into it,
+    # not clobber it
+    late = spark.createDataFrame(
+        [(7000, dt.date(2026, 1, 20), "u1", 7.0)],
+        "id int, ds date, user string, amt double",
+    )
+    t.append_rows(late)
+    before = sorted((r["id"], r["amt"]) for r in t.read().collect())
+    v = t.rewrite_era_partitions()
+    assert v is not None
+    after = sorted((r["id"], r["amt"]) for r in t.read().collect())
+    assert after == before
+    assert t._live_old_era_keys() == []
+    assert not any(k.startswith("_p_ds_days=") for k in t.partition_map())
+    # era-0 history still answers time travel under the OLD layout
+    assert t.read(version=1).count() == 30
+    # overwrite paths unblock once the layout is single-era again
+    optimize_partitions(t)
+    assert t.read().count() == len(before)
+    # idempotent: nothing left to migrate
+    assert t.rewrite_era_partitions() is None
+
+
+def test_evolve_validations(spark, tmp_path):
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _era0(spark), ["days(ds)"]
+    )
+    with pytest.raises(ValueError, match="RAW columns"):
+        t.evolve_partition_spec(["months(_p_ds_days)"])
+    with pytest.raises(ValueError):
+        t.evolve_partition_spec(["months(nope)"])
+    # a failed evolve leaves the table untouched
+    assert t.partition_by == ["_p_ds_days"]
+    assert len(t._era_specs()) == 1

@@ -13,6 +13,18 @@ two classes of drift have bitten before (VERDICT round 1):
    sentinel) overflow the driver's toPandas. Rule: a far-future
    literal may appear only when the query also formats it to a string
    (strftime) before projecting.
+3. (round-12, from the round-11 red cell) DECIMAL in a FINAL output
+   column. The driver's hasher canonicalizes Spark and DuckDB decimal
+   representations differently, so the only DECIMAL-emitting gate in
+   the round-11 window (`wap_hidden_partitioning`) was the window's
+   only hash failure despite byte-identical values. Rule — "the float
+   convention": every oracle's final SELECT may emit only
+   {BIGINT, INTEGER, DOUBLE, VARCHAR, DATE, TIMESTAMP, BOOLEAN, JSON}
+   (JSON grandfathered: fn_json_gallery is driver-green through r11 —
+   both engines serialize it as a string). DECIMAL/HUGEINT/anything
+   exotic must be CAST before the final projection. Checked
+   mechanically: DuckDB ``DESCRIBE (<oracle>)`` over the sf0.001
+   views — metadata-only, no execution, no text parsing.
 
 Run: ``python tools/lint_oracles.py`` (exit 1 on violations).
 Also enforced by tests/test_lint_oracles.py.
@@ -55,12 +67,73 @@ def lint_oracle(name: str, sql: str) -> list[str]:
     return problems
 
 
+#: The float convention. Every final output column of every oracle
+#: must DESCRIBE to one of these DuckDB types; the Spark twin aliases
+#: and casts to the matching Spark type. DECIMAL is banned in finals
+#: (round-11 `wap_hidden_partitioning` hash-red: values byte-identical,
+#: hashes divergent). JSON is grandfathered — fn_json_gallery has been
+#: driver-green since it entered the window (both engines hand the
+#: comparator a string).
+ALLOWED_FINAL_TYPES = frozenset(
+    {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
+     "BOOLEAN", "JSON"}
+)
+
+_TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def lint_final_types(
+    oracles: dict[str, str], sf_dir: str = "/root/testdata/sf0.001"
+) -> list[str]:
+    """DESCRIBE every oracle in DuckDB (metadata only — the query is
+    planned, not run) and reject any final column whose type is
+    outside ALLOWED_FINAL_TYPES."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}')"
+            )
+    problems: list[str] = []
+    for name, sql in oracles.items():
+        try:
+            desc = con.execute(
+                f"DESCRIBE ({sql.rstrip().rstrip(';')})"
+            ).fetchall()
+        except Exception as e:  # noqa: BLE001
+            problems.append(
+                f"{name}: DESCRIBE failed — {type(e).__name__}: "
+                f"{str(e)[:200]}"
+            )
+            continue
+        for col, typ, *_ in desc:
+            if typ not in ALLOWED_FINAL_TYPES:
+                problems.append(
+                    f"{name}: final column {col!r} is {typ} — the float "
+                    "convention allows only "
+                    f"{sorted(ALLOWED_FINAL_TYPES)} in a final SELECT; "
+                    "CAST it (DECIMAL finals hash-diverge across "
+                    "engines: round-11 wap_hidden_partitioning)"
+                )
+    return problems
+
+
 def main() -> int:
     from etl_reporting_spark.plans.oracles import ORACLE_SQL
 
     problems: list[str] = []
     for name, sql in ORACLE_SQL.items():
         problems.extend(lint_oracle(name, sql))
+    problems.extend(lint_final_types(ORACLE_SQL))
     for p in problems:
         print(p)
     print(f"{len(ORACLE_SQL)} oracles linted, {len(problems)} problem(s)")

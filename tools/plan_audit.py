@@ -192,6 +192,18 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # aggregate exchange per family + the presentation sort. The
     # prunes themselves are metadata-only (zero jobs).
     "wap_hidden_partitioning": 3,
+    # round-12: three monthly-rollup families (era-union pruned read,
+    # post-merge snapshot, post-rewrite snapshot) — one aggregate
+    # exchange each + the presentation sort. Evolve/prune are
+    # metadata-only; the DML commits run at build time.
+    "wap_spec_evolution": 4,
+    # round-12: rename is metadata-only; the returned frame is one
+    # chain-resolved snapshot read → aggregate + presentation sort
+    "wap_rename_column": 2,
+    # round-12: verdicts read ONLY the state table (the battery's
+    # point — no fact scan in this plan): one dup-groupBy exchange +
+    # the presentation sort. The increments run at build time.
+    "incremental_dq_battery": 2,
     # round-11: the returned frame is a driver-local reconstruction of
     # the commit-log stats — the one exchange is the presentation sort
     "wap_table_stats": 1,
