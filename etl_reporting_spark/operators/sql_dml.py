@@ -1149,6 +1149,7 @@ def execute_dml_script(
 #     ALTER TABLE <t> DROP COLUMN[S] <name> [, <name> ...]
 #     ALTER TABLE <t> ALTER COLUMN <name> TYPE <type>     -- widen only
 #     ALTER TABLE <t> RENAME COLUMN <old> TO <new>         -- round-12
+#     ALTER TABLE <t> SET PARTITION SPEC (<transform>, ...) -- round-12
 #     ANALYZE TABLE <t> COMPUTE STATISTICS
 #         [FOR COLUMNS <a>, <b> | FOR ALL COLUMNS]
 #         [FOR KEYS <a>, <b>]                              -- skew triad
@@ -1176,6 +1177,9 @@ _ALTER_COLUMN = re.compile(
 )
 _RENAME_COLUMN = re.compile(
     r"(?is)^\s*RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$"
+)
+_SET_PARTITION_SPEC = re.compile(
+    r"(?is)^\s*SET\s+PARTITION\s+SPEC\s*\((?P<body>[\w\s,()]+)\)\s*$"
 )
 _ANALYZE_TAIL = re.compile(
     r"(?is)^\s*COMPUTE\s+STATISTICS"
@@ -1376,6 +1380,17 @@ def execute_ddl(
             ),
         ),
         (
+            # round-12: partition-spec evolution as text (Iceberg's
+            # REPLACE PARTITION FIELD family, spelled whole-spec) —
+            # hidden-partitioned targets only; the metadata-only
+            # commit + era semantics live in transforms.py
+            _SET_PARTITION_SPEC,
+            lambda m: (
+                "evolve_partition_spec",
+                _evolve_spec(table, m.group("body")),
+            ),
+        ),
+        (
             _DROP_COLUMNS,
             lambda m: (
                 "drop_columns",
@@ -1401,6 +1416,23 @@ def execute_ddl(
         "<t> (lossless widen), RENAME COLUMN <a> TO <b>, "
         "CREATE/DROP/PUBLISH BRANCH <name>"
     )
+
+
+def _evolve_spec(table, body: str) -> int:
+    """``SET PARTITION SPEC (months(ds), bucket(4, k))`` → the
+    hidden-partitioning evolve. A non-hidden target fails loudly (the
+    spec belongs to tables whose layout the TABLE owns)."""
+    if not hasattr(table, "evolve_partition_spec"):
+        raise SqlDmlError(
+            "SET PARTITION SPEC needs a hidden-partitioned WAP table "
+            f"(got {type(table).__name__}) — create one with "
+            "create_hidden_partitioned_wap_table; explicit-column "
+            "layouts repartition via a full rewrite"
+        )
+    spec = [p.strip() for p in _split_top_commas(body) if p.strip()]
+    if not spec:
+        raise SqlDmlError("SET PARTITION SPEC needs at least one transform")
+    return table.evolve_partition_spec(spec)
 
 
 def _parse_add_columns(body: str) -> dict[str, str]:

@@ -3378,6 +3378,48 @@ def table_changes(
         old = table.read(version=from_version)
         new = table.read(version=to_version)
     keys = list(keys)
+    rec_to = table._commit_record(to_version)
+    rec_from = (
+        table._commit_record(from_version) if from_version else {}
+    )
+    # RENAME between the versions (round-12): the old side reads under
+    # the column's old physical-era name — logically the SAME column.
+    # Resolve it through the to-version's name chain BEFORE the union
+    # alignment, or a pure rename would diff as a spurious whole-table
+    # update (old amt=x/amount=NULL vs new amt=NULL/amount=x).
+    prior: dict[str, list[str]] = rec_to.get("prior_names", {})
+    if prior:
+        old_cols = set(old.columns)
+        for cur, chain in prior.items():
+            if cur in old_cols:
+                continue
+            for p in reversed(chain):
+                if p in old_cols:
+                    old = old.withColumnRenamed(p, cur)
+                    break
+    # hidden-partitioning derived columns are physical layout, not
+    # logical data — and under SPEC EVOLUTION each side would carry
+    # its own era's targets, NULL-filling into spurious updates. Drop
+    # every era's targets from both sides (matches what read() hides).
+    derived: set[str] = set()
+    for rec in (rec_from, rec_to):
+        eras = rec.get("partition_spec_history") or (
+            [rec["partition_spec"]] if rec.get("partition_spec") else []
+        )
+        if not eras:
+            continue
+        # late import: transforms.py imports this module
+        from etl_reporting_spark.operators.transforms import Transform
+
+        derived.update(
+            Transform.from_json(t).target
+            for era in eras
+            for t in era
+            if t.get("kind") != "identity"
+        )
+    if derived:
+        old = old.drop(*sorted(derived & set(old.columns)))
+        new = new.drop(*sorted(derived & set(new.columns)))
     # schema evolution: each side reads as its own committed schema;
     # align both to the union (ADD COLUMN between the versions would
     # otherwise fail resolving old.select(new-only column), and a

@@ -619,3 +619,99 @@ def pytest_approx(x):
     import pytest
 
     return pytest.approx(x, rel=1e-12, abs=1e-9)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    days=st.lists(st.integers(0, 59), min_size=4, max_size=24),
+    lo_off=st.integers(0, 59),
+    width=st.integers(0, 30),
+)
+def test_era_union_prune_matches_bruteforce(spark, tmp_path_factory, days, lo_off, width):
+    """Spec evolution (round-12): for random rows split across a
+    days()-era and a months()-era, read_pruned over any range equals
+    the brute-force filter of the full read — era-union pruning plus
+    the residual filter is exact, never lossy."""
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+
+    base = dt.date(2026, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=d)) for i, d in enumerate(days)
+    ]
+    cut = len(rows) // 2
+    df0 = spark.createDataFrame(rows[: cut or 1], "id int, ds date")
+    tmp = tmp_path_factory.mktemp("eraprune")
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp / "t"), df0, ["days(ds)"]
+    )
+    t.evolve_partition_spec(["months(ds)"])
+    if rows[cut or 1:]:
+        t.append_rows(
+            spark.createDataFrame(rows[cut or 1:], "id int, ds date")
+        )
+    lo = base + dt.timedelta(days=lo_off)
+    hi = lo + dt.timedelta(days=width)
+    got = sorted(
+        r["id"] for r in t.read_pruned("ds", lo=lo, hi=hi).collect()
+    )
+    want = sorted(
+        i for i, d in enumerate(days)
+        if lo <= base + dt.timedelta(days=d) <= hi
+    )
+    assert got == want, (lo, hi, got, want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=12
+    ),
+    n_renames=st.integers(1, 4),
+)
+def test_rename_chain_preserves_values(
+    spark, tmp_path_factory, vals, n_renames
+):
+    """RENAME (round-12): any chain of renames with appends in
+    between reads back every row's value under the final name —
+    name-chain resolution never NULLs or crosses wires."""
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+    )
+
+    tmp = tmp_path_factory.mktemp("renamechain")
+    names = ["v0", "v1", "v2", "v3", "v4"]
+    df0 = spark.createDataFrame(
+        [(0, "s", float(vals[0]))], f"id int, seg string, {names[0]} double"
+    )
+    t = create_partitioned_wap_table(spark, str(tmp / "t"), df0, ["seg"])
+    expected = {0: float(vals[0])}
+    for step in range(1, n_renames + 1):
+        t.alter_schema(rename={names[step - 1]: names[step]})
+        # append one row per remaining value under the NEW name
+        if step < len(vals):
+            t.append_rows(
+                spark.createDataFrame(
+                    [(step, "s", float(vals[step]))],
+                    f"id int, seg string, {names[step]} double",
+                )
+            )
+            expected[step] = float(vals[step])
+    final = names[n_renames]
+    got = {r["id"]: r[final] for r in t.read().collect()}
+    assert got == expected

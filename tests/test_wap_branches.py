@@ -219,3 +219,57 @@ def test_branch_on_hidden_partitioned_table(spark, tmp_path):
     assert t.read_pruned("ds", eq=dt.date(2026, 2, 10)).filter(
         "id = 99"
     ).count() == 1
+
+
+def test_branch_on_spec_evolved_table_cross_era_merge(spark, tmp_path):
+    """Round-12 interaction: a branch forked AFTER a spec evolution
+    runs a CROSS-ERA DV merge (its match scope must find old-era
+    residents through the layered commit store), stays invisible to
+    main, and publishes — with the old-era masked partition in the
+    replayed touched set so conflict screening keeps covering it."""
+    import datetime as dt
+
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+
+    rows0 = [
+        (i, dt.date(2026, 1, 1 + i), float(i)) for i in range(1, 8)
+    ]
+    t = create_hidden_partitioned_wap_table(
+        spark,
+        str(tmp_path / "evo"),
+        spark.createDataFrame(rows0, "id int, ds date, amt double"),
+        ["days(ds)"],
+    )
+    t.evolve_partition_spec(["months(ds)"])
+    t.append_rows(
+        spark.createDataFrame(
+            [(100, dt.date(2026, 3, 10), 100.0)],
+            "id int, ds date, amt double",
+        )
+    )
+    br = create_branch(spark, t.path, "evb")
+    # id 3 lives in an era-0 DAY partition; the branch merge must
+    # retract it there, not duplicate
+    br.upsert_rows_dv(
+        spark.createDataFrame(
+            [(3, dt.date(2026, 1, 4), 333.0)], "id int, ds date, amt double"
+        ),
+        keys=["id"],
+    )
+    assert br.read().filter("id = 3").first()["amt"] == 333.0
+    assert br.read().count() == 8  # no duplicate on the branch
+    assert t.read().filter("id = 3").first()["amt"] == 3.0  # main unseen
+    publish_branch(spark, t.path, "evb")
+    assert t.read().filter("id = 3").first()["amt"] == 333.0
+    assert t.read().count() == 8
+    rec = t._commit_record(t.current_version())
+    assert any(k.startswith("_p_ds_days=") for k in rec["touched"])
+    # era attribution still intact after the publish: pruned range
+    # read over the era boundary equals the residual-filtered scan
+    lo, hi = dt.date(2026, 1, 3), dt.date(2026, 3, 31)
+    assert (
+        t.read_pruned("ds", lo=lo, hi=hi).count()
+        == t.read().filter((F.col("ds") >= lo) & (F.col("ds") <= hi)).count()
+    )

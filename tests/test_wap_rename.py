@@ -213,3 +213,34 @@ def test_rename_as_statement_text(spark, tmp_path):
     )
     with pytest.raises(SqlDmlError, match="unsupported ALTER"):
         execute_ddl(spark, "ALTER TABLE rename_txt_gate RENAME TO other")
+
+
+def test_change_feed_across_rename_is_quiet(spark, tmp_path):
+    """A pure rename changes no logical rows: the CDF between the
+    pre- and post-rename snapshots must be EMPTY (the old side
+    resolves through the name chain), and changes after the rename
+    report under the NEW name only."""
+    from etl_reporting_spark.operators.wap import table_changes
+
+    t = _table(spark, tmp_path)                      # v1
+    t.alter_schema(rename={"amt": "amount"})          # v2
+    quiet = table_changes(t, ["id"], from_version=1, to_version=2)
+    assert quiet.count() == 0
+    src = spark.createDataFrame(
+        [(5, "seg2", 555.0), (99, "seg0", 9.0)],
+        "id int, seg string, amount double",
+    )
+    t.upsert_rows_dv(src, keys=["id"])                # v3
+    ch = table_changes(t, ["id"], from_version=2, to_version=3)
+    assert "amount" in ch.columns and "amt" not in ch.columns
+    by_type = {
+        (r["id"], r["_change_type"]): r["amount"] for r in ch.collect()
+    }
+    assert by_type[(99, "insert")] == 9.0
+    assert by_type[(5, "update_preimage")] == 5.0
+    assert by_type[(5, "update_postimage")] == 555.0
+    # and ACROSS the rename boundary: same logical changes, new names
+    spanning = table_changes(t, ["id"], from_version=1, to_version=3)
+    assert sorted(
+        (r["id"], r["_change_type"]) for r in spanning.collect()
+    ) == [(5, "update_postimage"), (5, "update_preimage"), (99, "insert")]

@@ -552,3 +552,72 @@ def test_evolve_validations(spark, tmp_path):
     # a failed evolve leaves the table untouched
     assert t.partition_by == ["_p_ds_days"]
     assert len(t._era_specs()) == 1
+
+
+def test_change_feed_across_spec_evolution(spark, tmp_path):
+    """CDF across an evolve: the derived partition columns of EVERY
+    era stay out of the diff (they are layout, not data — each side
+    carrying its own era's targets would otherwise NULL-fill into a
+    spurious whole-table update), and the evolve commit itself is
+    change-free."""
+    from etl_reporting_spark.operators.wap import table_changes
+
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _era0(spark), ["days(ds)"]
+    )                                                  # v1
+    v_evolve = t.evolve_partition_spec(["months(ds)"])  # v2
+    quiet = table_changes(t, ["id"], from_version=1, to_version=v_evolve)
+    assert quiet.count() == 0
+    t.append_rows(_era1(spark))                         # v3
+    ch = table_changes(t, ["id"], from_version=v_evolve)
+    assert not any(c.startswith("_p_") for c in ch.columns)
+    assert ch.count() == 60
+    assert set(
+        r["_change_type"] for r in ch.select("_change_type").distinct().collect()
+    ) == {"insert"}
+    # spanning the evolve: era-0 rows are unchanged, era-1 all inserts
+    spanning = table_changes(t, ["id"], from_version=1)
+    assert spanning.count() == 60
+
+
+def test_set_partition_spec_as_statement_text(spark, tmp_path):
+    """Round-12 DDL surface: `ALTER TABLE t SET PARTITION SPEC (...)`
+    routes to evolve_partition_spec for registered hidden targets;
+    non-hidden targets fail loudly; the registered view re-pins."""
+    from etl_reporting_spark.operators.sql_dml import (
+        SqlDmlError,
+        execute_ddl,
+    )
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        register_wap_view,
+    )
+
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _era0(spark), ["days(ds)"]
+    )
+    register_wap_view(spark, t.path, "evo_txt_gate", dml=True)
+    out = execute_ddl(
+        spark, "ALTER TABLE evo_txt_gate SET PARTITION SPEC (months(ds))"
+    )
+    assert out["operation"] == "evolve_partition_spec"
+    reopened = open_hidden_partitioned_wap_table(spark, t.path)
+    assert reopened.partition_by == ["_p_ds_months"]
+    reopened.append_rows(_era1(spark))
+    assert (
+        spark.sql("SELECT COUNT(*) n FROM evo_txt_gate").first()["n"] == 30
+    )  # the view pins the pre-append snapshot until the next re-pin
+    # a plain explicit-column table refuses the statement by type
+    plain = create_partitioned_wap_table(
+        spark,
+        str(tmp_path / "p"),
+        _era0(spark).withColumn("seg", F.lit("a")),
+        ["seg"],
+    )
+    register_wap_view(spark, plain.path, "evo_txt_plain", dml=True)
+    with pytest.raises(SqlDmlError, match="hidden-partitioned"):
+        execute_ddl(
+            spark, "ALTER TABLE evo_txt_plain SET PARTITION SPEC (months(ds))"
+        )
+    with pytest.raises(SqlDmlError, match="at least one transform"):
+        execute_ddl(spark, "ALTER TABLE evo_txt_gate SET PARTITION SPEC ( )")
