@@ -116,11 +116,34 @@ def purge_rows(
             rows_purged=0, delete_version=None, rewrite_version=None
         )
 
-    # 2. REWRITE — only the partitions the delete touched
+    # 2. REWRITE — only the partitions the delete touched. On a
+    # spec-EVOLVED table (round-12), touched partitions still under an
+    # old era cannot compact in place (their rows re-derive under the
+    # current spec) — those migrate via rewrite_era_partitions, which
+    # equally rewrites the masked rows out of existence; the rest
+    # compact normally. ``verify_keys`` accumulates every partition a
+    # rewrite commit produced, so step 4 scans exactly where purged
+    # bytes could survive — including migration TARGETS.
     touched = list(table._commit_record(delete_version).get("touched", []))
-    rewrite_version = optimize_partitions(
-        table, partitions=touched, n_files=n_files
+    old_era = (
+        set(table._live_old_era_keys())
+        if hasattr(table, "_live_old_era_keys")
+        else set()
     )
+    migrate = sorted(set(touched) & old_era)
+    verify_keys: set[str] = set()
+    rewrite_version = delete_version
+    if migrate:
+        rewrite_version = table.rewrite_era_partitions(partitions=migrate)
+        verify_keys |= set(
+            table._commit_record(rewrite_version).get("touched", [])
+        )
+    rest = sorted(set(touched) - set(migrate))
+    if rest:
+        rewrite_version = optimize_partitions(
+            table, partitions=rest, n_files=n_files
+        )
+        verify_keys |= set(rest)
 
     # 3. ERASE HISTORY — physically remove the pre-delete files
     removed: list[str] = []
@@ -136,7 +159,7 @@ def purge_rows(
     # the files themselves, not merely masked. Scoped to the touched
     # partitions (everything else was provably never rewritten).
     survivors: list[str] = []
-    for pk in touched:
+    for pk in sorted(verify_keys):
         if pk in table.partition_map(rewrite_version):
             survivors.extend(
                 table.partition_files(pk, version=rewrite_version)

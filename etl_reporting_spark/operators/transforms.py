@@ -465,7 +465,25 @@ class HiddenPartitionedWapTable(PartitionedWapTable):
             )
 
     def commit_partitions(self, df: DataFrame, **kwargs) -> int:
-        if kwargs.get("operation") != "create":
+        op = kwargs.get("operation")
+        if op == "optimize":
+            # compaction is content-preserving, so it is era-SAFE —
+            # but only over CURRENT-era partitions: an old-era
+            # partition's rows re-derive under the current spec and
+            # would land outside the replace set (write-audit error).
+            # Refuse those up front with the migration verb by name.
+            stale = set(self._live_old_era_keys()) & set(
+                kwargs.get("replace") or []
+            )
+            if stale:
+                raise ValueError(
+                    f"optimize cannot compact old-era partition(s) "
+                    f"{sorted(stale)[:3]} in place — their rows re-derive "
+                    "under the current spec; migrate them with "
+                    "rewrite_era_partitions(partitions=...) instead "
+                    "(auto_optimize routes this automatically)"
+                )
+        elif op != "create":
             self._refuse_overwrite_across_eras("commit_partitions")
         return super().commit_partitions(self.derive(df), **kwargs)
 

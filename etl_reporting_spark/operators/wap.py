@@ -4005,17 +4005,47 @@ def auto_optimize(
         v, n = table.compact_vectors()
         applied.append({"action": "compact_vectors", "rows": n, "version": v})
     if compact:
-        v = optimize_partitions(
-            table,
-            partitions=sorted(compact),
-            n_files=n_files,
-            cluster_by=cluster_by,
-            stats_cols=stats_cols,
-            zorder=zorder,
+        # spec-evolved tables (round-12): partitions still under an
+        # OLD era cannot compact in place — their rows re-derive under
+        # the current spec. Route them through the migration rewrite
+        # (which compacts as a side effect) and optimize the rest.
+        old_era = (
+            set(table._live_old_era_keys())
+            if hasattr(table, "_live_old_era_keys")
+            else set()
         )
-        applied.append(
-            {"action": "compact", "partitions": sorted(compact), "version": v}
-        )
+        migrate = sorted(compact & old_era)
+        if migrate:
+            v = table.rewrite_era_partitions(
+                partitions=migrate, stats_cols=stats_cols
+            )
+            applied.append(
+                {"action": "rewrite-era", "partitions": migrate, "version": v}
+            )
+            compact -= set(migrate)
+            # the migration TARGETS are freshly-written current-era
+            # partitions (often multi-file); fold them into this
+            # run's compaction so the empty-after postcondition holds
+            # in one pass instead of deferring to the next cadence
+            compact |= set(
+                table._commit_record(v).get("touched", [])
+            ) & set(table.partition_map())
+        if compact:
+            v = optimize_partitions(
+                table,
+                partitions=sorted(compact),
+                n_files=n_files,
+                cluster_by=cluster_by,
+                stats_cols=stats_cols,
+                zorder=zorder,
+            )
+            applied.append(
+                {
+                    "action": "compact",
+                    "partitions": sorted(compact),
+                    "version": v,
+                }
+            )
     if do_vacuum:
         removed = table.vacuum(
             keep_last=keep_last, min_age_seconds=vacuum_min_age_seconds

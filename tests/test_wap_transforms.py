@@ -621,3 +621,49 @@ def test_set_partition_spec_as_statement_text(spark, tmp_path):
         )
     with pytest.raises(SqlDmlError, match="at least one transform"):
         execute_ddl(spark, "ALTER TABLE evo_txt_gate SET PARTITION SPEC ( )")
+
+
+def test_auto_optimize_routes_old_era_through_rewrite(spark, tmp_path):
+    """Round-12: maintenance on an evolved table must not die on the
+    overwrite refusal — old-era partitions flagged for compaction
+    migrate via rewrite_era_partitions; current-era ones compact in
+    place. Direct optimize of an old-era key stays refused with the
+    migration verb named."""
+    from etl_reporting_spark.operators.wap import (
+        auto_optimize,
+        optimize_partitions,
+    )
+
+    t = _evolved_table(spark, tmp_path)
+    # churn a current-era partition so small-files advice fires there
+    for i in range(3):
+        t.append_rows(
+            spark.createDataFrame(
+                [(9000 + i, dt.date(2026, 3, 3 + i), "u0", 1.0)],
+                "id int, ds date, user string, amt double",
+            )
+        )
+    before = sorted(r["id"] for r in t.read().collect())
+    with pytest.raises(ValueError, match="rewrite_era_partitions"):
+        optimize_partitions(
+            t, partitions=[sorted(t._live_old_era_keys())[0]]
+        )
+    out = auto_optimize(t, max_files_per_partition=1, keep_last=50)
+    actions = {a["action"] for a in out["applied"]}
+    assert "rewrite-era" in actions
+    assert sorted(r["id"] for r in t.read().collect()) == before
+    # every partition the planner flagged AND the router migrated is
+    # gone from the old era (untouched old-era partitions legitimately
+    # remain — migration cost tracks the advice, not the table)
+    migrated = {
+        pk
+        for a in out["applied"]
+        if a["action"] == "rewrite-era"
+        for pk in a["partitions"]
+    }
+    assert migrated and migrated.isdisjoint(t._live_old_era_keys())
+    # converged: nothing left to compact or migrate
+    assert not any(
+        a["action"] == "compact" and a["partitions"]
+        for a in out["after"]["actions"]
+    )
