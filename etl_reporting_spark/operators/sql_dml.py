@@ -668,6 +668,56 @@ def _merge_statement(
     src2 = src_df.select(*exprs)
     derived_targets: list[str] = []
     if hasattr(table, "derive"):
+        stale = table._live_old_era_keys()
+        if stale:
+            # round-12: the target's partition spec EVOLVED and old-era
+            # partitions are live. The partition-rewrite path below
+            # prunes the target to the source's CURRENT-era partition
+            # values, so a key living in an old-era partition would be
+            # classified not-matched and silently duplicated. The
+            # era-aware rung is the DV upsert — route there when the
+            # statement IS a plain full-column upsert (then "retract
+            # matched + append source rows" is exactly the statement's
+            # semantics); refuse anything fancier with the migration
+            # verb named.
+            logical_nonkey = {
+                c.lower() for c in table.read().columns
+            } - key_set
+            plain = (
+                seen == {"matched", "not_matched"}
+                and matched_cond is None
+                and not_matched_cond is None
+                and not delete_nmbs
+                and logical_nonkey
+                <= {c.lower() for c in update_assign}
+                and logical_nonkey
+                <= {c.lower() for c in insert_assign}
+            )
+            if not plain:
+                raise SqlDmlError(
+                    f"MERGE INTO {target_name}: the target's partition "
+                    f"spec evolved and {len(stale)} old-era partition(s) "
+                    "are live — a partition-rewrite MERGE would miss keys "
+                    "living there (silent duplicates), and this statement "
+                    "shape cannot route onto the era-aware DV upsert "
+                    "(that needs unconditioned WHEN MATCHED UPDATE + "
+                    "WHEN NOT MATCHED INSERT covering every non-key "
+                    "column). Migrate the old eras first "
+                    "(rewrite_era_partitions()) or use upsert_rows_dv."
+                )
+            from etl_reporting_spark.operators.merge import WapMergeResult
+
+            # full coverage proven above: every logical column exists
+            # in the assigned source — align to the table's order (a
+            # missing one is a loud AnalysisException, never a NULL)
+            version, updated, inserted = table.upsert_rows_dv(
+                src2.select(*table.read().columns), keys=list(keys)
+            )
+            return WapMergeResult(
+                df=table.read(version=version),
+                counts={"U": updated, "I": inserted, "D": 0, "M": 0, "K": 0},
+                version=version,
+            )
         # hidden-partitioned target: derive the source's partition
         # columns from the table's transform spec, then run the merge
         # against the physical layout (see _physical_handle). The
@@ -933,6 +983,24 @@ def _update_statement(
     for c in assigns:
         if c.lower() not in cols_l:
             raise SqlDmlError(f"UPDATE SET references unknown column {c!r}")
+    if hasattr(table, "derive"):
+        stale = table._live_old_era_keys()
+        if stale:
+            # round-12: the partition-granular UPDATE rewrite groups on
+            # the CURRENT spec's derived columns; old-era rows carry no
+            # value for them (the crash, pre-guard, was an opaque
+            # __HIVE_DEFAULT_PARTITION__ KeyError). Refuse with the
+            # migration verb named — DELETE FROM (deletion vectors) is
+            # already era-agnostic if a retract-only form suffices.
+            raise SqlDmlError(
+                f"UPDATE on {m.group('target')}: the target's partition "
+                f"spec evolved and {len(stale)} old-era partition(s) are "
+                "live — the partition-granular rewrite cannot address "
+                "them under the current spec. Migrate first "
+                "(rewrite_era_partitions()) or express the change as "
+                "MERGE with full-column assignment (routed onto the "
+                "era-aware DV upsert)."
+            )
     table = _physical_handle(spark, table)
 
     partition_by = list(getattr(table, "partition_by", []) or [])

@@ -509,7 +509,9 @@ def test_overwrite_refused_while_old_era_keys_live(spark, tmp_path):
     t = _evolved_table(spark, tmp_path)
     with pytest.raises(ValueError, match="era-ambiguous"):
         t.commit_partitions(_era1(spark), operation="merge")
-    with pytest.raises(ValueError, match="era-ambiguous"):
+    # compaction over old-era partitions refuses too — but with the
+    # migration verb, since content-preserving rewrites have an exit
+    with pytest.raises(ValueError, match="rewrite_era_partitions"):
         optimize_partitions(t)
 
 
@@ -667,3 +669,126 @@ def test_auto_optimize_routes_old_era_through_rewrite(spark, tmp_path):
         a["action"] == "compact" and a["partitions"]
         for a in out["after"]["actions"]
     )
+
+
+def test_merge_sql_text_is_era_aware(spark, tmp_path):
+    """Round-12: MERGE statement text against a registered evolved
+    table routes onto the era-aware DV upsert — a key living in an
+    old-era partition is updated there, not duplicated."""
+    from etl_reporting_spark.operators.sql_dml import execute_dml
+    from etl_reporting_spark.operators.wap import register_wap_view
+
+    from etl_reporting_spark.operators.sql_dml import SqlDmlError
+
+    t = _evolved_table(spark, tmp_path)
+    register_wap_view(spark, t.path, "evo_merge_gate", dml=True)
+    spark.createDataFrame(
+        [(5, dt.date(2026, 1, 6), "u5", 777.0), (9999, dt.date(2026, 6, 1), "u0", 1.0)],
+        "id int, ds date, user string, amt double",
+    ).createOrReplaceTempView("evo_merge_src")
+    # the plain full-column upsert shape routes onto the era-aware DV
+    # rung: id 5 lives in an era-0 DAY partition and is UPDATED there
+    out = execute_dml(
+        spark,
+        "MERGE INTO evo_merge_gate t USING evo_merge_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET ds = s.ds, user = s.user, amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out.rows_updated == 1 and out.rows_inserted == 1
+    got = spark.sql("SELECT amt FROM evo_merge_gate WHERE id = 5").collect()
+    assert len(got) == 1 and got[0]["amt"] == 777.0
+    assert spark.sql("SELECT COUNT(*) n FROM evo_merge_gate").first()["n"] == 91
+    # a PARTIAL-column merge cannot express DV-upsert semantics while
+    # old eras are live: loud refusal with the migration verb, never a
+    # silent duplicate
+    with pytest.raises(SqlDmlError, match="rewrite_era_partitions"):
+        execute_dml(
+            spark,
+            "MERGE INTO evo_merge_gate t USING evo_merge_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET amt = s.amt "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    # after migration the partition-rewrite path (partial updates
+    # included) works again
+    t.rewrite_era_partitions()
+    spark.createDataFrame(
+        [(5, dt.date(2026, 1, 6), "CHANGED", 888.0)],
+        "id int, ds date, user string, amt double",
+    ).createOrReplaceTempView("evo_merge_src2")
+    out2 = execute_dml(
+        spark,
+        "MERGE INTO evo_merge_gate t USING evo_merge_src2 s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out2.rows_updated == 1 and out2.rows_inserted == 0
+    row = spark.sql(
+        "SELECT user, amt FROM evo_merge_gate WHERE id = 5"
+    ).first()
+    # partial update: amt taken from the source, user kept from target
+    assert row["amt"] == 888.0 and row["user"] == "u5"
+
+
+def test_streaming_cdf_across_evolution_commits(spark, tmp_path):
+    """Round-12: the CDF streaming consumer drains version ranges
+    that INCLUDE an evolve commit (now a quiet feed) and keeps the
+    aggregate view exactly equal to a rebuild."""
+    from etl_reporting_spark.streaming.cdc_stream import (
+        stream_maintain_aggregate_view,
+    )
+
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _era0(spark), ["days(ds)"]
+    )                                                  # v1
+    view_path = str(tmp_path / "view")
+    stream_maintain_aggregate_view(
+        t, view_path, keys=["id"], group_cols=["user"], sum_cols=["amt"]
+    )
+    t.evolve_partition_spec(["months(ds)"])             # v2 (quiet)
+    t.append_rows(_era1(spark))                         # v3
+    src = spark.createDataFrame(
+        [(5, dt.date(2026, 1, 6), "u5", 500.0)],
+        "id int, ds date, user string, amt double",
+    )
+    t.upsert_rows_dv(src, keys=["id"])                  # v4 (cross-era)
+    stream_maintain_aggregate_view(
+        t, view_path, keys=["id"], group_cols=["user"], sum_cols=["amt"]
+    )
+    from etl_reporting_spark.operators.wap import open_wap_table
+
+    view = open_wap_table(spark, view_path).read()
+    rebuilt = (
+        t.read()
+        .groupBy("user")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+    )
+    got = {r["user"]: (r["__cnt"], r["sum_amt"]) for r in view.collect()}
+    want = {r["user"]: (r["n"], r["s"]) for r in rebuilt.collect()}
+    assert got == want
+
+
+def test_update_delete_text_on_evolved_table(spark, tmp_path):
+    """Round-12: UPDATE text on a table with live old-era partitions
+    refuses loudly (the partition-granular rewrite cannot address
+    old-era rows — pre-guard this crashed with an opaque
+    __HIVE_DEFAULT_PARTITION__ KeyError); DELETE text stays fully
+    era-agnostic (deletion vectors); after migration UPDATE works."""
+    from etl_reporting_spark.operators.sql_dml import (
+        SqlDmlError,
+        execute_dml,
+    )
+    from etl_reporting_spark.operators.wap import register_wap_view
+
+    t = _evolved_table(spark, tmp_path)
+    register_wap_view(spark, t.path, "evo_ud_gate", dml=True)
+    with pytest.raises(SqlDmlError, match="rewrite_era_partitions"):
+        execute_dml(spark, "UPDATE evo_ud_gate SET amt = amt + 1 WHERE id = 5")
+    out = execute_dml(spark, "DELETE FROM evo_ud_gate WHERE id = 6")
+    assert out.rows_affected == 1
+    assert t.read().filter("id = 6").count() == 0
+    t.rewrite_era_partitions()
+    out2 = execute_dml(
+        spark, "UPDATE evo_ud_gate SET amt = amt + 1000 WHERE id = 5"
+    )
+    assert out2.rows_affected == 1
+    assert t.read().filter("id = 5").first()["amt"] == 1005.0
