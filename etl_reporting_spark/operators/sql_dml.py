@@ -983,24 +983,19 @@ def _update_statement(
     for c in assigns:
         if c.lower() not in cols_l:
             raise SqlDmlError(f"UPDATE SET references unknown column {c!r}")
-    if hasattr(table, "derive"):
-        stale = table._live_old_era_keys()
-        if stale:
-            # round-12: the partition-granular UPDATE rewrite groups on
-            # the CURRENT spec's derived columns; old-era rows carry no
-            # value for them (the crash, pre-guard, was an opaque
-            # __HIVE_DEFAULT_PARTITION__ KeyError). Refuse with the
-            # migration verb named — DELETE FROM (deletion vectors) is
-            # already era-agnostic if a retract-only form suffices.
-            raise SqlDmlError(
-                f"UPDATE on {m.group('target')}: the target's partition "
-                f"spec evolved and {len(stale)} old-era partition(s) are "
-                "live — the partition-granular rewrite cannot address "
-                "them under the current spec. Migrate first "
-                "(rewrite_era_partitions()) or express the change as "
-                "MERGE with full-column assignment (routed onto the "
-                "era-aware DV upsert)."
-            )
+    if hasattr(table, "derive") and table._live_old_era_keys():
+        # round-12: the partition-granular rewrite groups on the
+        # CURRENT spec's derived columns, which old-era rows lack
+        # (pre-guard this crashed with an opaque
+        # __HIVE_DEFAULT_PARTITION__ KeyError). The DV UPDATE rung is
+        # era-agnostic — matched rows are masked where they live and
+        # their updated copies re-derive under the current spec — so
+        # evolved targets route there.
+        version, n = table.update_rows_dv(cond, assigns)
+        _repin_view(spark, m.group("target"))
+        return DmlResult(
+            operation="update", version=version, rows_affected=n
+        )
     table = _physical_handle(spark, table)
 
     partition_by = list(getattr(table, "partition_by", []) or [])

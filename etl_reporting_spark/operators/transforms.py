@@ -497,6 +497,37 @@ class HiddenPartitionedWapTable(PartitionedWapTable):
     def append_rows(self, df: DataFrame, **kwargs) -> int:
         return super().append_rows(self.derive(df), **kwargs)
 
+    def _prepare_update_rows(self, updated: DataFrame) -> DataFrame:
+        """Updated copies re-derive under the CURRENT spec: drop every
+        era's stale derived values (an old-era row reads NULL for the
+        current targets; its own era's targets aren't even in the
+        committed schema) and derive fresh — which is what lands an
+        updated old-era resident in the current layout."""
+        stale = {
+            t.target
+            for era in self._era_specs()
+            for t in era
+            if t.kind != "identity"
+        }
+        return self.derive(updated.drop(*sorted(stale & set(updated.columns))))
+
+    def _refuse_update_of_layout_columns(
+        self, assignments: dict[str, object]
+    ) -> None:
+        derived = {
+            t.target.lower()
+            for era in self._era_specs()
+            for t in era
+            if t.kind != "identity"
+        }
+        bad = sorted(c for c in assignments if c.lower() in derived)
+        if bad:
+            raise ValueError(
+                f"UPDATE assigns derived partition column(s) {bad} — the "
+                "table computes those from its transform spec; assign the "
+                "SOURCE column instead (re-derivation moves the row)"
+            )
+
     # ---------------------------------------------------------- reads
     def read(
         self,

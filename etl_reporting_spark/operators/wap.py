@@ -2950,6 +2950,290 @@ class PartitionedWapTable(WapTable):
                     raise
                 base = latest
 
+    def update_rows_dv(
+        self,
+        condition,
+        assignments: dict[str, object],
+        partitions: Sequence[str] | None = None,
+        base_version: int | None = None,
+        max_rebase: int = 5,
+        operation: str = "update",
+        stats_cols: Sequence[str] | None = None,
+    ) -> tuple[int, int]:
+        """Row-level UPDATE via DELETION VECTORS — Delta's DV-enabled
+        UPDATE, the missing rung between ``delete_rows`` (DV retract)
+        and ``upsert_rows_dv`` (DV retract + keyed append): matching
+        rows are masked in place and their UPDATED copies appended as
+        new files, one atomic commit, zero existing files rewritten.
+        Write amplification ∝ matched rows — a one-key UPDATE on a
+        100 TB fact costs a sidecar + one tiny file, where the
+        partition-granular rewrite (``sql_dml``'s default UPDATE
+        route) rewrites the whole touched partition.
+
+        ``condition`` is a Column or SQL string; ``assignments`` maps
+        column → Column/SQL expression evaluated over the PRE-update
+        row (standard UPDATE semantics: ``{"amt": "amt + 1"}`` uses
+        the old amt). Updating partition columns is allowed — the
+        new copy lands in its new partition (retract-here,
+        insert-there falls out of the mask+append shape). Keyless by
+        design: identity is the row's physical address, so duplicate
+        rows update independently — no unique-key requirement.
+
+        Era posture (spec-evolved hidden tables): fully era-agnostic.
+        The match scans the visible snapshot (like DELETE); the
+        updated copies re-derive under the CURRENT spec
+        (:class:`HiddenPartitionedWapTable` hooks
+        ``_prepare_update_rows``), so updating an old-era resident
+        retracts it in its old-era partition and lands the new
+        version under the current layout — an incremental era
+        migration of exactly the touched rows.
+
+        Conflict rule: masking a file is touching it, and the append
+        touches its partitions — rebases past disjoint writers,
+        conflicts with a rewrite of (or another DV on) the same
+        files. Returns ``(version, rows_updated)``; no match is a
+        no-op returning (base, 0)."""
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        base = base_version if base_version is not None else self.current_version()
+        if base == 0:
+            raise FileNotFoundError(f"no committed WAP table at {self.path}")
+        base_rec0 = self._commit_record(base)
+        schema = StructType.fromJson(base_rec0["schema"])
+        names_l = {f.name.lower(): f.name for f in schema.fields}
+        norm_assign: dict[str, object] = {}
+        for c, e in assignments.items():
+            if c.lower() not in names_l:
+                raise ValueError(
+                    f"UPDATE assigns unknown column {c!r} "
+                    f"(schema: {sorted(names_l.values())})"
+                )
+            norm_assign[names_l[c.lower()]] = (
+                F.expr(e) if isinstance(e, str) else e
+            )
+        self._refuse_update_of_layout_columns(norm_assign)
+
+        pkeys = (
+            list(partitions)
+            if partitions is not None
+            else sorted(self.partition_map(base))
+        )
+        paths: list[str] = []
+        for k in pkeys:
+            paths.extend(self.partition_files(k, version=base))
+        shared = sorted(p for p in paths if _is_external(p))
+        if shared:
+            raise ValueError(
+                "row-granular mutation of files still SHARED with a clone "
+                f"source ({len(shared)} pointer(s)): localize first — "
+                "optimize_partitions(table, partitions=...) copies-on-write "
+                "the touched partitions into this table"
+            )
+        snap = self._read_paths(paths, base, with_lineage=True)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = snap.filter(cond).persist()
+        try:
+            n_updated = matched.count()
+            if n_updated == 0:
+                return (base, 0)
+            # ------ mask: cumulative sidecar, same shape as delete_rows
+            fkeys = sorted(
+                r["file_key"]
+                for r in matched.select(
+                    F.col("__file").alias("file_key")
+                ).distinct().collect()
+            )
+            rel_of = {fk: unquote(fk) for fk in fkeys}
+            masked = sorted(rel_of.values())
+            old_dvs: dict[str, str] = base_rec0.get("delete_vectors", {})
+            prior_refs = sorted({old_dvs[f] for f in masked if f in old_dvs})
+            map_df = self.spark.createDataFrame(
+                sorted(rel_of.items()), "file_key string, relfile string"
+            )
+            dv_df = (
+                matched.select(
+                    F.col("__file").alias("file_key"),
+                    F.col("__ridx").alias("row_index"),
+                )
+                .join(F.broadcast(map_df), "file_key")
+                .select("file_key", "relfile", "row_index")
+            )
+            if prior_refs:
+                prior = (
+                    self.spark.read.parquet(
+                        *[self.fs.resolve(d) for d in prior_refs]
+                    )
+                    .filter(F.col("relfile").isin(masked))
+                    .select("file_key", "relfile", "row_index")
+                )
+                dv_df = dv_df.unionByName(prior)
+            root = f"d-{uuid.uuid4().hex[:12]}"
+            dv_rel = f"{root}/_dv"
+            self.fs.prepare_root()
+            self._write_dv_sidecar(dv_df, dv_rel)
+
+            # ------ the updated copies, standard UPDATE semantics
+            # (every RHS sees the pre-update row), re-prepared for the
+            # current layout (hidden tables re-derive partition values)
+            updated = matched.select(
+                *[
+                    (norm_assign[f.name] if f.name in norm_assign else F.col(f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            updated = self._prepare_update_rows(updated)
+            self._enforce_constraints(updated, base_rec0)
+
+            # ------ append under the same root (the commit references
+            # root-relative paths; mask + new files publish together)
+            updated.write.partitionBy(*self.partition_by).mode(
+                "append"
+            ).parquet(self.fs.url(root))
+            written_keys = [
+                k
+                for k in self._written_parquet_keys(root, updated.schema)
+                if not k[len(root) + 1:].startswith("_dv/")
+            ]
+            written = _leaves_from_keys(written_keys, root)
+            new_files: dict[str, list[str]] = {}
+            for leaf in written:
+                new_files[leaf] = sorted(
+                    k
+                    for k in written_keys
+                    if k.startswith(f"{root}/{leaf}/")
+                    and "/" not in k[len(f"{root}/{leaf}/"):]
+                )
+            back = (
+                self._read_paths(
+                    [f for fl in new_files.values() for f in fl],
+                    base,
+                    apply_dvs=False,
+                )
+                if written
+                else updated.limit(0)
+            )
+            n_back = back.count()
+            if n_back != n_updated:
+                self.fs.delete_prefix(root)
+                raise AuditError(
+                    f"update wrote {n_back} rows for {n_updated} matched — "
+                    "refusing to publish a lossy rewrite"
+                )
+            our_file_stats = (
+                self._file_slice_stats(back, stats_cols, root)
+                if stats_cols and written
+                else {}
+            )
+        finally:
+            matched.unpersist()
+
+        masked_by_pkey: dict[str, list[str]] = {}
+        for f in masked:
+            masked_by_pkey.setdefault(_pkey_of_file(f), []).append(f)
+        all_touched = sorted(set(masked_by_pkey) | set(written))
+
+        # ------ publish (the upsert-rung record shape: DVs + files in
+        # one atomic commit; rebase past disjoint writers)
+        attempt = 0
+        while True:
+            new_version = base + 1
+            base_rec = self._commit_record(base)
+            pmap = dict(base_rec.get("partitions", {}))
+            stats = dict(base_rec.get("stats", {}))
+            fmap = dict(base_rec.get("files", {}))
+            fstats = dict(base_rec.get("file_stats", {}))
+            dvs = dict(base_rec.get("delete_vectors", {}))
+            for f in masked:
+                dvs[f] = dv_rel
+            for pk in written:
+                cur = (
+                    self.partition_files(pk, version=base)
+                    if pk in set(self.partition_map(base))
+                    else []
+                )
+                final = sorted(cur + new_files.get(pk, []))
+                pmap.pop(pk, None)
+                fmap[pk] = final
+                fstats.update(our_file_stats)
+                # appended values may exceed recorded bounds — same
+                # recompute-or-drop rule as the upsert rung
+                if stats_cols and final and all(f in fstats for f in final):
+                    merged: dict[str, list] = {}
+                    for c in stats_cols:
+                        los = [fstats[f][c][0] for f in final if c in fstats[f]]
+                        his = [fstats[f][c][1] for f in final if c in fstats[f]]
+                        if los and his and None not in los and None not in his:
+                            merged[c] = [min(los), max(his)]
+                    if merged:
+                        stats[pk] = merged
+                    else:
+                        stats.pop(pk, None)
+                else:
+                    stats.pop(pk, None)
+            record = {
+                "version": new_version,
+                "partitions": pmap,
+                "partition_by": self.partition_by,
+                "touched": all_touched,
+                "touched_files": {
+                    k: sorted(masked_by_pkey.get(k, [])) for k in all_touched
+                },
+                "row_count": n_updated,
+                "schema": base_rec0["schema"],
+                "operation": operation,
+                "committed_at": time.time(),
+                "delete_vectors": dvs,
+            }
+            if stats:
+                record["stats"] = stats
+            if fmap:
+                record["files"] = fmap
+            if fstats:
+                record["file_stats"] = fstats
+            try:
+                self._publish(record)
+                return (new_version, n_updated)
+            except ConcurrentWriteError:
+                attempt += 1
+                latest = self.current_version()
+                conflict: set[str] = set()
+                for k in all_touched:
+                    conflict |= self._conflicting_files(
+                        base, latest, k, masked_by_pkey.get(k, [])
+                    )
+                if conflict or attempt > max_rebase:
+                    self.fs.delete_prefix(root)
+                    if conflict:
+                        raise ConcurrentWriteError(
+                            f"files {sorted(conflict)} were committed by "
+                            "another writer; re-read and retry the update"
+                        ) from None
+                    raise
+                base = latest
+
+    def _prepare_update_rows(self, updated: DataFrame) -> DataFrame:
+        """Hook: re-shape updated copies for the current physical
+        layout before the append. Default: identity (explicit
+        partition columns are data columns and ride along).
+        :class:`transforms.HiddenPartitionedWapTable` re-derives the
+        hidden partition values — which is what routes an updated
+        old-era resident into the current layout."""
+        return updated
+
+    def _refuse_update_of_layout_columns(
+        self, assignments: dict[str, object]
+    ) -> None:
+        """Hook for layout-column assignment policy. Explicit
+        partitioning allows it (the new copy lands in its new
+        partition); the hidden subclass refuses assigning DERIVED
+        columns (the table computes those) while allowing transform
+        SOURCES (re-derivation moves the row)."""
+
     def compact_vectors(
         self,
         base_version: int | None = None,

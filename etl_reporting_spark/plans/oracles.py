@@ -1514,6 +1514,34 @@ FROM checks
 ORDER BY test_id
 """
 
+ORACLE_SQL["wap_update_dv"] = """
+-- Twin of the DV-update lifecycle: delete %9, then +10 on 50-150,
+-- then the %13 partition-move — in order (a %13 key in 50-150 moves
+-- WITH its +10 balance). A resurrected delete, a lost update, or a
+-- row left behind by the move diverges here.
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+  WHERE c_custkey <= 250 AND c_custkey % 9 <> 0
+),
+bumped AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey BETWEEN 50 AND 150
+              THEN CAST(bal + 10 AS DECIMAL(18,2))
+              ELSE bal END AS bal
+  FROM base
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(bal) AS DOUBLE) AS sum_bal
+FROM bumped
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
 ORACLE_SQL["wap_rename_column"] = """
 -- Twin of the rename lifecycle: base (≤200, pre-rename files) plus
 -- the appended family (200-260, new physical name), with +25 applied

@@ -596,3 +596,107 @@ def test_dv_read_plans_broadcast_anti_join_no_shuffle(spark, dtable):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+# -------------------------------------------------- DV UPDATE (round-12)
+def _upd_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"seg{i % 3}", float(i)) for i in range(1, 13)],
+        "id int, seg string, amt double",
+    )
+    return create_partitioned_wap_table(
+        spark, str(tmp_path / "u"), df, ["seg"], stats_cols=["id"]
+    )
+
+
+def test_update_dv_masks_and_appends_without_rewrite(spark, tmp_path):
+    t = _upd_table(spark, tmp_path)
+    files_before = {
+        pk: t.partition_files(pk) for pk in t.partition_map()
+    }
+    v, n = t.update_rows_dv("id IN (5, 8)", {"amt": "amt + 100"})
+    assert n == 2
+    got = {r["id"]: r["amt"] for r in t.read().collect()}
+    assert got[5] == 105.0 and got[8] == 108.0 and len(got) == 12
+    # every pre-update file survives untouched (mask + append only)
+    for pk, files in files_before.items():
+        assert set(files) <= set(t.partition_files(pk, version=v))
+    # time travel: the old snapshot still shows the old values
+    old = {r["id"]: r["amt"] for r in t.read(version=1).collect()}
+    assert old[5] == 5.0 and old[8] == 8.0
+
+
+def test_update_dv_rhs_sees_pre_update_row(spark, tmp_path):
+    """Standard UPDATE semantics: every RHS evaluates over the OLD
+    row, even when one assigned column references another."""
+    t = _upd_table(spark, tmp_path)
+    _, n = t.update_rows_dv(
+        "id = 7", {"amt": "id * 10.0", "id": "id + 1000"}
+    )
+    assert n == 1
+    row = t.read().filter("id = 1007").first()
+    assert row["amt"] == 70.0  # id*10 of the PRE-update id
+    assert t.read().filter("id = 7").count() == 0
+
+
+def test_update_dv_moves_rows_across_partitions(spark, tmp_path):
+    t = _upd_table(spark, tmp_path)
+    v, n = t.update_rows_dv("id = 4", {"seg": "'seg0'"})
+    assert n == 1
+    got = t.read().filter("id = 4").collect()
+    assert len(got) == 1 and got[0]["seg"] == "seg0"
+    # the retract masked a file in the OLD partition; the append
+    # landed in the NEW one — both are in the commit's touched set
+    rec = t._commit_record(v)
+    assert "seg=seg1" in rec["touched"] and "seg=seg0" in rec["touched"]
+
+
+def test_update_dv_composes_with_deletes_and_cdf(spark, tmp_path):
+    t = _upd_table(spark, tmp_path)                      # v1
+    t.delete_rows("id = 2")                               # v2
+    v3, _ = t.update_rows_dv("id = 5", {"amt": "500.0"})  # v3 same files
+    # cumulative vectors: the delete survives the update's re-mask
+    got = {r["id"]: r["amt"] for r in t.read().collect()}
+    assert 2 not in got and got[5] == 500.0 and len(got) == 11
+    # the change feed reads the update as retract+insert on the key
+    ch = table_changes(t, ["id"], from_version=2, to_version=v3)
+    types = {
+        (r["id"], r["_change_type"]): r["amt"] for r in ch.collect()
+    }
+    assert types[(5, "update_preimage")] == 5.0
+    assert types[(5, "update_postimage")] == 500.0
+    assert len(types) == 2
+
+
+def test_update_dv_constraint_gate(spark, tmp_path):
+    t = _upd_table(spark, tmp_path)
+    t.add_check_constraint("amt_pos", "amt >= 0")
+    before = t.current_version()
+    with pytest.raises(Exception, match="amt_pos"):
+        t.update_rows_dv("id = 3", {"amt": "-1.0"})
+    assert t.current_version() == before  # nothing published
+    assert t.read().filter("id = 3").first()["amt"] == 3.0
+
+
+def test_update_dv_noop_and_unknown_column(spark, tmp_path):
+    t = _upd_table(spark, tmp_path)
+    assert t.update_rows_dv("id = 999", {"amt": "0.0"}) == (1, 0)
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_rows_dv("id = 1", {"nope": "1"})
+
+
+def test_update_dv_concurrent_disjoint_rebases(spark, tmp_path):
+    """An update racing a disjoint-file writer rebases; racing a
+    rewrite of the SAME masked file conflicts."""
+    t = _upd_table(spark, tmp_path)
+    base = t.current_version()
+    # a disjoint commit lands first (new partition, new files)
+    t.append_rows(
+        spark.createDataFrame(
+            [(99, "segX", 9.0)], "id int, seg string, amt double"
+        )
+    )
+    v, n = t.update_rows_dv("id = 5", {"amt": "1.0"}, base_version=base)
+    assert n == 1 and v == t.current_version()
+    assert t.read().filter("id = 5").first()["amt"] == 1.0
+    assert t.read().filter("id = 99").count() == 1

@@ -769,26 +769,35 @@ def test_streaming_cdf_across_evolution_commits(spark, tmp_path):
 
 def test_update_delete_text_on_evolved_table(spark, tmp_path):
     """Round-12: UPDATE text on a table with live old-era partitions
-    refuses loudly (the partition-granular rewrite cannot address
-    old-era rows — pre-guard this crashed with an opaque
-    __HIVE_DEFAULT_PARTITION__ KeyError); DELETE text stays fully
-    era-agnostic (deletion vectors); after migration UPDATE works."""
-    from etl_reporting_spark.operators.sql_dml import (
-        SqlDmlError,
-        execute_dml,
-    )
+    routes onto the era-agnostic DV UPDATE rung (the partition-
+    granular rewrite cannot address old-era rows — pre-guard this
+    crashed with an opaque __HIVE_DEFAULT_PARTITION__ KeyError);
+    DELETE text stays era-agnostic via deletion vectors."""
+    from etl_reporting_spark.operators.sql_dml import execute_dml
     from etl_reporting_spark.operators.wap import register_wap_view
 
     t = _evolved_table(spark, tmp_path)
     register_wap_view(spark, t.path, "evo_ud_gate", dml=True)
-    with pytest.raises(SqlDmlError, match="rewrite_era_partitions"):
-        execute_dml(spark, "UPDATE evo_ud_gate SET amt = amt + 1 WHERE id = 5")
+    # id 5 lives in an era-0 DAY partition: the DV route masks it
+    # there and lands the updated copy under the current months() spec
+    out = execute_dml(
+        spark, "UPDATE evo_ud_gate SET amt = amt + 1000 WHERE id = 5"
+    )
+    assert out.rows_affected == 1
+    got = t.read().filter("id = 5").collect()
+    assert len(got) == 1 and got[0]["amt"] == 1005.0
+    # the registered view re-pinned to the new snapshot
+    assert (
+        spark.sql("SELECT amt FROM evo_ud_gate WHERE id = 5").first()["amt"]
+        == 1005.0
+    )
     out = execute_dml(spark, "DELETE FROM evo_ud_gate WHERE id = 6")
     assert out.rows_affected == 1
     assert t.read().filter("id = 6").count() == 0
+    # post-migration the partition-granular route takes over again
     t.rewrite_era_partitions()
     out2 = execute_dml(
-        spark, "UPDATE evo_ud_gate SET amt = amt + 1000 WHERE id = 5"
+        spark, "UPDATE evo_ud_gate SET amt = amt + 1 WHERE id = 5"
     )
     assert out2.rows_affected == 1
-    assert t.read().filter("id = 5").first()["amt"] == 1005.0
+    assert t.read().filter("id = 5").first()["amt"] == 1006.0

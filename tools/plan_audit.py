@@ -204,6 +204,9 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # point — no fact scan in this plan): one dup-groupBy exchange +
     # the presentation sort. The increments run at build time.
     "incremental_dq_battery": 2,
+    # round-12: DV-update lifecycle — the returned frame is one
+    # masked snapshot read → aggregate + presentation sort
+    "wap_update_dv": 2,
     # round-11: the returned frame is a driver-local reconstruction of
     # the commit-log stats — the one exchange is the presentation sort
     "wap_table_stats": 1,
