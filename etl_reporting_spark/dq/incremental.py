@@ -39,6 +39,14 @@ metric       partial_aggregate of the     merged partials → exact
                                           violations (DMF-style fixed
                                           expectations, the
                                           reference's DMF shape)
+approx_      exact row count + an HLL     O(4 KB) state regardless of
+duplicate    sketch of the key            key cardinality — sketches
+             (hll_sketch_agg, JVM)        merge by UNION; failed_rows
+                                          = rows − NDV excess past a
+                                          caller tolerance. The
+                                          unbounded-key relief valve
+                                          for the exact check's
+                                          ∝ |keys| state
 ===========  ===========================  ============================
 
 Deliberately NOT offered: data-derived outlier counts (batch
@@ -150,6 +158,37 @@ class IncrementalDQBattery:
         )
         return self
 
+    def add_approx_duplicate_check(
+        self,
+        check_id: str,
+        table: str,
+        keys: Sequence[str],
+        tolerance_rows: int = 0,
+    ) -> "IncrementalDQBattery":
+        """Sketch-backed duplicate screen for UNBOUNDED key spaces —
+        the scale relief valve for :meth:`add_duplicate_check`, whose
+        exact per-key state is ∝ |keys|. State here is O(4 KB): an
+        exact row counter plus a mergeable HLL sketch of the key
+        (``hll_sketch_agg``, JVM-side; increments union sketches, the
+        same primitive the ANALYZE layer stores). failed_rows =
+        max(0, rows − NDV estimate) when that excess exceeds
+        ``tolerance_rows``, else 0 (below tolerance the excess is
+        indistinguishable from sketch noise — size the tolerance at
+        ≥ 2 × 1.6 % of expected rows, the lg_k=12 relative standard
+        error, or duplicates smaller than the noise floor will both
+        false-alarm and hide). Monitoring-grade; route confirmed
+        alarms to the exact check over the suspect slice."""
+        self._checks.append(
+            {
+                "id": check_id,
+                "kind": "approx_duplicate",
+                "table": table,
+                "keys": list(keys),
+                "tolerance": int(tolerance_rows),
+            }
+        )
+        return self
+
     def add_orphan_check(
         self, check_id: str, table: str, fk: str, dim: str, pk: str
     ) -> "IncrementalDQBattery":
@@ -239,6 +278,33 @@ class IncrementalDQBattery:
                             kind.alias("kind"),
                             "k",
                             "p_cnt",
+                        )
+                    )
+                )
+            elif c["kind"] == "approx_duplicate":
+                key = F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(
+                            F.trim(F.col(k).cast("string")),
+                            F.lit(_NULL_KEY),
+                        )
+                        for k in c["keys"]
+                    ],
+                )
+                frames.append(
+                    _pad(
+                        sl.agg(
+                            F.count(F.lit(1)).alias("p_cnt"),
+                            F.base64(F.hll_sketch_agg(key)).alias("k"),
+                        ).select(
+                            cid.alias("check_id"),
+                            kind.alias("kind"),
+                            F.coalesce("k", F.lit("")).alias("k"),
+                            "p_cnt",
+                            F.lit(float(c["tolerance"]))
+                            .cast("double")
+                            .alias("lo"),
                         )
                     )
                 )
@@ -337,8 +403,9 @@ class IncrementalDQBattery:
                     if k in self.state.partition_map()
                 ]
             )
+            both = existing.unionByName(partials)
             merged = (
-                existing.unionByName(partials)
+                both.filter(F.col("kind") != "approx_duplicate")
                 .groupBy("check_id", "kind", "k")
                 .agg(
                     F.sum("p_cnt").alias("p_cnt"),
@@ -352,6 +419,22 @@ class IncrementalDQBattery:
                     F.max("max_hi").alias("max_hi"),
                 )
             )
+            if any(c["kind"] == "approx_duplicate" for c in self._checks):
+                # sketches merge by UNION, not sum — the one non-sum
+                # fold in the state model (hll_union_agg is JVM-side
+                # and mergeable by construction, like the partials)
+                apx = (
+                    both.filter(F.col("kind") == "approx_duplicate")
+                    .groupBy("check_id", "kind")
+                    .agg(
+                        F.sum("p_cnt").alias("p_cnt"),
+                        F.base64(
+                            F.hll_union_agg(F.unbase64(F.col("k")))
+                        ).alias("k"),
+                        F.max("lo").alias("lo"),
+                    )
+                )
+                merged = merged.unionByName(_pad(apx))
         extra = {"dq_watermarks": dict(watermarks or {})}
         if self.state.current_version() > 0:
             prev = self.watermarks()
@@ -417,7 +500,22 @@ class IncrementalDQBattery:
             .cast("long")
             .alias("failed_rows"),
         )
-        out = scalar.unionByName(dups).unionByName(metric)
+        est = F.hll_sketch_estimate(F.unbase64(F.col("k")))
+        excess = F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("p_cnt") - est).cast("long"),
+        )
+        apx = st.filter(F.col("kind") == "approx_duplicate").select(
+            F.col("check_id").alias("test_id"),
+            # below tolerance the excess is sketch noise → report 0
+            F.when(
+                excess > F.coalesce(F.col("lo"), F.lit(0.0)), excess
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("failed_rows"),
+        )
+        out = scalar.unionByName(dups).unionByName(metric).unionByName(apx)
         return out.select(
             "test_id",
             F.when(F.col("failed_rows") == 0, "PASS")

@@ -187,3 +187,31 @@ def test_orphan_check_requires_dim(spark, tmp_path):
     b = _register(IncrementalDQBattery(spark, str(tmp_path / "state")))
     with pytest.raises(ValueError, match="dims"):
         b.process_increment({"fact": df})
+
+
+def test_approx_duplicate_sketch_screen(spark, tmp_path):
+    """The unbounded-key relief valve: O(4 KB) sketch state instead of
+    per-key rows. Cross-slice duplicates show up as rows − NDV excess;
+    a clean run (excess under tolerance) reports 0."""
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_approx_duplicate_check("AD-ID", "fact", ["id"], tolerance_rows=2)
+
+    clean = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 401)], "id int, amt double"
+    )
+    b.process_increment({"fact": clean.filter("id <= 200")})
+    b.process_increment({"fact": clean.filter("id > 200")})
+    got = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert got["AD-ID"] == 0  # distinct keys: excess within tolerance
+
+    # re-deliver 100 keys in a third increment (cross-slice dups):
+    # 500 rows over ~400 distinct — excess ~100, far past tolerance
+    b.process_increment({"fact": clean.filter("id <= 100")})
+    row = b.verdicts().filter("test_id = 'AD-ID'").first()
+    assert row["status"] == "FAIL"
+    assert 70 <= row["failed_rows"] <= 130  # ±sketch error around 100
+    # state stays O(1): one row, one ~4KB sketch
+    apx_state = b.state.read().filter("check_id = 'AD-ID'").collect()
+    assert len(apx_state) == 1
+    assert apx_state[0]["p_cnt"] == 500
+    assert len(apx_state[0]["k"]) < 20_000  # base64 sketch, not keys
