@@ -273,3 +273,23 @@ def test_branch_on_spec_evolved_table_cross_era_merge(spark, tmp_path):
         t.read_pruned("ds", lo=lo, hi=hi).count()
         == t.read().filter((F.col("ds") >= lo) & (F.col("ds") <= hi)).count()
     )
+
+
+def test_branch_dv_update_publishes(spark, tmp_path):
+    """Round-12: the DV UPDATE rung on a BRANCH — invisible to main,
+    masked files in the replayed touched set, publish lands it."""
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(1, 11)],
+        "k int, bucket int, amt double",
+    )
+    t = create_partitioned_wap_table(
+        spark, str(tmp_path / "t"), df, ["bucket"]
+    )
+    br = create_branch(spark, t.path, "updbr")
+    v, n = br.update_rows_dv("k = 4", {"amt": "444.0"})
+    assert n == 1
+    assert br.read().filter("k = 4").first()["amt"] == 444.0
+    assert t.read().filter("k = 4").first()["amt"] == 4.0  # main unseen
+    publish_branch(spark, t.path, "updbr")
+    assert t.read().filter("k = 4").first()["amt"] == 444.0
+    assert t.read().count() == 10

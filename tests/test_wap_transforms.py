@@ -801,3 +801,69 @@ def test_update_delete_text_on_evolved_table(spark, tmp_path):
     )
     assert out2.rows_affected == 1
     assert t.read().filter("id = 5").first()["amt"] == 1006.0
+
+
+def test_three_era_chain(spark, tmp_path):
+    """days → months → years: three live eras prune and merge
+    correctly (attribution is per-key string matching, so era count
+    is unbounded), and the rewrite collapses all of them."""
+    t = create_hidden_partitioned_wap_table(
+        spark, str(tmp_path / "t"), _era0(spark), ["days(ds)"]
+    )
+    t.evolve_partition_spec(["months(ds)"])
+    t.append_rows(_era1(spark))
+    t.evolve_partition_spec(["years(ds)"])
+    t.append_rows(
+        spark.createDataFrame(
+            [(500, dt.date(2027, 2, 3), "u0", 5.0)],
+            "id int, ds date, user string, amt double",
+        )
+    )
+    assert len(t._era_specs()) == 3
+    keys = set(t.partition_map())
+    assert any(k.startswith("_p_ds_days=") for k in keys)
+    assert any(k.startswith("_p_ds_months=") for k in keys)
+    assert any(k.startswith("_p_ds_years=") for k in keys)
+    # range spanning all three eras: union prune ≡ brute force
+    lo, hi = dt.date(2026, 1, 10), dt.date(2027, 12, 31)
+    assert (
+        t.read_pruned("ds", lo=lo, hi=hi).count()
+        == t.read().filter((F.col("ds") >= lo) & (F.col("ds") <= hi)).count()
+    )
+    # cross-era upsert reaches residents of BOTH old eras
+    src = spark.createDataFrame(
+        [
+            (5, dt.date(2026, 1, 6), "u5", 111.0),     # era-0 (days)
+            (110, dt.date(2026, 2, 11), "u5", 222.0),  # era-1 (months)
+        ],
+        "id int, ds date, user string, amt double",
+    )
+    _, updated, inserted = t.upsert_rows_dv(src, keys=["id"])
+    assert (updated, inserted) == (2, 0)
+    assert t.read().count() == 91
+    # full migration collapses to the current era
+    t.rewrite_era_partitions()
+    assert t._live_old_era_keys() == []
+    assert all(k.startswith("_p_ds_years=") for k in t.partition_map())
+    assert t.read().count() == 91
+
+
+def test_rename_composes_with_evolution(spark, tmp_path):
+    """A non-source column renames while old-era partitions are live;
+    the chain-COALESCE and era-union reads compose."""
+    t = _evolved_table(spark, tmp_path)
+    t.alter_schema(rename={"amt": "amount"})
+    df = t.read()
+    assert "amount" in df.columns and "amt" not in df.columns
+    # era-0 resident's pre-rename bytes resolve under the new name
+    assert df.filter("id = 5").first()["amount"] == 5.0
+    assert df.filter("amount IS NULL").count() == 0
+    # pruned read across the era boundary keeps the renamed column
+    got = t.read_pruned(
+        "ds", lo=dt.date(2026, 1, 10), hi=dt.date(2026, 3, 15)
+    )
+    assert "amount" in got.columns and got.count() > 0
+    # and the DV update composes with both: old-era row, renamed col
+    v, n = t.update_rows_dv("id = 5", {"amount": "amount + 1"})
+    assert n == 1
+    assert t.read().filter("id = 5").first()["amount"] == 6.0
