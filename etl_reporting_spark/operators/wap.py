@@ -4026,6 +4026,15 @@ def maintenance_plan(
       ``max_stats_staleness`` data commits behind the tip →
       ``analyze``: join_advice is planning from old sizes/NDV.
       Tables that never opted into statistics are not nagged.
+    - partitions still referencing files written BEFORE the last
+      column rename (round-12) → compact them: until the old
+      physical names are rewritten away, plain-scan surfaces
+      (permanent views, symlink manifests) refuse on those
+      partitions and every read pays the chain-COALESCE. Detected
+      metadata-only: live roots intersected with the roots live at
+      the last rename commit (found by walking the log for the last
+      ``prior_names`` change — the same O(versions) walk the
+      statistics-staleness trigger does).
 
     The planner never executes anything — it composes with whatever
     scheduler runs maintenance; tests assert that APPLYING the plan
@@ -4186,6 +4195,35 @@ def maintenance_plan(
                         f"commits stale (> max_stats_staleness="
                         f"{max_stats_staleness}): join_advice is planning "
                         "from old sizes/NDV — rerun collect_table_stats"
+                    ),
+                }
+            )
+    if rec.get("prior_names"):
+        rename_v = None
+        prev_pn = None
+        for vv in range(1, v + 1):
+            pn = table._commit_record(vv).get("prior_names")
+            if pn != prev_pn:
+                rename_v, prev_pn = vv, pn
+        old_roots: set[str] = set()
+        if rename_v:
+            for ptr in table.partition_map(rename_v).values():
+                rels = ptr if isinstance(ptr, tuple) else (ptr,)
+                old_roots.update(_root_of(r) for r in rels)
+        residue = sorted(
+            k for k, roots in roots_by_part.items() if roots & old_roots
+        )
+        if residue:
+            actions.append(
+                {
+                    "action": "compact",
+                    "partitions": residue,
+                    "reason": (
+                        f"{len(residue)} partition(s) still reference "
+                        "files written before the last column rename — "
+                        "plain-scan surfaces (permanent views, symlink "
+                        "manifests) refuse on them and reads pay the "
+                        "chain-COALESCE until they are rewritten"
                     ),
                 }
             )

@@ -244,3 +244,42 @@ def test_change_feed_across_rename_is_quiet(spark, tmp_path):
     assert sorted(
         (r["id"], r["_change_type"]) for r in spanning.collect()
     ) == [(5, "update_postimage"), (5, "update_preimage"), (99, "insert")]
+
+
+def test_maintenance_plan_flags_rename_residue(spark, tmp_path):
+    """Round-12: the planner advises compacting partitions that still
+    reference pre-rename files (metadata-only: live roots vs the
+    roots live at the last rename commit); applying the advice clears
+    it AND unlocks the plain-scan surfaces."""
+    from etl_reporting_spark.operators.wap import (
+        auto_optimize,
+        maintenance_plan,
+        register_wap_view,
+    )
+
+    t = _table(spark, tmp_path)
+    t.alter_schema(rename={"amt": "amount"})
+    plan = maintenance_plan(t)
+    residue = [
+        a
+        for a in plan["actions"]
+        if a["action"] == "compact" and "rename" in a["reason"]
+    ]
+    assert residue and set(residue[0]["partitions"]) == set(
+        t.partition_map()
+    )
+    out = auto_optimize(t, keep_last=50)
+    after = [
+        a
+        for a in out["after"]["actions"]
+        if a["action"] == "compact" and "rename" in a["reason"]
+    ]
+    assert after == []  # advice cleared by the rewrite
+    register_wap_view(spark, t.path, "rename_residue_view", permanent=True)
+    assert (
+        spark.sql(
+            "SELECT SUM(amount) s FROM rename_residue_view"
+        ).first()["s"]
+        == sum(range(1, 13))
+    )
+    spark.sql("DROP VIEW rename_residue_view")

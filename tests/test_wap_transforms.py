@@ -867,3 +867,42 @@ def test_rename_composes_with_evolution(spark, tmp_path):
     v, n = t.update_rows_dv("id = 5", {"amount": "amount + 1"})
     assert n == 1
     assert t.read().filter("id = 5").first()["amount"] == 6.0
+
+
+def test_clone_of_evolved_and_renamed_table(spark, tmp_path):
+    """Round-12: a shallow clone of a spec-evolved, column-renamed
+    table inherits BOTH sticky facts (partition_spec_history,
+    prior_names) in its v1, so its reads resolve name chains and era
+    attribution exactly like the source — against the source's files,
+    zero bytes copied."""
+    from etl_reporting_spark.operators.wap import clone_table
+
+    t = _evolved_table(spark, tmp_path)
+    t.alter_schema(rename={"amt": "amount"})
+    clone_table(spark, t.path, str(tmp_path / "clone"))
+    c = open_wap_table(spark, str(tmp_path / "clone"))
+    assert isinstance(c, HiddenPartitionedWapTable)
+    rec = c._commit_record(1)
+    assert len(rec["partition_spec_history"]) == 2
+    assert rec["prior_names"]["amount"] == ["amt"]
+    df = c.read()
+    assert df.columns == ["id", "ds", "user", "amount"]
+    assert df.count() == 90
+    assert df.filter("id = 5").first()["amount"] == 5.0  # chain, not NULL
+    # era-union prune works through the clone's inherited history
+    lo, hi = dt.date(2026, 1, 10), dt.date(2026, 3, 15)
+    assert (
+        c.read_pruned("ds", lo=lo, hi=hi).count()
+        == df.filter((F.col("ds") >= lo) & (F.col("ds") <= hi)).count()
+    )
+    # clone mutations stay clone-local and era-aware: an append under
+    # the clone's current spec never touches the source
+    src_version = t.current_version()
+    c.append_rows(
+        spark.createDataFrame(
+            [(7777, dt.date(2026, 5, 5), "u0", 7.0)],
+            "id int, ds date, user string, amount double",
+        )
+    )
+    assert c.read().count() == 91
+    assert t.current_version() == src_version and t.read().count() == 90
