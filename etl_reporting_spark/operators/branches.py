@@ -179,6 +179,94 @@ def drop_branch(
     return main.fs.delete_key(_branch_reg_key(name))
 
 
+#: branch-side metadata-only commits publish_branch can REPLAY onto a
+#: diverged main (everything else without a ``touched`` set — full
+#: overwrites, unknown future operations — still refuses)
+_REPLAYABLE_METADATA_OPS = frozenset(
+    {
+        "alter_schema",
+        "add_constraint",
+        "drop_constraint",
+        "evolve-spec",
+        "analyze",
+        "analyze_keys",
+    }
+)
+
+#: intervening MAIN commits that COMMUTE with every branch commit:
+#: ANALYZE statistics are advisory (they steer join planning, never
+#: results), so a routine stats refresh on main must not brick every
+#: open branch's publish
+_ADVISORY_MAIN_OPS = frozenset({"analyze", "analyze_keys"})
+
+
+def _replay_metadata_commit(main, rec: dict, pred: dict, tip: int) -> int:
+    """Apply one branch-side metadata-only commit on top of main's
+    ``tip``. Returns the new tip. Dispatch by how each class composes
+    with main's diverged data:
+
+    - ``alter_schema`` RE-EXECUTES with the commit's recorded
+      ``alter_args`` — the full validation (retired names, constraint
+      references, hazard checks) and the stats/file-stats re-keying
+      then run against the partitions main ACTUALLY has, including
+      post-fork progress the branch never saw.
+    - ``add_constraint`` re-executes with ``validate=True``: the
+      branch gated its own commits from the add onward, but main's
+      post-fork rows were never screened — publish is exactly where
+      they must be. (A constraint added on the branch with
+      ``validate=False`` may therefore refuse here if main data
+      violates it; that surfaces the debt instead of inheriting it.)
+    - ``evolve-spec`` applies the recorded spec/history verbatim:
+      main's era history is provably identical to the branch's
+      pre-evolve history (any main schema/spec change post-fork is
+      refused upstream), so the branch's disambiguated targets are
+      valid as-is — zero recomputation.
+    - ``analyze`` / ``analyze_keys`` carries the branch's
+      ``table_stats`` verbatim: advisory by contract, and their
+      ``analyzed_version`` staleness tracking already tells planners
+      they pre-date the publish.
+    """
+    op = rec.get("operation")
+    if op == "alter_schema":
+        args = rec.get("alter_args")
+        if args is None:
+            raise ConcurrentWriteError(
+                "branch alter_schema commit predates argument recording "
+                "(no alter_args) — cannot re-execute it on main; re-run "
+                "the ALTER on main directly"
+            )
+        return main.alter_schema(
+            add=args.get("add") or None,
+            drop=args.get("drop") or None,
+            widen=args.get("widen") or None,
+            rename=args.get("rename") or None,
+            base_version=tip,
+        )
+    if op in ("add_constraint", "drop_constraint"):
+        ours = rec.get("constraints") or {}
+        theirs = pred.get("constraints") or {}
+        for cname in sorted(set(theirs) - set(ours)):
+            tip = main.drop_check_constraint(cname, base_version=tip)
+        for cname in sorted(set(ours) - set(theirs)):
+            tip = main.add_check_constraint(
+                cname, ours[cname], validate=True, base_version=tip
+            )
+        return tip
+    if op == "evolve-spec":
+        return main._metadata_only_commit(
+            tip,
+            {
+                "partition_spec": rec["partition_spec"],
+                "partition_spec_history": rec["partition_spec_history"],
+            },
+            operation="evolve-spec",
+        )
+    # analyze / analyze_keys
+    return main._metadata_only_commit(
+        tip, {"table_stats": rec.get("table_stats") or {}}, operation=op
+    )
+
+
 def publish_branch(
     spark: SparkSession,
     path: str,
@@ -190,15 +278,38 @@ def publish_branch(
     main's current tip — the PUBLISH step of pipeline-level WAP.
     Returns main's new tip version.
 
-    Replay semantics, per branch commit in order: its TOUCHED
-    partitions' pointers/stats/file-stats/delete-vectors overwrite
-    main's entries; everything else inherits from main's tip — so
-    main progress in DISJOINT partitions since the fork is preserved
-    verbatim. Refused with names when a side cannot be rebased:
+    Replay semantics, per branch commit in order:
 
-    - any branch or intervening main commit WITHOUT a ``touched`` set
-      (full overwrite, schema or constraint change) — replaying those
-      onto a diverged twin is ambiguous; run them on main directly;
+    - DATA commits (those with a ``touched`` set): the touched
+      partitions' pointers/stats/file-stats/delete-vectors overwrite
+      main's entries; everything else inherits from main's tip — so
+      main progress in DISJOINT partitions since the fork is preserved
+      verbatim. Sticky metadata (constraints, partition spec, name
+      chains, table stats) is NOT copied from the branch record — the
+      central ``_publish`` inheritance picks it up from main's tip,
+      which at that point already holds every earlier branch metadata
+      commit's re-executed result AND any newer main-side ANALYZE.
+    - METADATA-ONLY commits (schema evolution, rename, constraints,
+      partition-spec evolution, stats — ``_REPLAYABLE_METADATA_OPS``)
+      are replayed through :func:`_replay_metadata_commit`: this is
+      what makes "fork → migrate schema → validate → publish" — the
+      staged-migration pattern the reference's staging-schema swap
+      implements (reference connector/snowpark_connector.py:607-688) —
+      expressible on a branch. Re-executed commits carry their normal
+      operation names rather than ``branch_published_from`` (they go
+      through the public ALTER/constraint code paths); the data
+      commits around them carry the provenance marker.
+
+    Refused with names when a side cannot be rebased:
+
+    - any branch commit WITHOUT a ``touched`` set whose operation is
+      not a replayable metadata class (full overwrites) — replaying
+      those onto a diverged twin is ambiguous; run them on main
+      directly;
+    - any intervening MAIN commit without a ``touched`` set, EXCEPT
+      advisory ``analyze`` / ``analyze_keys`` stats refreshes, which
+      commute with every branch commit (a routine ANALYZE on main no
+      longer bricks open branches);
     - overlapping touched partitions between the branch and
       intervening main commits — one side's data would be lost.
 
@@ -206,9 +317,9 @@ def publish_branch(
     main writer surfaces as :class:`ConcurrentWriteError`, never a
     half-published branch prefix... except in the crash window between
     two replays, which leaves a PREFIX of the branch on main — every
-    replayed record carries ``branch_published_from`` so the operator
-    can see exactly how far it got and re-run (the remaining replays
-    are idempotent in content)."""
+    replayed data record carries ``branch_published_from`` so the
+    operator can see exactly how far it got and re-run (the remaining
+    replays are idempotent in content)."""
     main = open_wap_table(spark, path, storage=storage)
     if not isinstance(main, PartitionedWapTable):
         raise TypeError(
@@ -236,23 +347,30 @@ def publish_branch(
             drop_branch(spark, path, name, storage=storage)
         return main.current_version()
 
-    missing = [r["version"] for r in branch_recs if "touched" not in r]
-    if missing:
+    unreplayable = [
+        r["version"]
+        for r in branch_recs
+        if "touched" not in r
+        and r.get("operation") not in _REPLAYABLE_METADATA_OPS
+    ]
+    if unreplayable:
         raise ConcurrentWriteError(
             f"branch {name!r} holds commit(s) without a touched set "
-            f"(branch versions {missing}: full overwrites / schema or "
-            "constraint changes) — those cannot be rebased onto a "
-            "diverged main; run them on main directly"
+            f"(branch versions {unreplayable}: full overwrites / unknown "
+            "operations) — those cannot be rebased onto a diverged main; "
+            "run them on main directly"
         )
     branch_touched: set[str] = set()
     for r in branch_recs:
-        branch_touched |= set(r["touched"])
+        branch_touched |= set(r.get("touched", ()))
 
     tip = main.current_version()
     for v in range(fork + 1, tip + 1):
         rec = main._commit_record(v)
         theirs = rec.get("touched")
         if theirs is None:
+            if rec.get("operation") in _ADVISORY_MAIN_OPS:
+                continue  # stats refreshes commute with branch commits
             raise ConcurrentWriteError(
                 f"main advanced past the fork with commit v{v} "
                 f"({rec.get('operation')!r}) that has no touched set — "
@@ -267,7 +385,17 @@ def publish_branch(
             )
 
     new_tip = tip
+    pred = main._commit_record(fork)
     for rec in branch_recs:
+        if "touched" not in rec:
+            new_tip = _replay_metadata_commit(main, rec, pred, new_tip)
+            if rec.get("operation") in ("evolve-spec", "alter_schema"):
+                # the handle's cached transforms/partition_by are now
+                # stale; re-detect from the new tip so later re-executed
+                # metadata commits validate against current state
+                main = open_wap_table(spark, path, storage=main.fs)
+            pred = rec
+            continue
         base_rec = main._commit_record(new_tip)
         pmap = dict(base_rec.get("partitions", {}))
         fmap = dict(base_rec.get("files", {}))
@@ -327,18 +455,16 @@ def publish_branch(
             out["file_stats"] = fstats
         if dvs:
             out["delete_vectors"] = dvs
-        from etl_reporting_spark.operators.wap import _STICKY_RECORD_KEYS
-
-        # carry every sticky key the protocol knows (the no-touched
-        # refusal above means a branch cannot CHANGE these, but the
-        # canonical tuple keeps this list from drifting as new sticky
-        # keys land — round-12 added partition_spec_history and
-        # prior_names)
-        for sticky in _STICKY_RECORD_KEYS:
-            if rec.get(sticky):
-                out[sticky] = rec[sticky]
+        # sticky keys (constraints, partition spec/history, name
+        # chains, table stats) are deliberately NOT copied from the
+        # branch record: data commits never CHANGE them — only the
+        # metadata commits replayed above do — so central _publish
+        # inheritance from main's tip is both sufficient and strictly
+        # more correct (it preserves a newer main-side ANALYZE instead
+        # of reverting it to the branch's fork-era copy)
         main._publish(out)
         new_tip += 1
+        pred = rec
     if drop:
         drop_branch(spark, path, name, storage=storage)
     return new_tip

@@ -2354,6 +2354,17 @@ class PartitionedWapTable(WapTable):
                 "schema": new_schema.jsonValue(),
                 "operation": "alter_schema",
                 "committed_at": time.time(),
+                # the call's own arguments, verbatim — what lets
+                # publish_branch RE-EXECUTE a branch-side ALTER against
+                # main's diverged tip (re-validating and re-keying stats
+                # against the data actually there) instead of refusing
+                # (operators/branches.py). Purely additive metadata.
+                "alter_args": {
+                    "add": add,
+                    "drop": list(drop),
+                    "widen": widen,
+                    "rename": rename,
+                },
             }
         )
         if drop:

@@ -116,11 +116,109 @@ def test_publish_refuses_overlapping_main_progress(spark, table):
     assert "branch_published_from" not in table.latest_record()
 
 
-def test_publish_refuses_untouchable_commits(spark, table):
+def test_publish_refuses_unknown_untouchable_commits(spark, table):
+    """A branch commit without a touched set whose operation is not a
+    replayable metadata class (a full overwrite, a future op this
+    version doesn't know) still refuses — replaying it onto a diverged
+    main is ambiguous."""
     br = create_branch(spark, table.path, "meta")
-    br.add_check_constraint("amt_pos", "amount >= 0")  # no touched set
+    rec = dict(br._commit_record(1))
+    rec.update({"version": 2, "operation": "full_overwrite"})
+    rec.pop("touched", None)
+    br._publish(rec)
     with pytest.raises(ConcurrentWriteError, match="touched"):
         publish_branch(spark, table.path, "meta")
+
+
+def test_publish_replays_branch_constraint(spark, table):
+    """Round-13: a constraint ADDED on the branch replays onto main at
+    publish (re-validated against main's actual data), composing with
+    branch data commits around it."""
+    br = create_branch(spark, table.path, "gate13")
+    br.add_check_constraint("amt_pos", "amount >= 0")
+    br.append_rows(
+        spark.createDataFrame(
+            [(800, "d0", 8.0)], "id long, ds string, amount double"
+        )
+    )
+    tip = publish_branch(spark, table.path, "gate13")
+    assert table.check_constraints() == {"amt_pos": "amount >= 0"}
+    assert table.read(version=tip).filter("id = 800").count() == 1
+    # the replayed constraint GATES main writes from here on
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        table.append_rows(
+            spark.createDataFrame(
+                [(801, "d0", -1.0)], "id long, ds string, amount double"
+            )
+        )
+
+
+def test_publish_replay_validates_constraint_against_main_data(
+    spark, table
+):
+    """Main lands a violating row (disjoint partition) after the fork;
+    the branch's add_constraint must REFUSE at publish — main's
+    post-fork rows were never screened by the branch's gate."""
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    br = create_branch(spark, table.path, "strict")
+    br.add_check_constraint("amt_small", "amount < 500")
+    table.commit_partitions(
+        spark.createDataFrame(
+            [(900, "d0", 999.0)], "id long, ds string, amount double"
+        ),
+        operation="merge",
+    )
+    with pytest.raises(ConstraintViolation):
+        publish_branch(spark, table.path, "strict")
+    # nothing half-published and the branch is still live
+    assert registered_branches(table)[0]["name"] == "strict"
+
+
+def test_publish_replays_branch_constraint_drop(spark, table):
+    table.add_check_constraint("amt_pos", "amount >= 0")
+    br = create_branch(spark, table.path, "undrop")
+    br.drop_check_constraint("amt_pos")
+    publish_branch(spark, table.path, "undrop")
+    assert table.check_constraints() == {}
+
+
+def test_main_analyze_no_longer_bricks_publish(spark, table):
+    """Round-13 (VERDICT #1b): a routine ANALYZE on main between fork
+    and publish commutes — publish proceeds and main's NEWER stats
+    survive the replay instead of reverting to the fork-era copy."""
+    from etl_reporting_spark.operators.stats import collect_table_stats
+
+    br = create_branch(spark, table.path, "anlz")
+    br.upsert_rows_dv(
+        spark.createDataFrame(
+            [(4, "d1", 999.0)], "id long, ds string, amount double"
+        ),
+        keys=["id"],
+    )
+    v_stats = collect_table_stats(table)
+    main_stats = table._commit_record(v_stats)["table_stats"]
+    tip = publish_branch(spark, table.path, "anlz")
+    assert table.read(version=tip).filter("id = 4").first()["amount"] == 999.0
+    # main's analyze survived the data-commit replay (sticky inherit)
+    assert table._commit_record(tip)["table_stats"] == main_stats
+
+
+def test_branch_analyze_replays_as_advisory_stats(spark, table):
+    from etl_reporting_spark.operators.stats import collect_table_stats
+
+    br = create_branch(spark, table.path, "banlz")
+    br.append_rows(
+        spark.createDataFrame(
+            [(850, "d2", 5.0)], "id long, ds string, amount double"
+        )
+    )
+    collect_table_stats(br)
+    tip = publish_branch(spark, table.path, "banlz")
+    ts = table._commit_record(tip).get("table_stats")
+    assert ts and ts["row_count"] == 13  # fork's 12 + the branch append
 
 
 def test_vacuum_keeps_live_branch_files(spark, table):
@@ -293,3 +391,80 @@ def test_branch_dv_update_publishes(spark, tmp_path):
     publish_branch(spark, t.path, "updbr")
     assert t.read().filter("k = 4").first()["amt"] == 444.0
     assert t.read().count() == 10
+
+
+def test_staged_migration_fork_alter_evolve_merge_publish(
+    spark, tmp_path
+):
+    """Round-13 headline composition (VERDICT #1): the staged-migration
+    pattern the reference's staging-schema swap implements (reference
+    connector/snowpark_connector.py:607-688) — fork, RENAME a column +
+    EVOLVE the partition spec + DV-merge ON THE BRANCH, publish — and
+    the published table is row-identical to the same operations applied
+    directly to main."""
+    import datetime as dt
+
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+
+    rows = [(i, dt.date(2026, 1, 1 + (i % 20)), float(i)) for i in range(1, 31)]
+    schema = "id int, ds date, amt double"
+
+    def build(path):
+        return create_hidden_partitioned_wap_table(
+            spark, path, spark.createDataFrame(rows, schema), ["days(ds)"]
+        )
+
+    def migrate(t):
+        t.alter_schema(rename={"amt": "amount"})
+        t.evolve_partition_spec(["months(ds)"])
+        t.append_rows(
+            spark.createDataFrame(
+                [(100, dt.date(2026, 3, 5), 100.0)],
+                "id int, ds date, amount double",
+            )
+        )
+        t.upsert_rows_dv(
+            spark.createDataFrame(
+                [(3, dt.date(2026, 1, 4), 333.0)],
+                "id int, ds date, amount double",
+            ),
+            keys=["id"],
+        )
+
+    # twin A: everything directly on main
+    direct = build(str(tmp_path / "direct"))
+    migrate(direct)
+
+    # twin B: fork, migrate on the branch, publish
+    staged = build(str(tmp_path / "staged"))
+    br = create_branch(spark, staged.path, "mig")
+    migrate(br)
+    # main never saw any of it pre-publish
+    assert staged.read().columns == ["id", "ds", "amt"]
+    assert staged.read().count() == 30
+    publish_branch(spark, staged.path, "mig")
+
+    import re as _re
+
+    from etl_reporting_spark.operators.wap import open_wap_table
+
+    pub = open_wap_table(spark, staged.path)
+    a = sorted(map(tuple, direct.read().select("id", "ds", "amount").collect()))
+    b = sorted(map(tuple, pub.read().select("id", "ds", "amount").collect()))
+    assert a == b and len(a) == 31
+    assert pub.read().filter("id = 3").first()["amount"] == 333.0
+    # the published table carries the evolved spec + the name chain
+    rec = pub._commit_record(pub.current_version())
+    assert rec.get("prior_names") == {"amount": ["amt"]}
+    assert len(rec.get("partition_spec_history", [])) == 2
+    # era-aware prune still works post-publish across the boundary
+    lo, hi = dt.date(2026, 1, 3), dt.date(2026, 3, 31)
+    assert (
+        pub.read_pruned("ds", lo=lo, hi=hi).count()
+        == pub.read()
+        .filter((F.col("ds") >= lo) & (F.col("ds") <= hi))
+        .count()
+    )
+    del _re
