@@ -75,8 +75,14 @@ _TYPE_WIDTH = {
 
 
 def _json_safe(v):
+    from decimal import Decimal
+
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
+    if isinstance(v, Decimal):
+        # same convention as the partition/file [min,max] stats in
+        # wap.py: exact lexical form, never a lossy float
+        return str(v)
     return v
 
 

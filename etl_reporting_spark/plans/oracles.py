@@ -1462,6 +1462,41 @@ FROM final GROUP BY 2
 ORDER BY part, month
 """
 
+ORACLE_SQL["wap_branch_evolved"] = """
+-- Twin of the staged-migration lifecycle: the published content is
+-- era-0 January-1995 (+5 on the 05..25 merge window), the branch's
+-- 1996 slice, and main's disjoint 1998-06 slice (written under the
+-- OLD column name — the rename's chain must serve it). 'pruned' must
+-- equal the raw-predicate selection across the era boundary.
+WITH base AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+  FROM orders
+  WHERE o_orderkey <= 12000
+    AND (o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+         OR o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         OR o_orderdate BETWEEN DATE '1998-06-01' AND DATE '1998-06-30')
+),
+final AS (
+  SELECT o_orderdate,
+         CASE WHEN o_orderdate BETWEEN DATE '1995-01-05'
+                                   AND DATE '1995-01-25'
+              THEN CAST(amount + 5 AS DECIMAL(18,2))
+              ELSE amount END AS amount
+  FROM base
+)
+SELECT 'all' AS part, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders, CAST(SUM(amount) AS DOUBLE) AS sum_amount
+FROM final GROUP BY 2
+UNION ALL
+SELECT 'pruned' AS part, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders, CAST(SUM(amount) AS DOUBLE) AS sum_amount
+FROM final
+WHERE o_orderdate BETWEEN DATE '1995-01-15' AND DATE '1996-03-31'
+GROUP BY 2
+ORDER BY part, month
+"""
+
 ORACLE_SQL["incremental_dq_battery"] = """
 -- Twin of the incremental battery: every check recomputed over the
 -- FULL arrived data (orders keys <= 1000 arrived twice — the late

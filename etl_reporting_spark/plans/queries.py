@@ -1665,6 +1665,119 @@ def wap_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wap_branch_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged-migration gate (round-13; closes VERDICT r12 #1): the
+    "fork → migrate → validate → publish" pattern the reference's
+    staging-schema swap implements (reference
+    connector/snowpark_connector.py:607-688), now expressible on a
+    BRANCH because publish_branch replays metadata-only commits
+    (operators/branches.py) instead of refusing them:
+
+      v1    CREATE days(o_orderdate) over January-1995 orders
+      fork  branch 'mig'
+      b+1   RENAME price → amount on the branch (name-chain identity)
+      b+2   evolve_partition_spec(months(o_orderdate)) on the branch
+      b+3   append the 1996 slice under months(), new column name
+      b+4   cross-era DV MERGE (+5 on 1995-01-05..25): matched keys
+            live in era-0 DAY partitions
+      main  meanwhile appends a 1998-06 slice under the OLD name and
+            OLD spec (disjoint partitions) and runs ANALYZE — the
+            exact commit class that used to brick every open branch
+      publish → rename re-executed against main's diverged tip (its
+            1996 files re-keyed), evolve applied, data commits rebased
+
+    Two hash-oracled families: 'all' = the full published snapshot
+    (main's old-name 1998 files must serve into the renamed column via
+    the chain), 'pruned' = era-union pruned read across the era
+    boundary (era-0 day partitions + era-1 months). Exact DECIMAL
+    internally, final sums DOUBLE per the float convention.
+
+    Scale: publish replays are metadata-only except the constraint
+    class (none here) — no data job; the rename re-execution is one
+    commit-record rewrite regardless of table size."""
+    import datetime as _dtm
+    import tempfile
+
+    from etl_reporting_spark.operators.branches import (
+        create_branch,
+        publish_branch,
+    )
+    from etl_reporting_spark.operators.stats import collect_table_stats
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+    from etl_reporting_spark.operators.wap import open_wap_table
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 12000).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    era0_lo, era0_hi = _dtm.date(1995, 1, 1), _dtm.date(1995, 1, 31)
+    path = tempfile.mkdtemp(prefix="wap_branch_evo_")
+    table = create_hidden_partitioned_wap_table(
+        spark,
+        f"{path}/fact",
+        base.filter(F.col("o_orderdate").between(era0_lo, era0_hi)),
+        ["days(o_orderdate)"],
+    )
+    br = create_branch(spark, table.path, "mig")
+    br.alter_schema(rename={"price": "amount"})
+    br.evolve_partition_spec(["months(o_orderdate)"])
+    br.append_rows(
+        base.filter(
+            F.col("o_orderdate").between(
+                _dtm.date(1996, 1, 1), _dtm.date(1996, 12, 31)
+            )
+        ).withColumnRenamed("price", "amount")
+    )
+    m_lo, m_hi = _dtm.date(1995, 1, 5), _dtm.date(1995, 1, 25)
+    br.upsert_rows_dv(
+        base.filter(F.col("o_orderdate").between(m_lo, m_hi))
+        .withColumn("amount", (F.col("price") + 5).cast("decimal(18,2)"))
+        .drop("price"),
+        keys=["o_orderkey"],
+    )
+    # main advances under the OLD schema and OLD spec while the branch
+    # migrates: a disjoint 1998-06 append plus a routine ANALYZE
+    table.append_rows(
+        base.filter(
+            F.col("o_orderdate").between(
+                _dtm.date(1998, 6, 1), _dtm.date(1998, 6, 30)
+            )
+        )
+    )
+    collect_table_stats(table)
+    publish_branch(spark, table.path, "mig")
+    pub = open_wap_table(spark, table.path)
+
+    def monthly(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("amount").cast("double").alias("sum_amount"),
+            )
+            .withColumn("part", F.lit(tag))
+        )
+
+    allm = monthly(pub.read(), "all")
+    pruned = monthly(
+        pub.read_pruned(
+            "o_orderdate",
+            lo=_dtm.date(1995, 1, 15),
+            hi=_dtm.date(1996, 3, 31),
+        ),
+        "pruned",
+    )
+    return (
+        allm.unionByName(pruned)
+        .select("part", "month", "n_orders", "sum_amount")
+        .orderBy("part", "month")
+    )
+
+
 def incremental_dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DQ battery gate (round-12; VERDICT round-11 #6 —
     dq_battery is the most expensive driver gate and re-scans the full
@@ -2762,13 +2875,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-verified).
     "wap_spec_evolution": wap_spec_evolution,
     "fn_date_gallery": fn_date_gallery,
-    "fn_string_gallery": fn_string_gallery,
+    # round-13 rotation: the staged-migration composition gate (fork →
+    # rename + evolve + cross-era DV merge on the branch → publish over
+    # disjoint main progress + a main-side ANALYZE) takes the hard
+    # driver signal; fn_string_gallery rotates to the locally-verified
+    # tail with 11 rounds of driver-green history (the function-gallery
+    # family keeps fn_date_gallery, fn_conditional_gallery and
+    # fn_json_gallery driver-verified)
+    "wap_branch_evolved": wap_branch_evolved,
     "fn_conditional_gallery": fn_conditional_gallery,
     "f1_working_days": f1_working_days,
     "j6_interval_binding": j6_interval_binding,
-    "f3_month_periods": f3_month_periods,
+    # round-13 rotation: RENAME COLUMN (round-12, local-green only)
+    # gets driver history; f3_month_periods rotates out with 10 rounds
+    # driver-green (the F-family keeps f1_working_days and
+    # f2_count_difference driver-verified)
+    "wap_rename_column": wap_rename_column,
     "dq_battery": dq_battery,
-    "dq_carrier_scoped": dq_carrier_scoped,
+    # round-13 rotation: the DV UPDATE rung (round-12, local-green
+    # only) gets driver history; dq_carrier_scoped rotates out with 10
+    # rounds driver-green (the DQ family keeps dq_battery,
+    # dq_report_battery and the incoming incremental_dq_battery
+    # driver-verified)
+    "wap_update_dv": wap_update_dv,
     "inc_watermark_load": inc_watermark_load,
     "j10_merge_upsert": j10_merge_upsert,
     "fn_json_gallery": fn_json_gallery,
@@ -2782,7 +2911,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dq_report_battery)
     "sql_script_mixed": sql_script_mixed,
     "dq_report_battery": dq_report_battery,
-    "p2_exclude_projection": p2_exclude_projection,
+    # round-13 rotation: the watermark-sliced incremental DQ battery
+    # (round-12, local-green only) gets driver history;
+    # p2_exclude_projection rotates out with 10 rounds driver-green
+    # (projection coverage stays driver-verified through the report
+    # gates and q1)
+    "incremental_dq_battery": incremental_dq_battery,
     # round-6 rotation: the six NEW capabilities move INTO the 50-row
     # driver window — j5b (tolerance as-of), w13 (RANGE rolling),
     # fuzzy dedup, join IVM, sampled-threshold DSIR selection, and the
@@ -2849,17 +2983,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a12_percentiles": a12_percentiles,
     # round-12 rotation (see window note above): 10 rounds driver-green
     "a13_pivot": a13_pivot,
-    # round-12: RENAME COLUMN via name-chain identity — the other
-    # round-11 named refusal closed (locally-verified tail; the
-    # spec-evolution gate carries this round's table-format driver
-    # signal)
-    "wap_rename_column": wap_rename_column,
-    # round-12: watermark-sliced DQ with mergeable state — verdicts
-    # from state only, cross-increment duplicates caught (VERDICT #6)
-    "incremental_dq_battery": incremental_dq_battery,
-    # round-12: DV-enabled UPDATE — mask + append, zero rewrites,
-    # incl. a partition-move update (locally-verified tail)
-    "wap_update_dv": wap_update_dv,
+    # round-13 rotation to the locally-verified tail (each 10-11
+    # rounds driver-green; see the window notes above for the family
+    # coverage argument): fn_string_gallery, f3_month_periods,
+    # dq_carrier_scoped, p2_exclude_projection
+    "fn_string_gallery": fn_string_gallery,
+    "f3_month_periods": f3_month_periods,
+    "dq_carrier_scoped": dq_carrier_scoped,
+    "p2_exclude_projection": p2_exclude_projection,
     "wap_insert_sql": wap_insert_sql,
     "wap_branch_publish": wap_branch_publish,
     "wap_schema_widen": wap_schema_widen,

@@ -50,13 +50,20 @@ EXPECTED_WINDOW = [
     # a5/a7/a8/a9/u2/a14 driver-verified)
     "wap_spec_evolution",
     "fn_date_gallery",
-    "fn_string_gallery",
+    # round-13 rotation: the staged-migration branch composition, the
+    # two round-12 local-only table-format gates, and the incremental
+    # DQ battery take the hard driver signal; fn_string_gallery,
+    # f3_month_periods, dq_carrier_scoped and p2_exclude_projection
+    # rotate to the locally-verified tail, each with 10-11 rounds of
+    # driver-green history (CORRECTNESS_r02/r03-r12) and a
+    # driver-verified family representative staying in-window
+    "wap_branch_evolved",
     "fn_conditional_gallery",
     "f1_working_days",
     "j6_interval_binding",
-    "f3_month_periods",
+    "wap_rename_column",
     "dq_battery",
-    "dq_carrier_scoped",
+    "wap_update_dv",
     "inc_watermark_load",
     "j10_merge_upsert",
     "fn_json_gallery",
@@ -67,7 +74,7 @@ EXPECTED_WINDOW = [
     # reps) to admit the new mixed-script DML gate
     "sql_script_mixed",
     "dq_report_battery",
-    "p2_exclude_projection",
+    "incremental_dq_battery",
     "j5b_asof_tolerance",
     "w13_rolling_window",
     "a14_cube",
@@ -187,6 +194,33 @@ def test_window_split_contains_the_round10_rotation():
     new_r10 = {"wap_merge_sql", "wap_update_delete_sql"}
     assert new_r10 <= set(EXPECTED_WINDOW)
     rotated_out = {"u1_union_distinct", "w45_event_ordering"}
+    names = list(entry.queries())
+    assert rotated_out.isdisjoint(EXPECTED_WINDOW)
+    assert rotated_out <= set(names[50:])  # still present, locally verified
+
+
+def test_window_split_contains_the_round13_rotation():
+    """Round-13 rotation: the staged-migration composition gate
+    (wap_branch_evolved — fork, rename + evolve + cross-era DV merge
+    on the branch, publish over disjoint main progress and a main-side
+    ANALYZE) plus the three round-12 local-green gates
+    (wap_rename_column, wap_update_dv, incremental_dq_battery) get the
+    hard driver signal. Rotated to the locally-verified tail, each
+    with 10-11 rounds of driver-green history: fn_string_gallery,
+    f3_month_periods, dq_carrier_scoped, p2_exclude_projection."""
+    new_r13 = {
+        "wap_branch_evolved",
+        "wap_rename_column",
+        "wap_update_dv",
+        "incremental_dq_battery",
+    }
+    assert new_r13 <= set(EXPECTED_WINDOW)
+    rotated_out = {
+        "fn_string_gallery",
+        "f3_month_periods",
+        "dq_carrier_scoped",
+        "p2_exclude_projection",
+    }
     names = list(entry.queries())
     assert rotated_out.isdisjoint(EXPECTED_WINDOW)
     assert rotated_out <= set(names[50:])  # still present, locally verified

@@ -207,6 +207,12 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # round-12: DV-update lifecycle — the returned frame is one
     # masked snapshot read → aggregate + presentation sort
     "wap_update_dv": 2,
+    # round-13: staged-migration publish — fork/rename/evolve/publish
+    # are metadata commits (the DML runs at build time); the returned
+    # frame is two monthly-rollup families (full snapshot, era-union
+    # pruned read) — one aggregate exchange each + the presentation
+    # sort
+    "wap_branch_evolved": 3,
     # round-11: the returned frame is a driver-local reconstruction of
     # the commit-log stats — the one exchange is the presentation sort
     "wap_table_stats": 1,
