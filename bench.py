@@ -194,8 +194,60 @@ def _run_probes(qs, spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+# CLEAN-READ PROTOCOL (round-13): the committed driver bench
+# self-flagged degraded three rounds running (r10 2.334, r11 1.516,
+# r12 1.694 — every verdict-relevant number had to be cross-checked
+# against separately-run clean local pairs). Instead of accepting the
+# first pre-probe read, retry it a bounded number of times with a
+# pause between attempts, and proceed on the first ambient-ok pair —
+# or after exhausting the attempts, carrying EVERY attempt's ratios in
+# the artifact. The flag then becomes a measured outcome ("the
+# environment never cleared across N spaced attempts") instead of a
+# recurring asterisk on a single unlucky read.
+PRE_PROBE_MAX_ATTEMPTS = 3
+PRE_PROBE_RETRY_WAIT_S = 60.0
+
+
+def _pre_probe_with_retry(
+    qs, spark, sf_dir: str, ref_path: str, sleep=time.sleep
+) -> tuple[dict[str, float], list[dict]]:
+    """Run the pre-phase ambient probe up to ``PRE_PROBE_MAX_ATTEMPTS``
+    times, ``PRE_PROBE_RETRY_WAIT_S`` apart, returning the first
+    attempt whose worst phase-matched ratio clears the degraded
+    threshold (or the last attempt if none does) plus the full attempt
+    log for the artifact. Bootstrap runs (no recorded floor yet) pass
+    immediately — there is nothing to compare against."""
+    ref: dict = {}
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+    attempts: list[dict] = []
+    pre: dict[str, float] = {}
+    for i in range(PRE_PROBE_MAX_ATTEMPTS):
+        pre = _run_probes(qs, spark, sf_dir)
+        ratios = {}
+        for k in ("scan", "shuffle"):
+            floor = ref.get(f"{k}_pre")
+            ratios[k] = (
+                round(pre[k] / min(pre[k], floor), 3) if floor else 1.0
+            )
+        worst = max(ratios.values())
+        attempts.append(
+            {"probe": pre, "ratios": ratios, "worst_ratio": worst}
+        )
+        if worst <= AMBIENT_DEGRADED_RATIO:
+            break
+        if i < PRE_PROBE_MAX_ATTEMPTS - 1:
+            sleep(PRE_PROBE_RETRY_WAIT_S)
+    return pre, attempts
+
+
 def _ambient_block(
-    pre: dict, post: dict, ref_path: str, mid: dict | None = None
+    pre: dict,
+    post: dict,
+    ref_path: str,
+    mid: dict | None = None,
+    pre_attempts: list[dict] | None = None,
 ) -> dict:
     """Assemble the artifact's ambience record.
 
@@ -228,6 +280,13 @@ def _ambient_block(
         "scan_gate": PROBE_SCAN,
         "shuffle_gate": PROBE_SHUFFLE,
     }
+    if pre_attempts is not None:
+        # the clean-read protocol's evidence trail: one entry per
+        # pre-probe attempt (ratios vs the floors on file at run
+        # start). len > 1 means the first read was ambient-degraded
+        # and the run waited for the environment to clear (or proved
+        # it never did).
+        block["pre_probe_attempts"] = pre_attempts
     observed = {
         "scan_pre": pre["scan"],
         "shuffle_pre": pre["shuffle"],
@@ -348,9 +407,17 @@ def main() -> None:
     qs["w1_dedup_latest"](spark, sf_dir).count()
     qs["text_quality_scores"](spark, sf_dir).count()
 
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PROBE_REF.json"
+    )
+
     # Ambient probe, phase 1: right after warm-up, before any heavy
     # work — the cleanest read of what the machine is doing to us.
-    probe_pre = _run_probes(qs, spark, sf_dir)
+    # Retried (bounded, spaced) until ambient-ok; every attempt's
+    # ratios land in the artifact (clean-read protocol, round-13).
+    probe_pre, pre_attempts = _pre_probe_with_retry(
+        qs, spark, sf_dir, ref_path
+    )
 
     # Heavy tiers run FIRST (right after warm-up): the A/B data in
     # BENCH_NOTES.md measured a ~10% JVM-aging tax with rising
@@ -421,9 +488,6 @@ def main() -> None:
     # Ambient probe, phase 2: after the sweep — a segment that got
     # loaded mid-run shows as post-ratios drifting off the pre-ratios.
     probe_post = _run_probes(qs, spark, sf_dir)
-    ref_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_PROBE_REF.json"
-    )
 
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -431,7 +495,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "ambient": _ambient_block(probe_pre, probe_post, ref_path, mid=probe_mid),
+        "ambient": _ambient_block(
+            probe_pre,
+            probe_post,
+            ref_path,
+            mid=probe_mid,
+            pre_attempts=pre_attempts,
+        ),
     }
     if build:
         out["build"] = {

@@ -574,7 +574,9 @@ ORDER BY p_partkey
 ORACLE_SQL["fn_json_gallery"] = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
-       to_json(struct_pack(event_id := event_id, event_type := event_type)) AS diag_payload
+       CAST(to_json(struct_pack(event_id := event_id,
+                                event_type := event_type))
+            AS VARCHAR) AS diag_payload
 FROM events WHERE event_id < 500
 ORDER BY event_id
 """

@@ -137,3 +137,96 @@ def test_stdout_line_carries_ambient_summary():
     }
     line = json.loads(build_stdout_line(out))
     assert line["ambient"] == {"worst_ratio": 1.31, "flag": "degraded"}
+
+
+def test_pre_probe_retry_proceeds_on_first_clean_pair(tmp_path):
+    """Clean-read protocol (round-13): a degraded first pre-probe read
+    triggers spaced retries; the run proceeds on the first ambient-ok
+    attempt and the artifact carries EVERY attempt's ratios."""
+    import json as _json
+
+    import bench as bench_mod
+    from bench import _pre_probe_with_retry
+
+    ref = tmp_path / "ref.json"
+    ref.write_text(
+        _json.dumps({"scan_pre": 1.0, "shuffle_pre": 1.0})
+    )
+    # attempt 1: loaded (2x the floor); attempt 2: quiet
+    seq = iter(
+        [
+            {"scan": 2.0, "shuffle": 2.0},
+            {"scan": 1.0, "shuffle": 1.05},
+        ]
+    )
+    slept: list[float] = []
+    orig = bench_mod._run_probes
+    bench_mod._run_probes = lambda qs, spark, sf_dir: next(seq)
+    try:
+        pre, attempts = _pre_probe_with_retry(
+            None, None, "x", str(ref), sleep=slept.append
+        )
+    finally:
+        bench_mod._run_probes = orig
+    assert pre == {"scan": 1.0, "shuffle": 1.05}
+    assert len(attempts) == 2
+    assert attempts[0]["worst_ratio"] == 2.0
+    assert attempts[1]["worst_ratio"] <= 1.25
+    assert slept == [bench_mod.PRE_PROBE_RETRY_WAIT_S]
+
+
+def test_pre_probe_retry_exhausts_and_carries_evidence(tmp_path):
+    """If the environment never clears, the run proceeds after the
+    bounded attempts with the full evidence trail (the flag becomes a
+    measured outcome, not a one-read asterisk)."""
+    import json as _json
+
+    import bench as bench_mod
+    from bench import _pre_probe_with_retry
+
+    ref = tmp_path / "ref.json"
+    ref.write_text(
+        _json.dumps({"scan_pre": 1.0, "shuffle_pre": 1.0})
+    )
+    calls = {"n": 0}
+
+    def loaded(qs, spark, sf_dir):
+        calls["n"] += 1
+        return {"scan": 3.0, "shuffle": 3.0}
+
+    slept: list[float] = []
+    orig = bench_mod._run_probes
+    bench_mod._run_probes = loaded
+    try:
+        pre, attempts = _pre_probe_with_retry(
+            None, None, "x", str(ref), sleep=slept.append
+        )
+    finally:
+        bench_mod._run_probes = orig
+    assert calls["n"] == bench_mod.PRE_PROBE_MAX_ATTEMPTS
+    assert len(attempts) == bench_mod.PRE_PROBE_MAX_ATTEMPTS
+    assert all(a["worst_ratio"] == 3.0 for a in attempts)
+    assert len(slept) == bench_mod.PRE_PROBE_MAX_ATTEMPTS - 1
+    assert attempts[0]["ratios"] == {"scan": 3.0, "shuffle": 3.0}
+    # bootstrap (no floors yet): the first read passes immediately
+    bench_mod._run_probes = loaded
+    try:
+        _, attempts2 = _pre_probe_with_retry(
+            None, None, "x", str(tmp_path / "missing.json"),
+            sleep=slept.append,
+        )
+    finally:
+        bench_mod._run_probes = orig
+    assert len(attempts2) == 1 and attempts2[0]["worst_ratio"] == 1.0
+
+
+def test_ambient_block_carries_pre_attempts(tmp_path):
+    from bench import _ambient_block
+
+    pre = {"scan": 1.0, "shuffle": 1.0}
+    post = {"scan": 1.0, "shuffle": 1.0}
+    trail = [{"probe": pre, "ratios": {"scan": 1.0, "shuffle": 1.0}, "worst_ratio": 1.0}]
+    block = _ambient_block(
+        pre, post, str(tmp_path / "ref.json"), pre_attempts=trail
+    )
+    assert block["pre_probe_attempts"] == trail

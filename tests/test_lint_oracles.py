@@ -67,6 +67,27 @@ def test_final_type_lint_rejects_planted_decimal():
     assert "clean_double" not in flagged
 
 
+def test_final_type_lint_rejects_planted_json():
+    """Round-13: the JSON grandfather is retired — a JSON-typed final
+    is the same latent cross-engine canonicalization class as DECIMAL
+    (it was green only because both engines happened to serialize to
+    strings). The VARCHAR-cast twin stays clean."""
+    planted = {
+        "planted_json": (
+            "SELECT event_id, to_json(struct_pack(e := event_id)) AS d "
+            "FROM events WHERE event_id < 5"
+        ),
+        "clean_varchar_json": (
+            "SELECT event_id, CAST(to_json(struct_pack(e := event_id)) "
+            "AS VARCHAR) AS d FROM events WHERE event_id < 5"
+        ),
+    }
+    problems = lint_final_types(planted)
+    flagged = {p.split(":", 1)[0] for p in problems}
+    assert "planted_json" in flagged
+    assert "clean_varchar_json" not in flagged
+
+
 def test_driver_contract_keys_align():
     """Every queries() entry has an oracle and vice versa — a missing
     pair degrades to the weaker rows-only driver check silently."""

@@ -71,12 +71,15 @@ def lint_oracle(name: str, sql: str) -> list[str]:
 #: must DESCRIBE to one of these DuckDB types; the Spark twin aliases
 #: and casts to the matching Spark type. DECIMAL is banned in finals
 #: (round-11 `wap_hidden_partitioning` hash-red: values byte-identical,
-#: hashes divergent). JSON is grandfathered — fn_json_gallery has been
-#: driver-green since it entered the window (both engines hand the
-#: comparator a string).
+#: hashes divergent). JSON is banned too (round-13; it was
+#: grandfathered through round 12): it happened to be green only
+#: because both engines serialized to strings — the same latent
+#: cross-engine canonicalization class as DECIMAL. Zero exceptions is
+#: the point of a convention; serialize JSON finals to VARCHAR on both
+#: twins.
 ALLOWED_FINAL_TYPES = frozenset(
     {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
-     "BOOLEAN", "JSON"}
+     "BOOLEAN"}
 )
 
 _TESTDATA_TABLES = (
