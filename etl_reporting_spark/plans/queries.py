@@ -1792,9 +1792,13 @@ def incremental_dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     The third orders increment deliberately RE-DELIVERS keys ≤ 1000
     (late duplicate arrivals): the duplicate check must flag keys
     whose copies landed in DIFFERENT increments — the case a
-    run-per-slice batch battery structurally misses. Oracle: every
-    check recomputed relationally over the full union (including the
-    duplicated arrivals).
+    run-per-slice batch battery structurally misses. The customer DIM
+    is delivered in GROWING stages (≤500, ≤1000, full — round-13):
+    orders referencing later customers are orphans at ingest and must
+    be retro-healed by the per-key orphan re-judgment when their dim
+    rows arrive, or IDQ-004 overcounts. Oracle: every check recomputed
+    relationally over the full union (including the duplicated
+    arrivals) against the FULL dim.
 
     Scale: per-increment cost ∝ slice + per-check state (keys ×
     checks, narrow rows); history is never re-read. The batch
@@ -1856,8 +1860,18 @@ def incremental_dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer": customer.filter(ck > 1000),
         },
     ]
-    dims = {"customer": customer}
-    for i, slices in enumerate(increments, start=1):
+    # the dim GROWS across increments (round-13; VERDICT r12 #6): the
+    # first two deliveries cover only part of customer, so orders
+    # referencing later customers are orphans AT INGEST and must be
+    # retro-healed when their dim rows finally arrive — the final
+    # verdict still hash-matches the full-union batch twin only if
+    # orphan re-judgment under dim growth is exact
+    dim_steps = [
+        {"customer": customer.filter(ck <= 500)},
+        {"customer": customer.filter(ck <= 1000)},
+        {"customer": customer},
+    ]
+    for i, (slices, dims) in enumerate(zip(increments, dim_steps), start=1):
         b.process_increment(slices, dims=dims, watermarks={"step": str(i)})
     return b.verdicts()
 

@@ -215,3 +215,99 @@ def test_approx_duplicate_sketch_screen(spark, tmp_path):
     assert len(apx_state) == 1
     assert apx_state[0]["p_cnt"] == 500
     assert len(apx_state[0]["k"]) < 20_000  # base64 sketch, not keys
+
+
+def test_orphan_retro_heals_on_late_dim_arrival(spark, tmp_path):
+    """Round-13 (VERDICT r12 #6): the dim GROWS across increments —
+    fact rows orphaned at ingest are retro-healed when their dim rows
+    finally arrive, and the final verdict equals the batch verdict
+    over the full union vs the full dim (the one check whose
+    incremental ≡ batch equivalence used to hold only for static
+    dims)."""
+    facts = _facts(spark)
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_orphan_check("O-CUST", "fact", "custkey", "dim", "custkey")
+
+    dim10 = spark.createDataFrame([(10,)], "custkey int")
+    dim_full = _dim(spark)
+
+    # slice 1 judged against a dim that only knows custkey 10:
+    # custkey-11 rows are orphans AT INGEST
+    b.process_increment(
+        {"fact": facts.filter("arr = 1")}, dims={"dim": dim10}
+    )
+    v1 = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v1["O-CUST"] == 1  # id 3 (custkey 11)
+
+    # slice 2 arrives WITH the full dim: its own rows judged against
+    # it (only custkey 99 orphaned), and the OUTSTANDING custkey-11
+    # key from slice 1 retro-heals
+    b.process_increment(
+        {"fact": facts.filter("arr = 2")}, dims={"dim": dim_full}
+    )
+    v2 = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v2["O-CUST"] == 1  # only the true orphan (custkey 99) remains
+
+    # batch twin over everything delivered so far vs the full dim
+    batch = (
+        facts.filter("arr <= 2")
+        .join(dim_full, ["custkey"], "left_anti")
+        .count()
+    )
+    assert v2["O-CUST"] == batch
+
+
+def test_orphan_dim_only_increment_heals_without_fact_slice(
+    spark, tmp_path
+):
+    """A dim delivery with NO fact slice still re-judges outstanding
+    orphan keys (the late-dim case arrives on its own schedule)."""
+    facts = _facts(spark)
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_orphan_check("O-CUST", "fact", "custkey", "dim", "custkey")
+    dim10 = spark.createDataFrame([(10,)], "custkey int")
+
+    b.process_increment(
+        {"fact": facts.filter("arr <= 2")}, dims={"dim": dim10}
+    )
+    v1 = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v1["O-CUST"] == 4  # custkeys 11 (x2), 12, 99
+
+    # dim-only increment: no fact slice at all
+    ver = b.process_increment({}, dims={"dim": _dim(spark)})
+    assert ver is not None
+    v2 = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v2["O-CUST"] == 1  # only custkey 99 still orphaned
+
+    # and a dim-only increment on an EMPTY battery state is a no-op
+    b2 = IncrementalDQBattery(spark, str(tmp_path / "state2"))
+    b2.add_orphan_check("O2", "fact", "custkey", "dim", "custkey")
+    assert b2.process_increment({}, dims={"dim": _dim(spark)}) is None
+
+
+def test_orphan_null_fk_never_heals_and_state_stays_bounded(
+    spark, tmp_path
+):
+    """NULL fks are permanent orphans (SQL equality matches nothing,
+    even a NULL pk row); healed keys physically leave the state (the
+    bound is CURRENT orphans, not history)."""
+    rows = [(1, None, 1.0), (2, 11, 2.0), (3, 11, 2.5)]
+    facts = spark.createDataFrame(rows, "id int, custkey int, amt double")
+    dim_with_null = spark.createDataFrame(
+        [(None,), (10,)], "custkey int"
+    )
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_orphan_check("O", "fact", "custkey", "dim", "custkey")
+    b.process_increment({"fact": facts}, dims={"dim": dim_with_null})
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O"] == 3  # NULL + the two custkey-11 rows
+    # custkey 11 arrives; NULL must NOT heal against the dim's NULL pk
+    b.process_increment(
+        {}, dims={"dim": spark.createDataFrame([(None,), (10,), (11,)], "custkey int")}
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O"] == 1  # the NULL-fk row alone
+    st = b.state.read().filter("kind = 'orphan'")
+    ks = {r["k"] for r in st.collect()}
+    # healed key gone from state; anchor + the NULL sentinel remain
+    assert "11" not in ks and "__NULL__" in ks and "__ANCHOR__" in ks

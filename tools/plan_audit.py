@@ -203,7 +203,9 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # round-12: verdicts read ONLY the state table (the battery's
     # point — no fact scan in this plan): one dup-groupBy exchange +
     # the presentation sort. The increments run at build time.
-    "incremental_dq_battery": 2,
+    # round-13: +1 — the per-key orphan state (dim-growth healing)
+    # adds its own sum-per-check groupBy over state rows.
+    "incremental_dq_battery": 3,
     # round-12: DV-update lifecycle — the returned frame is one
     # masked snapshot read → aggregate + presentation sort
     "wap_update_dv": 2,
