@@ -117,12 +117,6 @@ class CloneRetentionWarning(UserWarning):
     ``ignore_clones=True`` to accept breaking it) to reclaim."""
 
 
-class CommitConflict(Exception):
-    """Raised by a :class:`CommitStore` when the version slot is
-    already taken. Table-level code translates this into
-    :class:`ConcurrentWriteError` or a partition-scoped rebase."""
-
-
 #: commit-record keys that survive every commit unless a path sets
 #: them explicitly — inherited centrally in :meth:`WapTable._publish`
 _STICKY_RECORD_KEYS: tuple[str, ...] = (
@@ -134,308 +128,21 @@ _STICKY_RECORD_KEYS: tuple[str, ...] = (
 )
 
 
-# --------------------------------------------------------------- stores
-class CommitStore:
-    """The ONE primitive the WAP protocol needs from storage: atomic
-    create-if-absent publication of an immutable commit record.
-
-    Contract (what any implementation must guarantee):
-
-    - ``publish(version, payload)`` either installs the COMPLETE
-      payload at the version slot or raises :class:`CommitConflict`
-      if that slot is taken. Readers must never observe a partial
-      payload — not even transiently, not even across a writer crash
-      mid-publish.
-    - ``read(version)`` returns the exact published payload, or
-      ``None`` for a never-published slot.
-    - ``max_version()`` returns the highest published version (0 when
-      empty). It may lag concurrent publishes (it is only used to
-      pick an optimistic base; staleness costs a retry, not
-      correctness).
-
-    Production mappings of the CAS primitive:
-
-    - local POSIX (:class:`LocalFSCommitStore`): write + fsync a temp
-      file, then ``os.link`` into the slot — link is atomic and fails
-      with EEXIST when taken.
-    - S3: ``PutObject`` with ``If-None-Match: *`` — HTTP 412 is the
-      conflict. (Available since 2024; before that, a DynamoDB
-      conditional write served as the slot lock, which is exactly
-      what delta-rs's S3 commit store does.)
-    - GCS: upload with precondition ``ifGenerationMatch=0``.
-    - HDFS / ABFS: ``rename()`` without overwrite onto the slot path
-      — atomic within a namespace, fails when the target exists.
-
-    Everything else in the protocol (immutable uniquely-named data
-    dirs, read-back audits, max-version resolution) is plain
-    list/read/write — no further atomicity is required of storage.
-    """
-
-    def publish(self, version: int, payload: bytes) -> None:
-        raise NotImplementedError
-
-    def read(self, version: int) -> bytes | None:
-        raise NotImplementedError
-
-    def max_version(self) -> int:
-        raise NotImplementedError
-
-    def clean_temp(self, min_age_seconds: float) -> list[str]:
-        """Remove publication debris a crashed writer may have left
-        (e.g. fsynced-but-never-linked temp records). Entries younger
-        than ``min_age_seconds`` are protected — they may belong to a
-        writer that is about to complete its CAS."""
-        return []
-
-
-class LocalFSCommitStore(CommitStore):
-    """POSIX implementation: ``os.link`` create-if-absent."""
-
-    def __init__(self, log_dir: str) -> None:
-        self.log_dir = log_dir
-
-    def _slot(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"commit-{version:05d}.json")
-
-    def publish(self, version: int, payload: bytes) -> None:
-        os.makedirs(self.log_dir, exist_ok=True)
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "wb") as fh:
-            fh.write(payload)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, self._slot(version))
-        except FileExistsError:
-            raise CommitConflict(version) from None
-        finally:
-            os.unlink(tmp)
-
-    def read(self, version: int) -> bytes | None:
-        try:
-            with open(self._slot(version), "rb") as fh:
-                return fh.read()
-        except FileNotFoundError:
-            return None
-
-    def max_version(self) -> int:
-        if not os.path.isdir(self.log_dir):
-            return 0
-        versions = [
-            int(f[len("commit-") : -len(".json")])
-            for f in os.listdir(self.log_dir)
-            if f.startswith("commit-") and f.endswith(".json")
-        ]
-        return max(versions, default=0)
-
-    def clean_temp(self, min_age_seconds: float) -> list[str]:
-        removed = []
-        if not os.path.isdir(self.log_dir):
-            return removed
-        now = time.time()
-        for entry in os.listdir(self.log_dir):
-            if not (entry.startswith(".tmp-") and entry.endswith(".json")):
-                continue
-            full = os.path.join(self.log_dir, entry)
-            try:
-                if now - os.path.getmtime(full) < min_age_seconds:
-                    continue
-                os.unlink(full)
-            except OSError:
-                continue
-            removed.append(entry)
-        return removed
-
-
-class PreconditionFailed(Exception):
-    """An object-store conditional PUT found the key already present
-    (S3 HTTP 412 / GCS precondition failure / ABFS create-exists)."""
-
-
-class ObjectStoreClient:
-    """Minimal blob-store client surface :class:`ObjectStoreCommitStore`
-    needs — three calls, each mapping 1:1 onto every major store. The
-    consistency envelope assumed (and all that is assumed):
-
-    - ``put_if_absent``: atomic create of the COMPLETE object, or
-      :class:`PreconditionFailed` if the key exists. S3 ``PutObject``
-      with ``If-None-Match: *`` (412 on conflict, available since
-      2024 — before that, a DynamoDB conditional write plays this
-      slot, as in delta-rs); GCS upload with ``ifGenerationMatch=0``;
-      ABFS/Azure Blob create-without-overwrite (``If-None-Match: *``).
-      There is never a partial-object state: the stores commit a blob
-      only when the upload completes.
-    - ``get``: read-after-write consistent for NEW keys — true of S3
-      (since 2020-12), GCS, and ABFS. Commit records are immutable,
-      so no update-consistency is ever relied on.
-    - ``list_keys``: MAY lag recent puts (the weakest listing any of
-      the stores ever documented). The commit store never trusts it
-      alone — see ``ObjectStoreCommitStore.max_version``.
-    """
-
-    def put_if_absent(self, key: str, data: bytes) -> None:
-        raise NotImplementedError
-
-    def get(self, key: str) -> bytes | None:
-        raise NotImplementedError
-
-    def list_keys(self, prefix: str) -> list[str]:
-        raise NotImplementedError
-
-
-class InMemoryObjectStore(ObjectStoreClient):
-    """Mock object store with exactly the envelope above: strongly
-    consistent conditional PUT and GET under a lock (races come from
-    real threads in the tests), plus an injectable LISTING LAG —
-    ``list_lag=n`` hides the n most recently created blobs from
-    ``list_keys`` to simulate an eventually-consistent listing, while
-    GET still sees them (the split S3 actually had for years)."""
-
-    def __init__(self, list_lag: int = 0) -> None:
-        import threading
-
-        self._lock = threading.Lock()
-        self._blobs: dict[str, bytes] = {}
-        self._order: list[str] = []
-        self.list_lag = list_lag
-
-    def put_if_absent(self, key: str, data: bytes) -> None:
-        with self._lock:
-            if key in self._blobs:
-                raise PreconditionFailed(key)
-            self._blobs[key] = bytes(data)
-            self._order.append(key)
-
-    def get(self, key: str) -> bytes | None:
-        with self._lock:
-            return self._blobs.get(key)
-
-    def list_keys(self, prefix: str) -> list[str]:
-        with self._lock:
-            visible = (
-                self._order[: max(0, len(self._order) - self.list_lag)]
-                if self.list_lag
-                else list(self._order)
-            )
-            return sorted(k for k in visible if k.startswith(prefix))
-
-
-class ObjectStoreCommitStore(CommitStore):
-    """Durable :class:`CommitStore` for S3/GCS/ABFS — the deployment
-    where POSIX rename/link semantics DO NOT EXIST (S3 "rename" is
-    copy+delete, not atomic), which is exactly why the CAS seam is an
-    interface. The mapping is direct: one conditional PUT of the
-    complete record IS the commit — no temp file, no link, no
-    publication debris (``clean_temp`` is a structural no-op, not an
-    unimplemented one).
-
-    ``max_version`` never trusts LIST alone: it takes the listed
-    maximum, then probes FORWARD with strongly-consistent GETs until
-    the first absent slot. An eventually-consistent listing therefore
-    costs a few extra GETs, never a wrong answer — stronger than the
-    base contract requires (staleness there costs only a retry), and
-    what makes reads correct the instant a writer on another node
-    publishes.
-
-    Consistency assumptions are exactly the three documented on
-    :class:`ObjectStoreClient`; nothing else (no locks, no lease, no
-    DynamoDB table) is required where conditional PUT exists.
-
-    Semantics anchor: the reference's MERGE/transactional surface
-    (reference connector/snowpark_connector.py:607-1004) — this store
-    is what carries its atomicity on object storage."""
-
-    def __init__(self, client: ObjectStoreClient, prefix: str = "") -> None:
-        self.client = client
-        self.prefix = (prefix.rstrip("/") + "/") if prefix else ""
-
-    def _key(self, version: int) -> str:
-        return f"{self.prefix}commit-{version:05d}.json"
-
-    def publish(self, version: int, payload: bytes) -> None:
-        try:
-            self.client.put_if_absent(self._key(version), payload)
-        except PreconditionFailed:
-            raise CommitConflict(version) from None
-
-    def read(self, version: int) -> bytes | None:
-        return self.client.get(self._key(version))
-
-    def max_version(self) -> int:
-        best = 0
-        for k in self.client.list_keys(self.prefix):
-            m = re.search(r"commit-(\d+)\.json$", k)
-            if m:
-                best = max(best, int(m.group(1)))
-        # forward-probe past listing staleness with consistent GETs
-        while self.client.get(self._key(best + 1)) is not None:
-            best += 1
-        return best
-
-
-class InMemoryCommitStore(CommitStore):
-    """Object-store-shaped implementation: a dict guarded by a lock,
-    publish = compare-and-swap on slot absence. Exists to prove the
-    protocol depends only on the :class:`CommitStore` contract (the
-    S3 conditional-PUT shape), not on filesystem semantics — the
-    full crash/race suite parametrizes over this and the local store.
-    """
-
-    def __init__(self) -> None:
-        import threading
-
-        self._lock = threading.Lock()
-        self._slots: dict[int, bytes] = {}
-
-    def publish(self, version: int, payload: bytes) -> None:
-        with self._lock:
-            if version in self._slots:
-                raise CommitConflict(version)
-            self._slots[version] = bytes(payload)
-
-    def read(self, version: int) -> bytes | None:
-        with self._lock:
-            return self._slots.get(version)
-
-    def max_version(self) -> int:
-        with self._lock:
-            return max(self._slots, default=0)
-
-
-class FlakyCommitStore(CommitStore):
-    """Failure-injecting wrapper for crash tests: raises
-    ``RuntimeError`` BEFORE (crash_before) or AFTER (crash_after) the
-    nth publish reaches the inner store — the two writer-death points
-    the protocol must survive (record never installed → invisible;
-    record installed but writer died → commit IS durable)."""
-
-    def __init__(
-        self,
-        inner: CommitStore,
-        crash_before: int | None = None,
-        crash_after: int | None = None,
-    ) -> None:
-        self.inner = inner
-        self.crash_before = crash_before
-        self.crash_after = crash_after
-        self.n_publishes = 0
-
-    def publish(self, version: int, payload: bytes) -> None:
-        self.n_publishes += 1
-        if self.n_publishes == self.crash_before:
-            raise RuntimeError("simulated crash before publish")
-        self.inner.publish(version, payload)
-        if self.n_publishes == self.crash_after:
-            raise RuntimeError("simulated crash after publish")
-
-    def read(self, version: int) -> bytes | None:
-        return self.inner.read(version)
-
-    def max_version(self) -> int:
-        return self.inner.max_version()
-
-    def clean_temp(self, min_age_seconds: float) -> list[str]:
-        return self.inner.clean_temp(min_age_seconds)
+# ---------------------------------------------------------------- stores
+# The CommitStore implementations moved to wap_stores.py (round-13
+# split — pure move); re-exported here so every existing import
+# path keeps working.
+from etl_reporting_spark.operators.wap_stores import (  # noqa: F401
+    CommitConflict,
+    CommitStore,
+    FlakyCommitStore,
+    InMemoryCommitStore,
+    InMemoryObjectStore,
+    LocalFSCommitStore,
+    ObjectStoreClient,
+    ObjectStoreCommitStore,
+    PreconditionFailed,
+)
 
 
 # ---------------------------------------------------------------- table
@@ -3600,799 +3307,6 @@ class PartitionedWapTable(WapTable):
         return removed
 
 
-# ------------------------------------------------------ change feed
-def table_changes(
-    table: WapTable,
-    keys: Sequence[str],
-    from_version: int,
-    to_version: int | None = None,
-) -> DataFrame:
-    """Row-level changes between two committed snapshots — the
-    diff-derived twin of Delta's change data feed. Emits the table's
-    columns plus ``_change_type`` ∈ {insert, delete,
-    update_preimage, update_postimage} (Delta's CDF vocabulary), keyed
-    by ``keys``: a key only in the newer snapshot is an insert, only
-    in the older a delete, in both with any non-key difference an
-    update (both images emitted).
-
-    Scale: for a :class:`PartitionedWapTable` the diff reads ONLY
-    partitions whose pointer changed between the two versions' maps —
-    and within a changed partition, only the FILES exclusive to one
-    side (files present in both versions are immutable, so their rows
-    cannot differ). All metadata-level comparisons, no data touched
-    for inherited partitions or retained files — CDC cost tracks file
-    churn, not table size (a one-key file-granular upsert into a
-    years-deep fact diffs one file pair). A full-snapshot table diffs
-    everything, which is what its commit rewrote anyway. One
-    full-outer shuffle on the keys either way.
-    """
-    to_version = to_version if to_version is not None else table.current_version()
-    from pyspark.sql import functions as F
-
-    if from_version == 0:
-        # diff from "before the table existed": every current row is
-        # an insert — the natural CDC bootstrap read
-        new = table.read(version=to_version)
-        old = new.limit(0)
-    elif isinstance(table, PartitionedWapTable):
-        m_old = table.partition_map(from_version)
-        m_new = table.partition_map(to_version)
-        dv_old = table._commit_record(from_version).get("delete_vectors", {})
-        dv_new = table._commit_record(to_version).get("delete_vectors", {})
-        changed = {k for k, d in m_old.items() if m_new.get(k) != d}
-        changed |= {k for k, d in m_new.items() if m_old.get(k) != d}
-        # a deletion-vector commit changes NO pointers — detect masked
-        # files whose vector ref moved and mark their partitions
-        changed |= {
-            _pkey_of_file(f)
-            for f in set(dv_old) | set(dv_new)
-            if dv_old.get(f) != dv_new.get(f)
-        }
-        # file-granular refinement: within a changed partition, files
-        # present in BOTH versions with the SAME delete vector are
-        # immutable and identically masked — only each side's
-        # exclusive files, plus common files whose vector changed
-        # (read on BOTH sides: the newly-masked rows surface as
-        # deletes through the join), can produce change rows. A
-        # dir-granular pointer falls back to whole-partition file
-        # lists (partition_files derives them from the immutable
-        # leaf), and the set difference still prunes inherited files.
-        old_files: list[str] = []
-        new_files: list[str] = []
-        for k in sorted(changed):
-            fo = set(table.partition_files(k, from_version)) if k in m_old else set()
-            fn = set(table.partition_files(k, to_version)) if k in m_new else set()
-            dv_churned = {
-                f for f in fo & fn if dv_old.get(f) != dv_new.get(f)
-            }
-            old_files.extend(sorted((fo - fn) | dv_churned))
-            new_files.extend(sorted((fn - fo) | dv_churned))
-        old = table.read_files(old_files, version=from_version)
-        new = table.read_files(new_files, version=to_version)
-    else:
-        old = table.read(version=from_version)
-        new = table.read(version=to_version)
-    keys = list(keys)
-    rec_to = table._commit_record(to_version)
-    rec_from = (
-        table._commit_record(from_version) if from_version else {}
-    )
-    # RENAME between the versions (round-12): the old side reads under
-    # the column's old physical-era name — logically the SAME column.
-    # Resolve it through the to-version's name chain BEFORE the union
-    # alignment, or a pure rename would diff as a spurious whole-table
-    # update (old amt=x/amount=NULL vs new amt=NULL/amount=x).
-    prior: dict[str, list[str]] = rec_to.get("prior_names", {})
-    if prior:
-        old_cols = set(old.columns)
-        for cur, chain in prior.items():
-            if cur in old_cols:
-                continue
-            for p in reversed(chain):
-                if p in old_cols:
-                    old = old.withColumnRenamed(p, cur)
-                    break
-    # hidden-partitioning derived columns are physical layout, not
-    # logical data — and under SPEC EVOLUTION each side would carry
-    # its own era's targets, NULL-filling into spurious updates. Drop
-    # every era's targets from both sides (matches what read() hides).
-    derived: set[str] = set()
-    for rec in (rec_from, rec_to):
-        eras = rec.get("partition_spec_history") or (
-            [rec["partition_spec"]] if rec.get("partition_spec") else []
-        )
-        if not eras:
-            continue
-        # late import: transforms.py imports this module
-        from etl_reporting_spark.operators.transforms import Transform
-
-        derived.update(
-            Transform.from_json(t).target
-            for era in eras
-            for t in era
-            if t.get("kind") != "identity"
-        )
-    if derived:
-        old = old.drop(*sorted(derived & set(old.columns)))
-        new = new.drop(*sorted(derived & set(new.columns)))
-    # schema evolution: each side reads as its own committed schema;
-    # align both to the union (ADD COLUMN between the versions would
-    # otherwise fail resolving old.select(new-only column), and a
-    # DROP COLUMN would lose the old side's values from the diff).
-    # Missing columns read NULL, the same semantics read() applies to
-    # pre-column partitions.
-    old_fields = {f.name: f for f in old.schema.fields}
-    new_fields = {f.name: f for f in new.schema.fields}
-    for name, f in new_fields.items():
-        if name not in old_fields:
-            old = old.withColumn(name, F.lit(None).cast(f.dataType))
-    for name, f in old_fields.items():
-        if name not in new_fields:
-            new = new.withColumn(name, F.lit(None).cast(f.dataType))
-    missing_keys = [k for k in keys if k not in old_fields and k not in new_fields]
-    if missing_keys:
-        raise ValueError(f"change-feed keys absent from both snapshots: {missing_keys}")
-    nonkeys = [c for c in new.columns if c not in keys]
-    old = old.select(*keys, *nonkeys)
-    new = new.select(*keys, *nonkeys)
-    o = old.select(
-        *keys,
-        F.struct(*nonkeys).alias("__o"),
-        F.lit(True).alias("__in_old"),
-    )
-    n = new.select(
-        *keys,
-        F.struct(*nonkeys).alias("__n"),
-        F.lit(True).alias("__in_new"),
-    )
-    j = o.join(n, on=keys, how="full_outer")
-    ins = j.filter(F.col("__in_old").isNull()).select(
-        *keys, F.col("__n").alias("__v"), F.lit("insert").alias("_change_type")
-    )
-    dele = j.filter(F.col("__in_new").isNull()).select(
-        *keys, F.col("__o").alias("__v"), F.lit("delete").alias("_change_type")
-    )
-    upd = j.filter(
-        F.col("__in_old").isNotNull()
-        & F.col("__in_new").isNotNull()
-        # null-safe struct compare: any non-key difference is a change
-        & ~F.col("__o").eqNullSafe(F.col("__n"))
-    )
-    pre = upd.select(
-        *keys, F.col("__o").alias("__v"), F.lit("update_preimage").alias("_change_type")
-    )
-    post = upd.select(
-        *keys, F.col("__n").alias("__v"), F.lit("update_postimage").alias("_change_type")
-    )
-    stacked = ins.unionByName(dele).unionByName(pre).unionByName(post)
-    return stacked.select(
-        *keys, *[F.col(f"__v.{c}").alias(c) for c in nonkeys], "_change_type"
-    )
-
-
-# Z-ORDER key: ONE implementation, shared with the layout module
-# (round-10 consolidation — the former duplicate here and skew.py's
-# float-normalized variant merged into skew.zorder_key: exact integer
-# arithmetic for integral/DATE/TIMESTAMP columns with an
-# overflow-safe divide-first form past ~2^46 spans, float
-# normalization for fractional columns). Re-exported so existing
-# `from operators.wap import zorder_key` callers keep working.
-from etl_reporting_spark.operators.skew import zorder_key  # noqa: E402,F401
-
-
-def optimize_partitions(
-    table: PartitionedWapTable,
-    partitions: Sequence[str] | None = None,
-    n_files: int = 1,
-    cluster_by: Sequence[str] | None = None,
-    stats_cols: Sequence[str] | None = None,
-    zorder: bool = False,
-) -> int:
-    """Compaction commit (Delta OPTIMIZE at partition granularity):
-    rewrite the named partitions' many small files — the residue of
-    high-frequency streaming epochs — into ``n_files`` per partition,
-    as a normal partition-scoped commit with IDENTICAL logical
-    content. Returns the new version.
-
-    ``cluster_by`` additionally range-clusters the rewrite on the
-    named columns: rows are range-partitioned so each output file
-    holds a tight, near-disjoint value range, which is what makes the
-    per-file [min, max] stats (``stats_cols`` — defaults to
-    ``cluster_by``) actually selective. Compact-then-cluster is the
-    maintenance step that turns an append-churned partition back
-    into one where ``merge_partition_files`` / ``files_intersecting``
-    touch O(1) files per narrow key.
-
-    Plain ``cluster_by`` over several columns is LEXICOGRAPHIC —
-    files are selective on the leading column only. ``zorder=True``
-    (Delta ``OPTIMIZE ... ZORDER BY``'s multi-column case) instead
-    range-clusters on the bit-interleaved :func:`zorder_key`, so a
-    range predicate on ANY of the clustered columns skips most files
-    (the test pins exactly this contrast). Z-ordering needs numeric
-    columns; stats still record the raw columns.
-
-    Because compaction rides the same commit protocol, it gets the
-    same guarantees free: readers atomically flip to the compacted
-    layout, time travel keeps the old one, a concurrent upsert to the
-    SAME partition conflicts (one winner — rerun compaction on the
-    merged state), and disjoint-partition writers are untouched by
-    the rebase rule."""
-    from pyspark.sql import functions as F
-
-    pmap = table.partition_map()
-    todo = sorted(pmap) if partitions is None else sorted(partitions)
-    df = table.read(partitions=todo)
-    if cluster_by:
-        n_ranges = max(n_files, 1) * max(len(todo), 1)
-        if zorder:
-            # bounds collected over the touched slice only; the key
-            # is literal-constant codegen — no join, no extra shuffle
-            df, zkey = zorder_key(df, cluster_by)
-            keys = [*(F.col(c) for c in table.partition_by), zkey]
-            df = df.repartitionByRange(n_ranges, *keys)
-        else:
-            # range-cluster WITHIN each hive partition: partition cols
-            # lead the range key so a multi-partition rewrite doesn't
-            # interleave partitions across tasks, then the cluster
-            # cols give each task (→ each output file) a contiguous
-            # range
-            keys = [F.col(c) for c in (*table.partition_by, *cluster_by)]
-            df = df.repartitionByRange(n_ranges, *keys)
-        if stats_cols is None:
-            stats_cols = list(cluster_by)
-    else:
-        df = df.coalesce(n_files)
-    return table.commit_partitions(
-        df, replace=todo, operation="optimize", stats_cols=stats_cols
-    )
-
-
-def clone_table(
-    spark: SparkSession,
-    src_path: str,
-    dst_path: str,
-    version: int | None = None,
-) -> PartitionedWapTable:
-    """Zero-copy SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW
-    CLONE): the clone is a new commit log whose v1 pointers reference
-    the source's data files ABSOLUTELY — no byte copied, created in
-    O(metadata) at any table size. The dev/test/backfill-sandbox
-    primitive: experiment on a 100 TB fact for the cost of one JSON
-    record.
-
-    Copy-on-write from there: ``commit_partitions`` (and compaction)
-    write LOCAL roots and drop the shared pointers they replace —
-    the source is never touched by any clone mutation. Deletion
-    vectors keep masking through the clone (the per-row key anchors
-    at the ``d-*`` root, not the table path). Row-granular mutation
-    of still-shared files (``delete_rows`` / ``upsert_rows_dv`` /
-    ``merge_partition_files``) requires localizing the touched
-    partitions first — ``optimize_partitions(clone, partitions=…)``
-    is the one-step localizer — and refuses with that guidance.
-
-    CLONE REGISTRATION (round-11; historically this carried Delta's
-    unprotected-clone caveat — a source vacuum could silently collect
-    files a clone still referenced): cloning now writes a small
-    registration object under the SOURCE's ``_clones/`` prefix, BEFORE
-    the clone's first publish, pinning the source version it
-    references. Source ``vacuum`` keeps every pinned snapshot alive —
-    warning loudly via :class:`CloneRetentionWarning` when a pin holds
-    space beyond the retention window — until the registration is
-    dropped: explicitly via ``src.release_clone(token)`` (the token is
-    in the clone's v1 record under ``clone_token`` and in
-    ``src.registered_clones()``), or automatically once the clone's
-    commit log is verifiably gone. ``vacuum(ignore_clones=True)`` is
-    the explicit opt-back-in to the old collect-anyway behavior.
-    Registration is one unconditional PUT (S3 ``PutObject``); no
-    source COMMIT happens — cloning still never perturbs the source's
-    version history.
-    """
-    src = open_wap_table(spark, src_path)
-    if not isinstance(src, PartitionedWapTable):
-        raise TypeError("clone_table supports partitioned WAP tables")
-    v = version if version is not None else src.current_version()
-    rec = src._commit_record(v)
-    src_abs = src.fs.absolute_url()
-
-    def absf(rel: str) -> str:
-        # already-external pointers (a clone of a clone) pass through;
-        # source-relative ones become fully-qualified source locations
-        return rel if _is_external(rel) else src.fs.absolute_url(rel)
-
-    dst = PartitionedWapTable(
-        spark, dst_path, rec.get("partition_by", src.partition_by)
-    )
-    if dst.current_version() != 0:
-        raise FileExistsError(f"WAP table already exists at {dst_path}")
-    record = {
-        "version": 1,
-        "partitions": {k: absf(d) for k, d in rec.get("partitions", {}).items()},
-        "partition_by": dst.partition_by,
-        "touched": [],
-        "row_count": rec.get("row_count"),
-        "schema": rec["schema"],
-        "operation": "clone",
-        "committed_at": time.time(),
-        "cloned_from": {"path": src_abs, "version": v},
-    }
-    if rec.get("files"):
-        record["files"] = {
-            k: [absf(f) for f in fl] for k, fl in rec["files"].items()
-        }
-    if rec.get("stats"):
-        record["stats"] = dict(rec["stats"])
-    for sticky in _STICKY_RECORD_KEYS:
-        # a clone inherits the source's sticky metadata (constraints,
-        # hidden-partitioning spec) — its v1 has no predecessor for
-        # _publish's centralized carry to read
-        if rec.get(sticky):
-            record[sticky] = rec[sticky]
-    if rec.get("file_stats"):
-        record["file_stats"] = {absf(f): s for f, s in rec["file_stats"].items()}
-    if rec.get("delete_vectors"):
-        record["delete_vectors"] = {
-            absf(f): absf(d) for f, d in rec["delete_vectors"].items()
-        }
-    # register on the SOURCE before the clone becomes readable: a
-    # crash after this point leaves a dangling registration (auto-
-    # collected once the missing clone log is verifiably absent and
-    # past the age horizon), never an unprotected clone
-    token = f"clone-{uuid.uuid4().hex[:12]}"
-    record["clone_token"] = token
-    src.fs.put_key(
-        f"_clones/{token}.json",
-        json.dumps(
-            {
-                "token": token,
-                "dst_path": dst.fs.absolute_url(),
-                "src_version": v,
-                "created_at": time.time(),
-            },
-            sort_keys=True,
-        ).encode(),
-    )
-    dst.fs.prepare_root()
-    dst._publish(record)
-    return dst
-
-
-def _stat_ord(v) -> float | None:
-    """Best-effort monotonic numeric view of a per-file stat value
-    (stats are JSON: numbers pass through, DECIMAL strings parse,
-    ISO date/timestamp strings map to epoch seconds). None for
-    non-orderable values — the z-order overlap heuristic then skips
-    that column rather than guessing."""
-    import datetime as _dt
-
-    if isinstance(v, bool) or v is None:
-        return None
-    if isinstance(v, (int, float)):
-        return float(v)
-    if isinstance(v, str):
-        try:
-            return float(v)
-        except ValueError:
-            pass
-        try:
-            d = _dt.datetime.fromisoformat(v)
-        except ValueError:
-            return None
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=d.tzinfo)
-        return (d - epoch).total_seconds()
-    return None
-
-
-def maintenance_plan(
-    table: PartitionedWapTable,
-    max_files_per_partition: int = 16,
-    max_roots: int | None = None,
-    keep_last: int = 2,
-    max_dv_sidecars: int = 4,
-    zorder_overlap_ratio: float = 1.5,
-    zorder_min_files: int = 4,
-    max_stats_staleness: int = 5,
-) -> dict:
-    """Metadata-only maintenance diagnosis — the nightly decision
-    input that keeps the table's read/merge costs flat. Reads ONLY
-    the commit record (no filesystem listing, no scan), so it is
-    O(metadata) at any table size. Returns::
-
-        {"summary": {...counts...},
-         "actions": [{"action": "compact"|"vacuum",
-                      "partitions": [...] | None,
-                      "reason": "..."}, ...]}
-
-    Triggers, each mapped to the operator that clears it:
-    - live commit roots > ``max_roots`` (default: the table's
-      ``max_read_roots``) → plan width: compact the multi-root
-      partitions (``optimize_partitions``);
-    - a partition backed by more than ``max_files_per_partition``
-      files → small-files creep from streaming epochs / repeated
-      file-granular merges: compact it;
-    - more than ``max_dv_sidecars`` referenced sidecar dirs →
-      consolidate to one with ``compact_vectors`` (zero data
-      rewritten — the cheap cadence between deletes and the full
-      compaction below);
-    - any partition with masked (deletion-vectored) files → compact
-      to apply the vectors and drop the mask from the read path;
-    - table version beyond the ``keep_last`` retention window →
-      superseded snapshots/sidecars may be reclaimable: ``vacuum``;
-    - per-file [min, max] stats OVERLAP on 2+ stat'd columns of a
-      multi-file partition (round-10 brief #4) → the layout is
-      selective on at most the leading column: recommend a Z-ORDER
-      rewrite on exactly those columns. The overlap measure per
-      column is ``sum(file range widths) / global span`` — 1.0 for
-      perfectly tiled files, ≈n_files when every file covers the
-      whole span; a column past ``zorder_overlap_ratio`` is
-      unclustered. The trigger scales with file count — a perfectly
-      z-ordered 2-D layout measures ≈``sqrt(n_files)`` per column
-      (each file a √-box of the space) while a random layout
-      measures ≈``n_files`` — so the threshold is
-      ``zorder_overlap_ratio × sqrt(n_files)``. Date/timestamp stats
-      participate via their ISO strings (the reference's hottest
-      predicates are date cutoffs), so a ``(event_date, user_key)``
-      recommendation is the expected shape on an append-churned
-      fact.
-    - optimizer statistics (``collect_table_stats``) more than
-      ``max_stats_staleness`` data commits behind the tip →
-      ``analyze``: join_advice is planning from old sizes/NDV.
-      Tables that never opted into statistics are not nagged.
-    - partitions still referencing files written BEFORE the last
-      column rename (round-12) → compact them: until the old
-      physical names are rewritten away, plain-scan surfaces
-      (permanent views, symlink manifests) refuse on those
-      partitions and every read pays the chain-COALESCE. Detected
-      metadata-only: live roots intersected with the roots live at
-      the last rename commit (found by walking the log for the last
-      ``prior_names`` change — the same O(versions) walk the
-      statistics-staleness trigger does).
-
-    The planner never executes anything — it composes with whatever
-    scheduler runs maintenance; tests assert that APPLYING the plan
-    empties the next diagnosis."""
-    v = table.current_version()
-    rec = table._commit_record(v) if v else {}
-    pmap = table.partition_map(v)
-    dvs: dict[str, str] = rec.get("delete_vectors", {})
-    if max_roots is None:
-        max_roots = table.max_read_roots
-
-    roots_by_part: dict[str, set[str]] = {}
-    files_by_part: dict[str, int] = {}
-    for k, ptr in pmap.items():
-        rels = ptr if isinstance(ptr, tuple) else (ptr,)
-        roots_by_part[k] = {_root_of(r) for r in rels}
-        files_by_part[k] = (
-            len(ptr) if isinstance(ptr, tuple) else len(table.partition_files(k, v))
-        )
-    masked_by_part: dict[str, int] = {}
-    for f in dvs:
-        pk = _pkey_of_file(f)
-        masked_by_part[pk] = masked_by_part.get(pk, 0) + 1
-
-    live_roots = table.live_commit_roots(v)
-    actions: list[dict] = []
-    if len(live_roots) > max_roots:
-        multi = sorted(k for k, r in roots_by_part.items() if len(r) > 1)
-        actions.append(
-            {
-                "action": "compact",
-                "partitions": multi or sorted(pmap),
-                "reason": (
-                    f"{len(live_roots)} live commit roots > max_roots="
-                    f"{max_roots}: read plans one scan per root"
-                ),
-            }
-        )
-    wide = sorted(
-        k for k, n in files_by_part.items() if n > max_files_per_partition
-    )
-    if wide:
-        actions.append(
-            {
-                "action": "compact",
-                "partitions": wide,
-                "reason": (
-                    f"partitions exceed {max_files_per_partition} files "
-                    "(small-files creep raises open/footer cost per scan)"
-                ),
-            }
-        )
-    n_sidecars = len(set(dvs.values()))
-    if n_sidecars > max_dv_sidecars:
-        actions.append(
-            {
-                "action": "compact_vectors",
-                "partitions": None,
-                "reason": (
-                    f"{n_sidecars} referenced DV sidecar dirs > "
-                    f"max_dv_sidecars={max_dv_sidecars}: every read scans "
-                    "and broadcasts their union — consolidate to one "
-                    "(zero data rewritten) when full compaction is "
-                    "deferred to a slower cadence"
-                ),
-            }
-        )
-    if masked_by_part:
-        actions.append(
-            {
-                "action": "compact",
-                "partitions": sorted(masked_by_part),
-                "reason": (
-                    "deletion vectors mask "
-                    f"{sum(masked_by_part.values())} file(s): compaction "
-                    "applies the mask and removes the per-read anti-join"
-                ),
-            }
-        )
-    # z-order advisor: per-partition, per-column overlap of the
-    # recorded per-file [min, max] ranges — pure metadata arithmetic
-    fstats: dict[str, dict] = rec.get("file_stats", {})
-    by_part_stats: dict[str, list[dict]] = {}
-    for f, cols_ in fstats.items():
-        by_part_stats.setdefault(_pkey_of_file(f), []).append(cols_)
-    zorder_votes: dict[tuple, list[str]] = {}
-    for pk, stat_rows in sorted(by_part_stats.items()):
-        if len(stat_rows) < zorder_min_files:
-            continue
-        threshold = zorder_overlap_ratio * math.sqrt(len(stat_rows))
-        overlapping: list[tuple[str, float]] = []
-        cols_present = set.intersection(*(set(s) for s in stat_rows))
-        for c in sorted(cols_present):
-            spans = [
-                (_stat_ord(s[c][0]), _stat_ord(s[c][1])) for s in stat_rows
-            ]
-            if any(lo is None or hi is None for lo, hi in spans):
-                continue
-            glo = min(lo for lo, _ in spans)
-            ghi = max(hi for _, hi in spans)
-            if ghi <= glo:
-                continue
-            ratio = sum(hi - lo for lo, hi in spans) / (ghi - glo)
-            if ratio > threshold:
-                overlapping.append((c, ratio))
-        if len(overlapping) >= 2:
-            key = tuple(c for c, _ in overlapping)
-            zorder_votes.setdefault(key, []).append(pk)
-    for cols_key, parts in sorted(zorder_votes.items()):
-        actions.append(
-            {
-                "action": "compact",
-                "partitions": parts,
-                "zorder": list(cols_key),
-                "reason": (
-                    f"per-file [min,max] ranges overlap on columns "
-                    f"{list(cols_key)} across {len(parts)} partition(s): "
-                    "the current layout skips files on at most the "
-                    "leading column — rewrite with optimize_partitions("
-                    "zorder=True, cluster_by="
-                    f"{list(cols_key)}) to make every column selective"
-                ),
-            }
-        )
-    if v > keep_last:
-        actions.append(
-            {
-                "action": "vacuum",
-                "partitions": None,
-                "reason": (
-                    f"version {v} > keep_last={keep_last}: superseded "
-                    "snapshot dirs/sidecars may be reclaimable"
-                ),
-            }
-        )
-    # stats-staleness advisor (round-11): a table that OPTED INTO
-    # optimizer statistics (collect_table_stats ran at least once)
-    # whose stats have fallen max_stats_staleness data commits behind
-    # gets an "analyze" action — join_advice from stale stats says so
-    # per call, but the maintenance cadence is where the refresh
-    # belongs. Tables that never analyzed are not nagged.
-    tstats = rec.get("table_stats")
-    stats_staleness = None
-    if tstats and "analyzed_version" in tstats:
-        stats_staleness = 0
-        for between in range(tstats["analyzed_version"] + 1, v + 1):
-            op = table._commit_record(between).get("operation", "")
-            if op not in ("analyze", "analyze_keys", "add_constraint",
-                          "drop_constraint", "alter_schema"):
-                stats_staleness += 1
-        if stats_staleness > max_stats_staleness:
-            actions.append(
-                {
-                    "action": "analyze",
-                    "partitions": None,
-                    "reason": (
-                        f"optimizer statistics are {stats_staleness} data "
-                        f"commits stale (> max_stats_staleness="
-                        f"{max_stats_staleness}): join_advice is planning "
-                        "from old sizes/NDV — rerun collect_table_stats"
-                    ),
-                }
-            )
-    if rec.get("prior_names"):
-        rename_v = None
-        prev_pn = None
-        for vv in range(1, v + 1):
-            pn = table._commit_record(vv).get("prior_names")
-            if pn != prev_pn:
-                rename_v, prev_pn = vv, pn
-        old_roots: set[str] = set()
-        if rename_v:
-            for ptr in table.partition_map(rename_v).values():
-                rels = ptr if isinstance(ptr, tuple) else (ptr,)
-                old_roots.update(_root_of(r) for r in rels)
-        residue = sorted(
-            k for k, roots in roots_by_part.items() if roots & old_roots
-        )
-        if residue:
-            actions.append(
-                {
-                    "action": "compact",
-                    "partitions": residue,
-                    "reason": (
-                        f"{len(residue)} partition(s) still reference "
-                        "files written before the last column rename — "
-                        "plain-scan surfaces (permanent views, symlink "
-                        "manifests) refuse on them and reads pay the "
-                        "chain-COALESCE until they are rewritten"
-                    ),
-                }
-            )
-    summary = {
-        "version": v,
-        "partitions": len(pmap),
-        "live_roots": len(live_roots),
-        "masked_files": sum(masked_by_part.values()),
-        "dv_sidecars": n_sidecars,
-        "max_files_in_partition": max(files_by_part.values(), default=0),
-    }
-    if stats_staleness is not None:
-        summary["stats_staleness"] = stats_staleness
-    return {"summary": summary, "actions": actions}
-
-
-def auto_optimize(
-    table: PartitionedWapTable,
-    max_files_per_partition: int = 16,
-    max_roots: int | None = None,
-    keep_last: int = 2,
-    n_files: int = 1,
-    cluster_by: Sequence[str] | None = None,
-    stats_cols: Sequence[str] | None = None,
-    vacuum_min_age_seconds: float = 3600.0,
-    max_dv_sidecars: int = 4,
-    data_rewrite: bool = True,
-    zorder: bool = False,
-) -> dict:
-    """Opt-in maintenance EXECUTOR: run :func:`maintenance_plan` and
-    apply what it diagnoses — compact every partition any trigger
-    named (one commit covers plan width, small-files creep, and
-    deletion-vector accumulation at once), then vacuum if the
-    retention trigger fired. This is the one-call cadence SCALE.md's
-    DV section promises: on a DV-churned table it rewrites the masked
-    partitions clean, drops their vectors from the commit record, and
-    with them the masked-read broadcast.
-
-    Thresholds mirror the planner's; compaction params mirror
-    :func:`optimize_partitions`. ``data_rewrite=False`` is the CHEAP
-    nightly cadence: only metadata/sidecar work runs (vector
-    consolidation + vacuum) and data files are never rewritten —
-    reserve the full compaction for the slower cadence. Returns
-    ``{"plan": <before>, "applied": [...], "after": <re-diagnosis>}``.
-    Postcondition, precisely: after a ``data_rewrite=True`` run,
-    ``after`` has no ``compact`` or ``compact_vectors`` actions —
-    UNLESS the caller pinned ``cluster_by`` while the planner advised
-    a different Z-ORDER layout. Advice is adopted only when
-    ``cluster_by`` is None (see below); a pinned lexicographic layout
-    does not clear multi-column [min,max] overlap, so the z-order
-    trigger legitimately re-fires in ``after``. That unadopted advice
-    is surfaced as the top-level ``"unadopted_zorder"`` key (the
-    advised column list) so a scheduler can alert on it instead of
-    re-diffing plans. A ``data_rewrite=False`` run clears only
-    ``compact_vectors`` (the masked-partition ``compact`` advice
-    deliberately remains until the rewrite cadence runs). The
-    ``vacuum`` action is NOT a convergence signal — its trigger
-    (version beyond the retention window) is monotone in the version
-    counter, so it reappears in every diagnosis of an active table;
-    do NOT loop "until the plan is empty", schedule by cadence.
-    ``analyze`` advice (stale optimizer statistics) is likewise
-    surfaced, not auto-applied — the statistics cadence belongs to
-    whoever owns ``collect_table_stats``'s column choices."""
-    plan = maintenance_plan(
-        table, max_files_per_partition, max_roots, keep_last, max_dv_sidecars
-    )
-    compact: set[str] = set()
-    do_vacuum = False
-    do_vectors = False
-    advised_zorder: list[str] = []
-    for a in plan["actions"]:
-        if a["action"] == "compact" and a["partitions"]:
-            compact.update(a["partitions"])
-            if a.get("zorder") and not advised_zorder:
-                advised_zorder = list(a["zorder"])
-        elif a["action"] == "compact_vectors":
-            do_vectors = True
-        elif a["action"] == "vacuum":
-            do_vacuum = True
-    unadopted_zorder: list[str] = []
-    if cluster_by is None and advised_zorder:
-        # adopt the planner's z-order advice when the caller didn't
-        # pin a layout — the rewrite is happening anyway, clustering
-        # it costs only the range exchange it already pays
-        cluster_by = advised_zorder
-        zorder = True
-        if stats_cols is None:
-            stats_cols = advised_zorder
-    elif advised_zorder and not (zorder and list(cluster_by) == advised_zorder):
-        # caller pinned a different layout: honor it, but the overlap
-        # trigger will re-fire in the re-diagnosis — surface the
-        # advice explicitly rather than leaving a silently-violated
-        # empty-after postcondition
-        unadopted_zorder = advised_zorder
-    applied: list[dict] = []
-    if not data_rewrite:
-        compact = set()
-    if do_vectors and not (compact and data_rewrite):
-        # full compaction would clear the masks anyway — consolidate
-        # only when data files are NOT being rewritten this run
-        v, n = table.compact_vectors()
-        applied.append({"action": "compact_vectors", "rows": n, "version": v})
-    if compact:
-        # spec-evolved tables (round-12): partitions still under an
-        # OLD era cannot compact in place — their rows re-derive under
-        # the current spec. Route them through the migration rewrite
-        # (which compacts as a side effect) and optimize the rest.
-        old_era = (
-            set(table._live_old_era_keys())
-            if hasattr(table, "_live_old_era_keys")
-            else set()
-        )
-        migrate = sorted(compact & old_era)
-        if migrate:
-            v = table.rewrite_era_partitions(
-                partitions=migrate, stats_cols=stats_cols
-            )
-            applied.append(
-                {"action": "rewrite-era", "partitions": migrate, "version": v}
-            )
-            compact -= set(migrate)
-            # the migration TARGETS are freshly-written current-era
-            # partitions (often multi-file); fold them into this
-            # run's compaction so the empty-after postcondition holds
-            # in one pass instead of deferring to the next cadence
-            compact |= set(
-                table._commit_record(v).get("touched", [])
-            ) & set(table.partition_map())
-        if compact:
-            v = optimize_partitions(
-                table,
-                partitions=sorted(compact),
-                n_files=n_files,
-                cluster_by=cluster_by,
-                stats_cols=stats_cols,
-                zorder=zorder,
-            )
-            applied.append(
-                {
-                    "action": "compact",
-                    "partitions": sorted(compact),
-                    "version": v,
-                }
-            )
-    if do_vacuum:
-        removed = table.vacuum(
-            keep_last=keep_last, min_age_seconds=vacuum_min_age_seconds
-        )
-        applied.append({"action": "vacuum", "removed": sorted(removed)})
-    after = maintenance_plan(
-        table, max_files_per_partition, max_roots, keep_last, max_dv_sidecars
-    )
-    out = {"plan": plan, "applied": applied, "after": after}
-    if unadopted_zorder:
-        out["unadopted_zorder"] = unadopted_zorder
-    return out
-
-
 # ----------------------------------------------------------- utilities
 def open_wap_table(
     spark: SparkSession, path: str, storage: TableStorage | None = None
@@ -4444,199 +3358,6 @@ def open_wap_table(
     return table
 
 
-def _permanent_view_sql(table: WapTable, version: int | None) -> str:
-    """The snapshot's defining SQL for a CATALOG view, when it is
-    SQL-expressible: a plain-parquet scan of one location plus CASTs
-    restoring the committed schema (hive partition-type inference
-    must not drift the view's types from ``table.read()``'s).
-
-    Expressible = a full-snapshot table's single data dir, or a
-    partitioned snapshot whose pointers are all dir-granular, carry
-    no deletion vectors, live under ONE commit root, and cover that
-    root's every leaf (the post-``optimize_partitions`` state —
-    otherwise a root scan would resurrect superseded leaves).
-    Anything else raises with the localize-first guidance the clone
-    layer already uses."""
-    from pyspark.sql.types import StructType
-
-    v = version if version is not None else table.current_version()
-    rec = table._commit_record(v)
-    schema = StructType.fromJson(rec["schema"])
-    if "data_dir" in rec:
-        location = table.fs.resolve(rec["data_dir"])
-    else:
-        if rec.get("delete_vectors"):
-            raise ValueError(
-                f"cannot pin {table.path} v{v} as a permanent view: the "
-                "snapshot carries deletion vectors (not expressible as a "
-                "plain parquet scan) — compact first "
-                "(optimize_partitions applies the vectors)"
-            )
-        ptrs = list(rec["partitions"].values())
-        if any(not isinstance(p, str) for p in ptrs):
-            raise ValueError(
-                f"cannot pin {table.path} v{v} as a permanent view: the "
-                "snapshot references file-granular partition subsets — "
-                "compact first (optimize_partitions)"
-            )
-        if any(_is_external(p) for p in ptrs):
-            raise ValueError(
-                f"cannot pin {table.path} v{v} as a permanent view: the "
-                "snapshot holds clone-external pointers — localize first "
-                "(optimize_partitions)"
-            )
-        roots = {_root_of(p) for p in ptrs}
-        if len(roots) != 1:
-            raise ValueError(
-                f"cannot pin {table.path} v{v} as a permanent view: the "
-                f"snapshot spans {len(roots)} commit roots — compact to "
-                "one (optimize_partitions) so a single-location scan is "
-                "exact"
-            )
-        root = next(iter(roots))
-        referenced = {p.split("/", 1)[1] for p in ptrs if "/" in p}
-        on_disk = set(table.fs.leaf_partition_dirs(root))
-        if referenced != on_disk:
-            raise ValueError(
-                f"cannot pin {table.path} v{v} as a permanent view: commit "
-                f"root {root} holds leaves outside this snapshot "
-                f"({sorted(on_disk - referenced)[:3]}…) — a root scan "
-                "would resurrect them; compact this version to a fresh "
-                "root first"
-            )
-        location = table.fs.resolve(root)
-    # renamed columns: the view is a PLAIN scan with no coalesce-over-
-    # prior-names resolution, so every chained column must exist
-    # PHYSICALLY under its current name at this location (true once
-    # the rename-era files were rewritten — optimize_partitions). One
-    # footer read; partition columns come from paths, not footers.
-    chained = set(rec.get("prior_names") or {})
-    part_cols = set(rec.get("partition_by") or [])
-    need = sorted(
-        f.name
-        for f in schema.fields
-        if f.name in chained and f.name not in part_cols
-    )
-    if need:
-        physical = set(table.spark.read.parquet(location).schema.names)
-        stale = [c for c in need if c not in physical]
-        if stale:
-            raise ValueError(
-                f"cannot pin {table.path} v{v} as a permanent view: "
-                f"column(s) {stale} were renamed and the files at this "
-                "snapshot still carry the OLD physical names — a plain "
-                "scan would read them as NULL. Rewrite first "
-                "(optimize_partitions) and pin that version."
-            )
-    # hidden-partitioned tables: the view presents the LOGICAL surface
-    # (derived partition columns projected away), matching read().
-    # Late import — transforms.py imports this module; Transform owns
-    # the derived-name convention, so it is computed in one place.
-    hidden: set[str] = set()
-    if rec.get("partition_spec"):
-        from etl_reporting_spark.operators.transforms import Transform
-
-        hidden = {
-            Transform.from_json(d).target
-            for d in rec["partition_spec"]
-            if d.get("kind") != "identity"
-        }
-    cols = ", ".join(
-        f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
-        for f in schema.fields
-        if f.name not in hidden
-    )
-    return f"SELECT {cols} FROM parquet.`{location}`"
-
-
-def describe_table(table: WapTable, version: int | None = None) -> dict:
-    """One-stop table metadata — the DESCRIBE EXTENDED analogue for a
-    WAP table, assembled from the commit record alone (no filesystem
-    walk beyond what the record already names, no scan):
-
-    schema (name → type), partitioning (raw ``partition_by`` or the
-    hidden-partitioning transform spec when present), CHECK
-    constraints, snapshot shape (version / operation / row_count /
-    partition count / live commit roots / DV-masked file count),
-    optimizer-statistics presence + staleness, and registered clones.
-    The reference exposes the same surface as catalog DESCRIBE/SHOW
-    statements (connector/snowpark_connector.py:511-566 view and
-    table introspection); here it is one metadata read."""
-    from pyspark.sql.types import StructType
-
-    v = version if version is not None else table.current_version()
-    if v == 0:
-        raise FileNotFoundError(f"no committed WAP table at {table.path}")
-    rec = table._commit_record(v)
-    schema = StructType.fromJson(rec["schema"])
-    out: dict = {
-        "path": table.path,
-        "version": v,
-        "operation": rec.get("operation"),
-        "row_count": rec.get("row_count"),
-        "schema": {f.name: f.dataType.simpleString() for f in schema.fields},
-        "constraints": dict(rec.get("constraints", {})),
-    }
-    if rec.get("partition_spec"):
-        out["partitioning"] = {
-            "kind": "hidden",
-            "spec": list(rec["partition_spec"]),
-        }
-        hist = rec.get("partition_spec_history")
-        if hist and len(hist) > 1:
-            # round-12 spec evolution: surface the era count and each
-            # era's layout so DESCRIBE explains why old-layout
-            # partition keys appear in the map
-            out["partitioning"]["eras"] = len(hist)
-            out["partitioning"]["spec_history"] = [
-                [dict(t) for t in era] for era in hist
-            ]
-    elif "partitions" in rec:
-        out["partitioning"] = {
-            "kind": "explicit",
-            "partition_by": list(rec.get("partition_by", [])),
-        }
-    else:
-        out["partitioning"] = {"kind": "none"}
-    if isinstance(table, PartitionedWapTable):
-        out["partitions"] = len(table.partition_map(v))
-        out["live_commit_roots"] = len(table.live_commit_roots(v))
-    out["dv_masked_files"] = len(rec.get("delete_vectors", {}))
-    if rec.get("prior_names"):
-        # round-12 RENAME: each current name's chain of prior physical
-        # names (files written pre-rename resolve through it)
-        out["renamed_columns"] = {
-            k: list(v) for k, v in sorted(rec["prior_names"].items())
-        }
-    tstats = rec.get("table_stats")
-    if tstats and "analyzed_version" in tstats:
-        staleness = 0
-        for between in range(tstats["analyzed_version"] + 1, v + 1):
-            op = table._commit_record(between).get("operation", "")
-            if op not in ("analyze", "analyze_keys", "add_constraint",
-                          "drop_constraint", "alter_schema"):
-                staleness += 1
-        out["statistics"] = {
-            "analyzed_version": tstats["analyzed_version"],
-            "columns": sorted(tstats.get("columns", {})),
-            "keys": sorted(tstats.get("keys", {})),
-            "staleness": staleness,
-        }
-    clones = table.registered_clones()
-    if clones:
-        out["clones"] = [
-            {"path": c.get("dst_path"), "pins_version": c.get("src_version")}
-            for c in clones
-        ]
-    branches = [
-        {"name": b.get("name"), "fork_version": b.get("fork_version")}
-        for b in _read_branch_registrations(table)
-    ]
-    if branches:
-        out["branches"] = branches
-    return out
-
-
 def _read_branch_registrations(table: WapTable) -> list[dict]:
     """Raw ``_branches/`` registrations (operators/branches.py owns
     the lifecycle; this is the read-only view describe needs)."""
@@ -4652,66 +3373,6 @@ def _read_branch_registrations(table: WapTable) -> list[dict]:
         except ValueError:
             continue
     return sorted(out, key=lambda r: r.get("name", ""))
-
-
-def register_wap_view(
-    spark: SparkSession,
-    path: str,
-    name: str,
-    version: int | None = None,
-    dml: bool = False,
-    permanent: bool = False,
-    durable: bool = False,
-    registry_path: str | None = None,
-) -> WapTable:
-    """Expose a WAP table's committed snapshot to SQL as a temp view —
-    the bridge between the transactional layer and the templated-SQL
-    report pipeline (reports query ``name`` like any table; the view
-    pins the snapshot resolved NOW, so a mid-report commit cannot
-    shear the report across versions — re-register to pick up a newer
-    version). Works for both layouts via :func:`open_wap_table`.
-
-    ``dml=True`` additionally registers ``name`` as a target for SQL
-    DML text (``MERGE INTO name …`` / ``DELETE FROM name …`` /
-    ``UPDATE name …`` via :func:`operators.sql_dml.execute_dml`) —
-    the mutation side of the SQL surface, routed onto the merge
-    ladder. The reference's upsert surface is built as MERGE SQL text
-    (reference connector/snowpark_connector.py:919-1004), so this is
-    what a SQL-first pipeline ports onto.
-
-    Round-11 persistence (the reference's views are permanent CATALOG
-    objects, connector/snowpark_connector.py:511-566):
-
-    - ``permanent=True`` stores the pinned snapshot as a catalog view
-      (``CREATE OR REPLACE VIEW``) instead of a temp view, surviving
-      session restart. Requires the snapshot to be expressible as one
-      plain-parquet scan — see :func:`_permanent_view_sql`; compact
-      first when it is not. The view pins the VERSION resolved now
-      (its SQL names this snapshot's physical location), the same
-      shear-protection contract as the temp-view form — and that
-      location must stay alive: vacuum retention (or a clone-style
-      manual pin) has to cover any permanently-pinned version.
-    - ``durable=True`` (with ``dml=True``) persists the DML-target
-      registration to the JSON registry, so a fresh process can run
-      ``execute_dml`` against ``name`` without re-registering (see
-      :func:`operators.sql_dml.register_dml_target`)."""
-    table = open_wap_table(spark, path)
-    if permanent:
-        if not re.fullmatch(r"[A-Za-z_]\w*", name):
-            raise ValueError(f"invalid permanent view name: {name!r}")
-        spark.sql(
-            f"CREATE OR REPLACE VIEW {name} AS "
-            + _permanent_view_sql(table, version)
-        )
-    else:
-        table.read(version=version).createOrReplaceTempView(name)
-    if dml:
-        from etl_reporting_spark.operators.sql_dml import register_dml_target
-
-        register_dml_target(
-            name, table, durable=durable, registry_path=registry_path
-        )
-    return table
 
 
 def create_wap_table(
@@ -4747,3 +3408,26 @@ def create_partitioned_wap_table(
         raise FileExistsError(f"WAP table already exists at {path}")
     table.commit_partitions(df, operation="create", stats_cols=stats_cols)
     return table
+
+
+# ----------------------------------------------------------- round-13 split
+# Change feed / compaction / clone / maintenance moved to
+# wap_maintenance.py; permanent-view SQL / DESCRIBE / registration to
+# wap_views.py; commit stores to wap_stores.py (pure moves). The
+# re-exports keep every existing `from operators.wap import X` path
+# working. This import block MUST stay at the BOTTOM of the module:
+# those modules import wap's own definitions at their import time.
+from etl_reporting_spark.operators.skew import zorder_key  # noqa: E402,F401
+from etl_reporting_spark.operators.wap_maintenance import (  # noqa: E402,F401
+    _stat_ord,
+    auto_optimize,
+    clone_table,
+    maintenance_plan,
+    optimize_partitions,
+    table_changes,
+)
+from etl_reporting_spark.operators.wap_views import (  # noqa: E402,F401
+    _permanent_view_sql,
+    describe_table,
+    register_wap_view,
+)
