@@ -89,43 +89,25 @@ from etl_reporting_spark.operators.table_storage import (
 _default_storage_factory = LocalFSStorage
 
 
-class ConcurrentWriteError(RuntimeError):
-    """Another writer committed a conflicting change first; re-read
-    the table and retry the merge from the new snapshot."""
-
-
-class AuditError(RuntimeError):
-    """The written snapshot failed validation; nothing was published."""
-
-
-class ConstraintViolation(AuditError):
-    """A batch being committed violates a table CHECK constraint
-    (:meth:`WapTable.add_check_constraint`); nothing was published.
-    Carries the violated constraint name(s) and one exemplar row.
-    Subclasses :class:`AuditError` because enforcement IS the audit
-    step of write-audit-publish — callers that already handle audit
-    failure handle this."""
-
-
-class CloneRetentionWarning(UserWarning):
-    """A vacuum retained entries beyond its ``keep_last`` window
-    because a registered live clone still references them (see
-    :func:`clone_table` / :meth:`WapTable.registered_clones`). Not an
-    error — the files are protected, which is the point — but loud,
-    because an operator sizing retention should know clones are what
-    is holding space. Release the clone (or pass
-    ``ignore_clones=True`` to accept breaking it) to reclaim."""
-
-
-#: commit-record keys that survive every commit unless a path sets
-#: them explicitly — inherited centrally in :meth:`WapTable._publish`
-_STICKY_RECORD_KEYS: tuple[str, ...] = (
-    "constraints",
-    "partition_spec",
-    "partition_spec_history",
-    "prior_names",
-    "table_stats",
+# Shared primitives (exceptions, sticky keys, path helpers) moved to
+# wap_core.py (round-13 split — pure move); re-exported here so every
+# existing import path keeps working.
+from etl_reporting_spark.operators.wap_core import (  # noqa: F401
+    AuditError,
+    CloneRetentionWarning,
+    ConcurrentWriteError,
+    ConstraintViolation,
+    _STICKY_RECORD_KEYS,
+    _droot_index,
+    _dv_key_of,
+    _leaves_from_keys,
+    _pkey_of_file,
+    _root_of,
+    _spark_write_manifest,
+    hive_partition_key,
 )
+from etl_reporting_spark.operators.wap_dv import DeleteVectorOps
+from etl_reporting_spark.operators.wap_schema import SchemaEvolutionOps
 
 
 # ---------------------------------------------------------------- stores
@@ -739,149 +721,11 @@ class WapTable:
 
 
 # --------------------------------------------------- partitioned table
-_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+# (path/partition-key helpers live in wap_core.py — see the import
+# block above)
 
 
-def hive_partition_key(cols: Sequence[str], values: Sequence) -> str:
-    """The hive-style path key Spark's ``partitionBy`` writer produces
-    for one partition-value tuple — ``ds=2026-01-02/region=EU%2FWEST``
-    — so metadata-layer code can name partitions without listing the
-    filesystem. Mirrors ``ExternalCatalogUtils.escapePathName``
-    (percent-escape of path-hostile characters) and the
-    ``__HIVE_DEFAULT_PARTITION__`` null sentinel. Values must already
-    be rendered as strings the way Spark casts them (dates as
-    ``YYYY-MM-DD``, integers bare)."""
-    parts = []
-    for col, v in zip(cols, values):
-        if v is None:
-            sv = "__HIVE_DEFAULT_PARTITION__"
-        else:
-            sv = "".join(
-                f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in str(v)
-            )
-        parts.append(f"{col}={sv}")
-    return "/".join(parts)
-
-
-#: every commit root this module writes is ``d-`` + 12 hex (see the
-#: ``uuid4().hex[:12]`` writers below); the per-row lineage key in
-#: ``_read_paths`` anchors its regexp on the same shape. Partition
-#: components can never collide with it (they always carry ``=``).
-_DROOT_RE = re.compile(r"^d-[0-9a-f]{12}$")
-
-
-def _droot_index(parts: Sequence[str]) -> int | None:
-    """Index of the FIRST ``d-<12hex>`` component — the same leftmost
-    anchor the ``__file`` lineage regexp uses, so driver-side parsing
-    and the executor-side row key always agree."""
-    for i, p in enumerate(parts):
-        if _DROOT_RE.match(p):
-            return i
-    return None
-
-
-def _dv_key_of(pointer: str) -> str:
-    """The d-root-anchored MASK key of a (possibly absolute) file
-    pointer — the form sidecar ``relfile``/``file_key`` columns carry
-    (``d-xxx/k=v/file``). Record-level ``delete_vectors`` keys can be
-    ABSOLUTE for clone-inherited entries; any comparison against
-    sidecar rows must normalize through this first."""
-    parts = pointer.split("/")
-    i = _droot_index(parts)
-    return "/".join(parts[i:]) if i is not None else pointer
-
-
-def _pkey_of_file(relfile: str) -> str:
-    """Partition key of a data-file path: the ``k=v`` components AFTER
-    its ``d-<12hex>`` commit root. Anchoring at the root (not "any
-    component containing '='") keeps absolute clone pointers correct
-    even when the SOURCE table's own path contains ``=`` in a
-    directory name (e.g. ``/data/run=5/tbl/d-ab…/ds=1/f.parquet`` →
-    ``ds=1``, never ``run=5/ds=1``)."""
-    parts = relfile.split("/")
-    i = _droot_index(parts)
-    scope = parts[i + 1 : -1] if i is not None else parts[:-1]
-    return "/".join(p for p in scope if "=" in p)
-
-
-def _root_of(rel: str) -> str:
-    """Physical commit root of a pointer: everything up to and
-    including its ``d-<12hex>`` component — ``d-xxx`` for
-    table-relative pointers, the absolute ``/…/src/d-xxx`` for clone
-    pointers. This is exactly the ``basePath`` hive partition
-    inference needs, and it stays correct when the clone source's
-    table path itself contains ``=``-bearing directories."""
-    parts = rel.split("/")
-    i = _droot_index(parts)
-    if i is not None:
-        return "/".join(parts[: i + 1])
-    # pre-d-root layouts (full-snapshot WapTable data dirs): fall back
-    # to the first partition component
-    for j, p in enumerate(parts):
-        if "=" in p:
-            return "/".join(parts[:j])
-    return parts[0]
-
-
-def _spark_write_manifest(spark, fs, root: str, schema) -> list[str]:
-    """The WRITE MANIFEST: table-root-relative parquet keys Spark
-    just wrote under the fresh commit root ``root`` — discovered by
-    asking the WRITE PATH itself (a schema-pinned ``spark.read`` of
-    the root; ``inputFiles()`` is driver-side FileIndex enumeration
-    through the same Hadoop FileSystem connector that performed the
-    write — no job runs, no rows are read), NOT the control-plane
-    seam's ``list_prefix``.
-
-    Round-10 brief #1: commit-time written-file discovery used to be
-    the single place the commit path trusted the seam's
-    read-after-write LIST — an under-listing there would have
-    published a commit record silently missing just-written data.
-    Discovery now takes the UNION of this manifest and the seam LIST
-    (each covers an under-reporting on the other side), and row-level
-    completeness is additionally guarded by the ``expected_rows`` /
-    audit count over the discovered set. Schema pinning matters: it
-    makes a zero-row write (a root holding only ``_SUCCESS``) return
-    an empty manifest instead of failing schema inference.
-
-    The ``_dv`` sidecar (written under the same root by
-    ``upsert_rows_dv`` before its append) is invisible here by
-    construction — Hadoop's hidden-file filter skips ``_``-prefixed
-    paths, the same property that hides it from table reads."""
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    try:
-        uris = reader.parquet(fs.url(root)).inputFiles()
-    except Exception:
-        # no schema pin and nothing written -> inference fails; the
-        # seam LIST side of the union still covers the root
-        return []
-    out = []
-    for uri in uris:
-        rel = fs.relativize(uri)
-        base = rel.rsplit("/", 1)[-1]
-        if base.endswith(".parquet") and not base.startswith((".", "_")):
-            out.append(rel)
-    return sorted(out)
-
-
-def _leaves_from_keys(keys: Sequence[str], root: str) -> list[str]:
-    """Hive leaf-partition dirs (relative to ``root``) implied by a
-    set of parquet file keys — the same pure string logic as
-    ``TableStorage.leaf_partition_dirs``, applied to an
-    already-discovered key list instead of a fresh LIST."""
-    pref = root.rstrip("/") + "/"
-    leaves: set[str] = set()
-    for k in keys:
-        if not k.startswith(pref):
-            continue
-        parts = k[len(pref):].split("/")
-        if len(parts) >= 2 and all("=" in p for p in parts[:-1]):
-            leaves.add("/".join(parts[:-1]))
-    return sorted(leaves)
-
-
-class PartitionedWapTable(WapTable):
+class PartitionedWapTable(DeleteVectorOps, SchemaEvolutionOps, WapTable):
     """WAP table with PARTITION-SCOPED commits — the fact-scale MERGE
     layout (round-5 verdict "What's missing" #1).
 
@@ -1794,1259 +1638,11 @@ class PartitionedWapTable(WapTable):
 
     #: permitted lossless type widenings (Iceberg's evolution rules):
     #: each key may become any type in its value set
-    _WIDENINGS: dict[str, tuple[str, ...]] = {
-        "byte": ("short", "integer", "long"),
-        "short": ("integer", "long"),
-        "integer": ("long",),
-        "float": ("double",),
-    }
+    # alter_schema & dropped-name hazard bookkeeping: SchemaEvolutionOps
+    # (wap_schema.py, round-13 split)
 
-    def alter_schema(
-        self,
-        add: dict[str, str] | None = None,
-        drop: Sequence[str] | None = None,
-        widen: dict[str, str] | None = None,
-        rename: dict[str, str] | None = None,
-        base_version: int | None = None,
-    ) -> int:
-        """Metadata-only schema evolution (Delta ALTER TABLE): ADD
-        COLUMN (existing data reads NULL for it — the read path
-        already NULL-fills columns absent from older files), DROP
-        COLUMN (projected away at read; the bytes stay until files
-        are naturally rewritten), WIDEN (Iceberg's lossless type
-        promotions — byte/short/int → long, float → double, and
-        decimal precision growth at fixed scale; the per-root scans
-        coerce to the union type and the final committed-schema cast
-        does the rest, so no file is touched), and RENAME (round-12;
-        closes the round-11 named refusal) — zero data moved, one
-        commit.
-
-        ``add`` maps column name → Spark DDL type string
-        (``{"note": "string"}``); ``drop`` names existing non-key
-        columns; ``rename`` maps old → new name. Partition columns
-        cannot be dropped or renamed (the layout IS them — hive dirs
-        and the hidden-partitioning spec embed the names).
-
-        RENAME mechanics — name-chain column identity (the capability
-        Iceberg gets from integer column ids, carried here as each
-        logical column's NAME HISTORY, which is an id in all but
-        integer form): the commit records ``prior_names[new] = [...
-        old names ...]`` (sticky), and the read path resolves a
-        column as COALESCE over its current name and its prior names
-        — a file written before the rename serves the old physical
-        name into the new logical column, NULL-free, with zero
-        rewrite. Refused, each loudly: renaming onto an existing or
-        historically-retired name (a retired name re-added as a NEW
-        column would make old physical bytes ambiguous between the
-        two ids — EXCEPT renaming a column back along its own chain,
-        which is safe and un-retires it), renaming a partition /
-        transform-source column, and renaming a column a CHECK
-        constraint references (drop the constraint first; silent
-        expression rewriting is how constraints stop meaning what
-        their author wrote). Partition/file [min,max] stats are
-        re-keyed to the new name (values unchanged — pruning keeps
-        working across the rename).
-
-        Dropped-name hygiene: because DROP is projection-only (no
-        Delta-style column-id mapping), surviving pre-drop files still
-        PHYSICALLY hold the old values — re-adding the same name would
-        silently resurface them instead of reading NULL. Every drop is
-        therefore recorded in its commit (``dropped``), and ADD
-        refuses a historically-dropped name while ANY file live at
-        drop time is still live now; once compaction/merges have
-        rewritten those files (e.g. ``optimize_partitions``), the
-        name is safe and the ADD goes through.
-
-        The commit carries no ``touched`` set, so it CONFLICTS with
-        any concurrent writer (and they with it) — a writer racing a
-        schema change wrote with a stale schema; one side retries."""
-        from pyspark.sql.types import (
-            StructField,
-            StructType,
-            _parse_datatype_string,
-        )
-
-        base = base_version if base_version is not None else self.current_version()
-        if base == 0:
-            raise FileNotFoundError(f"no committed WAP table at {self.path}")
-        base_rec = self._commit_record(base)
-        schema = StructType.fromJson(base_rec["schema"])
-        names = {f.name for f in schema.fields}
-        add = dict(add or {})
-        drop = list(drop or [])
-        widen = dict(widen or {})
-        rename = dict(rename or {})
-        overlap = set(rename) & (set(drop) | set(widen) | set(add))
-        if overlap:
-            raise ValueError(
-                f"columns {sorted(overlap)} appear in rename AND another "
-                "alteration in one call — split into separate commits so "
-                "each step's semantics are unambiguous"
-            )
-        prior_names: dict[str, list[str]] = {
-            k: list(v) for k, v in base_rec.get("prior_names", {}).items()
-        }
-        retired = {n for chain in prior_names.values() for n in chain}
-        for old, new in rename.items():
-            if old not in names:
-                raise ValueError(f"cannot rename unknown column: {old}")
-            if new in names:
-                raise ValueError(
-                    f"cannot rename {old!r} to {new!r}: the name exists"
-                )
-            if old in self.partition_by or new in self.partition_by:
-                raise ValueError(
-                    f"cannot rename partition column {old!r} — hive paths "
-                    "and the partition spec embed the name; repartition "
-                    "via a full rewrite"
-                )
-            if any(
-                t.get("source") == old
-                for era in (
-                    base_rec.get("partition_spec_history")
-                    or [base_rec.get("partition_spec") or []]
-                )
-                for t in era
-            ):
-                raise ValueError(
-                    f"cannot rename {old!r}: it is a partition-transform "
-                    "source column (derived partition names and era "
-                    "attribution embed it)"
-                )
-            if new in retired and new not in prior_names.get(old, []):
-                raise ValueError(
-                    f"cannot rename to {new!r}: the name was retired by an "
-                    "earlier rename of a DIFFERENT column — live files "
-                    "still hold physical bytes under it; pick a fresh name"
-                )
-            for cname, cexpr in (base_rec.get("constraints") or {}).items():
-                if re.search(rf"\b{re.escape(old)}\b", cexpr):
-                    raise ValueError(
-                        f"cannot rename {old!r}: constraint {cname!r} "
-                        f"({cexpr!r}) references it — drop_check_constraint "
-                        "first (silently rewriting the expression is how a "
-                        "constraint stops meaning what its author wrote)"
-                    )
-        for c in add:
-            if c in retired:
-                chain_owner = next(
-                    cur for cur, chain in prior_names.items() if c in chain
-                )
-                raise ValueError(
-                    f"cannot add column {c!r}: the name was retired by the "
-                    f"rename chain of {chain_owner!r} — live files still "
-                    "hold its physical bytes, and a new column under the "
-                    "same name would read them as its own; pick a fresh "
-                    "name"
-                )
-        widened: dict[str, object] = {}
-        for c, tstr in widen.items():
-            if c not in names:
-                raise ValueError(f"cannot widen unknown column: {c}")
-            if c in self.partition_by:
-                raise ValueError(
-                    f"cannot widen partition column {c!r} — existing hive "
-                    "path values were formatted under the old type"
-                )
-            cur = next(f.dataType for f in schema.fields if f.name == c)
-            new_t = _parse_datatype_string(tstr)
-            cur_name, new_name = cur.typeName(), new_t.typeName()
-            ok = new_name in self._WIDENINGS.get(cur_name, ())
-            if cur_name == "decimal" and new_name == "decimal":
-                # precision may grow; scale is pinned (changing scale
-                # rescales stored values — not a metadata operation)
-                ok = (
-                    new_t.scale == cur.scale
-                    and new_t.precision >= cur.precision
-                )
-            if not ok:
-                raise ValueError(
-                    f"cannot widen {c!r} from {cur.simpleString()} to "
-                    f"{new_t.simpleString()} — permitted promotions are "
-                    "byte/short/int→long, float→double, and decimal "
-                    "precision growth at fixed scale (lossless only; a "
-                    "lossy change is a rewrite, not an ALTER)"
-                )
-            widened[c] = new_t
-        for c in add:
-            if c in names:
-                raise ValueError(f"column already exists: {c}")
-            hazard = self._dropped_column_hazard(c, base)
-            if hazard:
-                raise ValueError(
-                    f"column {c!r} was dropped at version {hazard[0]} and "
-                    f"{hazard[1]} file(s) written before the drop are still "
-                    "live — re-adding the name would resurface their old "
-                    "physical values instead of reading NULL. Rewrite them "
-                    "first (optimize_partitions) or pick a fresh name."
-                )
-        for c in drop:
-            if c not in names:
-                raise ValueError(f"cannot drop unknown column: {c}")
-            if c in self.partition_by:
-                raise ValueError(
-                    f"cannot drop partition column {c!r} — the physical "
-                    "layout is keyed on it; repartition via a full rewrite"
-                )
-        for old, new in rename.items():
-            # the new current name leaves its own chain (an undo-rename
-            # walks back along it); the old name joins it
-            chain = [n for n in prior_names.pop(old, []) if n != new]
-            prior_names[new] = chain + [old]
-        fields = [
-            StructField(
-                rename.get(f.name, f.name),
-                widened.get(f.name, f.dataType),
-                f.nullable,
-            )
-            for f in schema.fields
-            if f.name not in set(drop)
-        ]
-        new_schema = StructType(fields)
-        for c, t in add.items():
-            new_schema = new_schema.add(c, _parse_datatype_string(t))
-        # a CHECK constraint referencing a dropped column would make
-        # every future commit fail at enforcement; resolve each
-        # expression against the POST-drop schema (plan-only, no job)
-        # and refuse the drop naming the blocking constraint
-        if drop:
-            from pyspark.sql import functions as F
-
-            post = self.spark.createDataFrame([], new_schema)
-            for cname, cexpr in base_rec.get("constraints", {}).items():
-                try:
-                    post.filter(F.expr(cexpr)).schema
-                except Exception:
-                    raise ValueError(
-                        f"cannot drop {sorted(drop)}: constraint {cname!r} "
-                        f"({cexpr!r}) references a dropped column — "
-                        "drop_check_constraint first"
-                    ) from None
-
-        record = {
-            k: v
-            for k, v in base_rec.items()
-            if k
-            in (
-                "partitions",
-                "files",
-                "file_stats",
-                "delete_vectors",
-                "partition_by",
-                "row_count",
-            )
-        }
-        # stats survive only for surviving columns, re-keyed through the
-        # rename (the recorded [min,max] describe the same physical
-        # values — pruning keeps working across a rename)
-        stats = {
-            pk: {
-                rename.get(c, c): b
-                for c, b in cols.items()
-                if c not in set(drop)
-            }
-            for pk, cols in base_rec.get("stats", {}).items()
-        }
-        stats = {pk: cols for pk, cols in stats.items() if cols}
-        if stats:
-            record["stats"] = stats
-        if rename and record.get("file_stats"):
-            record["file_stats"] = {
-                f: {rename.get(c, c): b for c, b in cols.items()}
-                for f, cols in record["file_stats"].items()
-            }
-        record.update(
-            {
-                "version": base + 1,
-                "schema": new_schema.jsonValue(),
-                "operation": "alter_schema",
-                "committed_at": time.time(),
-                # the call's own arguments, verbatim — what lets
-                # publish_branch RE-EXECUTE a branch-side ALTER against
-                # main's diverged tip (re-validating and re-keying stats
-                # against the data actually there) instead of refusing
-                # (operators/branches.py). Purely additive metadata.
-                "alter_args": {
-                    "add": add,
-                    "drop": list(drop),
-                    "widen": widen,
-                    "rename": rename,
-                },
-            }
-        )
-        if drop:
-            record["dropped"] = sorted(drop)
-        if prior_names:
-            record["prior_names"] = {
-                k: v for k, v in sorted(prior_names.items())
-            }
-        if rename and base_rec.get("table_stats"):
-            # ANALYZE statistics re-key like the pruning stats — the
-            # values describe the same bytes under the new name
-            ts = dict(base_rec["table_stats"])
-            if isinstance(ts.get("columns"), dict):
-                ts["columns"] = {
-                    rename.get(c, c): v for c, v in ts["columns"].items()
-                }
-            if isinstance(ts.get("keys"), dict):
-                ts["keys"] = {
-                    rename.get(c, c): v for c, v in ts["keys"].items()
-                }
-            record["table_stats"] = ts
-        self._publish(record)
-        return base + 1
-
-    def _live_files(self, version: int) -> set[str]:
-        """File-level pointer set of a snapshot (dir pointers expanded
-        by listing). A dir already vacuumed lists as empty — its files
-        are physically gone, so they cannot resurface anything."""
-        files: set[str] = set()
-        for pk in self.partition_map(version):
-            try:
-                files.update(self.partition_files(pk, version=version))
-            except OSError:
-                continue
-        return files
-
-    def _dropped_column_hazard(
-        self, name: str, base: int
-    ) -> tuple[int, int] | None:
-        """If ``name`` was historically dropped AND any file live at
-        the drop commit is still live at ``base``, return
-        (drop_version, surviving_file_count) — the resurfacing hazard
-        ``alter_schema`` refuses on. None = safe. Scans the commit log
-        (metadata-only; alter is rare) for ``dropped`` markers; the
-        file-survival check is what lets a name come back once normal
-        compaction has rewritten the pre-drop bytes."""
-        lname = name.lower()
-        drop_versions = [
-            v
-            for v in range(1, base + 1)
-            if lname
-            in {d.lower() for d in self._commit_record(v).get("dropped", [])}
-        ]
-        if not drop_versions:
-            return None
-        v_drop = max(drop_versions)
-        surviving = self._live_files(v_drop) & self._live_files(base)
-        if surviving:
-            return (v_drop, len(surviving))
-        return None
-
-    @staticmethod
-    def _match_visible_rows(
-        snap: DataFrame, source: DataFrame, keys: Sequence[str]
-    ) -> DataFrame:
-        """Visible target rows whose key appears in the merge source —
-        a plain semi join with NO broadcast hint: the source's key set
-        is unbounded (a nightly fact batch can carry tens of millions
-        of distinct keys), so forcing it onto the driver would OOM at
-        exactly the scale the DV MERGE exists for. AQE promotes the
-        build side to a broadcast automatically whenever it really is
-        small, so narrow-churn callers lose nothing."""
-        from pyspark.sql import functions as F
-
-        return snap.join(
-            source.select(*keys).distinct(), list(keys), "semi"
-        ).select(
-            *keys,
-            F.col("__file").alias("file_key"),
-            F.col("__ridx").alias("row_index"),
-        )
-
-    def _write_dv_sidecar(self, dv_df: DataFrame, dv_rel: str) -> int:
-        """Write a deletion-vector sidecar dir; returns the exact row
-        count written. Small vectors (the narrow-churn / GDPR shape)
-        stay one file; past ``dv_sidecar_rows_per_file`` the write
-        fans out hash-partitioned on (file_key, row_index) so a
-        large vector is written by many tasks — readers consume the
-        DIR, so the file count is invisible to them. Sizing comes
-        from counting the DEDUPED frame itself (persisted, so the
-        write reuses the materialization): the input often unions
-        the new rows with ALL prior cumulative mask rows for the
-        touched files, so a caller-supplied "new rows" count would
-        under-size exactly when the vector is biggest."""
-        out = dv_df.select("file_key", "relfile", "row_index").distinct().persist()
-        try:
-            n_rows = out.count()
-            n_files = max(1, -(-n_rows // self.dv_sidecar_rows_per_file))
-            sized = (
-                out.coalesce(1)
-                if n_files == 1
-                else out.repartition(n_files, "file_key", "row_index")
-            )
-            sized.write.parquet(self.fs.url(dv_rel))
-        finally:
-            out.unpersist()
-        return n_rows
-
-    def upsert_rows_dv(
-        self,
-        source: DataFrame,
-        keys: Sequence[str],
-        base_version: int | None = None,
-        max_rebase: int = 5,
-        stats_cols: Sequence[str] | None = None,
-        operation: str = "merge",
-        extra: dict | None = None,
-    ) -> tuple[int, int, int]:
-        """MINIMAL-WRITE upsert (Delta's DV-enabled MERGE): matched
-        old row versions are deletion-vectored in place and every
-        source row is APPENDED as new files — one atomic commit, zero
-        existing files rewritten. Write amplification is ∝ |source|
-        (the appended rows) + a sidecar ∝ matched rows; compare
-        ``merge_partition_files`` (rewrites whole matched files) and
-        partition-scoped MERGE (rewrites whole partitions). The
-        trade: reads accumulate mask + small files until compaction —
-        ``maintenance_plan`` flags both.
-
-        Scope: the target is metadata-pruned to the source's
-        partition values (the same PARTITION-STABILITY contract as
-        ``merge_upsert_wap(partition_by=...)`` — a key living outside
-        those partitions duplicates). Update = retract-old+insert-new
-        (the versioned-append model); there are no delete branches —
-        use :meth:`delete_rows`.
-
-        Returns ``(version, rows_updated, rows_inserted)`` —
-        rows_updated counts distinct MATCHED KEYS (not masked target
-        rows: a key with several visible target versions masks them
-        all, which must not deflate the insert count).
-
-        Scale posture: the match is a PLAIN semi join (AQE broadcasts
-        genuinely-small sources itself; a forced hint would OOM on a
-        wide-key nightly batch) and the sidecar write fans out past
-        ``dv_sidecar_rows_per_file`` rows — both ends survive a 100×
-        batch, not just narrow churn.
-        """
-        from pyspark.sql import functions as F
-
-        base = base_version if base_version is not None else self.current_version()
-        if base == 0:
-            raise FileNotFoundError(
-                f"no committed WAP table at {self.path} — bootstrap with "
-                "create_partitioned_wap_table / commit_partitions"
-            )
-        # constraints gate BEFORE any write: every source row is
-        # appended verbatim, so the source IS the new-rows batch
-        self._enforce_constraints(source, self._commit_record(base))
-        keys = list(keys)
-        vals = (
-            source.select(
-                *[F.col(c).cast("string") for c in self.partition_by]
-            )
-            .distinct()
-            .collect()
-        )
-        touched_pkeys = sorted(
-            hive_partition_key(self.partition_by, tuple(r)) for r in vals
-        )
-        # match scope may be WIDER than the write scope: a table whose
-        # partition spec evolved holds old-era partitions under a
-        # different layout, and a key matching there must still be
-        # retracted (HiddenPartitionedWapTable overrides the hook to
-        # union per-era candidate keys; default: write scope == match
-        # scope, the single-layout contract documented above)
-        match_pkeys = self._match_scope_pkeys(source, base, touched_pkeys)
-        existing = set(self.partition_map(base))
-        present = [k for k in match_pkeys if k in existing]
-
-        # 1. MATCH — visible rows of the pruned target whose key is in
-        # the source (one semi-shaped join; lineage gives the mask)
-        paths: list[str] = []
-        for k in present:
-            paths.extend(self.partition_files(k, version=base))
-        shared = sorted(p for p in paths if _is_external(p))
-        if shared:
-            raise ValueError(
-                "row-granular mutation of files still SHARED with a clone "
-                f"source ({len(shared)} pointer(s)): localize first — "
-                "optimize_partitions(table, partitions=...) copies-on-write "
-                "the touched partitions into this table"
-            )
-        n_matched = 0
-        n_matched_keys = 0
-        masked: list[str] = []
-        dv_rel: str | None = None
-        root = f"d-{uuid.uuid4().hex[:12]}"
-        if paths:
-            from urllib.parse import unquote
-
-            snap = self._read_paths(paths, base, with_lineage=True)
-            matched = self._match_visible_rows(snap, source, keys).persist()
-            try:
-                n_matched = matched.count()
-                if n_matched:
-                    # rows_updated = distinct MATCHED KEYS, not masked
-                    # target rows: a target holding several visible
-                    # versions of one key (concurrent blind appends,
-                    # non-unique history) masks them all, and counting
-                    # those rows would under-count (even negative)
-                    # inserts below
-                    n_matched_keys = matched.select(*keys).distinct().count()
-                    fkeys = sorted(
-                        r["file_key"]
-                        for r in matched.select("file_key").distinct().collect()
-                    )
-                    rel_of = {fk: unquote(fk) for fk in fkeys}
-                    masked = sorted(rel_of.values())
-                    base_rec0 = self._commit_record(base)
-                    old_dvs = base_rec0.get("delete_vectors", {})
-                    prior_refs = sorted(
-                        {old_dvs[f] for f in masked if f in old_dvs}
-                    )
-                    map_df = self.spark.createDataFrame(
-                        sorted(rel_of.items()), "file_key string, relfile string"
-                    )
-                    dv_df = matched.join(F.broadcast(map_df), "file_key").select(
-                        "file_key", "relfile", "row_index"
-                    )
-                    if prior_refs:
-                        prior = (
-                            self.spark.read.parquet(
-                                *[self.fs.resolve(d) for d in prior_refs]
-                            )
-                            .filter(F.col("relfile").isin(masked))
-                            .select("file_key", "relfile", "row_index")
-                        )
-                        dv_df = dv_df.unionByName(prior)
-                    dv_rel = f"{root}/_dv"
-                    self.fs.prepare_root()
-                    self._write_dv_sidecar(dv_df, dv_rel)
-            finally:
-                matched.unpersist()
-
-        # 2. APPEND — every source row as new files under the same root
-        root_path = self.fs.url(root)
-        self.fs.prepare_root()
-        source.write.partitionBy(*self.partition_by).mode("append").parquet(
-            root_path
-        )
-        written_keys = self._written_parquet_keys(root, source.schema)
-        written = _leaves_from_keys(written_keys, root)
-        if not set(written) <= set(touched_pkeys):
-            self.fs.delete_prefix(root)
-            raise AuditError(
-                "source wrote partitions outside its declared values: "
-                f"{sorted(set(written) - set(touched_pkeys))}"
-            )
-        new_files: dict[str, list[str]] = {}
-        for leaf in written:
-            new_files[leaf] = sorted(
-                k for k in written_keys
-                if k.startswith(f"{root}/{leaf}/")
-                and "/" not in k[len(f"{root}/{leaf}/"):]
-            )
-        back = (
-            # NEW files can't be masked by the base version's vectors,
-            # so the audit/stats read skips DV application — which also
-            # keeps the plan single-source (input_file_name() in the
-            # per-file stats aggregate rejects multi-source plans, and
-            # the DV anti-join would add the sidecar as a second one)
-            self._read_paths(
-                [f for fl in new_files.values() for f in fl],
-                base,
-                apply_dvs=False,
-            )
-            if written
-            else source.limit(0)
-        )
-        n_source = back.count()
-        our_file_stats = (
-            self._file_slice_stats(back, stats_cols, root)
-            if stats_cols and written
-            else {}
-        )
-        n_inserted = n_source - n_matched_keys
-        if n_source == 0 and n_matched == 0:
-            self.fs.delete_prefix(root)
-            return (base, 0, 0)
-
-        masked_by_pkey: dict[str, list[str]] = {}
-        for f in masked:
-            masked_by_pkey.setdefault(_pkey_of_file(f), []).append(f)
-        # conflict scope = write scope ∪ every partition that gained a
-        # mask (old-era partitions under an evolved spec show up only
-        # in masked_by_pkey — an intervening rewrite of those files
-        # must still conflict)
-        all_touched = sorted(set(touched_pkeys) | set(masked_by_pkey))
-
-        # 3. PUBLISH — one record carrying BOTH the new files and the
-        # updated vectors (atomic: readers see retract+insert together)
-        attempt = 0
-        while True:
-            new_version = base + 1
-            base_rec = self._commit_record(base)
-            pmap = dict(base_rec.get("partitions", {}))
-            stats = dict(base_rec.get("stats", {}))
-            fmap = dict(base_rec.get("files", {}))
-            fstats = dict(base_rec.get("file_stats", {}))
-            dvs = dict(base_rec.get("delete_vectors", {}))
-            if dv_rel is not None:
-                for f in masked:
-                    dvs[f] = dv_rel
-            for pk in touched_pkeys:
-                cur = (
-                    self.partition_files(pk, version=base)
-                    if pk in set(self.partition_map(base))
-                    else []
-                )
-                final = sorted(cur + new_files.get(pk, []))
-                if final:
-                    pmap.pop(pk, None)
-                    fmap[pk] = final
-                # appended values may exceed recorded bounds: stale
-                # stats could wrongly SKIP — recompute from complete
-                # per-file stats or drop (same rule as file commits)
-                fstats.update(our_file_stats)
-                if stats_cols and final and all(f in fstats for f in final):
-                    merged: dict[str, list] = {}
-                    for c in stats_cols:
-                        los = [fstats[f][c][0] for f in final if c in fstats[f]]
-                        his = [fstats[f][c][1] for f in final if c in fstats[f]]
-                        if los and his and None not in los and None not in his:
-                            merged[c] = [min(los), max(his)]
-                    if merged:
-                        stats[pk] = merged
-                    else:
-                        stats.pop(pk, None)
-                else:
-                    stats.pop(pk, None)
-            record = {
-                "version": new_version,
-                "partitions": pmap,
-                "partition_by": self.partition_by,
-                "touched": all_touched,
-                "touched_files": {
-                    k: sorted(masked_by_pkey.get(k, [])) for k in all_touched
-                },
-                "row_count": n_source,
-                "schema": source.schema.jsonValue(),
-                "operation": operation,
-                "committed_at": time.time(),
-            }
-            if stats:
-                record["stats"] = stats
-            if fmap:
-                record["files"] = fmap
-            if fstats:
-                record["file_stats"] = fstats
-            if dvs:
-                record["delete_vectors"] = dvs
-            if extra:
-                record.update(extra)
-            try:
-                self._publish(record)
-                return (new_version, n_matched_keys, n_inserted)
-            except ConcurrentWriteError:
-                attempt += 1
-                latest = self.current_version()
-                conflict: set[str] = set()
-                for k in all_touched:
-                    conflict |= self._conflicting_files(
-                        base, latest, k, masked_by_pkey.get(k, [])
-                    )
-                if conflict or attempt > max_rebase:
-                    self.fs.delete_prefix(root)
-                    if conflict:
-                        raise ConcurrentWriteError(
-                            f"files {sorted(conflict)} were committed by "
-                            "another writer; re-read and retry the merge"
-                        ) from None
-                    raise
-                base = latest
-
-    def _match_scope_pkeys(
-        self,
-        source: DataFrame,
-        base: int,
-        touched_pkeys: Sequence[str],
-    ) -> list[str]:
-        """Partition keys :meth:`upsert_rows_dv` scans for MATCHED
-        rows. Default: exactly the keys the source writes to — the
-        single-layout partition-stability contract.
-        :class:`HiddenPartitionedWapTable` overrides this to add
-        old-era candidate keys after a partition-spec evolution (a
-        matching key may live in a partition laid out under a prior
-        spec)."""
-        return list(touched_pkeys)
-
-    def _conflicting_files(
-        self,
-        base: int,
-        latest: int,
-        partition: str,
-        replace_files: Sequence[str],
-    ) -> set[str]:
-        """File-granular conflict probe: files (or the whole-partition
-        sentinel ``'*'``) that both we and an intervening commit
-        replaced within ``partition``."""
-        ours = set(replace_files)
-        conflict: set[str] = set()
-        for v in range(base + 1, latest + 1):
-            rec = self._commit_record(v)
-            theirs_parts = rec.get("touched")
-            if theirs_parts is None:
-                return ours or {"*"}
-            if partition not in theirs_parts:
-                continue
-            tf = rec.get("touched_files", {}).get(partition)
-            if tf is None:
-                # they replaced the whole partition
-                return ours or {"*"}
-            conflict |= ours & set(tf)
-        return conflict
-
-    def delete_rows(
-        self,
-        condition=None,
-        partitions: Sequence[str] | None = None,
-        base_version: int | None = None,
-        max_rebase: int = 5,
-        operation: str = "delete",
-        keys_df: DataFrame | None = None,
-        keys: Sequence[str] | None = None,
-    ) -> tuple[int, int]:
-        """Row-level DELETE via DELETION VECTORS — no data file is
-        rewritten (Delta's deletion-vector refinement, one step past
-        file-granular commits): matching rows' (file, parquet row
-        index) pairs are written to a tiny sidecar and the commit
-        record maps each masked file to its CUMULATIVE vector; every
-        read (snapshot, time travel, file-granular, CDF, merge
-        target) applies the vectors as a broadcast anti-join on the
-        scan. At 100 TB a narrow delete costs a metadata-pruned scan
-        + a sidecar ∝ deleted rows — zero bytes of the fact rewritten.
-
-        ``condition`` is a Column or SQL string over the committed
-        schema — or pass ``keys_df``+``keys`` instead to erase every
-        row whose key appears in a key SET (the GDPR right-to-be-
-        forgotten shape: millions of subject ids can't be an IN-list;
-        the match is one semi join against the pruned snapshot).
-        ``partitions`` optionally metadata-prunes the scan (rows
-        outside are silently kept, the pruned-DML contract). Returns
-        ``(version, rows_deleted)`` — a no-match delete is a NO-OP
-        returning (base, 0), publishing nothing.
-
-        Conflict rule: masking a file is touching it — a DV commit
-        conflicts with an intervening rewrite of (or another DV on)
-        the same file, and rebases automatically past writers of
-        disjoint files. Partition stats are NOT tightened by deletes
-        (bounds may describe masked rows): pruning stays conservative
-        — never wrong — until compaction (``optimize_partitions``
-        reads masked and rewrites clean, dropping the vectors).
-        """
-        from urllib.parse import unquote
-
-        from pyspark.sql import functions as F
-
-        base = base_version if base_version is not None else self.current_version()
-        if base == 0:
-            raise FileNotFoundError(f"no committed WAP table at {self.path}")
-        if (condition is None) == (keys_df is None):
-            raise ValueError("pass exactly one of condition / keys_df")
-        if keys_df is not None and not keys:
-            raise ValueError("keys_df requires keys=[...]")
-
-        pkeys = (
-            list(partitions)
-            if partitions is not None
-            else sorted(self.partition_map(base))
-        )
-        paths: list[str] = []
-        for k in pkeys:
-            paths.extend(self.partition_files(k, version=base))
-        shared = sorted(p for p in paths if _is_external(p))
-        if shared:
-            raise ValueError(
-                "row-granular mutation of files still SHARED with a clone "
-                f"source ({len(shared)} pointer(s), e.g. {shared[0]}): "
-                "localize first — optimize_partitions(table, partitions=...) "
-                "copies-on-write the touched partitions into this table"
-            )
-        known = set(paths)
-        snap = self._read_paths(paths, base, with_lineage=True)
-        if keys_df is not None:
-            matched_rows = snap.join(
-                keys_df.select(*keys).distinct(), list(keys), "semi"
-            )
-        else:
-            cond = F.expr(condition) if isinstance(condition, str) else condition
-            matched_rows = snap.filter(cond)
-        new_rows = (
-            matched_rows.select(
-                F.col("__file").alias("file_key"),
-                F.col("__ridx").alias("row_index"),
-            )
-            .persist()
-        )
-        try:
-            n_deleted = new_rows.count()
-            if n_deleted == 0:
-                return (base, 0)
-            # encoded key → canonical on-disk relpath (urllib unquote
-            # inverts the URI %-encoding and leaves '+' alone, unlike
-            # form decoding)
-            keys = sorted(
-                r["file_key"]
-                for r in new_rows.select("file_key").distinct().collect()
-            )
-            rel_of = {fk: unquote(fk) for fk in keys}
-            stray = sorted(set(rel_of.values()) - known)
-            if stray:
-                raise AuditError(
-                    f"matched rows map to files outside the snapshot: {stray}"
-                )
-            masked = sorted(rel_of.values())
-            base_rec = self._commit_record(base)
-            old_dvs: dict[str, str] = base_rec.get("delete_vectors", {})
-            prior_refs = sorted({old_dvs[f] for f in masked if f in old_dvs})
-            map_df = self.spark.createDataFrame(
-                sorted(rel_of.items()), "file_key string, relfile string"
-            )
-            dv_df = new_rows.join(F.broadcast(map_df), "file_key").select(
-                "file_key", "relfile", "row_index"
-            )
-            if prior_refs:
-                prior = (
-                    self.spark.read.parquet(
-                        *[self.fs.resolve(d) for d in prior_refs]
-                    )
-                    .filter(F.col("relfile").isin(masked))
-                    .select("file_key", "relfile", "row_index")
-                )
-                dv_df = dv_df.unionByName(prior)
-            root = f"d-{uuid.uuid4().hex[:12]}"
-            dv_rel = f"{root}/_dv"
-            self.fs.prepare_root()
-            self._write_dv_sidecar(dv_df, dv_rel)
-        finally:
-            new_rows.unpersist()
-
-        touched = sorted({_pkey_of_file(f) for f in masked})
-        touched_files: dict[str, list[str]] = {}
-        for f in masked:
-            touched_files.setdefault(_pkey_of_file(f), []).append(f)
-
-        attempt = 0
-        while True:
-            new_version = base + 1
-            base_rec = self._commit_record(base)
-            dvs = dict(base_rec.get("delete_vectors", {}))
-            for f in masked:
-                dvs[f] = dv_rel
-            record = {
-                "version": new_version,
-                "partitions": dict(base_rec.get("partitions", {})),
-                "partition_by": self.partition_by,
-                "touched": touched,
-                "touched_files": {k: sorted(v) for k, v in touched_files.items()},
-                "row_count": n_deleted,
-                "schema": base_rec["schema"],
-                "operation": operation,
-                "committed_at": time.time(),
-                "delete_vectors": dvs,
-            }
-            for carry in ("stats", "files", "file_stats"):
-                if base_rec.get(carry):
-                    record[carry] = dict(base_rec[carry])
-            try:
-                self._publish(record)
-                return (new_version, n_deleted)
-            except ConcurrentWriteError:
-                attempt += 1
-                latest = self.current_version()
-                conflict: set[str] = set()
-                for k, fl in touched_files.items():
-                    conflict |= self._conflicting_files(base, latest, k, fl)
-                if conflict or attempt > max_rebase:
-                    self.fs.delete_prefix(root)
-                    if conflict:
-                        raise ConcurrentWriteError(
-                            f"files {sorted(conflict)} were rewritten or "
-                            "re-masked by another writer; re-read and retry "
-                            "the delete"
-                        ) from None
-                    raise
-                base = latest
-
-    def update_rows_dv(
-        self,
-        condition,
-        assignments: dict[str, object],
-        partitions: Sequence[str] | None = None,
-        base_version: int | None = None,
-        max_rebase: int = 5,
-        operation: str = "update",
-        stats_cols: Sequence[str] | None = None,
-    ) -> tuple[int, int]:
-        """Row-level UPDATE via DELETION VECTORS — Delta's DV-enabled
-        UPDATE, the missing rung between ``delete_rows`` (DV retract)
-        and ``upsert_rows_dv`` (DV retract + keyed append): matching
-        rows are masked in place and their UPDATED copies appended as
-        new files, one atomic commit, zero existing files rewritten.
-        Write amplification ∝ matched rows — a one-key UPDATE on a
-        100 TB fact costs a sidecar + one tiny file, where the
-        partition-granular rewrite (``sql_dml``'s default UPDATE
-        route) rewrites the whole touched partition.
-
-        ``condition`` is a Column or SQL string; ``assignments`` maps
-        column → Column/SQL expression evaluated over the PRE-update
-        row (standard UPDATE semantics: ``{"amt": "amt + 1"}`` uses
-        the old amt). Updating partition columns is allowed — the
-        new copy lands in its new partition (retract-here,
-        insert-there falls out of the mask+append shape). Keyless by
-        design: identity is the row's physical address, so duplicate
-        rows update independently — no unique-key requirement.
-
-        Era posture (spec-evolved hidden tables): fully era-agnostic.
-        The match scans the visible snapshot (like DELETE); the
-        updated copies re-derive under the CURRENT spec
-        (:class:`HiddenPartitionedWapTable` hooks
-        ``_prepare_update_rows``), so updating an old-era resident
-        retracts it in its old-era partition and lands the new
-        version under the current layout — an incremental era
-        migration of exactly the touched rows.
-
-        Conflict rule: masking a file is touching it, and the append
-        touches its partitions — rebases past disjoint writers,
-        conflicts with a rewrite of (or another DV on) the same
-        files. Returns ``(version, rows_updated)``; no match is a
-        no-op returning (base, 0)."""
-        from urllib.parse import unquote
-
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
-
-        base = base_version if base_version is not None else self.current_version()
-        if base == 0:
-            raise FileNotFoundError(f"no committed WAP table at {self.path}")
-        base_rec0 = self._commit_record(base)
-        schema = StructType.fromJson(base_rec0["schema"])
-        names_l = {f.name.lower(): f.name for f in schema.fields}
-        norm_assign: dict[str, object] = {}
-        for c, e in assignments.items():
-            if c.lower() not in names_l:
-                raise ValueError(
-                    f"UPDATE assigns unknown column {c!r} "
-                    f"(schema: {sorted(names_l.values())})"
-                )
-            norm_assign[names_l[c.lower()]] = (
-                F.expr(e) if isinstance(e, str) else e
-            )
-        self._refuse_update_of_layout_columns(norm_assign)
-
-        pkeys = (
-            list(partitions)
-            if partitions is not None
-            else sorted(self.partition_map(base))
-        )
-        paths: list[str] = []
-        for k in pkeys:
-            paths.extend(self.partition_files(k, version=base))
-        shared = sorted(p for p in paths if _is_external(p))
-        if shared:
-            raise ValueError(
-                "row-granular mutation of files still SHARED with a clone "
-                f"source ({len(shared)} pointer(s)): localize first — "
-                "optimize_partitions(table, partitions=...) copies-on-write "
-                "the touched partitions into this table"
-            )
-        snap = self._read_paths(paths, base, with_lineage=True)
-        cond = F.expr(condition) if isinstance(condition, str) else condition
-        matched = snap.filter(cond).persist()
-        try:
-            n_updated = matched.count()
-            if n_updated == 0:
-                return (base, 0)
-            # ------ mask: cumulative sidecar, same shape as delete_rows
-            fkeys = sorted(
-                r["file_key"]
-                for r in matched.select(
-                    F.col("__file").alias("file_key")
-                ).distinct().collect()
-            )
-            rel_of = {fk: unquote(fk) for fk in fkeys}
-            masked = sorted(rel_of.values())
-            old_dvs: dict[str, str] = base_rec0.get("delete_vectors", {})
-            prior_refs = sorted({old_dvs[f] for f in masked if f in old_dvs})
-            map_df = self.spark.createDataFrame(
-                sorted(rel_of.items()), "file_key string, relfile string"
-            )
-            dv_df = (
-                matched.select(
-                    F.col("__file").alias("file_key"),
-                    F.col("__ridx").alias("row_index"),
-                )
-                .join(F.broadcast(map_df), "file_key")
-                .select("file_key", "relfile", "row_index")
-            )
-            if prior_refs:
-                prior = (
-                    self.spark.read.parquet(
-                        *[self.fs.resolve(d) for d in prior_refs]
-                    )
-                    .filter(F.col("relfile").isin(masked))
-                    .select("file_key", "relfile", "row_index")
-                )
-                dv_df = dv_df.unionByName(prior)
-            root = f"d-{uuid.uuid4().hex[:12]}"
-            dv_rel = f"{root}/_dv"
-            self.fs.prepare_root()
-            self._write_dv_sidecar(dv_df, dv_rel)
-
-            # ------ the updated copies, standard UPDATE semantics
-            # (every RHS sees the pre-update row), re-prepared for the
-            # current layout (hidden tables re-derive partition values)
-            updated = matched.select(
-                *[
-                    (norm_assign[f.name] if f.name in norm_assign else F.col(f.name))
-                    .cast(f.dataType)
-                    .alias(f.name)
-                    for f in schema.fields
-                ]
-            )
-            updated = self._prepare_update_rows(updated)
-            self._enforce_constraints(updated, base_rec0)
-
-            # ------ append under the same root (the commit references
-            # root-relative paths; mask + new files publish together)
-            updated.write.partitionBy(*self.partition_by).mode(
-                "append"
-            ).parquet(self.fs.url(root))
-            written_keys = [
-                k
-                for k in self._written_parquet_keys(root, updated.schema)
-                if not k[len(root) + 1:].startswith("_dv/")
-            ]
-            written = _leaves_from_keys(written_keys, root)
-            new_files: dict[str, list[str]] = {}
-            for leaf in written:
-                new_files[leaf] = sorted(
-                    k
-                    for k in written_keys
-                    if k.startswith(f"{root}/{leaf}/")
-                    and "/" not in k[len(f"{root}/{leaf}/"):]
-                )
-            back = (
-                self._read_paths(
-                    [f for fl in new_files.values() for f in fl],
-                    base,
-                    apply_dvs=False,
-                )
-                if written
-                else updated.limit(0)
-            )
-            n_back = back.count()
-            if n_back != n_updated:
-                self.fs.delete_prefix(root)
-                raise AuditError(
-                    f"update wrote {n_back} rows for {n_updated} matched — "
-                    "refusing to publish a lossy rewrite"
-                )
-            our_file_stats = (
-                self._file_slice_stats(back, stats_cols, root)
-                if stats_cols and written
-                else {}
-            )
-        finally:
-            matched.unpersist()
-
-        masked_by_pkey: dict[str, list[str]] = {}
-        for f in masked:
-            masked_by_pkey.setdefault(_pkey_of_file(f), []).append(f)
-        all_touched = sorted(set(masked_by_pkey) | set(written))
-
-        # ------ publish (the upsert-rung record shape: DVs + files in
-        # one atomic commit; rebase past disjoint writers)
-        attempt = 0
-        while True:
-            new_version = base + 1
-            base_rec = self._commit_record(base)
-            pmap = dict(base_rec.get("partitions", {}))
-            stats = dict(base_rec.get("stats", {}))
-            fmap = dict(base_rec.get("files", {}))
-            fstats = dict(base_rec.get("file_stats", {}))
-            dvs = dict(base_rec.get("delete_vectors", {}))
-            for f in masked:
-                dvs[f] = dv_rel
-            for pk in written:
-                cur = (
-                    self.partition_files(pk, version=base)
-                    if pk in set(self.partition_map(base))
-                    else []
-                )
-                final = sorted(cur + new_files.get(pk, []))
-                pmap.pop(pk, None)
-                fmap[pk] = final
-                fstats.update(our_file_stats)
-                # appended values may exceed recorded bounds — same
-                # recompute-or-drop rule as the upsert rung
-                if stats_cols and final and all(f in fstats for f in final):
-                    merged: dict[str, list] = {}
-                    for c in stats_cols:
-                        los = [fstats[f][c][0] for f in final if c in fstats[f]]
-                        his = [fstats[f][c][1] for f in final if c in fstats[f]]
-                        if los and his and None not in los and None not in his:
-                            merged[c] = [min(los), max(his)]
-                    if merged:
-                        stats[pk] = merged
-                    else:
-                        stats.pop(pk, None)
-                else:
-                    stats.pop(pk, None)
-            record = {
-                "version": new_version,
-                "partitions": pmap,
-                "partition_by": self.partition_by,
-                "touched": all_touched,
-                "touched_files": {
-                    k: sorted(masked_by_pkey.get(k, [])) for k in all_touched
-                },
-                "row_count": n_updated,
-                "schema": base_rec0["schema"],
-                "operation": operation,
-                "committed_at": time.time(),
-                "delete_vectors": dvs,
-            }
-            if stats:
-                record["stats"] = stats
-            if fmap:
-                record["files"] = fmap
-            if fstats:
-                record["file_stats"] = fstats
-            try:
-                self._publish(record)
-                return (new_version, n_updated)
-            except ConcurrentWriteError:
-                attempt += 1
-                latest = self.current_version()
-                conflict: set[str] = set()
-                for k in all_touched:
-                    conflict |= self._conflicting_files(
-                        base, latest, k, masked_by_pkey.get(k, [])
-                    )
-                if conflict or attempt > max_rebase:
-                    self.fs.delete_prefix(root)
-                    if conflict:
-                        raise ConcurrentWriteError(
-                            f"files {sorted(conflict)} were committed by "
-                            "another writer; re-read and retry the update"
-                        ) from None
-                    raise
-                base = latest
-
-    def _prepare_update_rows(self, updated: DataFrame) -> DataFrame:
-        """Hook: re-shape updated copies for the current physical
-        layout before the append. Default: identity (explicit
-        partition columns are data columns and ride along).
-        :class:`transforms.HiddenPartitionedWapTable` re-derives the
-        hidden partition values — which is what routes an updated
-        old-era resident into the current layout."""
-        return updated
-
-    def _refuse_update_of_layout_columns(
-        self, assignments: dict[str, object]
-    ) -> None:
-        """Hook for layout-column assignment policy. Explicit
-        partitioning allows it (the new copy lands in its new
-        partition); the hidden subclass refuses assigning DERIVED
-        columns (the table computes those) while allowing transform
-        SOURCES (re-derivation moves the row)."""
-
-    def compact_vectors(
-        self,
-        base_version: int | None = None,
-        max_rebase: int = 5,
-    ) -> tuple[int, int]:
-        """Consolidate ALL referenced deletion-vector sidecars into
-        ONE — without touching a byte of data (the cheap middle rung
-        between "let masks accumulate" and a full compaction that
-        rewrites the files). High-frequency DV churn leaves one
-        sidecar dir per commit; every read unions the referenced dirs
-        into its broadcast anti-join, so both the scan count and the
-        broadcast payload grow with commit count AND with stale rows
-        (cumulative sidecars keep rows for files since rewritten).
-        This commit reads the union once, drops rows whose file is no
-        longer masked, dedups, writes one sidecar, and re-points
-        every masked file at it: reads go back to one tiny scan and a
-        minimal broadcast. Nightly-cheap; the weekly full compaction
-        (``optimize_partitions``) still clears masks entirely.
-
-        Conflict rule: consolidating a file's vector is touching that
-        file (same as ``delete_rows``) — a concurrent rewrite of, or
-        new DV on, a masked file wins or loses cleanly; writers of
-        disjoint files rebase past us automatically.
-
-        Returns ``(version, n_mask_rows)``; a table with fewer than
-        two referenced sidecars (nothing to consolidate) is a no-op
-        returning ``(base, 0)`` and publishing nothing."""
-        from pyspark.sql import functions as F
-
-        base = base_version if base_version is not None else self.current_version()
-        if base == 0:
-            raise FileNotFoundError(f"no committed WAP table at {self.path}")
-        base_rec = self._commit_record(base)
-        dvs: dict[str, str] = dict(base_rec.get("delete_vectors", {}))
-        if len(set(dvs.values())) < 2:
-            return (base, 0)
-        masked = sorted(dvs)
-        # sidecar rows carry d-root-anchored keys; record keys can be
-        # ABSOLUTE for clone-inherited vectors — normalize before the
-        # membership filter or those rows would be dropped and their
-        # deleted rows silently resurrected in the clone
-        mask_keys = sorted({_dv_key_of(f) for f in masked})
-        union = self.spark.read.parquet(
-            *sorted(self.fs.resolve(d) for d in set(dvs.values()))
-        ).filter(F.col("relfile").isin(mask_keys))
-        root = f"d-{uuid.uuid4().hex[:12]}"
-        dv_rel = f"{root}/_dv"
-        # the helper dedups/persists/counts once and writes from the
-        # same materialization — no second scan of the union
-        n_rows = self._write_dv_sidecar(union, dv_rel)
-
-        touched_files: dict[str, list[str]] = {}
-        for f in masked:
-            touched_files.setdefault(_pkey_of_file(f), []).append(f)
-        attempt = 0
-        while True:
-            new_version = base + 1
-            base_rec = self._commit_record(base)
-            new_dvs = dict(base_rec.get("delete_vectors", {}))
-            for f in masked:
-                new_dvs[f] = dv_rel
-            record = {
-                "version": new_version,
-                "partitions": dict(base_rec.get("partitions", {})),
-                "partition_by": self.partition_by,
-                "touched": sorted(touched_files),
-                "touched_files": {k: sorted(v) for k, v in touched_files.items()},
-                "row_count": n_rows,
-                "schema": base_rec["schema"],
-                "operation": "compact_vectors",
-                "committed_at": time.time(),
-                "delete_vectors": new_dvs,
-            }
-            for carry in ("stats", "files", "file_stats"):
-                if base_rec.get(carry):
-                    record[carry] = dict(base_rec[carry])
-            try:
-                self._publish(record)
-                return (new_version, n_rows)
-            except ConcurrentWriteError:
-                attempt += 1
-                latest = self.current_version()
-                conflict: set[str] = set()
-                for k, fl in touched_files.items():
-                    conflict |= self._conflicting_files(base, latest, k, fl)
-                if conflict or attempt > max_rebase:
-                    self.fs.delete_prefix(root)
-                    if conflict:
-                        raise ConcurrentWriteError(
-                            f"files {sorted(conflict)} were rewritten or "
-                            "re-masked by another writer; re-run vector "
-                            "compaction from the new snapshot"
-                        ) from None
-                    raise
-                base = latest
+    # DV delete / upsert / update / compaction: DeleteVectorOps
+    # (wap_dv.py, round-13 split)
 
     def files_intersecting(
         self,
