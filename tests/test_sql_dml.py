@@ -907,3 +907,54 @@ def test_full_width_script_through_one_engine_call(spark, fact):
     # OPTIMIZE consolidated the post-INSERT file-granular pointers
     rec = fact._commit_record(fact.current_version())
     assert rec.get("table_stats")
+
+
+def test_staged_migration_script_via_text(spark, fact):
+    """Round-13: the staged-migration pattern as STATEMENT TEXT — the
+    reference's staging-schema swap as a script (reference
+    connector/snowpark_connector.py:607-688). CREATE BRANCH, RENAME
+    COLUMN + MERGE on the branch handle, a routine ANALYZE on MAIN in
+    between (which used to brick the publish), PUBLISH BRANCH — and
+    the main view serves the migrated schema."""
+    from etl_reporting_spark.operators.branches import open_branch
+    from etl_reporting_spark.operators.sql_dml import execute_ddl
+
+    execute_ddl(spark, "ALTER TABLE fact_sql CREATE BRANCH mig13")
+    br = open_branch(spark, fact.path, "mig13")
+    execute_ddl(
+        spark,
+        "ALTER TABLE staged RENAME COLUMN amount TO amt_total",
+        tables={"staged": br},
+    )
+    spark.createDataFrame(
+        [(4, "2026-01-02", 444.0, "migrated")],
+        "id long, ds string, amt_total double, status string",
+    ).createOrReplaceTempView("mig_src")
+    execute_dml(
+        spark,
+        """MERGE INTO staged AS t USING mig_src AS s
+           ON t.id = s.id AND t.ds = s.ds
+           WHEN MATCHED THEN UPDATE SET
+             amt_total = s.amt_total, status = s.status""",
+        tables={"staged": br},
+    )
+    # main unchanged pre-publish: old column name, old values
+    assert "amount" in fact.read().columns
+    # routine main-side ANALYZE between fork and publish (text route)
+    execute_ddl(spark, "ANALYZE TABLE fact_sql COMPUTE STATISTICS")
+    out = execute_ddl(spark, "ALTER TABLE fact_sql PUBLISH BRANCH mig13")
+    assert out["operation"] == "publish_branch"
+    got = fact.read()
+    assert "amt_total" in got.columns and "amount" not in got.columns
+    assert got.filter("amt_total = 444.0").count() == 1
+    # the re-pinned registered view serves the NEW name
+    assert (
+        spark.sql(
+            "SELECT COUNT(*) AS n FROM fact_sql WHERE amt_total = 444.0"
+        ).first()["n"]
+        == 1
+    )
+    # main's ANALYZE survived the replay (advisory stats preserved,
+    # re-keyed through the branch's rename at re-execution)
+    ts = fact.latest_record().get("table_stats")
+    assert ts and "amt_total" in ts["columns"]
