@@ -200,7 +200,9 @@ _REPLAYABLE_METADATA_OPS = frozenset(
 _ADVISORY_MAIN_OPS = frozenset({"analyze", "analyze_keys"})
 
 
-def _replay_metadata_commit(main, rec: dict, pred: dict, tip: int) -> int:
+def _replay_metadata_commit(
+    main, rec: dict, pred: dict, tip: int, extra: dict | None = None
+) -> int:
     """Apply one branch-side metadata-only commit on top of main's
     ``tip``. Returns the new tip. Dispatch by how each class composes
     with main's diverged data:
@@ -241,15 +243,19 @@ def _replay_metadata_commit(main, rec: dict, pred: dict, tip: int) -> int:
             widen=args.get("widen") or None,
             rename=args.get("rename") or None,
             base_version=tip,
+            record_extra=extra,
         )
     if op in ("add_constraint", "drop_constraint"):
         ours = rec.get("constraints") or {}
         theirs = pred.get("constraints") or {}
         for cname in sorted(set(theirs) - set(ours)):
-            tip = main.drop_check_constraint(cname, base_version=tip)
+            tip = main.drop_check_constraint(
+                cname, base_version=tip, record_extra=extra
+            )
         for cname in sorted(set(ours) - set(theirs)):
             tip = main.add_check_constraint(
-                cname, ours[cname], validate=True, base_version=tip
+                cname, ours[cname], validate=True, base_version=tip,
+                record_extra=extra,
             )
         return tip
     if op == "evolve-spec":
@@ -260,10 +266,14 @@ def _replay_metadata_commit(main, rec: dict, pred: dict, tip: int) -> int:
                 "partition_spec_history": rec["partition_spec_history"],
             },
             operation="evolve-spec",
+            record_extra=extra,
         )
     # analyze / analyze_keys
     return main._metadata_only_commit(
-        tip, {"table_stats": rec.get("table_stats") or {}}, operation=op
+        tip,
+        {"table_stats": rec.get("table_stats") or {}},
+        operation=op,
+        record_extra=extra,
     )
 
 
@@ -316,10 +326,13 @@ def publish_branch(
     Each replayed record publishes through the main CAS, so a racing
     main writer surfaces as :class:`ConcurrentWriteError`, never a
     half-published branch prefix... except in the crash window between
-    two replays, which leaves a PREFIX of the branch on main — every
-    replayed data record carries ``branch_published_from`` so the
-    operator can see exactly how far it got and re-run (the remaining
-    replays are idempotent in content)."""
+    two replays, which leaves a PREFIX of the branch on main. Every
+    replayed record — data AND re-executed metadata (round-13) —
+    carries ``branch_published_from`` + ``branch_replayed_version``,
+    and a re-run of ``publish_branch`` SKIPS branch commits those
+    markers show already landed and exempts its own prior replays from
+    the conflict screens — so crash recovery is exactly "run it
+    again", completing the remaining suffix."""
     main = open_wap_table(spark, path, storage=storage)
     if not isinstance(main, PartitionedWapTable):
         raise TypeError(
@@ -330,7 +343,9 @@ def publish_branch(
     payload = main.fs.read_key(_branch_reg_key(name))
     if payload is None:
         raise FileNotFoundError(f"no branch {name!r} at {path}")
-    fork = json.loads(payload)["fork_version"]
+    reg = json.loads(payload)
+    fork = reg["fork_version"]
+    created_at = reg.get("created_at")
     bstore = main.fs.branch_commit_store(name)
     bmax = bstore.max_version()
     branch_recs = []
@@ -347,9 +362,31 @@ def publish_branch(
             drop_branch(spark, path, name, storage=storage)
         return main.current_version()
 
+    # crash recovery (round-13): a publish interrupted between replays
+    # left a marked PREFIX on main — identify it (name + the branch
+    # registration's created_at, so a re-created branch of the same
+    # name never matches an old publish's markers) and skip both sides:
+    # already-replayed branch commits are not replayed again, and the
+    # prefix commits are exempt from the conflict screens below.
+    tip = main.current_version()
+    done: set[int] = set()
+    intervening: list[tuple[int, dict]] = []
+    for v in range(fork + 1, tip + 1):
+        rec = main._commit_record(v)
+        if (
+            rec.get("branch_published_from") == name
+            and rec.get("branch_created_at") == created_at
+        ):
+            rv = rec.get("branch_replayed_version")
+            if rv is not None:
+                done.add(int(rv))
+            continue
+        intervening.append((v, rec))
+    pending = [r for r in branch_recs if r["version"] not in done]
+
     unreplayable = [
         r["version"]
-        for r in branch_recs
+        for r in pending
         if "touched" not in r
         and r.get("operation") not in _REPLAYABLE_METADATA_OPS
     ]
@@ -361,12 +398,10 @@ def publish_branch(
             "run them on main directly"
         )
     branch_touched: set[str] = set()
-    for r in branch_recs:
+    for r in pending:
         branch_touched |= set(r.get("touched", ()))
 
-    tip = main.current_version()
-    for v in range(fork + 1, tip + 1):
-        rec = main._commit_record(v)
+    for v, rec in intervening:
         theirs = rec.get("touched")
         if theirs is None:
             if rec.get("operation") in _ADVISORY_MAIN_OPS:
@@ -387,8 +422,18 @@ def publish_branch(
     new_tip = tip
     pred = main._commit_record(fork)
     for rec in branch_recs:
+        if rec["version"] in done:
+            pred = rec  # already on main from the interrupted publish
+            continue
+        marker = {
+            "branch_published_from": name,
+            "branch_created_at": created_at,
+            "branch_replayed_version": rec["version"],
+        }
         if "touched" not in rec:
-            new_tip = _replay_metadata_commit(main, rec, pred, new_tip)
+            new_tip = _replay_metadata_commit(
+                main, rec, pred, new_tip, extra=marker
+            )
             if rec.get("operation") in ("evolve-spec", "alter_schema"):
                 # the handle's cached transforms/partition_by are now
                 # stale; re-detect from the new tip so later re-executed
@@ -443,7 +488,7 @@ def publish_branch(
             "schema": rec["schema"],
             "operation": rec.get("operation", "merge"),
             "committed_at": time.time(),
-            "branch_published_from": name,
+            **marker,
         }
         if "touched_files" in rec:
             out["touched_files"] = rec["touched_files"]

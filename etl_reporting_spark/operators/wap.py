@@ -285,6 +285,7 @@ class WapTable:
         expr: str,
         validate: bool = True,
         base_version: int | None = None,
+        record_extra: dict | None = None,
     ) -> int:
         """Register a CHECK constraint in a metadata-only commit.
 
@@ -342,11 +343,13 @@ class WapTable:
                 )
         cons[name] = expr
         return self._metadata_only_commit(
-            base, {"constraints": cons}, operation="add_constraint"
+            base, {"constraints": cons}, operation="add_constraint",
+            record_extra=record_extra,
         )
 
     def drop_check_constraint(
-        self, name: str, base_version: int | None = None
+        self, name: str, base_version: int | None = None,
+        record_extra: dict | None = None,
     ) -> int:
         """Remove a CHECK constraint (metadata-only commit)."""
         base = base_version if base_version is not None else self.current_version()
@@ -357,21 +360,27 @@ class WapTable:
             raise KeyError(f"no such constraint: {name!r}")
         del cons[name]
         return self._metadata_only_commit(
-            base, {"constraints": cons}, operation="drop_constraint"
+            base, {"constraints": cons}, operation="drop_constraint",
+            record_extra=record_extra,
         )
 
     def _metadata_only_commit(
-        self, base: int, updates: dict, operation: str
+        self, base: int, updates: dict, operation: str,
+        record_extra: dict | None = None,
     ) -> int:
         """Publish ``base + 1`` carrying the base snapshot's pointers
         unchanged plus ``updates`` — zero data touched. No ``touched``
         set, so it conflicts with any concurrent writer (correct: they
-        validated against the old metadata; one side retries)."""
+        validated against the old metadata; one side retries).
+        ``record_extra`` merges additional provenance keys into the
+        record (publish_branch marks its metadata replays this way so
+        a crash-interrupted publish can be re-run idempotently)."""
         base_rec = self._commit_record(base)
         record = {
             k: base_rec[k] for k in self._metadata_carry if k in base_rec
         }
         record.update(updates)
+        record.update(record_extra or {})
         record.update(
             {
                 "version": base + 1,

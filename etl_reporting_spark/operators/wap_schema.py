@@ -34,6 +34,7 @@ class SchemaEvolutionOps:
         widen: dict[str, str] | None = None,
         rename: dict[str, str] | None = None,
         base_version: int | None = None,
+        record_extra: dict | None = None,
     ) -> int:
         """Metadata-only schema evolution (Delta ALTER TABLE): ADD
         COLUMN (existing data reads NULL for it — the read path
@@ -319,6 +320,9 @@ class SchemaEvolutionOps:
                     rename.get(c, c): v for c, v in ts["keys"].items()
                 }
             record["table_stats"] = ts
+        # provenance keys from the caller (publish_branch marks its
+        # metadata replays so a crashed publish re-runs idempotently)
+        record.update(record_extra or {})
         self._publish(record)
         return base + 1
 

@@ -468,3 +468,89 @@ def test_staged_migration_fork_alter_evolve_merge_publish(
         .count()
     )
     del _re
+
+
+def test_publish_crash_midway_then_rerun_completes(spark, tmp_path):
+    """Round-13 crash-window recovery: a publish interrupted BETWEEN
+    replays leaves a marked prefix on main; re-running publish_branch
+    skips what already landed (markers: branch_published_from +
+    branch_created_at + branch_replayed_version) and completes the
+    suffix — including re-executed metadata commits, which would
+    otherwise refuse on double-apply (rename of a now-missing column).
+    Final state ≡ the same migration applied directly to main."""
+    import datetime as dt
+
+    from etl_reporting_spark.operators import wap as wap_mod
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+    from etl_reporting_spark.operators.wap import open_wap_table
+
+    rows = [(i, dt.date(2026, 1, 1 + (i % 10)), float(i)) for i in range(1, 21)]
+    schema = "id int, ds date, amt double"
+
+    def build(p):
+        return create_hidden_partitioned_wap_table(
+            spark, p, spark.createDataFrame(rows, schema), ["days(ds)"]
+        )
+
+    def migrate(t):
+        t.alter_schema(rename={"amt": "amount"})
+        t.evolve_partition_spec(["months(ds)"])
+        t.append_rows(
+            spark.createDataFrame(
+                [(100, dt.date(2026, 3, 5), 100.0)],
+                "id int, ds date, amount double",
+            )
+        )
+        t.upsert_rows_dv(
+            spark.createDataFrame(
+                [(3, dt.date(2026, 1, 4), 333.0)],
+                "id int, ds date, amount double",
+            ),
+            keys=["id"],
+        )
+
+    direct = build(str(tmp_path / "direct"))
+    migrate(direct)
+
+    staged = build(str(tmp_path / "staged"))
+    br = create_branch(spark, staged.path, "crashmig")
+    migrate(br)
+
+    # crash after the SECOND successful publish inside publish_branch
+    # (i.e. mid-replay: rename + evolve landed, append/merge did not)
+    real_publish = wap_mod.WapTable._publish
+    state = {"n": 0}
+
+    def crashing(self, record):
+        real_publish(self, record)
+        state["n"] += 1
+        if state["n"] == 2:
+            raise RuntimeError("simulated crash between replays")
+
+    wap_mod.WapTable._publish = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            publish_branch(spark, staged.path, "crashmig")
+    finally:
+        wap_mod.WapTable._publish = real_publish
+
+    # the prefix is on main, marked; the branch is still registered
+    assert registered_branches(open_wap_table(spark, staged.path))
+    pub = open_wap_table(spark, staged.path)
+    prefix_rec = pub._commit_record(pub.current_version())
+    assert prefix_rec["branch_published_from"] == "crashmig"
+    assert "branch_replayed_version" in prefix_rec
+
+    # recovery is exactly "run it again"
+    publish_branch(spark, staged.path, "crashmig")
+    pub = open_wap_table(spark, staged.path)
+    a = sorted(map(tuple, direct.read().select("id", "ds", "amount").collect()))
+    b = sorted(map(tuple, pub.read().select("id", "ds", "amount").collect()))
+    assert a == b and len(a) == 21
+    assert pub.read().filter("id = 3").first()["amount"] == 333.0
+    # and a third run is a no-op fast-forward (everything in done-set)
+    v = pub.current_version()
+    create_branch(spark, staged.path, "noop13")
+    assert publish_branch(spark, staged.path, "noop13") == v
