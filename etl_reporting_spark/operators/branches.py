@@ -305,10 +305,10 @@ def publish_branch(
       what makes "fork → migrate schema → validate → publish" — the
       staged-migration pattern the reference's staging-schema swap
       implements (reference connector/snowpark_connector.py:607-688) —
-      expressible on a branch. Re-executed commits carry their normal
-      operation names rather than ``branch_published_from`` (they go
-      through the public ALTER/constraint code paths); the data
-      commits around them carry the provenance marker.
+      expressible on a branch. Re-executed commits keep their normal
+      operation names (they go through the public ALTER/constraint
+      code paths) and — like the data replays — carry the provenance
+      markers via ``record_extra``.
 
     Refused with names when a side cannot be rebased:
 
