@@ -248,11 +248,16 @@ def _replay_metadata_commit(
     if op in ("add_constraint", "drop_constraint"):
         ours = rec.get("constraints") or {}
         theirs = pred.get("constraints") or {}
+        current = main._commit_record(tip).get("constraints") or {}
         for cname in sorted(set(theirs) - set(ours)):
+            if cname not in current:
+                continue  # main dropped it too post-fork — commutes
             tip = main.drop_check_constraint(
                 cname, base_version=tip, record_extra=extra
             )
         for cname in sorted(set(ours) - set(theirs)):
+            if current.get(cname) == ours[cname]:
+                continue  # main added the identical pair — commutes
             tip = main.add_check_constraint(
                 cname, ours[cname], validate=True, base_version=tip,
                 record_extra=extra,
@@ -317,9 +322,16 @@ def publish_branch(
       those onto a diverged twin is ambiguous; run them on main
       directly;
     - any intervening MAIN commit without a ``touched`` set, EXCEPT
-      advisory ``analyze`` / ``analyze_keys`` stats refreshes, which
-      commute with every branch commit (a routine ANALYZE on main no
-      longer bricks open branches);
+      (a) advisory ``analyze`` / ``analyze_keys`` stats refreshes,
+      which commute with every branch commit (a routine ANALYZE on
+      main no longer bricks open branches), and (b) main-side
+      constraint changes: a DROP only relaxes, and an ADD is enforced
+      here — the branch's final content in its touched partitions is
+      validated against every constraint main gained since the fork
+      (one fused filter-limit(1) early-out scan of the touched
+      partitions, the screen those rows skipped by being written on
+      the branch) — a violation refuses the whole publish with the
+      branch left live;
     - overlapping touched partitions between the branch and
       intervening main commits — one side's data would be lost.
 
@@ -401,11 +413,20 @@ def publish_branch(
     for r in pending:
         branch_touched |= set(r.get("touched", ()))
 
+    main_constraint_change = False
     for v, rec in intervening:
         theirs = rec.get("touched")
         if theirs is None:
             if rec.get("operation") in _ADVISORY_MAIN_OPS:
                 continue  # stats refreshes commute with branch commits
+            if rec.get("operation") in ("add_constraint", "drop_constraint"):
+                # main constraint changes don't refuse: a DROP only
+                # relaxes; an ADD is enforced below by validating the
+                # branch's incoming partitions against main's CURRENT
+                # constraint set — exactly the screen those rows
+                # skipped by being written on the branch
+                main_constraint_change = True
+                continue
             raise ConcurrentWriteError(
                 f"main advanced past the fork with commit v{v} "
                 f"({rec.get('operation')!r}) that has no touched set — "
@@ -418,6 +439,31 @@ def publish_branch(
                 f"partitions {sorted(overlap)[:5]} — publishing would "
                 "lose one side; re-fork from the current tip and re-apply"
             )
+
+    if main_constraint_change and branch_touched:
+        # constraints main gained since the fork never screened the
+        # branch's rows (the branch enforced only its own, fork-era
+        # set). Validate the branch's final visible content in its
+        # touched partitions against main's CURRENT set — one fused
+        # filter-limit(1) early-out scan of the touched partitions
+        # only, the same shape as commit-time enforcement. A violation
+        # refuses the whole publish (nothing half-published; the
+        # branch stays live).
+        tip_cons = main._commit_record(tip).get("constraints") or {}
+        fork_cons = main._commit_record(fork).get("constraints") or {}
+        gained = {
+            k: v_ for k, v_ in tip_cons.items() if fork_cons.get(k) != v_
+        }
+        if gained:
+            br = open_branch(spark, path, name, storage=main.fs)
+            br_keys = [
+                k for k in branch_touched if k in br.partition_map()
+            ]
+            if br_keys:
+                br._enforce_constraints(
+                    br.read(partitions=br_keys),
+                    {"constraints": gained},
+                )
 
     new_tip = tip
     pred = main._commit_record(fork)

@@ -554,3 +554,56 @@ def test_publish_crash_midway_then_rerun_completes(spark, tmp_path):
     v = pub.current_version()
     create_branch(spark, staged.path, "noop13")
     assert publish_branch(spark, staged.path, "noop13") == v
+
+
+def test_main_constraint_add_validates_branch_rows_at_publish(
+    spark, table
+):
+    """Round-13 continuation: main ADDs a constraint while the branch
+    is open — publish no longer refuses; the branch's touched-partition
+    content is validated against the gained constraint (the screen its
+    rows skipped by being written on the branch)."""
+    from etl_reporting_spark.operators.wap import ConstraintViolation
+
+    # clean branch rows pass
+    br = create_branch(spark, table.path, "gained_ok")
+    br.append_rows(
+        spark.createDataFrame(
+            [(900, "d0", 5.0)], "id long, ds string, amount double"
+        )
+    )
+    table.add_check_constraint("amt_cap", "amount <= 100000")
+    tip = publish_branch(spark, table.path, "gained_ok")
+    assert table.read(version=tip).filter("id = 900").count() == 1
+    assert "amt_cap" in table.check_constraints()
+
+    # violating branch rows refuse, branch stays live
+    br2 = create_branch(spark, table.path, "gained_bad")
+    br2.append_rows(
+        spark.createDataFrame(
+            [(901, "d1", 50000.0)], "id long, ds string, amount double"
+        )
+    )
+    table.add_check_constraint("amt_cap2", "amount <= 10000")
+    with pytest.raises(ConstraintViolation):
+        publish_branch(spark, table.path, "gained_bad")
+    assert registered_branches(table)[0]["name"] == "gained_bad"
+    assert table.read().filter("id = 901").count() == 0
+
+
+def test_main_constraint_drop_commutes_with_branch(spark, table):
+    """A DROP on main only relaxes — publish proceeds; and a branch
+    that drops the SAME constraint main already dropped commutes
+    instead of failing on a missing name."""
+    table.add_check_constraint("amt_pos", "amount >= 0")
+    br = create_branch(spark, table.path, "relax")
+    br.drop_check_constraint("amt_pos")
+    br.append_rows(
+        spark.createDataFrame(
+            [(902, "d2", -5.0)], "id long, ds string, amount double"
+        )
+    )
+    table.drop_check_constraint("amt_pos")  # main drops it too
+    publish_branch(spark, table.path, "relax")
+    assert table.check_constraints() == {}
+    assert table.read().filter("id = 902").count() == 1
