@@ -607,3 +607,75 @@ def test_main_constraint_drop_commutes_with_branch(spark, table):
     publish_branch(spark, table.path, "relax")
     assert table.check_constraints() == {}
     assert table.read().filter("id = 902").count() == 1
+
+
+def test_publish_crash_at_every_prefix_point_recovers(spark, tmp_path):
+    """Exhaustive crash sweep: for EVERY publish-internal commit index
+    k, crash after k successful publishes, re-run, and the final state
+    must be row-identical to the uninterrupted twin — the idempotence
+    claim as a property, not an anecdote (single backend: the sweep is
+    storage-agnostic, the markers live in commit records)."""
+    import datetime as dt
+
+    from etl_reporting_spark.operators import wap as wap_mod
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+    from etl_reporting_spark.operators.wap import open_wap_table
+
+    rows = [(i, dt.date(2026, 1, 1 + (i % 5)), float(i)) for i in range(1, 11)]
+    schema = "id int, ds date, amt double"
+
+    def migrate(t):
+        t.alter_schema(rename={"amt": "amount"})
+        t.evolve_partition_spec(["months(ds)"])
+        t.append_rows(
+            spark.createDataFrame(
+                [(50, dt.date(2026, 4, 2), 50.0)],
+                "id int, ds date, amount double",
+            )
+        )
+        t.delete_rows("id = 2")
+
+    direct = create_hidden_partitioned_wap_table(
+        spark,
+        str(tmp_path / "direct"),
+        spark.createDataFrame(rows, schema),
+        ["days(ds)"],
+    )
+    migrate(direct)
+    want = sorted(
+        map(tuple, direct.read().select("id", "ds", "amount").collect())
+    )
+
+    real_publish = wap_mod.WapTable._publish
+    # 4 branch commits -> 4 publish-internal commits; sweep each
+    for k in (1, 2, 3, 4):
+        t = create_hidden_partitioned_wap_table(
+            spark,
+            str(tmp_path / f"c{k}"),
+            spark.createDataFrame(rows, schema),
+            ["days(ds)"],
+        )
+        br = create_branch(spark, t.path, "mig")
+        migrate(br)
+        state = {"n": 0}
+
+        def crashing(self, record, _k=k, _s=state):
+            real_publish(self, record)
+            _s["n"] += 1
+            if _s["n"] == _k:
+                raise RuntimeError(f"crash@{_k}")
+
+        wap_mod.WapTable._publish = crashing
+        try:
+            with pytest.raises(RuntimeError, match=f"crash@{k}"):
+                publish_branch(spark, t.path, "mig")
+        finally:
+            wap_mod.WapTable._publish = real_publish
+        publish_branch(spark, t.path, "mig")  # recovery: run it again
+        pub = open_wap_table(spark, t.path)
+        got = sorted(
+            map(tuple, pub.read().select("id", "ds", "amount").collect())
+        )
+        assert got == want, f"crash point {k} diverged"
