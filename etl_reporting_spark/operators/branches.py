@@ -331,7 +331,14 @@ def publish_branch(
       (one fused filter-limit(1) early-out scan of the touched
       partitions, the screen those rows skipped by being written on
       the branch) — a violation refuses the whole publish with the
-      branch left live;
+      branch left live — and (c) a main-side ``alter_schema``, which
+      commutes with branch DATA commits: the branch's files carry
+      fork-era physical names the name-chain / NULL-fill / projection
+      read paths already serve under main's new schema, so the replay
+      only maps record metadata (schema from main's tip, stats re-keyed
+      through main's renames, dropped columns stripped); refused when
+      the branch ALSO changed schema/spec — replaying one side's
+      metadata over the other's is ambiguous;
     - overlapping touched partitions between the branch and
       intervening main commits — one side's data would be lost.
 
@@ -414,6 +421,7 @@ def publish_branch(
         branch_touched |= set(r.get("touched", ()))
 
     main_constraint_change = False
+    main_altered_schema = False
     for v, rec in intervening:
         theirs = rec.get("touched")
         if theirs is None:
@@ -427,6 +435,19 @@ def publish_branch(
                 # skipped by being written on the branch
                 main_constraint_change = True
                 continue
+            if rec.get("operation") == "alter_schema":
+                # main schema evolution commutes with branch DATA
+                # commits: the files the branch wrote carry fork-era
+                # physical names, which the name-chain / NULL-fill /
+                # projection read paths already serve under main's new
+                # schema — only the replayed RECORDS need mapping
+                # (schema from main's tip; stats keys re-keyed through
+                # main's renames, dropped columns stripped). Refused
+                # below when the branch ALSO changed schema/spec —
+                # replaying one side's metadata over the other's is
+                # genuinely ambiguous.
+                main_altered_schema = True
+                continue
             raise ConcurrentWriteError(
                 f"main advanced past the fork with commit v{v} "
                 f"({rec.get('operation')!r}) that has no touched set — "
@@ -439,6 +460,35 @@ def publish_branch(
                 f"partitions {sorted(overlap)[:5]} — publishing would "
                 "lose one side; re-fork from the current tip and re-apply"
             )
+
+    rename_map: dict[str, str] = {}
+    dropped_cols: set[str] = set()
+    if main_altered_schema:
+        conflicted = [
+            r["version"]
+            for r in pending
+            if r.get("operation") in ("alter_schema", "evolve-spec")
+        ]
+        if conflicted:
+            raise ConcurrentWriteError(
+                f"both main and branch {name!r} changed schema/spec "
+                f"since the fork (branch versions {conflicted}) — "
+                "replaying one side's metadata over the other's is "
+                "ambiguous; re-fork from the current tip and re-apply"
+            )
+        # cumulative main-side rename map + dropped set since the fork
+        # (from each alter commit's recorded args)
+        for v, rec in intervening:
+            if rec.get("operation") != "alter_schema":
+                continue
+            args = rec.get("alter_args") or {}
+            step = dict(args.get("rename") or {})
+            rename_map = {
+                old: step.get(new, new) for old, new in rename_map.items()
+            }
+            for old, new in step.items():
+                rename_map.setdefault(old, new)
+            dropped_cols |= set(args.get("drop") or [])
 
     if main_constraint_change and branch_touched:
         # constraints main gained since the fork never screened the
@@ -464,6 +514,18 @@ def publish_branch(
                     br.read(partitions=br_keys),
                     {"constraints": gained},
                 )
+
+    def _remap_cols(cols: dict) -> dict:
+        """Re-key one {column: [min,max]} stats dict through main's
+        post-fork renames and strip its dropped columns — the branch
+        recorded these under fork-era names."""
+        if not (rename_map or dropped_cols):
+            return cols
+        return {
+            rename_map.get(c, c): b
+            for c, b in cols.items()
+            if c not in dropped_cols
+        }
 
     new_tip = tip
     pred = main._commit_record(fork)
@@ -503,14 +565,14 @@ def publish_branch(
             if pk in rec.get("files", {}):
                 fmap[pk] = rec["files"][pk]
             if pk in rec.get("stats", {}):
-                stats[pk] = rec["stats"][pk]
+                stats[pk] = _remap_cols(rec["stats"][pk])
         fstats = {
             f: s for f, s in fstats.items()
             if _pkey_of_file(f) not in touched
         }
         fstats.update(
             {
-                f: s
+                f: _remap_cols(s)
                 for f, s in rec.get("file_stats", {}).items()
                 if _pkey_of_file(f) in touched
             }
@@ -531,7 +593,14 @@ def publish_branch(
             ),
             "touched": sorted(touched),
             "row_count": rec.get("row_count"),
-            "schema": rec["schema"],
+            # under a main-side post-fork ALTER, the replayed record
+            # must describe main's CURRENT logical schema (the branch
+            # record's fork-era schema would revert the rename/drop);
+            # the branch's physical files keep serving through the
+            # name-chain / NULL-fill / projection read paths
+            "schema": (
+                base_rec["schema"] if main_altered_schema else rec["schema"]
+            ),
             "operation": rec.get("operation", "merge"),
             "committed_at": time.time(),
             **marker,

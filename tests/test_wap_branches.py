@@ -679,3 +679,67 @@ def test_publish_crash_at_every_prefix_point_recovers(spark, tmp_path):
             map(tuple, pub.read().select("id", "ds", "amount").collect())
         )
         assert got == want, f"crash point {k} diverged"
+
+
+def test_main_rename_commutes_with_branch_data_commits(spark, table):
+    """Round-13 continuation: main RENAMEs a column while the branch
+    holds data commits under the old name — publish no longer refuses.
+    The branch's files serve through the name chain; the replayed
+    records carry main's new schema and re-keyed stats."""
+    br = create_branch(spark, table.path, "oldname")
+    br.upsert_rows_dv(
+        spark.createDataFrame(
+            [(4, "d1", 999.0)], "id long, ds string, amount double"
+        ),
+        keys=["id"],
+    )
+    br.append_rows(
+        spark.createDataFrame(
+            [(950, "d0", 9.5)], "id long, ds string, amount double"
+        )
+    )
+    table.alter_schema(rename={"amount": "amt_total"})
+    tip = publish_branch(spark, table.path, "oldname")
+    got = table.read(version=tip)
+    assert "amt_total" in got.columns and "amount" not in got.columns
+    vals = {r["id"]: r["amt_total"] for r in got.collect()}
+    assert vals[4] == 999.0 and vals[950] == 9.5 and len(vals) == 13
+    # the replayed tip record carries main's schema + re-keyed stats
+    rec = table.latest_record()
+    names = [f["name"] for f in rec["schema"]["fields"]]
+    assert "amt_total" in names and "amount" not in names
+    for pk, cols in (rec.get("stats") or {}).items():
+        assert "amount" not in cols
+
+
+def test_main_drop_column_commutes_with_branch_data(spark, table):
+    """Main DROPs a non-key column post-fork: branch data publishes,
+    the dropped column stays dropped (projection), stats stripped."""
+    br = create_branch(spark, table.path, "dropcol")
+    br.append_rows(
+        spark.createDataFrame(
+            [(960, "d2", 1.0)], "id long, ds string, amount double"
+        )
+    )
+    table.alter_schema(drop=["amount"])
+    tip = publish_branch(spark, table.path, "dropcol")
+    got = table.read(version=tip)
+    assert "amount" not in got.columns
+    assert got.filter("id = 960").count() == 1
+
+
+def test_both_sides_schema_change_refuses(spark, table):
+    """Main AND branch both altered schema since the fork: replaying
+    one side's metadata over the other's is ambiguous — refuse."""
+    br = create_branch(spark, table.path, "bothalter")
+    br.alter_schema(add={"note": "string"})
+    br.append_rows(
+        spark.createDataFrame(
+            [(970, "d0", 2.0, "x")],
+            "id long, ds string, amount double, note string",
+        )
+    )
+    table.alter_schema(rename={"amount": "amt2"})
+    with pytest.raises(ConcurrentWriteError, match="both main and branch"):
+        publish_branch(spark, table.path, "bothalter")
+    assert registered_branches(table)[0]["name"] == "bothalter"
