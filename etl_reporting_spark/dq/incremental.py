@@ -36,10 +36,13 @@ orphan       per-KEY COUNT of slice rows  one row per OUTSTANDING
                                           retro-heals the fact rows
                                           it orphaned, so incremental
                                           ≡ batch holds for GROWING
-                                          dims (round-13). Dims must
-                                          grow monotonically; a dim
-                                          DELETE needs the batch
-                                          battery (contract)
+                                          dims (round-13). A dim
+                                          DELETE re-orphans via ONE
+                                          scoped fact scan pruned to
+                                          the deleted keys
+                                          (round-14) — incremental ≡
+                                          batch now holds for
+                                          deletes too
 metric       partial_aggregate of the     merged partials → exact
              value column (count /        count, DECIMAL-exact sum
              DECIMAL sum / sumsq / min /  and sumsq, min, max →
@@ -91,11 +94,37 @@ _STATE_SCHEMA = (
     "min_lo double, max_hi double"
 )
 
-_NULL_KEY = "__NULL__"
+#: State keys are namespace-encoded (round-14; ADVICE r13): real key
+#: values carry a ``k:`` prefix, sentinels live under ``s:`` — so a
+#: fact key whose literal value is ``__ANCHOR__``/``__NULL__`` can
+#: never collide with the battery's own bookkeeping rows (the old
+#: magic-string scheme made such a key permanently un-healable).
+_NULL_KEY = "s:null"
 
 #: zero-count presence row for per-key orphan state (never healed —
-#: the dim-key anti-join filters it explicitly)
-_ANCHOR_KEY = "__ANCHOR__"
+#: it lives in the sentinel namespace, which no ``k:``-prefixed dim
+#: key can reach)
+_ANCHOR_KEY = "s:anchor"
+
+
+def _norm_key(col: Column) -> Column:
+    """The battery's single key normalization: TRIM of the string
+    cast — the SAME normalization the batch battery's checks use
+    (checks.unique_check / orphan_check), applied identically at
+    ingest judgment, state derivation and heal (ADVICE r13: the three
+    sites must agree or whitespace-padded / cross-type keys break the
+    incremental ≡ batch contract)."""
+    return F.trim(col.cast("string"))
+
+
+def _enc_key(col: Column) -> Column:
+    """Encode a (possibly NULL) key value into the state-key
+    namespace: ``k:<trimmed string>`` for real values, the ``s:null``
+    sentinel for NULL (concat propagates NULL, so the coalesce fires
+    exactly for NULL inputs)."""
+    return F.coalesce(
+        F.concat(F.lit("k:"), _norm_key(col)), F.lit(_NULL_KEY)
+    )
 
 
 def _pad(df: DataFrame) -> DataFrame:
@@ -210,10 +239,11 @@ class IncrementalDQBattery:
         ingest against the dim delivered with their increment, and
         every OUTSTANDING orphan key is RE-JUDGED against each later
         dim delivery — late-arriving dim rows retro-heal (round-13).
-        State ∝ current orphan keys. Dims must grow monotonically;
-        after a dim DELETE run the batch battery (a deletion would
-        need matched fact rows re-orphaned, which only a fact re-scan
-        can see)."""
+        State ∝ current orphan keys. Dim DELETEs re-orphan exactly
+        (round-14): pass the deleted rows via ``dim_deletes`` plus
+        the fact via ``facts`` and previously-matched rows are
+        re-counted by one scan pruned to the deleted keys (see
+        :meth:`process_increment`)."""
         self._checks.append(
             {
                 "id": check_id,
@@ -278,14 +308,7 @@ class IncrementalDQBattery:
                 )
             elif c["kind"] == "duplicate":
                 key = F.concat_ws(
-                    "\x1f",
-                    *[
-                        F.coalesce(
-                            F.trim(F.col(k).cast("string")),
-                            F.lit(_NULL_KEY),
-                        )
-                        for k in c["keys"]
-                    ],
+                    "\x1f", *[_enc_key(F.col(k)) for k in c["keys"]]
                 )
                 frames.append(
                     _pad(
@@ -302,14 +325,7 @@ class IncrementalDQBattery:
                 )
             elif c["kind"] == "approx_duplicate":
                 key = F.concat_ws(
-                    "\x1f",
-                    *[
-                        F.coalesce(
-                            F.trim(F.col(k).cast("string")),
-                            F.lit(_NULL_KEY),
-                        )
-                        for k in c["keys"]
-                    ],
+                    "\x1f", *[_enc_key(F.col(k)) for k in c["keys"]]
                 )
                 frames.append(
                     _pad(
@@ -334,9 +350,19 @@ class IncrementalDQBattery:
                         f"orphan check {c['id']!r} needs dims[{c['dim']!r}] "
                         "passed to process_increment"
                     )
-                orphans = sl.join(
-                    dim.select(F.col(c["pk"]).alias(c["fk"])).distinct(),
-                    [c["fk"]],
+                # ingest judgment on the SAME normalized key the
+                # state and heal use (ADVICE r13: the raw-equality
+                # anti-join here disagreed with the trimmed heal on
+                # whitespace-padded / cross-type keys) — also exactly
+                # the batch orphan_check's trimmed-string equality,
+                # which the incremental ≡ batch contract targets.
+                orphans = sl.withColumn(
+                    "__nk", _norm_key(F.col(c["fk"]))
+                ).join(
+                    dim.filter(F.col(c["pk"]).isNotNull())
+                    .select(_norm_key(F.col(c["pk"])).alias("__nk"))
+                    .distinct(),
+                    "__nk",
                     "left_anti",
                 )
                 # per-KEY counts (round-13): state ∝ CURRENT orphans,
@@ -347,7 +373,7 @@ class IncrementalDQBattery:
                 # full heal), mirroring the row checks' always-one-row
                 # aggregate shape.
                 key = F.coalesce(
-                    F.trim(F.col(c["fk"]).cast("string")),
+                    F.concat(F.lit("k:"), F.col("__nk")),
                     F.lit(_NULL_KEY),
                 )
                 per_key = (
@@ -411,6 +437,8 @@ class IncrementalDQBattery:
         slices: dict[str, DataFrame],
         dims: dict[str, DataFrame] | None = None,
         watermarks: dict[str, str] | None = None,
+        dim_deletes: dict[str, DataFrame] | None = None,
+        facts: dict[str, DataFrame] | None = None,
     ) -> int | None:
         """Fold one watermark slice per table into the running state:
         one atomic state commit (replaced partitions = the checks
@@ -428,22 +456,59 @@ class IncrementalDQBattery:
         so incremental ≡ batch holds for GROWING dims, not just
         static ones (the one check where that equivalence used to
         break). Cost ∝ current orphan keys (the state), never fact
-        history. Dims must grow monotonically: a dim DELETE would
-        need previously-matched fact rows re-orphaned, which only a
-        fact re-scan can see — run the batch battery after dim
-        deletions (loud in the module docstring's contract)."""
+        history.
+
+        Dim DELETE re-orphaning (round-14; VERDICT r13 #2 — the last
+        incremental ≡ batch exception): pass the deleted dim rows in
+        ``dim_deletes[d]`` together with the POST-delete dim in
+        ``dims[d]`` and the affected fact's full current contents in
+        ``facts[t]`` (every slice folded so far, INCLUDING a slice
+        passed in this same call — the authoritative replace below
+        makes that composition exact, not double-counted). For each
+        orphan check on ``d``: the deleted keys still absent from the
+        post-delete dim are re-orphaned by ONE semi-join-pruned scan
+        of the fact restricted to those keys (broadcast of the
+        deleted-key set — cost ∝ matching fact rows, never history),
+        and the resulting per-key counts REPLACE any state rows for
+        those keys. A key deleted but still present in the dim
+        (duplicate pk rows) is correctly a no-op. State stays ∝
+        current orphan keys."""
         dims = dims or {}
+        dim_deletes = dim_deletes or {}
+        facts = facts or {}
         partials = self._slice_partials(slices, dims)
         heal = [
             c
             for c in self._checks
             if c["kind"] == "orphan" and c["dim"] in dims
         ]
+        reorphan = [
+            c
+            for c in self._checks
+            if c["kind"] == "orphan" and c["dim"] in dim_deletes
+        ]
+        for c in reorphan:
+            if c["dim"] not in dims:
+                raise ValueError(
+                    f"dim_deletes[{c['dim']!r}] needs the POST-delete "
+                    f"dim in dims[{c['dim']!r}] (to skip keys still "
+                    "present via duplicate pk rows)"
+                )
+            if c["table"] not in facts:
+                raise ValueError(
+                    f"dim_deletes[{c['dim']!r}] needs the affected "
+                    f"fact's full current contents in "
+                    f"facts[{c['table']!r}] for the scoped re-orphan "
+                    "scan"
+                )
         if partials is None:
-            if not (heal and self.state.current_version() > 0):
+            if not (
+                (heal or reorphan) and self.state.current_version() > 0
+            ):
                 return None
             # dim-only increment: nothing new to count, but existing
-            # orphan keys may heal against the delivered dim(s)
+            # orphan keys may heal against the delivered dim(s) and
+            # deleted dim keys may re-orphan matched fact rows
             partials = self.spark.createDataFrame([], _STATE_SCHEMA)
         touched = sorted(
             {
@@ -452,6 +517,7 @@ class IncrementalDQBattery:
                 if c["table"] in slices
             }
             | {f"check_id={c['id']}" for c in heal}
+            | {f"check_id={c['id']}" for c in reorphan}
         )
         if self.state.current_version() == 0:
             merged = partials
@@ -500,8 +566,9 @@ class IncrementalDQBattery:
             # re-judge outstanding orphan keys against the delivered
             # dims: one anti-join on (check_id, key) removes exactly
             # the state keys a dim (late or not) now covers. NULL pks
-            # are excluded (SQL equality: a NULL fk matches nothing),
-            # and the anchor row is never healed.
+            # are excluded (SQL equality: a NULL fk matches nothing);
+            # sentinel rows (anchor, the NULL bucket) live in the
+            # ``s:`` namespace no ``k:``-encoded dim key can reach.
             dim_keys = None
             for c in heal:
                 dk = (
@@ -509,13 +576,73 @@ class IncrementalDQBattery:
                     .filter(F.col(c["pk"]).isNotNull())
                     .select(
                         F.lit(c["id"]).alias("check_id"),
-                        F.trim(F.col(c["pk"]).cast("string")).alias("k"),
+                        F.concat(
+                            F.lit("k:"), _norm_key(F.col(c["pk"]))
+                        ).alias("k"),
                     )
                     .distinct()
-                    .filter(F.col("k") != _ANCHOR_KEY)
                 )
                 dim_keys = dk if dim_keys is None else dim_keys.unionByName(dk)
             merged = merged.join(dim_keys, ["check_id", "k"], "left_anti")
+        if reorphan:
+            # dim DELETE (round-14): keys removed from the dim make
+            # EVERY fact row carrying them an orphan again — which
+            # only a fact scan can see, so this is the one deliberate
+            # fact read in the state model, semi-join-pruned to the
+            # deleted keys (broadcast — a delete batch is small by
+            # nature; cost ∝ matching fact rows, not history). The
+            # per-key counts are AUTHORITATIVE (the scan sees the
+            # whole fact), so they replace any state/partial rows for
+            # those keys instead of summing — that is what makes a
+            # same-call slice + delete composition exact.
+            gone_all = None
+            counts_all = None
+            for c in reorphan:
+                gone = (
+                    dim_deletes[c["dim"]]
+                    .filter(F.col(c["pk"]).isNotNull())
+                    .select(_norm_key(F.col(c["pk"])).alias("__nk"))
+                    .distinct()
+                    .join(
+                        dims[c["dim"]]
+                        .filter(F.col(c["pk"]).isNotNull())
+                        .select(_norm_key(F.col(c["pk"])).alias("__nk"))
+                        .distinct(),
+                        "__nk",
+                        "left_anti",
+                    )
+                )
+                counts = (
+                    facts[c["table"]]
+                    .withColumn("__nk", _norm_key(F.col(c["fk"])))
+                    .join(F.broadcast(gone), "__nk", "semi")
+                    .select(
+                        F.concat(F.lit("k:"), F.col("__nk")).alias("k")
+                    )
+                    .groupBy("k")
+                    .agg(F.count(F.lit(1)).alias("p_cnt"))
+                    .select(
+                        F.lit(c["id"]).alias("check_id"),
+                        F.lit("orphan").alias("kind"),
+                        "k",
+                        "p_cnt",
+                    )
+                )
+                gk = gone.select(
+                    F.lit(c["id"]).alias("check_id"),
+                    F.concat(F.lit("k:"), F.col("__nk")).alias("k"),
+                )
+                gone_all = (
+                    gk if gone_all is None else gone_all.unionByName(gk)
+                )
+                counts_all = (
+                    counts
+                    if counts_all is None
+                    else counts_all.unionByName(counts)
+                )
+            merged = merged.join(
+                gone_all, ["check_id", "k"], "left_anti"
+            ).unionByName(_pad(counts_all))
         extra = {"dq_watermarks": dict(watermarks or {})}
         if self.state.current_version() > 0:
             prev = self.watermarks()

