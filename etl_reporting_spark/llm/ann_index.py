@@ -1,0 +1,358 @@
+"""Persisted ANN index with frozen-codebook incremental growth
+(round-14; VERDICT r13 "Next" #1).
+
+Every prior serving gate trains (or inline-derives) its IVF+PQ index
+in the same process that queries it — correct, but train-per-query is
+exactly what dies at 100 TB. The deployment shape for a GROWING
+corpus is the one the reference's own incremental model uses for
+facts (high-water-mark loads, reference
+connector/snowpark_connector.py:425-453), applied to the index:
+
+1. **Build once** (``build_ann_index``): Lloyd-train the IVF
+   centroids and the residual PQ codebook over the build corpus,
+   encode every vector, and persist THREE WAP tables under one root —
+
+   =============  =====================================  ============
+   table          schema                                 size
+   =============  =====================================  ============
+   ``centroids``  (vec_id, embedding array<double>)      n_centroids
+                                                         rows — always
+                                                         broadcastable
+   ``codebook``   (subspace, code, subvec, cn2)          m·n_codes
+                                                         rows — always
+                                                         broadcastable
+   ``codes``      (vec_id, subspace, code) PARTITIONED   m rows per
+                  BY centroid_id — the inverted lists    corpus vector
+   =============  =====================================  ============
+
+   After the build the centroids and codebook are FROZEN — they are
+   never retrained by growth (retraining would invalidate every
+   stored code; drift vs retrain is measured, not hash-asserted — see
+   the recall-drift rung in tools/ann_ladder.py).
+
+2. **Grow by append** (``PersistedAnnIndex.append``): each new
+   embedding increment is cell-assigned, residualized per cell, and
+   ``pq_encode``-d against the frozen codebook — ONE corpus-linear
+   pass over the INCREMENT only — then appended to the codes table as
+   one atomic commit (``append_rows``: new files only, zero rewrite).
+   Because ``pq_encode`` is pure in (vector, codebook), the grown
+   index is bit-identical to a scratch encode of the union against
+   the same frozen artifacts — which is exactly what the
+   ``ann_index_incremental`` gate hash-proves.
+
+3. **Serve from the persisted lists** (``PersistedAnnIndex.search``):
+   queries are probed against the broadcast centroids; ONLY the
+   probed cells' partitions are read (metadata-layer pruning — at
+   1000 cells and n_probe 8, 99.2 % of the index is never planned,
+   let alone scanned); ADC scoring and the optional exact-rerank
+   refine reuse ``ivfpq_candidates``/``exact_rerank`` verbatim via
+   the ``codes=`` fast path, so persisted serving stays on the same
+   value-hash-oracled code path as the inline gates.
+
+Scale notes: the codes table carries m small ints per vector — the
+4·dim/m× compression that makes a 100 TB raw corpus an ~3 TB index;
+appends are ∝ increment; serving is ∝ corpus·n_probe/n_cells with the
+two model tables broadcast. The per-partition small-files debt of
+frequent appends is the standard WAP one — ``maintenance_plan`` /
+``optimize_partitions`` on the codes table compacts inverted lists
+without touching the model tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.operators.table_storage import TableStorage
+from etl_reporting_spark.operators.wap import (
+    PartitionedWapTable,
+    WapTable,
+    create_partitioned_wap_table,
+    create_wap_table,
+)
+
+
+def _encode_against(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Encode vectors against FROZEN artifacts: cell-assign, residualize
+    per cell, PQ-encode the residuals. Returns the codes-table rows
+    (id_col, subspace, code, centroid_id) — m per vector. Pure in
+    (vector, centroids, codebook): build-time and append-time encodes
+    of the same vector are bit-identical, the property the incremental
+    gate hashes."""
+    from etl_reporting_spark.llm.quantize import pq_encode, residualize
+
+    resid = residualize(embeddings, centroids, id_col, vec_col)
+    codes = pq_encode(
+        resid.select(id_col, vec_col), codebook, m, dim, id_col, vec_col
+    )
+    return codes.join(resid.select(id_col, "centroid_id"), id_col)
+
+
+class PersistedAnnIndex:
+    """Handle over the three persisted index tables. Open an existing
+    index with :func:`open_ann_index`; create one with
+    :func:`build_ann_index`. The handle reads the frozen model tables
+    once per instance (tiny — broadcast-sized by construction) and
+    leaves the codes table on disk until a search names its cells."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        storage: TableStorage | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.centroids_table = WapTable(
+            spark, f"{path}/centroids", storage=storage
+        )
+        self.codebook_table = WapTable(
+            spark, f"{path}/codebook", storage=storage
+        )
+        self.codes_table = PartitionedWapTable(
+            spark, f"{path}/codes", ["centroid_id"], storage=storage
+        )
+        self.params_table = WapTable(spark, f"{path}/params", storage=storage)
+        self._params: dict | None = None
+        self._centroids: DataFrame | None = None
+        self._codebook: DataFrame | None = None
+
+    # ------------------------------------------------------- model
+    @property
+    def params(self) -> dict:
+        """Frozen build parameters (m, dim, n_centroids, n_codes,
+        id/vec column names) — one row, committed at build."""
+        if self._params is None:
+            row = self.params_table.read().first().asDict()
+            self._params = row
+        return self._params
+
+    def centroids(self) -> DataFrame:
+        """The frozen IVF centroids, (id_col, vec_col) — read once per
+        handle (n_centroids rows)."""
+        if self._centroids is None:
+            self._centroids = self.centroids_table.read()
+        return self._centroids
+
+    def codebook(self) -> DataFrame:
+        """The frozen PQ codebook, (subspace, code, subvec, cn2) —
+        read once per handle (m·n_codes rows)."""
+        if self._codebook is None:
+            self._codebook = self.codebook_table.read()
+        return self._codebook
+
+    # ------------------------------------------------------- growth
+    def append(self, increment: DataFrame) -> int:
+        """Fold a new-embeddings increment into the index: encode
+        against the FROZEN centroids + codebook (one pass over the
+        increment — the 100 TB contract: growth cost never touches the
+        existing corpus) and append the resulting inverted-list rows
+        as one atomic commit. Returns the codes table's new version.
+
+        The caller owns id uniqueness (an id re-appended would serve
+        twice — dedupe upstream or route updates through the codes
+        table's DV ops). Appends into cells the build never populated
+        create those partitions."""
+        p = self.params
+        codes = _encode_against(
+            increment,
+            self.centroids(),
+            self.codebook(),
+            int(p["m"]),
+            int(p["dim"]),
+            p["id_col"],
+            p["vec_col"],
+        )
+        return self.codes_table.append_rows(codes, operation="ann-index-append")
+
+    # ------------------------------------------------------ serving
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 1,
+        shortlist: int | None = None,
+        rerank_embeddings: DataFrame | None = None,
+    ) -> DataFrame:
+        """Top-k neighbors per query from the PERSISTED inverted
+        lists: probe each query's ``n_probe`` nearest cells (broadcast
+        centroids), read ONLY those cells' partitions (metadata-layer
+        pruning — the probed-cell set is collected driver-side, ≤
+        n_centroids values, metadata-bounded), ADC-score via the
+        shared ``ivfpq_candidates`` ``codes=`` path, and either rank
+        the ADC scores directly (returns ``adc_score``) or — when
+        ``rerank_embeddings`` (the raw vectors, e.g. the corpus table)
+        and ``shortlist`` are given — exact-rerank the shortlist to
+        TRUE cosines (returns ``cosine``), the IVFADC-R refine stage.
+
+        Scale: candidate work ∝ |corpus|·n_probe/n_cells; the rerank
+        join is query-sized (n_queries·shortlist full-width reads)."""
+        from etl_reporting_spark.llm.quantize import (
+            exact_rerank,
+            ivfpq_candidates,
+        )
+        from etl_reporting_spark.llm.similarity import ivf_assign
+        from pyspark.sql import Window
+
+        p = self.params
+        id_col, vec_col = p["id_col"], p["vec_col"]
+        probes = ivf_assign(
+            queries, self.centroids(), id_col, vec_col, n_nearest=n_probe
+        )
+        # probed-cell ids: ≤ n_centroids distinct values (metadata-
+        # bounded collect — never row-cardinality)
+        cell_ids = sorted(
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+        existing = set(self.codes_table.partition_map())
+        keys = [
+            key
+            for key in (f"centroid_id={c}" for c in cell_ids)
+            if key in existing
+        ]
+        if keys:
+            codes = self.codes_table.read(partitions=keys)
+        elif existing:
+            # every probed cell is an empty inverted list; borrow the
+            # committed schema from any partition, keep zero rows
+            codes = self.codes_table.read(
+                partitions=[next(iter(existing))]
+            ).limit(0)
+        else:
+            codes = self.spark.createDataFrame(
+                [], f"{id_col} long, subspace int, code long, centroid_id long"
+            )
+        cands = ivfpq_candidates(
+            None,
+            queries,
+            n_probe=n_probe,
+            residual=True,
+            n_centroids=int(p["n_centroids"]),
+            m=int(p["m"]),
+            n_codes=int(p["n_codes"]),
+            dim=int(p["dim"]),
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=self.centroids(),
+            codebook=self.codebook(),
+            codes=codes,
+        )
+        if rerank_embeddings is not None:
+            if shortlist is None:
+                raise ValueError("rerank_embeddings requires shortlist=")
+            return exact_rerank(
+                cands,
+                rerank_embeddings,
+                queries,
+                k=k,
+                shortlist=shortlist,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_score").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "adc_score")
+        )
+
+
+def build_ann_index(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    n_centroids: int = 32,
+    m: int = 8,
+    n_codes: int = 64,
+    dim: int = 64,
+    ivf_iterations: int = 5,
+    pq_iterations: int = 3,
+    exact: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    storage: TableStorage | None = None,
+) -> PersistedAnnIndex:
+    """Train + encode + persist: the one-time index build. Training
+    cost is paid HERE, never at query time (``exact=True`` keeps the
+    whole build value-hash-oracle-able — 100 TB builds pass
+    ``exact=False`` for plain partial+final means). The trained
+    centroids/codebook are materialized (lineage cut) before
+    persisting, exactly like the inline trained gates."""
+    from etl_reporting_spark.caching import cache_scope
+    from etl_reporting_spark.llm.quantize import (
+        materialize_index,
+        pq_train_codebook,
+        residualize,
+    )
+    from etl_reporting_spark.llm.similarity import train_ivf_centroids
+
+    with cache_scope():
+        cents = materialize_index(
+            train_ivf_centroids(
+                embeddings,
+                n_centroids=n_centroids,
+                iterations=ivf_iterations,
+                id_col=id_col,
+                vec_col=vec_col,
+                exact=exact,
+            )
+        )
+    with cache_scope():
+        cb = materialize_index(
+            pq_train_codebook(
+                residualize(embeddings, cents, id_col, vec_col).select(
+                    id_col, vec_col
+                ),
+                m=m,
+                n_codes=n_codes,
+                dim=dim,
+                iterations=pq_iterations,
+                id_col=id_col,
+                vec_col=vec_col,
+                exact=exact,
+            )
+        )
+    create_wap_table(spark, f"{path}/centroids", cents, storage=storage)
+    create_wap_table(spark, f"{path}/codebook", cb, storage=storage)
+    params = spark.createDataFrame(
+        [
+            (
+                int(n_centroids),
+                int(m),
+                int(n_codes),
+                int(dim),
+                id_col,
+                vec_col,
+            )
+        ],
+        "n_centroids int, m int, n_codes int, dim int, "
+        "id_col string, vec_col string",
+    )
+    create_wap_table(spark, f"{path}/params", params, storage=storage)
+    codes = _encode_against(embeddings, cents, cb, m, dim, id_col, vec_col)
+    create_partitioned_wap_table(
+        spark, f"{path}/codes", codes, ["centroid_id"], storage=storage
+    )
+    return PersistedAnnIndex(spark, path, storage=storage)
+
+
+def open_ann_index(
+    spark: SparkSession, path: str, storage: TableStorage | None = None
+) -> PersistedAnnIndex:
+    """Open a previously built index — a fresh process reading the
+    persisted tables; nothing is retrained or re-encoded."""
+    idx = PersistedAnnIndex(spark, path, storage=storage)
+    if idx.params_table.current_version() == 0:
+        raise FileNotFoundError(f"no ANN index at {path}")
+    return idx

