@@ -3,9 +3,10 @@ pattern at PIPELINE granularity.
 
 Per-commit WAP (wap.py) audits each snapshot before its atomic
 publish. The pattern the reference actually runs is one level up: its
-loaders stage a whole batch of mutations in a staging schema, validate
-THERE, and only then swap into the serving schema
-(reference connector/snowpark_connector.py:607-688 staging-then-MERGE).
+loaders stage a whole batch in a TRANSIENT table, validate there, and
+only then MERGE into the serving table and drop the staging copy
+(reference connector/snowpark_connector.py:607-688 ``upsert`` via
+``_upsert_via_temp_table``).
 Iceberg spells the same idea as branch refs + fast-forward. This
 module gives WAP tables that spelling:
 
@@ -22,10 +23,12 @@ module gives WAP tables that spelling:
   onto the main log, REBASED onto main's current tip: each branch
   commit's touched partitions overwrite main's map entries; untouched
   entries keep whatever main did meanwhile. Disjoint main progress
-  fast-forwards under the replay; overlapping progress (or any
-  branch/main commit without a ``touched`` set — full overwrites,
-  schema/constraint changes) refuses with the partitions named,
-  because silently choosing a side would lose one of them.
+  fast-forwards under the replay; branch metadata commits (schema,
+  constraints, spec, stats) re-execute against main's tip (round-13);
+  full overwrites replay onto an idle-or-advisory main (round-14).
+  Overlapping data progress — or an overwrite racing real main
+  commits — refuses with the versions/partitions named, because
+  silently choosing a side would lose one of them.
 - :func:`drop_branch` — delete the registration; the branch's data
   roots become unreferenced and age out through the normal vacuum.
 
@@ -54,6 +57,7 @@ from etl_reporting_spark.operators.wap import (
     _pkey_of_file,
     open_wap_table,
 )
+from etl_reporting_spark.operators.wap_core import _STICKY_RECORD_KEYS
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_-]{0,63}$")
 
@@ -181,7 +185,8 @@ def drop_branch(
 
 #: branch-side metadata-only commits publish_branch can REPLAY onto a
 #: diverged main (everything else without a ``touched`` set — full
-#: overwrites, unknown future operations — still refuses)
+#: overwrites, unknown future operations — replays only onto an
+#: idle-or-advisory main, and refuses when main made real progress)
 _REPLAYABLE_METADATA_OPS = frozenset(
     {
         "alter_schema",
@@ -201,7 +206,12 @@ _ADVISORY_MAIN_OPS = frozenset({"analyze", "analyze_keys"})
 
 
 def _replay_metadata_commit(
-    main, rec: dict, pred: dict, tip: int, extra: dict | None = None
+    main,
+    rec: dict,
+    pred: dict,
+    tip: int,
+    extra: dict | None = None,
+    remap_stats=None,
 ) -> int:
     """Apply one branch-side metadata-only commit on top of main's
     ``tip``. Returns the new tip. Dispatch by how each class composes
@@ -249,13 +259,31 @@ def _replay_metadata_commit(
         ours = rec.get("constraints") or {}
         theirs = pred.get("constraints") or {}
         current = main._commit_record(tip).get("constraints") or {}
-        for cname in sorted(set(theirs) - set(ours)):
+        drops = sorted(set(theirs) - set(ours))
+        adds = sorted(set(ours) - set(theirs))
+        if len(drops) + len(adds) > 1:
+            # crash-recovery invariant (ADVICE r13): every main commit
+            # a replay emits carries the SAME branch_replayed_version,
+            # and the re-run marks that branch version done after the
+            # FIRST marker commit — so a multi-op diff crashed halfway
+            # would silently skip its remaining ops on recovery. The
+            # public API changes one constraint per commit; a record
+            # diffing more than one is foreign, and replaying it would
+            # be unsafe.
+            raise ConcurrentWriteError(
+                f"branch constraint commit v{rec.get('version')} diffs "
+                f"more than one constraint (drops {drops}, adds {adds}) "
+                "— replay emits one main commit per branch commit to "
+                "keep crash recovery exact; re-apply the constraints on "
+                "main directly"
+            )
+        for cname in drops:
             if cname not in current:
                 continue  # main dropped it too post-fork — commutes
             tip = main.drop_check_constraint(
                 cname, base_version=tip, record_extra=extra
             )
-        for cname in sorted(set(ours) - set(theirs)):
+        for cname in adds:
             if current.get(cname) == ours[cname]:
                 continue  # main added the identical pair — commutes
             tip = main.add_check_constraint(
@@ -273,10 +301,20 @@ def _replay_metadata_commit(
             operation="evolve-spec",
             record_extra=extra,
         )
-    # analyze / analyze_keys
+    # analyze / analyze_keys: advisory stats, carried verbatim —
+    # except their column keys, which the branch recorded under
+    # fork-era names; under a main-side post-fork ALTER they re-key
+    # through main's renames and shed dropped columns (ADVICE r13 —
+    # mirroring alter_schema's own table_stats re-keying; advisory,
+    # but a stale key degrades planning silently)
+    ts = dict(rec.get("table_stats") or {})
+    if remap_stats is not None:
+        for section in ("columns", "keys"):
+            if isinstance(ts.get(section), dict):
+                ts[section] = remap_stats(ts[section])
     return main._metadata_only_commit(
         tip,
-        {"table_stats": rec.get("table_stats") or {}},
+        {"table_stats": ts},
         operation=op,
         record_extra=extra,
     )
@@ -308,19 +346,26 @@ def publish_branch(
       partition-spec evolution, stats — ``_REPLAYABLE_METADATA_OPS``)
       are replayed through :func:`_replay_metadata_commit`: this is
       what makes "fork → migrate schema → validate → publish" — the
-      staged-migration pattern the reference's staging-schema swap
+      staged-migration pattern the reference's stage-then-MERGE loaders
       implements (reference connector/snowpark_connector.py:607-688) —
       expressible on a branch. Re-executed commits keep their normal
       operation names (they go through the public ALTER/constraint
       code paths) and — like the data replays — carry the provenance
       markers via ``record_extra``.
 
+    - FULL-OVERWRITE commits (no ``touched`` set, not a metadata
+      class) replay verbatim when main's post-fork progress is empty
+      or advisory-only (round-14) — "stage a full rebuild on a
+      branch, validate, publish" is the other half of the reference's
+      stage-then-publish upsert; refused when main made real progress (the
+      overwrite defines the whole table state, so rebasing it over
+      ANY main commit — even a disjoint one — would lose a side).
+
     Refused with names when a side cannot be rebased:
 
     - any branch commit WITHOUT a ``touched`` set whose operation is
-      not a replayable metadata class (full overwrites) — replaying
-      those onto a diverged twin is ambiguous; run them on main
-      directly;
+      not a replayable metadata class (full overwrites) when main
+      holds real (non-advisory) post-fork commits — see above;
     - any intervening MAIN commit without a ``touched`` set, EXCEPT
       (a) advisory ``analyze`` / ``analyze_keys`` stats refreshes,
       which commute with every branch commit (a routine ANALYZE on
@@ -403,19 +448,38 @@ def publish_branch(
         intervening.append((v, rec))
     pending = [r for r in branch_recs if r["version"] not in done]
 
-    unreplayable = [
+    # full-overwrite / unknown no-touched branch commits (round-14;
+    # VERDICT r13 #2a): replayable ONLY when main made no real
+    # post-fork progress — the overwrite defines the WHOLE table
+    # state, so even a disjoint main data commit (or a constraint /
+    # schema change) would be silently clobbered by it. Advisory
+    # stats refreshes commute. With idle-or-advisory main, "stage a
+    # full rebuild on a branch, validate, publish" — the other half
+    # of the reference's stage-then-publish upsert
+    # (reference connector/snowpark_connector.py:607-688) — replays
+    # deterministically: publish ≡ having run the overwrite on main.
+    overwrites = [
         r["version"]
         for r in pending
         if "touched" not in r
         and r.get("operation") not in _REPLAYABLE_METADATA_OPS
     ]
-    if unreplayable:
-        raise ConcurrentWriteError(
-            f"branch {name!r} holds commit(s) without a touched set "
-            f"(branch versions {unreplayable}: full overwrites / unknown "
-            "operations) — those cannot be rebased onto a diverged main; "
-            "run them on main directly"
-        )
+    if overwrites:
+        blocking = [
+            v
+            for v, rec in intervening
+            if rec.get("operation") not in _ADVISORY_MAIN_OPS
+        ]
+        if blocking:
+            raise ConcurrentWriteError(
+                f"branch {name!r} holds full-overwrite commit(s) "
+                f"(branch versions {overwrites}) and main made real "
+                f"post-fork progress (main versions {blocking}) — an "
+                "overwrite defines the whole table state, so rebasing "
+                "it over main's progress would lose one side; re-fork "
+                "from the current tip and re-apply, or run the "
+                "overwrite on main directly"
+            )
     branch_touched: set[str] = set()
     for r in pending:
         branch_touched |= set(r.get("touched", ()))
@@ -538,15 +602,43 @@ def publish_branch(
             "branch_created_at": created_at,
             "branch_replayed_version": rec["version"],
         }
-        if "touched" not in rec:
+        if (
+            "touched" not in rec
+            and rec.get("operation") in _REPLAYABLE_METADATA_OPS
+        ):
             new_tip = _replay_metadata_commit(
-                main, rec, pred, new_tip, extra=marker
+                main, rec, pred, new_tip, extra=marker,
+                remap_stats=_remap_cols,
             )
             if rec.get("operation") in ("evolve-spec", "alter_schema"):
                 # the handle's cached transforms/partition_by are now
                 # stale; re-detect from the new tip so later re-executed
                 # metadata commits validate against current state
                 main = open_wap_table(spark, path, storage=main.fs)
+            pred = rec
+            continue
+        if "touched" not in rec:
+            # full overwrite onto an idle-or-advisory main (screened
+            # above): the record IS the complete table state — publish
+            # it rebased verbatim, minus sticky metadata keys, which
+            # central _publish inheritance takes from main's tip (the
+            # tip already holds every earlier replayed branch metadata
+            # commit AND any newer main-side ANALYZE, so inheriting
+            # beats reverting to the branch record's fork-era copies).
+            out = {
+                k: v
+                for k, v in rec.items()
+                if k not in _STICKY_RECORD_KEYS
+            }
+            out.update(
+                {
+                    "version": new_tip + 1,
+                    "committed_at": time.time(),
+                    **marker,
+                }
+            )
+            main._publish(out)
+            new_tip += 1
             pred = rec
             continue
         base_rec = main._commit_record(new_tip)

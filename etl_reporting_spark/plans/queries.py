@@ -1668,7 +1668,7 @@ def wap_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wap_branch_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged-migration gate (round-13; closes VERDICT r12 #1): the
     "fork → migrate → validate → publish" pattern the reference's
-    staging-schema swap implements (reference
+    stage-in-transient-then-MERGE loaders implement (reference
     connector/snowpark_connector.py:607-688), now expressible on a
     BRANCH because publish_branch replays metadata-only commits
     (operators/branches.py) instead of refusing them:

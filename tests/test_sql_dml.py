@@ -911,7 +911,7 @@ def test_full_width_script_through_one_engine_call(spark, fact):
 
 def test_staged_migration_script_via_text(spark, fact):
     """Round-13: the staged-migration pattern as STATEMENT TEXT — the
-    reference's staging-schema swap as a script (reference
+    reference's stage-then-MERGE upsert as a script (reference
     connector/snowpark_connector.py:607-688). CREATE BRANCH, RENAME
     COLUMN + MERGE on the branch handle, a routine ANALYZE on MAIN in
     between (which used to brick the publish), PUBLISH BRANCH — and

