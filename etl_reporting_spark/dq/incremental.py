@@ -310,19 +310,27 @@ class IncrementalDQBattery:
                 key = F.concat_ws(
                     "\x1f", *[_enc_key(F.col(k)) for k in c["keys"]]
                 )
-                frames.append(
-                    _pad(
-                        sl.select(key.alias("k"))
-                        .groupBy("k")
-                        .agg(F.count(F.lit(1)).alias("p_cnt"))
-                        .select(
-                            cid.alias("check_id"),
-                            kind.alias("kind"),
-                            "k",
-                            "p_cnt",
-                        )
+                per_key = (
+                    sl.select(key.alias("k"))
+                    .groupBy("k")
+                    .agg(F.count(F.lit(1)).alias("p_cnt"))
+                    .select(
+                        cid.alias("check_id"),
+                        kind.alias("kind"),
+                        "k",
+                        "p_cnt",
                     )
                 )
+                # zero anchor (as the orphan check's): keeps the check
+                # present in the verdict even when every key it ever
+                # saw has been retracted through the change feed
+                anchor = self.spark.range(1).select(
+                    cid.alias("check_id"),
+                    kind.alias("kind"),
+                    F.lit(_ANCHOR_KEY).alias("k"),
+                    F.lit(0).cast("long").alias("p_cnt"),
+                )
+                frames.append(_pad(per_key.unionByName(anchor)))
             elif c["kind"] == "approx_duplicate":
                 key = F.concat_ws(
                     "\x1f", *[_enc_key(F.col(k)) for k in c["keys"]]
@@ -432,6 +440,79 @@ class IncrementalDQBattery:
             out = out.unionByName(f)
         return out
 
+    def _negate_partials(self, partials: DataFrame) -> DataFrame:
+        """Exact retraction of a partial frame (the CDF delete /
+        update_preimage side): counters and sums negate; p_min/p_max
+        become NULL (extremes are not invertible — merged min/max stay
+        HIGH-WATER marks, documented in :meth:`process_change_feed`);
+        an approx check's sketch is dropped (HLL never shrinks — its
+        NDV stays ever-seen, so its dup excess under deletes only
+        under-alarms, never false-alarms)."""
+        return partials.select(
+            "check_id",
+            "kind",
+            F.when(F.col("kind") == "approx_duplicate", F.lit(""))
+            .otherwise(F.col("k"))
+            .alias("k"),
+            (-F.col("p_cnt")).alias("p_cnt"),
+            (-F.col("p_sum")).cast("decimal(38,4)").alias("p_sum"),
+            F.lit(None).cast("decimal(38,4)").alias("p_min"),
+            F.lit(None).cast("decimal(38,4)").alias("p_max"),
+            (-F.col("p_sumsq")).cast("decimal(38,4)").alias("p_sumsq"),
+            "lo",
+            "hi",
+            "min_lo",
+            "max_hi",
+        )
+
+    def process_change_feed(
+        self,
+        changes: dict[str, DataFrame],
+        dims: dict[str, DataFrame] | None = None,
+        watermarks: dict[str, str] | None = None,
+    ) -> int | None:
+        """Fold one CHANGE-FEED batch per table — the commit-driven
+        cadence (round-14; VERDICT r13 #6): feed this straight from
+        ``table_changes(table, keys, since_version)`` (or any frame
+        carrying Delta's CDF vocabulary in ``_change_type``) and the
+        battery tracks the TABLE, not an append stream. ``insert`` /
+        ``update_postimage`` rows fold as positive partials;
+        ``delete`` / ``update_preimage`` rows RETRACT exactly — so
+        after any mix of appends, DV deletes and keyed merges the
+        verdicts equal the batch battery over the final snapshot
+        (hash-proven by the ``incremental_dq_cdf`` gate), with two
+        documented exceptions inherent to mergeable state:
+
+        - a metric check's ``min_at_least``/``max_at_most`` compare
+          against EVER-SEEN extremes (deleting the offending row
+          cannot restore the previous min/max without a re-scan) —
+          mean bounds retract exactly;
+        - an approx_duplicate sketch never shrinks (NDV stays
+          ever-seen), so under deletes its excess under-alarms.
+
+        This is the reference's DMF-on-schedule shape
+        (reference sql/new_rfb_and_total_claimants_active/
+        setup_dmf_data_quality.sql:46-47) driven by the table format's
+        own commits instead of a caller re-slicing."""
+        adds: dict[str, DataFrame] = {}
+        drops: dict[str, DataFrame] = {}
+        for t, df in changes.items():
+            if "_change_type" not in df.columns:
+                raise ValueError(
+                    f"changes[{t!r}] has no _change_type column — pass "
+                    "a change-feed frame (table_changes output), or use "
+                    "process_increment for plain slices"
+                )
+            adds[t] = df.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).drop("_change_type")
+            drops[t] = df.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            ).drop("_change_type")
+        return self.process_increment(
+            adds, dims=dims, watermarks=watermarks, retractions=drops
+        )
+
     def process_increment(
         self,
         slices: dict[str, DataFrame],
@@ -439,6 +520,7 @@ class IncrementalDQBattery:
         watermarks: dict[str, str] | None = None,
         dim_deletes: dict[str, DataFrame] | None = None,
         facts: dict[str, DataFrame] | None = None,
+        retractions: dict[str, DataFrame] | None = None,
     ) -> int | None:
         """Fold one watermark slice per table into the running state:
         one atomic state commit (replaced partitions = the checks
@@ -477,6 +559,17 @@ class IncrementalDQBattery:
         dim_deletes = dim_deletes or {}
         facts = facts or {}
         partials = self._slice_partials(slices, dims)
+        if retractions:
+            # exact retraction (the change-feed delete side): the same
+            # partial derivation, negated — deletes judged against the
+            # SAME dims as inserts, so an orphan key's count comes back
+            # down exactly when its rows leave the fact
+            rp = self._slice_partials(retractions, dims)
+            if rp is not None:
+                rp = self._negate_partials(rp)
+                partials = (
+                    rp if partials is None else partials.unionByName(rp)
+                )
         heal = [
             c
             for c in self._checks
@@ -515,13 +608,14 @@ class IncrementalDQBattery:
                 f"check_id={c['id']}"
                 for c in self._checks
                 if c["table"] in slices
+                or c["table"] in (retractions or {})
             }
             | {f"check_id={c['id']}" for c in heal}
             | {f"check_id={c['id']}" for c in reorphan}
         )
         if self.state.current_version() == 0:
-            merged = partials
             self.state.fs.prepare_root()
+            both = partials
         else:
             existing = self.state.read(
                 partitions=[
@@ -531,37 +625,60 @@ class IncrementalDQBattery:
                 ]
             )
             both = existing.unionByName(partials)
-            merged = (
-                both.filter(F.col("kind") != "approx_duplicate")
-                .groupBy("check_id", "kind", "k")
-                .agg(
-                    F.sum("p_cnt").alias("p_cnt"),
-                    F.sum("p_sum").cast("decimal(38,4)").alias("p_sum"),
-                    F.min("p_min").alias("p_min"),
-                    F.max("p_max").alias("p_max"),
-                    F.sum("p_sumsq").cast("decimal(38,4)").alias("p_sumsq"),
-                    F.max("lo").alias("lo"),
-                    F.max("hi").alias("hi"),
-                    F.max("min_lo").alias("min_lo"),
-                    F.max("max_hi").alias("max_hi"),
+        merged = (
+            both.filter(F.col("kind") != "approx_duplicate")
+            .groupBy("check_id", "kind", "k")
+            .agg(
+                F.sum("p_cnt").alias("p_cnt"),
+                F.sum("p_sum").cast("decimal(38,4)").alias("p_sum"),
+                F.min("p_min").alias("p_min"),
+                F.max("p_max").alias("p_max"),
+                F.sum("p_sumsq").cast("decimal(38,4)").alias("p_sumsq"),
+                F.max("lo").alias("lo"),
+                F.max("hi").alias("hi"),
+                F.max("min_lo").alias("min_lo"),
+                F.max("max_hi").alias("max_hi"),
+            )
+            # a per-key row whose counter fully retracted (every
+            # arrival of the key deleted through the change feed)
+            # leaves the state — the bound stays CURRENT keys, and a
+            # duplicate key that re-appears starts clean. Scalar rows
+            # (row/metric) and the orphan anchor keep their presence
+            # at zero.
+            .filter(
+                ~(
+                    F.col("kind").isin("duplicate", "orphan")
+                    & (F.col("p_cnt") == 0)
+                    & (F.col("k") != _ANCHOR_KEY)
                 )
             )
-            if any(c["kind"] == "approx_duplicate" for c in self._checks):
-                # sketches merge by UNION, not sum — the one non-sum
-                # fold in the state model (hll_union_agg is JVM-side
-                # and mergeable by construction, like the partials)
-                apx = (
-                    both.filter(F.col("kind") == "approx_duplicate")
-                    .groupBy("check_id", "kind")
-                    .agg(
-                        F.sum("p_cnt").alias("p_cnt"),
+        )
+        if any(c["kind"] == "approx_duplicate" for c in self._checks):
+            # sketches merge by UNION, not sum — the one non-sum
+            # fold in the state model (hll_union_agg is JVM-side
+            # and mergeable by construction, like the partials).
+            # Empty-sketch rows (an empty slice's partial, a
+            # retraction) contribute their counter but no sketch.
+            apx = (
+                both.filter(F.col("kind") == "approx_duplicate")
+                .groupBy("check_id", "kind")
+                .agg(
+                    F.sum("p_cnt").alias("p_cnt"),
+                    F.coalesce(
                         F.base64(
-                            F.hll_union_agg(F.unbase64(F.col("k")))
-                        ).alias("k"),
-                        F.max("lo").alias("lo"),
-                    )
+                            F.hll_union_agg(
+                                F.when(
+                                    F.col("k") != "",
+                                    F.unbase64(F.col("k")),
+                                )
+                            )
+                        ),
+                        F.lit(""),
+                    ).alias("k"),
+                    F.max("lo").alias("lo"),
                 )
-                merged = merged.unionByName(_pad(apx))
+            )
+            merged = merged.unionByName(_pad(apx))
         if heal:
             # re-judge outstanding orphan keys against the delivered
             # dims: one anti-join on (check_id, key) removes exactly
@@ -716,7 +833,11 @@ class IncrementalDQBattery:
             .cast("long")
             .alias("failed_rows"),
         )
-        est = F.hll_sketch_estimate(F.unbase64(F.col("k")))
+        # an all-empty-sketch state (nothing ever arrived, or every
+        # arrival retracted) estimates zero distinct keys
+        est = F.when(F.col("k") == "", F.lit(0)).otherwise(
+            F.hll_sketch_estimate(F.unbase64(F.col("k")))
+        )
         excess = F.greatest(
             F.lit(0).cast("long"),
             (F.col("p_cnt") - est).cast("long"),

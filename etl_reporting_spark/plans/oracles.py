@@ -1583,6 +1583,43 @@ FROM checks
 ORDER BY test_id
 """
 
+ORACLE_SQL["incremental_dq_cdf"] = """
+-- Twin of the change-feed battery: every check recomputed over the
+-- FINAL snapshot (keys <= 500 price-negated by the DV merge; all
+-- other rows as created/appended). A missed retraction (preimage not
+-- subtracted) or a double-folded postimage diverges here.
+WITH final AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey <= 500 THEN -CAST(o_totalprice AS DOUBLE)
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders
+),
+checks AS (
+  SELECT 'CDQ-001' AS test_id,
+         (SELECT COUNT(*) FROM final WHERE price < 0) AS failed_rows
+  UNION ALL
+  SELECT 'CDQ-002',
+         (SELECT COUNT(*) FROM (
+            SELECT TRIM(CAST(o_orderkey AS VARCHAR)) AS k
+            FROM final GROUP BY 1 HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'CDQ-003',
+         (SELECT COUNT(*) FROM final o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'CDQ-004',
+         (SELECT CAST(CASE WHEN AVG(price) < -1e9 OR AVG(price) > 1e9
+                      THEN 1 ELSE 0 END AS BIGINT)
+          FROM final)
+)
+SELECT test_id,
+       CASE WHEN failed_rows = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+       CAST(failed_rows AS BIGINT) AS failed_rows
+FROM checks
+ORDER BY test_id
+"""
+
 ORACLE_SQL["wap_update_dv"] = """
 -- Twin of the DV-update lifecycle: delete %9, then +10 on 50-150,
 -- then the %13 partition-move — in order (a %13 key in 50-150 moves

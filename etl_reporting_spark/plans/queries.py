@@ -1944,6 +1944,84 @@ def incremental_dq_dim_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.verdicts()
 
 
+def incremental_dq_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed-driven DQ battery gate (round-14; VERDICT r13 #6):
+    the battery's cadence is driven by the TABLE FORMAT'S COMMITS, not
+    by a caller re-slicing — the reference's DMF-on-schedule shape
+    (reference sql/new_rfb_and_total_claimants_active/
+    setup_dmf_data_quality.sql:46-47) expressed against the engine's
+    own CDF. Three commits land on a WAP orders table:
+
+      v1  CREATE with keys ≤ 30000
+      v2  keyed DV MERGE: keys ≤ 500 get their price NEGATED in place
+          (update_preimage retracts the old rows exactly; the
+          postimage folds the new ones — the row-check counter must
+          move from 0 to the updated-row count without a rescan)
+      v3  APPEND the remaining keys
+
+    The battery is fed PURELY from ``table_changes`` between
+    consecutive versions (``process_change_feed``); verdicts read
+    state only, and the oracle recomputes every check relationally
+    over the FINAL snapshot — hash equality proves insert-fold +
+    exact retraction composes across append, merge and the CDF's
+    file-churn-pruned diff.
+
+    Scale: each feed costs ∝ the commit's churned files (the CDF diff
+    prunes to exclusive files) + the touched state — never table
+    history; the verdict plan stays fact-free (shuffle budget 3,
+    plan-audited)."""
+    import tempfile
+
+    from etl_reporting_spark.dq.incremental import IncrementalDQBattery
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        table_changes,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="dq_cdf_")
+    ok = F.col("o_orderkey")
+    versions = [0]
+    table = create_partitioned_wap_table(
+        spark, f"{path}/orders", base.filter(ok <= 30000), ["o_orderstatus"]
+    )
+    versions.append(table.current_version())
+    table.upsert_rows_dv(
+        base.filter(ok <= 500).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ),
+        keys=["o_orderkey"],
+    )
+    versions.append(table.current_version())
+    table.append_rows(base.filter(ok > 30000))
+    versions.append(table.current_version())
+
+    b = IncrementalDQBattery(spark, f"{path}/state")
+    b.add_row_check("CDQ-001", "orders", F.col("o_totalprice") < 0)
+    b.add_duplicate_check("CDQ-002", "orders", ["o_orderkey"])
+    b.add_orphan_check(
+        "CDQ-003", "orders", "o_custkey", "customer", "c_custkey"
+    )
+    b.add_metric_check(
+        "CDQ-004", "orders", "o_totalprice", mean_between=(-1e9, 1e9)
+    )
+    for prev, v in zip(versions, versions[1:]):
+        cdf = table_changes(table, ["o_orderkey"], prev, v)
+        b.process_change_feed(
+            {"orders": cdf},
+            dims={"customer": customer},
+            watermarks={"orders_version": str(v)},
+        )
+    return b.verdicts()
+
+
 def wap_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE via deletion vectors (round-12): the missing
     DML-ladder rung between DV DELETE and the keyed DV MERGE —
@@ -3074,6 +3152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_carrier_scoped": dq_carrier_scoped,
     "p2_exclude_projection": p2_exclude_projection,
     "incremental_dq_dim_delete": incremental_dq_dim_delete,
+    "incremental_dq_cdf": incremental_dq_cdf,
     "wap_insert_sql": wap_insert_sql,
     "wap_branch_publish": wap_branch_publish,
     "wap_schema_widen": wap_schema_widen,

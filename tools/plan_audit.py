@@ -224,6 +224,10 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # dup groupBy + presentation sort); the delete's scoped fact scan
     # runs at build time, not in the returned plan.
     "incremental_dq_dim_delete": 3,
+    # round-14: change-feed battery — same fact-free verdict shape
+    # (orphan sum + dup groupBy + presentation sort); the three CDF
+    # feeds run at build time.
+    "incremental_dq_cdf": 3,
     # round-12: DV-update lifecycle — the returned frame is one
     # masked snapshot read → aggregate + presentation sort
     "wap_update_dv": 2,
