@@ -2985,13 +2985,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_active_claimants": flagship_active_claimants,
     "w1_dedup_latest": w1_dedup_latest,
     "w3_scd2_intervals": w3_scd2_intervals,
-    "w9_scd2_apply_changes": w9_scd2_apply_changes,
+    # round-14 rotation: u5_period_growth (zero driver history, long
+    # local-green) takes the hard driver signal; w9_scd2_apply_changes
+    # rotates to the locally-verified tail with 12 rounds driver-green
+    # (the SCD2/window family keeps w1, w3 and the flagship in-window)
+    "u5_period_growth": u5_period_growth,
     "j5_asof_join": j5_asof_join,
     "q1_pricing_summary": q1_pricing_summary,
     "j1_revenue_by_nation": j1_revenue_by_nation,
     "p6_customers_without_orders": p6_customers_without_orders,
     "a5_duplicate_detection": a5_duplicate_detection,
-    "a7_grouped_report": a7_grouped_report,
+    # round-14 rotation: ivm_agg_retraction (zero driver history)
+    # in; a7_grouped_report out with 12 rounds driver-green (the agg
+    # family keeps a5/a8/a9/u2/a14 driver-verified)
+    "ivm_agg_retraction": ivm_agg_retraction,
     "a8_error_rate_by_type": a8_error_rate_by_type,
     "a9_outlier_events": a9_outlier_events,
     "u2_period_rollup": u2_period_rollup,
@@ -3016,7 +3023,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j7_scalar_config_join": j7_scalar_config_join,
     "wap_cdf_stream_ivm": wap_cdf_stream_ivm,
     "wap_dv_lifecycle": wap_dv_lifecycle,
-    "u4_union_by_name": u4_union_by_name,
+    # round-14 rotation: dq_drift_check (zero driver history) in;
+    # u4_union_by_name out with 12 rounds driver-green (set-op family
+    # keeps u2 in-window; u1/u3 long local-green)
+    "dq_drift_check": dq_drift_check,
     "f2_count_difference": f2_count_difference,
     # round-11 rotation: the two new table-format gates take the hard
     # driver signal (hidden-partitioning pruned reads vs full-scan
@@ -3044,8 +3054,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fn_json_gallery driver-verified)
     "wap_branch_evolved": wap_branch_evolved,
     "fn_conditional_gallery": fn_conditional_gallery,
-    "f1_working_days": f1_working_days,
-    "j6_interval_binding": j6_interval_binding,
+    # round-14 rotation: sample_leakage_safe_split (zero driver
+    # history) in; f1_working_days out with 12 rounds driver-green
+    # (the F1 family keeps f2_count_difference and fn_date_gallery)
+    "sample_leakage_safe_split": LLM_QUERIES["sample_leakage_safe_split"],
+    # round-14 rotation: the dim-DELETE re-orphan battery (new this
+    # round) takes the hard driver signal; j6_interval_binding out
+    # with 12 rounds driver-green (join family keeps j1/j5/j5b/j7/
+    # j10/j14 driver-verified)
+    "incremental_dq_dim_delete": incremental_dq_dim_delete,
     # round-13 rotation: RENAME COLUMN (round-12, local-green only)
     # gets driver history; f3_month_periods rotates out with 10 rounds
     # driver-green (the F-family keeps f1_working_days and
@@ -3060,9 +3077,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wap_update_dv": wap_update_dv,
     "inc_watermark_load": inc_watermark_load,
     "j10_merge_upsert": j10_merge_upsert,
-    "fn_json_gallery": fn_json_gallery,
+    # round-14 rotation: the change-feed-driven battery (new this
+    # round) in; fn_json_gallery out with 12 rounds driver-green (the
+    # gallery family keeps fn_date_gallery + fn_conditional_gallery)
+    "incremental_dq_cdf": incremental_dq_cdf,
     "report_lifecycle_summary": report_lifecycle_summary,
-    "report_claimant_detail": report_claimant_detail,
+    # round-14 rotation: the persisted-ANN-index growth gate (new
+    # this round) in; report_claimant_detail out with 13 rounds
+    # driver-green (reports family keeps report_lifecycle_summary,
+    # sql_script_mixed and dq_report_battery driver-verified)
+    "ann_index_incremental": LLM_QUERIES["ann_index_incremental"],
     # round-11 rotation: the NEW mixed SET+MERGE+SELECT script gate
     # takes this window slot; report_monthly_revenue rotates to the
     # locally-verified tail with 8 rounds of driver-green history
@@ -3114,7 +3138,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p10_like_patterns": p10_like_patterns,
     "u3_intersect_except": u3_intersect_except,
     "fn_try_to_date": fn_try_to_date,
-    "ivm_agg_retraction": ivm_agg_retraction,
     "f1_udf_in_sql": f1_udf_in_sql,
     "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
     "ann_cosine_topk": LLM_QUERIES["ann_cosine_topk"],
@@ -3122,7 +3145,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_ivfpq": LLM_QUERIES["ann_cosine_ivfpq"],
     "a15_incremental_rollup": a15_incremental_rollup,
     "ops_skew_report": ops_skew_report,
-    "dq_drift_check": dq_drift_check,
     "w10_cohort_retention": w10_cohort_retention,
     "w11_funnel_conversion": w11_funnel_conversion,
     "h1_hierarchy_flatten": h1_hierarchy_flatten,
@@ -3130,7 +3152,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_drift_numeric": dq_drift_numeric,
     "ts_forward_fill": ts_forward_fill,
     "fn_window_gallery": fn_window_gallery,
-    "u5_period_growth": u5_period_growth,
     "w12_stickiness": w12_stickiness,
     "j13_salted_join": j13_salted_join,
     "wap_time_travel": wap_time_travel,
@@ -3151,13 +3172,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f3_month_periods": f3_month_periods,
     "dq_carrier_scoped": dq_carrier_scoped,
     "p2_exclude_projection": p2_exclude_projection,
-    "incremental_dq_dim_delete": incremental_dq_dim_delete,
-    "incremental_dq_cdf": incremental_dq_cdf,
+    # round-14 rotation to the locally-verified tail (each 12-13
+    # rounds driver-green; see the window notes above for the family
+    # coverage argument): w9_scd2_apply_changes, a7_grouped_report,
+    # u4_union_by_name, f1_working_days, j6_interval_binding,
+    # fn_json_gallery, report_claimant_detail
+    "w9_scd2_apply_changes": w9_scd2_apply_changes,
+    "a7_grouped_report": a7_grouped_report,
+    "u4_union_by_name": u4_union_by_name,
+    "f1_working_days": f1_working_days,
+    "j6_interval_binding": j6_interval_binding,
+    "fn_json_gallery": fn_json_gallery,
+    "report_claimant_detail": report_claimant_detail,
     "wap_insert_sql": wap_insert_sql,
     "wap_branch_publish": wap_branch_publish,
     "wap_schema_widen": wap_schema_widen,
     "wap_manifest_roundtrip": wap_manifest_roundtrip,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
+        "sample_leakage_safe_split",
+        "ann_index_incremental",
         "mm_decode_real",
         "ann_recall_sweep",
         "ann_recall_sweep_trained",

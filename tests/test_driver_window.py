@@ -17,13 +17,17 @@ EXPECTED_WINDOW = [
     "flagship_active_claimants",
     "w1_dedup_latest",
     "w3_scd2_intervals",
-    "w9_scd2_apply_changes",
+    # round-14 rotation: see queries.py window notes — seven in
+    # (three new round-14 gates + four zero-driver-history locals),
+    # seven out, each 12-13 rounds driver-green with a driver-green
+    # family representative staying in-window
+    "u5_period_growth",
     "j5_asof_join",
     "q1_pricing_summary",
     "j1_revenue_by_nation",
     "p6_customers_without_orders",
     "a5_duplicate_detection",
-    "a7_grouped_report",
+    "ivm_agg_retraction",
     "a8_error_rate_by_type",
     "a9_outlier_events",
     "u2_period_rollup",
@@ -33,7 +37,7 @@ EXPECTED_WINDOW = [
     "j7_scalar_config_join",
     "wap_cdf_stream_ivm",
     "wap_dv_lifecycle",
-    "u4_union_by_name",
+    "dq_drift_check",
     "f2_count_difference",
     # round-11 rotation: the two new table-format gates take the hard
     # driver signal; s4_multi_statement (script family keeps
@@ -59,16 +63,16 @@ EXPECTED_WINDOW = [
     # driver-verified family representative staying in-window
     "wap_branch_evolved",
     "fn_conditional_gallery",
-    "f1_working_days",
-    "j6_interval_binding",
+    "sample_leakage_safe_split",
+    "incremental_dq_dim_delete",
     "wap_rename_column",
     "dq_battery",
     "wap_update_dv",
     "inc_watermark_load",
     "j10_merge_upsert",
-    "fn_json_gallery",
+    "incremental_dq_cdf",
     "report_lifecycle_summary",
-    "report_claimant_detail",
+    "ann_index_incremental",
     # round-11 rotation: report_monthly_revenue -> locally-verified
     # tail (8 rounds driver-green; reports family keeps 3 driver
     # reps) to admit the new mixed-script DML gate
@@ -239,6 +243,44 @@ def test_window_split_contains_the_round11_rotation():
     new_r11 = {"wap_hidden_partitioning", "wap_table_stats"}
     assert new_r11 <= set(EXPECTED_WINDOW)
     rotated_out = {"s4_multi_statement", "a12_percentiles"}
+    names = list(entry.queries())
+    assert rotated_out.isdisjoint(EXPECTED_WINDOW)
+    assert rotated_out <= set(names[50:])  # still present, locally verified
+
+
+def test_window_split_contains_the_round14_rotation():
+    """Round-14 rotation: the three new round-14 gates are
+    driver-verified — incremental_dq_dim_delete (dim-DELETE
+    re-orphaning closes the last incremental ≡ batch exception),
+    incremental_dq_cdf (the battery fed purely from the table
+    format's change feed with exact retraction), and
+    ann_index_incremental (persisted ANN index, frozen-codebook
+    growth) — alongside four long-local-only gates with zero driver
+    history (u5_period_growth, ivm_agg_retraction, dq_drift_check,
+    sample_leakage_safe_split). Rotated to the locally-verified tail
+    with 12-13 rounds of driver-green history each:
+    w9_scd2_apply_changes, a7_grouped_report, u4_union_by_name,
+    f1_working_days, j6_interval_binding, fn_json_gallery,
+    report_claimant_detail."""
+    new_r14 = {
+        "incremental_dq_dim_delete",
+        "incremental_dq_cdf",
+        "ann_index_incremental",
+        "u5_period_growth",
+        "ivm_agg_retraction",
+        "dq_drift_check",
+        "sample_leakage_safe_split",
+    }
+    assert new_r14 <= set(EXPECTED_WINDOW)
+    rotated_out = {
+        "w9_scd2_apply_changes",
+        "a7_grouped_report",
+        "u4_union_by_name",
+        "f1_working_days",
+        "j6_interval_binding",
+        "fn_json_gallery",
+        "report_claimant_detail",
+    }
     names = list(entry.queries())
     assert rotated_out.isdisjoint(EXPECTED_WINDOW)
     assert rotated_out <= set(names[50:])  # still present, locally verified
