@@ -40,7 +40,13 @@ connector/snowpark_connector.py:425-453), applied to the index:
    the same frozen artifacts — which is exactly what the
    ``ann_index_incremental`` gate hash-proves.
 
-3. **Serve from the persisted lists** (``PersistedAnnIndex.search``):
+3. **Shrink by deletion vector** (``PersistedAnnIndex.delete``):
+   retired/purged vectors leave through the codes table's DV path —
+   a sidecar ∝ deleted rows, zero files rewritten, served results
+   drop them immediately (the masked read), and the index is again
+   ≡ a scratch encode of the remaining corpus.
+
+4. **Serve from the persisted lists** (``PersistedAnnIndex.search``):
    queries are probed against the broadcast centroids; ONLY the
    probed cells' partitions are read (metadata-layer pruning — at
    1000 cells and n_probe 8, 99.2 % of the index is never planned,
@@ -172,6 +178,17 @@ class PersistedAnnIndex:
             p["vec_col"],
         )
         return self.codes_table.append_rows(codes, operation="ann-index-append")
+
+    def delete(self, predicate: str) -> int:
+        """Remove vectors from the index by SQL predicate over the
+        codes rows (typically ``"vec_id IN (...)"`` — corpus documents
+        retired, PII purged). Rides the codes table's DELETION-VECTOR
+        path: a sidecar ∝ deleted rows, zero files rewritten, and the
+        DV-masked read means :meth:`search` stops serving them
+        immediately — the index is again ≡ a scratch encode of the
+        remaining corpus. Compaction retires the masks on the normal
+        maintenance cadence. Returns the codes table's new version."""
+        return self.codes_table.delete_rows(predicate)
 
     # ------------------------------------------------------ serving
     def search(

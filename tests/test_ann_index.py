@@ -200,3 +200,29 @@ def test_search_with_empty_probed_cells(spark, tmp_path):
     out = idx.search(queries, k=3, n_probe=1)
     # must evaluate without error; rows may be fewer than k per query
     assert out.count() >= 0
+
+
+def test_delete_stops_serving_and_equals_scratch_of_remaining(spark, built):
+    """The shrink rung: DV-deleting vectors makes the index ≡ a
+    scratch encode of the REMAINING corpus — served top-k drops the
+    deleted ids immediately, no files rewritten."""
+    from etl_reporting_spark.llm.ann_index import _encode_against
+
+    emb, build, inc, idx = built
+    idx.append(inc)
+    idx.delete("vec_id % 5 = 0")
+    remaining = emb.filter("vec_id % 5 != 0")
+    scratch = _encode_against(
+        remaining, idx.centroids(), idx.codebook(), M, DIM,
+        "vec_id", "embedding",
+    )
+    persisted = idx.codes_table.read()
+    assert persisted.count() == remaining.count() * M
+    diff = persisted.exceptAll(scratch).count() + scratch.exceptAll(
+        persisted
+    ).count()
+    assert diff == 0
+    # served results never contain a deleted id
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = idx.search(queries, k=5, n_probe=2)
+    assert got.filter("neighbor_id % 5 = 0").count() == 0
