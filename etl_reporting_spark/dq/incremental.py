@@ -470,6 +470,7 @@ class IncrementalDQBattery:
         changes: dict[str, DataFrame],
         dims: dict[str, DataFrame] | None = None,
         watermarks: dict[str, str] | None = None,
+        facts: dict[str, DataFrame] | None = None,
     ) -> int | None:
         """Fold one CHANGE-FEED batch per table — the commit-driven
         cadence (round-14; VERDICT r13 #6): feed this straight from
@@ -490,12 +491,28 @@ class IncrementalDQBattery:
         - an approx_duplicate sketch never shrinks (NDV stays
           ever-seen), so under deletes its excess under-alarms.
 
+        DIM tables ride the same feed (round-14 continuation): a
+        ``changes`` entry whose name is some orphan check's dim is
+        split the dim way — its delete/update_preimage side becomes
+        ``dim_deletes`` automatically (pass the POST-delete dim in
+        ``dims`` and the affected fact in ``facts``, exactly as
+        :meth:`process_increment` documents), and its insert side
+        heals through the delivered ``dims`` entry (required whenever
+        a fact slice carries an orphan check; for a heal-only feed
+        with no ``dims`` entry, the added rows themselves serve as
+        the delivered dim).
+
         This is the reference's DMF-on-schedule shape
         (reference sql/new_rfb_and_total_claimants_active/
         setup_dmf_data_quality.sql:46-47) driven by the table format's
         own commits instead of a caller re-slicing."""
+        dims = dict(dims or {})
+        dim_tables = {
+            c["dim"] for c in self._checks if c["kind"] == "orphan"
+        }
         adds: dict[str, DataFrame] = {}
         drops: dict[str, DataFrame] = {}
+        dim_dels: dict[str, DataFrame] = {}
         for t, df in changes.items():
             if "_change_type" not in df.columns:
                 raise ValueError(
@@ -503,14 +520,30 @@ class IncrementalDQBattery:
                     "a change-feed frame (table_changes output), or use "
                     "process_increment for plain slices"
                 )
-            adds[t] = df.filter(
+            a = df.filter(
                 F.col("_change_type").isin("insert", "update_postimage")
             ).drop("_change_type")
-            drops[t] = df.filter(
+            d = df.filter(
                 F.col("_change_type").isin("delete", "update_preimage")
             ).drop("_change_type")
+            if t in dim_tables:
+                # one bounded existence probe per dim feed: a pure-
+                # insert dim batch must not demand facts= for a
+                # re-orphan pass it doesn't need
+                if d.take(1):
+                    dim_dels[t] = d
+                if t not in dims:
+                    dims[t] = a
+            else:
+                adds[t] = a
+                drops[t] = d
         return self.process_increment(
-            adds, dims=dims, watermarks=watermarks, retractions=drops
+            adds,
+            dims=dims,
+            watermarks=watermarks,
+            retractions=drops,
+            dim_deletes=dim_dels or None,
+            facts=facts,
         )
 
     def process_increment(

@@ -618,3 +618,83 @@ def test_change_feed_requires_change_type_column(spark, tmp_path):
     plain = spark.createDataFrame([(1, 1.0)], "id int, amt double")
     with pytest.raises(ValueError, match="_change_type"):
         b.process_change_feed({"fact": plain})
+
+
+def test_dim_change_feed_reorphans_and_heals(spark, tmp_path):
+    """Round-14 continuation: DIM tables ride the same change feed —
+    a dim CDF's delete side auto-derives dim_deletes (re-orphan via
+    the scoped fact scan), its insert side heals; after fact CDF +
+    dim CDF feeds the verdict equals the batch twin over both final
+    snapshots."""
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        table_changes,
+    )
+
+    fact = create_partitioned_wap_table(
+        spark,
+        str(tmp_path / "fact"),
+        spark.createDataFrame(
+            [
+                (1, "d0", 10, 5.0),
+                (2, "d0", 11, 3.0),
+                (3, "d1", 11, 2.0),
+                (4, "d1", 99, 7.0),  # orphan from the start
+            ],
+            "id int, ds string, custkey int, amt double",
+        ),
+        ["ds"],
+    )
+    dim = create_partitioned_wap_table(
+        spark,
+        str(tmp_path / "dim"),
+        spark.createDataFrame(
+            [(10, "a"), (11, "a"), (12, "b")], "custkey int, seg string"
+        ),
+        ["seg"],
+    )
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_orphan_check("O", "fact", "custkey", "dim", "custkey")
+
+    def feed(fact_fv=None, fact_tv=None, dim_fv=None, dim_tv=None):
+        changes = {}
+        if fact_fv is not None:
+            changes["fact"] = table_changes(fact, ["id"], fact_fv, fact_tv)
+        if dim_fv is not None:
+            changes["dim"] = table_changes(dim, ["custkey"], dim_fv, dim_tv)
+        b.process_change_feed(
+            changes, dims={"dim": dim.read()}, facts={"fact": fact.read()}
+        )
+
+    feed(fact_fv=0, fact_tv=1, dim_fv=0, dim_tv=1)  # bootstrap both
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O"] == 1  # custkey 99
+
+    # dim DELETE custkey 11 (two matched fact rows re-orphan)
+    dim.delete_rows("custkey = 11")
+    feed(dim_fv=1, dim_tv=dim.current_version())
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    batch = fact.read().join(dim.read(), ["custkey"], "left_anti").count()
+    assert v["O"] == batch == 3
+
+    # dim re-adds 11 and finally delivers 99 — full heal via the feed
+    v_before = dim.current_version()
+    dim.append_rows(
+        spark.createDataFrame([(11, "a"), (99, "c")], "custkey int, seg string")
+    )
+    feed(dim_fv=v_before, dim_tv=dim.current_version())
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O"] == fact.read().join(dim.read(), ["custkey"], "left_anti").count() == 0
+
+    # pure-insert dim feed never demanded facts: prove by feeding one
+    # without facts
+    v_before = dim.current_version()
+    dim.append_rows(
+        spark.createDataFrame([(50, "c")], "custkey int, seg string")
+    )
+    b.process_change_feed(
+        {"dim": table_changes(dim, ["custkey"], v_before)},
+        dims={"dim": dim.read()},
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["O"] == 0
