@@ -848,3 +848,53 @@ def test_both_sides_schema_change_refuses(spark, table):
     with pytest.raises(ConcurrentWriteError, match="both main and branch"):
         publish_branch(spark, table.path, "bothalter")
     assert registered_branches(table)[0]["name"] == "bothalter"
+
+
+def test_publish_overwrite_crash_then_rerun_completes(spark, table):
+    """Crash between the rebuild replay and the overwrite replay: the
+    re-run's done-set skips the landed prefix and completes the
+    overwrite — same "run it again" contract as the metadata sweep."""
+    from etl_reporting_spark.operators import wap as wap_mod
+
+    br = create_branch(spark, table.path, "crashow")
+    new = spark.createDataFrame(
+        [(201, "d0", 1.0), (202, "d2", 2.0)],
+        "id long, ds string, amount double",
+    )
+    br.commit_partitions(
+        new, replace=sorted(table.partition_map()), operation="rebuild"
+    )
+    rec = dict(br._commit_record(2))
+    rec.pop("touched", None)
+    rec.update({"version": 3, "operation": "full_overwrite"})
+    br._publish(rec)
+
+    real_publish = wap_mod.WapTable._publish
+    state = {"n": 0}
+
+    def crashing(self, record):
+        real_publish(self, record)
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("simulated crash between replays")
+
+    wap_mod.WapTable._publish = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            publish_branch(spark, table.path, "crashow")
+    finally:
+        wap_mod.WapTable._publish = real_publish
+
+    # prefix landed and marked; branch still live
+    assert registered_branches(table)[0]["name"] == "crashow"
+    assert table.latest_record()["branch_replayed_version"] == 2
+
+    tip = publish_branch(spark, table.path, "crashow")
+    final = table._commit_record(tip)
+    assert final["operation"] == "full_overwrite"
+    assert final["branch_replayed_version"] == 3
+    got = sorted(
+        map(tuple, table.read(version=tip).select("id", "amount").collect())
+    )
+    assert got == [(201, 1.0), (202, 2.0)]
+    assert registered_branches(table) == []
