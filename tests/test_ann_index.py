@@ -26,6 +26,10 @@ from etl_reporting_spark.llm.ann_index import (
     open_ann_index,
 )
 
+# the index is three WAP tables — prove it never relies on POSIX
+# semantics by running every test under both storage backends
+pytestmark = pytest.mark.usefixtures("wap_storage_backend")
+
 SF_DIR = "/root/testdata/sf0.001"
 
 N_CENT, M, N_CODES, DIM = 8, 8, 16, 64
