@@ -230,3 +230,34 @@ def test_delete_stops_serving_and_equals_scratch_of_remaining(spark, built):
     queries = emb.filter(F.col("vec_id") < 4)
     got = idx.search(queries, k=5, n_probe=2)
     assert got.filter("neighbor_id % 5 = 0").count() == 0
+
+
+def test_compaction_preserves_serving(spark, built):
+    """The maintenance claim in SCALE.md: OPTIMIZE on the codes table
+    compacts append-churned inverted lists (and retires delete masks)
+    without changing a single served result — the model tables are
+    untouched."""
+    from etl_reporting_spark.operators.wap import optimize_partitions
+
+    emb, build, inc, idx = built
+    idx.append(inc)
+    idx.delete("vec_id % 7 = 0")
+    queries = emb.filter(F.col("vec_id") < 4)
+    before = [
+        r.asDict()
+        for r in idx.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    roots_before = len(idx.codes_table.live_commit_roots())
+    assert roots_before >= 2  # create + append churn
+    optimize_partitions(idx.codes_table)
+    assert len(idx.codes_table.live_commit_roots()) == 1
+    assert not idx.codes_table.latest_record().get("delete_vectors")
+    after = [
+        r.asDict()
+        for r in idx.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert before == after
