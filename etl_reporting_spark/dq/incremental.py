@@ -242,8 +242,8 @@ class IncrementalDQBattery:
         State ∝ current orphan keys. Dim DELETEs re-orphan exactly
         (round-14): pass the deleted rows via ``dim_deletes`` plus
         the fact via ``facts`` and previously-matched rows are
-        re-counted by one scan pruned to the deleted keys (see
-        :meth:`process_increment`)."""
+        re-counted by one fk-column scan semi-joined to the deleted
+        keys (see :meth:`process_increment`)."""
         self._checks.append(
             {
                 "id": check_id,
@@ -581,9 +581,11 @@ class IncrementalDQBattery:
         passed in this same call — the authoritative replace below
         makes that composition exact, not double-counted). For each
         orphan check on ``d``: the deleted keys still absent from the
-        post-delete dim are re-orphaned by ONE semi-join-pruned scan
-        of the fact restricted to those keys (broadcast of the
-        deleted-key set — cost ∝ matching fact rows, never history),
+        post-delete dim are re-orphaned by ONE scan of the fact's fk
+        COLUMN (projection-pruned — one narrow column of the fact per
+        affected orphan check, paid when the delete lands, never on
+        verdict reads) semi-joined against the
+        broadcast deleted-key set; downstream work ∝ matching rows,
         and the resulting per-key counts REPLACE any state rows for
         those keys. A key deleted but still present in the dim
         (duplicate pk rows) is correctly a no-op. State stays ∝
@@ -738,9 +740,10 @@ class IncrementalDQBattery:
             # dim DELETE (round-14): keys removed from the dim make
             # EVERY fact row carrying them an orphan again — which
             # only a fact scan can see, so this is the one deliberate
-            # fact read in the state model, semi-join-pruned to the
-            # deleted keys (broadcast — a delete batch is small by
-            # nature; cost ∝ matching fact rows, not history). The
+            # fact read in the state model: ONE projection-pruned pass
+            # over the fact's fk column, semi-joined against the
+            # broadcast deleted-key set (a delete batch is small by
+            # nature); downstream work ∝ matching rows. The
             # per-key counts are AUTHORITATIVE (the scan sees the
             # whole fact), so they replace any state/partial rows for
             # those keys instead of summing — that is what makes a

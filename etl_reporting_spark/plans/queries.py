@@ -2203,9 +2203,10 @@ def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently lands a disjoint-partition merge (keys 200–220 at
     −10, a different mktsegment bucket); publish replays the branch
     REBASED onto main's progress — both sides land, atomically, in
-    order. The reference's staging-schema-then-swap loaders are this
-    exact pattern (reference connector/snowpark_connector.py:607-688);
-    Iceberg spells it as branch refs + fast-forward.
+    order. The reference's stage-in-transient-then-MERGE loaders are
+    this exact pattern (reference
+    connector/snowpark_connector.py:607-688 — upsert via a transient
+    staging table); Iceberg spells it as branch refs + fast-forward.
 
     Oracle: the final state relationally — branch mutations on their
     keys, main's merge on its keys, everything else base. The

@@ -29,6 +29,14 @@ The batch side reads PARQUET FROM DISK (the shape dq_battery
 actually has), not a cached frame. Fact rows carry a 120-byte
 payload so fact-vs-state width is realistic.
 
+- **Dim-DELETE re-orphan pass** (round-14): the state model's one
+  deliberate fact read — a projection-pruned fk-column scan,
+  semi-joined against the broadcast deleted-key set, paid when the
+  delete lands (never on verdict reads). Reported as a share of the batch
+  battery's all-checks re-scan; both are scan-bound, the re-orphan
+  pass reads one narrow column where the batch reads every checked
+  column, every run.
+
 Run: ``python tools/dq_ladder.py``. One JSON line; record in
 BENCH_NOTES.md. Refresh timings are single-shot by design
 (re-folding the same slice would double-count — increments are not
@@ -112,6 +120,10 @@ def _timeit(fn) -> float:
 
 
 def _rung(spark, rows: int) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from etl_reporting_spark.dq.incremental import IncrementalDQBattery
+
     path = _write_fact(spark, rows)
     df = spark.read.parquet(path)
     spark.catalog.clearCache()
@@ -132,6 +144,30 @@ def _rung(spark, rows: int) -> dict[str, float]:
             b.verdicts().collect()
 
         out[f"refresh_{name}_sec"] = round(_timeit(refresh), 3)
+
+    # dim-DELETE re-orphan rung (round-14): the state model's one
+    # deliberate fact read — a projection-pruned pass over the fk
+    # column, semi-joined against the broadcast deleted-key set, paid
+    # when the delete lands. Contract measured: the pass costs well under
+    # the batch battery's all-checks re-scan (share reported) even
+    # though both grow with the table (scan-bound).
+    dim = spark.range(97).select(F.col("id").alias("custkey"))
+    bo = IncrementalDQBattery(
+        spark, tempfile.mkdtemp(prefix="dq_ladder_orph_") + "/state"
+    )
+    bo.add_orphan_check("O1", "fact", "custkey", "dim", "custkey")
+    bo.process_increment({"fact": df}, dims={"dim": dim})
+
+    def reorphan():
+        bo.process_increment(
+            {},
+            dims={"dim": dim.filter("custkey <> 7")},
+            dim_deletes={"dim": dim.filter("custkey = 7")},
+            facts={"fact": df},
+        )
+        bo.verdicts().collect()
+
+    out["reorphan_sec"] = round(_timeit(reorphan), 3)
     return out
 
 
@@ -176,6 +212,18 @@ def main() -> int:
         "exact_share_at_big_rung": round(
             results[big]["refresh_exact_sec"]
             / max(results[big]["batch_sec"], 1e-9),
+            3,
+        ),
+        # round-14: the dim-DELETE re-orphan pass (one fk-column scan
+        # per delete batch) vs the batch battery's all-checks re-scan
+        "reorphan_share_at_big_rung": round(
+            results[big]["reorphan_sec"]
+            / max(results[big]["batch_sec"], 1e-9),
+            3,
+        ),
+        "reorphan_growth_4x": round(
+            results[big]["reorphan_sec"]
+            / max(results[small]["reorphan_sec"], 1e-9),
             3,
         ),
         "fail_growth_excess": FAIL_GROWTH_EXCESS,

@@ -178,11 +178,15 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # round-14: persisted-index growth gate — build/append run at
     # build time (their shuffles never appear in the returned plan);
     # the returned frame is two serving arms (persisted-codes read vs
-    # inline encode) + presentation sort. Measured 0 cold at sf0.001
-    # (AQE broadcast-collapses both arms' joins at gate scale);
-    # budget carries headroom for the ADC aggregates + rerank windows
-    # appearing as real exchanges.
-    "ann_index_incremental": 6,
+    # inline encode) + presentation sort. Measured 8 cold at sf0.001
+    # (executed-plan enumeration): per arm, query cell-assign window
+    # (vec_id), ADC shortlist window (query_id), rerank dot-product
+    # agg (query_id, vec_id) + top-k window (query_id) fold into
+    # 3-4 exchanges; the scratch arm adds the inline corpus encode's
+    # code-assign windows (vec_id). Every one partitions by query or
+    # vector id — rows bounded by n_queries x shortlist or by the
+    # increment, never the corpus.
+    "ann_index_incremental": 8,
     # round-8: WAP ACID lifecycle read — the DV-masked, schema-
     # restored snapshot read is exchange-FREE (broadcast anti-join);
     # the single exchange is the presentation order-by.
