@@ -444,7 +444,9 @@ class IncrementalDQBattery:
         """Exact retraction of a partial frame (the CDF delete /
         update_preimage side): counters and sums negate; p_min/p_max
         become NULL (extremes are not invertible — merged min/max stay
-        HIGH-WATER marks, documented in :meth:`process_change_feed`);
+        HIGH-WATER marks unless the caller supplies ``facts`` and the
+        delete reaches the extreme, which triggers the scoped restore
+        in :meth:`process_increment`);
         an approx check's sketch is dropped (HLL never shrinks — its
         NDV stays ever-seen, so its dup excess under deletes only
         under-alarms, never false-alarms)."""
@@ -482,12 +484,15 @@ class IncrementalDQBattery:
         after any mix of appends, DV deletes and keyed merges the
         verdicts equal the batch battery over the final snapshot
         (hash-proven by the ``incremental_dq_cdf`` gate), with two
-        documented exceptions inherent to mergeable state:
+        qualifications inherent to mergeable state:
 
         - a metric check's ``min_at_least``/``max_at_most`` compare
-          against EVER-SEEN extremes (deleting the offending row
-          cannot restore the previous min/max without a re-scan) —
-          mean bounds retract exactly;
+          against EVER-SEEN extremes UNLESS ``facts[t]`` is supplied:
+          then a delete that reaches the current extreme triggers the
+          scoped min/max restore (one projection-pruned value-column
+          re-scan, see :meth:`process_increment`) and the bounds are
+          exact too; without ``facts`` they stay high-water — mean
+          bounds retract exactly either way;
         - an approx_duplicate sketch never shrinks (NDV stays
           ever-seen), so under deletes its excess under-alarms.
 
@@ -589,7 +594,20 @@ class IncrementalDQBattery:
         and the resulting per-key counts REPLACE any state rows for
         those keys. A key deleted but still present in the dim
         (duplicate pk rows) is correctly a no-op. State stays ∝
-        current orphan keys."""
+        current orphan keys.
+
+        Metric min/max restore (round-14): when ``retractions[t]``
+        deletes rows of a table carrying a metric check AND
+        ``facts[t]`` is supplied, a delete batch whose extremes reach
+        the check's candidate extreme (prior state ∪ same-call slice)
+        triggers ONE authoritative value-column re-scan of the fact
+        (projection-pruned, paid only when the extreme-holder
+        actually left) that replaces the high-water ``p_min`` /
+        ``p_max`` — so ``min_at_least`` / ``max_at_most`` verdicts
+        equal the batch battery over the final snapshot. Deletes that
+        never touch an extreme cost only a scalar probe over the
+        delete batch. Without ``facts[t]`` the documented high-water
+        behavior is kept."""
         dims = dims or {}
         dim_deletes = dim_deletes or {}
         facts = facts or {}
@@ -714,6 +732,75 @@ class IncrementalDQBattery:
                 )
             )
             merged = merged.unionByName(_pad(apx))
+        # metric min/max restore (round-14): merged extremes are
+        # high-water marks — a retraction that deletes the CURRENT
+        # extreme-holder cannot lower p_max / raise p_min without a
+        # re-scan, so do the re-scan, scoped the same way the dim-
+        # delete pass is: probe whether the retracted batch actually
+        # reaches the check's candidate extreme (state ∪ same-call
+        # slice — every agg here is a scalar over the delete batch,
+        # the increment's value column, or one state row), and only
+        # then recompute min/max AUTHORITATIVELY from the fact's
+        # full current contents — one projection-pruned pass over the
+        # value column, paid when the extreme-touching delete lands,
+        # never on verdict reads. Callers that don't supply
+        # ``facts[t]`` keep the documented high-water behavior.
+        for c in self._checks:
+            if (
+                c["kind"] != "metric"
+                or c["table"] not in (retractions or {})
+                or c["table"] not in facts
+            ):
+                continue
+            v = F.col(c["column"]).cast("decimal(38,4)")
+            r = retractions[c["table"]].agg(
+                F.min(v).alias("mn"), F.max(v).alias("mx")
+            ).collect()[0]
+            if r["mn"] is None and r["mx"] is None:
+                continue  # delete batch carries no values for this col
+            cand_min, cand_max = [], []
+            if self.state.current_version() > 0:
+                part = f"check_id={c['id']}"
+                if part in self.state.partition_map():
+                    st = self.state.read(partitions=[part]).filter(
+                        F.col("kind") == "metric"
+                    ).select("p_min", "p_max").collect()
+                    if st:
+                        cand_min.append(st[0]["p_min"])
+                        cand_max.append(st[0]["p_max"])
+            if c["table"] in slices:
+                sl = slices[c["table"]].agg(
+                    F.min(v).alias("mn"), F.max(v).alias("mx")
+                ).collect()[0]
+                cand_min.append(sl["mn"])
+                cand_max.append(sl["mx"])
+            cand_min = [x for x in cand_min if x is not None]
+            cand_max = [x for x in cand_max if x is not None]
+            touches_min = r["mn"] is not None and (
+                not cand_min or r["mn"] <= min(cand_min)
+            )
+            touches_max = r["mx"] is not None and (
+                not cand_max or r["mx"] >= max(cand_max)
+            )
+            if not (touches_min or touches_max):
+                continue
+            ex = facts[c["table"]].agg(
+                F.min(v).alias("mn"), F.max(v).alias("mx")
+            ).collect()[0]
+            hit = (F.col("check_id") == c["id"]) & (
+                F.col("kind") == "metric"
+            )
+            merged = merged.withColumn(
+                "p_min",
+                F.when(
+                    hit, F.lit(ex["mn"]).cast("decimal(38,4)")
+                ).otherwise(F.col("p_min")),
+            ).withColumn(
+                "p_max",
+                F.when(
+                    hit, F.lit(ex["mx"]).cast("decimal(38,4)")
+                ).otherwise(F.col("p_max")),
+            )
         if heal:
             # re-judge outstanding orphan keys against the delivered
             # dims: one anti-join on (check_id, key) removes exactly

@@ -1620,6 +1620,35 @@ FROM checks
 ORDER BY test_id
 """
 
+ORACLE_SQL["incremental_dq_minmax_restore"] = """
+-- Twin of the min/max restore battery: the sentinels (keys 1000001/
+-- 1000002, prices -1e6 / 9e7) were created then DV-deleted, so the
+-- FINAL snapshot is exactly orders keys <= 30000 — a battery still
+-- holding the ever-seen extremes would report 3 violated bounds
+-- (min, max, and the mean the sentinels dragged) instead of
+-- recomputing PASS from the survivors.
+WITH final AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS p
+  FROM orders WHERE o_orderkey <= 30000
+),
+checks AS (
+  SELECT 'MDQ-001' AS test_id,
+         (SELECT CAST(
+            (CASE WHEN AVG(p) < 0 OR AVG(p) > 1000000 THEN 1 ELSE 0 END)
+          + (CASE WHEN MIN(p) < 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN MAX(p) > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM final) AS failed_rows
+  UNION ALL
+  SELECT 'MDQ-002',
+         (SELECT COUNT(*) FROM final WHERE p < 0)
+)
+SELECT test_id,
+       CASE WHEN failed_rows = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+       CAST(failed_rows AS BIGINT) AS failed_rows
+FROM checks
+ORDER BY test_id
+"""
+
 ORACLE_SQL["wap_update_dv"] = """
 -- Twin of the DV-update lifecycle: delete %9, then +10 on 50-150,
 -- then the %13 partition-move — in order (a %13 key in 50-150 moves

@@ -2022,6 +2022,83 @@ def incremental_dq_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.verdicts()
 
 
+def incremental_dq_minmax_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric min/max restore gate (round-14): the change-feed
+    battery's last high-water qualification, closed when the caller
+    supplies ``facts``. Two sentinel rows carrying out-of-band
+    extremes land with the CREATE and are DV-DELETED in the next
+    commit:
+
+      v1  CREATE orders keys ≤ 30000 PLUS sentinels 1000001 (price
+          −1e6, violates min_at_least) and 1000002 (price 9e7,
+          violates max_at_most)
+      v2  DV DELETE both sentinels — the extremes LEAVE the table;
+          the delete-side feed (with ``facts`` = the final snapshot)
+          trips the scoped restore: one value-column re-scan replaces
+          the high-water p_min/p_max with the survivors' true
+          extremes
+
+    The oracle recomputes the metric bounds and the row check over
+    the FINAL snapshot (sentinels present-then-deleted cancel out) —
+    hash equality proves deletes heal min/max bound verdicts exactly,
+    not just mean bounds (without the restore, the battery would
+    still report the sentinels' ever-seen extremes: 3 violated
+    bounds instead of 0).
+
+    Scale: the probe costs a scalar agg over the delete batch; the
+    re-scan is one projection-pruned pass over the value column, paid
+    only because the delete actually removed the extreme-holders —
+    the same pay-when-it-lands shape as the dim-delete re-orphan
+    pass. Verdict plan stays fact-free."""
+    import tempfile
+
+    from etl_reporting_spark.dq.incremental import IncrementalDQBattery
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        table_changes,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).filter(F.col("o_orderkey") <= 30000)
+    sentinels = spark.createDataFrame(
+        [(1000001, "X", -1_000_000.0), (1000002, "X", 90_000_000.0)],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    path = tempfile.mkdtemp(prefix="dq_minmax_")
+    table = create_partitioned_wap_table(
+        spark,
+        f"{path}/orders",
+        base.unionByName(sentinels),
+        ["o_orderstatus"],
+    )
+    v1 = table.current_version()
+    table.delete_rows("o_orderkey > 1000000")
+    v2 = table.current_version()
+
+    b = IncrementalDQBattery(spark, f"{path}/state")
+    b.add_metric_check(
+        "MDQ-001",
+        "orders",
+        "o_totalprice",
+        min_at_least=0.0,
+        max_at_most=1_000_000.0,
+        mean_between=(0.0, 1_000_000.0),
+    )
+    b.add_row_check("MDQ-002", "orders", F.col("o_totalprice") < 0)
+    b.process_change_feed(
+        {"orders": table_changes(table, ["o_orderkey"], 0, v1)}
+    )
+    b.process_change_feed(
+        {"orders": table_changes(table, ["o_orderkey"], v1, v2)},
+        facts={"orders": table.read()},
+    )
+    return b.verdicts()
+
+
 def wap_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE via deletion vectors (round-12): the missing
     DML-ladder rung between DV DELETE and the keyed DV MERGE —
@@ -3186,6 +3263,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_json_gallery": fn_json_gallery,
     "report_claimant_detail": report_claimant_detail,
     "wap_insert_sql": wap_insert_sql,
+    # round-14 addition (local tail): the metric min/max restore —
+    # deletes heal bound verdicts exactly when facts are supplied
+    "incremental_dq_minmax_restore": incremental_dq_minmax_restore,
     "wap_branch_publish": wap_branch_publish,
     "wap_schema_widen": wap_schema_widen,
     "wap_manifest_roundtrip": wap_manifest_roundtrip,

@@ -586,9 +586,10 @@ def test_retraction_drops_fully_retracted_keys(spark, tmp_path):
 
 
 def test_metric_minmax_are_high_water_under_retraction(spark, tmp_path):
-    """The documented exception: min/max bounds compare EVER-SEEN
-    extremes — deleting the offending row does not clear the FAIL
-    (mean bounds, by contrast, retract exactly)."""
+    """WITHOUT ``facts``, min/max bounds compare EVER-SEEN extremes —
+    deleting the offending row does not clear the FAIL (mean bounds,
+    by contrast, retract exactly). Supplying ``facts`` upgrades this
+    to exact via the scoped restore (next tests)."""
     b = IncrementalDQBattery(spark, str(tmp_path / "state"))
     b.add_metric_check(
         "M", "fact", "amt", min_at_least=0.0, mean_between=(0.0, 10.0)
@@ -610,6 +611,122 @@ def test_metric_minmax_are_high_water_under_retraction(spark, tmp_path):
     )
     v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
     assert v["M"] == 1  # mean healed exactly; min stays high-water
+
+
+def test_metric_minmax_restore_with_facts(spark, tmp_path):
+    """Round-14: supplying ``facts`` closes the high-water exception —
+    deleting the extreme-holder triggers the scoped value-column
+    re-scan and BOTH bound verdicts equal the batch battery over the
+    final snapshot."""
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_metric_check(
+        "M", "fact", "amt",
+        min_at_least=0.0, max_at_most=100.0, mean_between=(0.0, 50.0),
+    )
+    rows = spark.createDataFrame(
+        [(1, 5.0), (2, -50.0), (3, 900.0)], "id int, amt double"
+    )
+    b.process_change_feed(
+        {"fact": rows.withColumn("_change_type", F.lit("insert"))}
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["M"] == 3  # min, max AND mean all violated
+    # delete both offenders; facts = final snapshot
+    final = rows.filter("id = 1")
+    b.process_change_feed(
+        {
+            "fact": rows.filter("id IN (2, 3)").withColumn(
+                "_change_type", F.lit("delete")
+            )
+        },
+        facts={"fact": final},
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["M"] == 0  # all three bounds healed — exactly the batch
+    st = b.state.read().filter("kind = 'metric'").collect()[0]
+    assert float(st["p_min"]) == 5.0 and float(st["p_max"]) == 5.0
+
+
+def test_metric_minmax_restore_duplicate_extreme(spark, tmp_path):
+    """Two rows hold the same extreme: deleting ONE of them must keep
+    the extreme (the authoritative re-scan sees the survivor) — the
+    naive 'deleted value == current min, so forget it' shortcut would
+    wrongly heal here."""
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_metric_check("M", "fact", "amt", min_at_least=0.0)
+    rows = spark.createDataFrame(
+        [(1, -50.0), (2, -50.0), (3, 7.0)], "id int, amt double"
+    )
+    b.process_change_feed(
+        {"fact": rows.withColumn("_change_type", F.lit("insert"))}
+    )
+    b.process_change_feed(
+        {
+            "fact": rows.filter("id = 1").withColumn(
+                "_change_type", F.lit("delete")
+            )
+        },
+        facts={"fact": rows.filter("id != 1")},
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["M"] == 1  # survivor still violates min_at_least
+    st = b.state.read().filter("kind = 'metric'").collect()[0]
+    assert float(st["p_min"]) == -50.0
+
+
+def test_metric_minmax_restore_same_batch_insert_delete(spark, tmp_path):
+    """The extreme arrives and leaves in the SAME change-feed batch
+    (insert then delete inside one feed window): the probe must
+    compare the delete against the same-call slice too, or the
+    high-water would keep the transient extreme."""
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_metric_check("M", "fact", "amt", min_at_least=0.0)
+    b.process_change_feed(
+        {
+            "fact": spark.createDataFrame(
+                [(1, 5.0)], "id int, amt double"
+            ).withColumn("_change_type", F.lit("insert"))
+        }
+    )
+    transient = spark.createDataFrame([(2, -9.0)], "id int, amt double")
+    batch = (
+        transient.withColumn("_change_type", F.lit("insert"))
+        .unionByName(transient.withColumn("_change_type", F.lit("delete")))
+    )
+    final = spark.createDataFrame([(1, 5.0)], "id int, amt double")
+    b.process_change_feed({"fact": batch}, facts={"fact": final})
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["M"] == 0
+    st = b.state.read().filter("kind = 'metric'").collect()[0]
+    assert float(st["p_min"]) == 5.0
+
+
+def test_metric_nonextreme_delete_never_rescans(spark, tmp_path):
+    """A delete that does not reach either extreme must cost only the
+    scalar probe — proven behaviorally: ``facts`` is a deliberately
+    WRONG frame (empty), so if the battery re-scanned it the stored
+    extremes would go NULL; they must stay untouched instead."""
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_metric_check("M", "fact", "amt", min_at_least=-100.0)
+    rows = spark.createDataFrame(
+        [(1, -50.0), (2, 3.0), (3, 900.0)], "id int, amt double"
+    )
+    b.process_change_feed(
+        {"fact": rows.withColumn("_change_type", F.lit("insert"))}
+    )
+    wrong = spark.createDataFrame([], "id int, amt double")
+    b.process_change_feed(
+        {
+            "fact": rows.filter("id = 2").withColumn(
+                "_change_type", F.lit("delete")
+            )
+        },
+        facts={"fact": wrong},
+    )
+    st = b.state.read().filter("kind = 'metric'").collect()[0]
+    assert float(st["p_min"]) == -50.0 and float(st["p_max"]) == 900.0
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["M"] == 0
 
 
 def test_change_feed_requires_change_type_column(spark, tmp_path):

@@ -232,6 +232,10 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # (orphan sum + dup groupBy + presentation sort); the three CDF
     # feeds run at build time.
     "incremental_dq_cdf": 3,
+    # round-14: min/max restore battery — the probe + value-column
+    # re-scan run at build time (feed side); the returned verdict
+    # plan is the standard fact-free state read (measured 3).
+    "incremental_dq_minmax_restore": 3,
     # round-12: DV-update lifecycle — the returned frame is one
     # masked snapshot read → aggregate + presentation sort
     "wap_update_dv": 2,
