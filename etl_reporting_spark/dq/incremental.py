@@ -58,7 +58,15 @@ duplicate    sketch of the key            key cardinality — sketches
                                           caller tolerance. The
                                           unbounded-key relief valve
                                           for the exact check's
-                                          ∝ |keys| state
+                                          ∝ |keys| state.
+                                          retractable=True swaps the
+                                          HLL for signed linear-
+                                          counting buckets (exact
+                                          per-bucket counters, so
+                                          change-feed deletes retract
+                                          and the NDV estimate tracks
+                                          the CURRENT table; state ∝
+                                          occupied buckets)
 ===========  ===========================  ============================
 
 Deliberately NOT offered: data-derived outlier counts (batch
@@ -206,6 +214,9 @@ class IncrementalDQBattery:
         table: str,
         keys: Sequence[str],
         tolerance_rows: int = 0,
+        *,
+        retractable: bool = False,
+        buckets: int = 8192,
     ) -> "IncrementalDQBattery":
         """Sketch-backed duplicate screen for UNBOUNDED key spaces —
         the scale relief valve for :meth:`add_duplicate_check`, whose
@@ -219,7 +230,33 @@ class IncrementalDQBattery:
         ≥ 2 × 1.6 % of expected rows, the lg_k=12 relative standard
         error, or duplicates smaller than the noise floor will both
         false-alarm and hide). Monitoring-grade; route confirmed
-        alarms to the exact check over the suspect slice."""
+        alarms to the exact check over the suspect slice.
+
+        ``retractable=True`` (round-14) swaps the HLL for a signed
+        LINEAR-COUNTING bucket vector — the turnstile-model sketch
+        (Whang et al. 1990): each key hashes to one of ``buckets``
+        counters, inserts +1, change-feed deletes −1, so the occupied
+        count tracks the CURRENT multiset and the NDV estimate
+        m·ln(m/empty) shrinks when rows leave (the HLL's one
+        non-retractable behavior). Exactness per bucket means merge
+        is plain per-bucket sum and fully-emptied buckets leave the
+        state (state ∝ occupied buckets ≤ ``buckets``). Size
+        ``buckets`` ≥ expected NDV / 10 (estimate degrades as the
+        vector fills; at full saturation the empty count is floored
+        at 1, which over-reports excess — the conservative direction
+        for an alarm, and the signal to re-size)."""
+        if retractable:
+            self._checks.append(
+                {
+                    "id": check_id,
+                    "kind": "approx_duplicate_lc",
+                    "table": table,
+                    "keys": list(keys),
+                    "tolerance": int(tolerance_rows),
+                    "buckets": int(buckets),
+                }
+            )
+            return self
         self._checks.append(
             {
                 "id": check_id,
@@ -351,6 +388,45 @@ class IncrementalDQBattery:
                         )
                     )
                 )
+            elif c["kind"] == "approx_duplicate_lc":
+                # retractable variant (round-14): signed linear-
+                # counting buckets — one narrow groupBy per slice,
+                # partial rows ∝ min(|slice|, buckets)
+                key = F.concat_ws(
+                    "\x1f", *[_enc_key(F.col(k)) for k in c["keys"]]
+                )
+                m = int(c["buckets"])
+                lo = F.lit(float(c["tolerance"])).cast("double")
+                hi = F.lit(float(m)).cast("double")
+                per_bucket = (
+                    sl.select(
+                        F.concat(
+                            F.lit("b:"),
+                            F.pmod(F.xxhash64(key), F.lit(m)).cast(
+                                "string"
+                            ),
+                        ).alias("k")
+                    )
+                    .groupBy("k")
+                    .agg(F.count(F.lit(1)).alias("p_cnt"))
+                    .select(
+                        cid.alias("check_id"),
+                        kind.alias("kind"),
+                        "k",
+                        "p_cnt",
+                        lo.alias("lo"),
+                        hi.alias("hi"),
+                    )
+                )
+                anchor = self.spark.range(1).select(
+                    cid.alias("check_id"),
+                    kind.alias("kind"),
+                    F.lit(_ANCHOR_KEY).alias("k"),
+                    F.lit(0).cast("long").alias("p_cnt"),
+                    lo.alias("lo"),
+                    hi.alias("hi"),
+                )
+                frames.append(_pad(per_bucket.unionByName(anchor)))
             elif c["kind"] == "orphan":
                 dim = dims.get(c["dim"])
                 if dim is None:
@@ -493,8 +569,11 @@ class IncrementalDQBattery:
           re-scan, see :meth:`process_increment`) and the bounds are
           exact too; without ``facts`` they stay high-water — mean
           bounds retract exactly either way;
-        - an approx_duplicate sketch never shrinks (NDV stays
-          ever-seen), so under deletes its excess under-alarms.
+        - an approx_duplicate HLL sketch never shrinks (NDV stays
+          ever-seen), so under deletes its excess under-alarms —
+          register the check with ``retractable=True`` for the
+          signed linear-counting variant, whose bucket counters
+          retract exactly through this same feed.
 
         DIM tables ride the same feed (round-14 continuation): a
         ``changes`` entry whose name is some orphan check's dim is
@@ -695,12 +774,16 @@ class IncrementalDQBattery:
             # a per-key row whose counter fully retracted (every
             # arrival of the key deleted through the change feed)
             # leaves the state — the bound stays CURRENT keys, and a
-            # duplicate key that re-appears starts clean. Scalar rows
-            # (row/metric) and the orphan anchor keep their presence
-            # at zero.
+            # duplicate key that re-appears starts clean. A fully-
+            # emptied linear-counting bucket leaves the same way (its
+            # occupancy is what the NDV estimate reads). Scalar rows
+            # (row/metric) and the anchors keep their presence at
+            # zero.
             .filter(
                 ~(
-                    F.col("kind").isin("duplicate", "orphan")
+                    F.col("kind").isin(
+                        "duplicate", "orphan", "approx_duplicate_lc"
+                    )
                     & (F.col("p_cnt") == 0)
                     & (F.col("k") != _ANCHOR_KEY)
                 )
@@ -975,11 +1058,51 @@ class IncrementalDQBattery:
             .cast("long")
             .alias("failed_rows"),
         )
+        # retractable variant: NDV via linear counting over the
+        # CURRENT occupancy — m·ln(m/empty), empty floored at 1 (a
+        # saturated vector over-reports excess: the conservative
+        # direction for an alarm, and the re-size signal)
+        mcol = F.col("m")
+        occupied = F.least(F.col("occupied"), mcol - F.lit(1.0))
+        lc_est = F.when(F.col("occupied") <= 0, F.lit(0.0)).otherwise(
+            mcol * F.log(mcol / (mcol - occupied))
+        )
+        lc_excess = F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("rows") - F.round(lc_est)).cast("long"),
+        )
+        lc = (
+            st.filter(F.col("kind") == "approx_duplicate_lc")
+            .groupBy("check_id")
+            .agg(
+                F.sum("p_cnt").alias("rows"),
+                F.count(
+                    F.when(
+                        (F.col("k") != _ANCHOR_KEY)
+                        & (F.col("p_cnt") > 0),
+                        1,
+                    )
+                ).cast("double").alias("occupied"),
+                F.max("hi").alias("m"),
+                F.max("lo").alias("tol"),
+            )
+            .select(
+                F.col("check_id").alias("test_id"),
+                F.when(
+                    lc_excess > F.coalesce(F.col("tol"), F.lit(0.0)),
+                    lc_excess,
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("failed_rows"),
+            )
+        )
         out = (
             scalar.unionByName(orph)
             .unionByName(dups)
             .unionByName(metric)
             .unionByName(apx)
+            .unionByName(lc)
         )
         return out.select(
             "test_id",

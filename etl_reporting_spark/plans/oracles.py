@@ -1649,6 +1649,31 @@ FROM checks
 ORDER BY test_id
 """
 
+ORACLE_SQL["incremental_dq_approx_retract"] = """
+-- Twin of the retractable approx-duplicate screen: every key <= 30000
+-- was duplicated (copy slab) then the slab was DV-deleted. Pre-phase:
+-- the exact duplicate-row count (= |keys|) dwarfs the tolerance (50)
+-- plus any linear-counting noise, so the STATUS is deterministic even
+-- though the sketch's magnitude is not (reported NULL). Post-phase:
+-- the slab's deletes returned every bucket counter to base occupancy,
+-- so the verdict is exactly PASS/0 — the claim under test is that the
+-- sketch SHRANK (the HLL variant cannot).
+WITH k AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey <= 30000
+),
+phases AS (
+  SELECT 'pre' AS phase, 'ADQ-001' AS test_id,
+         CASE WHEN (SELECT COUNT(*) FROM k) > 50
+              THEN 'FAIL' ELSE 'PASS' END AS status,
+         CAST(NULL AS BIGINT) AS failed_rows
+  UNION ALL
+  SELECT 'post', 'ADQ-001', 'PASS', CAST(0 AS BIGINT)
+)
+SELECT phase, test_id, status, failed_rows
+FROM phases
+ORDER BY phase, test_id
+"""
+
 ORACLE_SQL["wap_update_dv"] = """
 -- Twin of the DV-update lifecycle: delete %9, then +10 on 50-150,
 -- then the %13 partition-move — in order (a %13 key in 50-150 moves

@@ -2099,6 +2099,87 @@ def incremental_dq_minmax_restore(spark: SparkSession, sf_dir: str) -> DataFrame
     return b.verdicts()
 
 
+def incremental_dq_approx_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable approx-duplicate gate (round-14): the battery's
+    last non-retractable piece closed — the signed linear-counting
+    variant's bucket counters retract exactly through the change
+    feed, so the duplicate alarm CLEARS when the duplicate rows
+    leave (the default HLL sketch can only under-alarm there, its
+    NDV pinned at ever-seen).
+
+      v1  CREATE orders keys ≤ 30000 PLUS the same keys again as a
+          marked duplicate slab (copy='dup') — every key duplicated
+      v2  DV DELETE the slab
+
+    The battery (tolerance 50, 65536 buckets) is fed purely from
+    ``table_changes``; output is the verdict after EACH phase. The
+    pre-phase excess ≈ |keys| with only linear-counting noise around
+    it, so its STATUS is deterministic (FAIL, margin huge vs 50) but
+    its magnitude is estimator-dependent — reported NULL; the
+    post-phase verdict is exact PASS/0 because every bucket's signed
+    counter returned to its base occupancy. The oracle derives both
+    statuses from the exact relational duplicate count.
+
+    Scale: partials are one narrow groupBy ∝ min(|slice|, buckets);
+    state ∝ occupied buckets (≤ 65536 narrow rows) regardless of key
+    cardinality — the unbounded-key relief valve, now delete-correct."""
+    import tempfile
+
+    from etl_reporting_spark.dq.incremental import IncrementalDQBattery
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        table_changes,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus"
+    ).filter(F.col("o_orderkey") <= 30000)
+    path = tempfile.mkdtemp(prefix="dq_apxr_")
+    table = create_partitioned_wap_table(
+        spark,
+        f"{path}/orders",
+        base.withColumn("copy", F.lit("base")).unionByName(
+            base.withColumn("copy", F.lit("dup"))
+        ),
+        ["o_orderstatus"],
+    )
+    v1 = table.current_version()
+    table.delete_rows("copy = 'dup'")
+    v2 = table.current_version()
+
+    b = IncrementalDQBattery(spark, f"{path}/state")
+    b.add_approx_duplicate_check(
+        "ADQ-001",
+        "orders",
+        ["o_orderkey"],
+        tolerance_rows=50,
+        retractable=True,
+        buckets=65536,
+    )
+    b.process_change_feed(
+        {"orders": table_changes(table, ["o_orderkey", "copy"], 0, v1)}
+    )
+    pre = [
+        ("pre", r["test_id"], r["status"], None)
+        for r in b.verdicts().collect()
+    ]
+    b.process_change_feed(
+        {"orders": table_changes(table, ["o_orderkey", "copy"], v1, v2)}
+    )
+    post = [
+        ("post", r["test_id"], r["status"], r["failed_rows"])
+        for r in b.verdicts().collect()
+    ]
+    # both phases' verdicts are check-count-bounded collects (one row
+    # per registered check); the returned frame is the two-phase
+    # presentation — the state reads ran above
+    return spark.createDataFrame(
+        pre + post,
+        "phase string, test_id string, status string, failed_rows bigint",
+    ).orderBy("phase", "test_id")
+
+
 def wap_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE via deletion vectors (round-12): the missing
     DML-ladder rung between DV DELETE and the keyed DV MERGE —
@@ -3266,6 +3347,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-14 addition (local tail): the metric min/max restore —
     # deletes heal bound verdicts exactly when facts are supplied
     "incremental_dq_minmax_restore": incremental_dq_minmax_restore,
+    # round-14 addition (local tail): the retractable approx-dup
+    # screen — linear-counting buckets retract through the feed
+    "incremental_dq_approx_retract": incremental_dq_approx_retract,
     "wap_branch_publish": wap_branch_publish,
     "wap_schema_widen": wap_schema_widen,
     "wap_manifest_roundtrip": wap_manifest_roundtrip,

@@ -729,6 +729,92 @@ def test_metric_nonextreme_delete_never_rescans(spark, tmp_path):
     assert v["M"] == 0
 
 
+def test_retractable_approx_dup_shrinks_under_deletes(spark, tmp_path):
+    """Round-14: the retractable (linear-counting) approx-duplicate
+    variant — the HLL's one non-retractable behavior closed. A
+    duplicated slab trips the alarm; deleting the slab through the
+    change feed retracts the bucket counters exactly and the alarm
+    clears (the HLL variant would merely under-alarm, its NDV pinned
+    at ever-seen)."""
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_approx_duplicate_check(
+        "A", "fact", ["id"], tolerance_rows=20,
+        retractable=True, buckets=65536,
+    )
+    base = spark.range(2000).selectExpr("id", "'base' AS copy")
+    slab = spark.range(500).selectExpr("id", "'dup' AS copy")
+    b.process_change_feed(
+        {
+            "fact": base.unionByName(slab).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        }
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["A"] > 300  # ~500 duplicate rows, LC error is small
+    b.process_change_feed(
+        {"fact": slab.withColumn("_change_type", F.lit("delete"))}
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["A"] == 0  # excess retracted with the rows
+
+
+def test_retractable_approx_dup_state_bounded_and_restartable(
+    spark, tmp_path
+):
+    """Bucket state stays ≤ buckets regardless of key cardinality,
+    fully-emptied buckets leave the state, and a fresh battery handle
+    over the same state root serves identical verdicts."""
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_approx_duplicate_check(
+        "A", "fact", ["id"], retractable=True, buckets=64
+    )
+    rows = spark.range(10_000).selectExpr("id")
+    b.process_change_feed(
+        {"fact": rows.withColumn("_change_type", F.lit("insert"))}
+    )
+    n_state = b.state.read().filter("kind = 'approx_duplicate_lc'").count()
+    assert n_state <= 64 + 1  # buckets + anchor
+    # delete everything: every bucket empties and leaves the state
+    b.process_change_feed(
+        {"fact": rows.withColumn("_change_type", F.lit("delete"))}
+    )
+    ks = {
+        r["k"]
+        for r in b.state.read()
+        .filter("kind = 'approx_duplicate_lc'")
+        .collect()
+    }
+    assert ks == {"s:anchor"}
+    b2 = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b2.add_approx_duplicate_check(
+        "A", "fact", ["id"], retractable=True, buckets=64
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b2.verdicts().collect()}
+    assert v["A"] == 0
+
+
+def test_retractable_approx_dup_saturation_over_reports(spark, tmp_path):
+    """An undersized vector saturates and OVER-reports excess — the
+    conservative direction for an alarm (the caller's re-size
+    signal), never a silent miss."""
+    b = IncrementalDQBattery(spark, str(tmp_path / "state"))
+    b.add_approx_duplicate_check(
+        "A", "fact", ["id"], tolerance_rows=0,
+        retractable=True, buckets=16,
+    )
+    b.process_change_feed(
+        {
+            "fact": spark.range(5000)
+            .selectExpr("id")
+            .withColumn("_change_type", F.lit("insert"))
+        }
+    )
+    v = {r["test_id"]: r["failed_rows"] for r in b.verdicts().collect()}
+    assert v["A"] > 0  # 5000 unique keys, but the 16-bucket vector
+    #                    cannot distinguish them from duplicates
+
+
 def test_change_feed_requires_change_type_column(spark, tmp_path):
     b = IncrementalDQBattery(spark, str(tmp_path / "state"))
     b.add_row_check("R", "fact", F.col("amt") < 0)

@@ -236,6 +236,10 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # re-scan run at build time (feed side); the returned verdict
     # plan is the standard fact-free state read (measured 3).
     "incremental_dq_minmax_restore": 3,
+    # round-14: retractable approx-dup screen — both phases' verdicts
+    # are check-count-bounded collects at build time; the returned
+    # frame is the two-phase presentation (one sort).
+    "incremental_dq_approx_retract": 1,
     # round-12: DV-update lifecycle — the returned frame is one
     # masked snapshot read → aggregate + presentation sort
     "wap_update_dv": 2,
