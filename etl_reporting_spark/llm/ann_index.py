@@ -179,6 +179,87 @@ class PersistedAnnIndex:
         )
         return self.codes_table.append_rows(codes, operation="ann-index-append")
 
+    def sync_from_change_feed(self, changes: DataFrame) -> dict:
+        """Fold one EMBEDDINGS-TABLE change-feed batch into the index
+        (round-14 continuation): the index follows the corpus table's
+        COMMITS, the same cadence shift ``process_change_feed`` gives
+        the DQ battery. Feed this straight from ``table_changes``
+        over the embeddings table (or any frame carrying Delta's CDF
+        vocabulary in ``_change_type``):
+
+        - ``insert`` / ``update_postimage`` rows encode against the
+          frozen model (one pass over the batch) and append;
+        - ``delete`` / ``update_preimage`` ids leave through the
+          codes table's DV path — and because the preimage row
+          carries the VECTOR, its cell assignment names exactly the
+          partitions its codes live in (cell assignment is pure in
+          the frozen centroids), so the delete scan is pruned to the
+          affected cells;
+        - an UPDATE is therefore delete-then-append: the preimage's
+          codes are masked before the re-encoded postimage lands, so
+          the two never serve together.
+
+        Deletes commit before appends (one DV commit + one append
+        commit per batch). After any mix of appends, deletes and
+        keyed updates on the corpus table, the synced index is again
+        ≡ a scratch encode of the final snapshot against the same
+        frozen artifacts (the ``ann_index_cdf_sync`` gate hash-proves
+        it). Returns ``{"deleted_code_rows": n (m per deleted id),
+        "appended_batches": 0|1, "version": codes tip}``."""
+        from etl_reporting_spark.llm.similarity import ivf_assign
+
+        p = self.params
+        id_col, vec_col = p["id_col"], p["vec_col"]
+        if "_change_type" not in changes.columns:
+            raise ValueError(
+                "sync_from_change_feed needs a change-feed frame "
+                "(table_changes output) with a _change_type column"
+            )
+        adds = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(id_col, vec_col)
+        dels = changes.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(id_col, vec_col)
+        n_del = 0
+        if dels.take(1):
+            # cell-assign the preimage vectors against the frozen
+            # centroids: names exactly the partitions the ids' codes
+            # live in (encode used the same centroids), so the DV
+            # delete scans only the affected cells. The cell-id
+            # collect is metadata-bounded (≤ n_centroids values).
+            cells = sorted(
+                r["centroid_id"]
+                for r in ivf_assign(
+                    dels, self.centroids(), id_col, vec_col, n_nearest=1
+                )
+                .select("centroid_id")
+                .distinct()
+                .collect()
+            )
+            existing = set(self.codes_table.partition_map())
+            parts = [
+                key
+                for key in (f"centroid_id={c}" for c in cells)
+                if key in existing
+            ]
+            if parts:
+                _, n_del = self.codes_table.delete_rows(
+                    keys_df=dels.select(id_col).distinct(),
+                    keys=[id_col],
+                    partitions=parts,
+                    operation="ann-index-sync-delete",
+                )
+        n_add = 0
+        if adds.take(1):
+            self.append(adds)
+            n_add = 1
+        return {
+            "deleted_code_rows": n_del,
+            "appended_batches": n_add,
+            "version": self.codes_table.current_version(),
+        }
+
     def delete(self, predicate: str) -> int:
         """Remove vectors from the index by SQL predicate over the
         codes rows (typically ``"vec_id IN (...)"`` — corpus documents

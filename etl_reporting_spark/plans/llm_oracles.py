@@ -2233,6 +2233,7 @@ def _trained_chain_parts(
     encodings=("p", "r"),
     k: int = 5,
     train_where: str = "",
+    serve_where: str = "",
 ) -> list[str]:
     """Shared CTE chain for the TRAINED index gates: 5 unrolled
     exact-fold Lloyd iterations for the IVF centroids (each step the
@@ -2255,15 +2256,42 @@ def _trained_chain_parts(
     the build subset + frozen-codebook ``append`` of the rest
     (llm/ann_index.py): training sees the build corpus, the index
     serves the union. Empty (the default) keeps the emitted SQL
-    byte-identical to the pre-round-14 chain."""
+    byte-identical to the pre-round-14 chain.
+
+    ``serve_where`` (round-14, the change-feed sync gate): a WHERE
+    clause restricting the SERVED corpus — final assignment, encoding,
+    candidate generation and the exact-cosine reference read only the
+    surviving rows, while training still reads ``train_where``'s view
+    of the ORIGINAL corpus (rows deleted after the build WERE in
+    training — exactly ``build_ann_index`` then DV-delete via
+    ``sync_from_change_feed``). Queries must survive the restriction
+    (the sync gates never delete ids < n_q). Empty keeps the SQL
+    byte-identical."""
     n_cent, n_codes = 32, 64
     ivf_iters, pq_iters = 5, 3
     tsrc = "train" if train_where else "embeddings"
+    ssrc = "serve" if serve_where else "embeddings"
 
     # ---- IVF Lloyd chain: cent_t0 (seeds) → cent_t{ivf_iters}
+    head = ""
+    if serve_where:
+        head = f"""
+serve AS MATERIALIZED (
+  SELECT * FROM embeddings {serve_where}
+),"""
     if train_where:
         parts = [
             f"""
+WITH {head.lstrip()}
+train AS MATERIALIZED (
+  SELECT * FROM embeddings {train_where}
+),
+cent_t0 AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM {tsrc} WHERE vec_id < {n_cent}
+)"""
+            if serve_where
+            else f"""
 WITH train AS MATERIALIZED (
   SELECT * FROM embeddings {train_where}
 ),
@@ -2275,6 +2303,13 @@ cent_t0 AS MATERIALIZED (
     else:
         parts = [
             f"""
+WITH {head.lstrip()}
+cent_t0 AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < {n_cent}
+)"""
+            if serve_where
+            else f"""
 WITH cent_t0 AS MATERIALIZED (
   SELECT vec_id AS centroid_id, embedding AS cvec
   FROM embeddings WHERE vec_id < {n_cent}
@@ -2321,7 +2356,7 @@ scored_assign AS MATERIALIZED (
     {_COS.format(dot=_DOT9.format(a='e.embedding', b='ct.cvec'),
                  na=_DOT9.format(a='e.embedding', b='e.embedding'),
                  nb=_DOT9.format(a='ct.cvec', b='ct.cvec'))} AS cosine
-  FROM embeddings e, {cent} ct
+  FROM {ssrc} e, {cent} ct
 ),
 ranked AS MATERIALIZED (
   SELECT *, ROW_NUMBER() OVER (
@@ -2336,14 +2371,14 @@ probes AS MATERIALIZED (
 q AS MATERIALIZED (
   SELECT vec_id AS query_id, embedding AS qvec,
     {_DOT9.format(a='embedding', b='embedding')} AS qn2
-  FROM embeddings WHERE vec_id < {n_q}
+  FROM {ssrc} WHERE vec_id < {n_q}
 ),
 exact_scored AS MATERIALIZED (
   SELECT q.query_id, c.vec_id AS neighbor_id,
     {_COS.format(dot=_DOT9.format(a='q.qvec', b='c.embedding'),
                  na=_DOT9.format(a='q.qvec', b='q.qvec'),
                  nb=_DOT9.format(a='c.embedding', b='c.embedding'))} AS cosine
-  FROM q, embeddings c WHERE c.vec_id != q.query_id
+  FROM q, {ssrc} c WHERE c.vec_id != q.query_id
 ),
 exact_top AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
@@ -2364,22 +2399,66 @@ resid AS MATERIALIZED (
       i -> CAST(a.embedding[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE)) AS rvec
   FROM assign a JOIN {cent} ct ON a.centroid_id = ct.centroid_id
 )""")
+    if serve_where:
+        # training saw the ORIGINAL corpus (rows deleted after the
+        # build WERE in training), so the PQ-training inputs need
+        # their own assignment/residual chain over the train relation
+        # — the serve-restricted assign/resid above feed ENCODING only
+        parts.append(f""",
+ranked_train AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rn
+  FROM (
+    SELECT e.vec_id, e.embedding, ct.centroid_id,
+      {_COS.format(dot=_DOT9.format(a='e.embedding', b='ct.cvec'),
+                   na=_DOT9.format(a='e.embedding', b='e.embedding'),
+                   nb=_DOT9.format(a='ct.cvec', b='ct.cvec'))} AS cosine
+    FROM {tsrc} e, {cent} ct
+  ) s
+),
+assign_train AS MATERIALIZED (
+  SELECT vec_id, embedding, centroid_id FROM ranked_train WHERE rn = 1
+),
+resid_train AS MATERIALIZED (
+  SELECT a.vec_id, a.centroid_id,
+    list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE)) AS rvec
+  FROM assign_train a JOIN {cent} ct ON a.centroid_id = ct.centroid_id
+)""")
 
     # ---- PQ training per encoding: src relation exposes (vec_id, v).
     # With train_where, codebook seeds + Lloyd iterations read only
     # the training subset (pqtrain_*); the encode CTEs below keep
     # reading pqsrc_* (the full corpus).
-    enc_sources = {"p": ("embeddings", "embedding"), "r": ("resid", "rvec")}
+    enc_sources = {"p": (ssrc, "embedding"), "r": ("resid", "rvec")}
+    train_sources = {
+        "p": (tsrc, "embedding"),
+        "r": ("resid_train", "rvec"),
+    }
     for enc in encodings:
         src, vcol = enc_sources[enc]
-        pqt = f"pqtrain_{enc}" if train_where else f"pqsrc_{enc}"
+        pqt = (
+            f"pqtrain_{enc}"
+            if (train_where or serve_where)
+            else f"pqsrc_{enc}"
+        )
         parts.append(f""",
 pqsrc_{enc} AS MATERIALIZED (
   SELECT s.subspace, t.vec_id,
     list_slice(t.{vcol}, s.subspace * 8 + 1, s.subspace * 8 + 8) AS xsub
   FROM {src} t, subs s
 )""")
-        if train_where:
+        if serve_where:
+            # PQ training reads the TRAIN-side chain, not the serve-
+            # restricted encode source (the build preceded the delete)
+            t_src, t_vcol = train_sources[enc]
+            parts.append(f""",
+pqtrain_{enc} AS MATERIALIZED (
+  SELECT s.subspace, t.vec_id,
+    list_slice(t.{t_vcol}, s.subspace * 8 + 1, s.subspace * 8 + 8) AS xsub
+  FROM {t_src} t, subs s
+)""")
+        elif train_where:
             parts.append(f""",
 pqtrain_{enc} AS MATERIALIZED (
   SELECT * FROM pqsrc_{enc} {train_where}
@@ -2648,6 +2727,44 @@ ORDER BY v.variant, s.query_id, s.rank
 
 
 LLM_ORACLE_SQL["ann_index_incremental"] = _ann_index_incremental_sql()
+
+
+def _ann_index_cdf_sync_sql() -> str:
+    """Oracle for the change-feed sync gate: training restricted to
+    the BUILD subset (``train_where`` — vec_id % 3 <> 0, which at
+    build time includes the rows deleted later), serving restricted
+    to the FINAL snapshot (``serve_where`` — the %5/≥10 slab gone, so
+    a ghost neighbor the sync failed to delete, or a missing append,
+    diverges immediately). Same trained serving tail (n_probe=6,
+    shortlist 24, exact rerank) as the incremental gate, single
+    variant."""
+    n_q, k, shortlist, n_probe = 5, 5, 24, 6
+    parts = _trained_chain_parts(
+        n_q,
+        n_probe,
+        encodings=("r",),
+        train_where="WHERE vec_id % 3 <> 0",
+        serve_where="WHERE NOT (vec_id % 5 = 0 AND vec_id >= 10)",
+    )
+    return "".join(parts) + f""",
+short_serve AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rk
+    FROM scored_residual WHERE probe_rn <= {n_probe}
+  ) t WHERE rk <= {shortlist}
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, cosine FROM (
+  SELECT s.query_id, s.neighbor_id, x.cosine, ROW_NUMBER() OVER (
+    PARTITION BY s.query_id ORDER BY x.cosine DESC, s.neighbor_id ASC) AS rk
+  FROM short_serve s JOIN exact_scored x
+    ON x.query_id = s.query_id AND x.neighbor_id = s.neighbor_id
+) t WHERE rk <= {k}
+ORDER BY query_id, rank
+"""
+
+
+LLM_ORACLE_SQL["ann_index_cdf_sync"] = _ann_index_cdf_sync_sql()
 
 
 # The recommended serving query: IVF(32 cells, n_probe=2) × PQ/ADC

@@ -1440,6 +1440,89 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_centroids=8, min_cosine=0.4).orderBy("vec_id")
 
 
+def ann_index_cdf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed-driven index maintenance (round-14 continuation):
+    the persisted ANN index FOLLOWS the corpus table's commits — the
+    same cadence shift ``process_change_feed`` gives the DQ battery,
+    applied to the index artifact. Lifecycle:
+
+      v1  CREATE the embeddings WAP table at ⅔ corpus
+          (``vec_id % 3 != 0``); build + persist the index from it
+      v2  APPEND the remaining ⅓ to the corpus table
+      v3  DV DELETE ``vec_id % 5 = 0 AND vec_id >= 10`` (queries
+          survive by construction)
+
+    The index is synced purely from ``table_changes`` between
+    consecutive versions (``sync_from_change_feed``): the insert feed
+    encodes against the frozen model and appends; the delete feed's
+    preimage VECTORS cell-assign to name exactly the code partitions
+    their ids live in, so the DV delete scans only the affected cells.
+    Serving (n_probe=6 × shortlist-24 exact rerank) then equals the
+    DuckDB oracle that re-derives training on the build subset
+    (``train_where``) and serving over the FINAL snapshot
+    (``serve_where``) — a missed delete (ghost neighbor), a stale
+    append, or an unpruned re-encode of history all break the hash.
+
+    Scale: each sync costs ∝ the commit's churn (encode one pass over
+    the insert batch; DV sidecar ∝ deleted ids, scan pruned to their
+    cells) — the index never re-reads corpus history. The reference's
+    DMF-on-schedule cadence (reference
+    sql/new_rfb_and_total_claimants_active/setup_dmf_data_quality.sql:
+    46-47) driven by commits, for the serving artifact."""
+    import tempfile
+
+    from etl_reporting_spark.llm.ann_index import build_ann_index
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        table_changes,
+    )
+
+    n_q, k, n_probe, shortlist = 5, 5, 6, 24
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(4)).alias("bucket"),
+    )
+    path = tempfile.mkdtemp(prefix="ann_sync_")
+    corpus = create_partitioned_wap_table(
+        spark, f"{path}/emb", emb.filter("vec_id % 3 != 0"), ["bucket"]
+    )
+    v1 = corpus.current_version()
+    idx = build_ann_index(
+        spark,
+        f"{path}/index",
+        corpus.read().select("vec_id", "embedding"),
+        n_centroids=32,
+        m=8,
+        n_codes=64,
+        dim=64,
+        ivf_iterations=5,
+        pq_iterations=3,
+        exact=True,
+    )
+    corpus.append_rows(emb.filter("vec_id % 3 = 0"))
+    v2 = corpus.current_version()
+    corpus.delete_rows("vec_id % 5 = 0 AND vec_id >= 10")
+    v3 = corpus.current_version()
+    for prev, v in ((v1, v2), (v2, v3)):
+        idx.sync_from_change_feed(
+            table_changes(corpus, ["vec_id"], prev, v).select(
+                "vec_id", "embedding", "_change_type"
+            )
+        )
+    final = corpus.read().select("vec_id", "embedding")
+    queries = final.filter(F.col("vec_id") < n_q)
+    return idx.search(
+        queries,
+        k=k,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        rerank_embeddings=final,
+    ).select("query_id", "rank", "neighbor_id", "cosine").orderBy(
+        "query_id", "rank"
+    )
+
+
 def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted ANN index with frozen-codebook incremental growth
     (round-14; VERDICT r13 #1 — the first thing an ANN user asks for
@@ -1597,6 +1680,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_stats": dedup_span_stats,
     "semdedup_flags": semdedup_flags,
     "ann_index_incremental": ann_index_incremental,
+    "ann_index_cdf_sync": ann_index_cdf_sync,
     "url_blocklist": url_blocklist,
     "sketch_countmin": sketch_countmin,
     "sketch_bloom_screen": sketch_bloom_screen,

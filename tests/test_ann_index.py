@@ -261,3 +261,117 @@ def test_compaction_preserves_serving(spark, built):
         .collect()
     ]
     assert before == after
+
+
+def test_sync_from_change_feed_tracks_corpus_dml(spark, tmp_path):
+    """Round-14 continuation: the index follows the corpus table's
+    COMMITS — append, keyed DV update (preimage codes masked, re-
+    encoded postimage appended) and DV delete, all fed purely from
+    table_changes. After every feed the codes equal a scratch encode
+    of the current snapshot against the frozen artifacts."""
+    from etl_reporting_spark.llm.ann_index import _encode_against
+    from etl_reporting_spark.operators.wap import (
+        create_partitioned_wap_table,
+        table_changes,
+    )
+
+    emb = _emb(spark).select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(4)).alias("bucket"),
+    )
+    corpus = create_partitioned_wap_table(
+        spark, str(tmp_path / "corpus"), emb.filter("vec_id % 3 != 0"),
+        ["bucket"],
+    )
+    idx = build_ann_index(
+        spark,
+        str(tmp_path / "idx"),
+        corpus.read().select("vec_id", "embedding"),
+        n_centroids=N_CENT, m=M, n_codes=N_CODES, dim=DIM,
+        ivf_iterations=2, pq_iterations=1,
+    )
+
+    def assert_synced():
+        snap = corpus.read().select("vec_id", "embedding")
+        scratch = _encode_against(
+            snap, idx.centroids(), idx.codebook(), M, DIM,
+            "vec_id", "embedding",
+        )
+        persisted = idx.codes_table.read()
+        diff = (
+            persisted.exceptAll(scratch).count()
+            + scratch.exceptAll(persisted).count()
+        )
+        assert diff == 0
+
+    def feed(fv, tv=None):
+        idx.sync_from_change_feed(
+            table_changes(corpus, ["vec_id"], fv, tv).select(
+                "vec_id", "embedding", "_change_type"
+            )
+        )
+
+    # append the remaining third
+    v = corpus.current_version()
+    corpus.append_rows(emb.filter("vec_id % 3 = 0"))
+    feed(v)
+    assert_synced()
+
+    # keyed DV UPDATE: vectors 20-29 change (negated embeddings) —
+    # the feed emits preimage+postimage; sync must mask the old codes
+    # and land the re-encode, never both
+    v = corpus.current_version()
+    upd = (
+        emb.filter("vec_id >= 20 AND vec_id < 30")
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: -x),
+        )
+    )
+    corpus.upsert_rows_dv(upd, keys=["vec_id"])
+    feed(v)
+    assert_synced()
+
+    # DV delete a slab
+    v = corpus.current_version()
+    corpus.delete_rows("vec_id % 5 = 0 AND vec_id >= 10")
+    feed(v)
+    assert_synced()
+    # deleted ids never served
+    got = idx.search(emb.filter("vec_id < 4"), k=5, n_probe=2)
+    assert got.filter(
+        "neighbor_id % 5 = 0 AND neighbor_id >= 10"
+    ).count() == 0
+
+
+def test_sync_requires_change_type_column(spark, built):
+    emb, build, inc, idx = built
+    with pytest.raises(ValueError, match="_change_type"):
+        idx.sync_from_change_feed(inc)
+
+
+def test_sync_delete_scans_only_preimage_cells(spark, built):
+    """The preimage vectors name their cells; the DV delete commit's
+    masked files all live in those partitions — the scan never
+    touched the other inverted lists."""
+    emb, build, inc, idx = built
+    idx.append(inc)
+    from etl_reporting_spark.llm.similarity import ivf_assign
+
+    dels = emb.filter("vec_id % 11 = 0")
+    expect_cells = {
+        r["centroid_id"]
+        for r in ivf_assign(
+            dels, idx.centroids(), "vec_id", "embedding", n_nearest=1
+        ).select("centroid_id").distinct().collect()
+    }
+    idx.sync_from_change_feed(
+        dels.withColumn("_change_type", F.lit("delete"))
+    )
+    rec = idx.codes_table.latest_record()
+    masked = set()
+    for f in rec.get("delete_vectors") or {}:
+        part = [p for p in f.split("/") if p.startswith("centroid_id=")]
+        masked.add(int(part[0].split("=")[1]))
+    assert masked and masked <= expect_cells

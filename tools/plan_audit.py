@@ -105,6 +105,11 @@ _BNLJ_OK: dict[str, str] = {
         "arms (as ann_cosine_ivfpq_trained; the persisted arm reads "
         "the index tables, the scratch arm encodes inline)"
     ),
+    "ann_index_cdf_sync": (
+        "frozen-centroid table broadcast for query cell assignment "
+        "(as ann_index_incremental; single persisted serving arm — "
+        "the sync feeds run at build time)"
+    ),
 }
 
 
@@ -187,6 +192,13 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     # vector id — rows bounded by n_queries x shortlist or by the
     # increment, never the corpus.
     "ann_index_incremental": 8,
+    # round-14: change-feed sync gate — the sync feeds (encode +
+    # DV delete) run at build time; the returned frame is ONE
+    # persisted serving arm (measured 4: query cell-assign window,
+    # ADC shortlist window, rerank dot-product agg + top-k window —
+    # all query-id/vector-id partitioned, rows bounded by
+    # n_queries x shortlist).
+    "ann_index_cdf_sync": 4,
     # round-8: WAP ACID lifecycle read — the DV-masked, schema-
     # restored snapshot read is exchange-FREE (broadcast anti-join);
     # the single exchange is the presentation order-by.
