@@ -1071,39 +1071,44 @@ class IncrementalDQBattery:
             F.lit(0).cast("long"),
             (F.col("rows") - F.round(lc_est)).cast("long"),
         )
-        lc = (
-            st.filter(F.col("kind") == "approx_duplicate_lc")
-            .groupBy("check_id")
-            .agg(
-                F.sum("p_cnt").alias("rows"),
-                F.count(
-                    F.when(
-                        (F.col("k") != _ANCHOR_KEY)
-                        & (F.col("p_cnt") > 0),
-                        1,
-                    )
-                ).cast("double").alias("occupied"),
-                F.max("hi").alias("m"),
-                F.max("lo").alias("tol"),
-            )
-            .select(
-                F.col("check_id").alias("test_id"),
-                F.when(
-                    lc_excess > F.coalesce(F.col("tol"), F.lit(0.0)),
-                    lc_excess,
-                )
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias("failed_rows"),
-            )
-        )
         out = (
             scalar.unionByName(orph)
             .unionByName(dups)
             .unionByName(metric)
             .unionByName(apx)
-            .unionByName(lc)
         )
+        if any(
+            c["kind"] == "approx_duplicate_lc" for c in self._checks
+        ):
+            # only when registered — the extra per-check groupBy must
+            # not cost every OTHER battery's verdict plan an exchange
+            lc = (
+                st.filter(F.col("kind") == "approx_duplicate_lc")
+                .groupBy("check_id")
+                .agg(
+                    F.sum("p_cnt").alias("rows"),
+                    F.count(
+                        F.when(
+                            (F.col("k") != _ANCHOR_KEY)
+                            & (F.col("p_cnt") > 0),
+                            1,
+                        )
+                    ).cast("double").alias("occupied"),
+                    F.max("hi").alias("m"),
+                    F.max("lo").alias("tol"),
+                )
+                .select(
+                    F.col("check_id").alias("test_id"),
+                    F.when(
+                        lc_excess > F.coalesce(F.col("tol"), F.lit(0.0)),
+                        lc_excess,
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("failed_rows"),
+                )
+            )
+            out = out.unionByName(lc)
         return out.select(
             "test_id",
             F.when(F.col("failed_rows") == 0, "PASS")
