@@ -3203,7 +3203,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11): a13_pivot (the aggregate family keeps a5/a7/a8/a9/u2/a14
     # driver-verified).
     "wap_spec_evolution": wap_spec_evolution,
-    "fn_date_gallery": fn_date_gallery,
+    # round-14 second-half rotation: the metric min/max restore (new
+    # this round) takes the hard driver signal; fn_date_gallery out
+    # with 13 rounds driver-green (the gallery family keeps
+    # fn_conditional_gallery in-window)
+    "incremental_dq_minmax_restore": incremental_dq_minmax_restore,
     # round-13 rotation: the staged-migration composition gate (fork →
     # rename + evolve + cross-era DV merge on the branch → publish over
     # disjoint main progress + a main-side ANALYZE) takes the hard
@@ -3269,9 +3273,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fn_try_to_date (fn_date_gallery stays), f1_udf_in_sql
     # (f1_working_days stays), and the four round-5 LLM picks
     # (driver-green in CORRECTNESS_r05).
-    "j5b_asof_tolerance": j5b_asof_tolerance,
+    # round-14 second-half rotation: the change-feed index sync (new
+    # this round) in; j5b_asof_tolerance out with 8 rounds
+    # driver-green (join family keeps j5/j1/j7/j10/j14 in-window)
+    "ann_index_cdf_sync": LLM_QUERIES["ann_index_cdf_sync"],
     "w13_rolling_window": w13_rolling_window,
-    "a14_cube": a14_cube,
+    # round-14 second-half rotation: the retractable approx-dup
+    # screen (new this round) in; a14_cube out with 8 rounds
+    # driver-green (agg family keeps a5/a8/a9/u2 in-window)
+    "incremental_dq_approx_retract": incremental_dq_approx_retract,
     "fuzzy_address_dedup": fuzzy_address_dedup,
     "ivm_join_maintenance": ivm_join_maintenance,
     "text_dsir_select": LLM_QUERIES["text_dsir_select"],
@@ -3344,18 +3354,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fn_json_gallery": fn_json_gallery,
     "report_claimant_detail": report_claimant_detail,
     "wap_insert_sql": wap_insert_sql,
-    # round-14 addition (local tail): the metric min/max restore —
-    # deletes heal bound verdicts exactly when facts are supplied
-    "incremental_dq_minmax_restore": incremental_dq_minmax_restore,
-    # round-14 addition (local tail): the retractable approx-dup
-    # screen — linear-counting buckets retract through the feed
-    "incremental_dq_approx_retract": incremental_dq_approx_retract,
+    # round-14 second-half rotation to the locally-verified tail
+    # (8-13 rounds driver-green each; family coverage in the window
+    # notes above): fn_date_gallery, a14_cube, j5b_asof_tolerance
+    "fn_date_gallery": fn_date_gallery,
+    "a14_cube": a14_cube,
+    "j5b_asof_tolerance": j5b_asof_tolerance,
     "wap_branch_publish": wap_branch_publish,
     "wap_schema_widen": wap_schema_widen,
     "wap_manifest_roundtrip": wap_manifest_roundtrip,
     **{k: v for k, v in LLM_QUERIES.items() if k not in (
         "sample_leakage_safe_split",
         "ann_index_incremental",
+        "ann_index_cdf_sync",
         "mm_decode_real",
         "ann_recall_sweep",
         "ann_recall_sweep_trained",

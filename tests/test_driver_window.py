@@ -53,7 +53,14 @@ EXPECTED_WINDOW = [
     # (CORRECTNESS_r02-r11; the aggregate family keeps
     # a5/a7/a8/a9/u2/a14 driver-verified)
     "wap_spec_evolution",
-    "fn_date_gallery",
+    # round-14 second-half rotation: the three gates added after the
+    # first rotation (min/max restore, retractable approx screen,
+    # change-feed index sync) take the hard driver signal on debut;
+    # fn_date_gallery (13 rounds driver-green, gallery family keeps
+    # fn_conditional_gallery), a14_cube and j5b_asof_tolerance (8
+    # rounds each, agg/join families keep multiple reps) rotate to
+    # the locally-verified tail
+    "incremental_dq_minmax_restore",
     # round-13 rotation: the staged-migration branch composition, the
     # two round-12 local-only table-format gates, and the incremental
     # DQ battery take the hard driver signal; fn_string_gallery,
@@ -79,9 +86,9 @@ EXPECTED_WINDOW = [
     "sql_script_mixed",
     "dq_report_battery",
     "incremental_dq_battery",
-    "j5b_asof_tolerance",
+    "ann_index_cdf_sync",
     "w13_rolling_window",
-    "a14_cube",
+    "incremental_dq_approx_retract",
     "fuzzy_address_dedup",
     "ivm_join_maintenance",
     "text_dsir_select",
@@ -105,7 +112,9 @@ def test_window_split_contains_the_round6_rotation():
     representatives) and the four round-5 LLM picks (driver-green in
     CORRECTNESS_r05)."""
     new_r6 = {
-        "j5b_asof_tolerance",
+        # j5b_asof_tolerance held the window r6-r13 (8 rounds
+        # driver-green) and rotated to the tail in the round-14
+        # second-half rotation
         "w13_rolling_window",
         "fuzzy_address_dedup",
         "ivm_join_maintenance",
