@@ -55,6 +55,20 @@ connector/snowpark_connector.py:425-453), applied to the index:
    the ``codes=`` fast path, so persisted serving stays on the same
    value-hash-oracled code path as the inline gates.
 
+5. **Rebuild by pointer swap** (``rebuild_ann_index``): when the
+   recall-drift rung says the frozen model has drifted, retrain on
+   the current corpus into ``{path}/gen-NNNNN`` — the old generation
+   serves uninterrupted throughout — and flip a tiny generation
+   pointer as the LAST step (one atomic small-object PUT, the
+   Iceberg metadata-pointer pattern). Crash before the flip and
+   nothing changed; handles opened before the flip keep their
+   generation.
+
+6. **Sync from the corpus change feed**
+   (``sync_from_change_feed``): the index follows the embeddings
+   table's commits — inserts encode in one pass, deletes ride the
+   DV path pruned to the cells the preimage vectors name.
+
 Scale notes: the codes table carries m small ints per vector — the
 4·dim/m× compression that makes a 100 TB raw corpus an ~3 TB index;
 appends are ∝ increment; serving is ∝ corpus·n_probe/n_cells with the
@@ -76,6 +90,19 @@ from etl_reporting_spark.operators.wap import (
     create_partitioned_wap_table,
     create_wap_table,
 )
+
+
+#: small pointer object naming the current generation dir (rebuild)
+_GENERATION_KEY = "ann_index_generation"
+
+
+def _root_storage(path: str) -> TableStorage:
+    """Storage seam rooted at the INDEX root (for the generation
+    pointer) — resolved through the wap module's factory attribute so
+    the blob-backend test monkeypatch applies here too."""
+    from etl_reporting_spark.operators import wap as _wap
+
+    return _wap._default_storage_factory(path)
 
 
 def _encode_against(
@@ -117,16 +144,37 @@ class PersistedAnnIndex:
     ) -> None:
         self.spark = spark
         self.path = path
+        # generation indirection (round-14 rebuild): a REBUILT index
+        # lives under {path}/gen-NNNNN and a tiny pointer object names
+        # the current generation — the Iceberg metadata-pointer
+        # pattern, flipped by one atomic small-object PUT as the
+        # rebuild's LAST step. No pointer → the legacy flat layout
+        # (every pre-rebuild index, and the inside of each gen dir).
+        # The resolution happens ONCE per handle: an open handle keeps
+        # serving its generation across a concurrent rebuild
+        # (continuity), a new handle sees the flip.
+        ptr_fs = (
+            storage
+            if storage is not None
+            else _root_storage(path)
+        )
+        raw = ptr_fs.read_key(_GENERATION_KEY)
+        root = path
+        if raw is not None:
+            import json as _json
+
+            root = f"{path}/{_json.loads(raw)['generation']}"
+        self.root = root
         self.centroids_table = WapTable(
-            spark, f"{path}/centroids", storage=storage
+            spark, f"{root}/centroids", storage=storage
         )
         self.codebook_table = WapTable(
-            spark, f"{path}/codebook", storage=storage
+            spark, f"{root}/codebook", storage=storage
         )
         self.codes_table = PartitionedWapTable(
-            spark, f"{path}/codes", ["centroid_id"], storage=storage
+            spark, f"{root}/codes", ["centroid_id"], storage=storage
         )
-        self.params_table = WapTable(spark, f"{path}/params", storage=storage)
+        self.params_table = WapTable(spark, f"{root}/params", storage=storage)
         self._params: dict | None = None
         self._centroids: DataFrame | None = None
         self._codebook: DataFrame | None = None
@@ -449,8 +497,73 @@ def open_ann_index(
     spark: SparkSession, path: str, storage: TableStorage | None = None
 ) -> PersistedAnnIndex:
     """Open a previously built index — a fresh process reading the
-    persisted tables; nothing is retrained or re-encoded."""
+    persisted tables; nothing is retrained or re-encoded. Resolves
+    the generation pointer (rebuilds), so the returned handle serves
+    the CURRENT generation and keeps serving it across a concurrent
+    rebuild."""
     idx = PersistedAnnIndex(spark, path, storage=storage)
     if idx.params_table.current_version() == 0:
         raise FileNotFoundError(f"no ANN index at {path}")
     return idx
+
+
+def rebuild_ann_index(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    ivf_iterations: int = 5,
+    pq_iterations: int = 3,
+    exact: bool = True,
+    **overrides,
+) -> PersistedAnnIndex:
+    """Full retrain + re-encode + ATOMIC pointer swap — the answer to
+    the recall-drift rung's verdict (tools/ann_ladder.py): when frozen
+    growth has drifted past the threshold, rebuild on the current
+    corpus and flip.
+
+    Mechanics (the Iceberg metadata-pointer pattern): the new
+    generation trains and encodes into ``{path}/gen-NNNNN`` — the old
+    generation serves UNINTERRUPTED the whole time (readers resolve
+    the pointer once per handle) — and the LAST step is one atomic
+    small-object PUT of the generation pointer. A crash anywhere
+    before the flip leaves the old index intact and served (the
+    orphan gen dir is re-built by the retry and aged out by normal
+    vacuum); there is no torn state a reader can observe, because no
+    reader follows a pointer that has not been written.
+
+    Build parameters default to the OLD index's frozen params
+    (n_centroids, m, n_codes, dim, id/vec columns) so a routine
+    drift-triggered rebuild is parameter-stable; pass ``overrides``
+    to re-shape (e.g. more cells for a corpus that outgrew 32).
+    Returns a handle on the NEW generation."""
+    old = open_ann_index(spark, path)
+    p = dict(old.params)
+    gen_no = 1
+    if old.root != path:
+        gen_no = int(old.root.rsplit("gen-", 1)[1]) + 1
+    gen = f"gen-{gen_no:05d}"
+    kwargs = {
+        "n_centroids": int(p["n_centroids"]),
+        "m": int(p["m"]),
+        "n_codes": int(p["n_codes"]),
+        "dim": int(p["dim"]),
+        "id_col": p["id_col"],
+        "vec_col": p["vec_col"],
+    }
+    kwargs.update(overrides)
+    build_ann_index(
+        spark,
+        f"{path}/{gen}",
+        embeddings,
+        ivf_iterations=ivf_iterations,
+        pq_iterations=pq_iterations,
+        exact=exact,
+        **kwargs,
+    )
+    import json as _json
+
+    _root_storage(path).put_key(
+        _GENERATION_KEY,
+        _json.dumps({"generation": gen}).encode(),
+    )
+    return open_ann_index(spark, path)

@@ -375,3 +375,95 @@ def test_sync_delete_scans_only_preimage_cells(spark, built):
         part = [p for p in f.split("/") if p.startswith("centroid_id=")]
         masked.add(int(part[0].split("=")[1]))
     assert masked and masked <= expect_cells
+
+
+def test_rebuild_swaps_generation_atomically(spark, tmp_path, built):
+    """The drift answer: rebuild retrains on the current corpus into a
+    NEW generation dir and flips the pointer as the last step. The new
+    handle equals a scratch build over the same corpus; a handle
+    opened BEFORE the flip keeps serving the old generation
+    (continuity); a second rebuild increments the generation."""
+    from etl_reporting_spark.llm.ann_index import rebuild_ann_index
+
+    emb, build, inc, idx = built
+    idx.append(inc)  # frozen growth first — the drift shape
+    old_handle = open_ann_index(spark, idx.path)
+    queries = emb.filter(F.col("vec_id") < 4)
+    before = [
+        tuple(r)
+        for r in old_handle.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+
+    new_idx = rebuild_ann_index(
+        spark, idx.path, emb, ivf_iterations=2, pq_iterations=1
+    )
+    assert new_idx.root.endswith("gen-00001")
+    assert dict(new_idx.params) == dict(idx.params)  # params carried
+
+    # new generation ≡ a scratch build over the same corpus
+    scratch = build_ann_index(
+        spark, str(tmp_path / "scratch"), emb,
+        n_centroids=N_CENT, m=M, n_codes=N_CODES, dim=DIM,
+        ivf_iterations=2, pq_iterations=1,
+    )
+    a = [
+        tuple(r)
+        for r in new_idx.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    b = [
+        tuple(r)
+        for r in scratch.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert a == b
+
+    # continuity: the pre-flip handle still serves the OLD generation
+    after_on_old = [
+        tuple(r)
+        for r in old_handle.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert after_on_old == before
+
+    # a fresh open resolves the new generation; rebuild again → gen 2
+    assert open_ann_index(spark, idx.path).root.endswith("gen-00001")
+    newer = rebuild_ann_index(
+        spark, idx.path, emb.filter("vec_id % 2 = 0"),
+        ivf_iterations=2, pq_iterations=1,
+    )
+    assert newer.root.endswith("gen-00002")
+
+
+def test_unflipped_generation_dir_is_invisible(spark, built):
+    """Crash-before-flip: a fully built generation dir whose pointer
+    PUT never happened changes NOTHING — open still resolves the old
+    layout and serves the old results."""
+    emb, build, inc, idx = built
+    queries = emb.filter(F.col("vec_id") < 4)
+    before = [
+        tuple(r)
+        for r in idx.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    # the crash: gen dir fully built, pointer never written
+    build_ann_index(
+        spark, f"{idx.path}/gen-00099", emb,
+        n_centroids=N_CENT, m=M, n_codes=N_CODES, dim=DIM,
+        ivf_iterations=2, pq_iterations=1,
+    )
+    reopened = open_ann_index(spark, idx.path)
+    assert reopened.root == idx.path  # still the legacy flat layout
+    after = [
+        tuple(r)
+        for r in reopened.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert after == before
