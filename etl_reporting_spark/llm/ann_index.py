@@ -567,3 +567,38 @@ def rebuild_ann_index(
         _json.dumps({"generation": gen}).encode(),
     )
     return open_ann_index(spark, path)
+
+
+def vacuum_generations(
+    spark: SparkSession, path: str, keep: int = 1
+) -> list[str]:
+    """Delete superseded generation dirs (and the pre-rebuild legacy
+    flat tables once a generation pointer exists), keeping the
+    current generation plus ``keep - 1`` predecessors for open-handle
+    grace. Run on the maintenance cadence AFTER serving handles have
+    refreshed past the flip — a handle still pinned to a vacuumed
+    generation fails loudly on its next read (missing files), never
+    silently serves wrong results. Returns the deleted roots."""
+    idx = open_ann_index(spark, path)
+    if idx.root == path:
+        return []  # never rebuilt — nothing superseded
+    fs = _root_storage(path)
+    current = int(idx.root.rsplit("gen-", 1)[1])
+    floor = current - max(int(keep) - 1, 0)
+    deleted: list[str] = []
+    for rel in sorted(set(fs.list_prefix())):
+        head = rel.split("/", 1)[0]
+        if head.startswith("gen-"):
+            try:
+                n = int(head.split("gen-", 1)[1])
+            except ValueError:
+                continue
+            if n < floor and head not in deleted:
+                fs.delete_prefix(head)
+                deleted.append(head)
+        elif head in ("centroids", "codebook", "codes", "params"):
+            # the pre-rebuild legacy flat layout, superseded by gen-1
+            if floor >= 1 and head not in deleted:
+                fs.delete_prefix(head)
+                deleted.append(head)
+    return sorted(deleted)

@@ -467,3 +467,42 @@ def test_unflipped_generation_dir_is_invisible(spark, built):
         .collect()
     ]
     assert after == before
+
+
+def test_vacuum_generations_keeps_current_serving(spark, built):
+    """Superseded generations (and the pre-rebuild legacy flat
+    tables) age out; the current generation serves identically after
+    the vacuum; a never-rebuilt index vacuums to nothing."""
+    from etl_reporting_spark.llm.ann_index import (
+        rebuild_ann_index,
+        vacuum_generations,
+    )
+
+    emb, build, inc, idx = built
+    assert vacuum_generations(spark, idx.path) == []  # never rebuilt
+
+    rebuild_ann_index(spark, idx.path, emb, ivf_iterations=2, pq_iterations=1)
+    rebuild_ann_index(
+        spark, idx.path, emb, ivf_iterations=2, pq_iterations=1
+    )
+    cur = open_ann_index(spark, idx.path)
+    queries = emb.filter(F.col("vec_id") < 4)
+    before = [
+        tuple(r)
+        for r in cur.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    deleted = vacuum_generations(spark, idx.path, keep=1)
+    # legacy flat layout + gen-00001 gone; gen-00002 (current) kept
+    assert "gen-00001" in deleted and "gen-00002" not in deleted
+    assert {"centroids", "codebook", "codes", "params"} <= set(deleted)
+    fresh = open_ann_index(spark, idx.path)
+    assert fresh.root.endswith("gen-00002")
+    after = [
+        tuple(r)
+        for r in fresh.search(queries, k=5, n_probe=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert after == before
