@@ -29,6 +29,11 @@ The batch side reads PARQUET FROM DISK (the shape dq_battery
 actually has), not a cached frame. Fact rows carry a 120-byte
 payload so fact-vs-state width is realistic.
 
+- **Retractable (linear-counting) screen refresh** (round-14): the
+  `retractable=True` duplicate screen's increment — one narrow
+  groupBy ∝ min(|slice|, buckets) into ≤-buckets state. Growth across
+  the 4× step must stay flat like the HLL sketch battery's.
+
 - **Dim-DELETE re-orphan pass** (round-14): the state model's one
   deliberate fact read — a projection-pruned fk-column scan,
   semi-joined against the broadcast deleted-key set, paid when the
@@ -92,6 +97,20 @@ def _exact_battery(spark, state: str):
     return b
 
 
+def _lc_battery(spark, state: str):
+    """The retractable (linear-counting) duplicate screen — round-14.
+    State ≤ buckets + anchor regardless of key cardinality; each
+    increment's partial is one narrow groupBy ∝ min(|slice|, m)."""
+    from etl_reporting_spark.dq.incremental import IncrementalDQBattery
+
+    b = IncrementalDQBattery(spark, state)
+    b.add_approx_duplicate_check(
+        "L1", "fact", ["k"], tolerance_rows=1000,
+        retractable=True, buckets=8192,
+    )
+    return b
+
+
 def _batch_shape(spark, path: str) -> None:
     """The batch battery's work over the FULL table, from disk."""
     from pyspark.sql import functions as F
@@ -133,6 +152,7 @@ def _rung(spark, rows: int) -> dict[str, float]:
     for name, builder in (
         ("sketch", _sketch_battery),
         ("exact", _exact_battery),
+        ("lc", _lc_battery),
     ):
         b = builder(
             spark, tempfile.mkdtemp(prefix=f"dq_ladder_{name}_") + "/state"
@@ -148,9 +168,12 @@ def _rung(spark, rows: int) -> dict[str, float]:
     # dim-DELETE re-orphan rung (round-14): the state model's one
     # deliberate fact read — a projection-pruned pass over the fk
     # column, semi-joined against the broadcast deleted-key set, paid
-    # when the delete lands. Contract measured: the pass costs well under
-    # the batch battery's all-checks re-scan (share reported) even
-    # though both grow with the table (scan-bound).
+    # when the delete lands. Contract measured: GROWTH — the pass's
+    # data term is one narrow column, so it must track the fk
+    # column's bytes, not the table's width or the battery's check
+    # count (at probe scale the absolute share vs the batch re-scan
+    # is dominated by the fixed state-commit + verdict overhead; the
+    # measured 2026-08 reading is FLAT, 0.80 at the 4x step).
     dim = spark.range(97).select(F.col("id").alias("custkey"))
     bo = IncrementalDQBattery(
         spark, tempfile.mkdtemp(prefix="dq_ladder_orph_") + "/state"
@@ -219,6 +242,14 @@ def main() -> int:
         "reorphan_share_at_big_rung": round(
             results[big]["reorphan_sec"]
             / max(results[big]["batch_sec"], 1e-9),
+            3,
+        ),
+        # round-14: the retractable (linear-counting) screen — state
+        # ≤ buckets, partials ∝ min(slice, m): refresh growth must
+        # stay at-or-under the sketch battery's (both flat)
+        "lc_growth_4x": round(
+            results[big]["refresh_lc_sec"]
+            / max(results[small]["refresh_lc_sec"], 1e-9),
             3,
         ),
         "reorphan_growth_4x": round(
