@@ -62,19 +62,26 @@ def hashed_ngram_buckets(
     Word n-grams for each n in ``ns``, md5-hashed into ``buckets``
     ids (salted per n so a unigram and a bigram never collide by
     construction of the same string)."""
+    # tokenize ONCE into a materialized column — the gram expressions
+    # previously inlined split() up to three times each (size bound,
+    # sequence bound, slice source), re-splitting every document per
+    # reference; same tokens, same grams
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
     grams = []
     for n in ns:
         if n == 1:
-            grams.append(f"transform(split({text_col}, ' '), w -> concat('1|', w))")
+            grams.append("transform(__toks, w -> concat('1|', w))")
         else:
             grams.append(
-                f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN"
-                f" transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-                f" i -> concat('{n}|', concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"
+                f"CASE WHEN size(__toks) >= {n} THEN"
+                f" transform(sequence(1, size(__toks) - {n - 1}),"
+                f" i -> concat('{n}|', concat_ws(' ', slice(__toks, i, {n}))))"
                 f" ELSE array() END"
             )
     expr = " , ".join(grams)
-    exploded = docs.select(
+    exploded = toks.select(
         F.col(id_col), F.explode(F.expr(f"concat({expr})")).alias("__gram")
     )
     bucket = F.pmod(_hash32(F.col("__gram"), "dsir"), F.lit(int(buckets)))

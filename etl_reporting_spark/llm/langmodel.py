@@ -83,8 +83,6 @@ def charlm_score(
     CCNet-style cross-corpus filtering. N-grams absent from the
     model contribute 0 to ``hit_sum`` but still count in
     ``n_ngrams``, so out-of-vocabulary text is penalized."""
-    if model is None:
-        model = char_ngram_counts(df, n=n, id_col=id_col, text_col=text_col)
     # Fold duplicate n-grams per doc BEFORE the model join: the probe
     # side shrinks from Σ positions (≈ corpus characters) to distinct
     # (doc, ngram) rows — an order of magnitude on natural text — and
@@ -96,6 +94,16 @@ def charlm_score(
         .groupBy(id_col, "ngram")
         .agg(F.count(F.lit(1)).alias("__doc_cnt"))
     )
+    if model is None:
+        # Self-scoring default: derive the model from the SAME per-doc
+        # gram relation instead of re-exploding the corpus — Σ_docs
+        # doc_cnt(g) ≡ corpus count(g) (same integers), and because
+        # both branches aggregate the identical exploded subtree keyed
+        # the same way, the physical plan REUSES the (id, ngram)
+        # exchange: one explode pass over the corpus, not two
+        # (round-14 optimization; char_ngram_counts stays the
+        # cross-corpus entry point).
+        model = doc_grams.groupBy("ngram").agg(F.sum("__doc_cnt").alias("cnt"))
     joined = doc_grams.join(F.broadcast(model), on="ngram", how="left")
     return (
         joined.groupBy(id_col)

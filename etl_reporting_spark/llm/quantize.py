@@ -51,10 +51,42 @@ _QDOT = (
 )
 
 
+def _qsum_sql(a: str, dim: "int | None" = None) -> str:
+    """Σ codes as BIGINT — unrolled (size-guarded) to flat codegen
+    arithmetic when the length hint is given; integer addition is
+    exact and associative, so unrolling cannot change the value."""
+    from etl_reporting_spark.llm.similarity import _UNROLL_MAX
+
+    fold = _QSUM.format(a=a)
+    if not dim or dim > _UNROLL_MAX:
+        return fold
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(1, dim + 1):
+        acc = f"({acc} + CAST(element_at({a}, {i}) AS BIGINT))"
+    return f"(CASE WHEN size({a}) = {dim} THEN {acc} ELSE {fold} END)"
+
+
+def _qdot_sql(a: str, b: str, dim: "int | None" = None) -> str:
+    """Σ code products as BIGINT — unrolled like ``_qsum_sql``."""
+    from etl_reporting_spark.llm.similarity import _UNROLL_MAX
+
+    fold = _QDOT.format(a=a, b=b)
+    if not dim or dim > _UNROLL_MAX:
+        return fold
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(1, dim + 1):
+        acc = (
+            f"({acc} + (CAST(element_at({a}, {i}) AS BIGINT)"
+            f" * CAST(element_at({b}, {i}) AS BIGINT)))"
+        )
+    return f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim} THEN {acc} ELSE {fold} END)"
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
     levels: int = 255,
+    dim: int = 64,
 ) -> DataFrame:
     """Add per-vector scalar-quantization columns:
 
@@ -88,18 +120,18 @@ def quantize_embeddings(
         ),
     ).otherwise(F.expr(f"transform({vec_col}, x -> 0)"))
     out = out.withColumn("qvec", qvec)
-    return out.withColumn("q_sum", F.expr(_QSUM.format(a="qvec"))).withColumn(
-        "q_norm2", F.expr(_QDOT.format(a="qvec", b="qvec"))
+    return out.withColumn("q_sum", F.expr(_qsum_sql("qvec", dim))).withColumn(
+        "q_norm2", F.expr(_qdot_sql("qvec", "qvec", dim))
     )
 
 
-def _dequant_dot(a: str, b: str, dim_expr: str) -> F.Column:
+def _dequant_dot(a: str, b: str, dim_expr: str, dim: "int | None" = None) -> F.Column:
     """<deq(a), deq(b)> from integer sums + scalars (see module doc).
 
     ``{a}_qvec/_q_sum/_q_mn/_q_scale`` columns must exist for both
     prefixes; ``dim_expr`` is the shared dimensionality expression.
     """
-    qdot = F.expr(_QDOT.format(a=f"{a}_qvec", b=f"{b}_qvec")).cast("double")
+    qdot = F.expr(_qdot_sql(f"{a}_qvec", f"{b}_qvec", dim)).cast("double")
     sa, sb = F.col(f"{a}_q_scale"), F.col(f"{b}_q_scale")
     ma, mb = F.col(f"{a}_q_mn"), F.col(f"{b}_q_mn")
     qa, qb = F.col(f"{a}_q_sum").cast("double"), F.col(f"{b}_q_sum").cast("double")
@@ -123,6 +155,7 @@ def cosine_topk_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 255,
+    dim: int = 64,
 ) -> DataFrame:
     """Brute-force top-k cosine over int8-quantized vectors.
 
@@ -134,7 +167,7 @@ def cosine_topk_quantized(
     """
 
     def _prefixed(df: DataFrame, p: str, out_id: str) -> DataFrame:
-        q = quantize_embeddings(df, vec_col=vec_col, levels=levels)
+        q = quantize_embeddings(df, vec_col=vec_col, levels=levels, dim=dim)
         return q.select(
             F.col(id_col).alias(out_id),
             F.col("qvec").alias(f"{p}_qvec"),
@@ -146,15 +179,15 @@ def cosine_topk_quantized(
 
     q = _prefixed(queries, "q", "query_id")
     c = _prefixed(embeddings, "c", "neighbor_id")
-    dim = "size(q_qvec)"
+    dim_e = "size(q_qvec)"
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", _dequant_dot("q", "c", dim))
+        .withColumn("dot", _dequant_dot("q", "c", dim_e, dim))
         .withColumn(
             "cosine",
             F.col("dot")
-            / (F.sqrt(_dequant_norm2("q", dim)) * F.sqrt(_dequant_norm2("c", dim))),
+            / (F.sqrt(_dequant_norm2("q", dim_e)) * F.sqrt(_dequant_norm2("c", dim_e))),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -179,6 +212,7 @@ def cosine_topk_quantized(
 # oracle-checked value-for-value.
 
 from etl_reporting_spark.llm.similarity import _DOT as _SUBFOLD_DOT  # noqa: E402
+from etl_reporting_spark.llm.similarity import dot_sql, l2_sql, norm2_sql  # noqa: E402
 
 _SUBFOLD_L2 = (
     "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
@@ -219,7 +253,7 @@ def pq_codebook(
         "subspace",
         "code",
         "subvec",
-        F.expr(_SUBFOLD_DOT.format(a="subvec", b="subvec")).alias("cn2"),
+        F.expr(dot_sql("subvec", "subvec", sub)).alias("cn2"),
     )
 
 
@@ -274,53 +308,68 @@ def pq_train_codebook(
     prev = None
     try:
         for _ in range(iterations):
+            # assignment argmin as MIN(struct(dist, code)) — same
+            # (dist ASC, code ASC) selection the previous window made,
+            # but partial-aggregated map-side: the exchange carries
+            # N·m best-rows, not N·m·n_codes sorted candidates
             scored = ex.join(F.broadcast(codebook), "subspace").withColumn(
-                "dist", F.expr(_SUBFOLD_L2.format(a="xsub", b="subvec"))
-            )
-            w = Window.partitionBy(id_col, "subspace").orderBy(
-                F.col("dist").asc(), F.col("code").asc()
+                "dist", F.expr(l2_sql("xsub", "subvec", sub))
             )
             assigned = (
-                scored.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select(id_col, "subspace", "code", "xsub")
-            )
-            comp = assigned.select(
-                id_col, "subspace", "code", F.posexplode("xsub").alias("pos", "val")
+                scored.groupBy(id_col, "subspace")
+                .agg(
+                    F.min(F.struct(F.col("dist"), F.col("code"))).alias("__best"),
+                    F.first("xsub").alias("xsub"),
+                )
+                .select(id_col, "subspace", F.col("__best.code").alias("code"), "xsub")
             )
             if exact:
-                g = comp.groupBy("subspace", "code", "pos").agg(
+                # exact means in ONE shuffle: collect each code's
+                # member SUBVECTORS (sorted by member id) and fold
+                # elementwise — per component the same doubles add in
+                # the same id-ascending order as the previous
+                # per-(subspace, code, pos) scalar fold, so means are
+                # bit-identical; the exchange carries N·m rows instead
+                # of N·dim exploded components, and the rebuild-by-pos
+                # aggregation disappears.
+                g = assigned.groupBy("subspace", "code").agg(
                     F.array_sort(
                         F.collect_list(
                             F.struct(
                                 F.col(id_col).alias("i"),
-                                F.col("val").cast("double").alias("v"),
+                                F.expr(
+                                    "transform(xsub, x -> CAST(x AS DOUBLE))"
+                                ).alias("v"),
                             )
                         )
                     ).alias("__vals"),
                     F.count(F.lit(1)).alias("__n"),
                 )
-                ordered_sum = F.aggregate(
+                vec_sum = F.aggregate(
                     F.expr("transform(__vals, s -> s.v)"),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
+                    F.expr("transform(element_at(__vals, 1).v, x -> CAST(0 AS DOUBLE))"),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
                 )
-                means = g.select(
+                new_cb = g.select(
                     "subspace",
                     "code",
-                    "pos",
-                    (ordered_sum / F.col("__n").cast("double")).alias("mv"),
+                    F.transform(
+                        vec_sum, lambda x: x / F.col("__n").cast("double")
+                    ).alias("__new"),
                 )
             else:
+                comp = assigned.select(
+                    id_col, "subspace", "code", F.posexplode("xsub").alias("pos", "val")
+                )
                 means = comp.groupBy("subspace", "code", "pos").agg(
                     F.avg(F.col("val").cast("double")).alias("mv")
                 )
-            new_cb = means.groupBy("subspace", "code").agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, mv))),"
-                    " s -> s.mv)"
-                ).alias("__new")
-            )
+                new_cb = means.groupBy("subspace", "code").agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, mv))),"
+                        " s -> s.mv)"
+                    ).alias("__new")
+                )
             # a code that lost every assignment this iteration has no
             # mean row — LEFT-join onto the previous codebook and
             # carry its old centroid forward, so the effective
@@ -349,7 +398,7 @@ def pq_train_codebook(
 
     # tiny (m·n_codes rows) persisted frame; cache_scope releases it
     return track(codebook).withColumn(
-        "cn2", F.expr(_SUBFOLD_DOT.format(a="subvec", b="subvec"))
+        "cn2", F.expr(dot_sql("subvec", "subvec", sub))
     )
 
 
@@ -377,30 +426,43 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Assign each vector its nearest code per subspace (L2 in the
     subspace, ties to the lowest code — total order). Output
-    (id, subspace, code): m small ints per vector, the 4·dim/m× 
+    (id, subspace, code): m small ints per vector, the 4·dim/m×
     compressed representation the scan/shuffle then carries.
 
     Plan: one narrow subspace explode, one BROADCAST join against the
-    codebook (m·n_codes rows), one WindowGroupLimit-eligible rank —
-    per-vector work is m·n_codes small folds, independent of corpus
-    size; nothing shuffles but the final projection."""
+    codebook (m·n_codes rows), then the argmin as a per-(vector,
+    subspace) ``MIN(struct(dist, code))`` aggregate — Spark's struct
+    ordering (NaN greatest, lexicographic) reproduces the previous
+    ``row_number`` over (dist ASC, code ASC) bit-for-bit, and the
+    partial aggregate collapses each group's n_codes scored rows to
+    one MAP-SIDE (candidates for one vector are adjacent after the
+    explode+join), so the exchange carries N·m compact rows with no
+    per-partition sort of the N·m·n_codes candidate relation. (The
+    window formulation paid that sort before its WindowGroupLimit; a
+    fully map-only array-fold formulation measured slower at gate
+    level — collapsed projections re-inline the scoring fold into
+    downstream join keys — see OPTIMIZATION_r14.md.)
+
+    ``extra_cols`` pass through unchanged (e.g. ``centroid_id`` from
+    a preceding assignment), so IVF+PQ callers need no join of codes
+    back onto cells."""
     sub = dim // m
     ex = _subspaces(
-        embeddings.select(id_col, vec_col), m, sub, vec_col, "xsub"
-    ).select(id_col, "subspace", "xsub")
+        embeddings.select(id_col, vec_col, *extra_cols), m, sub, vec_col, "xsub"
+    ).select(id_col, "subspace", "xsub", *extra_cols)
     scored = ex.join(
         F.broadcast(codebook.select("subspace", "code", "subvec")), "subspace"
-    ).withColumn("dist", F.expr(_SUBFOLD_L2.format(a="xsub", b="subvec")))
-    w = Window.partitionBy(id_col, "subspace").orderBy(
-        F.col("dist").asc(), F.col("code").asc()
+    ).withColumn("dist", F.expr(l2_sql("xsub", "subvec", sub)))
+    g = scored.groupBy(id_col, "subspace").agg(
+        F.min(F.struct(F.col("dist"), F.col("code"))).alias("__best"),
+        *[F.first(c).alias(c) for c in extra_cols],
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "subspace", "code")
+    return g.select(
+        id_col, "subspace", F.col("__best.code").alias("code"), *extra_cols
     )
 
 
@@ -488,7 +550,7 @@ def cosine_topk_pq(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.expr(_SUBFOLD_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
+        F.expr(dot_sql(vec_col, vec_col, dim)).alias("qn2"),
     )
     lut = (
         _subspaces(q, m, sub, "qvec", "qsub")
@@ -498,7 +560,7 @@ def cosine_topk_pq(
             "qn2",
             "subspace",
             "code",
-            F.expr(_SUBFOLD_DOT.format(a="qsub", b="subvec")).alias("pdot"),
+            F.expr(dot_sql("qsub", "subvec", sub)).alias("pdot"),
             "cn2",
         )
     )
@@ -565,11 +627,11 @@ def cosine_topk_ivfpq(
     if codebook is None:
         codebook = pq_codebook(embeddings, m, n_codes, dim, id_col, vec_col)
     sub = dim // m
-    cells = ivf_assign(embeddings, centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
-    codes = pq_encode(embeddings, codebook, m, dim, id_col, vec_col).join(
-        cells, id_col
+    # cell id rides through the encode pass (extra_cols) — no join of
+    # codes back onto a separate assignment relation
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    codes = pq_encode(
+        assigned, codebook, m, dim, id_col, vec_col, extra_cols=("centroid_id",)
     )
     qcells = ivf_assign(queries, centroids, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("centroid_id").alias("qcell")
@@ -577,7 +639,7 @@ def cosine_topk_ivfpq(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.expr(_SUBFOLD_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
+        F.expr(dot_sql(vec_col, vec_col, dim)).alias("qn2"),
     ).join(qcells, "query_id")
     lut = (
         _subspaces(q, m, sub, "qvec", "qsub")
@@ -588,7 +650,7 @@ def cosine_topk_ivfpq(
             "qcell",
             "subspace",
             "code",
-            F.expr(_SUBFOLD_DOT.format(a="qsub", b="subvec")).alias("pdot"),
+            F.expr(dot_sql("qsub", "subvec", sub)).alias("pdot"),
             "cn2",
         )
     )
@@ -625,15 +687,13 @@ def residualize(
     """Replace each vector with its IVF residual x − c(cell(x)).
 
     Returns (id, centroid_id, vec_col=residual array<double>). One
-    broadcast assignment pass + one narrow zip_with — no shuffle
-    beyond ``ivf_assign``'s window."""
+    map-only assignment pass (``ivf_assign`` with ``with_vec`` carries
+    the winning centroid's vector out of the broadcast candidate
+    array) + one narrow zip_with — no shuffle, no join."""
     from etl_reporting_spark.llm.similarity import ivf_assign
 
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
-    )
-    return assigned.join(F.broadcast(c), "centroid_id").select(
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, with_vec=True)
+    return assigned.select(
         id_col,
         "centroid_id",
         F.expr(
@@ -691,23 +751,32 @@ def ivfpq_candidates(
     sub = dim // m
 
     if codes is None:
-        cells = ivf_assign(embeddings, centroids, id_col, vec_col).select(
-            id_col, "centroid_id"
+        # ONE map-only assignment pass serves both the cell id and (in
+        # residual mode) the subtrahend centroid vector; the cell id
+        # then rides through the encode pass (extra_cols) — the
+        # previous formulation assigned twice (cells + residualize)
+        # and joined codes back onto cells by id.
+        assigned = ivf_assign(
+            embeddings, centroids, id_col, vec_col, with_vec=residual
         )
-        enc_src = (
-            residualize(embeddings, centroids, id_col, vec_col).select(
-                id_col, vec_col
+        if residual:
+            enc_src = assigned.select(
+                id_col,
+                "centroid_id",
+                F.expr(
+                    f"zip_with({vec_col}, __cvec,"
+                    " (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+                ).alias(vec_col),
             )
-            if residual
-            else embeddings
-        )
+        else:
+            enc_src = assigned.select(id_col, "centroid_id", vec_col)
         if codebook is None:
             # caller-supplied codebooks (e.g. pq_train_codebook output)
             # must match the encoding: trained on residualize(...)
             # output when residual=True, on raw vectors otherwise
             codebook = pq_codebook(enc_src, m, n_codes, dim, id_col, vec_col)
-        codes = pq_encode(enc_src, codebook, m, dim, id_col, vec_col).join(
-            cells, id_col
+        codes = pq_encode(
+            enc_src, codebook, m, dim, id_col, vec_col, extra_cols=("centroid_id",)
         )
 
     probes = ivf_assign(
@@ -716,7 +785,7 @@ def ivfpq_candidates(
     q = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.expr(_SUBFOLD_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
+        F.expr(dot_sql(vec_col, vec_col, dim)).alias("qn2"),
         F.col("centroid_id").alias("qcell"),
         "probe_rn",
     )
@@ -726,11 +795,11 @@ def ivfpq_candidates(
         centn = centroids.select(
             F.col(id_col).alias("__cid"),
             F.col(vec_col).alias("__cvec"),
-            F.expr(_SUBFOLD_DOT.format(a=vec_col, b=vec_col)).alias("base_cn2"),
+            F.expr(dot_sql(vec_col, vec_col, dim)).alias("base_cn2"),
         )
         q = (
             q.join(F.broadcast(centn), F.col("qcell") == F.col("__cid"))
-            .withColumn("base_dot", F.expr(_SUBFOLD_DOT.format(a="qvec", b="__cvec")))
+            .withColumn("base_dot", F.expr(dot_sql("qvec", "__cvec", dim)))
             .drop("__cid", "__cvec")
         )
     else:
@@ -748,7 +817,7 @@ def ivfpq_candidates(
             "base_cn2",
             "subspace",
             "code",
-            F.expr(_SUBFOLD_DOT.format(a="qsub", b="subvec")).alias("pdot"),
+            F.expr(dot_sql("qsub", "subvec", sub)).alias("pdot"),
             "cn2",
         )
     )
@@ -775,7 +844,7 @@ def ivfpq_candidates(
             "__ccell",
             "__csubspace",
             "__ccode",
-            F.expr(_SUBFOLD_DOT.format(a="__csub", b="subvec")).alias("__ccdot"),
+            F.expr(dot_sql("__csub", "subvec", sub)).alias("__ccdot"),
         )
         lut = (
             lut.join(
@@ -839,6 +908,7 @@ def exact_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "adc_score",
+    dim: int = 64,
 ) -> DataFrame:
     """Refine stage (the "R" of IVFADC-R, Jégou et al. 2011 §V):
     shortlist the top-``shortlist`` candidates per query by the
@@ -856,7 +926,7 @@ def exact_rerank(
 
     Returns (query_id, rank, neighbor_id, cosine).
     """
-    from etl_reporting_spark.llm.similarity import _DOT, _NORM2, _cosine_expr
+    from etl_reporting_spark.llm.similarity import _cosine_expr
 
     w_s = Window.partitionBy("query_id").orderBy(
         F.col(score_col).desc(), F.col("neighbor_id").asc()
@@ -869,17 +939,17 @@ def exact_rerank(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("qn"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("cn"),
     )
     scored = (
         short.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn("dot", F.expr(dot_sql("qvec", "cvec", dim)))
         .withColumn("cosine", _cosine_expr())
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -40,6 +40,72 @@ _NORM2 = (
 )
 
 
+# --- unrolled vector folds (round-14 optimization) ------------------
+#
+# Higher-order-function lambdas (aggregate / zip_with / transform) are
+# CodegenFallback: every element goes through an interpreted closure
+# with per-pair array allocation. For a KNOWN vector length the same
+# fold unrolls into a flat left-associated arithmetic chain over
+# codegen'd element_at calls — measured 5.4x faster on the sf3 PQ
+# scoring relation (25.6M pairs, OPTIMIZATION_r14.md) and BIT-IDENTICAL
+# by construction: the unrolled chain ((…(0.0 + t1) + t2)… + tn) adds
+# the same doubles in the same order as the lambda fold. A per-row
+# size() guard falls back to the original fold expression whenever the
+# runtime length differs from the hint, so the builders are exact for
+# EVERY input, not just hint-sized ones. Hints above _UNROLL_MAX keep
+# the fold (expression-tree size is quadratic in nothing, but plan
+# text and codegen method size both grow linearly; 256 terms is safely
+# under the JIT's 8 KB inline horizon).
+_UNROLL_MAX = 256
+
+
+def _unrolled(a: str, b: "str | None", dim: "int | None", term: str, fold: str) -> str:
+    if not dim or dim > _UNROLL_MAX:
+        return fold
+    acc = "CAST(0 AS DOUBLE)"
+    for i in range(1, dim + 1):
+        x = f"element_at({a}, {i})"
+        y = f"element_at({b}, {i})" if b else ""
+        acc = f"({acc} + {term.format(x=x, y=y)})"
+    guard = f"size({a}) = {dim}" + (f" AND size({b}) = {dim}" if b else "")
+    return f"(CASE WHEN {guard} THEN {acc} ELSE {fold} END)"
+
+
+def dot_sql(a: str, b: str, dim: "int | None" = None) -> str:
+    """Sequential-fold dot product (see ``_DOT``), unrolled to flat
+    codegen arithmetic when the vector length hint is given."""
+    return _unrolled(
+        a, b, dim, "(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE))", _DOT.format(a=a, b=b)
+    )
+
+
+def norm2_sql(a: str, dim: "int | None" = None) -> str:
+    """Sequential-fold squared norm (see ``_NORM2``), unrolled to flat
+    codegen arithmetic when the vector length hint is given."""
+    return _unrolled(
+        a, None, dim, "(CAST({x} AS DOUBLE) * CAST({x} AS DOUBLE))", _NORM2.format(a=a)
+    )
+
+
+def l2_sql(a: str, b: str, dim: "int | None" = None) -> str:
+    """Sequential-fold squared L2 distance (the ``_SUBFOLD_L2``
+    convention), unrolled to flat codegen arithmetic when the vector
+    length hint is given."""
+    fold = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return _unrolled(
+        a,
+        b,
+        dim,
+        "((CAST({x} AS DOUBLE) - CAST({y} AS DOUBLE))"
+        " * (CAST({x} AS DOUBLE) - CAST({y} AS DOUBLE)))",
+        fold,
+    )
+
+
 def _cosine_expr() -> F.Column:
     return F.col("dot").cast("double") / (
         F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))
@@ -52,26 +118,29 @@ def cosine_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Returns (query_id, rank, neighbor_id, cosine). Ties break on
-    neighbor id so ranking is total and reproducible.
+    neighbor id so ranking is total and reproducible. ``dim`` is the
+    unroll hint for the dot/norm folds (size-guarded — wrong hints
+    cost the fold fallback, never correctness).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("qn"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn("dot", F.expr(dot_sql("qvec", "cvec", dim)))
         .withColumn("cosine", _cosine_expr())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -107,13 +176,22 @@ def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
     fold — no hashing in the expression. ``x * ±1.0`` is an exact IEEE
     sign flip, so results are bit-identical to the old in-expression
     md5 construction (and to the DuckDB oracle, which still derives
-    the signs from md5 on its side)."""
-    signs = ", ".join(f"{s}D" for s in _plane_signs(plane, dim))
-    terms = (
-        f"aggregate(zip_with({vec_col}, array({signs}), (x, s) ->"
-        f" CAST(x AS DOUBLE) * s),"
+    the signs from md5 on its side). Unrolled (size-guarded) to flat
+    codegen arithmetic — same left-associated add order, no
+    interpreted lambda per element."""
+    signs = _plane_signs(plane, dim)
+    fold = (
+        f"aggregate(zip_with({vec_col}, array({', '.join(f'{s}D' for s in signs)}),"
+        f" (x, s) -> CAST(x AS DOUBLE) * s),"
         f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    if dim <= _UNROLL_MAX:
+        acc = "CAST(0 AS DOUBLE)"
+        for i in range(1, dim + 1):
+            acc = f"({acc} + (CAST(element_at({vec_col}, {i}) AS DOUBLE) * {signs[i - 1]}D))"
+        terms = f"(CASE WHEN size({vec_col}) = {dim} THEN {acc} ELSE {fold} END)"
+    else:
+        terms = fold
     return (F.expr(terms) > 0).cast("int")
 
 
@@ -139,19 +217,19 @@ def cosine_topk_lsh(
     q = signature(queries, "bucket").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("qn"),
         "bucket",
     )
     c = signature(embeddings, "bucket").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("cn"),
         "bucket",
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn("dot", F.expr(dot_sql("qvec", "cvec", dim)))
         .withColumn("cosine", _cosine_expr())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -169,6 +247,8 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_nearest: int = 1,
     with_rank: bool = False,
+    with_vec: bool = False,
+    dim: int = 64,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (IVF
     coarse quantization). Centroids broadcast; one pass over the
@@ -177,31 +257,91 @@ def ivf_assign(
     cell) for the top cells — the multi-probe query side;
     ``with_rank`` adds the cell's probe rank as ``probe_rn`` so a
     single n_probe_max assignment can be filtered to any smaller
-    probe count downstream (the recall-sweep pattern)."""
+    probe count downstream (the recall-sweep pattern). ``with_vec``
+    appends the winning centroid's vector as ``__cvec`` (the residual
+    path's subtrahend) without a second join.
+
+    The ``n_nearest == 1`` corpus path replaces the previous
+    ``row_number`` window over (cosine DESC, centroid_id ASC) with a
+    per-vector ``MAX(struct(cosine, -centroid_id, …))`` aggregate:
+    Spark's struct ordering (NaN greatest, lexicographic fields) makes
+    the selection bit-identical, but the argmax now partial-aggregates
+    MAP-SIDE — the n_centroids scored candidates per vector collapse
+    to one row inside the scan task, so the exchange carries N compact
+    rows instead of N·n_centroids full-width rows through a sort. (A
+    fully map-only ``array_max``-over-broadcast-array formulation was
+    measured first and REJECTED: collapsed projections re-inline the
+    whole scoring fold into downstream join keys, and the gate-level
+    read came out ~40% slower than this aggregate form — see
+    OPTIMIZATION_r14.md.) Multi-probe (queries: tiny) keeps the window
+    formulation; non-numeric ids fall back to it too (the argmax
+    struct needs ``-id`` for the ascending tie-break)."""
+    from pyspark.sql.types import NumericType
+
+    if (
+        n_nearest == 1
+        and not with_rank
+        and isinstance(embeddings.schema[id_col].dataType, NumericType)
+    ):
+        c = centroids.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            F.expr(norm2_sql(vec_col, dim)).alias("__cn"),
+        )
+        v = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(norm2_sql(vec_col, dim)).alias("__qn"),
+        )
+        cosine = F.col("__dot").cast("double") / (
+            F.sqrt(F.col("__qn").cast("double")) * F.sqrt(F.col("__cn").cast("double"))
+        )
+        fields = [
+            cosine.alias("s"),
+            (-F.col("__cid")).alias("negid"),
+            F.col("__cid").alias("cid"),
+        ]
+        if with_vec:
+            fields.append(F.col("__cvec").alias("cvec"))
+        scored = (
+            v.crossJoin(F.broadcast(c))
+            .withColumn("__dot", F.expr(dot_sql(vec_col, "__cvec", dim)))
+            .select(F.col(id_col), F.col(vec_col), F.struct(*fields).alias("__cand"))
+        )
+        g = scored.groupBy(id_col).agg(
+            F.first(vec_col).alias(vec_col), F.max("__cand").alias("__best")
+        )
+        cols = [F.col(id_col), F.col(vec_col), F.col("__best.cid").alias("centroid_id")]
+        if with_vec:
+            cols.append(F.col("__best.cvec").alias("__cvec"))
+        return g.select(*cols)
+
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cvec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("cn"),
     )
     v = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("qn"),
     )
     scored = (
         v.crossJoin(F.broadcast(c))
-        .withColumn("dot", F.expr(_DOT.format(a=vec_col, b="cvec")))
+        .withColumn("dot", F.expr(dot_sql(vec_col, "cvec", dim)))
         .withColumn("cosine", _cosine_expr())
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
     ranked = scored.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= n_nearest
     )
+    out_cols = [id_col, vec_col, "centroid_id"]
+    if with_vec:
+        ranked = ranked.withColumn("__cvec", F.col("cvec"))
+        out_cols.append("__cvec")
     if with_rank:
-        return ranked.select(
-            id_col, vec_col, "centroid_id", F.col("__rn").alias("probe_rn")
-        )
-    return ranked.select(id_col, vec_col, "centroid_id")
+        return ranked.select(*out_cols, F.col("__rn").alias("probe_rn"))
+    return ranked.select(*out_cols)
 
 
 def kmeans_step_components(
@@ -226,10 +366,10 @@ def kmeans_step_components(
     k-means, and nothing downstream hash-checks it).
     """
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
-    comp = assigned.select(
-        "centroid_id", F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
-    )
     if not exact:
+        comp = assigned.select(
+            "centroid_id", F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
         return (
             comp.groupBy("centroid_id", "pos")
             .agg(
@@ -237,23 +377,50 @@ def kmeans_step_components(
                 F.count(F.lit(1)).alias("n_members"),
             )
         )
-    g = comp.groupBy("centroid_id", "pos").agg(
+    means = _kmeans_exact_means(assigned, id_col, vec_col)
+    return means.select(
+        "centroid_id",
+        F.posexplode("__mean").alias("pos", "mean_val"),
+        "n_members",
+    ).select("centroid_id", "pos", "mean_val", "n_members")
+
+
+def _kmeans_exact_means(
+    assigned: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact (ordered-fold) per-centroid means from an assignment
+    relation, ONE shuffle: collect each cluster's member VECTORS
+    (sorted by member id), then fold them elementwise with zip_with —
+    per component this adds the same doubles in the same (id-ascending)
+    order as the previous per-(centroid, pos) scalar fold, so the
+    means are bit-identical, but the exchange carries N rows instead
+    of N·dim exploded component rows and the second (rebuild-by-pos)
+    aggregation disappears. Member lists live in memory per centroid
+    group — same cluster-size bound as before, for gate-scale corpora;
+    100 TB training uses ``exact=False`` (partial+final SUM)."""
+    g = assigned.groupBy("centroid_id").agg(
         F.array_sort(
             F.collect_list(
-                F.struct(F.col(id_col).alias("i"), F.col("val").cast("double").alias("v"))
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.expr(
+                        f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+                    ).alias("v"),
+                )
             )
         ).alias("__vals"),
         F.count(F.lit(1)).alias("n_members"),
     )
-    ordered_sum = F.aggregate(
+    vec_sum = F.aggregate(
         F.expr("transform(__vals, s -> s.v)"),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        F.expr("transform(element_at(__vals, 1).v, x -> CAST(0 AS DOUBLE))"),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
     )
     return g.select(
         "centroid_id",
-        "pos",
-        (ordered_sum / F.col("n_members").cast("double")).alias("mean_val"),
+        F.transform(vec_sum, lambda x: x / F.col("n_members").cast("double")).alias(
+            "__mean"
+        ),
         "n_members",
     )
 
@@ -269,7 +436,18 @@ def kmeans_step(
     input centroid relation (id, vector) so iterations chain:
     ``centroids = kmeans_step(emb, centroids)`` until movement is
     small. Empty clusters simply drop (their id yields no row), the
-    standard restart-or-shrink situation left to the caller."""
+    standard restart-or-shrink situation left to the caller.
+
+    The exact path builds each mean vector in one shuffle
+    (``_kmeans_exact_means``); the non-exact path keeps the exploded
+    partial+final AVG and re-collects by position."""
+    if exact:
+        means = _kmeans_exact_means(
+            ivf_assign(embeddings, centroids, id_col, vec_col), id_col, vec_col
+        )
+        return means.select(
+            F.col("centroid_id").alias(id_col), F.col("__mean").alias(vec_col)
+        )
     parts = kmeans_step_components(embeddings, centroids, id_col, vec_col, exact=exact)
     rebuilt = F.expr("transform(array_sort(__pairs), s -> s.m)")
     return (
@@ -325,6 +503,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     n_probe: int = 1,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus against the given (or
     seed) centroids, then each query scores only its nearest cells'
@@ -346,19 +525,19 @@ def cosine_topk_ivf(
     q = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("qn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("qn"),
         "centroid_id",
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("cn"),
+        F.expr(norm2_sql(vec_col, dim)).alias("cn"),
         "centroid_id",
     )
     scored = (
         c.join(q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn("dot", F.expr(dot_sql("qvec", "cvec", dim)))
         .withColumn("cosine", _cosine_expr())
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -411,7 +590,7 @@ def embedding_near_duplicates(
     e = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("n2"),
+        F.expr(norm2_sql(vec_col, dim)).alias("n2"),
     )
     if method == "exact":
         pairs = (
@@ -449,7 +628,7 @@ def embedding_near_duplicates(
     else:
         raise ValueError(f"unknown method {method!r}: expected 'lsh' or 'exact'")
     return (
-        pairs.withColumn("dot", F.expr(_DOT.format(a="va", b="vb")))
+        pairs.withColumn("dot", F.expr(dot_sql("va", "vb", dim)))
         .withColumn("cosine", _cosine_expr())
         .filter(F.col("cosine") >= F.lit(min_cosine))
         .select("id_a", "id_b", "cosine")
@@ -464,6 +643,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cleanup: list | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the corpus, then look for
@@ -504,7 +684,7 @@ def semantic_dedup(
         F.col(id_col).alias("vid"),
         "centroid_id",
         F.col(vec_col).alias("vec"),
-        F.expr(_NORM2.format(a=vec_col)).alias("n2"),
+        F.expr(norm2_sql(vec_col, dim)).alias("n2"),
     )
     dup_ids = (
         m.select(F.col("vid").alias("id_a"), "centroid_id",
@@ -515,7 +695,7 @@ def semantic_dedup(
             "centroid_id",
         )
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", F.expr(_DOT.format(a="va", b="vb")))
+        .withColumn("dot", F.expr(dot_sql("va", "vb", dim)))
         .withColumn("cosine", _cosine_expr())
         .filter(F.col("cosine") >= F.lit(min_cosine))
         .select(F.col("id_b").alias("dup_id"))

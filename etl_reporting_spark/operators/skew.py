@@ -28,6 +28,7 @@ def salted_join(
     salt_buckets: int = 16,
     how: str = "inner",
     join_hint: str | None = "merge",
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Equi-join with the left (large/skewed) side salted.
 
@@ -36,6 +37,20 @@ def salted_join(
     A hot key's rows then spread over ``salt_buckets`` tasks instead
     of one. Correct for inner/left joins on equi keys; the salt never
     escapes this function.
+
+    ``hot_keys`` (round-14 optimization) bounds the explode: when the
+    caller knows WHICH keys are hot (from ``skew_report``, yesterday's
+    histogram, or construction), only those keys salt — cold left rows
+    take salt 0 and the right side keeps ONE copy (salt 0) per cold
+    row, exploding ×salt_buckets for the hot keys alone. Join
+    multiplicity is unchanged (every left row still meets exactly the
+    right rows its key matches), so the output is identical; the
+    right-side shuffle shrinks from ``salt_buckets×|right|`` to
+    ``|right| + salt_buckets×|hot|`` — at sf10 that is 720M exploded
+    dim rows down to 45M, measured 13.5 → ~9 s on the j13 gate. With
+    ``hot_keys=None`` every key salts (the safe default when the hot
+    set is unknown or unbounded). Single-key ``on`` only for
+    ``hot_keys`` (the gate/report shape); multi-key callers pass None.
 
     Use when: both sides too big to broadcast AND key histogram is
     pathological AND AQE skew splitting still leaves a straggler
@@ -55,10 +70,33 @@ def salted_join(
     a broadcast join has no shuffle skew (see ``skew_aware_join``).
     """
     on = list(on)
-    salted_left = left.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
-    salted_right = right.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
-    )
+    if hot_keys is not None:
+        if len(on) != 1:
+            raise ValueError("hot_keys currently supports single-column keys")
+        hot = [k for k in hot_keys if k is not None]
+        key = F.col(on[0])
+        is_hot = key.isin(*hot) if hot else F.lit(False)
+        salted_left = left.withColumn(
+            "__salt",
+            F.when(is_hot, (F.rand(seed=42) * salt_buckets).cast("int")).otherwise(
+                F.lit(0)
+            ),
+        )
+        salted_right = right.withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    is_hot, F.array(*[F.lit(i) for i in range(salt_buckets)])
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+    else:
+        salted_left = left.withColumn(
+            "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        )
+        salted_right = right.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        )
     if join_hint:
         salted_right = salted_right.hint(join_hint)
     joined = salted_left.join(salted_right, on + ["__salt"], how)

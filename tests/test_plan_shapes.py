@@ -286,11 +286,26 @@ def test_sketches_partial_aggregate(spark, sf_dir):
         assert "CartesianProduct" not in plan, gate
 
 
-def test_pq_encode_uses_window_group_limit(spark, sf_dir):
-    """The per-(vector, subspace) argmin rank must compile to
-    WindowGroupLimit so map tasks keep only their local top-1."""
-    plan = _plan(spark, sf_dir, "ann_cosine_pq")
-    assert "WindowGroupLimit" in plan
+def test_pq_encode_argmin_is_partial_aggregate(spark, sf_dir):
+    """The per-(vector, subspace) code argmin must compile to a
+    MIN(struct) hash aggregate with a map-side partial — the exchange
+    carries one best-row per group, never the n_codes-wide scored
+    candidate relation, and no Window/sort machinery appears in the
+    encode subtree (round-14 optimization: the previous window
+    formulation paid a per-partition sort of N·m·n_codes rows before
+    its WindowGroupLimit)."""
+    from etl_reporting_spark.llm.quantize import pq_codebook, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebook(emb, 8, 16, 64)
+    df = pq_encode(emb, cb, 8, 64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert plan.count("Exchange (") <= 1
 
 
 def test_forward_fill_single_fill_window(spark, sf_dir):

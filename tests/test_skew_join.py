@@ -102,6 +102,50 @@ def test_salting_bounds_the_hot_task(spark, skewed):
     assert salted_shares[0] <= 0.45, f"salting left a straggler: {salted_shares[:4]}"
 
 
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_hot_keys_matches_plain_join(spark, skewed, how):
+    """hot_keys-bounded salting (round-14): cold keys keep ONE right
+    copy (salt 0), hot keys explode ×buckets — output identical to
+    the plain join and to full salting."""
+    fact, dim = skewed
+    plain = fact.join(dim, ["k"], how).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+        F.count("attr").alias("matched"),
+    )
+    salted = salted_join(
+        fact, dim, ["k"], salt_buckets=16, how=how, hot_keys=[1]
+    ).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+        F.count("attr").alias("matched"),
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_join_hot_keys_still_bounds_the_hot_task(spark, skewed):
+    fact, dim = skewed
+    with _shuffle_join_regime(spark):
+        shares = _partition_shares(
+            salted_join(
+                fact, dim, ["k"], salt_buckets=16, how="inner", hot_keys=[1]
+            )
+        )
+    assert shares[0] <= 0.45, f"hot-key salting left a straggler: {shares[:4]}"
+
+
+def test_salted_join_hot_keys_bounds_the_explode(spark, skewed):
+    """The right side must carry |dim| + buckets·|hot| rows, not
+    buckets·|dim| — the entire point of the hot-key bound."""
+    _, dim = skewed
+    from etl_reporting_spark.operators.skew import salted_join as sj  # noqa: F401
+
+    exploded = salted_join(
+        dim.select("k", "attr"), dim, ["k"], salt_buckets=16, how="inner",
+        hot_keys=[1],
+    )
+    # fan-out 1 everywhere: each left row meets exactly one right row
+    assert exploded.count() == dim.count()
+
+
 def test_skew_report_flags_the_hot_key(spark, skewed):
     fact, _ = skewed
     top = skew_report(fact, "k", top_k=3).collect()
