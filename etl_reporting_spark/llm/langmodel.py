@@ -95,15 +95,20 @@ def charlm_score(
         .agg(F.count(F.lit(1)).alias("__doc_cnt"))
     )
     if model is None:
-        # Self-scoring default: derive the model from the SAME per-doc
-        # gram relation instead of re-exploding the corpus — Σ_docs
-        # doc_cnt(g) ≡ corpus count(g) (same integers), and because
-        # both branches aggregate the identical exploded subtree keyed
-        # the same way, the physical plan REUSES the (id, ngram)
-        # exchange: one explode pass over the corpus, not two
-        # (round-14 optimization; char_ngram_counts stays the
-        # cross-corpus entry point).
-        model = doc_grams.groupBy("ngram").agg(F.sum("__doc_cnt").alias("cnt"))
+        # Self-scoring default: explicit two-pass (explode for the
+        # model, explode for scoring). Round-14 tried deriving the
+        # model from the SAME per-doc gram relation (Σ_docs doc_cnt(g)
+        # ≡ corpus count(g), same integers) claiming ReuseExchange
+        # would share the (id, ngram) exchange — but the reuse never
+        # materializes in the physical plan (the model lives under the
+        # join's BroadcastExchange build, planned as its own query
+        # stage): measured +1 exchange on text_charlm_score (5 vs the
+        # budgeted 4) and +2 on text_ccnet_buckets (9 vs 7) with FLAT
+        # wall-clock (2.20 → 2.13 s sf0.1, within noise). Reverted
+        # round-15 — the model branch aggregates straight off the raw
+        # explode, whose groupBy(ngram) map-side combine collapses each
+        # partition to ≤ vocab rows before its (tiny) shuffle.
+        model = char_ngram_counts(df, n=n, id_col=id_col, text_col=text_col)
     joined = doc_grams.join(F.broadcast(model), on="ngram", how="left")
     return (
         joined.groupBy(id_col)

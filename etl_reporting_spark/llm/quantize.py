@@ -309,9 +309,11 @@ def pq_train_codebook(
     try:
         for _ in range(iterations):
             # assignment argmin as MIN(struct(dist, code)) — same
-            # (dist ASC, code ASC) selection the previous window made,
-            # but partial-aggregated map-side: the exchange carries
-            # N·m best-rows, not N·m·n_codes sorted candidates
+            # (dist ASC, code ASC) selection the previous window made.
+            # Struct MIN plans as a partial SortAggregate (map side
+            # still sorts by group key), but the exchange carries N·m
+            # best-rows, not N·m·n_codes candidates, and no Window
+            # pass follows the shuffle.
             scored = ex.join(F.broadcast(codebook), "subspace").withColumn(
                 "dist", F.expr(l2_sql("xsub", "subvec", sub))
             )
@@ -323,53 +325,53 @@ def pq_train_codebook(
                 )
                 .select(id_col, "subspace", F.col("__best.code").alias("code"), "xsub")
             )
+            comp = assigned.select(
+                id_col, "subspace", "code", F.posexplode("xsub").alias("pos", "val")
+            )
             if exact:
-                # exact means in ONE shuffle: collect each code's
-                # member SUBVECTORS (sorted by member id) and fold
-                # elementwise — per component the same doubles add in
-                # the same id-ascending order as the previous
-                # per-(subspace, code, pos) scalar fold, so means are
-                # bit-identical; the exchange carries N·m rows instead
-                # of N·dim exploded components, and the rebuild-by-pos
-                # aggregation disappears.
-                g = assigned.groupBy("subspace", "code").agg(
+                # exact means in COMPONENT form: collect each
+                # (subspace, code, pos) group's member scalars sorted
+                # by member id and fold sequentially — bit-identical
+                # to any formulation that adds the same doubles in the
+                # same id order. Round-15 memory bound: the round-14
+                # whole-subvector collect held cluster_size × sub
+                # doubles per group (one hot code widens the buffer
+                # sub×, guide §5); the component form keeps per-group
+                # state at cluster_size scalars spread over sub× more
+                # groups, at the cost of the exploded exchange + the
+                # rebuild-by-pos aggregation.
+                g = comp.groupBy("subspace", "code", "pos").agg(
                     F.array_sort(
                         F.collect_list(
                             F.struct(
                                 F.col(id_col).alias("i"),
-                                F.expr(
-                                    "transform(xsub, x -> CAST(x AS DOUBLE))"
-                                ).alias("v"),
+                                F.col("val").cast("double").alias("v"),
                             )
                         )
                     ).alias("__vals"),
                     F.count(F.lit(1)).alias("__n"),
                 )
-                vec_sum = F.aggregate(
+                ordered_sum = F.aggregate(
                     F.expr("transform(__vals, s -> s.v)"),
-                    F.expr("transform(element_at(__vals, 1).v, x -> CAST(0 AS DOUBLE))"),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
                 )
-                new_cb = g.select(
+                means = g.select(
                     "subspace",
                     "code",
-                    F.transform(
-                        vec_sum, lambda x: x / F.col("__n").cast("double")
-                    ).alias("__new"),
+                    "pos",
+                    (ordered_sum / F.col("__n").cast("double")).alias("mv"),
                 )
             else:
-                comp = assigned.select(
-                    id_col, "subspace", "code", F.posexplode("xsub").alias("pos", "val")
-                )
                 means = comp.groupBy("subspace", "code", "pos").agg(
                     F.avg(F.col("val").cast("double")).alias("mv")
                 )
-                new_cb = means.groupBy("subspace", "code").agg(
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(pos, mv))),"
-                        " s -> s.mv)"
-                    ).alias("__new")
-                )
+            new_cb = means.groupBy("subspace", "code").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mv))),"
+                    " s -> s.mv)"
+                ).alias("__new")
+            )
             # a code that lost every assignment this iteration has no
             # mean row — LEFT-join onto the previous codebook and
             # carry its old centroid forward, so the effective
@@ -437,13 +439,16 @@ def pq_encode(
     codebook (m·n_codes rows), then the argmin as a per-(vector,
     subspace) ``MIN(struct(dist, code))`` aggregate — Spark's struct
     ordering (NaN greatest, lexicographic) reproduces the previous
-    ``row_number`` over (dist ASC, code ASC) bit-for-bit, and the
-    partial aggregate collapses each group's n_codes scored rows to
-    one MAP-SIDE (candidates for one vector are adjacent after the
-    explode+join), so the exchange carries N·m compact rows with no
-    per-partition sort of the N·m·n_codes candidate relation. (The
-    window formulation paid that sort before its WindowGroupLimit; a
-    fully map-only array-fold formulation measured slower at gate
+    ``row_number`` over (dist ASC, code ASC) bit-for-bit. Honest plan
+    shape (round-15 correction): struct-typed MIN has no mutable
+    aggregation buffer, so this compiles to a partial SORTAGGREGATE —
+    the map side still sorts its N·m·n_codes candidate rows by group
+    key before collapsing, the same order of work the window's sort
+    paid. What the rewrite actually buys is the EXCHANGE: the partial
+    aggregate collapses each group's n_codes scored rows to one best
+    row map-side, so the shuffle carries N·m compact rows instead of
+    the full scored relation, and no final Window pass runs after it.
+    (A fully map-only array-fold formulation measured slower at gate
     level — collapsed projections re-inline the scoring fold into
     downstream join keys — see OPTIMIZATION_r14.md.)
 

@@ -40,23 +40,34 @@ _NORM2 = (
 )
 
 
-# --- unrolled vector folds (round-14 optimization) ------------------
+# --- unrolled vector folds (round-14 optimization, round-15 rescope) -
 #
 # Higher-order-function lambdas (aggregate / zip_with / transform) are
 # CodegenFallback: every element goes through an interpreted closure
 # with per-pair array allocation. For a KNOWN vector length the same
 # fold unrolls into a flat left-associated arithmetic chain over
 # codegen'd element_at calls — measured 5.4x faster on the sf3 PQ
-# scoring relation (25.6M pairs, OPTIMIZATION_r14.md) and BIT-IDENTICAL
-# by construction: the unrolled chain ((…(0.0 + t1) + t2)… + tn) adds
-# the same doubles in the same order as the lambda fold. A per-row
-# size() guard falls back to the original fold expression whenever the
-# runtime length differs from the hint, so the builders are exact for
-# EVERY input, not just hint-sized ones. Hints above _UNROLL_MAX keep
-# the fold (expression-tree size is quadratic in nothing, but plan
-# text and codegen method size both grow linearly; 256 terms is safely
-# under the JIT's 8 KB inline horizon).
-_UNROLL_MAX = 256
+# subspace scoring relation (25.6M pairs × 8 elements,
+# OPTIMIZATION_r14.md) and BIT-IDENTICAL by construction: the unrolled
+# chain ((…(0.0 + t1) + t2)… + tn) adds the same doubles in the same
+# order as the lambda fold. A per-row size() guard falls back to the
+# original fold expression whenever the runtime length differs from
+# the hint, so the builders are exact for EVERY input, not just
+# hint-sized ones.
+#
+# ROUND-15 RESCOPE: round 14 unrolled every site up to 256 terms. The
+# driver's own bench showed the 64-term sites are a verified NET
+# REGRESSION at bench scale (ann_cosine_lsh 3.2x, semdedup_flags 3.2x,
+# ann_cosine_topk/int8/recall_sweep 1.8x slower at sf0.1, and the
+# 8-iteration training gate +57%): each 64-term chain plus the full
+# fold duplicated inside its CASE guard multiplies expression-tree
+# size across plans that were already 600-2000 lines, and the
+# per-plan analysis/codegen constant cost dominates small inputs and
+# iterated training plans. The cap is therefore 16: the PQ/ADC
+# subspace kernels (sub = dim/m = 8 — the relation that is provably
+# large AND per-row cheap, where the 5.4x was actually measured) keep
+# the unroll; every dim-64 site gets the fold back (its r13 shape).
+_UNROLL_MAX = 16
 
 
 def _unrolled(a: str, b: "str | None", dim: "int | None", term: str, fold: str) -> str:
@@ -265,10 +276,13 @@ def ivf_assign(
     ``row_number`` window over (cosine DESC, centroid_id ASC) with a
     per-vector ``MAX(struct(cosine, -centroid_id, …))`` aggregate:
     Spark's struct ordering (NaN greatest, lexicographic fields) makes
-    the selection bit-identical, but the argmax now partial-aggregates
-    MAP-SIDE — the n_centroids scored candidates per vector collapse
+    the selection bit-identical. Honest plan shape (round-15
+    correction): struct MAX has no mutable buffer, so this is a
+    partial SORTAGGREGATE — the map side still sorts its scored rows
+    by group key — but the n_centroids candidates per vector collapse
     to one row inside the scan task, so the exchange carries N compact
-    rows instead of N·n_centroids full-width rows through a sort. (A
+    rows instead of N·n_centroids full-width rows, and no Window pass
+    runs after the shuffle. (A
     fully map-only ``array_max``-over-broadcast-array formulation was
     measured first and REJECTED: collapsed projections re-inline the
     whole scoring fold into downstream join keys, and the gate-level
@@ -281,7 +295,12 @@ def ivf_assign(
     if (
         n_nearest == 1
         and not with_rank
+        # BOTH relations must carry numeric ids: the argmax struct
+        # negates the CENTROIDS' id for the ascending tie-break, and a
+        # string centroid id would cast to double (NULL), silently
+        # breaking determinism instead of falling back to the window.
         and isinstance(embeddings.schema[id_col].dataType, NumericType)
+        and isinstance(centroids.schema[id_col].dataType, NumericType)
     ):
         c = centroids.select(
             F.col(id_col).alias("__cid"),
@@ -377,50 +396,53 @@ def kmeans_step_components(
                 F.count(F.lit(1)).alias("n_members"),
             )
         )
-    means = _kmeans_exact_means(assigned, id_col, vec_col)
-    return means.select(
-        "centroid_id",
-        F.posexplode("__mean").alias("pos", "mean_val"),
-        "n_members",
-    ).select("centroid_id", "pos", "mean_val", "n_members")
+    return _kmeans_exact_mean_components(assigned, id_col, vec_col)
 
 
-def _kmeans_exact_means(
+def _kmeans_exact_mean_components(
     assigned: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Exact (ordered-fold) per-centroid means from an assignment
-    relation, ONE shuffle: collect each cluster's member VECTORS
-    (sorted by member id), then fold them elementwise with zip_with —
-    per component this adds the same doubles in the same (id-ascending)
-    order as the previous per-(centroid, pos) scalar fold, so the
-    means are bit-identical, but the exchange carries N rows instead
-    of N·dim exploded component rows and the second (rebuild-by-pos)
-    aggregation disappears. Member lists live in memory per centroid
-    group — same cluster-size bound as before, for gate-scale corpora;
-    100 TB training uses ``exact=False`` (partial+final SUM)."""
-    g = assigned.groupBy("centroid_id").agg(
+    relation, component form (centroid_id, pos, mean_val, n_members):
+    posexplode to scalar components, collect each (centroid, pos)
+    group's members SORTED BY MEMBER ID, fold sequentially. Per
+    component the doubles add in id-ascending order, so the means are
+    bit-identical to any whole-vector formulation that folds in the
+    same member order.
+
+    MEMORY BOUND (round-15): round 14 collected whole member VECTORS
+    per centroid group — one shuffle, but per-group aggregation state
+    of cluster_size × dim doubles, so one hot cluster widened the
+    buffer dim× and could OOM its executor (guide §5). The component
+    form keeps per-group state at cluster_size scalars, spread over
+    dim× more (centroid, pos) groups that distribute across tasks —
+    the price is the exploded exchange and the rebuild-by-pos
+    aggregation. Member lists still grow with cluster size (the
+    ordered fold fundamentally needs the whole ordered list — any
+    bounded-state partial aggregation would merge partials in shuffle
+    order and break bit-exactness), so exact=True remains the
+    gate/oracle mode; 100 TB training uses ``exact=False``
+    (partial+final SUM)."""
+    comp = assigned.select(
+        "centroid_id", F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    g = comp.groupBy("centroid_id", "pos").agg(
         F.array_sort(
             F.collect_list(
-                F.struct(
-                    F.col(id_col).alias("i"),
-                    F.expr(
-                        f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-                    ).alias("v"),
-                )
+                F.struct(F.col(id_col).alias("i"), F.col("val").cast("double").alias("v"))
             )
         ).alias("__vals"),
         F.count(F.lit(1)).alias("n_members"),
     )
-    vec_sum = F.aggregate(
+    ordered_sum = F.aggregate(
         F.expr("transform(__vals, s -> s.v)"),
-        F.expr("transform(element_at(__vals, 1).v, x -> CAST(0 AS DOUBLE))"),
-        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     return g.select(
         "centroid_id",
-        F.transform(vec_sum, lambda x: x / F.col("n_members").cast("double")).alias(
-            "__mean"
-        ),
+        "pos",
+        (ordered_sum / F.col("n_members").cast("double")).alias("mean_val"),
         "n_members",
     )
 
@@ -438,16 +460,10 @@ def kmeans_step(
     small. Empty clusters simply drop (their id yields no row), the
     standard restart-or-shrink situation left to the caller.
 
-    The exact path builds each mean vector in one shuffle
-    (``_kmeans_exact_means``); the non-exact path keeps the exploded
-    partial+final AVG and re-collects by position."""
-    if exact:
-        means = _kmeans_exact_means(
-            ivf_assign(embeddings, centroids, id_col, vec_col), id_col, vec_col
-        )
-        return means.select(
-            F.col("centroid_id").alias(id_col), F.col("__mean").alias(vec_col)
-        )
+    Both paths run the component aggregation
+    (``kmeans_step_components``) and re-collect by position — the
+    exact path's per-group state stays cluster_size scalars, never
+    cluster_size × dim (see ``_kmeans_exact_mean_components``)."""
     parts = kmeans_step_components(embeddings, centroids, id_col, vec_col, exact=exact)
     rebuilt = F.expr("transform(array_sort(__pairs), s -> s.m)")
     return (

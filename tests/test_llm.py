@@ -373,6 +373,44 @@ def test_kmeans_step_moves_centroids_to_cluster_means(spark):
         assert all(abs(a - b) < 1e-9 for a, b in zip(got[k], c1_map[k]))
 
 
+def test_kmeans_exact_means_skewed_cluster_scalar_state(spark):
+    """Round-15 memory bound (verdict item 7): exact means aggregate
+    per-(centroid, pos) SCALAR components, never whole member vectors
+    per centroid — a deliberately skewed assignment (every vector in
+    ONE cluster) keeps per-group aggregation state at cluster_size
+    scalars instead of cluster_size × dim doubles, and the ordered
+    fold still matches the id-ascending sequential sum exactly."""
+    from etl_reporting_spark.llm.similarity import kmeans_step_components
+
+    dim, n = 8, 50
+    rows = [(i, [float(i) + 0.25 * p for p in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one far-away seed: every vector lands in centroid 0 (the hot
+    # cluster a 100 TB run would OOM on under the vector-collect form)
+    seeds = spark.createDataFrame(
+        [(0, [100.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    comps = kmeans_step_components(emb, seeds, exact=True)
+    # component form is visible at the API: one row per (centroid, pos)
+    got = {(r["centroid_id"], r["pos"]): r for r in comps.collect()}
+    assert len(got) == dim and all(r["n_members"] == n for r in got.values())
+    # bit-exact ordered fold per component (same doubles, same order)
+    for p in range(dim):
+        acc = 0.0
+        for i in range(n):  # id-ascending member order
+            acc += float(np_float32(float(i) + 0.25 * p))
+        assert got[(0, p)]["mean_val"] == acc / n
+    # the aggregation input is posexploded scalars, never whole vectors
+    plan = comps._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" in plan or "PosExplode" in plan
+
+
+def np_float32(x: float) -> float:
+    import struct as _struct
+
+    return _struct.unpack("f", _struct.pack("f", x))[0]
+
+
 def test_curate_corpus_all_reasons(spark):
     from etl_reporting_spark.llm.curate import curate_corpus
 

@@ -288,12 +288,13 @@ def test_sketches_partial_aggregate(spark, sf_dir):
 
 def test_pq_encode_argmin_is_partial_aggregate(spark, sf_dir):
     """The per-(vector, subspace) code argmin must compile to a
-    MIN(struct) hash aggregate with a map-side partial — the exchange
+    MIN(struct) aggregate with a map-side partial — the exchange
     carries one best-row per group, never the n_codes-wide scored
-    candidate relation, and no Window/sort machinery appears in the
-    encode subtree (round-14 optimization: the previous window
-    formulation paid a per-partition sort of N·m·n_codes rows before
-    its WindowGroupLimit)."""
+    candidate relation, and no Window operator appears in the encode
+    subtree. (Struct MIN plans as a partial SortAggregate — the map
+    side still sorts by group key, like the window it replaced; the
+    verified win is the exchange shrink plus the missing post-shuffle
+    Window, not sort elimination.)"""
     from etl_reporting_spark.llm.quantize import pq_codebook, pq_encode
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -305,7 +306,14 @@ def test_pq_encode_argmin_is_partial_aggregate(spark, sf_dir):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
-    assert plan.count("Exchange (") <= 1
+    # count SHUFFLE exchanges only: the codebook's broadcast build
+    # prints as "BroadcastExchange (n)", whose substring would match a
+    # bare "Exchange (" count (the round-14 version of this assertion
+    # did exactly that and failed at 2 <= 1)
+    import re
+
+    shuffles = re.findall(r"(?<![A-Za-z])Exchange \(", plan)
+    assert len(shuffles) <= 1, plan
 
 
 def test_forward_fill_single_fill_window(spark, sf_dir):
