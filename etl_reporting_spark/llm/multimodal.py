@@ -194,15 +194,7 @@ def synthesize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = np.arange(width * height * 3, dtype=np.int64)
         for batch in batches:
-            payloads, fmts = [], []
-            for doc_id in batch["doc_id"]:
-                arr = ((int(doc_id) * 7 + p * 13) % 256).astype(np.uint8).reshape(
-                    height, width, 3
-                )
-                fmt = ("png", "png", "bmp", "ppm")[int(doc_id) % 4]
-                enc = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}[fmt]
-                payloads.append(enc(arr))
-                fmts.append(fmt)
+            payloads, fmts = _synth_image_rows(batch["doc_id"], width, height, p)
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"], "payload": payloads, "fmt": fmts}
             )
@@ -210,6 +202,24 @@ def synthesize_images(
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary, fmt string"
     )
+
+
+def _synth_image_rows(doc_ids, width: int, height: int, p) -> tuple[list, list]:
+    """Per-batch core of :func:`synthesize_images` — shared with the
+    fused synth+decode operator so the payload bytes are generated by
+    exactly one code path."""
+    from etl_reporting_spark.llm.imagecodec import encode_bmp, encode_png, encode_ppm
+
+    payloads, fmts = [], []
+    for doc_id in doc_ids:
+        arr = ((int(doc_id) * 7 + p * 13) % 256).astype("uint8").reshape(
+            height, width, 3
+        )
+        fmt = ("png", "png", "bmp", "ppm")[int(doc_id) % 4]
+        enc = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}[fmt]
+        payloads.append(enc(arr))
+        fmts.append(fmt)
+    return payloads, fmts
 
 
 REAL_DECODE_SCHEMA = (
@@ -228,22 +238,65 @@ def decode_media_real(with_payload: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "fmt": [], "width": [], "height": [],
-                "channels": [], "pixel_sum": [],
-            }
-            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                data = bytes(payload)
-                arr = decode_image(data)
-                out["doc_id"].append(doc_id)
-                out["fmt"].append(sniff_format(data))
-                out["height"].append(arr.shape[0])
-                out["width"].append(arr.shape[1])
-                out["channels"].append(arr.shape[2])
-                out["pixel_sum"].append(int(np.sum(arr, dtype=np.int64)))
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(_decode_real_rows(batch["doc_id"], batch["payload"]))
 
     return with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema=REAL_DECODE_SCHEMA
+    )
+
+
+def _decode_real_rows(doc_ids, payloads) -> dict:
+    """Per-batch core of :func:`decode_media_real` — shared with the
+    fused synth+decode operator so decode semantics live in one place."""
+    import numpy as np
+
+    from etl_reporting_spark.llm.imagecodec import decode_image, sniff_format
+
+    out: dict[str, list] = {
+        "doc_id": [], "fmt": [], "width": [], "height": [],
+        "channels": [], "pixel_sum": [],
+    }
+    for doc_id, payload in zip(doc_ids, payloads):
+        data = bytes(payload)
+        arr = decode_image(data)
+        out["doc_id"].append(doc_id)
+        out["fmt"].append(sniff_format(data))
+        out["height"].append(arr.shape[0])
+        out["width"].append(arr.shape[1])
+        out["channels"].append(arr.shape[2])
+        out["pixel_sum"].append(int(np.sum(arr, dtype=np.int64)))
+    return out
+
+
+def synth_decode_real(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = IMG_W,
+    height: int = IMG_H,
+) -> DataFrame:
+    """Fused ``decode_media_real(synthesize_images(docs))`` in ONE
+    mapInPandas pass (round-15, guide §4.1): the two-operator chain
+    put a second Python evaluation node in the plan, so every encoded
+    payload crossed the JVM↔Python boundary twice — serialized out of
+    the synth worker into Arrow, through the JVM, and back into the
+    decode worker — even though the JVM never touches the bytes. At
+    the sf3 throughput tier that is ~2×4 GB of pure transfer framing
+    a ~2 s codec computation. Fused, payloads are born and decoded in
+    the same worker and only the tiny metadata rows cross. Both halves
+    call the same per-batch cores as the standalone operators
+    (``_synth_image_rows`` / ``_decode_real_rows``), so the bytes and
+    the decoded values are identical by construction; production
+    (payloads read from storage, one crossing into the decoder) keeps
+    using ``decode_media_real``."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.arange(width * height * 3, dtype=np.int64)
+        for batch in batches:
+            payloads, _ = _synth_image_rows(batch["doc_id"], width, height, p)
+            yield pd.DataFrame(_decode_real_rows(batch["doc_id"], payloads))
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         run, schema=REAL_DECODE_SCHEMA
     )
 

@@ -474,6 +474,32 @@ def write_zordered(
     )
 
 
+def hot_keys_from_report(
+    df: DataFrame,
+    key: str,
+    share_threshold: float = 0.05,
+    top_k: int = 10,
+) -> list:
+    """Derive the ``hot_keys`` set for :func:`salted_join` /
+    :func:`skew_aware_join` from :func:`skew_report` (round-15: wires
+    the diagnostic to the remedy, so callers pass measured hot keys
+    instead of construction knowledge). A key is hot when it carries
+    at least ``share_threshold`` of the relation's rows (default 5% —
+    a key at the flat-histogram share of 1/n_keys can never straggle;
+    one at ≥5% of a 100 TB fact serializes its whole task without
+    salting). Cost is the ``skew_report`` scan itself: one map-side-
+    combinable count + top-k, collected as ≤ ``top_k`` scalars — in
+    production compute it on yesterday's partition and cache the tiny
+    result, not inline per query. NULL keys are dropped (a NULL never
+    equi-matches; both consumers treat it as cold)."""
+    rows = (
+        skew_report(df, key, top_k=top_k)
+        .filter(F.col("share") >= share_threshold)
+        .collect()
+    )
+    return [r["key_value"] for r in rows if r["key_value"] is not None]
+
+
 def skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
     """Key-distribution diagnostic that decides the join strategy:
     per hot key its row count and share, plus the whole-relation

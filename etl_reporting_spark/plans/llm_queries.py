@@ -781,12 +781,13 @@ def mm_decode_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     (filter reconstruction, zlib, BGR swizzle), not mapInPandas
     scheduling. Same analytic pixel formula, so the full value-hash
     oracle holds at any image size."""
-    from etl_reporting_spark.llm.multimodal import decode_media_real, synthesize_images
+    from etl_reporting_spark.llm.multimodal import synth_decode_real
 
+    # Round-15 (guide §4.1): synth + decode FUSED into one mapInPandas
+    # pass — the encoded payloads no longer round-trip through the JVM
+    # between two Python stages; values identical (same batch cores).
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media_real(
-        synthesize_images(docs, width=96, height=96)
-    ).orderBy("doc_id")
+    return synth_decode_real(docs, width=96, height=96).orderBy("doc_id")
 
 
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,10 +1193,12 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id*7 + p*13) % 256``, so the oracle re-derives geometry AND
     the exact pixel sum without any codec: a decoder bug (filter math,
     BGR order, row padding) breaks the sum."""
-    from etl_reporting_spark.llm.multimodal import decode_media_real, synthesize_images
+    from etl_reporting_spark.llm.multimodal import synth_decode_real
 
+    # Round-15 (guide §4.1): fused synth+decode — one Python pass,
+    # payloads never cross the JVM boundary; values identical.
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media_real(synthesize_images(docs)).orderBy("doc_id")
+    return synth_decode_real(docs).orderBy("doc_id")
 
 
 def mm_ahash_real(spark: SparkSession, sf_dir: str) -> DataFrame:

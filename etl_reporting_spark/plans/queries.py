@@ -315,22 +315,50 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 def j1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 restructure (guide §3.1/§3.2 + §2.3), same result rows.
+
+    The round-14 shape joined (lineitem ⋈ orders) FIRST — at sf10 a
+    180M ⋈ 45M sort-merge with zero reduction, then re-shuffled the
+    180M join output by custkey before the region filter finally cut
+    4/5 of it. Inner equi-joins commute, so the selective dimension
+    chain now prunes first: region(filtered) → nation → customer is a
+    customer-bounded relation (1/5 of customers) that BROADCASTS into
+    orders map-side (no orders shuffle), leaving 1/5 of orders; and
+    lineitem pre-aggregates per order key BEFORE meeting orders —
+    revenue/count are keyed by the join key, so group-then-join ≡
+    join-then-group exactly (DECIMAL sums are associative, the
+    per-order partials add to the identical totals). The fact exchange
+    carries one compact partial row per order key instead of every
+    lineitem row, and the orderkey join probes a 5×-reduced build
+    side. Shuffle budget re-pinned 2 → 3 in tools/plan_audit.py (the
+    per-orderkey partial aggregate is the one new exchange; the join
+    itself broadcasts at audit scale)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     revenue = (_dec("l_extendedprice", 2) * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 2)))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "AMERICA")
+        .select("n_nationkey", "n_name")
+    )
+    cust_f = customer.join(
+        F.broadcast(dims), customer.c_nationkey == dims.n_nationkey
+    ).select("c_custkey", "n_name")
+    orders_f = orders.join(
+        F.broadcast(cust_f), orders.o_custkey == cust_f.c_custkey
+    ).select("o_orderkey", "n_name")
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("__rev"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        li_per_order.join(orders_f, li_per_order.l_orderkey == orders_f.o_orderkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("__rev").cast("double").alias("revenue"),
+            F.sum("__n").alias("n_lineitems"),
         )
         .orderBy("nation_name")
     )
@@ -834,11 +862,29 @@ def dq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "failed_rows",
     )
 
+    # Round-15 (guide §2.3 "narrower types"): o_orderkey / o_custkey /
+    # c_custkey are BIGINT primary keys, and trim(cast(bigint AS
+    # string)) is injective on bigints — so the trim-normalized checks
+    # (unique_check / orphan_check, the general string-keyed contract)
+    # produce the SAME failure counts as grouping/anti-joining the raw
+    # bigints. The raw-key forms shuffle 8-byte keys instead of
+    # ~20-byte strings and skip the per-row cast+trim; at sf10 that is
+    # a 45M-row exchange and a 4.5M-key broadcast build in integers.
+    dup_orders = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+    orphan_orders = orders.select("o_custkey").join(
+        customer.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        "o_custkey",
+        "left_anti",
+    )
     parts = [
         cust_checks,
-        verdict("DQ-002", C.unique_check(orders, "o_orderkey")),
+        verdict("DQ-002", dup_orders),
         li_checks,
-        verdict("DQ-004", C.orphan_check(orders, customer, "o_custkey", "c_custkey")),
+        verdict("DQ-004", orphan_orders),
         verdict("DQ-007", C.outlier_check(events, "value", sigmas=3.0)),
     ]
     out = parts[0]
@@ -2748,17 +2794,28 @@ def j13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     output — and the oracle — is exactly the plain equi-join;
     tests/test_skew_join.py pins the per-task bound the salt buys.
 
-    Round-14: the hot key is known by construction (key 1 carries 80%
-    of rows), so the gate passes ``hot_keys=[1]`` — the dim explodes
-    ×16 for that key only instead of wholesale (sf10: 72M → 4.5M
-    exploded dim rows through the exchange); production gets the hot
-    set from ``skew_report`` the same way. With the right side
-    |dim|-bounded, the join takes ``shuffle_hash`` — the 120M-row
-    fact-side SORT disappears and each task builds a dim-slice hash
-    instead (sf10 measured 16.3 → 7.6 s min-of-2 cold, memory bound =
+    Round-14: only the HOT keys salt — the dim explodes ×16 for those
+    keys only instead of wholesale (sf10: 72M → 4.5M exploded dim rows
+    through the exchange). With the right side |dim|-bounded, the join
+    takes ``shuffle_hash`` — the 120M-row fact-side SORT disappears
+    and each task builds a dim-slice hash instead (sf10 measured
+    16.3 → 7.6 s min-of-2 cold, memory bound =
     |dim|/shuffle_partitions rows per build). Output unchanged — the
-    salt still never escapes."""
-    from etl_reporting_spark.operators.skew import salted_join
+    salt still never escapes.
+
+    Round-15 (verdict item 8): the hot set is now MEASURED via
+    ``hot_keys_from_report`` (skew_report → keys with ≥5% share)
+    instead of hardcoded from construction knowledge — the same
+    machinery production uses. The diagnostic costs one map-side-
+    combined count scan of the fact inside the timed gate (~1 s at
+    sf10 against the ~8 s it saves); it derives exactly {1} on this
+    data (key 1 carries 80% of rows), so the join plan — and the
+    oracle output, which never depended on the hot set — is
+    unchanged."""
+    from etl_reporting_spark.operators.skew import (
+        hot_keys_from_report,
+        salted_join,
+    )
 
     events = _t(spark, sf_dir, "events")
     customer = _t(spark, sf_dir, "customer")
@@ -2778,7 +2835,7 @@ def j13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt_buckets=16,
             how="inner",
             join_hint="shuffle_hash",
-            hot_keys=[1],
+            hot_keys=hot_keys_from_report(skewed, "k"),
         )
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(

@@ -156,6 +156,34 @@ def test_skew_report_flags_the_hot_key(spark, skewed):
     assert hottest["skew_ratio"] > 100
 
 
+def test_hot_keys_from_report_derives_the_hot_set(spark, skewed):
+    """report → hot_keys wiring (round-15): the derived set contains
+    exactly the keys at ≥ threshold share — here the one 80% key —
+    and feeding it to salted_join reproduces the plain join."""
+    from etl_reporting_spark.operators.skew import hot_keys_from_report
+
+    fact, dim = skewed
+    hot = hot_keys_from_report(fact, "k", share_threshold=0.05)
+    assert hot == [1]
+    # a threshold above the hot share yields no hot keys (everything
+    # cold: salt 0 everywhere, still the plain join)
+    assert hot_keys_from_report(fact, "k", share_threshold=0.9) == []
+    with _shuffle_join_regime(spark):
+        plain = (
+            fact.join(dim, ["k"], "inner")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        salted = (
+            salted_join(fact, dim, ["k"], hot_keys=hot)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+
 # ------------------------------------------------------ skew_aware_join
 
 def test_skew_aware_join_equals_plain(spark, skewed):

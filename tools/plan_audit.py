@@ -121,7 +121,11 @@ _BNLJ_OK: dict[str, str] = {
 _SHUFFLE_BUDGET: dict[str, int] = {
     "flagship_active_claimants": 4,
     "q1_pricing_summary": 2,
-    "j1_revenue_by_nation": 2,
+    # round-15: j1 re-pinned 2 → 3 — the lineitem per-orderkey partial
+    # aggregate (pre-join reduction, §2.3) is the one new exchange;
+    # the dimension chain broadcasts, so the fact never re-shuffles.
+    # Measured cold at sf0.001: 3 (agg + final agg + presentation sort).
+    "j1_revenue_by_nation": 3,
     "w1_dedup_latest": 1,
     "j5_asof_join": 1,
     "w8_sessionization": 2,
