@@ -479,6 +479,8 @@ def hot_keys_from_report(
     key: str,
     share_threshold: float = 0.05,
     top_k: int = 10,
+    sample_fraction: float | None = None,
+    seed: int = 7,
 ) -> list:
     """Derive the ``hot_keys`` set for :func:`salted_join` /
     :func:`skew_aware_join` from :func:`skew_report` (round-15: wires
@@ -487,13 +489,25 @@ def hot_keys_from_report(
     at least ``share_threshold`` of the relation's rows (default 5% —
     a key at the flat-histogram share of 1/n_keys can never straggle;
     one at ≥5% of a 100 TB fact serializes its whole task without
-    salting). Cost is the ``skew_report`` scan itself: one map-side-
-    combinable count + top-k, collected as ≤ ``top_k`` scalars — in
-    production compute it on yesterday's partition and cache the tiny
-    result, not inline per query. NULL keys are dropped (a NULL never
-    equi-matches; both consumers treat it as cold)."""
+    salting).
+
+    ``sample_fraction`` is the inline-probe mode: estimate shares on
+    a seeded Bernoulli sample instead of the full relation. A key at
+    ≥5% true share is near-certain in any non-trivial sample while
+    the probe's groupBy touches fraction× the rows — measured at
+    sf10, the full-relation report costs ~4.5 s against the ~8 s the
+    salting saves, the 2% sample ~1 s. Sampling is SAFE here by
+    construction: the hot set only shapes the plan (which keys
+    explode); ``salted_join``'s output is identical for ANY hot set,
+    so a borderline key missed by the sample costs straggler time,
+    never correctness. Production alternatives: compute the full
+    report on yesterday's partition and cache the tiny result, or
+    probe inline with a sample like the j13 gate does. NULL keys are
+    dropped (a NULL never equi-matches; both consumers treat it as
+    cold)."""
+    probe = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
     rows = (
-        skew_report(df, key, top_k=top_k)
+        skew_report(probe, key, top_k=top_k)
         .filter(F.col("share") >= share_threshold)
         .collect()
     )

@@ -2804,14 +2804,17 @@ def j13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt still never escapes.
 
     Round-15 (verdict item 8): the hot set is now MEASURED via
-    ``hot_keys_from_report`` (skew_report → keys with ≥5% share)
-    instead of hardcoded from construction knowledge — the same
-    machinery production uses. The diagnostic costs one map-side-
-    combined count scan of the fact inside the timed gate (~1 s at
-    sf10 against the ~8 s it saves); it derives exactly {1} on this
-    data (key 1 carries 80% of rows), so the join plan — and the
-    oracle output, which never depended on the hot set — is
-    unchanged."""
+    ``hot_keys_from_report`` (skew_report → keys with ≥5% share on a
+    2% seeded sample) instead of hardcoded from construction
+    knowledge — the same inline-probe pattern production uses. The
+    full-relation report was measured first and rejected: ~4.5 s at
+    sf10 (a second full scan+groupBy of the 120M-row fact) against
+    the ~8 s salting saves; the sampled probe costs ~1 s and flags an
+    80%-share key with certainty. The hot set only shapes the plan —
+    ``salted_join``'s output is identical for ANY hot set (the salt
+    never escapes), so sampling can never change results, only
+    straggler behavior on borderline keys. Derives exactly {1} on
+    this data; join plan and oracle output unchanged."""
     from etl_reporting_spark.operators.skew import (
         hot_keys_from_report,
         salted_join,
@@ -2835,7 +2838,7 @@ def j13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt_buckets=16,
             how="inner",
             join_hint="shuffle_hash",
-            hot_keys=hot_keys_from_report(skewed, "k"),
+            hot_keys=hot_keys_from_report(skewed, "k", sample_fraction=0.02),
         )
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(

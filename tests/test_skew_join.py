@@ -168,6 +168,9 @@ def test_hot_keys_from_report_derives_the_hot_set(spark, skewed):
     # a threshold above the hot share yields no hot keys (everything
     # cold: salt 0 everywhere, still the plain join)
     assert hot_keys_from_report(fact, "k", share_threshold=0.9) == []
+    # inline-probe mode: the seeded sample still flags the 80% key
+    # (and could only ever change WHICH keys salt, never the output)
+    assert hot_keys_from_report(fact, "k", sample_fraction=0.02) == [1]
     with _shuffle_join_regime(spark):
         plain = (
             fact.join(dim, ["k"], "inner")
